@@ -1,0 +1,360 @@
+package graft.substrait
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import model._
+
+/** Substrait `Plan` → Spark `DataFrame`.
+  *
+  * Spark-native rebuild of the reference consumer (src/consumer.rs:74-380):
+  * each Rel becomes a public DataFrame-API call — `spark.table` at the leaves,
+  * `.select/.filter/.join/.groupBy().agg/.orderBy/.offset/.limit` at inner
+  * nodes, `.toDF(rootNames)` at the root — and Catalyst then analyzes,
+  * optimizes (pushdown, pruning, join strategy) and executes the result.
+  *
+  * Positional field references index the node's flattened output schema
+  * (consumer.rs:449-468). To make that robust across joins — including
+  * self-joins, where name-based resolution is ambiguous — every operator that
+  * introduces columns renames them to globally unique fresh names; the
+  * user-visible names are restored from `RelRoot.names` at the root
+  * (consumer.rs:92-111 / SURVEY.md §7.4).
+  */
+object Consumer {
+
+  def consume(spark: SparkSession, plan: Plan): DataFrame = {
+    val extMap: Map[Int, String] =
+      plan.extensions.map(e => e.functionAnchor -> e.name).toMap
+    if (plan.relations.size != 1)
+      internalErr(s"expected exactly one relation tree, got ${plan.relations.size}")
+    val ctx = new Ctx(spark, extMap)
+    plan.relations.head match {
+      case PlanRel.Root(input, names) =>
+        val b = ctx.build(input)
+        if (names.nonEmpty) {
+          if (names.size != b.df.columns.length)
+            internalErr(s"root names arity ${names.size} != plan arity ${b.df.columns.length}")
+          b.df.toDF(names: _*)
+        } else b.df
+      case PlanRel.RelOnly(rel) => ctx.build(rel).df
+    }
+  }
+
+  private val freshCounter = new AtomicInteger(0)
+
+  /** df whose columns (all uniquely named) are the rel's flattened output. */
+  private final case class Built(df: DataFrame)
+
+  private final class Ctx(spark: SparkSession, extMap: Map[Int, String]) {
+    private def fresh(): String = s"_s${freshCounter.incrementAndGet()}"
+    private def freshNames(n: Int): Seq[String] = Seq.fill(n)(fresh())
+    private def name(ref: Int): String =
+      extMap.getOrElse(ref, internalErr(s"unregistered function anchor $ref"))
+
+    def build(rel: Rel): Built = rel match {
+      case Rel.Read(schema, tableNames, projection) =>
+        val df0 = spark.table(tableNames.mkString("."))
+        if (schema != null && schema.names.nonEmpty &&
+            schema.names.size != df0.columns.length)
+          internalErr(s"table ${tableNames.mkString(".")}: plan schema arity " +
+            s"${schema.names.size} != catalog arity ${df0.columns.length}")
+        val projected = projection match {
+          case Some(idxs) => df0.select(idxs.map(i => df0.col(df0.columns(i))): _*)
+          case None => df0
+        }
+        Built(projected.toDF(freshNames(projected.columns.length): _*))
+
+      case Rel.Project(input, exprs) =>
+        val in = build(input)
+        val cols = exprs.map(e => toColumn(e, in.df))
+        Built(in.df.select(cols.zip(freshNames(cols.size)).map { case (c, n) => c.as(n) }: _*))
+
+      case Rel.Filter(input, cond) =>
+        val in = build(input)
+        Built(in.df.filter(toColumn(cond, in.df)))
+
+      case Rel.Fetch(input, offset, count) =>
+        val in = build(input)
+        val off = if (offset > 0) in.df.offset(offset.toInt) else in.df
+        // count=0 is the reference's encoding of "no fetch" (producer.rs:147-150)
+        Built(if (count > 0) off.limit(count.toInt) else off)
+
+      case Rel.Sort(input, sorts) =>
+        val in = build(input)
+        val cols = sorts.map { s =>
+          val c = toColumn(s.expr, in.df)
+          s.direction match {
+            case SortDirection.AscNullsFirst => c.asc_nulls_first
+            case SortDirection.AscNullsLast => c.asc_nulls_last
+            case SortDirection.DescNullsFirst => c.desc_nulls_first
+            case SortDirection.DescNullsLast => c.desc_nulls_last
+            case other => notImplemented(s"sort direction $other")
+          }
+        }
+        Built(in.df.orderBy(cols: _*))
+
+      case Rel.Join(left, right, expression, joinType) =>
+        val l = build(left); val r = build(right)
+        val joined = l.df.join(r.df, toColumn(expression, l.df, Some(r.df)),
+          joinTypeName(joinType))
+        Built(joined)
+
+      case Rel.Cross(left, right) =>
+        val l = build(left); val r = build(right)
+        Built(l.df.crossJoin(r.df))
+
+      case Rel.Aggregate(input, groupings, measures) => buildAggregate(input, groupings, measures)
+
+      case Rel.Set(inputs, op) =>
+        val dfs = inputs.map(build(_).df)
+        if (dfs.size < 2) internalErr("SetRel needs at least two inputs")
+        val out = op match {
+          case SetOp.UnionAll => dfs.reduceLeft(_.unionAll(_))
+          case SetOp.UnionDistinct => dfs.reduceLeft(_.unionAll(_)).distinct()
+          case SetOp.IntersectionMultiset => dfs.reduceLeft(_.intersectAll(_))
+          case SetOp.IntersectionPrimary => dfs.reduceLeft(_.intersect(_))
+          case SetOp.MinusMultiset => dfs.reduceLeft(_.exceptAll(_))
+          case SetOp.MinusPrimary => dfs.reduceLeft(_.except(_))
+          case other => notImplemented(s"set op $other")
+        }
+        Built(out)
+    }
+
+    private def joinTypeName(t: Int): String = t match {
+      case JoinType.Inner => "inner"
+      case JoinType.Outer => "full"
+      case JoinType.Left => "left"
+      case JoinType.Right => "right"
+      case JoinType.Semi => "left_semi"
+      case JoinType.Anti => "left_anti"
+      case other => notImplemented(s"join type $other") // Single etc. (consumer.rs:420-425)
+    }
+
+    /** AggregateRel: exactly one grouping set (consumer.rs:230-235); measures
+      * with optional DISTINCT invocation and FILTER expression
+      * (consumer.rs:242-258). FILTER p is applied as agg(when(p, x)) — null
+      * rows are ignored by every supported aggregate, matching FILTER
+      * semantics; count(*) FILTER p becomes count(when(p, 1)).
+      */
+    private def buildAggregate(input: Rel, groupings: Seq[Seq[SExpr]],
+                               measures: Seq[Measure]): Built = {
+      if (groupings.size > 1) notImplemented("multiple grouping sets")
+      val in = build(input)
+      val groupExprs = groupings.headOption.getOrElse(Nil).map(e => toColumn(e, in.df))
+
+      if (measures.isEmpty) {
+        // DISTINCT-as-groupBy (consumer side of producer.rs:203-222)
+        val names = freshNames(groupExprs.size)
+        return Built(in.df.select(groupExprs.zip(names).map { case (c, n) => c.as(n) }: _*)
+          .distinct())
+      }
+
+      val groupNames = freshNames(groupExprs.size)
+      val groupCols = groupExprs.zip(groupNames).map { case (c, n) => c.as(n) }
+
+      val aggCols = measures.map { m =>
+        val fname = name(m.function.functionReference).toLowerCase
+        val rawArgs = m.function.args.map(e => toColumn(e, in.df))
+        val args = m.filter match {
+          case Some(f) =>
+            val p = toColumn(f, in.df)
+            if (rawArgs.isEmpty) Seq(when(p, lit(1)))
+            else rawArgs.map(a => when(p, a))
+          case None => if (rawArgs.isEmpty) Seq(lit(1)) else rawArgs
+        }
+        val distinct = m.function.invocation == AggInvocation.Distinct
+        aggColumn(fname, args, distinct).as(fresh())
+      }
+
+      val grouped = in.df.groupBy(groupCols: _*)
+      Built(grouped.agg(aggCols.head, aggCols.tail: _*))
+    }
+
+    /** DataFusion 15 aggregate names → Spark built-ins (consumer.rs:383-415 /
+      * SURVEY.md §2.4 A2). All run as native partial-agg (map-side combine)
+      * operators — no custom Aggregator needed.
+      */
+    private def aggColumn(fname: String, args: Seq[Column], distinct: Boolean): Column = {
+      def one: Column = args.head
+      if (distinct) fname match {
+        case "count" => count_distinct(args.head, args.tail: _*)
+        case "sum" => sum_distinct(one)
+        case "min" => min(one) // DISTINCT is a no-op for min/max
+        case "max" => max(one)
+        case other => notImplemented(s"DISTINCT aggregate $other")
+      } else fname match {
+        case "count" => count(one)
+        case "sum" => sum(one)
+        case "min" => min(one)
+        case "max" => max(one)
+        case "avg" | "mean" => avg(one)
+        case "median" => median(one)
+        case "approx_distinct" => approx_count_distinct(one)
+        case "approx_median" => percentile_approx(one, lit(0.5), lit(10000))
+        case "approx_percentile_cont" =>
+          val acc = if (args.size > 2) args(2) else lit(10000)
+          percentile_approx(args.head, args(1), acc)
+        case "array_agg" => collect_list(one)
+        case "stddev" | "stddev_samp" => stddev_samp(one)
+        case "stddev_pop" => stddev_pop(one)
+        case "variance" | "var_samp" => var_samp(one)
+        case "var_pop" => var_pop(one)
+        case "covariance" | "covar_samp" => covar_samp(args.head, args(1))
+        case "covariance_pop" | "covar_pop" => covar_pop(args.head, args(1))
+        case "correlation" | "corr" => corr(args.head, args(1))
+        case "grouping" => grouping(one)
+        case "first" => first(one)
+        case "last" => last(one)
+        case other => notImplemented(s"aggregate function $other")
+      }
+    }
+
+    // ------------------------------------------------------------ expressions
+    /** FieldRef ordinals index the flattened child schema; for joins that is
+      * left.columns ++ right.columns (consumer.rs:282-317).
+      */
+    private def toColumn(e: SExpr, df: DataFrame, right: Option[DataFrame] = None): Column = {
+      val cols: Seq[Column] = right match {
+        case Some(r) => df.columns.map(df.col).toSeq ++ r.columns.map(r.col).toSeq
+        case None => df.columns.map(df.col).toSeq
+      }
+      toColumnRec(e, cols)
+    }
+
+    private def litString(e: SExpr): String = e match {
+      case SExpr.Lit(LitVal.LStr(s)) => s
+      case other => notImplemented(s"expected string literal, got $other")
+    }
+    private def litInt(e: SExpr): Int = e match {
+      case SExpr.Lit(LitVal.LI8(v)) => v
+      case SExpr.Lit(LitVal.LI16(v)) => v
+      case SExpr.Lit(LitVal.LI32(v)) => v
+      case SExpr.Lit(LitVal.LI64(v)) => v.toInt
+      case other => notImplemented(s"expected integer literal, got $other")
+    }
+
+    private def toColumnRec(e: SExpr, cols: Seq[Column]): Column = e match {
+      case SExpr.FieldRef(i) =>
+        if (i < 0 || i >= cols.size)
+          internalErr(s"field reference $i out of range ${cols.size}")
+        cols(i)
+
+      case SExpr.Lit(v) => literalColumn(v)
+
+      case SExpr.Cast(t, _, in) => toColumnRec(in, cols).cast(sparkType(t))
+
+      case SExpr.IfThen(clauses, elseExpr) =>
+        // base-expression CASE arrives as a first clause with then=None
+        // (consumer.rs:474-489)
+        val (base, rest) = clauses match {
+          case IfClause(b, None) +: tail => (Some(toColumnRec(b, cols)), tail)
+          case _ => (None, clauses)
+        }
+        if (rest.isEmpty) notImplemented("CASE without WHEN clauses")
+        val branches = rest.map {
+          case IfClause(c, Some(v)) =>
+            val cond = base match {
+              case Some(b) => b === toColumnRec(c, cols)
+              case None => toColumnRec(c, cols)
+            }
+            (cond, toColumnRec(v, cols))
+          case IfClause(_, None) => notImplemented("misplaced base clause in CASE")
+        }
+        val whenChain = branches.tail.foldLeft(when(branches.head._1, branches.head._2)) {
+          case (acc, (c, v)) => acc.when(c, v)
+        }
+        elseExpr.map(e2 => whenChain.otherwise(toColumnRec(e2, cols))).getOrElse(whenChain)
+
+      case SExpr.ScalarFn(ref, args) =>
+        val n = name(ref)
+        def a0 = toColumnRec(args(0), cols)
+        def a1 = toColumnRec(args(1), cols)
+        def all = args.map(toColumnRec(_, cols))
+        n match {
+          // name_to_op's 26 operators (consumer.rs:37-71)
+          case "equal" => a0 === a1
+          case "not_equal" => a0 =!= a1
+          case "lt" => a0 < a1
+          case "lte" => a0 <= a1
+          case "gt" => a0 > a1
+          case "gte" => a0 >= a1
+          case "add" => a0 + a1
+          // accept the reference's "substract" typo (producer.rs:297)
+          case "subtract" | "substract" => a0 - a1
+          case "multiply" => a0 * a1
+          case "divide" => a0 / a1
+          case "mod" | "modulo" => a0 % a1
+          case "and" => a0 && a1
+          case "or" => a0 || a1
+          case "like" => a0.like(litString(args(1)))
+          case "not_like" => !a0.like(litString(args(1)))
+          case "regex_match" => a0.rlike(litString(args(1)))
+          case "regex_imatch" => a0.rlike("(?i)" + litString(args(1)))
+          case "regex_not_match" => !a0.rlike(litString(args(1)))
+          case "regex_not_imatch" => !a0.rlike("(?i)" + litString(args(1)))
+          case "is_distinct_from" => !(a0 <=> a1)
+          case "is_not_distinct_from" => a0 <=> a1
+          case "bitwise_and" => a0.bitwiseAND(a1)
+          case "bitwise_or" => a0.bitwiseOR(a1)
+          case "bitwise_xor" => a0.bitwiseXOR(a1)
+          case "bitwise_shift_right" => shiftright(a0, litInt(args(1)))
+          case "bitwise_shift_left" => shiftleft(a0, litInt(args(1)))
+          case "str_concat" => concat(all: _*)
+          // unary / variadic extensions (Producer.scala)
+          case "not" => !a0
+          case "is_null" => a0.isNull
+          case "is_not_null" => a0.isNotNull
+          case "negate" => -a0
+          case "coalesce" => coalesce(all: _*)
+          case other => notImplemented(s"scalar function $other")
+        }
+    }
+
+    private def literalColumn(v: LitVal): Column = v match {
+      case LitVal.LBool(b) => lit(b)
+      case LitVal.LI8(i) => lit(i.toByte)
+      case LitVal.LI16(i) => lit(i.toShort)
+      case LitVal.LI32(i) => lit(i)
+      case LitVal.LI64(i) => lit(i)
+      case LitVal.LFp32(f) => lit(f)
+      case LitVal.LFp64(d) => lit(d)
+      case LitVal.LStr(s) => lit(s)
+      case LitVal.LBin(b) => lit(b)
+      case LitVal.LDate(days) => lit(java.time.LocalDate.ofEpochDay(days.toLong))
+      case LitVal.LTimestamp(us) =>
+        lit(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC))
+      case LitVal.LTimestampTz(us) =>
+        lit(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+      case LitVal.LDecimal(bytesLE, p, s) =>
+        // little-endian i128 → BigInteger (big-endian) → BigDecimal(unscaled, s)
+        val be = bytesLE.reverse
+        val bd = new java.math.BigDecimal(new java.math.BigInteger(be), s)
+        lit(bd).cast(DecimalType(p, s))
+      case LitVal.LNull(t) => lit(null).cast(sparkType(t))
+    }
+  }
+
+  // ---------------------------------------------------------------------- types
+  def sparkType(t: SType): DataType = t match {
+    case SType.SBool => BooleanType
+    case SType.SI8 => ByteType
+    case SType.SI16 => ShortType
+    case SType.SI32 => IntegerType
+    case SType.SI64 => LongType
+    case SType.SFp32 => FloatType
+    case SType.SFp64 => DoubleType
+    case SType.SStr => StringType
+    case SType.SBin => BinaryType
+    case SType.SDate => DateType
+    case SType.STimestamp => TimestampNTZType
+    case SType.STimestampTz => TimestampType
+    case SType.SDecimal(p, s) => DecimalType(p, s)
+    case SType.SList(e, n) => ArrayType(sparkType(e), n)
+  }
+}

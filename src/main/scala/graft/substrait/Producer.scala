@@ -1,0 +1,378 @@
+package graft.substrait
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans
+import org.apache.spark.sql.catalyst.plans.logical
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types._
+
+import model._
+
+/** Catalyst analyzed `LogicalPlan` → Substrait `Plan`.
+  *
+  * Spark-native rebuild of the reference producer (src/producer.rs:37-63,
+  * to_substrait_rel 66-286): a recursive pattern-match over the analyzed plan,
+  * with the mutable function-extension registry threaded through
+  * (producer.rs:393-431 — dense anchors from 0, dedup by name). Where DataFusion
+  * hands the reference an optimizer-normalized plan, Spark's analyzer output
+  * still carries implicit Casts / CheckOverflow / alias layers, so this walk
+  * additionally understands those (SURVEY.md §7.4 "plan-shape drift").
+  */
+object Producer {
+
+  def produce(df: DataFrame): Plan = produce(df.queryExecution.analyzed)
+
+  def produce(plan: LogicalPlan): Plan = {
+    val ctx = new Ctx
+    val rel = ctx.toRel(plan)
+    Plan(ctx.extensions, Seq(PlanRel.Root(rel.rel, plan.output.map(_.name))))
+  }
+
+  /** A produced relation plus the attribute list its FieldRef ordinals index. */
+  private final case class Produced(rel: Rel, attrs: Seq[Attribute])
+
+  private final class Ctx {
+    /** name → dense anchor, insertion-ordered (producer.rs:393-431). */
+    private val registry = mutable.LinkedHashMap.empty[String, Int]
+    def anchor(name: String): Int = registry.getOrElseUpdate(name, registry.size)
+    def extensions: Seq[ExtensionFunction] =
+      registry.toSeq.map { case (n, a) =>
+        // extension_uri_reference = u32::MAX, like the reference (producer.rs:412)
+        ExtensionFunction(0xffffffffL, a, n)
+      }
+
+    // ---------------------------------------------------------------- leaves
+    /** Named leaf scan: SubqueryAlias over a relation (temp view / table). */
+    private def leafRead(p: LogicalPlan): Option[(Seq[String], Seq[Attribute])] = {
+      def isRelation(c: LogicalPlan): Boolean = c match {
+        case _: LogicalRelation | _: DataSourceV2Relation | _: logical.LocalRelation => true
+        case v: logical.View => isRelation(v.child)
+        case s: logical.SubqueryAlias => isRelation(s.child)
+        case _ => false
+      }
+      p match {
+        case a: logical.SubqueryAlias if isRelation(a.child) =>
+          Some((a.identifier.qualifier :+ a.identifier.name, p.output))
+        case _ => None
+      }
+    }
+
+    private def readRel(names: Seq[String], attrs: Seq[Attribute],
+                        mask: Seq[Int]): Rel =
+      Rel.Read(
+        NamedStruct(attrs.map(_.name), attrs.map(a => (sTypeOf(a.dataType), a.nullable))),
+        names, Some(mask))
+
+    // ------------------------------------------------------------------ rels
+    def toRel(p: LogicalPlan): Produced = p match {
+      case _ if leafRead(p).isDefined =>
+        val (names, attrs) = leafRead(p).get
+        Produced(readRel(names, attrs, attrs.indices), attrs)
+
+      // attribute-only projection over a leaf → ReadRel projection mask
+      // (mirrors producer.rs:74-116 carrying the scan's projection)
+      case logical.Project(list, child)
+          if leafRead(child).isDefined && list.forall(_.isInstanceOf[AttributeReference]) =>
+        val (names, attrs) = leafRead(child).get
+        val mask = list.map { a =>
+          val i = attrs.indexWhere(_.exprId == a.exprId)
+          if (i < 0) internalErr(s"projection attribute ${a.name} not in scan")
+          i
+        }
+        Produced(readRel(names, attrs, mask), list.map(_.toAttribute))
+
+      case logical.Project(list, child) =>
+        val in = toRel(child)
+        val exprs = list.map(e => toSExpr(e, in.attrs))
+        Produced(Rel.Project(in.rel, exprs), list.map(_.toAttribute))
+
+      case logical.Filter(cond, child) =>
+        val in = toRel(child)
+        Produced(Rel.Filter(in.rel, toSExpr(cond, in.attrs)), in.attrs)
+
+      case a: logical.SubqueryAlias => toRel(a.child) // alias stripped (producer.rs:276-280)
+      case v: logical.View => toRel(v.child)
+
+      case j: logical.Join =>
+        val l = toRel(j.left); val r = toRel(j.right)
+        val both = l.attrs ++ r.attrs
+        val outAttrs = j.joinType match {
+          case plans.LeftSemi | plans.LeftAnti => l.attrs
+          case _ => both
+        }
+        (j.joinType, j.condition) match {
+          case (plans.Cross, None) | (plans.Inner, None) =>
+            Produced(Rel.Cross(l.rel, r.rel), outAttrs)
+          case (_, None) => notImplemented(s"${j.joinType} join without condition")
+          case (jt, Some(cond)) =>
+            val t = jt match {
+              case plans.Inner => JoinType.Inner
+              case plans.LeftOuter => JoinType.Left
+              case plans.RightOuter => JoinType.Right
+              case plans.FullOuter => JoinType.Outer
+              case plans.LeftSemi => JoinType.Semi
+              case plans.LeftAnti => JoinType.Anti
+              case other => notImplemented(s"join type $other")
+            }
+            Produced(Rel.Join(l.rel, r.rel, toSExpr(cond, both), t), outAttrs)
+        }
+
+      case agg: logical.Aggregate => produceAggregate(agg)
+
+      // SELECT DISTINCT → AggregateRel grouping on all columns, zero measures
+      // (producer.rs:203-222)
+      case logical.Distinct(child) =>
+        val in = toRel(child)
+        Produced(Rel.Aggregate(in.rel, Seq(in.attrs.indices.map(SExpr.FieldRef(_))), Nil),
+          in.attrs)
+      case d: logical.Deduplicate if d.keys.map(_.exprId).toSet ==
+          d.child.output.map(_.exprId).toSet =>
+        val in = toRel(d.child)
+        Produced(Rel.Aggregate(in.rel, Seq(in.attrs.indices.map(SExpr.FieldRef(_))), Nil),
+          in.attrs)
+
+      case s: logical.Sort =>
+        if (!s.global) notImplemented("partition-local sort")
+        val in = toRel(s.child)
+        val sorts = s.order.map { so =>
+          val dir = (so.direction, so.nullOrdering) match {
+            case (Ascending, NullsFirst) => SortDirection.AscNullsFirst
+            case (Ascending, NullsLast) => SortDirection.AscNullsLast
+            case (Descending, NullsFirst) => SortDirection.DescNullsFirst
+            case (Descending, NullsLast) => SortDirection.DescNullsLast
+          }
+          SortField(toSExpr(so.child, in.attrs), dir)
+        }
+        Produced(Rel.Sort(in.rel, sorts), in.attrs)
+
+      // limit/offset shapes → one FetchRel (SURVEY.md §7.4); reference quirk:
+      // no fetch → count 0 (producer.rs:147-150)
+      case logical.Limit(IntegerLiteral(l), logical.Offset(IntegerLiteral(o), child)) =>
+        val in = toRel(child); Produced(Rel.Fetch(in.rel, o.toLong, l.toLong), in.attrs)
+      case logical.Limit(IntegerLiteral(l), child) =>
+        val in = toRel(child); Produced(Rel.Fetch(in.rel, 0L, l.toLong), in.attrs)
+      case logical.Offset(IntegerLiteral(o), logical.Limit(IntegerLiteral(l), child)) =>
+        val in = toRel(child)
+        Produced(Rel.Fetch(in.rel, o.toLong, math.max(l.toLong - o, 0L)), in.attrs)
+      case logical.Offset(IntegerLiteral(o), child) =>
+        val in = toRel(child); Produced(Rel.Fetch(in.rel, o.toLong, 0L), in.attrs)
+
+      case u: logical.Union =>
+        val ins = u.children.map(toRel)
+        Produced(Rel.Set(ins.map(_.rel), SetOp.UnionAll), ins.head.attrs)
+      case i: logical.Intersect =>
+        val l = toRel(i.left); val r = toRel(i.right)
+        val op = if (i.isAll) SetOp.IntersectionMultiset else SetOp.IntersectionPrimary
+        Produced(Rel.Set(Seq(l.rel, r.rel), op), l.attrs)
+      case e: logical.Except =>
+        val l = toRel(e.left); val r = toRel(e.right)
+        val op = if (e.isAll) SetOp.MinusMultiset else SetOp.MinusPrimary
+        Produced(Rel.Set(Seq(l.rel, r.rel), op), l.attrs)
+
+      case other =>
+        notImplemented(s"logical plan node ${other.getClass.getSimpleName}")
+    }
+
+    // ------------------------------------------------------------- aggregate
+    /** Catalyst `Aggregate(ge, ae, child)` → AggregateRel (+ ProjectRel when the
+      * result expressions are not exactly groups-then-measures). Mirrors
+      * producer.rs:177-202 / 320-376 measure emission: lower-cased fn name,
+      * DISTINCT invocation, optional FILTER, aliases stripped.
+      */
+    private def produceAggregate(agg: logical.Aggregate): Produced = {
+      val in = toRel(agg.child)
+      val groups = agg.groupingExpressions
+      val groupExprs = groups.map(g => toSExpr(g, in.attrs))
+
+      // collect distinct aggregate calls in first-appearance order
+      val measureList = mutable.ArrayBuffer.empty[AggregateExpression]
+      agg.aggregateExpressions.foreach(_.foreach {
+        case ae: AggregateExpression
+            if !measureList.exists(_.canonicalized == ae.canonicalized) =>
+          measureList += ae
+        case _ => ()
+      })
+
+      val measures = measureList.toSeq.map { ae =>
+        val name = dataFusionAggName(ae.aggregateFunction.prettyName)
+        val args = ae.aggregateFunction.children.map(c => toSExpr(c, in.attrs))
+        Measure(
+          AggFunction(anchor(name.toLowerCase), args,
+            if (ae.isDistinct) AggInvocation.Distinct else AggInvocation.All),
+          ae.filter.map(f => toSExpr(f, in.attrs)))
+      }
+
+      val aggRel = Rel.Aggregate(in.rel, Seq(groupExprs), measures)
+      val nG = groups.size
+
+      // post-aggregation projection: rewrite result exprs over groups++measures
+      def post(e: Expression): SExpr = {
+        val gi = groups.indexWhere(_.semanticEquals(e))
+        if (gi >= 0) SExpr.FieldRef(gi)
+        else e match {
+          case ae: AggregateExpression =>
+            val mi = measureList.indexWhere(_.canonicalized == ae.canonicalized)
+            if (mi < 0) internalErr("measure not collected")
+            SExpr.FieldRef(nG + mi)
+          case Alias(c, _) => post(c)
+          case _ => toSExprWith(e, post)
+        }
+      }
+      val resultExprs = agg.aggregateExpressions.map(post)
+      val identity = resultExprs.size == nG + measures.size &&
+        resultExprs.zipWithIndex.forall {
+          case (SExpr.FieldRef(i), j) => i == j
+          case _ => false
+        }
+      val rel = if (identity) aggRel else Rel.Project(aggRel, resultExprs)
+      Produced(rel, agg.aggregateExpressions.map(_.toAttribute))
+    }
+
+    /** Spark prettyName → DataFusion 15 aggregate name (consumer.rs:383-415). */
+    private def dataFusionAggName(n: String): String = n match {
+      case "avg" | "mean" => "avg"
+      case "approx_count_distinct" => "approx_distinct"
+      case "percentile_approx" | "approx_percentile" => "approx_percentile_cont"
+      case "collect_list" => "array_agg"
+      case "stddev" | "stddev_samp" => "stddev"
+      case "variance" | "var_samp" => "variance"
+      case "covar_samp" => "covariance"
+      case "covar_pop" => "covariance_pop"
+      case "corr" => "correlation"
+      case other => other
+    }
+
+    // ----------------------------------------------------------- expressions
+    def toSExpr(e: Expression, input: Seq[Attribute]): SExpr =
+      toSExprWith(e, resolveAttr(input))
+
+    private def resolveAttr(input: Seq[Attribute])(e: Expression): SExpr = e match {
+      case a: AttributeReference =>
+        val i = input.indexWhere(_.exprId == a.exprId)
+        if (i < 0) internalErr(s"attribute ${a.name}#${a.exprId.id} not found in input")
+        SExpr.FieldRef(i)
+      case other => convert(other, resolveAttr(input))
+    }
+
+    /** Convert with a pluggable leaf resolver (post-agg projection reuses this
+      * with grouping/measure lookup). */
+    def toSExprWith(e: Expression, rec: Expression => SExpr): SExpr = e match {
+      case a: AttributeReference => rec(a)
+      case _ => convert(e, rec)
+    }
+
+    private def fn(name: String, args: SExpr*): SExpr =
+      SExpr.ScalarFn(anchor(name), args.toSeq)
+
+    private def convert(e: Expression, rec: Expression => SExpr): SExpr = e match {
+      case Alias(c, _) => rec(c) // names live only in RelRoot (producer.rs:605)
+      case l: Literal => SExpr.Lit(literal(l))
+      case c: Cast => SExpr.Cast(sTypeOf(c.dataType), c.child.nullable, rec(c.child))
+      case co: CheckOverflow => // decimal-arithmetic wrapper ≡ cast to target type
+        SExpr.Cast(sTypeOf(co.dataType), co.child.nullable, rec(co.child))
+
+      // the 26 binary operators (name_to_op, consumer.rs:37-71); canonical
+      // "subtract" — the reference's "substract" typo (producer.rs:297) is
+      // accepted on consume for compatibility
+      case EqualTo(l, r) => fn("equal", rec(l), rec(r))
+      case Not(EqualTo(l, r)) => fn("not_equal", rec(l), rec(r))
+      case LessThan(l, r) => fn("lt", rec(l), rec(r))
+      case LessThanOrEqual(l, r) => fn("lte", rec(l), rec(r))
+      case GreaterThan(l, r) => fn("gt", rec(l), rec(r))
+      case GreaterThanOrEqual(l, r) => fn("gte", rec(l), rec(r))
+      case Add(l, r, _) => fn("add", rec(l), rec(r))
+      case Subtract(l, r, _) => fn("subtract", rec(l), rec(r))
+      case Multiply(l, r, _) => fn("multiply", rec(l), rec(r))
+      case Divide(l, r, _) => fn("divide", rec(l), rec(r))
+      case Remainder(l, r, _) => fn("mod", rec(l), rec(r))
+      case And(l, r) => fn("and", rec(l), rec(r))
+      case Or(l, r) => fn("or", rec(l), rec(r))
+      case Not(Like(l, r, _)) => fn("not_like", rec(l), rec(r))
+      case Like(l, r, _) => fn("like", rec(l), rec(r))
+      case Not(RLike(l, r)) => fn("regex_not_match", rec(l), rec(r))
+      case RLike(l, r) => fn("regex_match", rec(l), rec(r))
+      case Not(EqualNullSafe(l, r)) => fn("is_distinct_from", rec(l), rec(r))
+      case EqualNullSafe(l, r) => fn("is_not_distinct_from", rec(l), rec(r))
+      case BitwiseAnd(l, r) => fn("bitwise_and", rec(l), rec(r))
+      case BitwiseOr(l, r) => fn("bitwise_or", rec(l), rec(r))
+      case BitwiseXor(l, r) => fn("bitwise_xor", rec(l), rec(r))
+      case ShiftRight(l, r) => fn("bitwise_shift_right", rec(l), rec(r))
+      case ShiftLeft(l, r) => fn("bitwise_shift_left", rec(l), rec(r))
+      case Concat(cs) => SExpr.ScalarFn(anchor("str_concat"), cs.map(rec))
+
+      // unary / variadic beyond the reference's 26 (still named extensions)
+      case IsNull(c) => fn("is_null", rec(c))
+      case IsNotNull(c) => fn("is_not_null", rec(c))
+      case Not(c) => fn("not", rec(c))
+      case UnaryMinus(c, _) => fn("negate", rec(c))
+      case Coalesce(cs) => SExpr.ScalarFn(anchor("coalesce"), cs.map(rec))
+      case In(v, list) if list.forall(_.foldable) =>
+        // x IN (a, b, …) ≡ x=a OR x=b OR … (same three-valued logic)
+        list.map(i => fn("equal", rec(v), rec(i)))
+          .reduceLeft((a, b) => fn("or", a, b))
+
+      case CaseWhen(branches, elseValue) =>
+        SExpr.IfThen(
+          branches.map { case (c, v) => IfClause(rec(c), Some(rec(v))) },
+          elseValue.map(rec))
+
+      case other =>
+        notImplemented(s"expression ${other.getClass.getSimpleName}: $other")
+    }
+
+    private def literal(l: Literal): LitVal = {
+      if (l.value == null) return LitVal.LNull(sTypeOf(l.dataType))
+      l.dataType match {
+        case BooleanType => LitVal.LBool(l.value.asInstanceOf[Boolean])
+        case ByteType => LitVal.LI8(l.value.asInstanceOf[Byte].toInt)
+        case ShortType => LitVal.LI16(l.value.asInstanceOf[Short].toInt)
+        case IntegerType => LitVal.LI32(l.value.asInstanceOf[Int])
+        case LongType => LitVal.LI64(l.value.asInstanceOf[Long])
+        case FloatType => LitVal.LFp32(l.value.asInstanceOf[Float])
+        case DoubleType => LitVal.LFp64(l.value.asInstanceOf[Double])
+        case StringType => LitVal.LStr(l.value.toString)
+        case BinaryType => LitVal.LBin(l.value.asInstanceOf[Array[Byte]])
+        case DateType => LitVal.LDate(l.value.asInstanceOf[Int])
+        case TimestampNTZType => LitVal.LTimestamp(l.value.asInstanceOf[Long])
+        case TimestampType => LitVal.LTimestampTz(l.value.asInstanceOf[Long])
+        case dt: DecimalType =>
+          // 16-byte little-endian two's-complement i128 (producer.rs:585-589)
+          val unscaled = l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
+            .toJavaBigDecimal.unscaledValue
+          val be = unscaled.toByteArray // big-endian, minimal length
+          val out = new Array[Byte](16)
+          val sign: Byte = if (unscaled.signum < 0) -1 else 0
+          java.util.Arrays.fill(out, sign)
+          var i = 0
+          while (i < be.length) { out(i) = be(be.length - 1 - i); i += 1 }
+          LitVal.LDecimal(out, dt.precision, dt.scale)
+        case other => notImplemented(s"literal of type $other")
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------- types
+  def sTypeOf(dt: DataType): SType = dt match {
+    case BooleanType => SType.SBool
+    case ByteType => SType.SI8
+    case ShortType => SType.SI16
+    case IntegerType => SType.SI32
+    case LongType => SType.SI64
+    case FloatType => SType.SFp32
+    case DoubleType => SType.SFp64
+    case StringType => SType.SStr
+    case BinaryType => SType.SBin
+    case DateType => SType.SDate
+    case TimestampNTZType => SType.STimestamp
+    case TimestampType => SType.STimestampTz
+    case d: DecimalType => SType.SDecimal(d.precision, d.scale)
+    case ArrayType(e, n) => SType.SList(sTypeOf(e), n)
+    case other => notImplemented(s"data type $other")
+  }
+}

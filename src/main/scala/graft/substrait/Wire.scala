@@ -1,0 +1,622 @@
+package graft.substrait
+
+import java.io.ByteArrayOutputStream
+import model._
+
+/** Hand-rolled protobuf wire codec for the Substrait message subset in
+  * model.scala. Field numbers follow the public substrait 0.3 .proto files
+  * (plan.proto / algebra.proto / type.proto / extensions.proto) — the same
+  * wire layout prost encodes for the reference (src/serializer.rs:17-20).
+  * Hand-rolled because the offline jar set has no protobuf-java/substrait-java
+  * (SURVEY.md §7.3); the subset needs only varint, fixed32/64 and
+  * length-delimited framing.
+  */
+object Wire {
+
+  // ------------------------------------------------------------------ writer
+  private final class W {
+    val out = new ByteArrayOutputStream(256)
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def tag(field: Int, wt: Int): Unit = varint((field.toLong << 3) | wt)
+    def int64(f: Int, v: Long): Unit = { tag(f, 0); varint(v) }
+    /** proto int32: negative values sign-extend to 10-byte varints. */
+    def int32(f: Int, v: Int): Unit = { tag(f, 0); varint(v.toLong) }
+    def uint32(f: Int, v: Long): Unit = { tag(f, 0); varint(v) }
+    def bool(f: Int, v: Boolean): Unit = { tag(f, 0); varint(if (v) 1 else 0) }
+    def fixed32(f: Int, v: Int): Unit = {
+      tag(f, 5)
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    def fixed64(f: Int, v: Long): Unit = {
+      tag(f, 1)
+      var i = 0; while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    def bytes(f: Int, v: Array[Byte]): Unit = { tag(f, 2); varint(v.length.toLong); out.write(v) }
+    def str(f: Int, v: String): Unit = bytes(f, v.getBytes("UTF-8"))
+    def msg(f: Int, body: W => Unit): Unit = {
+      val w = new W; body(w); bytes(f, w.out.toByteArray)
+    }
+  }
+
+  // ------------------------------------------------------------------ reader
+  private final class R(val buf: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      while (true) {
+        if (pos >= end) internalErr("truncated varint")
+        val b = buf(pos); pos += 1
+        v |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return v
+        shift += 7
+        if (shift > 63) internalErr("varint overflow")
+      }
+      v
+    }
+    def fixed32(): Int = {
+      val v = (buf(pos) & 0xff) | ((buf(pos + 1) & 0xff) << 8) |
+        ((buf(pos + 2) & 0xff) << 16) | ((buf(pos + 3) & 0xff) << 24)
+      pos += 4; v
+    }
+    def fixed64(): Long = {
+      var v = 0L; var i = 0
+      while (i < 8) { v |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += 8; v
+    }
+    private def checkLen(len: Int): Unit =
+      if (len < 0 || pos + len > end) internalErr(s"truncated message: need $len bytes, have ${end - pos}")
+    def lenDelim(): R = {
+      val len = varint().toInt; checkLen(len)
+      val r = new R(buf, pos, pos + len); pos += len; r
+    }
+    def rawBytes(): Array[Byte] = {
+      val len = varint().toInt; checkLen(len)
+      val a = java.util.Arrays.copyOfRange(buf, pos, pos + len); pos += len; a
+    }
+    def str(): String = new String(rawBytes(), "UTF-8")
+    def skip(wt: Int): Unit = wt match {
+      case 0 => varint()
+      case 1 => checkLen(8); pos += 8
+      case 2 => val len = varint().toInt; checkLen(len); pos += len
+      case 5 => checkLen(4); pos += 4
+      case _ => internalErr(s"unknown wire type $wt")
+    }
+    /** Iterate (fieldNumber, wireType) handing this reader positioned at the value. */
+    def fields(f: (Int, Int) => Boolean): Unit =
+      while (hasMore) {
+        val t = varint(); val fld = (t >>> 3).toInt; val wt = (t & 7).toInt
+        if (!f(fld, wt)) skip(wt)
+      }
+  }
+
+  // ------------------------------------------------------------------ types
+  private def writeKind(w: W, simple: (Int, Int), nullable: Boolean): Unit =
+    // simple kinds: {type_variation_reference=1, nullability=2}
+    w.msg(simple._1, k => k.int32(2, if (nullable) 1 else 2))
+
+  private def writeType(w: W, f: Int, t: SType, nullable: Boolean): Unit =
+    w.msg(f, tw => t match {
+      case SType.SBool      => writeKind(tw, (1, 0), nullable)
+      case SType.SI8        => writeKind(tw, (2, 0), nullable)
+      case SType.SI16       => writeKind(tw, (3, 0), nullable)
+      case SType.SI32       => writeKind(tw, (5, 0), nullable)
+      case SType.SI64       => writeKind(tw, (7, 0), nullable)
+      case SType.SFp32      => writeKind(tw, (10, 0), nullable)
+      case SType.SFp64      => writeKind(tw, (11, 0), nullable)
+      case SType.SStr       => writeKind(tw, (12, 0), nullable)
+      case SType.SBin       => writeKind(tw, (13, 0), nullable)
+      case SType.STimestamp   => writeKind(tw, (14, 0), nullable)
+      case SType.SDate        => writeKind(tw, (16, 0), nullable)
+      case SType.STimestampTz => writeKind(tw, (29, 0), nullable)
+      case SType.SDecimal(p, s) =>
+        // Decimal{scale=1, precision=2, tvr=3, nullability=4}
+        tw.msg(24, d => { d.int32(1, s); d.int32(2, p); d.int32(4, if (nullable) 1 else 2) })
+      case SType.SList(e, en) =>
+        // List{type=1, tvr=2, nullability=3}
+        tw.msg(27, l => { writeType(l, 1, e, en); l.int32(3, if (nullable) 1 else 2) })
+    })
+
+  private def readType(r: R): (SType, Boolean) = {
+    var res: (SType, Boolean) = null
+    def simple(t: SType, kr: R): Unit = {
+      var nullable = true
+      kr.fields { (f, wt) =>
+        if (f == 2 && wt == 0) { nullable = kr.varint() == 1L; true } else false
+      }
+      res = (t, nullable)
+    }
+    r.fields { (f, wt) =>
+      if (wt != 2) false
+      else {
+        val kr = r.lenDelim()
+        f match {
+          case 1  => simple(SType.SBool, kr); true
+          case 2  => simple(SType.SI8, kr); true
+          case 3  => simple(SType.SI16, kr); true
+          case 5  => simple(SType.SI32, kr); true
+          case 7  => simple(SType.SI64, kr); true
+          case 10 => simple(SType.SFp32, kr); true
+          case 11 => simple(SType.SFp64, kr); true
+          case 12 => simple(SType.SStr, kr); true
+          case 13 => simple(SType.SBin, kr); true
+          case 14 => simple(SType.STimestamp, kr); true
+          case 16 => simple(SType.SDate, kr); true
+          case 29 => simple(SType.STimestampTz, kr); true
+          case 24 =>
+            var p = 0; var s = 0; var nullable = true
+            kr.fields { (df, dwt) => (df, dwt) match {
+              case (1, 0) => s = kr.varint().toInt; true
+              case (2, 0) => p = kr.varint().toInt; true
+              case (4, 0) => nullable = kr.varint() == 1L; true
+              case _ => false
+            }}
+            res = (SType.SDecimal(p, s), nullable); true
+          case 27 =>
+            var elem: (SType, Boolean) = (SType.SStr, true); var nullable = true
+            kr.fields { (lf, lwt) => (lf, lwt) match {
+              case (1, 2) => elem = readType(kr.lenDelim()); true
+              case (3, 0) => nullable = kr.varint() == 1L; true
+              case _ => false
+            }}
+            res = (SType.SList(elem._1, elem._2), nullable); true
+          case _ => notImplemented(s"type kind field $f")
+        }
+      }
+    }
+    if (res == null) notImplemented("empty Type message")
+    res
+  }
+
+  private def writeNamedStruct(w: W, f: Int, ns: NamedStruct): Unit =
+    w.msg(f, nw => {
+      ns.names.foreach(nw.str(1, _))
+      nw.msg(2, sw => ns.types.foreach { case (t, n) => writeType(sw, 1, t, n) })
+    })
+
+  private def readNamedStruct(r: R): NamedStruct = {
+    val names = Seq.newBuilder[String]
+    val types = Seq.newBuilder[(SType, Boolean)]
+    r.fields { (f, wt) => (f, wt) match {
+      case (1, 2) => names += r.str(); true
+      case (2, 2) =>
+        val sr = r.lenDelim()
+        sr.fields { (sf, swt) => (sf, swt) match {
+          case (1, 2) => types += readType(sr.lenDelim()); true
+          case _ => false
+        }}
+        true
+      case _ => false
+    }}
+    NamedStruct(names.result(), types.result())
+  }
+
+  // ------------------------------------------------------------- expressions
+  private def writeLiteral(w: W, f: Int, v: LitVal): Unit =
+    w.msg(f, lw => v match {
+      case LitVal.LBool(b)      => lw.bool(1, b)
+      case LitVal.LI8(i)        => lw.int32(2, i)
+      case LitVal.LI16(i)       => lw.int32(3, i)
+      case LitVal.LI32(i)       => lw.int32(5, i)
+      case LitVal.LI64(i)       => lw.int64(7, i)
+      case LitVal.LFp32(x)      => lw.fixed32(10, java.lang.Float.floatToIntBits(x))
+      case LitVal.LFp64(x)      => lw.fixed64(11, java.lang.Double.doubleToLongBits(x))
+      case LitVal.LStr(s)       => lw.str(12, s)
+      case LitVal.LBin(b)       => lw.bytes(13, b)
+      case LitVal.LTimestamp(t)   => lw.int64(14, t)
+      case LitVal.LDate(d)        => lw.int32(16, d)
+      case LitVal.LTimestampTz(t) => lw.int64(27, t)
+      case LitVal.LDecimal(bytes, p, s) =>
+        lw.msg(24, dw => { dw.bytes(1, bytes); dw.int32(2, p); dw.int32(3, s) })
+      case LitVal.LNull(t)      => writeType(lw, 29, t, nullable = true)
+    })
+
+  private def readLiteral(r: R): LitVal = {
+    var res: LitVal = null
+    r.fields { (f, wt) => (f, wt) match {
+      case (1, 0)  => res = LitVal.LBool(r.varint() == 1L); true
+      case (2, 0)  => res = LitVal.LI8(r.varint().toInt); true
+      case (3, 0)  => res = LitVal.LI16(r.varint().toInt); true
+      case (5, 0)  => res = LitVal.LI32(r.varint().toInt); true
+      case (7, 0)  => res = LitVal.LI64(r.varint()); true
+      case (10, 5) => res = LitVal.LFp32(java.lang.Float.intBitsToFloat(r.fixed32())); true
+      case (11, 1) => res = LitVal.LFp64(java.lang.Double.longBitsToDouble(r.fixed64())); true
+      case (12, 2) => res = LitVal.LStr(r.str()); true
+      case (13, 2) => res = LitVal.LBin(r.rawBytes()); true
+      case (14, 0) => res = LitVal.LTimestamp(r.varint()); true
+      case (16, 0) => res = LitVal.LDate(r.varint().toInt); true
+      case (27, 0) => res = LitVal.LTimestampTz(r.varint()); true
+      case (24, 2) =>
+        val dr = r.lenDelim()
+        var bytes = Array.emptyByteArray; var p = 0; var s = 0
+        dr.fields { (df, dwt) => (df, dwt) match {
+          case (1, 2) => bytes = dr.rawBytes(); true
+          case (2, 0) => p = dr.varint().toInt; true
+          case (3, 0) => s = dr.varint().toInt; true
+          case _ => false
+        }}
+        res = LitVal.LDecimal(bytes, p, s); true
+      case (29, 2) => res = LitVal.LNull(readType(r.lenDelim())._1); true
+      case (50, 0) => r.varint(); true // nullable flag — carried by the value
+      case _ => false
+    }}
+    if (res == null) notImplemented("empty Literal")
+    res
+  }
+
+  private def writeExpr(w: W, f: Int, e: SExpr): Unit =
+    w.msg(f, ew => e match {
+      case SExpr.Lit(v) => writeLiteral(ew, 1, v)
+      case SExpr.FieldRef(i) =>
+        // FieldReference{direct_reference=1: ReferenceSegment{struct_field=2: {field=1}}}
+        ew.msg(2, fr => fr.msg(1, seg => seg.msg(2, sf => sf.int32(1, i))))
+      case SExpr.ScalarFn(ref, args) =>
+        ew.msg(3, sw => { sw.uint32(1, ref.toLong); args.foreach(writeExpr(sw, 2, _)) })
+      case SExpr.IfThen(clauses, els) =>
+        ew.msg(6, iw => {
+          clauses.foreach { c =>
+            iw.msg(1, cw => {
+              writeExpr(cw, 1, c.cond)
+              c.thenExpr.foreach(writeExpr(cw, 2, _))
+            })
+          }
+          els.foreach(writeExpr(iw, 2, _))
+        })
+      case SExpr.Cast(t, nullable, in) =>
+        ew.msg(11, cw => { writeType(cw, 1, t, nullable); writeExpr(cw, 2, in) })
+    })
+
+  private def readFieldRef(r: R): SExpr = {
+    var idx = -1
+    def readSegment(sr: R): Unit =
+      sr.fields { (f, wt) => (f, wt) match {
+        case (2, 2) => // struct_field
+          val fr = sr.lenDelim()
+          fr.fields { (ff, fwt) => (ff, fwt) match {
+            case (1, 0) => idx = fr.varint().toInt; true
+            case (2, 2) => notImplemented("nested struct field reference") // child
+            case _ => false
+          }}
+          true
+        case _ => notImplemented(s"reference segment kind $f")
+      }}
+    r.fields { (f, wt) => (f, wt) match {
+      case (1, 2) => readSegment(r.lenDelim()); true
+      case (4, 2) => r.lenDelim(); true // root_reference — ignored
+      case _ => false
+    }}
+    if (idx < 0) notImplemented("field reference without struct_field index")
+    SExpr.FieldRef(idx)
+  }
+
+  private def readExpr(r: R): SExpr = {
+    var res: SExpr = null
+    r.fields { (f, wt) =>
+      if (wt != 2) false
+      else {
+        val er = r.lenDelim()
+        f match {
+          case 1 => res = SExpr.Lit(readLiteral(er)); true
+          case 2 => res = readFieldRef(er); true
+          case 3 =>
+            var ref = -1; val args = Seq.newBuilder[SExpr]
+            er.fields { (sf, swt) => (sf, swt) match {
+              case (1, 0) => ref = er.varint().toInt; true
+              case (2, 2) => args += readExpr(er.lenDelim()); true
+              case _ => false
+            }}
+            res = SExpr.ScalarFn(ref, args.result()); true
+          case 6 =>
+            val clauses = Seq.newBuilder[IfClause]; var els: Option[SExpr] = None
+            er.fields { (sf, swt) => (sf, swt) match {
+              case (1, 2) =>
+                val cr = er.lenDelim()
+                var cond: SExpr = null; var thenE: Option[SExpr] = None
+                cr.fields { (cf, cwt) => (cf, cwt) match {
+                  case (1, 2) => cond = readExpr(cr.lenDelim()); true
+                  case (2, 2) => thenE = Some(readExpr(cr.lenDelim())); true
+                  case _ => false
+                }}
+                clauses += IfClause(cond, thenE); true
+              case (2, 2) => els = Some(readExpr(er.lenDelim())); true
+              case _ => false
+            }}
+            res = SExpr.IfThen(clauses.result(), els); true
+          case 11 =>
+            var t: (SType, Boolean) = null; var in: SExpr = null
+            er.fields { (cf, cwt) => (cf, cwt) match {
+              case (1, 2) => t = readType(er.lenDelim()); true
+              case (2, 2) => in = readExpr(er.lenDelim()); true
+              case _ => false
+            }}
+            res = SExpr.Cast(t._1, t._2, in); true
+          case other => notImplemented(s"expression rex_type field $other")
+        }
+      }
+    }
+    if (res == null) notImplemented("empty Expression")
+    res
+  }
+
+  // --------------------------------------------------------------- relations
+  private def writeSortField(w: W, f: Int, s: SortField): Unit =
+    w.msg(f, sw => { writeExpr(sw, 1, s.expr); sw.int32(2, s.direction) })
+
+  private def readSortField(r: R): SortField = {
+    var e: SExpr = null; var dir = 0
+    r.fields { (f, wt) => (f, wt) match {
+      case (1, 2) => e = readExpr(r.lenDelim()); true
+      case (2, 0) => dir = r.varint().toInt; true
+      case (3, 0) => notImplemented("comparison-function sort")
+      case _ => false
+    }}
+    SortField(e, dir)
+  }
+
+  private def writeAggFunction(w: W, f: Int, a: AggFunction): Unit =
+    w.msg(f, aw => {
+      aw.uint32(1, a.functionReference.toLong)
+      a.args.foreach(writeExpr(aw, 2, _))
+      aw.int32(4, 0) // phase = AGGREGATION_PHASE_UNSPECIFIED (producer.rs:357)
+      aw.int32(6, a.invocation)
+    })
+
+  private def readAggFunction(r: R): AggFunction = {
+    var ref = -1; val args = Seq.newBuilder[SExpr]; var inv = 0
+    r.fields { (f, wt) => (f, wt) match {
+      case (1, 0) => ref = r.varint().toInt; true
+      case (2, 2) => args += readExpr(r.lenDelim()); true
+      case (4, 0) => r.varint(); true // phase
+      case (6, 0) => inv = r.varint().toInt; true
+      case _ => false
+    }}
+    AggFunction(ref, args.result(), inv)
+  }
+
+  private def writeRel(w: W, f: Int, rel: Rel): Unit =
+    w.msg(f, rw => rel match {
+      case Rel.Read(schema, names, proj) =>
+        rw.msg(1, readW => {
+          writeNamedStruct(readW, 2, schema)
+          proj.foreach { idxs =>
+            readW.msg(4, mw => mw.msg(1, sel =>
+              idxs.foreach(i => sel.msg(1, item => item.int32(1, i)))))
+          }
+          readW.msg(7, nt => names.foreach(nt.str(1, _)))
+        })
+      case Rel.Filter(in, cond) =>
+        rw.msg(2, fw => { writeRel(fw, 2, in); writeExpr(fw, 3, cond) })
+      case Rel.Fetch(in, off, cnt) =>
+        rw.msg(3, fw => { writeRel(fw, 2, in); fw.int64(3, off); fw.int64(4, cnt) })
+      case Rel.Aggregate(in, groupings, measures) =>
+        rw.msg(4, aw => {
+          writeRel(aw, 2, in)
+          groupings.foreach(g => aw.msg(3, gw => g.foreach(writeExpr(gw, 1, _))))
+          measures.foreach { m =>
+            aw.msg(4, mw => {
+              writeAggFunction(mw, 1, m.function)
+              m.filter.foreach(writeExpr(mw, 2, _))
+            })
+          }
+        })
+      case Rel.Sort(in, sorts) =>
+        rw.msg(5, sw => { writeRel(sw, 2, in); sorts.foreach(writeSortField(sw, 3, _)) })
+      case Rel.Join(l, r, e, jt) =>
+        rw.msg(6, jw => {
+          writeRel(jw, 2, l); writeRel(jw, 3, r)
+          writeExpr(jw, 4, e); jw.int32(6, jt)
+        })
+      case Rel.Project(in, exprs) =>
+        rw.msg(7, pw => { writeRel(pw, 2, in); exprs.foreach(writeExpr(pw, 3, _)) })
+      case Rel.Set(inputs, op) =>
+        rw.msg(8, sw => { inputs.foreach(writeRel(sw, 2, _)); sw.int32(3, op) })
+      case Rel.Cross(l, r) =>
+        rw.msg(12, cw => { writeRel(cw, 2, l); writeRel(cw, 3, r) })
+    })
+
+  private def readRel(r: R): Rel = {
+    var res: Rel = null
+    r.fields { (f, wt) =>
+      if (wt != 2) false
+      else {
+        val rr = r.lenDelim()
+        f match {
+          case 1 => // ReadRel
+            var schema: NamedStruct = null; var names: Seq[String] = Nil
+            var proj: Option[Seq[Int]] = None
+            rr.fields { (rf, rwt) => (rf, rwt) match {
+              case (2, 2) => schema = readNamedStruct(rr.lenDelim()); true
+              case (4, 2) =>
+                val mr = rr.lenDelim(); val idxs = Seq.newBuilder[Int]
+                mr.fields { (mf, mwt) => (mf, mwt) match {
+                  case (1, 2) =>
+                    val sel = mr.lenDelim()
+                    sel.fields { (sf, swt) => (sf, swt) match {
+                      case (1, 2) =>
+                        val item = sel.lenDelim()
+                        item.fields { (itf, itwt) => (itf, itwt) match {
+                          case (1, 0) => idxs += item.varint().toInt; true
+                          case _ => false
+                        }}
+                        true
+                      case _ => false
+                    }}
+                    true
+                  case _ => false
+                }}
+                proj = Some(idxs.result()); true
+              case (7, 2) =>
+                val nt = rr.lenDelim(); val ns = Seq.newBuilder[String]
+                nt.fields { (nf, nwt) => (nf, nwt) match {
+                  case (1, 2) => ns += nt.str(); true
+                  case _ => false
+                }}
+                names = ns.result(); true
+              case (5, 2) | (6, 2) | (8, 2) =>
+                notImplemented("only NamedTable reads are supported")
+              case _ => false
+            }}
+            if (names.isEmpty) notImplemented("ReadRel without NamedTable")
+            res = Rel.Read(schema, names, proj); true
+          case 2 =>
+            var in: Rel = null; var cond: SExpr = null
+            rr.fields { (rf, rwt) => (rf, rwt) match {
+              case (2, 2) => in = readRel(rr.lenDelim()); true
+              case (3, 2) => cond = readExpr(rr.lenDelim()); true
+              case _ => false
+            }}
+            res = Rel.Filter(in, cond); true
+          case 3 =>
+            var in: Rel = null; var off = 0L; var cnt = 0L
+            rr.fields { (rf, rwt) => (rf, rwt) match {
+              case (2, 2) => in = readRel(rr.lenDelim()); true
+              case (3, 0) => off = rr.varint(); true
+              case (4, 0) => cnt = rr.varint(); true
+              case _ => false
+            }}
+            res = Rel.Fetch(in, off, cnt); true
+          case 4 =>
+            var in: Rel = null
+            val groupings = Seq.newBuilder[Seq[SExpr]]
+            val measures = Seq.newBuilder[Measure]
+            rr.fields { (rf, rwt) => (rf, rwt) match {
+              case (2, 2) => in = readRel(rr.lenDelim()); true
+              case (3, 2) =>
+                val gr = rr.lenDelim(); val ges = Seq.newBuilder[SExpr]
+                gr.fields { (gf, gwt) => (gf, gwt) match {
+                  case (1, 2) => ges += readExpr(gr.lenDelim()); true
+                  case _ => false
+                }}
+                groupings += ges.result(); true
+              case (4, 2) =>
+                val mr = rr.lenDelim()
+                var fn: AggFunction = null; var filter: Option[SExpr] = None
+                mr.fields { (mf, mwt) => (mf, mwt) match {
+                  case (1, 2) => fn = readAggFunction(mr.lenDelim()); true
+                  case (2, 2) => filter = Some(readExpr(mr.lenDelim())); true
+                  case _ => false
+                }}
+                measures += Measure(fn, filter); true
+              case _ => false
+            }}
+            res = Rel.Aggregate(in, groupings.result(), measures.result()); true
+          case 5 =>
+            var in: Rel = null; val sorts = Seq.newBuilder[SortField]
+            rr.fields { (rf, rwt) => (rf, rwt) match {
+              case (2, 2) => in = readRel(rr.lenDelim()); true
+              case (3, 2) => sorts += readSortField(rr.lenDelim()); true
+              case _ => false
+            }}
+            res = Rel.Sort(in, sorts.result()); true
+          case 6 =>
+            var l: Rel = null; var rt: Rel = null; var e: SExpr = null; var jt = 0
+            rr.fields { (rf, rwt) => (rf, rwt) match {
+              case (2, 2) => l = readRel(rr.lenDelim()); true
+              case (3, 2) => rt = readRel(rr.lenDelim()); true
+              case (4, 2) => e = readExpr(rr.lenDelim()); true
+              case (6, 0) => jt = rr.varint().toInt; true
+              case _ => false
+            }}
+            res = Rel.Join(l, rt, e, jt); true
+          case 7 =>
+            var in: Rel = null; val exprs = Seq.newBuilder[SExpr]
+            rr.fields { (rf, rwt) => (rf, rwt) match {
+              case (2, 2) => in = readRel(rr.lenDelim()); true
+              case (3, 2) => exprs += readExpr(rr.lenDelim()); true
+              case _ => false
+            }}
+            res = Rel.Project(in, exprs.result()); true
+          case 8 =>
+            val inputs = Seq.newBuilder[Rel]; var op = 0
+            rr.fields { (rf, rwt) => (rf, rwt) match {
+              case (2, 2) => inputs += readRel(rr.lenDelim()); true
+              case (3, 0) => op = rr.varint().toInt; true
+              case _ => false
+            }}
+            res = Rel.Set(inputs.result(), op); true
+          case 12 =>
+            var l: Rel = null; var rt: Rel = null
+            rr.fields { (rf, rwt) => (rf, rwt) match {
+              case (2, 2) => l = readRel(rr.lenDelim()); true
+              case (3, 2) => rt = readRel(rr.lenDelim()); true
+              case _ => false
+            }}
+            res = Rel.Cross(l, rt); true
+          case other => notImplemented(s"rel_type field $other")
+        }
+      }
+    }
+    if (res == null) notImplemented("empty Rel")
+    res
+  }
+
+  // -------------------------------------------------------------------- plan
+  def encode(plan: Plan): Array[Byte] = {
+    val w = new W
+    plan.extensions.foreach { ext =>
+      // SimpleExtensionDeclaration{extension_function=3:{uri_ref=1, anchor=2, name=3}}
+      w.msg(2, dw => dw.msg(3, fw => {
+        fw.uint32(1, ext.extensionUriReference)
+        fw.uint32(2, ext.functionAnchor.toLong)
+        fw.str(3, ext.name)
+      }))
+    }
+    plan.relations.foreach {
+      case PlanRel.RelOnly(rel) => w.msg(3, pw => writeRel(pw, 1, rel))
+      case PlanRel.Root(input, names) =>
+        w.msg(3, pw => pw.msg(2, rw => {
+          writeRel(rw, 1, input)
+          names.foreach(rw.str(2, _))
+        }))
+    }
+    w.out.toByteArray
+  }
+
+  def decode(bytes: Array[Byte]): Plan = {
+    val r = new R(bytes, 0, bytes.length)
+    val exts = Seq.newBuilder[ExtensionFunction]
+    val rels = Seq.newBuilder[PlanRel]
+    r.fields { (f, wt) => (f, wt) match {
+      case (2, 2) =>
+        val dr = r.lenDelim()
+        dr.fields { (df, dwt) => (df, dwt) match {
+          case (3, 2) =>
+            val fr = dr.lenDelim()
+            var uri = 0L; var anchor = 0; var name = ""
+            fr.fields { (ff, fwt) => (ff, fwt) match {
+              case (1, 0) => uri = fr.varint(); true
+              case (2, 0) => anchor = fr.varint().toInt; true
+              case (3, 2) => name = fr.str(); true
+              case _ => false
+            }}
+            exts += ExtensionFunction(uri, anchor, name); true
+          case (1, 2) | (2, 2) =>
+            notImplemented("non-function extension declaration")
+          case _ => false
+        }}
+        true
+      case (3, 2) =>
+        val pr = r.lenDelim()
+        pr.fields { (pf, pwt) => (pf, pwt) match {
+          case (1, 2) => rels += PlanRel.RelOnly(readRel(pr.lenDelim())); true
+          case (2, 2) =>
+            val rr = pr.lenDelim()
+            var input: Rel = null; val names = Seq.newBuilder[String]
+            rr.fields { (rf, rwt) => (rf, rwt) match {
+              case (1, 2) => input = readRel(rr.lenDelim()); true
+              case (2, 2) => names += rr.str(); true
+              case _ => false
+            }}
+            rels += PlanRel.Root(input, names.result()); true
+          case _ => false
+        }}
+        true
+      case _ => false
+    }}
+    Plan(exts.result(), rels.result())
+  }
+}

@@ -1,0 +1,145 @@
+package graft.substrait
+
+/** Scala case-class mirror of the Substrait protobuf message subset used by the
+  * reference (datafusion-contrib/datafusion-substrait v0.1.0, substrait = "0.3"):
+  * consumer.rs / producer.rs exchange Plan{extensions, relations} trees of
+  * Read/Project/Filter/Fetch/Sort/Aggregate/Join rels over
+  * FieldRef/ScalarFunction/IfThen/Literal expressions (reference:
+  * src/consumer.rs:116-380, src/producer.rs:66-286).
+  *
+  * Extensions beyond the reference's subset, needed because Spark's analyzer
+  * emits nodes DataFusion folds away before the reference ever sees them:
+  * Expression.Cast (implicit casts), timestamp/fp/string/binary typed nulls,
+  * SetRel (union/intersect/except) and CrossRel. Field numbers in Wire.scala
+  * follow the public substrait 0.3 .proto definitions.
+  */
+object model {
+
+  // ---- types (type.proto) ----
+  sealed trait SType
+  object SType {
+    case object SBool extends SType
+    case object SI8 extends SType
+    case object SI16 extends SType
+    case object SI32 extends SType
+    case object SI64 extends SType
+    case object SFp32 extends SType
+    case object SFp64 extends SType
+    case object SStr extends SType
+    case object SBin extends SType
+    case object SDate extends SType
+    /** naive wall-clock timestamp — Spark TimestampNTZType */
+    case object STimestamp extends SType
+    /** UTC-adjusted timestamp — Spark TimestampType (LTZ) */
+    case object STimestampTz extends SType
+    final case class SDecimal(precision: Int, scale: Int) extends SType
+    final case class SList(elem: SType, elemNullable: Boolean) extends SType
+  }
+
+  /** NamedStruct: flat field names + types (+nullability). type.proto NamedStruct. */
+  final case class NamedStruct(names: Seq[String], types: Seq[(SType, Boolean)])
+
+  // ---- expressions (algebra.proto Expression) ----
+  sealed trait SExpr
+  object SExpr {
+    /** DirectReference(StructField(i)) — flat positional ref (consumer.rs:449-468). */
+    final case class FieldRef(index: Int) extends SExpr
+    /** ScalarFunction{function_reference, args} — name resolved via extensions. */
+    final case class ScalarFn(functionReference: Int, args: Seq[SExpr]) extends SExpr
+    /** IfThen: clauses of (if, then); reference encodes CASE base expr as a
+      * clause whose `then` is None (producer.rs:546-554, consumer.rs:474-489). */
+    final case class IfThen(clauses: Seq[IfClause], elseExpr: Option[SExpr]) extends SExpr
+    final case class Cast(tpe: SType, nullable: Boolean, input: SExpr) extends SExpr
+    final case class Lit(value: LitVal) extends SExpr
+  }
+  final case class IfClause(cond: SExpr, thenExpr: Option[SExpr])
+
+  sealed trait LitVal
+  object LitVal {
+    final case class LBool(v: Boolean) extends LitVal
+    final case class LI8(v: Int) extends LitVal
+    final case class LI16(v: Int) extends LitVal
+    final case class LI32(v: Int) extends LitVal
+    final case class LI64(v: Long) extends LitVal
+    final case class LFp32(v: Float) extends LitVal
+    final case class LFp64(v: Double) extends LitVal
+    final case class LStr(v: String) extends LitVal
+    final case class LBin(v: Array[Byte]) extends LitVal
+    /** days since epoch (Date32, consumer.rs:579-581) */
+    final case class LDate(days: Int) extends LitVal
+    /** naive wall-clock micros since epoch (substrait `timestamp` literal) */
+    final case class LTimestamp(micros: Long) extends LitVal
+    /** UTC micros since epoch (substrait `timestamp_tz` literal) */
+    final case class LTimestampTz(micros: Long) extends LitVal
+    /** 16-byte little-endian two's-complement i128 (producer.rs:585-589) */
+    final case class LDecimal(valueLE: Array[Byte], precision: Int, scale: Int) extends LitVal
+    /** typed null (consumer.rs:617-639) */
+    final case class LNull(tpe: SType) extends LitVal
+  }
+
+  // ---- relations (algebra.proto Rel) ----
+  sealed trait Rel
+  object Rel {
+    /** ReadRel/NamedTable + optional MaskExpression projection (consumer.rs:318-374). */
+    final case class Read(baseSchema: NamedStruct, tableNames: Seq[String],
+                          projection: Option[Seq[Int]]) extends Rel
+    final case class Project(input: Rel, expressions: Seq[SExpr]) extends Rel
+    final case class Filter(input: Rel, condition: SExpr) extends Rel
+    final case class Fetch(input: Rel, offset: Long, count: Long) extends Rel
+    final case class Sort(input: Rel, sorts: Seq[SortField]) extends Rel
+    final case class Aggregate(input: Rel, groupings: Seq[Seq[SExpr]],
+                               measures: Seq[Measure]) extends Rel
+    final case class Join(left: Rel, right: Rel, expression: SExpr,
+                          joinType: Int) extends Rel
+    final case class Cross(left: Rel, right: Rel) extends Rel
+    final case class Set(inputs: Seq[Rel], op: Int) extends Rel
+  }
+
+  /** algebra.proto JoinRel.JoinType values. */
+  object JoinType {
+    val Unspecified = 0; val Inner = 1; val Outer = 2; val Left = 3
+    val Right = 4; val Semi = 5; val Anti = 6; val Single = 7
+  }
+
+  /** algebra.proto SetRel.SetOp values. */
+  object SetOp {
+    val MinusPrimary = 1; val MinusMultiset = 2
+    val IntersectionPrimary = 3; val IntersectionMultiset = 4
+    val UnionDistinct = 5; val UnionAll = 6
+  }
+
+  /** algebra.proto SortField.SortDirection values (consumer.rs:187-203). */
+  object SortDirection {
+    val AscNullsFirst = 1; val AscNullsLast = 2
+    val DescNullsFirst = 3; val DescNullsLast = 4; val Clustered = 5
+  }
+  final case class SortField(expr: SExpr, direction: Int)
+
+  /** AggregationInvocation: ALL=1, DISTINCT=2 (consumer.rs:252-258). */
+  object AggInvocation { val Unspecified = 0; val All = 1; val Distinct = 2 }
+
+  final case class AggFunction(functionReference: Int, args: Seq[SExpr],
+                               invocation: Int)
+  /** Measure = aggregate fn + optional FILTER expression (consumer.rs:242-251). */
+  final case class Measure(function: AggFunction, filter: Option[SExpr])
+
+  // ---- plan (plan.proto) ----
+  /** SimpleExtensionDeclaration.ExtensionFunction; producer uses
+    * extension_uri_reference = u32.MAX (producer.rs:393-431). */
+  final case class ExtensionFunction(extensionUriReference: Long, functionAnchor: Int,
+                                     name: String)
+  sealed trait PlanRel
+  object PlanRel {
+    final case class RelOnly(rel: Rel) extends PlanRel
+    final case class Root(input: Rel, names: Seq[String]) extends PlanRel
+  }
+  final case class Plan(extensions: Seq[ExtensionFunction], relations: Seq[PlanRel])
+
+  /** Unsupported Catalyst node / Substrait message → typed failure, never a
+    * silent drop (reference contract, SURVEY.md §2.11). */
+  final case class SubstraitException(msg: String) extends RuntimeException(msg)
+  def notImplemented(what: String): Nothing =
+    throw SubstraitException(s"NotImplemented: $what")
+  def internalErr(what: String): Nothing =
+    throw SubstraitException(s"Internal: $what")
+}

@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.Tables
+import graft.substrait.{Consumer, Serializer, Wire, Producer}
+
+/** Library-surface demo: SQL → Substrait bytes on disk → decode → DataFrame →
+  * execute. Mirrors the reference's serializer entry point
+  * (src/serializer.rs:12-33). Run:
+  *   sbt "runMain graft.tools.Demo /root/testdata/sf0.001"
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.register(spark, dir)
+
+    val sql =
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_discount > 0.02
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+    val path = java.nio.file.Files.createTempFile("graft_plan", ".pb").toString
+    println(s"== serialize SQL -> $path")
+    Serializer.serialize(sql, spark, path)
+    val size = java.nio.file.Files.size(java.nio.file.Paths.get(path))
+    println(s"== wrote $size bytes")
+
+    val plan = Serializer.deserialize(path)
+    println(s"== decoded plan: ${plan.extensions.size} fn extensions: " +
+      plan.extensions.map(e => s"${e.name}@${e.functionAnchor}").mkString(", "))
+
+    val df = Consumer.consume(spark, plan)
+    println("== consumed DataFrame, executing:")
+    df.show(20, truncate = false)
+
+    println("== direct execution for comparison:")
+    spark.sql(sql).show(20, truncate = false)
+
+    println("== physical plan of the consumed frame:")
+    df.explain("formatted")
+
+    // error-contract probes (reference contract: loud typed failures, §2.11)
+    def expectFail(label: String)(f: => Any): Unit =
+      try { f; println(s"!! $label: NO ERROR (unexpected)") }
+      catch { case e: Throwable => println(s"== $label -> ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next()}") }
+
+    expectFail("unsupported plan node (window fn)") {
+      Producer.produce(spark.sql(
+        "SELECT row_number() OVER (ORDER BY o_orderkey) FROM orders"))
+    }
+    expectFail("corrupt bytes") {
+      Wire.decode(Array[Byte](0x0a, 0x03, 0x01))
+    }
+    expectFail("unknown table on consume") {
+      val p = Producer.produce(spark.sql("SELECT r_name FROM region"))
+      spark.catalog.dropTempView("region")
+      try Consumer.consume(spark, p).collect()
+      finally Tables.register(spark, dir + "/") // re-register under new key
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session + result-equality oracle. One session per suite; semantic
+  * (collected multiset) comparison rather than plan-string equality because
+  * Spark's analyzer inserts aliases/casts that never string-match
+  * (SURVEY.md §5 port strategy).
+  */
+trait SparkTestBase extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestBase.session
+
+  def sfDir = "/root/testdata/sf0.001"
+
+  /** Round-trip df through Substrait bytes and assert identical results. */
+  def assertRoundtrip(df: DataFrame, ordered: Boolean = false): Unit = {
+    val got = substrait.Serializer.roundtrip(spark, df)
+    assertSameRows(df, got, ordered)
+    assert(df.columns.toSeq == got.columns.toSeq,
+      s"column names drifted: ${df.columns.toSeq} vs ${got.columns.toSeq}")
+  }
+
+  def assertSameRows(expected: DataFrame, got: DataFrame, ordered: Boolean = false): Unit = {
+    val e = expected.collect().map(_.toString).toSeq
+    val g = got.collect().map(_.toString).toSeq
+    if (ordered) assert(e == g, s"ordered rows differ\nexpected: ${e.take(5)}\ngot: ${g.take(5)}")
+    else assert(e.sorted == g.sorted,
+      s"row multisets differ (${e.size} vs ${g.size})\nexpected: ${e.sorted.take(5)}\ngot: ${g.sorted.take(5)}")
+  }
+}
+
+object SparkTestBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
