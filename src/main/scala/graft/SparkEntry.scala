@@ -1,13 +1,337 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.substrait.Serializer
+
+/** Driver contract — one query per operator of SURVEY.md §2 (plus the
+  * beyond-parity data-pipeline operators in graft.ops).
+  *
+  * Every parity query is routed through the FULL substrait pipeline:
+  * DataFrame → Producer → wire bytes → Consumer → DataFrame
+  * (Serializer.roundtrip), so the driver's DuckDB oracle certifies the whole
+  * library, not just the Spark query. Catalyst re-optimizes the consumed plan,
+  * so pushdown/pruning/join-strategy selection still apply — the substrait hop
+  * costs microseconds and no execution-plan quality.
+  *
+  * Determinism notes for the oracle hash-compare:
+  * - double SUMs are accumulated as DECIMAL(18,2|4) then cast back to double:
+  *   float summation order is nondeterministic under parallelism in BOTH
+  *   engines; decimal accumulation is exact and associative.
+  * - DuckDB sum(INTEGER) returns HUGEINT → oracle SQL casts to BIGINT to match
+  *   Spark's LongType.
+  * - every aggregate/limit query carries a total ORDER BY so results are
+  *   deterministic under any compare.
+  */
 object SparkEntry {
+
+  private def rt(s: SparkSession, df: DataFrame): DataFrame = Serializer.roundtrip(s, df)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** sum as exact decimal, surfaced as double (deterministic across engines). */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+  private def dsum4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q13_revenue_by_segment")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------ queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = parityQueries
+
+  private def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/S2: scan + projection mask (pruned columns reach the parquet reader)
+    "q01_scan_project" -> ((s, dir) => rt(s,
+      t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"))),
+
+    // F1/F2 + E3 binary predicates + mod
+    "q02_filter_ops" -> ((s, dir) => rt(s,
+      t(s, dir, "lineitem")
+        .filter(col("l_discount") > 0.05 && col("l_quantity") < 30.0 &&
+          col("l_returnflag") =!= "N" && col("l_orderkey") % 7 =!= 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"))),
+
+    // O1-O4: sort (desc) + limit + offset fused into one FetchRel
+    "q03_sort_limit_offset" -> ((s, dir) => rt(s,
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(5).limit(10)
+        .select("o_orderkey", "o_totalprice"))),
+
+    // A1-A3: TPC-H Q1-style pricing summary (multi-measure group-by)
+    "q04_pricing_summary" -> ((s, dir) => rt(s,
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(LocalDateTime.of(1998, 9, 2, 0, 0)))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"))),
+
+    // A1: DISTINCT invocation + measure FILTER
+    "q05_agg_distinct_filter" -> ((s, dir) => rt(s,
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("distinct_parts"),
+          expr("count(l_orderkey) FILTER (WHERE l_quantity > 25)").as("big_cnt"),
+          sum_distinct(col("l_linenumber")).as("sum_distinct_ln"))
+        .orderBy("l_returnflag"))),
+
+    // A4: DISTINCT-as-groupBy
+    "q06_distinct" -> ((s, dir) => rt(s,
+      t(s, dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment"))),
+
+    // J1/J2: the six join types
+    "q07_join_inner" -> ((s, dir) => rt(s, {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .filter(col("c_acctbal") > 1000.0)
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    })),
+    "q08_join_left" -> ((s, dir) => rt(s, {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+    })),
+    "q09_join_right" -> ((s, dir) => rt(s, {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .select("o_orderkey", "c_custkey", "c_name")
+    })),
+    "q10_join_full" -> ((s, dir) => rt(s, {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .select("c_custkey", "c_name", "o_orderkey")
+    })),
+    "q11_join_semi" -> ((s, dir) => rt(s, {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+    })),
+    "q12_join_anti" -> ((s, dir) => rt(s, {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    })),
+
+    // flagship: 3-way join + aggregate
+    "q13_revenue_by_segment" -> ((s, dir) => rt(s, {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("c_mktsegment")
+    })),
+
+    // E5 CASE + E3 arithmetic
+    "q14_case_arith" -> ((s, dir) => rt(s,
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") < 10.0, "small")
+          .when(col("l_quantity") < 30.0, "mid")
+          .otherwise("big").as("qty_bucket"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"),
+        (col("l_quantity") - 5.0).as("qty_minus"),
+        (col("l_quantity") / 2.0).as("qty_half")))),
+
+    // SetRel: INTERSECT / UNION-distinct / EXCEPT
+    "q15_setops" -> ((s, dir) => rt(s, {
+      val ck = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val sk = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      val rk = t(s, dir, "region").select(col("r_regionkey").as("k"))
+      val nk = t(s, dir, "nation").filter(col("n_nationkey") > 20)
+        .select(col("n_nationkey").as("k"))
+      ck.intersect(sk).union(rk).distinct().except(nk).orderBy("k")
+    })),
+
+    // O1: null ordering over outer-join nulls
+    "q16_sort_nulls" -> ((s, dir) => rt(s, {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").asc_nulls_first, col("c_custkey").asc)
+        .limit(100)
+    })),
+
+    // HAVING = Filter above Aggregate (post-agg attribute resolution)
+    "q17_having" -> ((s, dir) => rt(s,
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("n") > 3)
+        .orderBy("l_partkey"))),
+
+    // E8 BETWEEN desugar + LIKE
+    "q18_between_like" -> ((s, dir) => rt(s,
+      t(s, dir, "orders")
+        .filter(col("o_totalprice").between(1000.0, 5000.0) &&
+          col("o_orderpriority").like("1%"))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority"))),
+
+    // timestamp literals + predicates (timestamp_ntz ≡ DuckDB naive TIMESTAMP)
+    "q19_ts_filter" -> ((s, dir) => rt(s,
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(LocalDateTime.of(1997, 1, 1, 0, 0)) &&
+          col("o_orderdate") < lit(LocalDateTime.of(1998, 1, 1, 0, 0)))
+        .select("o_orderkey", "o_orderdate", "o_totalprice"))),
+
+    // E6/E7: decimal cast + decimal literal comparison
+    "q20_decimal_cast" -> ((s, dir) => rt(s,
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(12, 2)).as("price_dec"))
+        .filter(col("price_dec") > lit(new java.math.BigDecimal("50000.00"))))),
+
+    // E3: bitwise and shift operators
+    "q21_bitwise" -> ((s, dir) => rt(s,
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        (col("l_orderkey").bitwiseAND(lit(255L))).as("b_and"),
+        (col("l_orderkey").bitwiseOR(lit(7L))).as("b_or"),
+        (col("l_orderkey").bitwiseXOR(lit(42L))).as("b_xor"),
+        shiftleft(col("l_linenumber"), 2).as("shl"),
+        shiftright(col("l_orderkey"), 3).as("shr")))),
+
+    // E3: str_concat + regex_match
+    "q22_string_ops" -> ((s, dir) => rt(s,
+      t(s, dir, "orders")
+        .filter(col("o_orderpriority").rlike("^[12]"))
+        .select(col("o_orderkey"),
+          concat(col("o_orderstatus"), lit("_"), col("o_orderpriority")).as("status_prio")))),
+
+    // null-safe equality, coalesce, is_null over full-join nulls
+    "q23_null_ops" -> ((s, dir) => rt(s, {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .select(
+          (c("c_custkey") <=> o("o_custkey")).as("matched"),
+          coalesce(c("c_custkey"), o("o_custkey")).as("k"),
+          o("o_orderkey").isNull.as("no_order"))
+    })),
+  )
+
+  // --------------------------------------------------------------- oracle SQL
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_project" ->
+      "SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem",
+    "q02_filter_ops" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_discount > 0.05 AND l_quantity < 30 AND l_returnflag <> 'N'
+        |  AND l_orderkey % 7 <> 0""".stripMargin,
+    "q03_sort_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 5""".stripMargin,
+    "q04_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q05_agg_distinct_filter" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS distinct_parts,
+        |  count(l_orderkey) FILTER (WHERE l_quantity > 25) AS big_cnt,
+        |  CAST(sum(DISTINCT l_linenumber) AS BIGINT) AS sum_distinct_ln
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q06_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q07_join_inner" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 1000""".stripMargin,
+    "q08_join_left" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey""".stripMargin,
+    "q09_join_right" ->
+      """SELECT o_orderkey, c_custkey, c_name
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q10_join_full" ->
+      """SELECT c_custkey, c_name, o_orderkey
+        |FROM customer FULL JOIN orders ON c_custkey = o_custkey""".stripMargin,
+    "q11_join_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q12_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "q13_revenue_by_segment" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q14_case_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity < 10 THEN 'small'
+        |       WHEN l_quantity < 30 THEN 'mid' ELSE 'big' END AS qty_bucket,
+        |  l_extendedprice * (1.0 - l_discount) AS disc_price,
+        |  l_quantity - 5.0 AS qty_minus,
+        |  l_quantity / 2.0 AS qty_half
+        |FROM lineitem""".stripMargin,
+    "q15_setops" ->
+      """SELECT k FROM (
+        |  SELECT k FROM (
+        |    SELECT c_nationkey AS k FROM customer
+        |    INTERSECT
+        |    SELECT s_nationkey AS k FROM supplier)
+        |  UNION
+        |  SELECT r_regionkey AS k FROM region)
+        |EXCEPT
+        |SELECT n_nationkey AS k FROM nation WHERE n_nationkey > 20
+        |ORDER BY k""".stripMargin,
+    "q16_sort_nulls" ->
+      """SELECT c_custkey, o_totalprice
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY o_totalprice ASC NULLS FIRST, c_custkey ASC LIMIT 100""".stripMargin,
+    "q17_having" ->
+      """SELECT l_partkey, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY l_partkey HAVING count(*) > 3
+        |ORDER BY l_partkey""".stripMargin,
+    "q18_between_like" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |WHERE o_totalprice BETWEEN 1000 AND 5000 AND o_orderpriority LIKE '1%'""".stripMargin,
+    "q19_ts_filter" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'""".stripMargin,
+    "q20_decimal_cast" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec
+        |FROM orders WHERE CAST(o_totalprice AS DECIMAL(12,2)) > 50000.00""".stripMargin,
+    "q21_bitwise" ->
+      """SELECT l_orderkey,
+        |  l_orderkey & 255 AS b_and,
+        |  l_orderkey | 7 AS b_or,
+        |  xor(l_orderkey, 42) AS b_xor,
+        |  l_linenumber << 2 AS shl,
+        |  l_orderkey >> 3 AS shr
+        |FROM lineitem""".stripMargin,
+    "q22_string_ops" ->
+      """SELECT o_orderkey, o_orderstatus || '_' || o_orderpriority AS status_prio
+        |FROM orders WHERE regexp_matches(o_orderpriority, '^[12]')""".stripMargin,
+    "q23_null_ops" ->
+      """SELECT c_custkey IS NOT DISTINCT FROM o_custkey AS matched,
+        |  coalesce(c_custkey, o_custkey) AS k,
+        |  o_orderkey IS NULL AS no_order
+        |FROM customer FULL JOIN orders ON c_custkey = o_custkey""".stripMargin,
+  )
 }
