@@ -48,19 +48,23 @@ object Producer {
       }
 
     // ---------------------------------------------------------------- leaves
-    /** Named leaf scan: SubqueryAlias over a relation (temp view / table). */
-    private def leafRead(p: LogicalPlan): Option[(Seq[String], Seq[Attribute])] = {
-      def isRelation(c: LogicalPlan): Boolean = c match {
-        case _: LogicalRelation | _: DataSourceV2Relation | _: logical.LocalRelation => true
-        case v: logical.View => isRelation(v.child)
-        case s: logical.SubqueryAlias => isRelation(s.child)
-        case _ => false
-      }
-      p match {
-        case a: logical.SubqueryAlias if isRelation(a.child) =>
-          Some((a.identifier.qualifier :+ a.identifier.name, p.output))
-        case _ => None
-      }
+    /** Named leaf scan: a SubqueryAlias at the catalog boundary. Resolved
+      * views arrive as SubqueryAlias(name, View(..., storedPlan)) — the View
+      * marker distinguishes a catalog-registered name from an inline SQL
+      * alias over a subquery (which must be walked, not scanned). A
+      * SubqueryAlias directly over a relation leaf is the same boundary.
+      * An extra user alias (FROM data d1) wraps ANOTHER SubqueryAlias and is
+      * stripped by the passthrough case, so the innermost (catalog) name wins.
+      */
+    private def leafRead(p: LogicalPlan): Option[(Seq[String], Seq[Attribute])] = p match {
+      case a: logical.SubqueryAlias =>
+        a.child match {
+          case _: logical.View | _: LogicalRelation | _: DataSourceV2Relation |
+               _: logical.LocalRelation =>
+            Some((a.identifier.qualifier :+ a.identifier.name, p.output))
+          case _ => None
+        }
+      case _ => None
     }
 
     private def readRel(names: Seq[String], attrs: Seq[Attribute],
@@ -272,7 +276,20 @@ object Producer {
 
     private def convert(e: Expression, rec: Expression => SExpr): SExpr = e match {
       case Alias(c, _) => rec(c) // names live only in RelRoot (producer.rs:605)
+      // Catalyst keeps BETWEEN / nvl / nullif … as RuntimeReplaceable wrappers
+      // in the analyzed plan; the replacement is the desugared form the
+      // reference's producer sees from DataFusion (producer.rs:473-530)
+      case r: RuntimeReplaceable => rec(r.replacement)
+      // the replacement may use common-subexpression form (With/ref); inline
+      case w: With =>
+        val defs = w.defs.map(d => d.id -> d.child).toMap
+        rec(w.child.transformUp { case r: CommonExpressionRef => defs(r.id) })
       case l: Literal => SExpr.Lit(literal(l))
+      // CAST(NULL AS t): the child is an untyped NullType literal — emit the
+      // typed null directly (substrait has no untyped null, §1.2)
+      case c: Cast if (c.child match {
+            case Literal(null, NullType) => true; case _ => false }) =>
+        SExpr.Lit(LitVal.LNull(sTypeOf(c.dataType)))
       case c: Cast => SExpr.Cast(sTypeOf(c.dataType), c.child.nullable, rec(c.child))
       case co: CheckOverflow => // decimal-arithmetic wrapper ≡ cast to target type
         SExpr.Cast(sTypeOf(co.dataType), co.child.nullable, rec(co.child))
@@ -317,10 +334,17 @@ object Producer {
         list.map(i => fn("equal", rec(v), rec(i)))
           .reduceLeft((a, b) => fn("or", a, b))
 
-      case CaseWhen(branches, elseValue) =>
+      case cw @ CaseWhen(branches, elseValue) =>
+        // `THEN 1 ELSE NULL` keeps an untyped NullType literal in the analyzed
+        // plan; type it from the CASE's resolved output type so the wire form
+        // stays a typed null (§1.2 — substrait has no untyped null)
+        def recV(v: Expression): SExpr = v match {
+          case Literal(null, NullType) => SExpr.Lit(LitVal.LNull(sTypeOf(cw.dataType)))
+          case other => rec(other)
+        }
         SExpr.IfThen(
-          branches.map { case (c, v) => IfClause(rec(c), Some(rec(v))) },
-          elseValue.map(rec))
+          branches.map { case (c, v) => IfClause(rec(c), Some(recV(v))) },
+          elseValue.map(recV))
 
       case other =>
         notImplemented(s"expression ${other.getClass.getSimpleName}: $other")
