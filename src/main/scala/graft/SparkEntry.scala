@@ -43,7 +43,81 @@ object SparkEntry {
     queries("q13_revenue_by_segment")(spark, "/root/testdata/sf0.001")
 
   // ------------------------------------------------------------------ queries
-  def queries: Map[String, (SparkSession, String) => DataFrame] = parityQueries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    parityQueries ++ pipelineQueries
+
+  /** Beyond-parity training-data pipeline operators (graft.ops): dedup,
+    * similarity search, text analysis, multimodal plumbing. These use the
+    * DataFrame API directly (they are new operators, not plan-interchange
+    * parity), with DuckDB oracles wherever the computation is expressible in
+    * both dialects; hash-based ops (xxhash64 LSH) get rows-only checks.
+    */
+  private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: digest group-by (shuffles md5 digests, not payloads)
+    "d01_dedup_exact" -> ((s, dir) =>
+      ops.Dedup.exactDedup(t(s, dir, "documents")).orderBy("digest")),
+
+    // MinHash + banded LSH near-dup pairs, exact-jaccard verified
+    "d02_minhash_pairs" -> ((s, dir) =>
+      ops.Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // SimHash fingerprints + pigeonhole hamming≤3 pairs
+    "d03_simhash_neardup" -> ((s, dir) =>
+      ops.Dedup.simhashNearDups(t(s, dir, "documents")).orderBy("id_a", "id_b")),
+
+    // blocked exact n-gram Jaccard (no hashing — DuckDB-checkable)
+    "d04_ngram_jaccard" -> ((s, dir) =>
+      ops.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        blockCol = "lang", threshold = 0.3)
+        .select("blk", "id_a", "id_b", "jaccard").orderBy("blk", "id_a", "id_b")),
+
+    // embedding-cosine near-dups via multi-table sign-LSH
+    "d05_embedding_neardup" -> ((s, dir) =>
+      ops.Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.35)
+        .orderBy("id_a", "id_b")),
+
+    // exact brute-force cosine top-k (broadcast queries, one corpus scan)
+    "s01_knn_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 8), k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    // ANN top-k via multi-table sign-LSH (the 100 TB path)
+    "s02_knn_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.lshKnn(e, e.filter(col("vec_id") < 8), k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    // language-ID heuristic + accuracy vs the labeled lang column
+    "t01_langid" -> ((s, dir) =>
+      ops.TextOps.langId(t(s, dir, "documents"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")),
+
+    // per-document quality metrics
+    "t02_text_quality" -> ((s, dir) =>
+      ops.TextOps.qualityScore(t(s, dir, "documents"))
+        .select("doc_id", "n_tokens", "n_punct", "n_stopwords",
+          "punct_ratio", "stopword_ratio", "avg_token_len", "quality_score")
+        .orderBy("doc_id")),
+
+    // md5 fingerprint + token counts
+    "t03_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        ops.TextOps.fingerprint(col("text")).as("digest"),
+        ops.TextOps.tokenCount(col("text")).as("n_tokens")).orderBy("doc_id")),
+
+    // multimodal binary plumbing (stub decode, real schema/partitioning)
+    "m01_media_features" -> ((s, dir) =>
+      ops.Multimodal.mediaFeatureSummary(s, t(s, dir, "documents"))
+        .orderBy("doc_id")),
+  )
 
   private def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/S2: scan + projection mask (pruned columns reach the parquet reader)
@@ -225,7 +299,103 @@ object SparkEntry {
   )
 
   // --------------------------------------------------------------- oracle SQL
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = parityOracles ++ pipelineOracles
+
+  /** DuckDB oracles for the pipeline ops that are hash-free and expressible
+    * in both dialects. xxhash64-based ops (minhash/simhash/sign-LSH) are
+    * engine-specific → rows-only checks (omitted here by design).
+    */
+  private def pipelineOracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest,
+        |  min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+    "d04_ngram_jaccard" ->
+      """WITH s AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, lang AS blk,
+        |  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS g
+        |  FROM s),
+        |p AS (SELECT a.blk AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.g, b.g))
+        |    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
+        |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+        |SELECT blk, id_a, id_b, ROUND(j, 6) AS jaccard FROM p
+        |WHERE j >= 0.3 ORDER BY blk, id_a, id_b""".stripMargin,
+    "s01_knn_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |s AS (SELECT q_id, e.vec_id AS n_id,
+        |  list_dot_product(qv, e.v)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim0
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, sim0,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim0 DESC, n_id ASC) AS rank
+        |  FROM s)
+        |SELECT q_id, n_id, rank, ROUND(sim0, 6) AS sim FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "t01_langid" ->
+      """WITH sc AS (SELECT lang,
+        |  (CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END +
+        |   CASE WHEN text LIKE '% and %' THEN 1 ELSE 0 END +
+        |   CASE WHEN text LIKE '% of %' THEN 1 ELSE 0 END +
+        |   CASE WHEN text LIKE '% is %' THEN 1 ELSE 0 END) AS s_en,
+        |  (CASE WHEN text LIKE '% le %' THEN 1 ELSE 0 END +
+        |   CASE WHEN text LIKE '% la %' THEN 1 ELSE 0 END +
+        |   CASE WHEN text LIKE '% et %' THEN 1 ELSE 0 END +
+        |   CASE WHEN text LIKE '% est %' THEN 1 ELSE 0 END) AS s_fr,
+        |  (CASE WHEN text LIKE '% el %' THEN 1 ELSE 0 END +
+        |   CASE WHEN text LIKE '% de %' THEN 1 ELSE 0 END +
+        |   CASE WHEN text LIKE '% que %' THEN 1 ELSE 0 END +
+        |   CASE WHEN text LIKE '% es %' THEN 1 ELSE 0 END) AS s_es,
+        |  (CASE WHEN text LIKE '% der %' THEN 1 ELSE 0 END +
+        |   CASE WHEN text LIKE '% und %' THEN 1 ELSE 0 END +
+        |   CASE WHEN text LIKE '% das %' THEN 1 ELSE 0 END +
+        |   CASE WHEN text LIKE '% ist %' THEN 1 ELSE 0 END) AS s_de
+        | FROM documents),
+        |p AS (SELECT lang,
+        |  CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+        |       WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+        |       WHEN s_es >= s_de THEN 'es'
+        |       ELSE 'de' END AS lang_pred
+        | FROM sc)
+        |SELECT lang, lang_pred, count(*) AS n FROM p
+        |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+    "t02_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER) AS n_punct,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|and|of|is|to)\b')) AS INTEGER) AS n_stopwords,
+        |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+        |    / GREATEST(length(text), 1) AS punct_ratio,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|and|of|is|to)\b')) AS DOUBLE)
+        |    / GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS stopword_ratio,
+        |  CAST(length(text) AS DOUBLE)
+        |    / GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS avg_token_len,
+        |  LEAST(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0) * 0.5
+        |    + LEAST(1.0, (CAST(len(regexp_extract_all(text, '\b(the|a|and|of|is|to)\b')) AS DOUBLE)
+        |        / GREATEST(len(regexp_extract_all(text, '\S+')), 1)) * 5.0) * 0.3
+        |    + CASE WHEN (CAST(length(text) AS DOUBLE)
+        |          / GREATEST(len(regexp_extract_all(text, '\S+')), 1)) >= 3.0
+        |        AND (CAST(length(text) AS DOUBLE)
+        |          / GREATEST(len(regexp_extract_all(text, '\S+')), 1)) <= 10.0
+        |      THEN 0.2 ELSE 0.0 END AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t03_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m01_media_features" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(strlen(text) AS INTEGER) AS n_bytes,
+        |  ROUND(CAST(len(regexp_extract_all(text, '[\x00-\x0F]')) AS DOUBLE)
+        |    / GREATEST(strlen(text), 1), 6) AS bin0
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+
+  private def parityOracles: Map[String, String] = Map(
     "q01_scan_project" ->
       "SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem",
     "q02_filter_ops" ->

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque BINARY payloads
+  * with typed metadata, and a partition-wise feature-extraction stage.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic STUB (`decodeStub`): it "decodes" the payload
+  * into a 16-bin byte histogram. Everything around it — binary schema,
+  * per-partition batch iteration, feature array output shape, partitioning
+  * preservation — is the real Spark plumbing a libjpeg/ffmpeg-backed
+  * implementation would drop into.
+  *
+  * Scale notes: mapPartitions keeps the decode batched per task with no
+  * shuffle; payloads never leave their input partition. Feature arrays are
+  * fixed-width, so downstream similarity joins shuffle 16·4 bytes per row,
+  * not megabyte payloads.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+  final case class MediaFeature(doc_id: Long, media_type: String, n_bytes: Int,
+                                feature: Array[Float])
+
+  /** Wrap a text table as a binary media table (payload = UTF-8 bytes — the
+    * deterministic stand-in for real image/audio blobs in this container).
+    */
+  def asMediaTable(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      // deterministic fake modality tag from the id
+      when(col(idCol) % 3 === 0, "image")
+        .when(col(idCol) % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      encode(col(textCol), "UTF-8").as("payload"))
+
+  /** STUB decode: real implementations replace this with the codec call
+    * (e.g. JPEG decode → pixels, PCM frames, video frame-sample). The stub is
+    * deterministic: normalized 16-bin histogram of payload bytes.
+    */
+  private def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](16)
+    var i = 0
+    while (i < payload.length) { bins((payload(i) & 0xff) >> 4) += 1f; i += 1 }
+    val n = math.max(payload.length, 1).toFloat
+    var b = 0
+    while (b < 16) { bins(b) /= n; b += 1 }
+    bins
+  }
+
+  /** Partition-wise feature extraction over the binary payloads. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        // per-task init hook (real codecs allocate decoder state here, once)
+        rows.map { r =>
+          MediaFeature(r.doc_id, r.media_type, r.payload.length,
+            decodeStub(r.payload))
+        }
+      }
+  }
+
+  /** Flattened, oracle-friendly projection: id, modality, byte count and the
+    * first histogram bin (deterministic scalar from the stub decode).
+    */
+  def mediaFeatureSummary(spark: SparkSession, df: DataFrame): DataFrame = {
+    val feats = extractFeatures(spark, asMediaTable(df))
+    feats.toDF().select(
+      col("doc_id"), col("media_type"), col("n_bytes"),
+      round(element_at(col("feature"), 1).cast("double"), 6).as("bin0"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (ARRAY<FLOAT>): brute-force cosine top-k as the exact baseline, and
+  * sign-random-projection LSH as the scale path. Dot products run through
+  * `zip_with`/`aggregate` higher-order functions — sequential per-row folds,
+  * codegen'd, deterministic.
+  *
+  * Scale design (100 TB corpus):
+  * - brute-force broadcasts the QUERY side (must be small) and scans the
+  *   corpus once; the only shuffle is the per-query top-k (rows ≤ |Q|·k after
+  *   partial ranking);
+  * - LSH buckets corpus AND queries by hyperplane sign bits; the join
+  *   shuffles by bucket id, so work is proportional to bucket occupancy, not
+  *   |corpus|·|Q|.
+  */
+object Similarity {
+
+  /** deterministic fold — both engines of the oracle compute the same IEEE
+    * sequence */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k cosine neighbors for each query vector. `queries` MUST be
+    * small (it is broadcast); ranking ties break on neighbor id.
+    * Output: (q_id, n_id, rank, sim).
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: seeded Gaussian components —
+    * reproducible across sessions.
+    */
+  private def hyperplanes(planes: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(42)
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Multi-table sign-LSH bucket ids: `tables` independent tables of
+    * `planesPerTable` hyperplanes each. A vector's bucket in table t encodes
+    * (t, sign bits of that table's planes). Two vectors at angle θ share a
+    * table-bucket with probability (1 − θ/π)^planesPerTable; with T tables
+    * the candidate recall is 1 − (1 − p)^T — tune T up for recall, planes up
+    * for precision. Returns an ARRAY<BIGINT> of length `tables`.
+    */
+  def lshBucketArray(vec: Column, tables: Int, planesPerTable: Int,
+                     dim: Int): Column = {
+    val hp = hyperplanes(tables * planesPerTable, dim)
+    val buckets = (0 until tables).map { t =>
+      val bits = (0 until planesPerTable).map { p =>
+        when(dot(vec, typedLit(hp(t * planesPerTable + p))) >= 0.0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      bits + lit(t.toLong << 32)
+    }
+    array(buckets: _*)
+  }
+
+  /** ANN top-k: candidates share any table-bucket with the query; exact
+    * cosine ranks the distinct candidates. Output: (q_id, n_id, rank, sim).
+    */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, tables: Int = 4,
+             planesPerTable: Int = 4, dim: Int = 64, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val c = corpus
+      .select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
+      .select(col("n_id"), col("n_vec"),
+        explode(lshBucketArray(col("n_vec"), tables, planesPerTable, dim)).as("bucket"))
+    val q = queries
+      .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+      .select(col("q_id"), col("q_vec"),
+        explode(lshBucketArray(col("q_vec"), tables, planesPerTable, dim)).as("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    c.join(q, "bucket")
+      .filter(col("n_id") =!= col("q_id"))
+      .select("q_id", "n_id", "q_vec", "n_vec").distinct() // union over tables
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** All pairs with cosine ≥ threshold among vectors sharing any table-bucket
+    * (embedding near-duplicate detection). Output: (id_a, id_b, sim).
+    */
+  def lshNearDups(df: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double, tables: Int = 6, planesPerTable: Int = 4,
+                  dim: Int = 64): DataFrame = {
+    val v = df.select(col(idCol).as("nd_id"), asDouble(col(vecCol)).as("nd_vec"))
+      .select(col("nd_id"), col("nd_vec"),
+        explode(lshBucketArray(col("nd_vec"), tables, planesPerTable, dim)).as("bucket"))
+    val a = v.select(col("bucket"), col("nd_id").as("id_a"), col("nd_vec").as("vec_a"))
+    val b = v.select(col("bucket"), col("nd_id").as("id_b"), col("nd_vec").as("vec_b"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "vec_a", "vec_b").distinct()
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+}

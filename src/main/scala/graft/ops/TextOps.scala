@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, all built
+  * from codegen'd `org.apache.spark.sql.functions` (no UDFs): language-ID
+  * heuristic, quality scoring, token counting, document fingerprinting.
+  * Each is a narrow projection — at 100 TB these run as a single map stage
+  * over the scan with zero shuffles.
+  */
+object TextOps {
+
+  /** Marker-word sets per language. Deliberately tiny and SQL-expressible so
+    * the DuckDB oracle can replicate the exact heuristic; swap for character
+    * n-gram profiles when accuracy matters more than verifiability.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " is "),
+    "fr" -> Seq(" le ", " la ", " et ", " est "),
+    "es" -> Seq(" el ", " de ", " que ", " es "),
+    "de" -> Seq(" der ", " und ", " das ", " ist "))
+
+  private def score(text: Column, words: Seq[String]): Column =
+    words.map(w => when(text.like(s"%$w%"), 1).otherwise(0)).reduce(_ + _)
+
+  /** Adds `score_<lang>` columns and an argmax `lang_pred` column. */
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val scored = markers.foldLeft(df) { case (d, (lang, ws)) =>
+      d.withColumn(s"score_$lang", score(t, ws))
+    }
+    // fixed-precedence argmax (ties resolve to the earlier language)
+    val Seq(en, fr, es, de) = markers.map { case (l, _) => col(s"score_$l") }
+    scored.withColumn("lang_pred",
+      when(en >= fr && en >= es && en >= de, "en")
+        .when(fr >= es && fr >= de, "fr")
+        .when(es >= de, "es")
+        .otherwise("de"))
+  }
+
+  /** Whitespace-delimited token count (codegen'd regexp_count). */
+  def tokenCount(textCol: Column): Column = regexp_count(textCol, lit("\\S+"))
+
+  /** Quality metrics: length, token count, punctuation/stopword ratios and a
+    * blended score in [0,1]. All arithmetic is per-row IEEE double —
+    * deterministic and engine-independent.
+    */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars_q", length(t))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_punct", regexp_count(t, lit("[.,;:!?]")))
+      .withColumn("n_stopwords", regexp_count(t, lit("\\b(the|a|and|of|is|to)\\b")))
+      .withColumn("punct_ratio",
+        col("n_punct").cast("double") / greatest(col("n_chars_q"), lit(1)))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / greatest(col("n_tokens"), lit(1)))
+      .withColumn("avg_token_len",
+        col("n_chars_q").cast("double") / greatest(col("n_tokens"), lit(1)))
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.5
+          + least(lit(1.0), col("stopword_ratio") * 5.0) * 0.3
+          + when(col("avg_token_len") >= 3.0 && col("avg_token_len") <= 10.0, 0.2)
+              .otherwise(0.0))
+  }
+
+  /** Whitespace-normalized lower-cased MD5 fingerprint — the canonical
+    * document identity for exact dedup; shuffles 32-byte digests instead of
+    * document payloads.
+    */
+  def fingerprint(textCol: Column): Column =
+    md5(regexp_replace(lower(textCol), "\\s+", " "))
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+
+/** Pipeline-operator specs over the sf0.001 documents/embeddings tables.
+  * The testdata generator plants ~5% near-duplicate documents (jaccard ≥0.9,
+  * everything else <0.1), which these specs use as ground truth.
+  */
+class OpsSpec extends SparkTestBase {
+
+  private def docs = { Tables.register(spark, sfDir); spark.table("documents") }
+  private def embs = { Tables.register(spark, sfDir); spark.table("embeddings") }
+
+  test("shingles produce k-grams") {
+    val sh = docs.limit(5).withColumn("sh", Dedup.shingles("text", 3))
+      .select(col("doc_id"), size(col("sh")).as("n"),
+        size(split(lower(col("text")), " ")).as("toks"))
+      .collect()
+    sh.foreach(r => assert(r.getInt(1) <= r.getInt(2) - 2 && r.getInt(1) > 0))
+  }
+
+  test("minhash near-dups find the planted pairs and nothing else") {
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5).collect()
+    assert(pairs.nonEmpty, "planted near-dups should surface")
+    pairs.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("minhash agrees with exact blocked jaccard on recall") {
+    // exact global high-jaccard pairs (small corpus → all-pairs is fine here)
+    val sh = docs.select(col("doc_id"), Dedup.shingles("text", 3).as("g"))
+    val a = sh.select(col("doc_id").as("id_a"), col("g").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("g").as("sh_b"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("j", Dedup.jaccardCol("sh_a", "sh_b"))
+      .filter(col("j") >= 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(docs, threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == lsh, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
+  test("simhash hamming pairs are symmetric-free and verified") {
+    val pairs = Dedup.simhashNearDups(docs).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getAs[Int]("hamming") <= 3)
+    }
+  }
+
+  test("exact dedup keeps one id per digest") {
+    val d = Dedup.exactDedup(docs)
+    assert(d.count() == d.select("digest").distinct().count())
+  }
+
+  test("brute-force knn returns k ranked neighbors per query") {
+    val r = Similarity.bruteForceKnn(embs, embs.filter(col("vec_id") < 4), k = 3)
+      .collect()
+    assert(r.length == 4 * 3)
+    val byQ = r.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sims = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(sims.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        "sims must be non-increasing in rank")
+    }
+  }
+
+  test("lsh knn candidates are a subset ranked identically") {
+    val r = Similarity.lshKnn(embs, embs.filter(col("vec_id") < 4), k = 3).collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getLong(0) != row.getLong(1)))
+  }
+
+  test("langid predicts a language for every document") {
+    val r = TextOps.langId(docs).select("lang_pred").collect()
+    assert(r.length == docs.count())
+    assert(r.forall(x => Set("en", "fr", "es", "de").contains(x.getString(0))))
+  }
+
+  test("quality metrics are bounded") {
+    val r = TextOps.qualityScore(docs)
+      .select("quality_score", "punct_ratio", "stopword_ratio").collect()
+    r.foreach { row =>
+      assert(row.getDouble(0) >= 0.0 && row.getDouble(0) <= 1.0)
+      assert(row.getDouble(1) >= 0.0 && row.getDouble(1) <= 1.0)
+    }
+  }
+
+  test("media features: stub decode plumbing end-to-end") {
+    val f = Multimodal.extractFeatures(spark, Multimodal.asMediaTable(docs)).collect()
+    assert(f.length == docs.count())
+    f.foreach { m =>
+      assert(m.feature.length == 16)
+      assert(math.abs(m.feature.sum - 1.0f) < 1e-3, "histogram must normalize")
+      assert(m.n_bytes > 0)
+    }
+  }
+}
