@@ -70,7 +70,7 @@ object SparkEntry {
     // blocked exact n-gram Jaccard (no hashing — DuckDB-checkable)
     "d04_ngram_jaccard" -> ((s, dir) =>
       ops.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        blockCol = "lang", threshold = 0.3)
+        blockCols = Seq("lang", "source"), threshold = 0.3)
         .select("blk", "id_a", "id_b", "jaccard").orderBy("blk", "id_a", "id_b")),
 
     // embedding-cosine near-dups via multi-table sign-LSH
@@ -311,8 +311,8 @@ object SparkEntry {
         |  min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
     "d04_ngram_jaccard" ->
-      """WITH s AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id, lang AS blk,
+      """WITH s AS (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, lang || '|' || source AS blk,
         |  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS g
         |  FROM s),
         |p AS (SELECT a.blk AS blk, a.doc_id AS id_a, b.doc_id AS id_b,

@@ -112,21 +112,33 @@ object Dedup {
   def jaccardCol(a: String, b: String): org.apache.spark.sql.Column =
     expr(s"size(array_intersect($a, $b)) / CAST(size(array_union($a, $b)) AS DOUBLE)")
 
-  /** n-gram Jaccard similarity for pairs grouped by a blocking key (e.g.
-    * source): deterministic and oracle-checkable, no hashing involved.
+  /** n-gram Jaccard similarity for pairs grouped by a blocking key:
+    * deterministic and oracle-checkable, no hashing involved. Pair count is
+    * quadratic per block — choose blocking keys so blocks stay small (this is
+    * the classic blocked-similarity design; unblocked all-pairs at corpus
+    * scale is what MinHash LSH is for). The intersect/union sizes are
+    * computed once in a projection below the threshold filter, not re-derived
+    * per consumer.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        blockCol: String, shingleSize: Int = 3,
+                        blockCols: Seq[String], shingleSize: Int = 3,
                         threshold: Double = 0.1): DataFrame = {
-    val s = df.select(col(blockCol).as("blk"), col(idCol).as("jid"),
-      shingles(textCol, shingleSize).as("sh"))
+    val blk = concat_ws("|", blockCols.map(col): _*)
+    val s = df.select(blk.as("blk"), col(idCol).as("jid"),
+        col(textCol).as("jtext"))
+      .repartition(col("blk"))
+      .withColumn("sh", shingles("jtext", shingleSize))
+      .select("blk", "jid", "sh")
+      .persist()
     val a = s.select(col("blk"), col("jid").as("id_a"), col("sh").as("sh_a"))
     val b = s.select(col("blk"), col("jid").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccardCol("sh_a", "sh_b"))
-      .filter(col("jaccard") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"),
-        round(col("jaccard"), 6).as("jaccard"))
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).as("n_union"))
+      .filter(col("n_inter").cast("double") / col("n_union") >= threshold)
+      .select(col("blk"), col("id_a"), col("id_b"),
+        round(col("n_inter").cast("double") / col("n_union"), 6).as("jaccard"))
   }
 
   /** 64-bit SimHash fingerprint: per token, the token-hash bits vote +1/−1

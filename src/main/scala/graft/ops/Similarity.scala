@@ -105,11 +105,13 @@ object Similarity {
     * (embedding near-duplicate detection). Output: (id_a, id_b, sim).
     */
   def lshNearDups(df: DataFrame, idCol: String, vecCol: String,
-                  threshold: Double, tables: Int = 6, planesPerTable: Int = 4,
+                  threshold: Double, tables: Int = 6, planesPerTable: Int = 6,
                   dim: Int = 64): DataFrame = {
     val v = df.select(col(idCol).as("nd_id"), asDouble(col(vecCol)).as("nd_vec"))
+      .repartition(col("nd_id"))
       .select(col("nd_id"), col("nd_vec"),
         explode(lshBucketArray(col("nd_vec"), tables, planesPerTable, dim)).as("bucket"))
+      .persist()
     val a = v.select(col("bucket"), col("nd_id").as("id_a"), col("nd_vec").as("vec_a"))
     val b = v.select(col("bucket"), col("nd_id").as("id_b"), col("nd_vec").as("vec_b"))
     a.join(b, "bucket")
