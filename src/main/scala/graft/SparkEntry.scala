@@ -117,6 +117,20 @@ object SparkEntry {
     "m01_media_features" -> ((s, dir) =>
       ops.Multimodal.mediaFeatureSummary(s, t(s, dir, "documents"))
         .orderBy("doc_id")),
+
+    // event-stream analytics, batch form (the same transformations run under
+    // Structured Streaming — graft.streaming.EventStream + its specs)
+    "e01_sessions" -> ((s, dir) =>
+      streaming.EventStream.sessionizeBatch(
+        t(s, dir, "events").withColumn("ts", col("ts").cast("timestamp_ntz")),
+        gapMinutes = 120)
+        .orderBy("user_id", "session_start")),
+    "e02_windowed_counts" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum4(col("value")).as("total_value"))
+        .orderBy("hour", "event_type")),
   )
 
   private def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -393,6 +407,29 @@ object SparkEntry {
         |  ROUND(CAST(len(regexp_extract_all(text, '[\x00-\x0F]')) AS DOUBLE)
         |    / GREATEST(strlen(text), 1), 6) AS bin0
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "e01_sessions" ->
+      """WITH l AS (SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |              - CAST(floor(epoch(prev_ts)) AS BIGINT) > 7200
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM l),
+        |g AS (SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+        |  FROM f)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, session_no
+        |ORDER BY user_id, session_start""".stripMargin,
+    "e02_windowed_counts" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
   )
 
   private def parityOracles: Map[String, String] = Map(

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Structured-Streaming operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming surface (SURVEY.md §2.10) — this is the
+  * beyond-parity extension the testdata's events stream exists for. The same
+  * transformations run on a batch DataFrame or a readStream frame (Spark's
+  * unified Dataset API); specs assert streaming output == batch output.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late data beyond it is dropped, state evicted); sessionization state is
+  * per-active-user and evicted on event-time timeout — both are the standard
+  * bounded-state designs for unbounded inputs.
+  */
+object EventStream {
+
+  /** Tumbling-window per-type aggregation with a late-data watermark.
+    * Works identically on batch and streaming frames.
+    */
+  def windowedTypeCounts(events: DataFrame, watermark: String = "1 hour",
+                         windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionAgg(user_id: Long, session_start: Timestamp,
+                              session_end: Timestamp, n_events: Long,
+                              total_value: Double)
+  /** internal per-user state (public: the state Encoder codegen constructs it) */
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Streaming sessionization: per-user sessions closed after `gapMinutes` of
+    * event-time silence, via flatMapGroupsWithState with event-time timeout.
+    * Emits a session when (a) a new event arrives after the gap, or (b) the
+    * watermark passes last+gap (timeout fires). State per active user only.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapMinutes: Int): Dataset[SessionAgg] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    // local (not object members): the state closure ships to executors and
+    // must not capture the enclosing module. Timestamp ↔ microseconds —
+    // getTime is millis-only; the events table carries microsecond precision.
+    val toMicros: Timestamp => Long =
+      t => t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+    val fromMicros: Long => Timestamp = us => {
+      val t = new Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+
+    def fn(userId: Long, rows: Iterator[Event],
+           state: GroupState[SessionState]): Iterator[SessionAgg] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+      if (state.hasTimedOut) {
+        val s = state.get
+        out += SessionAgg(userId, fromMicros(s.start), fromMicros(s.last),
+          s.n, s.total)
+        state.remove()
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+        var cur = state.getOption.orNull
+        sorted.foreach { e =>
+          val t = toMicros(e.ts)
+          if (cur == null) cur = SessionState(t, t, 1, e.value)
+          else if (t - cur.last > gapUs) {
+            out += SessionAgg(userId, fromMicros(cur.start),
+              fromMicros(cur.last), cur.n, cur.total)
+            cur = SessionState(t, t, 1, e.value)
+          } else cur = SessionState(cur.start, math.max(cur.last, t),
+            cur.n + 1, cur.total + e.value)
+        }
+        if (cur != null) {
+          state.update(cur)
+          // GroupState timeouts are millisecond-granular; round up so the
+          // timeout never fires before the true gap elapses
+          state.setTimeoutTimestamp(Math.floorDiv(cur.last + gapUs + 999L, 1000L))
+        }
+      }
+      out.iterator
+    }
+
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Batch sessionization oracle: identical gap semantics via lag + running
+    * sum of session-boundary flags — SQL-expressible in any engine.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val upTo = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      // NTZ→LTZ→long: TIMESTAMP_NTZ has no direct numeric cast; with the
+      // session pinned to UTC the hop is value-preserving
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("timestamp").cast("long") -
+            col("prev_ts").cast("timestamp").cast("long") > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum("new_session").over(upTo))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("total_value"))
+      .drop("session_no")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+
+/** Streaming specs: drive the same transformations through a file-source
+  * readStream into a memory sink and assert parity with the batch run
+  * (spark_guide.md streaming pattern: processAllAvailable over parquet).
+  */
+class EventStreamSpec extends SparkTestBase {
+
+  /** events view (ts already converted from raw nanos) re-materialized to a
+    * temp dir so the streaming file source can list it */
+  private lazy val eventsDir: String = {
+    Tables.register(spark, sfDir)
+    val dir = Files.createTempDirectory("graft_events").toString
+    spark.table("events").coalesce(2).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def streamingEvents: DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream.schema(schema).parquet(eventsDir)
+  }
+
+  test("windowed aggregation: streaming (complete mode) == batch") {
+    val q = EventStream.windowedTypeCounts(streamingEvents)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+      val batch = EventStream.windowedTypeCounts(spark.table("events"))
+      assertSameRows(batch, streamed)
+      assert(streamed.count() > 0)
+    } finally q.stop()
+  }
+
+  test("sessionization: streaming sessions match batch sessions for closed sessions") {
+    val q = EventStream.sessionize(spark, streamingEvents, gapMinutes = 120)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // round totals: the streaming state sums doubles in event order, the
+      // batch oracle sums exact decimals — equal to cents, not to ulps
+      def norm(df: DataFrame): Set[String] = df
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("total_value"), 2).as("tv"))
+        .collect().map(_.toString).toSet
+      val streamed = norm(spark.table("sess_out"))
+      val batch = norm(EventStream.sessionizeBatch(spark.table("events"), gapMinutes = 120))
+      // append mode only emits sessions closed by gap or watermark timeout;
+      // every emitted session must exist in the batch ground truth
+      assert(streamed.nonEmpty, "some sessions must close")
+      val missing = streamed -- batch
+      assert(missing.isEmpty, s"streamed-only sessions: ${missing.take(3)}")
+    } finally q.stop()
+  }
+
+  test("batch sessionization: sessions partition the events") {
+    Tables.register(spark, sfDir)
+    val events = spark.table("events")
+    val sessions = EventStream.sessionizeBatch(events, gapMinutes = 120)
+    assert(sessions.agg(sum("n_events")).head.getLong(0) == events.count())
+    assert(sessions.filter(col("session_end") < col("session_start")).count() == 0)
+  }
+}
