@@ -119,18 +119,20 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // event-stream analytics, batch form (the same transformations run under
-    // Structured Streaming — graft.streaming.EventStream + its specs)
-    "e01_sessions" -> ((s, dir) =>
+    // Structured Streaming — graft.streaming.EventStream + its specs). Both
+    // round-trip through substrait: window functions (lag + running sum) and
+    // named scalar fns (date_trunc) are wire-representable.
+    "e01_sessions" -> ((s, dir) => rt(s,
       streaming.EventStream.sessionizeBatch(
         t(s, dir, "events").withColumn("ts", col("ts").cast("timestamp_ntz")),
         gapMinutes = 120)
-        .orderBy("user_id", "session_start")),
-    "e02_windowed_counts" -> ((s, dir) =>
+        .orderBy("user_id", "session_start"))),
+    "e02_windowed_counts" -> ((s, dir) => rt(s,
       t(s, dir, "events")
         .withColumn("ts", col("ts").cast("timestamp_ntz"))
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), dsum4(col("value")).as("total_value"))
-        .orderBy("hour", "event_type")),
+        .orderBy("hour", "event_type"))),
   )
 
   private def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -228,6 +228,23 @@ object Consumer {
       case SExpr.Lit(LitVal.LStr(s)) => s
       case other => notImplemented(s"expected string literal, got $other")
     }
+    /** raw literal value (for lag/lead default arguments) */
+    private def lit2(e: SExpr): Any = e match {
+      case SExpr.Lit(v) => v match {
+        case LitVal.LNull(_) => null
+        case LitVal.LBool(b) => b
+        case LitVal.LI8(i) => i.toByte
+        case LitVal.LI16(i) => i.toShort
+        case LitVal.LI32(i) => i
+        case LitVal.LI64(i) => i
+        case LitVal.LFp32(f) => f
+        case LitVal.LFp64(d) => d
+        case LitVal.LStr(s) => s
+        case other => notImplemented(s"lag/lead default literal $other")
+      }
+      case other => notImplemented(s"expected literal, got $other")
+    }
+
     private def litInt(e: SExpr): Int = e match {
       case SExpr.Lit(LitVal.LI8(v)) => v
       case SExpr.Lit(LitVal.LI16(v)) => v
@@ -267,6 +284,56 @@ object Consumer {
           case (acc, (c, v)) => acc.when(c, v)
         }
         elseExpr.map(e2 => whenChain.otherwise(toColumnRec(e2, cols))).getOrElse(whenChain)
+
+      case SExpr.WindowFn(ref, args, partitions, sorts, lower, upper, rowFrame) =>
+        import org.apache.spark.sql.expressions.{Window, WindowSpec}
+        val parts = partitions.map(toColumnRec(_, cols))
+        val sortCols = sorts.map { s =>
+          val c = toColumnRec(s.expr, cols)
+          s.direction match {
+            case SortDirection.AscNullsFirst => c.asc_nulls_first
+            case SortDirection.AscNullsLast => c.asc_nulls_last
+            case SortDirection.DescNullsFirst => c.desc_nulls_first
+            case SortDirection.DescNullsLast => c.desc_nulls_last
+            case other => notImplemented(s"window sort direction $other")
+          }
+        }
+        def bound(b: WBound, isLower: Boolean): Long = b match {
+          case WBound.Unbounded =>
+            if (isLower) Window.unboundedPreceding else Window.unboundedFollowing
+          case WBound.CurrentRow => Window.currentRow
+          case WBound.Preceding(n) => -n
+          case WBound.Following(n) => n
+        }
+        val base0 = Window.partitionBy(parts: _*)
+        val base = if (sortCols.nonEmpty) base0.orderBy(sortCols: _*) else base0
+        val fname = name(ref).toLowerCase
+        val ranking = Set("row_number", "rank", "dense_rank", "percent_rank",
+          "cume_dist", "ntile", "lag", "lead")
+        // ranking/offset functions reject explicit frames; aggregates need them
+        val spec: WindowSpec =
+          if (ranking.contains(fname)) base
+          else if (rowFrame) base.rowsBetween(bound(lower, true), bound(upper, false))
+          else base.rangeBetween(bound(lower, true), bound(upper, false))
+        val fnCol = fname match {
+          case "row_number" => row_number()
+          case "rank" => rank()
+          case "dense_rank" => dense_rank()
+          case "percent_rank" => percent_rank()
+          case "cume_dist" => cume_dist()
+          case "ntile" => ntile(litInt(args.head))
+          case "lag" =>
+            val off = if (args.size > 1) litInt(args(1)) else 1
+            if (args.size > 2) lag(toColumnRec(args.head, cols), off, lit2(args(2)))
+            else lag(toColumnRec(args.head, cols), off)
+          case "lead" =>
+            val off = if (args.size > 1) litInt(args(1)) else 1
+            if (args.size > 2) lead(toColumnRec(args.head, cols), off, lit2(args(2)))
+            else lead(toColumnRec(args.head, cols), off)
+          case aggName => aggColumn(aggName, args.map(toColumnRec(_, cols)),
+            distinct = false)
+        }
+        fnCol.over(spec)
 
       case SExpr.ScalarFn(ref, args) =>
         val n = name(ref)
@@ -309,6 +376,10 @@ object Consumer {
           case "is_not_null" => a0.isNotNull
           case "negate" => -a0
           case "coalesce" => coalesce(all: _*)
+          // named scalar functions (Producer.namedScalarFns) resolve through
+          // the session function registry
+          case other if Producer.namedScalarFns.contains(other) =>
+            call_function(other, all: _*)
           case other => notImplemented(s"scalar function $other")
         }
     }

@@ -129,6 +129,16 @@ object Producer {
 
       case agg: logical.Aggregate => produceAggregate(agg)
 
+      // Window node output = child.output ++ window columns; encoded as a
+      // ProjectRel of pass-through refs + WindowFn expressions (beyond the
+      // reference's subset — SURVEY.md §2.8)
+      case w: logical.Window =>
+        val in = toRel(w.child)
+        val passthrough = in.attrs.indices.map(i => SExpr.FieldRef(i))
+        val wexprs = w.windowExpressions.map(e => toSExpr(e, in.attrs))
+        Produced(Rel.Project(in.rel, passthrough ++ wexprs),
+          w.child.output ++ w.windowExpressions.map(_.toAttribute))
+
       // SELECT DISTINCT → AggregateRel grouping on all columns, zero measures
       // (producer.rs:203-222)
       case logical.Distinct(child) =>
@@ -144,15 +154,7 @@ object Producer {
       case s: logical.Sort =>
         if (!s.global) notImplemented("partition-local sort")
         val in = toRel(s.child)
-        val sorts = s.order.map { so =>
-          val dir = (so.direction, so.nullOrdering) match {
-            case (Ascending, NullsFirst) => SortDirection.AscNullsFirst
-            case (Ascending, NullsLast) => SortDirection.AscNullsLast
-            case (Descending, NullsFirst) => SortDirection.DescNullsFirst
-            case (Descending, NullsLast) => SortDirection.DescNullsLast
-          }
-          SortField(toSExpr(so.child, in.attrs), dir)
-        }
+        val sorts = s.order.map(so => sortField(so, toSExpr(_, in.attrs)))
         Produced(Rel.Sort(in.rel, sorts), in.attrs)
 
       // limit/offset shapes → one FetchRel (SURVEY.md §7.4); reference quirk:
@@ -274,6 +276,34 @@ object Producer {
     private def fn(name: String, args: SExpr*): SExpr =
       SExpr.ScalarFn(anchor(name), args.toSeq)
 
+    private def sortField(so: SortOrder, rec: Expression => SExpr): SortField = {
+      val dir = (so.direction, so.nullOrdering) match {
+        case (Ascending, NullsFirst) => SortDirection.AscNullsFirst
+        case (Ascending, NullsLast) => SortDirection.AscNullsLast
+        case (Descending, NullsFirst) => SortDirection.DescNullsFirst
+        case (Descending, NullsLast) => SortDirection.DescNullsLast
+      }
+      SortField(rec(so.child), dir)
+    }
+
+    /** drop lag/lead's implicit untyped-null default argument */
+    private def trimNullDefault(args: Seq[Expression]): Seq[Expression] =
+      args match {
+        case init :+ Literal(null, NullType) => init
+        case other => other
+      }
+
+    /** Catalyst frame boundary → WBound (negative literal = preceding). */
+    private def windowBound(e: Expression): WBound = e match {
+      case UnboundedPreceding | UnboundedFollowing => WBound.Unbounded
+      case CurrentRow => WBound.CurrentRow
+      case Literal(n: Int, _) =>
+        if (n < 0) WBound.Preceding(-n.toLong) else WBound.Following(n.toLong)
+      case Literal(n: Long, _) =>
+        if (n < 0) WBound.Preceding(-n) else WBound.Following(n)
+      case other => notImplemented(s"window frame boundary $other")
+    }
+
     private def convert(e: Expression, rec: Expression => SExpr): SExpr = e match {
       case Alias(c, _) => rec(c) // names live only in RelRoot (producer.rs:605)
       // Catalyst keeps BETWEEN / nvl / nullif … as RuntimeReplaceable wrappers
@@ -334,6 +364,33 @@ object Producer {
         list.map(i => fn("equal", rec(v), rec(i)))
           .reduceLeft((a, b) => fn("or", a, b))
 
+      case WindowExpression(wf, spec) =>
+        val (name, args) = wf match {
+          case ae: AggregateExpression =>
+            if (ae.isDistinct) notImplemented("DISTINCT window aggregate")
+            (dataFusionAggName(ae.aggregateFunction.prettyName),
+              ae.aggregateFunction.children)
+          case _: RowNumber => ("row_number", Nil)
+          case _: Rank => ("rank", Nil)
+          case _: DenseRank => ("dense_rank", Nil)
+          case _: PercentRank => ("percent_rank", Nil)
+          case _: CumeDist => ("cume_dist", Nil)
+          case l: Lag => ("lag", trimNullDefault(l.children.take(3)))
+          case l: Lead => ("lead", trimNullDefault(l.children.take(3)))
+          case n: NTile => ("ntile", n.children)
+          case other => notImplemented(s"window function ${other.prettyName}")
+        }
+        val sorts = spec.orderSpec.map(so => sortField(so, rec))
+        val (lower, upper, rowFrame) = spec.frameSpecification match {
+          case SpecifiedWindowFrame(ft, lo, hi) =>
+            (windowBound(lo), windowBound(hi), ft == RowFrame)
+          case UnspecifiedFrame =>
+            (WBound.Unbounded, WBound.CurrentRow, false)
+          case other => notImplemented(s"window frame $other")
+        }
+        SExpr.WindowFn(anchor(name.toLowerCase), args.map(rec),
+          spec.partitionSpec.map(rec), sorts, lower, upper, rowFrame)
+
       case cw @ CaseWhen(branches, elseValue) =>
         // `THEN 1 ELSE NULL` keeps an untyped NullType literal in the analyzed
         // plan; type it from the CASE's resolved output type so the wire form
@@ -345,6 +402,13 @@ object Producer {
         SExpr.IfThen(
           branches.map { case (c, v) => IfClause(rec(c), Some(recV(v))) },
           elseValue.map(recV))
+
+      // named scalar functions whose Catalyst children order matches their
+      // SQL argument order — encoded by prettyName, consumed via
+      // call_function (beyond the reference's 26 operators)
+      case e if Producer.namedScalarFns.contains(e.prettyName) &&
+          e.deterministic && e.children.nonEmpty =>
+        SExpr.ScalarFn(anchor(e.prettyName), e.children.map(rec))
 
       case other =>
         notImplemented(s"expression ${other.getClass.getSimpleName}: $other")
@@ -380,6 +444,25 @@ object Producer {
       }
     }
   }
+
+  /** SQL-callable scalar functions safe to encode by name: deterministic,
+    * and the Catalyst expression's children order equals the SQL argument
+    * order (verified per function — not every expression satisfies this).
+    */
+  val namedScalarFns: Set[String] = Set(
+    "lower", "upper", "trim", "ltrim", "rtrim", "length", "substring",
+    "replace", "split", "regexp_replace", "regexp_extract", "regexp_count",
+    "concat_ws", "lpad", "rpad", "reverse", "instr", "left", "right",
+    "abs", "round", "floor", "ceil", "sqrt", "exp", "ln", "log10", "power",
+    "sin", "cos", "tan", "atan", "atan2", "sign", "greatest", "least",
+    "year", "month", "dayofmonth", "hour", "minute", "second", "quarter",
+    "dayofweek", "dayofyear", "weekofyear", "date_trunc", "to_date",
+    "date_add", "date_sub", "datediff", "unix_timestamp", "from_unixtime",
+    "md5", "sha2", "crc32", "xxhash64", "hash",
+    "size", "array_contains", "array_distinct", "array_min", "array_max",
+    "sort_array", "element_at", "slice", "array_join", "arrays_overlap",
+    "array_intersect", "array_union", "array_except", "sequence",
+    "if", "ifnull", "nullif", "nvl", "nvl2")
 
   // -------------------------------------------------------------------- types
   def sTypeOf(dt: DataType): SType = dt match {

@@ -268,7 +268,59 @@ object Wire {
         })
       case SExpr.Cast(t, nullable, in) =>
         ew.msg(11, cw => { writeType(cw, 1, t, nullable); writeExpr(cw, 2, in) })
+      case SExpr.WindowFn(ref, args, parts, sorts, lower, upper, rowFrame) =>
+        // Expression.WindowFunction (field 5): function_reference=1,
+        // partitions=2, sorts=3, upper_bound=4, lower_bound=5, args=8;
+        // field 9 carries the ROWS(1)/RANGE(0) frame kind
+        ew.msg(5, ww => {
+          ww.uint32(1, ref.toLong)
+          parts.foreach(writeExpr(ww, 2, _))
+          sorts.foreach(writeSortField(ww, 3, _))
+          writeBound(ww, 4, upper)
+          writeBound(ww, 5, lower)
+          args.foreach(writeExpr(ww, 8, _))
+          ww.int32(9, if (rowFrame) 1 else 0)
+        })
     })
+
+  private def writeBound(w: W, f: Int, b: WBound): Unit =
+    // Bound: preceding=1{offset=1} following=2{offset=1} current_row=3 unbounded=4
+    w.msg(f, bw => b match {
+      case WBound.Preceding(n) => bw.msg(1, pw => pw.int64(1, n))
+      case WBound.Following(n) => bw.msg(2, pw => pw.int64(1, n))
+      case WBound.CurrentRow => bw.msg(3, _ => ())
+      case WBound.Unbounded => bw.msg(4, _ => ())
+    })
+
+  private def readBound(r: R): WBound = {
+    var res: WBound = WBound.Unbounded
+    r.fields { (f, wt) =>
+      if (wt != 2) false
+      else {
+        val br = r.lenDelim()
+        f match {
+          case 1 =>
+            var n = 0L
+            br.fields { (bf, bwt) => (bf, bwt) match {
+              case (1, 0) => n = br.varint(); true
+              case _ => false
+            }}
+            res = WBound.Preceding(n); true
+          case 2 =>
+            var n = 0L
+            br.fields { (bf, bwt) => (bf, bwt) match {
+              case (1, 0) => n = br.varint(); true
+              case _ => false
+            }}
+            res = WBound.Following(n); true
+          case 3 => res = WBound.CurrentRow; true
+          case 4 => res = WBound.Unbounded; true
+          case _ => false
+        }
+      }
+    }
+    res
+  }
 
   private def readFieldRef(r: R): SExpr = {
     var idx = -1
@@ -302,6 +354,24 @@ object Wire {
         f match {
           case 1 => res = SExpr.Lit(readLiteral(er)); true
           case 2 => res = readFieldRef(er); true
+          case 5 =>
+            var ref = -1
+            val parts = Seq.newBuilder[SExpr]; val sorts = Seq.newBuilder[SortField]
+            val args = Seq.newBuilder[SExpr]
+            var upper: WBound = WBound.Unbounded; var lower: WBound = WBound.Unbounded
+            var rowFrame = false
+            er.fields { (wf, wwt) => (wf, wwt) match {
+              case (1, 0) => ref = er.varint().toInt; true
+              case (2, 2) => parts += readExpr(er.lenDelim()); true
+              case (3, 2) => sorts += readSortField(er.lenDelim()); true
+              case (4, 2) => upper = readBound(er.lenDelim()); true
+              case (5, 2) => lower = readBound(er.lenDelim()); true
+              case (8, 2) => args += readExpr(er.lenDelim()); true
+              case (9, 0) => rowFrame = er.varint() == 1L; true
+              case _ => false
+            }}
+            res = SExpr.WindowFn(ref, args.result(), parts.result(), sorts.result(),
+              lower, upper, rowFrame); true
           case 3 =>
             var ref = -1; val args = Seq.newBuilder[SExpr]
             er.fields { (sf, swt) => (sf, swt) match {

@@ -51,6 +51,22 @@ object model {
     final case class IfThen(clauses: Seq[IfClause], elseExpr: Option[SExpr]) extends SExpr
     final case class Cast(tpe: SType, nullable: Boolean, input: SExpr) extends SExpr
     final case class Lit(value: LitVal) extends SExpr
+    /** Expression.WindowFunction (beyond the reference's subset — SURVEY.md
+      * §2.8 records the reference has none; substrait models them).
+      * `rowFrame` distinguishes ROWS vs RANGE frames.
+      */
+    final case class WindowFn(functionReference: Int, args: Seq[SExpr],
+                              partitions: Seq[SExpr], sorts: Seq[SortField],
+                              lower: WBound, upper: WBound,
+                              rowFrame: Boolean) extends SExpr
+  }
+
+  sealed trait WBound
+  object WBound {
+    case object Unbounded extends WBound
+    case object CurrentRow extends WBound
+    final case class Preceding(n: Long) extends WBound
+    final case class Following(n: Long) extends WBound
   }
   final case class IfClause(cond: SExpr, thenExpr: Option[SExpr])
 

@@ -55,10 +55,14 @@ object Demo {
       try { f; println(s"!! $label: NO ERROR (unexpected)") }
       catch { case e: Throwable => println(s"== $label -> ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next()}") }
 
-    expectFail("unsupported plan node (window fn)") {
+    expectFail("scalar fn outside the named allowlist (translate)") {
       Producer.produce(spark.sql(
-        "SELECT row_number() OVER (ORDER BY o_orderkey) FROM orders"))
+        "SELECT translate(o_orderpriority, 'ab', 'xy') FROM orders"))
     }
+    println("== window fn now supported: " +
+      Serializer.roundtrip(spark, spark.sql(
+        "SELECT o_custkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) rn FROM orders"))
+        .count() + " rows")
     expectFail("corrupt bytes") {
       Wire.decode(Array[Byte](0x0a, 0x03, 0x01))
     }
