@@ -92,6 +92,14 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // ANN top-k via IVF: KMeans coarse quantizer, probe 4 of 16 cells
+    "s03_knn_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = ops.Ivf.build(e, nlist = 16)
+      ops.Ivf.search(idx, e.filter(col("vec_id") < 8), k = 5, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     // language-ID heuristic + accuracy vs the labeled lang column
     "t01_langid" -> ((s, dir) =>
       ops.TextOps.langId(t(s, dir, "documents"))

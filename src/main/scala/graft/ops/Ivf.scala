@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: a KMeans coarse
+  * quantizer partitions the corpus into nlist cells; queries probe only the
+  * nprobe nearest cells.
+  *
+  * Scale design (100 TB corpus): the quantizer trains on a bounded SAMPLE
+  * (`trainSampleFraction`) — centroids are a few KB broadcast to every task;
+  * cell assignment is one map stage over the corpus (no shuffle; writes
+  * could even be partitioned/bucketed by cell for locality); a probe touches
+  * nprobe/nlist of the data. Recall/latency trades via nprobe — nprobe=nlist
+  * degenerates to exact brute force (asserted in the spec).
+  */
+object Ivf {
+
+  final case class IvfIndex(centroids: Seq[Seq[Double]], assigned: DataFrame)
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** nearest-centroid id for a vector column, centroids as literals
+    * (broadcast with the task binary — they are tiny by construction) */
+  private def nearestCells(vec: Column, centroids: Seq[Seq[Double]], n: Int): Column = {
+    // squared L2 to each centroid; take the n smallest cell ids
+    val dists = centroids.zipWithIndex.map { case (cent, i) =>
+      struct(
+        aggregate(zip_with(vec, typedLit(cent), (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, v) => acc + v).as("d"),
+        lit(i).as("cell"))
+    }
+    slice(array_sort(array(dists: _*)), 1, n).getField("cell")
+  }
+
+  /** Train the coarse quantizer on a sample and assign every corpus vector
+    * to its nearest cell.
+    */
+  def build(corpus: DataFrame, nlist: Int, idCol: String = "vec_id",
+            vecCol: String = "embedding",
+            trainSampleFraction: Double = 1.0, seed: Long = 42L): IvfIndex = {
+    val base = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
+    val train = (if (trainSampleFraction < 1.0)
+      base.sample(withReplacement = false, trainSampleFraction, seed) else base)
+      .select(array_to_vector(col("n_vec")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("features").fit(train)
+    val centroids = model.clusterCenters.toSeq.map(_.toArray.toSeq)
+    val assigned = base
+      .withColumn("cell", nearestCells(col("n_vec"), centroids, 1).getItem(0))
+      .repartition(col("cell"))
+      .persist()
+    IvfIndex(centroids, assigned)
+  }
+
+  /** Top-k cosine neighbors probing the nprobe nearest cells per query. */
+  def search(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries
+      .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("cell",
+        explode(nearestCells(col("q_vec"), index.centroids, nprobe)))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    index.assigned.join(broadcast(q), "cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", Similarity.cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+}
