@@ -311,6 +311,39 @@ object SparkEntry {
         .select(col("o_orderkey"),
           concat(col("o_orderstatus"), lit("_"), col("o_orderpriority")).as("status_prio")))),
 
+    // remaining E3 operators: or, not_like, is_distinct_from,
+    // regex_not_match, negate, is_null (via nullif), base-form CASE
+    "q24_misc_ops" -> ((s, dir) => rt(s,
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        (col("o_orderstatus") === "F" || col("o_totalprice") > 100000.0).as("flag_or"),
+        (!col("o_orderpriority").like("3%")).as("not_like3"),
+        (!(col("o_orderstatus") <=> col("o_orderpriority"))).as("distinct_sp"),
+        (!col("o_orderpriority").rlike("^[45]")).as("not_prio45"),
+        (-col("o_totalprice")).as("neg_price"),
+        nullif(col("o_orderstatus"), lit("F")).isNull.as("is_f"),
+        when(col("o_orderstatus") === "F", "finished")
+          .when(col("o_orderstatus") === "O", "open")
+          .otherwise("pending").as("status_name")))),
+
+    // A2 aggregate-name coverage: min/max/avg/median/stddev/var/corr/covar +
+    // order-normalized array_agg
+    "q25_agg_stats" -> ((s, dir) => rt(s,
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          (sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType) /
+            count(col("l_quantity"))).as("avg_qty"),
+          median(col("l_tax")).as("med_tax"),
+          round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+          round(var_pop(col("l_discount")), 6).as("vp_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"),
+          array_join(sort_array(collect_list(col("l_linestatus"))), "").as("statuses"))
+        .orderBy("l_returnflag"))),
+
     // null-safe equality, coalesce, is_null over full-join nulls
     "q23_null_ops" -> ((s, dir) => rt(s, {
       val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
@@ -550,5 +583,29 @@ object SparkEntry {
         |  coalesce(c_custkey, o_custkey) AS k,
         |  o_orderkey IS NULL AS no_order
         |FROM customer FULL JOIN orders ON c_custkey = o_custkey""".stripMargin,
+    "q24_misc_ops" ->
+      """SELECT o_orderkey,
+        |  (o_orderstatus = 'F' OR o_totalprice > 100000) AS flag_or,
+        |  o_orderpriority NOT LIKE '3%' AS not_like3,
+        |  o_orderstatus IS DISTINCT FROM o_orderpriority AS distinct_sp,
+        |  NOT regexp_matches(o_orderpriority, '^[45]') AS not_prio45,
+        |  -o_totalprice AS neg_price,
+        |  nullif(o_orderstatus, 'F') IS NULL AS is_f,
+        |  CASE o_orderstatus WHEN 'F' THEN 'finished'
+        |       WHEN 'O' THEN 'open' ELSE 'pending' END AS status_name
+        |FROM orders""".stripMargin,
+    "q25_agg_stats" ->
+      """SELECT l_returnflag,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(l_quantity) AS avg_qty,
+        |  median(l_tax) AS med_tax,
+        |  ROUND(stddev_samp(l_discount), 6) AS sd_disc,
+        |  ROUND(var_pop(l_discount), 6) AS vp_disc,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_qd,
+        |  array_to_string(list_sort(list(l_linestatus)), '') AS statuses
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
