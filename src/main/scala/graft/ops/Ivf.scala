@@ -26,11 +26,11 @@ object Ivf {
   /** nearest-centroid id for a vector column, centroids as literals
     * (broadcast with the task binary — they are tiny by construction) */
   private def nearestCells(vec: Column, centroids: Seq[Seq[Double]], n: Int): Column = {
-    // squared L2 to each centroid; take the n smallest cell ids
+    // squared L2 to each centroid (codegen'd single-pass kernel);
+    // take the n smallest cell ids
     val dists = centroids.zipWithIndex.map { case (cent, i) =>
       struct(
-        aggregate(zip_with(vec, typedLit(cent), (x, y) => (x - y) * (x - y)),
-          lit(0.0d), (acc, v) => acc + v).as("d"),
+        graft.functions.VecFunctions.vecL2Sq(vec, typedLit(cent)).as("d"),
         lit(i).as("cell"))
     }
     slice(array_sort(array(dists: _*)), 1, n).getField("cell")

@@ -20,14 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** deterministic fold — both engines of the oracle compute the same IEEE
-    * sequence */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-
+  /** Codegen'd single-pass kernels (graft.functions.VecExpressions). The
+    * HOF formulations below are kept as the semantic reference — specs assert
+    * the kernels produce bit-identical doubles (same sequential IEEE folds).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VecFunctions.vecDot(a, b)
+  def cosine(a: Column, b: Column): Column = graft.functions.VecFunctions.vecCosine(a, b)
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** interpreted higher-order-function reference implementations */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
