@@ -73,6 +73,10 @@ object SparkEntry {
         blockCols = Seq("lang", "source"), threshold = 0.3)
         .select("blk", "id_a", "id_b", "jaccard").orderBy("blk", "id_a", "id_b")),
 
+    // composed corpus prep: quality filter → lang-ID → exact dedup
+    "d06_prepare_corpus" -> ((s, dir) =>
+      ops.Pipeline.prepareCorpus(t(s, dir, "documents")).orderBy("doc_id")),
+
     // embedding-cosine near-dups via multi-table sign-LSH
     "d05_embedding_neardup" -> ((s, dir) =>
       ops.Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.35)
@@ -378,6 +382,49 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
         |SELECT blk, id_a, id_b, ROUND(j, 6) AS jaccard FROM p
         |WHERE j >= 0.3 ORDER BY blk, id_a, id_b""".stripMargin,
+    "d06_prepare_corpus" ->
+      """WITH m AS (SELECT doc_id, text, lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+        |      / GREATEST(length(text), 1) AS punct_ratio,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|and|of|is|to)\b')) AS DOUBLE)
+        |      / GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS stopword_ratio,
+        |    CAST(length(text) AS DOUBLE)
+        |      / GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS avg_token_len,
+        |    (CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END +
+        |     CASE WHEN text LIKE '% and %' THEN 1 ELSE 0 END +
+        |     CASE WHEN text LIKE '% of %' THEN 1 ELSE 0 END +
+        |     CASE WHEN text LIKE '% is %' THEN 1 ELSE 0 END) AS s_en,
+        |    (CASE WHEN text LIKE '% le %' THEN 1 ELSE 0 END +
+        |     CASE WHEN text LIKE '% la %' THEN 1 ELSE 0 END +
+        |     CASE WHEN text LIKE '% et %' THEN 1 ELSE 0 END +
+        |     CASE WHEN text LIKE '% est %' THEN 1 ELSE 0 END) AS s_fr,
+        |    (CASE WHEN text LIKE '% el %' THEN 1 ELSE 0 END +
+        |     CASE WHEN text LIKE '% de %' THEN 1 ELSE 0 END +
+        |     CASE WHEN text LIKE '% que %' THEN 1 ELSE 0 END +
+        |     CASE WHEN text LIKE '% es %' THEN 1 ELSE 0 END) AS s_es,
+        |    (CASE WHEN text LIKE '% der %' THEN 1 ELSE 0 END +
+        |     CASE WHEN text LIKE '% und %' THEN 1 ELSE 0 END +
+        |     CASE WHEN text LIKE '% das %' THEN 1 ELSE 0 END +
+        |     CASE WHEN text LIKE '% ist %' THEN 1 ELSE 0 END) AS s_de
+        |  FROM documents),
+        |full_m AS (SELECT doc_id, text, lang, n_tokens, punct_ratio,
+        |    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5
+        |      + LEAST(1.0, stopword_ratio * 5.0) * 0.3
+        |      + CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 10.0
+        |             THEN 0.2 ELSE 0.0 END AS quality_score,
+        |    CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+        |         WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+        |         WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS lang_pred
+        |  FROM m),
+        |kept AS (SELECT *, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest
+        |  FROM full_m WHERE n_tokens >= 50 AND punct_ratio <= 0.1),
+        |surv AS (SELECT digest, min(doc_id) AS doc_id, count(*) AS n_dups
+        |  FROM kept GROUP BY digest)
+        |SELECT k.doc_id, s.digest, s.n_dups, k.lang, k.lang_pred,
+        |  k.n_tokens, k.quality_score
+        |FROM surv s JOIN kept k ON s.doc_id = k.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
     "s01_knn_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Composed training-data-prep pipeline and skew-handling join utilities. */
+object Pipeline {
+
+  /** The canonical corpus-preparation flow, one declarative plan:
+    *   quality-score → filter → language-ID → keep confidently-IDed docs →
+    *   exact dedup (min doc_id per fingerprint survives) → project metadata.
+    * All stages are narrow except the final digest group-by; Catalyst fuses
+    * the scoring/filter/langid stages into one codegen'd map over the scan.
+    */
+  def prepareCorpus(docs: DataFrame, minTokens: Int = 50,
+                    maxPunctRatio: Double = 0.1): DataFrame = {
+    val scored = TextOps.langId(TextOps.qualityScore(docs))
+    val kept = scored
+      .filter(col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunctRatio)
+      .withColumn("digest", TextOps.fingerprint(col("text")))
+    // survivor per digest = min doc_id; single shuffle on the 32-char digest
+    val survivors = kept.groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+    survivors.join(kept.drop("digest"), Seq("doc_id"))
+      .select(col("doc_id"), col("digest"), col("n_dups"), col("lang"),
+        col("lang_pred"), col("n_tokens"), col("quality_score"))
+  }
+
+  /** Skew-safe equi-join: the build side is replicated `salts` times, the
+    * probe side's rows get a deterministic salt from their own payload, and
+    * the join runs on (key, salt) — a hot key's rows spread over `salts`
+    * reducers instead of one. Result is row-identical to the plain join.
+    * Use when AQE's skew-join splitting isn't available/enough (e.g. a
+    * single giant key after filters). Deterministic: the salt derives from
+    * xxhash64 of the probe row's columns, not from random().
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+                 buildKey: String, salts: Int = 8): DataFrame = {
+    val saltSrc: Seq[Column] = probe.columns.toSeq.map(col)
+    val p = probe.withColumn("_salt",
+      pmod(xxhash64(saltSrc: _*), lit(salts.toLong)).cast("int"))
+    val b = build.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    p.join(b, p(probeKey) === b(buildKey) && p("_salt") === b("_salt"))
+      .drop("_salt")
+  }
+}

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+
+class PipelineSpec extends SparkTestBase {
+
+  private def docs = { Tables.register(spark, sfDir); spark.table("documents") }
+
+  test("prepareCorpus keeps one survivor per digest and stays under input size") {
+    val out = Pipeline.prepareCorpus(docs)
+    val n = out.count()
+    assert(n > 0 && n <= docs.count())
+    assert(out.select("digest").distinct().count() == n)
+  }
+
+  test("salted join equals plain join") {
+    Tables.register(spark, sfDir)
+    val o = spark.table("orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = spark.table("customer").select("c_custkey", "c_name")
+    val plain = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select("o_orderkey", "c_name").collect().map(_.toString).sorted
+    val salted = Pipeline.saltedJoin(o, c, "o_custkey", "c_custkey", salts = 4)
+      .select("o_orderkey", "c_name").collect().map(_.toString).sorted
+    assert(plain.sameElements(salted))
+  }
+
+  test("salted join spreads a hot key across salt partitions") {
+    import spark.implicits._
+    // one pathological key: 10k rows of key=1 against a small dim
+    val big = spark.range(10000).select(lit(1L).as("k"), col("id"))
+      .union(spark.range(100).select((col("id") + 2).as("k"), col("id")))
+    val dim = Seq((1L, "hot"), (50L, "cold")).toDF("dk", "name")
+    val joined = Pipeline.saltedJoin(big, dim, "k", "dk", salts = 8)
+    assert(joined.count() == 10000 + 1)
+    // the hot key's probe rows carry ≥2 distinct salts (spread achieved)
+    val saltSrc = big.columns.toSeq.map(col)
+    val spread = big.filter(col("k") === 1)
+      .select(pmod(xxhash64(saltSrc: _*), lit(8L)).as("s"))
+      .distinct().count()
+    assert(spread >= 2)
+  }
+}
