@@ -51,11 +51,8 @@ object Dedup {
   def minhashSignature(df: DataFrame, textCol: String = "text",
                        numHashes: Int = 64, shingleSize: Int = 3): DataFrame =
     df.withColumn("shingles", shingles(textCol, shingleSize))
-      .withColumn("minhash_sig", expr(
-        s"""aggregate(shingles,
-           |  array_repeat(${Long.MaxValue}L, $numHashes),
-           |  (acc, s) -> zip_with(acc, sequence(0, ${numHashes - 1}),
-           |    (m, j) -> least(m, xxhash64(s, j))))""".stripMargin))
+      .withColumn("minhash_sig",
+        graft.functions.MinHashFunctions.minhashSig(col("shingles"), numHashes))
 
   /** LSH candidate pairs: signatures are cut into `bands` bands of
     * numHashes/bands rows; docs sharing any band hash become candidates; the

@@ -42,6 +42,8 @@ class WireSpec extends AnyFunSuite {
       case SExpr.Cast(t, n, in) => s"Cast($t,$n,${ne(in)})"
       case SExpr.IfThen(cs, el) =>
         s"If(${cs.map(c => s"(${ne(c.cond)},${c.thenExpr.map(ne)})").mkString(",")},${el.map(ne)})"
+      case SExpr.WindowFn(r, as, ps, ss, lo, hi, rf) =>
+        s"Win($r,${as.map(ne)},${ps.map(ne)},${ss.map(s => s"(${ne(s.expr)},${s.direction})")},$lo,$hi,$rf)"
     }
     def nr(r: Rel): String = r match {
       case Rel.Read(sch, names, proj) => s"Read($sch,$names,$proj)"
@@ -109,7 +111,22 @@ class WireSpec extends AnyFunSuite {
           c <- genExpr(depth - 1); t <- Gen.option(genExpr(depth - 1))
         } yield IfClause(c, t))
         el <- Gen.option(genExpr(depth - 1))
-      } yield SExpr.IfThen(cs, el)))
+      } yield SExpr.IfThen(cs, el)),
+      1 -> (for {
+        ref <- Gen.choose(0, 30)
+        na <- Gen.choose(0, 2); args <- Gen.listOfN(na, genExpr(depth - 1))
+        np <- Gen.choose(0, 2); parts <- Gen.listOfN(np, genExpr(depth - 1))
+        ns <- Gen.choose(0, 2)
+        sorts <- Gen.listOfN(ns, for {
+          e <- genExpr(depth - 1); d <- Gen.choose(1, 4) } yield SortField(e, d))
+        lo <- genBound; hi <- genBound
+        rf <- Arbitrary.arbitrary[Boolean]
+      } yield SExpr.WindowFn(ref, args, parts, sorts, lo, hi, rf)))
+
+  private val genBound: Gen[WBound] = Gen.oneOf(
+    Gen.const(WBound.Unbounded), Gen.const(WBound.CurrentRow),
+    Gen.choose(0L, 1000L).map(WBound.Preceding),
+    Gen.choose(0L, 1000L).map(WBound.Following))
 
   private val genRead: Gen[Rel] = for {
     nNames <- Gen.choose(1, 3)
