@@ -31,6 +31,29 @@ object VecHash {
     x ^ (x >>> 31)
   }
 
+  /** 64-bit SimHash over an array<string>: per non-null token, fnv1a hash
+    * bits vote +1/−1 per position; bit b of the result is set when votes are
+    * positive. */
+  def simhash(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = fnv1a(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L; var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** MinHash signature of an array<string>: sig[j] = min over elements of
     * splitmix64(fnv1a(elem) ^ j·φ). Null elements are skipped.
     */
@@ -53,6 +76,29 @@ object VecHash {
     }
     sig
   }
+}
+
+/** array<string> → bigint 64-bit SimHash; single codegen'd pass: each
+  * token's FNV-1a hash bits vote ±1 per position, fingerprint bit b set when
+  * the vote is positive.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires ARRAY<STRING>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VecHash.simhash(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecHash.simhash($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** array<string> → array<bigint> MinHash signature; single codegen'd pass. */
@@ -81,18 +127,30 @@ object MinHashFunctions {
   private val registered = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
-  def minhashSig(shingles: Column, numHashes: Int): Column = {
+  private def ensureRegistered(): Unit = {
     val spark = SparkSession.active
     if (registered.add(System.identityHashCode(spark).toString)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction(
         "minhash_sig",
         es => MinHashSig(es(0), es(1) match {
           case Literal(n: Int, _) => n
           case other => throw model.badArg(other.toString)
         }),
         "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "simhash64", es => SimHash64(es(0)), "scala_udf")
     }
+  }
+
+  def minhashSig(shingles: Column, numHashes: Int): Column = {
+    ensureRegistered()
     call_function("minhash_sig", shingles, org.apache.spark.sql.functions.lit(numHashes))
+  }
+
+  def simhash64(tokens: Column): Column = {
+    ensureRegistered()
+    call_function("simhash64", tokens)
   }
 
   private object model {

@@ -138,26 +138,13 @@ object Dedup {
         round(col("n_inter").cast("double") / col("n_union"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash fingerprint: per token, the token-hash bits vote +1/−1
-    * per position; fingerprint bit b is set when the vote is positive.
-    * One pass: tokens hash once into a hash array (the fold input, evaluated
-    * once per row), a single fold accumulates all 64 votes, then bits pack.
+  /** 64-bit SimHash fingerprint via the codegen'd single-pass kernel
+    * (graft.functions.SimHash64): per token, hash bits vote +1/−1 per
+    * position; fingerprint bit b is set when the vote is positive.
     */
   def simhash64(df: DataFrame, textCol: String = "text"): DataFrame =
-    // every heavy sub-expression sits in a COLLECTION-argument position
-    // (evaluated once per row); nothing heavy inside a lambda body, where it
-    // would re-evaluate per element even after projection collapse
-    df.withColumn("simhash", expr(
-      s"""aggregate(
-         |  zip_with(
-         |    aggregate(
-         |      transform(split(lower($textCol), ' '), t -> xxhash64(t)),
-         |      array_repeat(0L, 64),
-         |      (acc, h) -> zip_with(acc, sequence(0, 63),
-         |        (a, b) -> a + CASE WHEN ((h >> b) & 1) = 1 THEN 1L ELSE -1L END)),
-         |    sequence(0, 63),
-         |    (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),
-         |  0L, (acc, x) -> acc | x)""".stripMargin))
+    df.withColumn("simhash",
+      graft.functions.MinHashFunctions.simhash64(split(lower(col(textCol)), " ")))
 
   /** Near-duplicate pairs by SimHash hamming distance ≤ maxHamming (≤ 3 with
     * the default 4 chunks): pigeonhole — at least one 16-bit chunk must match

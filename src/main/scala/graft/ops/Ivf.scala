@@ -46,7 +46,9 @@ object Ivf {
     val train = (if (trainSampleFraction < 1.0)
       base.sample(withReplacement = false, trainSampleFraction, seed) else base)
       .select(array_to_vector(col("n_vec")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
+    // a handful of iterations is plenty for a coarse quantizer — cell
+    // boundaries need to be stable, not optimal
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("features").fit(train)
     val centroids = model.clusterCenters.toSeq.map(_.toArray.toSeq)
     val assigned = base

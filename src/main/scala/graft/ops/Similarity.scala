@@ -88,18 +88,19 @@ object Similarity {
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, tables: Int = 4,
              planesPerTable: Int = 4, dim: Int = 64, idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
-    val c = corpus
-      .select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
-      .select(col("n_id"), col("n_vec"),
-        explode(lshBucketArray(col("n_vec"), tables, planesPerTable, dim)).as("bucket"))
-    val q = queries
-      .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
-      .select(col("q_id"), col("q_vec"),
-        explode(lshBucketArray(col("q_vec"), tables, planesPerTable, dim)).as("bucket"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
-    c.join(q, "bucket")
+    val cv = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
+    val qv = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+    val c = cv.select(col("n_id"),
+      explode(lshBucketArray(col("n_vec"), tables, planesPerTable, dim)).as("bucket"))
+    val q = qv.select(col("q_id"),
+      explode(lshBucketArray(col("q_vec"), tables, planesPerTable, dim)).as("bucket"))
+    // dedup the union-over-tables on (q_id, n_id) ONLY — shuffling 16-byte id
+    // pairs, not vector payloads — then re-join the vectors for scoring
+    val candidates = c.join(q, "bucket")
       .filter(col("n_id") =!= col("q_id"))
-      .select("q_id", "n_id", "q_vec", "n_vec").distinct() // union over tables
+      .select("q_id", "n_id").distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    candidates.join(qv, "q_id").join(cv, "n_id")
       .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -112,16 +113,20 @@ object Similarity {
   def lshNearDups(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, tables: Int = 6, planesPerTable: Int = 6,
                   dim: Int = 64): DataFrame = {
-    val v = df.select(col(idCol).as("nd_id"), asDouble(col(vecCol)).as("nd_vec"))
+    val vecs = df.select(col(idCol).as("nd_id"), asDouble(col(vecCol)).as("nd_vec"))
       .repartition(col("nd_id"))
-      .select(col("nd_id"), col("nd_vec"),
-        explode(lshBucketArray(col("nd_vec"), tables, planesPerTable, dim)).as("bucket"))
       .persist()
-    val a = v.select(col("bucket"), col("nd_id").as("id_a"), col("nd_vec").as("vec_a"))
-    val b = v.select(col("bucket"), col("nd_id").as("id_b"), col("nd_vec").as("vec_b"))
-    a.join(b, "bucket")
+    val bucketed = vecs.select(col("nd_id"),
+      explode(lshBucketArray(col("nd_vec"), tables, planesPerTable, dim)).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("nd_id").as("id_a"))
+    val b = bucketed.select(col("bucket"), col("nd_id").as("id_b"))
+    // candidate pairs dedup on ids only; vectors re-join for the exact verify
+    val candidates = a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "vec_a", "vec_b").distinct()
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(vecs.select(col("nd_id").as("id_a"), col("nd_vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("nd_id").as("id_b"), col("nd_vec").as("vec_b")), "id_b")
       .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
