@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression gates: the properties that make these plans
+  * survive a 100× scale-up, asserted on the executed plans of the actual
+  * driver queries (which include the substrait wire round-trip — so these
+  * also prove the wire hop costs no plan quality).
+  */
+class PlanQualitySpec extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    Tables.register(spark, sfDir)
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+  }
+
+  test("q01: projection prunes the parquet ReadSchema to 3 of 11 columns") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"), p)
+  }
+
+  test("q02: filters push down to the parquet scan") {
+    val p = plan("q02_filter_ops")
+    // plan strings elide long filter lists — assert a stable prefix
+    assert(p.contains("PushedFilters: [IsNotNull(l_discount)"), p)
+  }
+
+  test("q03: sort+limit+offset fuse into TakeOrderedAndProject") {
+    val p = plan("q03_sort_limit_offset")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("offset=5"), p)
+  }
+
+  test("q07: dimension side broadcasts") {
+    val p = plan("q07_join_inner")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q13: three-way join broadcasts both dimension sides") {
+    val p = plan("q13_revenue_by_segment")
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2, p)
+  }
+
+  test("q04: aggregation is partial (map-side combine) before the exchange") {
+    val p = plan("q04_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("no accidental cartesian products in equi-join queries") {
+    for (q <- Seq("q07_join_inner", "q08_join_left", "q09_join_right",
+      "q10_join_full", "q11_join_semi", "q12_join_anti", "q13_revenue_by_segment")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+    }
+  }
+
+  test("driver smoke contract: entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("d01: exact dedup shuffles digests, not text payloads") {
+    Tables.register(spark, sfDir)
+    val df: DataFrame = SparkEntry.queries("d01_dedup_exact")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the exchange partitions on the digest column, and text is not carried
+    assert(p.contains("Exchange hashpartitioning(digest"), p)
+  }
+}
