@@ -26,6 +26,17 @@ object Pipeline {
         col("lang_pred"), col("n_tokens"), col("quality_score"))
   }
 
+  /** Write a table bucketed+sorted by its join key. Joins between tables
+    * bucketed the same way on the same key skip the shuffle entirely — the
+    * co-location is established once at write time and amortized over every
+    * subsequent join (the standard layout for repeatedly-joined 100 TB fact
+    * tables). Requires a catalog table (bucket metadata lives there).
+    */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+                    buckets: Int): Unit =
+    df.write.bucketBy(buckets, keyCol).sortBy(keyCol)
+      .mode("overwrite").format("parquet").saveAsTable(table)
+
   /** Skew-safe equi-join: the build side is replicated `salts` times, the
     * probe side's rows get a deterministic salt from their own payload, and
     * the join runs on (key, salt) — a hot key's rows spread over `salts`

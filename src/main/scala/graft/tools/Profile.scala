@@ -14,6 +14,8 @@ object Profile {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.register(spark, dir)
@@ -36,6 +38,20 @@ object Profile {
     time("minhash pairs")(Dedup.minhashNearDups(docs, threshold = 0.5).count())
     println("=== simhash pairs plan ===")
     println(shPairs.queryExecution.executedPlan.toString.take(6000))
+
+    // bucketed co-located join: write once, join with zero shuffles
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    Pipeline.writeBucketed(
+      spark.table("orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders_b", "o_custkey", 8)
+    Pipeline.writeBucketed(
+      spark.table("customer").select("c_custkey", "c_name"),
+      "customer_b", "c_custkey", 8)
+    val bjoin = spark.table("orders_b").join(spark.table("customer_b"),
+      col("o_custkey") === col("c_custkey"))
+    time("bucketed join (no shuffle)")(bjoin.count())
+    println("=== bucketed join plan (expect no Exchange hashpartitioning) ===")
+    println(bjoin.queryExecution.executedPlan.toString.take(2000))
     spark.stop()
   }
 }

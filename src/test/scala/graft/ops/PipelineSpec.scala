@@ -25,6 +25,30 @@ class PipelineSpec extends SparkTestBase {
     assert(plain.sameElements(salted))
   }
 
+  test("bucketed tables join without a shuffle") {
+    Tables.register(spark, sfDir)
+    Pipeline.writeBucketed(
+      spark.table("orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders_b", "o_custkey", 8)
+    Pipeline.writeBucketed(
+      spark.table("customer").select("c_custkey", "c_name"),
+      "customer_b", "c_custkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b").join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${plan.take(800)}")
+      // co-located result still correct
+      val expected = spark.table("orders").join(spark.table("customer"),
+        col("o_custkey") === col("c_custkey")).count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted join spreads a hot key across salt partitions") {
     import spark.implicits._
     // one pathological key: 10k rows of key=1 against a small dim

@@ -166,4 +166,22 @@ class RoundtripSpec extends SparkTestBase {
     fixture
     assertRoundtrip(spark.table("data").filter(col("d")).select(col("a"), col("b")))
   }
+
+  test("producer is deterministic: same query, same bytes") {
+    fixture
+    val q = "SELECT a, sum(b) AS s FROM data WHERE d GROUP BY a ORDER BY a"
+    val b1 = Serializer.toBytes(spark.sql(q))
+    val b2 = Serializer.toBytes(spark.sql(q))
+    assert(b1.sameElements(b2))
+  }
+
+  test("double round-trip is stable: consume∘produce twice = same results") {
+    fixture
+    val df = spark.sql(
+      "SELECT d1.a, d1.b, count(*) AS n FROM data d1 JOIN data2 d2 ON d1.a = d2.a GROUP BY d1.a, d1.b")
+    val once = Serializer.roundtrip(spark, df)
+    val twice = Serializer.roundtrip(spark, once)
+    assertSameRows(df, twice)
+    assert(twice.columns.toSeq == df.columns.toSeq)
+  }
 }
