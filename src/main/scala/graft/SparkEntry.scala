@@ -348,6 +348,17 @@ object SparkEntry {
           array_join(sort_array(collect_list(col("l_linestatus"))), "").as("statuses"))
         .orderBy("l_returnflag"))),
 
+    // A2 approximate aggregates through the wire (sketch values are
+    // engine-specific → deterministic rows-only check, no DuckDB oracle)
+    "q26_approx_aggs" -> ((s, dir) => rt(s,
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("approx_median_price"))
+        .orderBy("l_returnflag"))),
+
     // null-safe equality, coalesce, is_null over full-join nulls
     "q23_null_ops" -> ((s, dir) => rt(s, {
       val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
