@@ -118,12 +118,13 @@ object SparkEntry {
           "punct_ratio", "stopword_ratio", "avg_token_len", "quality_score")
         .orderBy("doc_id")),
 
-    // md5 fingerprint + token counts
+    // md5 fingerprint + whitespace and BPE-ish token counts
     "t03_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
         ops.TextOps.fingerprint(col("text")).as("digest"),
-        ops.TextOps.tokenCount(col("text")).as("n_tokens")).orderBy("doc_id")),
+        ops.TextOps.tokenCount(col("text")).as("n_tokens"),
+        ops.TextOps.bpeTokenCount(col("text")).as("bpe_tokens")).orderBy("doc_id")),
 
     // multimodal binary plumbing (stub decode, real schema/partitioning)
     "m01_media_features" -> ((s, dir) =>
@@ -498,7 +499,8 @@ object SparkEntry {
     "t03_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest,
-        |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m01_media_features" ->
       """SELECT doc_id,

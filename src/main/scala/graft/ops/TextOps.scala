@@ -42,6 +42,13 @@ object TextOps {
   /** Whitespace-delimited token count (codegen'd regexp_count). */
   def tokenCount(textCol: Column): Column = regexp_count(textCol, lit("\\S+"))
 
+  /** BPE-ish subword proxy count: alphabetic runs, digit runs, and isolated
+    * punctuation each count as one piece — the usual cheap stand-in for a
+    * real tokenizer when budgeting token counts at corpus scale.
+    */
+  def bpeTokenCount(textCol: Column): Column =
+    regexp_count(textCol, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
   /** Quality metrics: length, token count, punctuation/stopword ratios and a
     * blended score in [0,1]. All arithmetic is per-row IEEE double —
     * deterministic and engine-independent.

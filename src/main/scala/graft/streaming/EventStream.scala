@@ -36,6 +36,16 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: drop events whose id re-appears within the
+    * watermark horizon (exactly-once-per-id within the late-data window).
+    * State is bounded: ids older than the watermark are evicted. This is the
+    * streaming twin of `Dedup.exactDedup` for continuous ingestion.
+    */
+  def streamingDedup(events: DataFrame, idCols: Seq[String],
+                     watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(idCols :+ "ts")
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, session_start: Timestamp,

@@ -61,6 +61,24 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate ids within the watermark") {
+    // duplicate the stream source: each event appears twice across files
+    val dupDir = java.nio.file.Files.createTempDirectory("graft_dup").toString
+    val ev = spark.read.parquet(eventsDir)
+    ev.write.mode("overwrite").parquet(dupDir)
+    ev.write.mode("append").parquet(dupDir)
+    val schema = ev.schema
+    val stream = spark.readStream.schema(schema).parquet(dupDir)
+    val q = EventStream.streamingDedup(stream, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").count()
+      assert(n == ev.count(), s"expected ${ev.count()} unique events, got $n")
+    } finally q.stop()
+  }
+
   test("batch sessionization: sessions partition the events") {
     Tables.register(spark, sfDir)
     val events = spark.table("events")
