@@ -47,11 +47,16 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("Exchange hashpartitioning"), p)
   }
 
-  test("no accidental cartesian products in equi-join queries") {
+  test("no accidental cartesian products in join-bearing queries") {
+    // s01_knn_brute intentionally cross-joins a broadcast query side; every
+    // other join-bearing query must stay hash/sort-merge joined
     for (q <- Seq("q07_join_inner", "q08_join_left", "q09_join_right",
-      "q10_join_full", "q11_join_semi", "q12_join_anti", "q13_revenue_by_segment")) {
+      "q10_join_full", "q11_join_semi", "q12_join_anti", "q13_revenue_by_segment",
+      "d02_minhash_pairs", "d04_ngram_jaccard", "d05_embedding_neardup",
+      "d06_prepare_corpus", "s02_knn_lsh", "e01_sessions")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
     }
   }
 
