@@ -26,6 +26,7 @@ import model._
 object Consumer {
 
   def consume(spark: SparkSession, plan: Plan): DataFrame = {
+    Validator.validateOrThrow(plan) // structural pre-flight: full issue report
     val extMap: Map[Int, String] =
       plan.extensions.map(e => e.functionAnchor -> e.name).toMap
     if (plan.relations.size != 1)

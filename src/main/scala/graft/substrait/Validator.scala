@@ -1,0 +1,140 @@
+package graft.substrait
+
+import model._
+
+/** Structural validation of a decoded Plan BEFORE catalog resolution: field
+  * references in bounds, function anchors registered, arities sane. Returns
+  * every problem found (not just the first), so a producer on the other side
+  * of the wire gets one actionable report. The consumer still fails loudly on
+  * anything the validator can't see statically (unknown tables, type errors —
+  * those need the catalog and land in Spark's analyzer).
+  */
+object Validator {
+
+  final case class Issue(path: String, msg: String) {
+    override def toString: String = s"$path: $msg"
+  }
+
+  def validate(plan: Plan): Seq[Issue] = {
+    val issues = Seq.newBuilder[Issue]
+    val anchors = plan.extensions.map(_.functionAnchor).toSet
+    val dupAnchors = plan.extensions.groupBy(_.functionAnchor).filter(_._2.size > 1)
+    dupAnchors.keys.foreach(a =>
+      issues += Issue("extensions", s"duplicate function anchor $a"))
+
+    if (plan.relations.isEmpty)
+      issues += Issue("plan", "no relation tree")
+    if (plan.relations.size > 1)
+      issues += Issue("plan", s"${plan.relations.size} relation trees; expected 1")
+
+    /** returns the rel's output arity, or -1 when unknowable */
+    def walkRel(rel: Rel, path: String): Int = rel match {
+      case Rel.Read(schema, names, projection) =>
+        if (names.isEmpty) issues += Issue(path, "ReadRel without table name")
+        val width = if (schema == null) -1 else schema.names.size
+        if (schema != null && schema.names.size != schema.types.size)
+          issues += Issue(path,
+            s"schema has ${schema.names.size} names but ${schema.types.size} types")
+        projection match {
+          case Some(idxs) =>
+            if (width >= 0) idxs.filter(i => i < 0 || i >= width).foreach(i =>
+              issues += Issue(path, s"projection index $i out of range [0, $width)"))
+            idxs.size
+          case None => width
+        }
+      case Rel.Project(input, exprs) =>
+        val w = walkRel(input, s"$path/project")
+        exprs.zipWithIndex.foreach { case (e, i) => walkExpr(e, w, s"$path/project[$i]") }
+        exprs.size
+      case Rel.Filter(input, cond) =>
+        val w = walkRel(input, s"$path/filter")
+        walkExpr(cond, w, s"$path/filter.cond")
+        w
+      case Rel.Fetch(input, offset, count) =>
+        if (offset < 0) issues += Issue(path, s"negative offset $offset")
+        if (count < 0) issues += Issue(path, s"negative count $count")
+        walkRel(input, s"$path/fetch")
+      case Rel.Sort(input, sorts) =>
+        val w = walkRel(input, s"$path/sort")
+        sorts.zipWithIndex.foreach { case (s, i) =>
+          if (s.direction < 1 || s.direction > 4)
+            issues += Issue(s"$path/sort[$i]", s"bad direction ${s.direction}")
+          walkExpr(s.expr, w, s"$path/sort[$i]")
+        }
+        w
+      case Rel.Aggregate(input, groupings, measures) =>
+        val w = walkRel(input, s"$path/agg")
+        if (groupings.size > 1)
+          issues += Issue(path, s"${groupings.size} grouping sets; only 1 supported")
+        groupings.flatten.zipWithIndex.foreach { case (g, i) =>
+          walkExpr(g, w, s"$path/agg.group[$i]") }
+        measures.zipWithIndex.foreach { case (m, i) =>
+          if (!anchors.contains(m.function.functionReference))
+            issues += Issue(s"$path/agg.measure[$i]",
+              s"unregistered function anchor ${m.function.functionReference}")
+          m.function.args.foreach(walkExpr(_, w, s"$path/agg.measure[$i]"))
+          m.filter.foreach(walkExpr(_, w, s"$path/agg.measure[$i].filter"))
+        }
+        groupings.headOption.map(_.size).getOrElse(0) + measures.size
+      case Rel.Join(left, right, cond, jt) =>
+        val lw = walkRel(left, s"$path/join.left")
+        val rw = walkRel(right, s"$path/join.right")
+        val both = if (lw < 0 || rw < 0) -1 else lw + rw
+        walkExpr(cond, both, s"$path/join.cond")
+        if (jt < 1 || jt > 6) issues += Issue(path, s"unsupported join type $jt")
+        jt match {
+          case JoinType.Semi | JoinType.Anti => lw
+          case _ => both
+        }
+      case Rel.Cross(left, right) =>
+        val lw = walkRel(left, s"$path/cross.left")
+        val rw = walkRel(right, s"$path/cross.right")
+        if (lw < 0 || rw < 0) -1 else lw + rw
+      case Rel.Set(inputs, op) =>
+        if (inputs.size < 2) issues += Issue(path, "SetRel with < 2 inputs")
+        if (op < 1 || op > 6) issues += Issue(path, s"bad set op $op")
+        val ws = inputs.zipWithIndex.map { case (in, i) => walkRel(in, s"$path/set[$i]") }
+        if (ws.forall(_ >= 0) && ws.distinct.size > 1)
+          issues += Issue(path, s"set inputs have differing arities $ws")
+        ws.headOption.getOrElse(-1)
+    }
+
+    def walkExpr(e: SExpr, width: Int, path: String): Unit = e match {
+      case SExpr.FieldRef(i) =>
+        if (i < 0 || (width >= 0 && i >= width))
+          issues += Issue(path, s"field reference $i out of range [0, $width)")
+      case SExpr.ScalarFn(ref, args) =>
+        if (!anchors.contains(ref))
+          issues += Issue(path, s"unregistered function anchor $ref")
+        args.foreach(walkExpr(_, width, path))
+      case SExpr.IfThen(clauses, els) =>
+        if (clauses.isEmpty) issues += Issue(path, "IfThen without clauses")
+        clauses.foreach { c =>
+          walkExpr(c.cond, width, path); c.thenExpr.foreach(walkExpr(_, width, path))
+        }
+        els.foreach(walkExpr(_, width, path))
+      case SExpr.Cast(_, _, in) => walkExpr(in, width, path)
+      case SExpr.WindowFn(ref, args, parts, sorts, _, _, _) =>
+        if (!anchors.contains(ref))
+          issues += Issue(path, s"unregistered function anchor $ref")
+        (args ++ parts ++ sorts.map(_.expr)).foreach(walkExpr(_, width, path))
+      case SExpr.Lit(_) => ()
+    }
+
+    plan.relations.foreach {
+      case PlanRel.Root(input, names) =>
+        val w = walkRel(input, "root")
+        if (w >= 0 && names.nonEmpty && names.size != w)
+          issues += Issue("root", s"${names.size} output names for arity-$w plan")
+      case PlanRel.RelOnly(rel) => walkRel(rel, "rel")
+    }
+    issues.result()
+  }
+
+  /** throw on the first report (convenience for consume-time gating) */
+  def validateOrThrow(plan: Plan): Unit = {
+    val issues = validate(plan)
+    if (issues.nonEmpty)
+      internalErr(s"invalid plan: ${issues.mkString("; ")}")
+  }
+}
