@@ -1,0 +1,109 @@
+package graft.substrait
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+import model._
+
+/** Consumer-only compatibility paths: wire shapes the reference's producer
+  * (or a foreign producer) can emit but Spark's analyzer never generates —
+  * hand-built plans, consumed and EXECUTED.
+  */
+class ConsumerCompatSpec extends SparkTestBase {
+
+  private lazy val fixture: Unit = {
+    import spark.implicits._
+    Seq((1L, "alpha"), (2L, "Beta"), (3L, "gamma"))
+      .toDF("id", "name").createOrReplaceTempView("compat_data")
+  }
+
+  private def scan: Rel = Rel.Read(
+    NamedStruct(Seq("id", "name"), Seq((SType.SI64, true), (SType.SStr, true))),
+    Seq("compat_data"), None)
+
+  private def consume(plan: Plan) = Consumer.consume(spark, plan)
+
+  test("base-expression CASE (first clause with then=None, consumer.rs:474-489)") {
+    fixture
+    // CASE id WHEN 1 THEN 'one' WHEN 2 THEN 'two' ELSE 'many' END
+    val caseExpr = SExpr.IfThen(
+      Seq(
+        IfClause(SExpr.FieldRef(0), None), // base expression
+        IfClause(SExpr.Lit(LitVal.LI64(1)), Some(SExpr.Lit(LitVal.LStr("one")))),
+        IfClause(SExpr.Lit(LitVal.LI64(2)), Some(SExpr.Lit(LitVal.LStr("two"))))),
+      Some(SExpr.Lit(LitVal.LStr("many"))))
+    val plan = Plan(Nil, Seq(PlanRel.Root(
+      Rel.Project(scan, Seq(SExpr.FieldRef(0), caseExpr)), Seq("id", "label"))))
+    val got = consume(plan).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "one", 2L -> "two", 3L -> "many"))
+  }
+
+  test("the reference's 'substract' spelling is accepted (producer.rs:297 bug)") {
+    fixture
+    val plan = Plan(
+      Seq(ExtensionFunction(0xffffffffL, 0, "substract")),
+      Seq(PlanRel.Root(
+        Rel.Project(scan, Seq(
+          SExpr.ScalarFn(0, Seq(SExpr.FieldRef(0), SExpr.Lit(LitVal.LI64(1)))))),
+        Seq("minus_one"))))
+    val got = consume(plan).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("regex_imatch / regex_not_imatch (case-insensitive via (?i) prefix)") {
+    fixture
+    val plan = Plan(
+      Seq(ExtensionFunction(0xffffffffL, 0, "regex_imatch"),
+        ExtensionFunction(0xffffffffL, 1, "regex_not_imatch")),
+      Seq(PlanRel.Root(
+        Rel.Project(scan, Seq(
+          SExpr.FieldRef(1),
+          SExpr.ScalarFn(0, Seq(SExpr.FieldRef(1), SExpr.Lit(LitVal.LStr("^beta")))),
+          SExpr.ScalarFn(1, Seq(SExpr.FieldRef(1), SExpr.Lit(LitVal.LStr("^beta")))))),
+        Seq("name", "m", "nm"))))
+    val got = consume(plan).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2))).toSet
+    assert(got == Set(("alpha", false, true), ("Beta", true, false),
+      ("gamma", false, true)))
+  }
+
+  test("offset-only fetch (count=0 'no fetch' quirk, producer.rs:147-150)") {
+    fixture
+    val plan = Plan(Nil, Seq(PlanRel.Root(
+      Rel.Fetch(
+        Rel.Sort(scan, Seq(SortField(SExpr.FieldRef(0), SortDirection.AscNullsFirst))),
+        offset = 1, count = 0),
+      Seq("id", "name"))))
+    assert(consume(plan).collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
+  test("typed-null literals of every §1.2 kind evaluate to null") {
+    fixture
+    val kinds: Seq[(String, SType)] = Seq(
+      "i8" -> SType.SI8, "i16" -> SType.SI16, "i32" -> SType.SI32,
+      "i64" -> SType.SI64, "dec" -> SType.SDecimal(5, 2), "str" -> SType.SStr,
+      "date" -> SType.SDate, "ts" -> SType.STimestamp)
+    val plan = Plan(Nil, Seq(PlanRel.Root(
+      Rel.Fetch(Rel.Project(scan,
+        kinds.map { case (_, t) => SExpr.Lit(LitVal.LNull(t)) }), 0, 1),
+      kinds.map(_._1))))
+    val row = consume(plan).collect().head
+    kinds.indices.foreach(i => assert(row.isNullAt(i), s"column $i must be null"))
+  }
+
+  test("decimal literal round-trips negative values (16-byte LE sign extension)") {
+    fixture
+    // -123.45 as decimal(5,2): unscaled -12345, little-endian two's complement
+    val unscaled = java.math.BigInteger.valueOf(-12345L)
+    val be = unscaled.toByteArray
+    val le = new Array[Byte](16)
+    java.util.Arrays.fill(le, -1.toByte) // sign extension
+    be.reverse.zipWithIndex.foreach { case (b, i) => le(i) = b }
+    val plan = Plan(Nil, Seq(PlanRel.Root(
+      Rel.Fetch(Rel.Project(scan,
+        Seq(SExpr.Lit(LitVal.LDecimal(le, 5, 2)))), 0, 1),
+      Seq("d"))))
+    val v = consume(plan).collect().head.getDecimal(0)
+    assert(v.toString == "-123.45")
+  }
+}
