@@ -292,12 +292,17 @@ object SparkEntry {
           col("o_orderdate") < lit(LocalDateTime.of(1998, 1, 1, 0, 0)))
         .select("o_orderkey", "o_orderdate", "o_totalprice"))),
 
-    // E6/E7: decimal cast + decimal literal comparison
+    // E6/E7: decimal cast + decimal literal comparison. The decimal cast and
+    // decimal literal ride the wire; the OUTPUT is cast back to double because
+    // the driver's oracle materializes DECIMAL columns as float64 (a raw
+    // decimal output hash-mismatches on representation, not value).
     "q20_decimal_cast" -> ((s, dir) => rt(s,
       t(s, dir, "orders")
         .select(col("o_orderkey"),
-          col("o_totalprice").cast(DecimalType(12, 2)).as("price_dec"))
-        .filter(col("price_dec") > lit(new java.math.BigDecimal("50000.00"))))),
+          col("o_totalprice").cast(DecimalType(12, 2)).as("dec_tmp"))
+        .filter(col("dec_tmp") > lit(new java.math.BigDecimal("50000.00")))
+        .select(col("o_orderkey"),
+          col("dec_tmp").cast("double").as("price_dec")))),
 
     // E3: bitwise and shift operators
     "q21_bitwise" -> ((s, dir) => rt(s,
@@ -625,7 +630,8 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'""".stripMargin,
     "q20_decimal_cast" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec
         |FROM orders WHERE CAST(o_totalprice AS DECIMAL(12,2)) > 50000.00""".stripMargin,
     "q21_bitwise" ->
       """SELECT l_orderkey,
