@@ -18,11 +18,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val registered = scala.collection.mutable.Set.empty[(String, String)]
+  // session → currently-registered dir: re-registering the SAME dir is a
+  // no-op, switching dirs replaces every view (so a caller can warm up
+  // against one scale factor and then measure another)
+  private val current = scala.collection.mutable.Map.empty[String, String]
 
   def register(spark: SparkSession, dir: String): Unit = synchronized {
-    val key = (System.identityHashCode(spark).toString, dir)
-    if (!registered.contains(key)) {
+    val key = System.identityHashCode(spark).toString
+    if (!current.get(key).contains(dir)) {
       // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
       // rejects; read the raw int64 nanos and expose micros-precision ts
       // (matching DuckDB, whose timestamps are micros).
@@ -41,7 +44,7 @@ object Tables {
           df.createOrReplaceTempView(n)
         }
       }
-      registered += key
+      current(key) = dir
     }
   }
 

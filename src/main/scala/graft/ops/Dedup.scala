@@ -29,15 +29,23 @@ object Dedup {
       .groupBy("digest")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** word-level shingles of size k as a distinct array column */
+  /** word-level shingles of size k as a distinct array column.
+    *
+    * The split word array is bound as a LAMBDA VARIABLE (`ws`) via the
+    * single-element-array wrap: lambda variables evaluate once, whereas a
+    * plan-attribute reference inside a lambda body gets the whole upstream
+    * expression inlined by CollapseProject and re-evaluated PER ELEMENT —
+    * the naive `transform(seq, i -> slice(split(text), …))` re-splits the
+    * document once per shingle, i.e. quadratic in document length.
+    * (`array_join(ws, ' ')` in the short-doc branch reconstructs
+    * `lower(text)` exactly: split/join with a single-char separator invert.)
+    */
   def shingles(textCol: String, k: Int): org.apache.spark.sql.Column =
     expr(
-      s"""array_distinct(CASE
-         |  WHEN size(split(lower($textCol), ' ')) < $k THEN array(lower($textCol))
-         |  ELSE transform(
-         |    sequence(0, size(split(lower($textCol), ' ')) - $k),
-         |    i -> array_join(slice(split(lower($textCol), ' '), i + 1, $k), ' '))
-         |END)""".stripMargin)
+      s"""array_distinct(flatten(transform(array(split(lower($textCol), ' ')),
+         |  ws -> CASE WHEN size(ws) < $k THEN array(array_join(ws, ' '))
+         |        ELSE transform(sequence(0, size(ws) - $k),
+         |               i -> array_join(slice(ws, i + 1, $k), ' ')) END)))""".stripMargin)
 
   /** MinHash signature: sig[j] = min over shingles of xxhash64(shingle, j).
     * Fixed 8·numHashes bytes per doc regardless of document length.
@@ -54,10 +62,30 @@ object Dedup {
       .withColumn("minhash_sig",
         graft.functions.MinHashFunctions.minhashSig(col("shingles"), numHashes))
 
+  /** All ordered (a < b) pairs from a SORTED array column, as an array of
+    * structs {a, b}. Used after `groupBy(bucket) → collect_list(id)`: pair
+    * generation happens inside the bucket's own row — one shuffle total,
+    * instead of window-count + self-join + distinct (three shuffles whose
+    * intermediate rows scale with bucket occupancy squared anyway).
+    */
+  def sortedPairs(ids: String): org.apache.spark.sql.Column =
+    expr(
+      s"""flatten(transform($ids,
+         |  (x, i) -> transform(slice($ids, i + 2, size($ids)),
+         |            y -> struct(x AS a, y AS b))))""".stripMargin)
+
   /** LSH candidate pairs: signatures are cut into `bands` bands of
     * numHashes/bands rows; docs sharing any band hash become candidates; the
     * pair is kept when exact shingle-set Jaccard ≥ `threshold`.
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Shuffle budget (scale-critical): exactly one wide shuffle over
+    * (band, bandHash, id) triples for the bucket groupBy, a distinct over the
+    * surviving candidate id-pairs (tiny: bounded by maxBucket² per bucket),
+    * and the verify joins — whose build side is the candidate pair list, so
+    * AQE turns them into broadcasts. Shingle SETS never ride a shuffle: they
+    * are recomputed per side from the pruned (id, text) scan, which at corpus
+    * scale is strictly cheaper than caching + shuffling multi-KB arrays.
     */
   def minhashNearDups(df: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", numHashes: Int = 64,
@@ -66,44 +94,47 @@ object Dedup {
                       maxBucket: Int = 1000): DataFrame = {
     val r = numHashes / bands
     // repartition BEFORE the signature computation so it runs across all
-    // cores (a small parquet input is otherwise a single serial partition);
-    // persist the fixed-width signature frame so the band explode and both
-    // verify-join sides read it instead of re-evaluating the folds
-    val sigs = minhashSignature(
-        df.select(col(idCol), col(textCol)).repartition(col(idCol)),
-        textCol, numHashes, shingleSize)
-      .select(col(idCol).as("mh_id"), col("shingles"), col("minhash_sig"))
-      .persist()
+    // cores (a small parquet input is otherwise a single serial partition)
+    val base = df.select(col(idCol), col(textCol)).repartition(col(idCol))
+    val sigs = minhashSignature(base, textCol, numHashes, shingleSize)
+      .select(col(idCol).as("mh_id"), col("minhash_sig"))
 
+    // the signature is bound as a lambda variable (`sig`, single-element-array
+    // wrap) so the 64-hash fold evaluates once per row — referencing the
+    // minhash_sig attribute inside the band lambda would inline and re-run
+    // the fold once per band
     val banded = sigs.select(col("mh_id"),
       posexplode(expr(
-        s"""transform(sequence(0, ${bands - 1}),
-           |  b -> xxhash64(b, array_join(
-           |         transform(slice(minhash_sig, b * $r + 1, $r),
-           |                   x -> cast(x AS STRING)), ',')))""".stripMargin))
+        s"""element_at(transform(array(minhash_sig),
+           |  sig -> transform(sequence(0, ${bands - 1}),
+           |    b -> xxhash64(b, array_join(
+           |           transform(slice(sig, b * $r + 1, $r),
+           |                     x -> cast(x AS STRING)), ',')))), 1)""".stripMargin))
         .as(Seq("band_idx", "band_hash")))
 
-    // drop pathological buckets (quadratic blowup guard at corpus scale)
-    val bucketed = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band_idx", "band_hash")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    // one shuffle: bucket members collect into their bucket's row; buckets
+    // above maxBucket drop (quadratic-blowup guard — a giant near-dup
+    // cluster still surfaces through its other bands w.h.p.)
+    val candidates = banded
+      .groupBy("band_idx", "band_hash")
+      .agg(sort_array(collect_list(col("mh_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(explode(sortedPairs("ids")).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
 
-    val l = bucketed.select(col("band_idx"), col("band_hash"), col("mh_id").as("id_a"))
-    val rgt = bucketed.select(col("band_idx"), col("band_hash"), col("mh_id").as("id_b"))
-    val candidates = l.join(rgt, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-
-    val sa = sigs.select(col("mh_id").as("id_a"), col("shingles").as("sh_a"))
-    val sb = sigs.select(col("mh_id").as("id_b"), col("shingles").as("sh_b"))
+    val sa = shingled(base, idCol, textCol, shingleSize, "id_a", "sh_a")
+    val sb = shingled(base, idCol, textCol, shingleSize, "id_b", "sh_b")
     candidates.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard", jaccardCol("sh_a", "sh_b"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  private def shingled(base: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int, idAs: String, shAs: String): DataFrame =
+    base.select(col(idCol).as(idAs),
+      shingles(textCol, shingleSize).as(shAs))
 
   /** exact Jaccard over two distinct-element array columns */
   def jaccardCol(a: String, b: String): org.apache.spark.sql.Column =
@@ -154,24 +185,34 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text",
                       maxHamming: Int = 3): DataFrame = {
-    // parallelize the fingerprint fold, then persist the tiny (id, 8-byte)
-    // frame so the 4 chunk explodes and both join sides read it once
+    // parallelize the fingerprint fold across cores; the fingerprint is bound
+    // as a lambda variable (array-wrap) and carried through the chunk structs,
+    // so the fold runs exactly once per row with no cache barrier needed
     val fp = simhash64(
         df.select(col(idCol), col(textCol)).repartition(col(idCol)), textCol)
       .select(col(idCol).as("sh_id"), col("simhash"))
-      .persist()
-    val chunked = fp.select(col("sh_id"), col("simhash"),
+    val chunked = fp.select(col("sh_id"),
       posexplode(expr(
-        "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
-        .as(Seq("chunk_idx", "chunk_val")))
-    val a = chunked.select(col("chunk_idx"), col("chunk_val"),
-      col("sh_id").as("id_a"), col("simhash").as("fp_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk_val"),
-      col("sh_id").as("id_b"), col("simhash").as("fp_b"))
-    a.join(b, Seq("chunk_idx", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        expr("bit_count(fp_a ^ fp_b)").as("hamming"))
+        """element_at(transform(array(simhash),
+          |  s -> transform(sequence(0, 3),
+          |    c -> struct(shiftright(s, c * 16) & 65535 AS chunk_val,
+          |                s AS simhash))), 1)""".stripMargin))
+        .as(Seq("chunk_idx", "chunk")))
+      .select(col("sh_id"), col("chunk_idx"),
+        col("chunk.chunk_val").as("chunk_val"),
+        col("chunk.simhash").as("simhash"))
+    // one shuffle: each (chunk, value) bucket collects its (id, fingerprint)
+    // members — 10 bytes each — and emits its own pairs; the fingerprints
+    // travel WITH the pair, so no verify join is needed at all. The final
+    // distinct dedups pairs that collide in several chunks (≤ 4 copies).
+    chunked
+      .groupBy("chunk_idx", "chunk_val")
+      .agg(sort_array(collect_list(struct(col("sh_id"), col("simhash"))))
+        .as("members"))
+      .filter(size(col("members")) >= 2)
+      .select(explode(sortedPairs("members")).as("p"))
+      .select(col("p.a.sh_id").as("id_a"), col("p.b.sh_id").as("id_b"),
+        expr("bit_count(p.a.simhash ^ p.b.simhash)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -118,12 +118,17 @@ object Similarity {
       .persist()
     val bucketed = vecs.select(col("nd_id"),
       explode(lshBucketArray(col("nd_vec"), tables, planesPerTable, dim)).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("nd_id").as("id_a"))
-    val b = bucketed.select(col("bucket"), col("nd_id").as("id_b"))
-    // candidate pairs dedup on ids only; vectors re-join for the exact verify
-    val candidates = a.join(b, "bucket")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // one shuffle: each bucket collects its member ids and emits its own
+    // ordered pairs (candidate generation shuffles 8-byte ids, never vectors);
+    // distinct dedups the union over tables, then the fixed-width vectors
+    // re-join only for the exact-cosine verify of surviving pairs.
+    val candidates = bucketed
+      .groupBy("bucket")
+      .agg(sort_array(collect_list(col("nd_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(Dedup.sortedPairs("ids")).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
     candidates
       .join(vecs.select(col("nd_id").as("id_a"), col("nd_vec").as("vec_a")), "id_a")
       .join(vecs.select(col("nd_id").as("id_b"), col("nd_vec").as("vec_b")), "id_b")
