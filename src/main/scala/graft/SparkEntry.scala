@@ -131,6 +131,43 @@ object SparkEntry {
       ops.Multimodal.mediaFeatureSummary(s, t(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // as-of join: each click enriched with the user's most recent preceding
+    // purchase (union + running-max window: one shuffle, no join explosion)
+    "j01_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts", col("ts").cast("timestamp_ntz"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      ops.AsOfJoin.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+        payload = Seq("event_id", "value"), prefix = "p_")
+        .orderBy("event_id")
+    }),
+
+    // binned range join: clicks within the hour before each error event
+    // (equi-join on (user, time-bin) + residual filter — never nested-loop)
+    "j02_range_join" -> ((s, dir) => {
+      val hourUs = 3600L * 1000000L
+      val ev = t(s, dir, "events").withColumn("ts", col("ts").cast("timestamp_ntz"))
+      val us = (c: Column) => unix_micros(c.cast("timestamp_ltz"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          us(col("ts")).as("pt"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("e_id"),
+          col("ts").as("e_ts"), (us(col("ts")) - hourUs).as("lo"),
+          us(col("ts")).as("hi"))
+      val matched = ops.RangeJoin.pointInInterval(
+          clicks, errors, Seq("user_id"), "pt", "lo", "hi", binWidth = hourUs)
+        .groupBy("e_id", "user_id", "e_ts")
+        .agg(count(lit(1)).as("n_clicks_1h"))
+      errors.select("e_id", "user_id", "e_ts")
+        .join(matched, Seq("e_id", "user_id", "e_ts"), "left")
+        .select(col("e_id"), col("user_id"), col("e_ts"),
+          coalesce(col("n_clicks_1h"), lit(0L)).as("n_clicks_1h"))
+        .orderBy("e_id")
+    }),
+
     // event-stream analytics, batch form (the same transformations run under
     // Structured Streaming — graft.streaming.EventStream + its specs). Both
     // round-trip through substrait: window functions (lag + running sum) and
@@ -515,6 +552,24 @@ object SparkEntry {
         |  ROUND(CAST(len(regexp_extract_all(text, '[\x00-\x0F]')) AS DOUBLE)
         |    / GREATEST(strlen(text), 1), 6) AS bin0
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "j01_asof_join" ->
+      """SELECT c.event_id, c.user_id, c.ts,
+        |  p.ts AS p_ts, p.event_id AS p_event_id, p.value AS p_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events
+        |                WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "j02_range_join" ->
+      """WITH e AS (SELECT event_id AS e_id, user_id, ts AS e_ts FROM events
+        |           WHERE event_type = 'error'),
+        |c AS (SELECT event_id AS c_id, user_id, ts AS c_ts FROM events
+        |      WHERE event_type = 'click')
+        |SELECT e.e_id, e.user_id, e.e_ts, count(c.c_id) AS n_clicks_1h
+        |FROM e LEFT JOIN c ON e.user_id = c.user_id
+        |  AND c.c_ts BETWEEN e.e_ts - INTERVAL 1 HOUR AND e.e_ts
+        |GROUP BY 1, 2, 3 ORDER BY e.e_id""".stripMargin,
     "e01_sessions" ->
       """WITH l AS (SELECT user_id, ts, event_id, value,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+/** AsOfJoin / RangeJoin vs their naive (join-explosion) formulations —
+  * the optimized operators must return the exact same rows.
+  */
+class AsOfRangeJoinSpec extends SparkTestBase {
+
+  private def events = {
+    Tables.register(spark, sfDir)
+    spark.table("events").withColumn("ts", col("ts").cast("timestamp_ntz"))
+  }
+
+  test("asofJoin == naive join + row_number pick of latest preceding") {
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+
+    val fast = AsOfJoin.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+      payload = Seq("event_id", "value"), prefix = "p_")
+
+    val p = purchases.select(col("user_id").as("pu"), col("ts").as("p_ts"),
+      col("event_id").as("p_event_id"), col("value").as("p_value"))
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("p_ts").desc_nulls_last, col("p_event_id").desc_nulls_last)
+    val naive = clicks
+      .join(p, col("user_id") === col("pu") && col("ts") >= col("p_ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "ts", "p_ts", "p_event_id", "p_value")
+
+    assertSameRows(naive, fast)
+    // left-outer completeness: every click appears exactly once
+    assert(fast.count() == clicks.count())
+  }
+
+  test("asofJoin matches a right row at exactly the left timestamp (inclusive)") {
+    import spark.implicits._
+    val l = Seq((1L, 10L), (1L, 5L)).toDF("k", "t")
+    val r = Seq((1L, 10L, "at10"), (1L, 4L, "at4"), (1L, 11L, "at11"))
+      .toDF("k", "t", "tag")
+    val out = AsOfJoin.asofJoin(l, r, Seq("k"), "t", "t", Seq("tag"))
+      .orderBy("t").collect()
+    assert(out.map(_.getAs[String]("r_tag")).toSeq == Seq("at4", "at10"))
+  }
+
+  test("pointInInterval == plain inequality join, across bin widths") {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"),
+        unix_micros(col("ts").cast("timestamp_ltz")).as("pt"))
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("e_id"),
+        (unix_micros(col("ts").cast("timestamp_ltz")) - 3600000000L).as("lo"),
+        unix_micros(col("ts").cast("timestamp_ltz")).as("hi"))
+
+    val naive = clicks.join(errors, Seq("user_id"))
+      .filter(col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select("user_id", "c_id", "e_id")
+
+    for (w <- Seq(600000000L, 3600000000L, 7200000000L)) {
+      val fast = RangeJoin.pointInInterval(
+          clicks, errors, Seq("user_id"), "pt", "lo", "hi", binWidth = w)
+        .select("user_id", "c_id", "e_id")
+      assertSameRows(naive, fast)
+    }
+  }
+
+  test("pointInInterval handles negative values (floor binning)") {
+    import spark.implicits._
+    val pts = Seq(-5L, -1L, 0L, 3L).toDF("pt").withColumn("k", lit(1))
+    val ivs = Seq((-6L, -2L, "a"), (-1L, 4L, "b")).toDF("lo", "hi", "tag")
+      .withColumn("k", lit(1))
+    val got = RangeJoin.pointInInterval(pts, ivs, Seq("k"), "pt", "lo", "hi", 4L)
+      .select("pt", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((-5L, "a"), (-1L, "b"), (0L, "b"), (3L, "b")))
+  }
+}
