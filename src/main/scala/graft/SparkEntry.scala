@@ -393,6 +393,28 @@ object SparkEntry {
 
     // A2 approximate aggregates through the wire (sketch values are
     // engine-specific → deterministic rows-only check, no DuckDB oracle)
+    // multiple grouping sets through the wire (AggregateRel with n groupings;
+    // beyond the reference, which allows exactly one — consumer.rs:230-235).
+    // One Expand-fed hash aggregate, not one job per set.
+    "q27_rollup" -> ((s, dir) => rt(s,
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")))),
+    "q28_cube" -> ((s, dir) => rt(s,
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")))),
+    "q29_grouping_sets" -> ((s, dir) => rt(s,
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")),
+            Seq(col("o_orderstatus"), col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")))),
+
     "q26_approx_aggs" -> ((s, dir) => rt(s,
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -728,5 +750,22 @@ object SparkEntry {
         |  ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_qd,
         |  array_to_string(list_sort(list(l_linestatus)), '') AS statuses
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q27_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q28_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q29_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY GROUPING SETS
+        |  ((o_orderpriority), (o_orderstatus, o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
   )
 }

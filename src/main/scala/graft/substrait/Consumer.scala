@@ -142,8 +142,25 @@ object Consumer {
       */
     private def buildAggregate(input: Rel, groupings: Seq[Seq[SExpr]],
                                measures: Seq[Measure]): Built = {
-      if (groupings.size > 1) notImplemented("multiple grouping sets")
       val in = build(input)
+
+      if (groupings.size > 1) {
+        // multiple grouping sets (beyond the reference, consumer.rs:230-235).
+        // Wire convention shared with the producer: the rel's group output is
+        // the distinct grouping expressions in first-appearance order across
+        // the sets, then measures. Runs as ONE pass — Spark's Expand feeds a
+        // single hash aggregate, not one job per set.
+        if (measures.isEmpty) notImplemented("multiple grouping sets without measures")
+        val union = groupings.flatten.distinct
+        val names = freshNames(union.size)
+        val aliased = union.zip(names).map { case (e, n) => toColumn(e, in.df).as(n) }
+        val base = in.df.select(col("*") +: aliased: _*)
+        val sets = groupings.map(_.map(e => col(names(union.indexOf(e)))))
+        val aggCols = measureCols(measures, in.df)
+        val grouped = base.groupingSets(sets, names.map(col): _*)
+        return Built(grouped.agg(aggCols.head, aggCols.tail: _*))
+      }
+
       val groupExprs = groupings.headOption.getOrElse(Nil).map(e => toColumn(e, in.df))
 
       if (measures.isEmpty) {
@@ -155,13 +172,19 @@ object Consumer {
 
       val groupNames = freshNames(groupExprs.size)
       val groupCols = groupExprs.zip(groupNames).map { case (c, n) => c.as(n) }
+      val aggCols = measureCols(measures, in.df)
+      val grouped = in.df.groupBy(groupCols: _*)
+      Built(grouped.agg(aggCols.head, aggCols.tail: _*))
+    }
 
-      val aggCols = measures.map { m =>
+    /** measure → named aggregate Column; FILTER p becomes agg(when(p, x)) */
+    private def measureCols(measures: Seq[Measure], df: DataFrame): Seq[Column] =
+      measures.map { m =>
         val fname = name(m.function.functionReference).toLowerCase
-        val rawArgs = m.function.args.map(e => toColumn(e, in.df))
+        val rawArgs = m.function.args.map(e => toColumn(e, df))
         val args = m.filter match {
           case Some(f) =>
-            val p = toColumn(f, in.df)
+            val p = toColumn(f, df)
             if (rawArgs.isEmpty) Seq(when(p, lit(1)))
             else rawArgs.map(a => when(p, a))
           case None => if (rawArgs.isEmpty) Seq(lit(1)) else rawArgs
@@ -169,10 +192,6 @@ object Consumer {
         val distinct = m.function.invocation == AggInvocation.Distinct
         aggColumn(fname, args, distinct).as(fresh())
       }
-
-      val grouped = in.df.groupBy(groupCols: _*)
-      Built(grouped.agg(aggCols.head, aggCols.tail: _*))
-    }
 
     /** DataFusion 15 aggregate names → Spark built-ins (consumer.rs:383-415 /
       * SURVEY.md §2.4 A2). All run as native partial-agg (map-side combine)

@@ -192,27 +192,15 @@ object Producer {
       * DISTINCT invocation, optional FILTER, aliases stripped.
       */
     private def produceAggregate(agg: logical.Aggregate): Produced = {
+      agg.child match {
+        case ex: logical.Expand => return produceGroupingSets(agg, ex)
+        case _ => ()
+      }
       val in = toRel(agg.child)
       val groups = agg.groupingExpressions
       val groupExprs = groups.map(g => toSExpr(g, in.attrs))
 
-      // collect distinct aggregate calls in first-appearance order
-      val measureList = mutable.ArrayBuffer.empty[AggregateExpression]
-      agg.aggregateExpressions.foreach(_.foreach {
-        case ae: AggregateExpression
-            if !measureList.exists(_.canonicalized == ae.canonicalized) =>
-          measureList += ae
-        case _ => ()
-      })
-
-      val measures = measureList.toSeq.map { ae =>
-        val name = dataFusionAggName(ae.aggregateFunction.prettyName)
-        val args = ae.aggregateFunction.children.map(c => toSExpr(c, in.attrs))
-        Measure(
-          AggFunction(anchor(name.toLowerCase), args,
-            if (ae.isDistinct) AggInvocation.Distinct else AggInvocation.All),
-          ae.filter.map(f => toSExpr(f, in.attrs)))
-      }
+      val (measureList, measures) = collectMeasures(agg, in.attrs)
 
       val aggRel = Rel.Aggregate(in.rel, Seq(groupExprs), measures)
       val nG = groups.size
@@ -232,6 +220,99 @@ object Producer {
       }
       val resultExprs = agg.aggregateExpressions.map(post)
       val identity = resultExprs.size == nG + measures.size &&
+        resultExprs.zipWithIndex.forall {
+          case (SExpr.FieldRef(i), j) => i == j
+          case _ => false
+        }
+      val rel = if (identity) aggRel else Rel.Project(aggRel, resultExprs)
+      Produced(rel, agg.aggregateExpressions.map(_.toAttribute))
+    }
+
+    /** distinct aggregate calls in first-appearance order + their measures */
+    private def collectMeasures(agg: logical.Aggregate, inAttrs: Seq[Attribute])
+        : (Seq[AggregateExpression], Seq[Measure]) = {
+      val measureList = mutable.ArrayBuffer.empty[AggregateExpression]
+      agg.aggregateExpressions.foreach(_.foreach {
+        case ae: AggregateExpression
+            if !measureList.exists(_.canonicalized == ae.canonicalized) =>
+          measureList += ae
+        case _ => ()
+      })
+      val measures = measureList.toSeq.map { ae =>
+        val name = dataFusionAggName(ae.aggregateFunction.prettyName)
+        val args = ae.aggregateFunction.children.map(c => toSExpr(c, inAttrs))
+        Measure(
+          AggFunction(anchor(name.toLowerCase), args,
+            if (ae.isDistinct) AggInvocation.Distinct else AggInvocation.All),
+          ae.filter.map(f => toSExpr(f, inAttrs)))
+      }
+      (measureList.toSeq, measures)
+    }
+
+    /** GROUPING SETS / ROLLUP / CUBE: Catalyst plans these as
+      * `Aggregate(groupCopies :+ gid, out, Expand(projections, _,
+      * Project(base ++ groupAliases, input)))` — each Expand projection is one
+      * grouping set with grouped-out columns nulled and a grouping-id literal.
+      * Emitted as a substrait AggregateRel with MULTIPLE groupings (beyond the
+      * reference, which rejects these — consumer.rs:230-235 allows exactly 1).
+      *
+      * Wire convention (must match the consumer): the rel's group-column
+      * output is the distinct grouping expressions in first-appearance order
+      * across the grouping sets, then measures. Each side computes that union
+      * from the wire data itself, so no extra field is needed.
+      */
+    private def produceGroupingSets(agg: logical.Aggregate,
+                                    ex: logical.Expand): Produced = {
+      val gidAttr = ex.output.last
+      if (!gidAttr.name.contains("spark_grouping_id"))
+        notImplemented("Expand node outside grouping-sets shape")
+      val proj = ex.child match {
+        case p: logical.Project => p
+        case other => notImplemented(
+          s"grouping-sets Expand over ${other.getClass.getSimpleName}")
+      }
+      val nBase = proj.child.output.size
+      val nG = ex.output.size - nBase - 1
+      if (proj.projectList.size != nBase + nG)
+        notImplemented("unexpected grouping-sets projection shape")
+      // original grouping expressions over the real input, in position order
+      val origExprs: Seq[Expression] = proj.projectList.drop(nBase).map {
+        case Alias(c, _) => c
+        case other => other
+      }
+      val in = toRel(proj.child)
+      val origS = origExprs.map(e => toSExpr(e, in.attrs))
+      // one grouping per Expand projection: position j kept iff not nulled
+      val sets: Seq[Seq[Int]] = ex.projections.map { row =>
+        (0 until nG).filter(j => row(nBase + j) match {
+          case Literal(null, _) => false
+          case _ => true
+        })
+      }
+      val unionOrder: Seq[Int] = sets.flatten.distinct
+      if (unionOrder.size != nG)
+        notImplemented("grouping column absent from every grouping set")
+      val (measureList, measures) = collectMeasures(agg, in.attrs)
+      if (measures.isEmpty) notImplemented("grouping sets without measures")
+      val aggRel = Rel.Aggregate(in.rel, sets.map(_.map(origS)), measures)
+
+      val nU = unionOrder.size
+      def post(e: Expression): SExpr = e match {
+        case a: AttributeReference if a.exprId == gidAttr.exprId =>
+          notImplemented("grouping_id()/grouping() in grouping-sets output")
+        case a: AttributeReference
+            if (0 until nG).exists(j => ex.output(nBase + j).exprId == a.exprId) =>
+          val j = (0 until nG).find(j => ex.output(nBase + j).exprId == a.exprId).get
+          SExpr.FieldRef(unionOrder.indexOf(j))
+        case ae: AggregateExpression =>
+          val mi = measureList.indexWhere(_.canonicalized == ae.canonicalized)
+          if (mi < 0) internalErr("measure not collected")
+          SExpr.FieldRef(nU + mi)
+        case Alias(c, _) => post(c)
+        case other => toSExprWith(other, post)
+      }
+      val resultExprs = agg.aggregateExpressions.map(post)
+      val identity = resultExprs.size == nU + measures.size &&
         resultExprs.zipWithIndex.forall {
           case (SExpr.FieldRef(i), j) => i == j
           case _ => false

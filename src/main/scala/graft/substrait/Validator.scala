@@ -64,8 +64,9 @@ object Validator {
         w
       case Rel.Aggregate(input, groupings, measures) =>
         val w = walkRel(input, s"$path/agg")
-        if (groupings.size > 1)
-          issues += Issue(path, s"${groupings.size} grouping sets; only 1 supported")
+        if (groupings.size > 1 && measures.isEmpty)
+          issues += Issue(path,
+            s"${groupings.size} grouping sets with no measures")
         groupings.flatten.zipWithIndex.foreach { case (g, i) =>
           walkExpr(g, w, s"$path/agg.group[$i]") }
         measures.zipWithIndex.foreach { case (m, i) =>
@@ -75,7 +76,8 @@ object Validator {
           m.function.args.foreach(walkExpr(_, w, s"$path/agg.measure[$i]"))
           m.filter.foreach(walkExpr(_, w, s"$path/agg.measure[$i].filter"))
         }
-        groupings.headOption.map(_.size).getOrElse(0) + measures.size
+        // multi-set output = distinct group exprs (first appearance) ++ measures
+        groupings.flatten.distinct.size + measures.size
       case Rel.Join(left, right, cond, jt) =>
         val lw = walkRel(left, s"$path/join.left")
         val rw = walkRel(right, s"$path/join.right")

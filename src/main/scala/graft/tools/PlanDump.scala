@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: dump analyzed plans of grouping-set shapes. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val df = Seq((1, "a", 2.0), (2, "b", 3.0)).toDF("k", "s", "v")
+    val r = df.rollup(col("k"), col("s")).agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    println("=== rollup analyzed ===")
+    println(r.queryExecution.analyzed.treeString)
+    val gs = df.groupingSets(Seq(Seq(col("s")), Seq(col("k"), col("s"))),
+      col("k"), col("s")).agg(sum("v").as("sv"))
+    println("=== groupingSets analyzed ===")
+    println(gs.queryExecution.analyzed.treeString)
+    val c = df.cube(col("k"), col("s")).agg(sum("v").as("sv"), grouping_id().as("gid"))
+    println("=== cube with grouping_id analyzed ===")
+    println(c.queryExecution.analyzed.treeString)
+    val e = df.rollup(expr("k + 1").as("k1"), col("s")).agg(sum("v").as("sv"))
+    println("=== rollup on expression analyzed ===")
+    println(e.queryExecution.analyzed.treeString)
+    spark.stop()
+  }
+}

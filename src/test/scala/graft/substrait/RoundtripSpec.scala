@@ -184,4 +184,68 @@ class RoundtripSpec extends SparkTestBase {
     assertSameRows(df, twice)
     assert(twice.columns.toSeq == df.columns.toSeq)
   }
+
+  // ---- grouping sets / rollup / cube: AggregateRel with multiple groupings
+  // (beyond the reference — consumer.rs:230-235 allows exactly one)
+
+  test("rollup round-trips as multi-grouping AggregateRel") {
+    fixture
+    assertRoundtrip(spark.sql(
+      "SELECT a, d, sum(b) AS s, count(*) AS n FROM data GROUP BY ROLLUP (a, d)"))
+  }
+
+  test("cube round-trips") {
+    fixture
+    assertRoundtrip(spark.sql(
+      "SELECT a, d, sum(b) AS s FROM data GROUP BY CUBE (a, d)"))
+  }
+
+  test("explicit grouping sets round-trip, including the empty set") {
+    fixture
+    assertRoundtrip(spark.sql(
+      "SELECT a, d, count(*) AS n FROM data GROUP BY GROUPING SETS ((d), (a, d), ())"))
+  }
+
+  test("rollup over a computed grouping expression round-trips") {
+    fixture
+    assertRoundtrip(spark.sql(
+      "SELECT a + 1 AS a1, sum(b) AS s FROM data GROUP BY ROLLUP (a + 1)"))
+  }
+
+  test("grouping sets wire shape: one AggregateRel, n groupings, no Expand leak") {
+    fixture
+    val plan = Producer.produce(spark.sql(
+      "SELECT a, d, count(*) AS n FROM data GROUP BY GROUPING SETS ((d), (a, d))"))
+    val root = plan.relations.head match {
+      case model.PlanRel.Root(r, _) => r
+      case model.PlanRel.RelOnly(r) => r
+    }
+    val aggs = collectRels(root) { case a: model.Rel.Aggregate => a }
+    assert(aggs.size == 1)
+    assert(aggs.head.groupings.size == 2)
+    assert(aggs.head.groupings.map(_.size) == Seq(1, 2))
+  }
+
+  test("grouping_id in the output is loudly rejected, not dropped") {
+    fixture
+    val df = spark.sql(
+      "SELECT a, grouping(a) AS g, count(*) AS n FROM data GROUP BY ROLLUP (a)")
+    val e = intercept[model.SubstraitException](Producer.produce(df))
+    assert(e.getMessage.contains("NotImplemented"), e.getMessage)
+  }
+
+  private def collectRels[T](rel: model.Rel)(pf: PartialFunction[model.Rel, T]): Seq[T] = {
+    val children = rel match {
+      case r: model.Rel.Project => Seq(r.input)
+      case r: model.Rel.Filter => Seq(r.input)
+      case r: model.Rel.Fetch => Seq(r.input)
+      case r: model.Rel.Sort => Seq(r.input)
+      case r: model.Rel.Aggregate => Seq(r.input)
+      case r: model.Rel.Join => Seq(r.left, r.right)
+      case r: model.Rel.Cross => Seq(r.left, r.right)
+      case r: model.Rel.Set => r.inputs
+      case _: model.Rel.Read => Nil
+    }
+    pf.lift(rel).toSeq ++ children.flatMap(collectRels(_)(pf))
+  }
 }
