@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Multi-format table sources and sinks.
+  *
+  * Substrait carries NO storage information — a ReadRel names a table and the
+  * host's catalog decides where the bytes live (the reference resolves names
+  * against whatever its SessionContext registered; its own tests run over CSV
+  * — reference: tests/roundtrip.rs:294-297). This module is that host-side
+  * registration surface for Spark: any supported format registered under a
+  * name becomes scannable by every wire-round-tripped query.
+  *
+  * Scale notes: parquet is the 100 TB format (columnar, predicate/projection
+  * pushdown, splittable); csv/json scans are splittable but row-oriented —
+  * schema must be supplied (inference would scan the data twice) and filters
+  * only prune AFTER parse. The sink side writes partitioned directories so
+  * downstream scans can partition-prune.
+  */
+object Sources {
+
+  val SupportedFormats: Set[String] = Set("parquet", "csv", "json", "orc")
+
+  /** Read a table in any supported format. `schema` is required for csv/json
+    * (schema inference at corpus scale means reading everything twice);
+    * parquet/orc carry their own.
+    */
+  def read(spark: SparkSession, path: String, format: String,
+           schema: Option[StructType] = None,
+           options: Map[String, String] = Map.empty): DataFrame = {
+    require(SupportedFormats.contains(format), s"unsupported format $format")
+    require(schema.isDefined || format == "parquet" || format == "orc",
+      s"$format needs an explicit schema — inference scans the data twice")
+    val r0: DataFrameReader = spark.read.format(format).options(defaults(format) ++ options)
+    val r = schema.fold(r0)(r0.schema)
+    r.load(path)
+  }
+
+  /** Register `path` as temp view `name`, making it a substrait NamedTable. */
+  def register(spark: SparkSession, name: String, path: String, format: String,
+               schema: Option[StructType] = None,
+               options: Map[String, String] = Map.empty): Unit =
+    read(spark, path, format, schema, options).createOrReplaceTempView(name)
+
+  /** Write a frame in any supported format, optionally hive-partitioned by
+    * low-cardinality columns so downstream scans partition-prune.
+    */
+  def write(df: DataFrame, path: String, format: String,
+            partitionBy: Seq[String] = Nil,
+            options: Map[String, String] = Map.empty,
+            mode: String = "overwrite"): Unit = {
+    require(SupportedFormats.contains(format), s"unsupported format $format")
+    val w0 = df.write.format(format).options(defaults(format) ++ options).mode(mode)
+    val w = if (partitionBy.isEmpty) w0 else w0.partitionBy(partitionBy: _*)
+    w.save(path)
+  }
+
+  /** csv gets a header (self-describing for humans; the schema still comes
+    * from the caller on read); json is JSON-lines by default in Spark.
+    */
+  private def defaults(format: String): Map[String, String] = format match {
+    case "csv" => Map("header" -> "true")
+    case _ => Map.empty
+  }
+}

@@ -46,6 +46,27 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicates(idCols :+ "ts")
 
+  /** Stream-stream interval join: pair each left event with the right events
+    * of the same key whose time falls in [leftTs − horizon, leftTs]. With
+    * watermarks on BOTH sides and a two-sided time bound, Spark keeps join
+    * state only for the horizon+watermark window — the standard bounded-state
+    * stream-stream join. The same call works on batch frames (watermark is a
+    * no-op there), so specs can assert streaming == batch.
+    *
+    * Column names across the two inputs must be disjoint (alias beforehand);
+    * `leftKey`/`rightKey` name the equality pair.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   horizonSeconds: Long,
+                   watermark: String = "2 hours"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark), expr(
+        s"""$leftKey = $rightKey AND
+           |$rightTs >= $leftTs - INTERVAL $horizonSeconds SECONDS AND
+           |$rightTs <= $leftTs""".stripMargin))
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, session_start: Timestamp,

@@ -56,15 +56,21 @@ object Consumer {
       extMap.getOrElse(ref, internalErr(s"unregistered function anchor $ref"))
 
     def build(rel: Rel): Built = rel match {
-      case Rel.Read(schema, tableNames, projection) =>
+      case Rel.Read(schema, tableNames, projection, filter) =>
         val df0 = spark.table(tableNames.mkString("."))
         if (schema != null && schema.names.nonEmpty &&
             schema.names.size != df0.columns.length)
           internalErr(s"table ${tableNames.mkString(".")}: plan schema arity " +
             s"${schema.names.size} != catalog arity ${df0.columns.length}")
-        val projected = projection match {
-          case Some(idxs) => df0.select(idxs.map(i => df0.col(df0.columns(i))): _*)
+        // scan filter references the BASE schema (pre-mask); Catalyst pushes
+        // it into the parquet scan exactly as a FilterRel above would
+        val filtered = filter match {
+          case Some(f) => df0.filter(toColumn(f, df0))
           case None => df0
+        }
+        val projected = projection match {
+          case Some(idxs) => filtered.select(idxs.map(i => filtered.col(df0.columns(i))): _*)
+          case None => filtered
         }
         Built(projected.toDF(freshNames(projected.columns.length): _*))
 

@@ -98,7 +98,26 @@ object Producer {
 
       case logical.Filter(cond, child) =>
         val in = toRel(child)
-        Produced(Rel.Filter(in.rel, toSExpr(cond, in.attrs)), in.attrs)
+        val c = toSExpr(cond, in.attrs)
+        in.rel match {
+          // fold a filter directly above a leaf scan into ReadRel.filter
+          // (algebra.proto field 3) so the predicate arrives AT the scan on
+          // any consumer — scan-level pushdown survives the wire instead of
+          // depending on the consumer's optimizer. Refs are rebased onto the
+          // BASE schema (the mask indexes it; stacked filters AND together).
+          case r: Rel.Read =>
+            val onBase = r.projection match {
+              case Some(idxs) => remapRefs(c, idxs)
+              case None => c
+            }
+            val merged = r.filter match {
+              case Some(prev) => SExpr.ScalarFn(anchor("and"), Seq(prev, onBase))
+              case None => onBase
+            }
+            Produced(r.copy(filter = Some(merged)), in.attrs)
+          case _ =>
+            Produced(Rel.Filter(in.rel, c), in.attrs)
+        }
 
       case a: logical.SubqueryAlias => toRel(a.child) // alias stripped (producer.rs:276-280)
       case v: logical.View => toRel(v.child)
@@ -226,6 +245,20 @@ object Producer {
         }
       val rel = if (identity) aggRel else Rel.Project(aggRel, resultExprs)
       Produced(rel, agg.aggregateExpressions.map(_.toAttribute))
+    }
+
+    /** rewrite positional refs through a projection mask (ref i → mask(i)) —
+      * used when folding a filter into a masked ReadRel, whose filter field
+      * indexes the base schema */
+    private def remapRefs(e: SExpr, mask: Seq[Int]): SExpr = e match {
+      case SExpr.FieldRef(i) => SExpr.FieldRef(mask(i))
+      case SExpr.ScalarFn(r, args) => SExpr.ScalarFn(r, args.map(remapRefs(_, mask)))
+      case SExpr.IfThen(cls, els) =>
+        SExpr.IfThen(cls.map(cl => IfClause(remapRefs(cl.cond, mask),
+          cl.thenExpr.map(remapRefs(_, mask)))), els.map(remapRefs(_, mask)))
+      case SExpr.Cast(t, n, in) => SExpr.Cast(t, n, remapRefs(in, mask))
+      case l: SExpr.Lit => l
+      case _: SExpr.WindowFn => internalErr("window function in a scan filter")
     }
 
     /** distinct aggregate calls in first-appearance order + their measures */

@@ -29,12 +29,14 @@ object Validator {
 
     /** returns the rel's output arity, or -1 when unknowable */
     def walkRel(rel: Rel, path: String): Int = rel match {
-      case Rel.Read(schema, names, projection) =>
+      case Rel.Read(schema, names, projection, filter) =>
         if (names.isEmpty) issues += Issue(path, "ReadRel without table name")
         val width = if (schema == null) -1 else schema.names.size
         if (schema != null && schema.names.size != schema.types.size)
           issues += Issue(path,
             s"schema has ${schema.names.size} names but ${schema.types.size} types")
+        // scan filter indexes the BASE schema, before the projection mask
+        filter.foreach(walkExpr(_, width, s"$path/read.filter"))
         projection match {
           case Some(idxs) =>
             if (width >= 0) idxs.filter(i => i < 0 || i >= width).foreach(i =>

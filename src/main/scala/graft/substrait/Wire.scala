@@ -449,9 +449,10 @@ object Wire {
 
   private def writeRel(w: W, f: Int, rel: Rel): Unit =
     w.msg(f, rw => rel match {
-      case Rel.Read(schema, names, proj) =>
+      case Rel.Read(schema, names, proj, filter) =>
         rw.msg(1, readW => {
           writeNamedStruct(readW, 2, schema)
+          filter.foreach(writeExpr(readW, 3, _))
           proj.foreach { idxs =>
             readW.msg(4, mw => mw.msg(1, sel =>
               idxs.foreach(i => sel.msg(1, item => item.int32(1, i)))))
@@ -498,8 +499,10 @@ object Wire {
           case 1 => // ReadRel
             var schema: NamedStruct = null; var names: Seq[String] = Nil
             var proj: Option[Seq[Int]] = None
+            var filt: Option[SExpr] = None
             rr.fields { (rf, rwt) => (rf, rwt) match {
               case (2, 2) => schema = readNamedStruct(rr.lenDelim()); true
+              case (3, 2) => filt = Some(readExpr(rr.lenDelim())); true
               case (4, 2) =>
                 val mr = rr.lenDelim(); val idxs = Seq.newBuilder[Int]
                 mr.fields { (mf, mwt) => (mf, mwt) match {
@@ -531,7 +534,7 @@ object Wire {
               case _ => false
             }}
             if (names.isEmpty) notImplemented("ReadRel without NamedTable")
-            res = Rel.Read(schema, names, proj); true
+            res = Rel.Read(schema, names, proj, filt); true
           case 2 =>
             var in: Rel = null; var cond: SExpr = null
             rr.fields { (rf, rwt) => (rf, rwt) match {

@@ -96,9 +96,15 @@ object model {
   // ---- relations (algebra.proto Rel) ----
   sealed trait Rel
   object Rel {
-    /** ReadRel/NamedTable + optional MaskExpression projection (consumer.rs:318-374). */
+    /** ReadRel/NamedTable + optional MaskExpression projection (consumer.rs:318-374)
+      * + optional scan filter over the BASE schema (algebra.proto ReadRel.filter,
+      * field 3 — beyond the reference, which only reads name + mask: the
+      * producer folds a Filter directly above a leaf scan into the ReadRel so
+      * selective predicates arrive AT the scan on any consumer).
+      */
     final case class Read(baseSchema: NamedStruct, tableNames: Seq[String],
-                          projection: Option[Seq[Int]]) extends Rel
+                          projection: Option[Seq[Int]],
+                          filter: Option[SExpr] = None) extends Rel
     final case class Project(input: Rel, expressions: Seq[SExpr]) extends Rel
     final case class Filter(input: Rel, condition: SExpr) extends Rel
     final case class Fetch(input: Rel, offset: Long, count: Long) extends Rel

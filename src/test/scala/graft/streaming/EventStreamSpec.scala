@@ -79,6 +79,30 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: streaming == batch") {
+    def sides(df: DataFrame): (DataFrame, DataFrame) = (
+      df.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("event_id").as("e_id"),
+          col("ts").as("e_ts")),
+      df.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+          col("ts").as("c_ts")))
+    val (se, sc) = sides(streamingEvents)
+    val q = EventStream.intervalJoin(se, sc, "e_user", "c_user",
+        "e_ts", "c_ts", horizonSeconds = 3600)
+      .select("e_id", "c_id")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val (be, bc) = sides(spark.table("events"))
+      val batch = EventStream.intervalJoin(be, bc, "e_user", "c_user",
+        "e_ts", "c_ts", horizonSeconds = 3600).select("e_id", "c_id")
+      assert(batch.count() > 0, "join must be non-vacuous")
+      assertSameRows(batch, spark.table("ij_out"))
+    } finally q.stop()
+  }
+
   test("batch sessionization: sessions partition the events") {
     Tables.register(spark, sfDir)
     val events = spark.table("events")

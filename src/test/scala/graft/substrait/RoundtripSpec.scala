@@ -234,6 +234,23 @@ class RoundtripSpec extends SparkTestBase {
     assert(e.getMessage.contains("NotImplemented"), e.getMessage)
   }
 
+  test("filter above a scan folds into ReadRel.filter (refs on the base schema)") {
+    fixture
+    val df = spark.sql("SELECT b FROM data WHERE a > 1 AND d")
+    val plan = Producer.produce(df)
+    val root = plan.relations.head match {
+      case model.PlanRel.Root(r, _) => r
+      case model.PlanRel.RelOnly(r) => r
+    }
+    val reads = collectRels(root) { case r: model.Rel.Read => r }
+    assert(reads.size == 1)
+    assert(reads.head.filter.isDefined, "scan filter must be folded into the ReadRel")
+    assert(collectRels(root) { case f: model.Rel.Filter => f }.isEmpty,
+      "no standalone FilterRel should remain above the scan")
+    // and the folded plan still executes correctly end-to-end
+    assertRoundtrip(df)
+  }
+
   private def collectRels[T](rel: model.Rel)(pf: PartialFunction[model.Rel, T]): Seq[T] = {
     val children = rel match {
       case r: model.Rel.Project => Seq(r.input)

@@ -46,7 +46,8 @@ class WireSpec extends AnyFunSuite {
         s"Win($r,${as.map(ne)},${ps.map(ne)},${ss.map(s => s"(${ne(s.expr)},${s.direction})")},$lo,$hi,$rf)"
     }
     def nr(r: Rel): String = r match {
-      case Rel.Read(sch, names, proj) => s"Read($sch,$names,$proj)"
+      case Rel.Read(sch, names, proj, filt) =>
+        s"Read($sch,$names,$proj,${filt.map(ne)})"
       case Rel.Project(i, es) => s"Project(${nr(i)},${es.map(ne).mkString(",")})"
       case Rel.Filter(i, c) => s"Filter(${nr(i)},${ne(c)})"
       case Rel.Fetch(i, o, c) => s"Fetch(${nr(i)},$o,$c)"
@@ -135,7 +136,8 @@ class WireSpec extends AnyFunSuite {
     colNames <- Gen.listOfN(nCols, Gen.alphaNumStr)
     types <- Gen.listOfN(nCols, for { t <- genSType; n <- Arbitrary.arbitrary[Boolean] } yield (t, n))
     proj <- Gen.option(Gen.someOf(0 until nCols).map(_.toSeq))
-  } yield Rel.Read(NamedStruct(colNames, types), names, proj)
+    filt <- Gen.option(genExpr(1))
+  } yield Rel.Read(NamedStruct(colNames, types), names, proj, filt)
 
   private def genRel(depth: Int): Gen[Rel] =
     if (depth <= 0) genRead
