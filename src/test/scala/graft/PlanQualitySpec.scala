@@ -60,6 +60,32 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("no accidental cartesian products in the round-2 queries") {
+    for (q <- Seq("j01_asof_join", "j02_range_join", "q27_rollup",
+      "q28_cube", "q29_grouping_sets")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+    }
+  }
+
+  test("j01: as-of join runs as window over union — no physical join at all") {
+    val p = plan("j01_asof_join")
+    assert(!p.contains("Join"), s"as-of should be join-free:\n$p")
+    assert(p.contains("Window"), p)
+    // exactly one wide shuffle partitions both sides by the key
+    val shuffles = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(shuffles == 1, s"expected 1 key shuffle, got $shuffles:\n$p")
+  }
+
+  test("q27: rollup runs as a single Expand-fed aggregate, not one job per set") {
+    val p = plan("q27_rollup")
+    assert(p.contains("Expand"), p)
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1, p)
+  }
+
   test("driver smoke contract: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
