@@ -126,6 +126,20 @@ object SparkEntry {
         ops.TextOps.tokenCount(col("text")).as("n_tokens"),
         ops.TextOps.bpeTokenCount(col("text")).as("bpe_tokens")).orderBy("doc_id")),
 
+    // top-k corpus vocabulary (map-side combined counts + TakeOrdered)
+    "t04_top_terms" -> ((s, dir) =>
+      ops.TextOps.topTerms(t(s, dir, "documents"), k = 50)),
+
+    // exact per-language length quantiles (R-7 interpolation, = quantile_cont)
+    "t05_length_quantiles" -> ((s, dir) =>
+      ops.TextOps.lengthQuantiles(t(s, dir, "documents")).orderBy("lang")),
+
+    // element-wise per-label centroid vectors, decimal-exact accumulation
+    "s04_label_centroids" -> ((s, dir) =>
+      ops.Embeddings.centroids(t(s, dir, "embeddings"))
+        .select(col("label"), col("idx"), round(col("centroid"), 9).as("centroid"))
+        .orderBy("label", "idx")),
+
     // multimodal binary plumbing (stub decode, real schema/partitioning)
     "m01_media_features" -> ((s, dir) =>
       ops.Multimodal.mediaFeatureSummary(s, t(s, dir, "documents"))
@@ -574,6 +588,27 @@ object SparkEntry {
         |  ROUND(CAST(len(regexp_extract_all(text, '[\x00-\x0F]')) AS DOUBLE)
         |    / GREATEST(strlen(text), 1), 6) AS bin0
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t04_top_terms" ->
+      """SELECT term, count(*) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+        |      FROM documents)
+        |WHERE term <> ''
+        |GROUP BY term ORDER BY n DESC, term LIMIT 50""".stripMargin,
+    "t05_length_quantiles" ->
+      """SELECT lang,
+        |  quantile_cont(len(text), 0.25) AS p25,
+        |  quantile_cont(len(text), 0.5) AS p50,
+        |  quantile_cont(len(text), 0.75) AS p75,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "s04_label_centroids" ->
+      """SELECT label, idx,
+        |  ROUND(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,15))) AS DOUBLE)
+        |    / count(*), 9) AS centroid
+        |FROM (SELECT label, unnest(embedding) AS val,
+        |        generate_subscripts(embedding, 1) AS idx
+        |      FROM embeddings)
+        |GROUP BY label, idx ORDER BY label, idx""".stripMargin,
     "j01_asof_join" ->
       """SELECT c.event_id, c.user_id, c.ts,
         |  p.ts AS p_ts, p.event_id AS p_event_id, p.value AS p_value

@@ -78,4 +78,30 @@ object TextOps {
     */
   def fingerprint(textCol: Column): Column =
     md5(regexp_replace(lower(textCol), "\\s+", " "))
+
+  /** Top-k corpus vocabulary by term frequency (vocabulary building /
+    * stopword discovery). One shuffle with map-side partial counts — the
+    * token explosion never crosses the network un-aggregated — then a
+    * TakeOrdered top-k instead of a full sort.
+    */
+  def topTerms(df: DataFrame, textCol: String = "text", k: Int = 50): DataFrame =
+    df.select(explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(k)
+
+  /** Exact per-group length quantiles (p25/p50/p75, linearly interpolated —
+    * the same R-7 definition DuckDB's quantile_cont uses). Exact percentile
+    * is a one-shuffle sort-based aggregate; switch to percentile_approx at
+    * corpus scale when the group row counts make exact collection too wide.
+    */
+  def lengthQuantiles(df: DataFrame, byCol: String = "lang",
+                      textCol: String = "text"): DataFrame =
+    df.groupBy(col(byCol))
+      .agg(
+        percentile(length(col(textCol)), lit(0.25)).as("p25"),
+        percentile(length(col(textCol)), lit(0.5)).as("p50"),
+        percentile(length(col(textCol)), lit(0.75)).as("p75"),
+        count(lit(1)).as("n_docs"))
 }
