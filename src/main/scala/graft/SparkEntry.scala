@@ -145,6 +145,16 @@ object SparkEntry {
       ops.Multimodal.mediaFeatureSummary(s, t(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // video-style frame sampling over binary payloads: the oracle checks the
+    // exact frame geometry (index + byte count) the slicer must produce
+    "m02_frame_stats" -> ((s, dir) =>
+      ops.Multimodal.frameSample(
+          ops.Multimodal.asMediaTable(t(s, dir, "documents")),
+          frameLen = 256, stride = 192)
+        .select(col("doc_id"), col("frame_idx"),
+          octet_length(col("frame")).cast("int").as("frame_bytes"))
+        .orderBy("doc_id", "frame_idx")),
+
     // as-of join: each click enriched with the user's most recent preceding
     // purchase (union + running-max window: one shuffle, no join explosion)
     "j01_asof_join" -> ((s, dir) => {
@@ -588,6 +598,14 @@ object SparkEntry {
         |  ROUND(CAST(len(regexp_extract_all(text, '[\x00-\x0F]')) AS DOUBLE)
         |    / GREATEST(strlen(text), 1), 6) AS bin0
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m02_frame_stats" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS b FROM documents),
+        |f AS (SELECT doc_id, b,
+        |        unnest(range(greatest(CAST(ceil(b / 192.0) AS BIGINT), 1))) AS k
+        |      FROM d)
+        |SELECT doc_id, CAST(k AS INT) AS frame_idx,
+        |  CAST(least(256, b - k * 192) AS INT) AS frame_bytes
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "t04_top_terms" ->
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS term

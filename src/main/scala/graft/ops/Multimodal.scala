@@ -73,4 +73,43 @@ object Multimodal {
       col("doc_id"), col("media_type"), col("n_bytes"),
       round(element_at(col("feature"), 1).cast("double"), 6).as("bin0"))
   }
+
+  /** Frame sampling: fixed-length binary frames cut at a fixed stride —
+    * the video-ingestion plumbing (a real implementation swaps the byte
+    * slice for an ffmpeg keyframe grab; the explode shape, per-frame rows
+    * and downstream partitioning are identical). Frames of a payload stay
+    * in its partition; no shuffle. The payload is lambda-bound (array
+    * wrap) so octet_length and the slices evaluate against a value, not a
+    * re-inlined expression.
+    */
+  def frameSample(media: DataFrame, frameLen: Int, stride: Int): DataFrame = {
+    require(frameLen > 0 && stride > 0, "frameLen and stride must be positive")
+    media.select(col("doc_id"), col("media_type"),
+      posexplode(expr(
+        s"""element_at(transform(array(payload), p ->
+           |  CASE WHEN octet_length(p) = 0 THEN array(p)
+           |  ELSE transform(
+           |    sequence(0, greatest(cast(ceil(octet_length(p)
+           |      / CAST($stride AS DOUBLE)) AS INT), 1) - 1),
+           |    k -> substring(p, k * $stride + 1, $frameLen)) END), 1)""".stripMargin))
+        .as(Seq("frame_idx", "frame")))
+  }
+
+  /** Resize stub: deterministic strided byte downsample to ≤ targetBytes —
+    * the image-resize slot (a real implementation decodes, resamples pixels,
+    * re-encodes; this preserves the contract: bounded-size deterministic
+    * output, no shuffle, payload never leaves its partition).
+    */
+  def resized(media: DataFrame, targetBytes: Int,
+              outCol: String = "payload_resized"): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    media.withColumn(outCol, expr(
+      s"""element_at(transform(array(payload), p ->
+         |  CASE WHEN octet_length(p) <= $targetBytes THEN p
+         |  ELSE element_at(transform(
+         |    array(cast(ceil(octet_length(p) / CAST($targetBytes AS DOUBLE)) AS INT)),
+         |    st -> aggregate(sequence(0, $targetBytes - 1), unhex(''),
+         |            (acc, k) -> concat(acc, substring(p, k * st + 1, 1)))), 1)
+         |  END), 1)""".stripMargin))
+  }
 }

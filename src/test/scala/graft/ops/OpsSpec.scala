@@ -95,4 +95,30 @@ class OpsSpec extends SparkTestBase {
       assert(m.n_bytes > 0)
     }
   }
+
+  test("frame sampling: byte-exact slices at the stride") {
+    import spark.implicits._
+    val payload = (0 until 100).map(_.toByte).toArray
+    val media = Seq((1L, "video", payload)).toDF("doc_id", "media_type", "payload")
+    val frames = Multimodal.frameSample(media, frameLen = 40, stride = 30)
+      .orderBy("frame_idx")
+      .collect().map(r => (r.getAs[Int]("frame_idx"), r.getAs[Array[Byte]]("frame")))
+    // ceil(100/30) = 4 frames at offsets 0, 30, 60, 90
+    assert(frames.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(frames.map(_._2.length).toSeq == Seq(40, 40, 40, 10))
+    assert(frames(1)._2.toSeq == payload.slice(30, 70).toSeq, "content must match")
+    assert(frames(3)._2.toSeq == payload.slice(90, 100).toSeq)
+  }
+
+  test("resize: bounded output, strided content, short payloads untouched") {
+    import spark.implicits._
+    val payload = (0 until 100).map(_.toByte).toArray
+    val media = Seq((1L, "image", payload), (2L, "image", Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "media_type", "payload")
+    val out = Multimodal.resized(media, targetBytes = 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload_resized"))).toMap
+    // stride ceil(100/10)=10 → bytes 0,10,20,...,90
+    assert(out(1L).toSeq == (0 until 100 by 10).map(_.toByte).toSeq)
+    assert(out(2L).toSeq == Seq[Byte](1, 2, 3), "short payloads pass through")
+  }
 }
