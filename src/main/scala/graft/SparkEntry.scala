@@ -439,6 +439,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")))),
 
+    "q30_grouping_id" -> ((s, dir) => rt(s,
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority")))),
+
     "q26_approx_aggs" -> ((s, dir) => rt(s,
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -820,5 +827,11 @@ object SparkEntry {
         |FROM orders GROUP BY GROUPING SETS
         |  ((o_orderpriority), (o_orderstatus, o_orderpriority), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q30_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  GROUPING_ID(o_orderstatus, o_orderpriority) AS gid
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
   )
 }

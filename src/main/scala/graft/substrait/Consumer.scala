@@ -163,8 +163,21 @@ object Consumer {
         val base = in.df.select(col("*") +: aliased: _*)
         val sets = groupings.map(_.map(e => col(names(union.indexOf(e)))))
         val aggCols = measureCols(measures, in.df)
+        // trailing i32 grouping-set index (wire convention): recovered from
+        // Spark's grouping_id() bitmask over the union columns — bit j (MSB
+        // first) set when union column j is aggregated-out of the set
+        val masks: Seq[Long] = groupings.map { g =>
+          union.zipWithIndex.collect {
+            case (e, j) if !g.contains(e) => 1L << (union.size - 1 - j)
+          }.sum
+        }
+        val gid = grouping_id(names.map(col): _*)
+        val setIdx = masks.zipWithIndex.tail
+          .foldLeft(when(gid === masks.head, 0)) {
+            case (acc, (m, i)) => acc.when(gid === m, i)
+          }.cast("int").as(fresh())
         val grouped = base.groupingSets(sets, names.map(col): _*)
-        return Built(grouped.agg(aggCols.head, aggCols.tail: _*))
+        return Built(grouped.agg(aggCols.head, (aggCols.tail :+ setIdx): _*))
       }
 
       val groupExprs = groupings.headOption.getOrElse(Nil).map(e => toColumn(e, in.df))

@@ -330,9 +330,29 @@ object Producer {
       val aggRel = Rel.Aggregate(in.rel, sets.map(_.map(origS)), measures)
 
       val nU = unionOrder.size
+      // wire convention: a multi-grouping AggregateRel emits a TRAILING i32
+      // grouping-set index (the substrait grouping identifier). Spark's
+      // grouping_id() bitmask is recovered from it via the Expand
+      // projections' own gid literals, so grouping()/grouping_id() in the
+      // output survive the wire with their exact Spark values.
+      val gidLits: Seq[Long] = ex.projections.map(_.last match {
+        case Literal(v: Long, _) => v
+        case Literal(v: Int, _) => v.toLong
+        case other => notImplemented(s"grouping-id literal shape $other")
+      })
+      val setIdxRef = SExpr.FieldRef(nU + measures.size)
+      def gidExpr: SExpr =
+        if (gidLits.size == 1) SExpr.Lit(LitVal.LI64(gidLits.head))
+        else SExpr.IfThen(
+          gidLits.init.zipWithIndex.map { case (g, i) =>
+            IfClause(
+              SExpr.ScalarFn(anchor("equal"),
+                Seq(setIdxRef, SExpr.Lit(LitVal.LI32(i)))),
+              Some(SExpr.Lit(LitVal.LI64(g))))
+          },
+          Some(SExpr.Lit(LitVal.LI64(gidLits.last))))
       def post(e: Expression): SExpr = e match {
-        case a: AttributeReference if a.exprId == gidAttr.exprId =>
-          notImplemented("grouping_id()/grouping() in grouping-sets output")
+        case a: AttributeReference if a.exprId == gidAttr.exprId => gidExpr
         case a: AttributeReference
             if (0 until nG).exists(j => ex.output(nBase + j).exprId == a.exprId) =>
           val j = (0 until nG).find(j => ex.output(nBase + j).exprId == a.exprId).get
@@ -345,12 +365,8 @@ object Producer {
         case other => toSExprWith(other, post)
       }
       val resultExprs = agg.aggregateExpressions.map(post)
-      val identity = resultExprs.size == nU + measures.size &&
-        resultExprs.zipWithIndex.forall {
-          case (SExpr.FieldRef(i), j) => i == j
-          case _ => false
-        }
-      val rel = if (identity) aggRel else Rel.Project(aggRel, resultExprs)
+      // never identity: the trailing set-index column must be projected away
+      val rel = Rel.Project(aggRel, resultExprs)
       Produced(rel, agg.aggregateExpressions.map(_.toAttribute))
     }
 

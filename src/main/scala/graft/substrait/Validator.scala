@@ -78,8 +78,10 @@ object Validator {
           m.function.args.foreach(walkExpr(_, w, s"$path/agg.measure[$i]"))
           m.filter.foreach(walkExpr(_, w, s"$path/agg.measure[$i].filter"))
         }
-        // multi-set output = distinct group exprs (first appearance) ++ measures
-        groupings.flatten.distinct.size + measures.size
+        // multi-set output = distinct group exprs (first appearance) ++
+        // measures ++ trailing grouping-set index (multi-set only)
+        groupings.flatten.distinct.size + measures.size +
+          (if (groupings.size > 1) 1 else 0)
       case Rel.Join(left, right, cond, jt) =>
         val lw = walkRel(left, s"$path/join.left")
         val rw = walkRel(right, s"$path/join.right")

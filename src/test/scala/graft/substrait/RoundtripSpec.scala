@@ -226,12 +226,17 @@ class RoundtripSpec extends SparkTestBase {
     assert(aggs.head.groupings.map(_.size) == Seq(1, 2))
   }
 
-  test("grouping_id in the output is loudly rejected, not dropped") {
+  test("grouping() round-trips with exact Spark values") {
     fixture
-    val df = spark.sql(
-      "SELECT a, grouping(a) AS g, count(*) AS n FROM data GROUP BY ROLLUP (a)")
-    val e = intercept[model.SubstraitException](Producer.produce(df))
-    assert(e.getMessage.contains("NotImplemented"), e.getMessage)
+    assertRoundtrip(spark.sql(
+      "SELECT a, grouping(a) AS g, count(*) AS n FROM data GROUP BY ROLLUP (a)"))
+  }
+
+  test("grouping_id() bitmask round-trips over cube") {
+    fixture
+    assertRoundtrip(spark.sql(
+      """SELECT a, d, grouping_id() AS gid, sum(b) AS s
+        |FROM data GROUP BY CUBE (a, d)""".stripMargin))
   }
 
   test("filter above a scan folds into ReadRel.filter (refs on the base schema)") {
