@@ -439,6 +439,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")))),
 
+    // window functions through the wire: ranking + offset + ROWS-frame
+    // aggregate in one pass over a single hash-partitioned sort
+    "q31_window" -> ((s, dir) => rt(s, {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val wsum = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", dense_rank().over(w))
+        .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+        .withColumn("run_spend",
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(wsum)
+            .cast("double"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    })),
+
     "q30_grouping_id" -> ((s, dir) => rt(s,
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -827,6 +846,17 @@ object SparkEntry {
         |FROM orders GROUP BY GROUPING SETS
         |  ((o_orderpriority), (o_orderstatus, o_orderpriority), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q31_window" ->
+      """WITH w AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER win AS rn,
+        |  dense_rank() OVER win AS rnk,
+        |  lag(o_totalprice, 1) OVER win AS prev_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (win ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_spend
+        |FROM orders
+        |WINDOW win AS (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |SELECT * FROM w WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "q30_grouping_id" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  GROUPING_ID(o_orderstatus, o_orderpriority) AS gid
