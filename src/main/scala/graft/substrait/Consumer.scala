@@ -2,7 +2,7 @@ package graft.substrait
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -56,8 +56,19 @@ object Consumer {
       extMap.getOrElse(ref, internalErr(s"unregistered function anchor $ref"))
 
     def build(rel: Rel): Built = rel match {
-      case Rel.Read(schema, tableNames, projection, filter) =>
-        val df0 = spark.table(tableNames.mkString("."))
+      case Rel.Read(schema, tableNames, projection, filter, virtualRows) =>
+        val df0 = virtualRows match {
+          case Some(rows) =>
+            // VirtualTable: materialize the struct-literal rows locally —
+            // a LocalRelation, exactly what the producer serialized
+            val st = StructType(schema.names.zip(schema.types).map {
+              case (n, (t, nul)) => StructField(n, sparkType(t), nul)
+            })
+            val jrows = new java.util.ArrayList[Row](rows.size)
+            rows.foreach(r => jrows.add(Row.fromSeq(r.map(litExternal))))
+            spark.createDataFrame(jrows, st)
+          case None => spark.table(tableNames.mkString("."))
+        }
         if (schema != null && schema.names.nonEmpty &&
             schema.names.size != df0.columns.length)
           internalErr(s"table ${tableNames.mkString(".")}: plan schema arity " +
@@ -421,6 +432,32 @@ object Consumer {
             call_function(other, all: _*)
           case other => notImplemented(s"scalar function $other")
         }
+    }
+
+    /** LitVal → external row value for spark.createDataFrame (VirtualTable) */
+    private def litExternal(v: LitVal): Any = v match {
+      case LitVal.LBool(b) => b
+      case LitVal.LI8(i) => i.toByte
+      case LitVal.LI16(i) => i.toShort
+      case LitVal.LI32(i) => i
+      case LitVal.LI64(i) => i
+      case LitVal.LFp32(f) => f
+      case LitVal.LFp64(d) => d
+      case LitVal.LStr(s) => s
+      case LitVal.LBin(b) => b
+      case LitVal.LDate(days) =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
+      case LitVal.LTimestamp(us) =>
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case LitVal.LTimestampTz(us) =>
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+      case LitVal.LDecimal(bytesLE, _, s) =>
+        new java.math.BigDecimal(new java.math.BigInteger(bytesLE.reverse), s)
+      case LitVal.LNull(_) => null
     }
 
     private def literalColumn(v: LitVal): Column = v match {

@@ -79,6 +79,21 @@ object Producer {
         val (names, attrs) = leafRead(p).get
         Produced(readRel(names, attrs, attrs.indices), attrs)
 
+      // inline literal frame (Seq(...).toDF without a registered view) →
+      // ReadRel/VirtualTable: rows travel IN the plan as struct literals
+      // (algebra.proto ReadRel.virtual_table — beyond the reference, which
+      // resolves catalog names only). Small dimension/config tables only;
+      // data tables belong in the catalog.
+      case l: logical.LocalRelation =>
+        val schema = NamedStruct(l.output.map(_.name),
+          l.output.map(a => (sTypeOf(a.dataType), a.nullable)))
+        val rows = l.data.map { row =>
+          l.output.zipWithIndex.map { case (a, i) =>
+            literal(Literal(row.get(i, a.dataType), a.dataType))
+          }
+        }
+        Produced(Rel.Read(schema, Nil, None, None, Some(rows)), l.output)
+
       // attribute-only projection over a leaf → ReadRel projection mask
       // (mirrors producer.rs:74-116 carrying the scan's projection)
       case logical.Project(list, child)

@@ -29,12 +29,18 @@ object Validator {
 
     /** returns the rel's output arity, or -1 when unknowable */
     def walkRel(rel: Rel, path: String): Int = rel match {
-      case Rel.Read(schema, names, projection, filter) =>
-        if (names.isEmpty) issues += Issue(path, "ReadRel without table name")
+      case Rel.Read(schema, names, projection, filter, vrows) =>
+        if (names.isEmpty && vrows.isEmpty)
+          issues += Issue(path, "ReadRel without table name or virtual rows")
         val width = if (schema == null) -1 else schema.names.size
         if (schema != null && schema.names.size != schema.types.size)
           issues += Issue(path,
             s"schema has ${schema.names.size} names but ${schema.types.size} types")
+        vrows.foreach(_.zipWithIndex.foreach { case (row, i) =>
+          if (width >= 0 && row.size != width)
+            issues += Issue(path,
+              s"virtual row $i has ${row.size} cells; schema width $width")
+        })
         // scan filter indexes the BASE schema, before the projection mask
         filter.foreach(walkExpr(_, width, s"$path/read.filter"))
         projection match {

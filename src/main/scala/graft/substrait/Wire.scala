@@ -449,7 +449,7 @@ object Wire {
 
   private def writeRel(w: W, f: Int, rel: Rel): Unit =
     w.msg(f, rw => rel match {
-      case Rel.Read(schema, names, proj, filter) =>
+      case Rel.Read(schema, names, proj, filter, vrows) =>
         rw.msg(1, readW => {
           writeNamedStruct(readW, 2, schema)
           filter.foreach(writeExpr(readW, 3, _))
@@ -457,7 +457,15 @@ object Wire {
             readW.msg(4, mw => mw.msg(1, sel =>
               idxs.foreach(i => sel.msg(1, item => item.int32(1, i)))))
           }
-          readW.msg(7, nt => names.foreach(nt.str(1, _)))
+          vrows match {
+            // VirtualTable (field 5): values = repeated Literal.Struct, each
+            // row a struct literal whose fields are the cell literals
+            case Some(rows) =>
+              readW.msg(5, vt => rows.foreach(row =>
+                vt.msg(1, st => row.foreach(writeLiteral(st, 1, _)))))
+            case None =>
+              readW.msg(7, nt => names.foreach(nt.str(1, _)))
+          }
         })
       case Rel.Filter(in, cond) =>
         rw.msg(2, fw => { writeRel(fw, 2, in); writeExpr(fw, 3, cond) })
@@ -500,9 +508,25 @@ object Wire {
             var schema: NamedStruct = null; var names: Seq[String] = Nil
             var proj: Option[Seq[Int]] = None
             var filt: Option[SExpr] = None
+            var vrows: Option[Seq[Seq[LitVal]]] = None
             rr.fields { (rf, rwt) => (rf, rwt) match {
               case (2, 2) => schema = readNamedStruct(rr.lenDelim()); true
               case (3, 2) => filt = Some(readExpr(rr.lenDelim())); true
+              case (5, 2) =>
+                val vt = rr.lenDelim()
+                val rows = Seq.newBuilder[Seq[LitVal]]
+                vt.fields { (vf, vwt) => (vf, vwt) match {
+                  case (1, 2) =>
+                    val st = vt.lenDelim()
+                    val cells = Seq.newBuilder[LitVal]
+                    st.fields { (sf, swt) => (sf, swt) match {
+                      case (1, 2) => cells += readLiteral(st.lenDelim()); true
+                      case _ => false
+                    }}
+                    rows += cells.result(); true
+                  case _ => false
+                }}
+                vrows = Some(rows.result()); true
               case (4, 2) =>
                 val mr = rr.lenDelim(); val idxs = Seq.newBuilder[Int]
                 mr.fields { (mf, mwt) => (mf, mwt) match {
@@ -529,12 +553,13 @@ object Wire {
                   case _ => false
                 }}
                 names = ns.result(); true
-              case (5, 2) | (6, 2) | (8, 2) =>
-                notImplemented("only NamedTable reads are supported")
+              case (6, 2) | (8, 2) =>
+                notImplemented("only NamedTable and VirtualTable reads are supported")
               case _ => false
             }}
-            if (names.isEmpty) notImplemented("ReadRel without NamedTable")
-            res = Rel.Read(schema, names, proj, filt); true
+            if (names.isEmpty && vrows.isEmpty)
+              notImplemented("ReadRel without NamedTable or VirtualTable")
+            res = Rel.Read(schema, names, proj, filt, vrows); true
           case 2 =>
             var in: Rel = null; var cond: SExpr = null
             rr.fields { (rf, rwt) => (rf, rwt) match {

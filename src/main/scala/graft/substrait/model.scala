@@ -104,7 +104,8 @@ object model {
       */
     final case class Read(baseSchema: NamedStruct, tableNames: Seq[String],
                           projection: Option[Seq[Int]],
-                          filter: Option[SExpr] = None) extends Rel
+                          filter: Option[SExpr] = None,
+                          virtualRows: Option[Seq[Seq[LitVal]]] = None) extends Rel
     final case class Project(input: Rel, expressions: Seq[SExpr]) extends Rel
     final case class Filter(input: Rel, condition: SExpr) extends Rel
     final case class Fetch(input: Rel, offset: Long, count: Long) extends Rel

@@ -239,6 +239,30 @@ class RoundtripSpec extends SparkTestBase {
         |FROM data GROUP BY CUBE (a, d)""".stripMargin))
   }
 
+  test("inline literal frame rides the wire as a VirtualTable") {
+    import spark.implicits._
+    val dim = Seq((1L, "one", true), (3L, "three", false)).toDF("k", "label", "flag")
+    assertRoundtrip(dim)
+    assertRoundtrip(dim.filter(col("flag")).select("k", "label"))
+  }
+
+  test("VirtualTable join against a named table (inline dimension pattern)") {
+    fixture
+    import spark.implicits._
+    val dim = Seq((1L, "one"), (3L, "three")).toDF("a", "label")
+    val joined = spark.table("data").join(dim, "a")
+      .select(col("a"), col("label"), col("b"))
+    assertRoundtrip(joined)
+  }
+
+  test("VirtualTable preserves typed nulls and timestamps") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("x"), Some(java.time.LocalDateTime.of(2020, 1, 2, 3, 4, 5))),
+      (2L, None, None)).toDF("k", "s", "ts")
+    assertRoundtrip(df)
+  }
+
   test("filter above a scan folds into ReadRel.filter (refs on the base schema)") {
     fixture
     val df = spark.sql("SELECT b FROM data WHERE a > 1 AND d")
