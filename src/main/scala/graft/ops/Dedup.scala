@@ -156,11 +156,18 @@ object Dedup {
         col(textCol).as("jtext"))
       .repartition(col("blk"))
       .withColumn("sh", shingles("jtext", shingleSize))
-      .select("blk", "jid", "sh")
+      .select(col("blk"), col("jid"), col("sh"), size(col("sh")).as("sz"))
       .persist()
-    val a = s.select(col("blk"), col("jid").as("id_a"), col("sh").as("sh_a"))
-    val b = s.select(col("blk"), col("jid").as("id_b"), col("sh").as("sh_b"))
+    val a = s.select(col("blk"), col("jid").as("id_a"), col("sh").as("sh_a"),
+      col("sz").as("sz_a"))
+    val b = s.select(col("blk"), col("jid").as("id_b"), col("sh").as("sh_b"),
+      col("sz").as("sz_b"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      // size-ratio prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
+      // failing the ratio can never reach the threshold — the expensive
+      // intersect/union runs only on survivors (output provably unchanged)
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") /
+        greatest(col("sz_a"), col("sz_b")) >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
         size(array_union(col("sh_a"), col("sh_b"))).as("n_union"))

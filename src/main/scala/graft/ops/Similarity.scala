@@ -94,13 +94,14 @@ object Similarity {
       explode(lshBucketArray(col("n_vec"), tables, planesPerTable, dim)).as("bucket"))
     val q = qv.select(col("q_id"),
       explode(lshBucketArray(col("q_vec"), tables, planesPerTable, dim)).as("bucket"))
-    // dedup the union-over-tables on (q_id, n_id) ONLY — shuffling 16-byte id
-    // pairs, not vector payloads — then re-join the vectors for scoring
-    val candidates = c.join(q, "bucket")
+    // the query side is small by contract (like bruteForceKnn) — broadcast
+    // it explicitly so the corpus side streams through a hash join with no
+    // shuffle and no sort-merge fallback under stale stats
+    val candidates = c.join(broadcast(q), "bucket")
       .filter(col("n_id") =!= col("q_id"))
       .select("q_id", "n_id").distinct()
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
-    candidates.join(qv, "q_id").join(cv, "n_id")
+    candidates.join(broadcast(qv), "q_id").join(cv, "n_id")
       .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -106,4 +106,51 @@ class ConsumerCompatSpec extends SparkTestBase {
     val v = consume(plan).collect().head.getDecimal(0)
     assert(v.toString == "-123.45")
   }
+
+  test("foreign ReadRel with a scan filter over the base schema + mask") {
+    fixture
+    // SELECT name FROM compat_data WHERE id > 1 — filter refs index the BASE
+    // schema even though the mask projects only column 1
+    val plan = Plan(
+      Seq(ExtensionFunction(0xffffffffL, 0, "gt")),
+      Seq(PlanRel.Root(
+        Rel.Read(
+          NamedStruct(Seq("id", "name"), Seq((SType.SI64, true), (SType.SStr, true))),
+          Seq("compat_data"), Some(Seq(1)),
+          Some(SExpr.ScalarFn(0, Seq(SExpr.FieldRef(0), SExpr.Lit(LitVal.LI64(1)))))),
+        Seq("name"))))
+    val got = consume(plan).collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("Beta", "gamma"))
+  }
+
+  test("foreign multi-grouping AggregateRel executes as one grouping-sets pass") {
+    fixture
+    // GROUP BY GROUPING SETS ((name), ()) with count(*): wire output =
+    // union group exprs ++ measures ++ trailing set index
+    val plan = Plan(
+      Seq(ExtensionFunction(0xffffffffL, 0, "count")),
+      Seq(PlanRel.Root(
+        Rel.Aggregate(scan,
+          Seq(Seq(SExpr.FieldRef(1)), Seq()),
+          Seq(Measure(AggFunction(0, Nil, AggInvocation.All), None))),
+        Seq("name", "n", "set_idx"))))
+    val got = consume(plan).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set(
+      (Some("alpha"), 1L, 0), (Some("Beta"), 1L, 0), (Some("gamma"), 1L, 0),
+      (None, 3L, 1)))
+  }
+
+  test("foreign VirtualTable read executes without any catalog") {
+    val plan = Plan(Nil, Seq(PlanRel.Root(
+      Rel.Read(
+        NamedStruct(Seq("k", "v"), Seq((SType.SI64, false), (SType.SStr, true))),
+        Nil, None, None,
+        Some(Seq(
+          Seq(LitVal.LI64(10), LitVal.LStr("x")),
+          Seq(LitVal.LI64(20), LitVal.LNull(SType.SStr))))),
+      Seq("k", "v"))))
+    val got = consume(plan).collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got == Set((10L, Some("x")), (20L, None)))
+  }
 }
