@@ -189,9 +189,16 @@ object Dedup {
     * exactly, so candidates come from 4 cheap equi-joins, then bit_count
     * verifies. Returns (id_a, id_b, hamming).
     */
+  /** `maxBucket` caps (chunk, value) collision groups: a bucket above the
+    * cap is dropped before pair explosion (quadratic-blowup guard — 16-bit
+    * chunks over a web-scale corpus WILL have hot values). A pair lost with
+    * its bucket still surfaces through any of the other 3 chunks that match;
+    * only pairs whose sole matching chunk was the hot one are sacrificed.
+    */
   def simhashNearDups(df: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text",
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      maxBucket: Int = 10000): DataFrame = {
     // parallelize the fingerprint fold across cores; the fingerprint is bound
     // as a lambda variable (array-wrap) and carried through the chunk structs,
     // so the fold runs exactly once per row with no cache barrier needed
@@ -216,7 +223,7 @@ object Dedup {
       .groupBy("chunk_idx", "chunk_val")
       .agg(sort_array(collect_list(struct(col("sh_id"), col("simhash"))))
         .as("members"))
-      .filter(size(col("members")) >= 2)
+      .filter(size(col("members")) >= 2 && size(col("members")) <= maxBucket)
       .select(explode(sortedPairs("members")).as("p"))
       .select(col("p.a.sh_id").as("id_a"), col("p.b.sh_id").as("id_b"),
         expr("bit_count(p.a.simhash ^ p.b.simhash)").as("hamming"))

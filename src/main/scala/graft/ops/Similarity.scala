@@ -111,9 +111,13 @@ object Similarity {
   /** All pairs with cosine ≥ threshold among vectors sharing any table-bucket
     * (embedding near-duplicate detection). Output: (id_a, id_b, sim).
     */
+  /** `maxBucket` caps sign-LSH buckets before pair explosion (quadratic-
+    * blowup guard; a pair in a dropped bucket still surfaces via any other
+    * of its `tables` buckets that collides).
+    */
   def lshNearDups(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, tables: Int = 6, planesPerTable: Int = 6,
-                  dim: Int = 64): DataFrame = {
+                  dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
     val vecs = df.select(col(idCol).as("nd_id"), asDouble(col(vecCol)).as("nd_vec"))
       .repartition(col("nd_id"))
       .persist()
@@ -126,7 +130,7 @@ object Similarity {
     val candidates = bucketed
       .groupBy("bucket")
       .agg(sort_array(collect_list(col("nd_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
       .select(explode(Dedup.sortedPairs("ids")).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()

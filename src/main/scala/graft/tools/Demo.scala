@@ -72,6 +72,34 @@ object Demo {
       try Consumer.consume(spark, p).collect()
       finally Tables.register(spark, dir + "/") // re-register under new key
     }
+
+    // round-2 surface: grouping sets, VirtualTable, ReadRel scan filter
+    println("== rollup through the wire: " +
+      Serializer.roundtrip(spark, spark.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin))
+        .count() + " rows (incl. subtotals + grand total)")
+    locally {
+      import spark.implicits._
+      val dim = Seq((1, "low"), (2, "high")).toDF("prio_class", "label")
+      println("== inline frame as VirtualTable through the wire: " +
+        Serializer.roundtrip(spark, dim).count() + " literal rows")
+    }
+    locally {
+      val produced = Producer.produce(
+        spark.sql("SELECT o_orderkey FROM orders WHERE o_totalprice > 1000.0"))
+      val shape = produced.relations.head match {
+        case graft.substrait.model.PlanRel.Root(r, _) => r
+        case graft.substrait.model.PlanRel.RelOnly(r) => r
+      }
+      def hasReadFilter(rel: graft.substrait.model.Rel): Boolean = rel match {
+        case rd: graft.substrait.model.Rel.Read => rd.filter.isDefined
+        case p: graft.substrait.model.Rel.Project => hasReadFilter(p.input)
+        case f: graft.substrait.model.Rel.Filter => hasReadFilter(f.input)
+        case _ => false
+      }
+      println(s"== filter folded into ReadRel.filter on the wire: ${hasReadFilter(shape)}")
+    }
     spark.stop()
   }
 }
