@@ -37,6 +37,28 @@ object Pipeline {
     df.write.bucketBy(buckets, keyCol).sortBy(keyCol)
       .mode("overwrite").format("parquet").saveAsTable(table)
 
+  /** Deterministic train/val/test assignment: each row lands in exactly one
+    * named split, decided by xxhash64 of its id — stable across runs,
+    * machines, partitionings, and insertion order (the property random()
+    * splits lack, and the one that matters when a corpus is re-processed
+    * incrementally: a document's split never changes). Zero shuffles — a
+    * pure projection over the scan.
+    */
+  def deterministicSplit(df: DataFrame, idCol: String,
+                         fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val buckets = 1000000L
+    val slot = pmod(xxhash64(col(idCol)), lit(buckets))
+    val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(f => (f * buckets).toLong)
+    val labeled = fractions.map(_._1).zip(cuts)
+    val split = labeled.init.foldRight(lit(labeled.last._1)) {
+      case ((name, cut), rest) => when(slot < cut, name).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
+
   /** Skew-safe equi-join: the build side is replicated `salts` times, the
     * probe side's rows get a deterministic salt from their own payload, and
     * the join runs on (key, salt) — a hot key's rows spread over `salts`

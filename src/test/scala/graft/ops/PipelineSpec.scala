@@ -64,4 +64,26 @@ class PipelineSpec extends SparkTestBase {
       .distinct().count()
     assert(spread >= 2)
   }
+
+  test("deterministic split: disjoint, complete, stable, near the fractions") {
+    val d = docs
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = Pipeline.deterministicSplit(d, "doc_id", fr)
+    val counts = s1.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = d.count()
+    assert(counts.values.sum == n, "every row lands in exactly one split")
+    assert(counts.keySet == Set("train", "val", "test"))
+    // 500 docs: loose tolerance, but train must dominate
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    assert(math.abs(counts("train") - 0.8 * n) < 0.1 * n)
+    // stability: identical assignment on re-computation and re-ordering
+    val s2 = Pipeline.deterministicSplit(d.orderBy(col("doc_id").desc), "doc_id", fr)
+    assertSameRows(s1.select("doc_id", "split"), s2.select("doc_id", "split"))
+  }
+
+  test("deterministic split rejects fractions that don't sum to 1") {
+    intercept[IllegalArgumentException](
+      Pipeline.deterministicSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
+  }
 }
