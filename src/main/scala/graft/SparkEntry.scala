@@ -77,6 +77,15 @@ object SparkEntry {
     "d06_prepare_corpus" -> ((s, dir) =>
       ops.Pipeline.prepareCorpus(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // incremental dedup: the "new batch" (odd ids) against the already-kept
+    // corpus (even ids) — digest anti-join, payloads never shuffle
+    "d07_incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      ops.Dedup.incrementalDedup(
+        d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0))
+        .orderBy("digest")
+    }),
+
     // embedding-cosine near-dups via multi-table sign-LSH
     "d05_embedding_neardup" -> ((s, dir) =>
       ops.Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.35)
@@ -458,6 +467,16 @@ object SparkEntry {
         .orderBy("o_custkey", "rn")
     })),
 
+    // uncorrelated IN subquery → semi JoinRel on the wire
+    "q32_in_subquery" -> ((s, dir) => {
+      t(s, dir, "orders") // ensure view registration before spark.sql
+      rt(s, s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer
+          |                    WHERE c_mktsegment = 'BUILDING')
+          |ORDER BY o_orderkey""".stripMargin))
+    }),
+
     "q30_grouping_id" -> ((s, dir) => rt(s,
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -497,6 +516,16 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest,
         |  min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+    "d07_incremental_dedup" ->
+      """WITH nd AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |od AS (SELECT DISTINCT
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT digest, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM nd WHERE digest NOT IN (SELECT digest FROM od)
+        |GROUP BY digest ORDER BY digest""".stripMargin,
     "d04_ngram_jaccard" ->
       """WITH s AS (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, lang || '|' || source AS blk,
@@ -857,6 +886,11 @@ object SparkEntry {
         |WINDOW win AS (PARTITION BY o_custkey
         |               ORDER BY o_totalprice DESC, o_orderkey ASC))
         |SELECT * FROM w WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q32_in_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
     "q30_grouping_id" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  GROUPING_ID(o_orderstatus, o_orderpriority) AS gid

@@ -29,6 +29,25 @@ object Dedup {
       .groupBy("digest")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Incremental exact dedup: new documents whose normalized-text digest is
+    * absent from the existing corpus — the standard ingest flow (dedup the
+    * new crawl against everything already kept, then within itself). The
+    * anti-join shuffles 32-char digests only, never payloads; the existing
+    * side can be a pre-computed digest table. Within-batch duplicates keep
+    * the minimum id.
+    */
+  def incrementalDedup(newDocs: DataFrame, existing: DataFrame,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val newD = newDocs.select(col(idCol),
+      TextOps.fingerprint(col(textCol)).as("digest"))
+    val oldD = existing.select(
+      TextOps.fingerprint(col(textCol)).as("digest")).distinct()
+    newD.join(oldD, Seq("digest"), "left_anti")
+      .groupBy("digest")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+
   /** word-level shingles of size k as a distinct array column.
     *
     * The split word array is bound as a LAMBDA VARIABLE (`ws`) via the

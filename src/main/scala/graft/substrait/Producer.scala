@@ -112,27 +112,7 @@ object Producer {
         Produced(Rel.Project(in.rel, exprs), list.map(_.toAttribute))
 
       case logical.Filter(cond, child) =>
-        val in = toRel(child)
-        val c = toSExpr(cond, in.attrs)
-        in.rel match {
-          // fold a filter directly above a leaf scan into ReadRel.filter
-          // (algebra.proto field 3) so the predicate arrives AT the scan on
-          // any consumer — scan-level pushdown survives the wire instead of
-          // depending on the consumer's optimizer. Refs are rebased onto the
-          // BASE schema (the mask indexes it; stacked filters AND together).
-          case r: Rel.Read =>
-            val onBase = r.projection match {
-              case Some(idxs) => remapRefs(c, idxs)
-              case None => c
-            }
-            val merged = r.filter match {
-              case Some(prev) => SExpr.ScalarFn(anchor("and"), Seq(prev, onBase))
-              case None => onBase
-            }
-            Produced(r.copy(filter = Some(merged)), in.attrs)
-          case _ =>
-            Produced(Rel.Filter(in.rel, c), in.attrs)
-        }
+        produceFilter(cond, child)
 
       case a: logical.SubqueryAlias => toRel(a.child) // alias stripped (producer.rs:276-280)
       case v: logical.View => toRel(v.child)
@@ -260,6 +240,66 @@ object Producer {
         }
       val rel = if (identity) aggRel else Rel.Project(aggRel, resultExprs)
       Produced(rel, agg.aggregateExpressions.map(_.toAttribute))
+    }
+
+    /** Filter production. Uncorrelated IN/EXISTS subquery conjuncts become
+      * SEMI JoinRels (the same rewrite Spark's own optimizer applies) — the
+      * wire has no subquery-expression message in the reference's subset, and
+      * the semi join preserves IN's null semantics exactly (a NULL probe
+      * value matches nothing in both). NOT IN stays loud-rejected: its
+      * null-aware anti-join semantics have no plain JoinRel equivalent.
+      * Remaining conjuncts fold into a ReadRel scan filter when the child is
+      * a leaf scan (algebra.proto field 3), else a FilterRel.
+      */
+    private def produceFilter(cond: Expression, child: LogicalPlan): Produced = {
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      val (subq, plain) = conjuncts(cond).partition {
+        case InSubquery(_, l: ListQuery) => l.outerAttrs.isEmpty
+        case ex: Exists => ex.outerAttrs.isEmpty
+        case _ => false
+      }
+      var cur = toRel(child)
+      subq.foreach {
+        case InSubquery(values, l: ListQuery) =>
+          val sub = toRel(l.plan)
+          val nL = cur.attrs.size
+          val eqs = values.zipWithIndex.map { case (v, i) =>
+            SExpr.ScalarFn(anchor("equal"),
+              Seq(toSExpr(v, cur.attrs), SExpr.FieldRef(nL + i)))
+          }
+          val c = eqs.reduceLeft((a, b) =>
+            SExpr.ScalarFn(anchor("and"), Seq(a, b)))
+          cur = Produced(Rel.Join(cur.rel, sub.rel, c, JoinType.Semi), cur.attrs)
+        case ex: Exists =>
+          val sub = toRel(ex.plan)
+          cur = Produced(Rel.Join(cur.rel, sub.rel,
+            SExpr.Lit(LitVal.LBool(true)), JoinType.Semi), cur.attrs)
+        case other => internalErr(s"subquery partition leak: $other")
+      }
+      if (plain.isEmpty) return cur
+      val c = toSExpr(plain.reduceLeft(And(_, _)), cur.attrs)
+      cur.rel match {
+        // fold a filter directly above a leaf scan into ReadRel.filter
+        // (algebra.proto field 3) so the predicate arrives AT the scan on
+        // any consumer — scan-level pushdown survives the wire instead of
+        // depending on the consumer's optimizer. Refs are rebased onto the
+        // BASE schema (the mask indexes it; stacked filters AND together).
+        case r: Rel.Read =>
+          val onBase = r.projection match {
+            case Some(idxs) => remapRefs(c, idxs)
+            case None => c
+          }
+          val merged = r.filter match {
+            case Some(prev) => SExpr.ScalarFn(anchor("and"), Seq(prev, onBase))
+            case None => onBase
+          }
+          Produced(r.copy(filter = Some(merged)), cur.attrs)
+        case _ =>
+          Produced(Rel.Filter(cur.rel, c), cur.attrs)
+      }
     }
 
     /** rewrite positional refs through a projection mask (ref i → mask(i)) —

@@ -25,6 +25,17 @@ object PlanDump {
     val e = df.rollup(expr("k + 1").as("k1"), col("s")).agg(sum("v").as("sv"))
     println("=== rollup on expression analyzed ===")
     println(e.queryExecution.analyzed.treeString)
+    df.createOrReplaceTempView("t1")
+    Seq((1, 9.0), (5, 8.0)).toDF("k2", "w").createOrReplaceTempView("t2")
+    println("=== IN subquery analyzed ===")
+    println(spark.sql("SELECT k, v FROM t1 WHERE k IN (SELECT k2 FROM t2)")
+      .queryExecution.analyzed.treeString)
+    println("=== EXISTS subquery analyzed ===")
+    println(spark.sql("SELECT k FROM t1 WHERE EXISTS (SELECT 1 FROM t2 WHERE w > 8.5)")
+      .queryExecution.analyzed.treeString)
+    println("=== IN + extra conjunct analyzed ===")
+    println(spark.sql("SELECT k FROM t1 WHERE k IN (SELECT k2 FROM t2) AND v > 1.0")
+      .queryExecution.analyzed.treeString)
     spark.stop()
   }
 }

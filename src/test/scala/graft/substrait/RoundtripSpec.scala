@@ -239,6 +239,27 @@ class RoundtripSpec extends SparkTestBase {
         |FROM data GROUP BY CUBE (a, d)""".stripMargin))
   }
 
+  test("uncorrelated IN subquery rides the wire as a semi JoinRel") {
+    fixture
+    assertRoundtrip(spark.sql(
+      "SELECT a, b FROM data WHERE a IN (SELECT a FROM data2 WHERE d)"))
+  }
+
+  test("uncorrelated EXISTS becomes a semi join; IN composes with plain conjuncts") {
+    fixture
+    assertRoundtrip(spark.sql(
+      "SELECT a FROM data WHERE EXISTS (SELECT 1 FROM data2 WHERE d)"))
+    assertRoundtrip(spark.sql(
+      "SELECT a, b FROM data WHERE a IN (SELECT a FROM data2) AND b > 1.0"))
+  }
+
+  test("NOT IN stays loudly rejected (null-aware anti-join has no JoinRel twin)") {
+    fixture
+    val df = spark.sql("SELECT a FROM data WHERE a NOT IN (SELECT a FROM data2)")
+    val e = intercept[model.SubstraitException](Producer.produce(df))
+    assert(e.getMessage.contains("NotImplemented"), e.getMessage)
+  }
+
   test("inline literal frame rides the wire as a VirtualTable") {
     import spark.implicits._
     val dim = Seq((1L, "one", true), (3L, "three", false)).toDF("k", "label", "flag")
