@@ -477,6 +477,17 @@ object SparkEntry {
           |ORDER BY o_orderkey""".stripMargin))
     }),
 
+    // uncorrelated scalar subquery → cross-joined single-row AggregateRel
+    "q33_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders")
+      rt(s, s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice >
+          |  (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |     / count(*) FROM orders)
+          |ORDER BY o_orderkey""".stripMargin))
+    }),
+
     "q30_grouping_id" -> ((s, dir) => rt(s,
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -886,6 +897,12 @@ object SparkEntry {
         |WINDOW win AS (PARTITION BY o_custkey
         |               ORDER BY o_totalprice DESC, o_orderkey ASC))
         |SELECT * FROM w WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q33_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice >
+        |  (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |     / count(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "q32_in_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer

@@ -256,12 +256,39 @@ object Producer {
         case And(l, r) => conjuncts(l) ++ conjuncts(r)
         case other => Seq(other)
       }
-      val (subq, plain) = conjuncts(cond).partition {
+      val (subq, plain0) = conjuncts(cond).partition {
         case InSubquery(_, l: ListQuery) => l.outerAttrs.isEmpty
         case ex: Exists => ex.outerAttrs.isEmpty
         case _ => false
       }
       var cur = toRel(child)
+      val nLeft = cur.attrs.size
+      // uncorrelated SCALAR subqueries in the remaining conjuncts: cross-join
+      // their single-row results onto the input and rewrite each subquery
+      // expression into a field ref; the filter then compares plain columns.
+      // (Safe: a scalar subquery is exactly one row by contract, so the cross
+      // join is a 1-row broadcast, and the appended columns are projected
+      // away below.)
+      val scalarSubs = mutable.ArrayBuffer.empty[ScalarSubquery]
+      plain0.foreach(_.foreach {
+        case s: ScalarSubquery
+            if s.outerAttrs.isEmpty &&
+              !scalarSubs.exists(_.exprId == s.exprId) => scalarSubs += s
+        case _ => ()
+      })
+      val scalarPos: Map[ExprId, Int] = scalarSubs.zipWithIndex.map {
+        case (s, i) => s.exprId -> i
+      }.toMap
+      scalarSubs.foreach { s =>
+        val sub = toRel(s.plan)
+        if (sub.attrs.size != 1) notImplemented("scalar subquery arity != 1")
+        cur = Produced(Rel.Cross(cur.rel, sub.rel), cur.attrs ++ sub.attrs)
+      }
+      val plain = plain0.map(_.transform {
+        case s: ScalarSubquery if scalarPos.contains(s.exprId) =>
+          // stand-in attr: resolves via the appended cross-join columns
+          cur.attrs(nLeft + scalarPos(s.exprId))
+      })
       subq.foreach {
         case InSubquery(values, l: ListQuery) =>
           val sub = toRel(l.plan)
@@ -279,27 +306,35 @@ object Producer {
             SExpr.Lit(LitVal.LBool(true)), JoinType.Semi), cur.attrs)
         case other => internalErr(s"subquery partition leak: $other")
       }
-      if (plain.isEmpty) return cur
-      val c = toSExpr(plain.reduceLeft(And(_, _)), cur.attrs)
-      cur.rel match {
-        // fold a filter directly above a leaf scan into ReadRel.filter
-        // (algebra.proto field 3) so the predicate arrives AT the scan on
-        // any consumer — scan-level pushdown survives the wire instead of
-        // depending on the consumer's optimizer. Refs are rebased onto the
-        // BASE schema (the mask indexes it; stacked filters AND together).
-        case r: Rel.Read =>
-          val onBase = r.projection match {
-            case Some(idxs) => remapRefs(c, idxs)
-            case None => c
+      val filtered: Produced =
+        if (plain.isEmpty) cur
+        else {
+          val c = toSExpr(plain.reduceLeft(And(_, _)), cur.attrs)
+          cur.rel match {
+            // fold a filter directly above a leaf scan into ReadRel.filter
+            // (algebra.proto field 3) so the predicate arrives AT the scan on
+            // any consumer — scan-level pushdown survives the wire instead of
+            // depending on the consumer's optimizer. Refs are rebased onto
+            // the BASE schema (mask indexes it; stacked filters AND).
+            case r: Rel.Read =>
+              val onBase = r.projection match {
+                case Some(idxs) => remapRefs(c, idxs)
+                case None => c
+              }
+              val merged = r.filter match {
+                case Some(prev) => SExpr.ScalarFn(anchor("and"), Seq(prev, onBase))
+                case None => onBase
+              }
+              Produced(r.copy(filter = Some(merged)), cur.attrs)
+            case _ =>
+              Produced(Rel.Filter(cur.rel, c), cur.attrs)
           }
-          val merged = r.filter match {
-            case Some(prev) => SExpr.ScalarFn(anchor("and"), Seq(prev, onBase))
-            case None => onBase
-          }
-          Produced(r.copy(filter = Some(merged)), cur.attrs)
-        case _ =>
-          Produced(Rel.Filter(cur.rel, c), cur.attrs)
-      }
+        }
+      // strip the scalar-subquery helper columns back off the output
+      if (scalarSubs.isEmpty) filtered
+      else Produced(
+        Rel.Project(filtered.rel, (0 until nLeft).map(SExpr.FieldRef(_))),
+        filtered.attrs.take(nLeft))
     }
 
     /** rewrite positional refs through a projection mask (ref i → mask(i)) —

@@ -253,6 +253,15 @@ class RoundtripSpec extends SparkTestBase {
       "SELECT a, b FROM data WHERE a IN (SELECT a FROM data2) AND b > 1.0"))
   }
 
+  test("uncorrelated scalar subquery in a filter (cross-joined single row)") {
+    fixture
+    assertRoundtrip(spark.sql(
+      "SELECT a, b FROM data WHERE b > (SELECT avg(b) FROM data2)"))
+    assertRoundtrip(spark.sql(
+      """SELECT a FROM data
+        |WHERE b > (SELECT min(b) FROM data2) AND a IN (SELECT a FROM data2)""".stripMargin))
+  }
+
   test("NOT IN stays loudly rejected (null-aware anti-join has no JoinRel twin)") {
     fixture
     val df = spark.sql("SELECT a FROM data WHERE a NOT IN (SELECT a FROM data2)")
