@@ -60,9 +60,15 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q32: IN-subquery executes as a broadcast semi join") {
+    val p = plan("q32_in_subquery")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
   test("no accidental cartesian products in the round-2 queries") {
+    // q33 intentionally cross-joins a single-row scalar-subquery result
     for (q <- Seq("j01_asof_join", "j02_range_join", "q27_rollup",
-      "q28_cube", "q29_grouping_sets")) {
+      "q28_cube", "q29_grouping_sets", "q32_in_subquery")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")

@@ -206,6 +206,16 @@ class RoundtripSpec extends SparkTestBase {
       "SELECT a, d, count(*) AS n FROM data GROUP BY GROUPING SETS ((d), (a, d), ())"))
   }
 
+  test("grouping sets double round-trip: produce from a consumed plan's shape") {
+    fixture
+    val df = spark.sql(
+      "SELECT a, d, count(*) AS n FROM data GROUP BY ROLLUP (a, d)")
+    val once = Serializer.roundtrip(spark, df)
+    val twice = Serializer.roundtrip(spark, once)
+    assertSameRows(df, twice)
+    assert(twice.columns.toSeq == df.columns.toSeq)
+  }
+
   test("rollup over a computed grouping expression round-trips") {
     fixture
     assertRoundtrip(spark.sql(
