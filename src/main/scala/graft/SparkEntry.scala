@@ -477,6 +477,17 @@ object SparkEntry {
           |ORDER BY o_orderkey""".stripMargin))
     }),
 
+    // correlated EXISTS (TPC-H Q4 shape) → decorrelated semi JoinRel
+    "q34_exists_correlated" -> ((s, dir) => {
+      t(s, dir, "orders"); t(s, dir, "lineitem")
+      rt(s, s.sql(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+    }),
+
     // uncorrelated scalar subquery → cross-joined single-row AggregateRel
     "q33_scalar_subquery" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -897,6 +908,12 @@ object SparkEntry {
         |WINDOW win AS (PARTITION BY o_custkey
         |               ORDER BY o_totalprice DESC, o_orderkey ASC))
         |SELECT * FROM w WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q34_exists_correlated" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q33_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice >

@@ -257,8 +257,10 @@ object Producer {
         case other => Seq(other)
       }
       val (subq, plain0) = conjuncts(cond).partition {
-        case InSubquery(_, l: ListQuery) => l.outerAttrs.isEmpty
-        case ex: Exists => ex.outerAttrs.isEmpty
+        case InSubquery(_, _: ListQuery) => true
+        case _: Exists => true
+        case Not(_: Exists) => true // NOT EXISTS = anti join (null-safe,
+        // unlike NOT IN, whose null-aware anti has no JoinRel twin)
         case _ => false
       }
       var cur = toRel(child)
@@ -291,19 +293,27 @@ object Producer {
       })
       subq.foreach {
         case InSubquery(values, l: ListQuery) =>
-          val sub = toRel(l.plan)
+          // keep the subquery's output exprs in front, then the inner attrs
+          // the lifted correlated predicates need
+          val (subPlan, corr, needed) =
+            decorrelate(l.plan, l.outerAttrs, keepOutput = true)
+          val sub = toRel(subPlan)
           val nL = cur.attrs.size
+          val nOut = sub.attrs.size - needed.size
+          val both = cur.attrs ++ sub.attrs
           val eqs = values.zipWithIndex.map { case (v, i) =>
+            if (i >= nOut) internalErr("IN value arity > subquery output")
             SExpr.ScalarFn(anchor("equal"),
               Seq(toSExpr(v, cur.attrs), SExpr.FieldRef(nL + i)))
           }
-          val c = eqs.reduceLeft((a, b) =>
+          val corrS = corr.map(e => toSExpr(stripOuter(e), both))
+          val c = (eqs ++ corrS).reduceLeft((a, b) =>
             SExpr.ScalarFn(anchor("and"), Seq(a, b)))
           cur = Produced(Rel.Join(cur.rel, sub.rel, c, JoinType.Semi), cur.attrs)
         case ex: Exists =>
-          val sub = toRel(ex.plan)
-          cur = Produced(Rel.Join(cur.rel, sub.rel,
-            SExpr.Lit(LitVal.LBool(true)), JoinType.Semi), cur.attrs)
+          cur = existsJoin(cur, ex, JoinType.Semi)
+        case Not(ex: Exists) =>
+          cur = existsJoin(cur, ex, JoinType.Anti)
         case other => internalErr(s"subquery partition leak: $other")
       }
       val filtered: Produced =
@@ -335,6 +345,89 @@ object Producer {
       else Produced(
         Rel.Project(filtered.rel, (0 until nLeft).map(SExpr.FieldRef(_))),
         filtered.attrs.take(nLeft))
+    }
+
+    /** [NOT] EXISTS → semi/anti join. EXISTS ignores the subquery's output,
+      * so the subplan is replaced with exactly the inner attrs the lifted
+      * correlated predicates reference; uncorrelated EXISTS joins on TRUE.
+      */
+    private def existsJoin(cur: Produced, ex: Exists, joinType: Int): Produced = {
+      val (subPlan, corr, _) =
+        decorrelate(ex.plan, ex.outerAttrs, keepOutput = false)
+      val sub = toRel(subPlan)
+      val both = cur.attrs ++ sub.attrs
+      val c =
+        if (corr.isEmpty) SExpr.Lit(LitVal.LBool(true))
+        else corr.map(e => toSExpr(stripOuter(e), both))
+          .reduceLeft((a, b) => SExpr.ScalarFn(anchor("and"), Seq(a, b)))
+      Produced(Rel.Join(cur.rel, sub.rel, c, joinType), cur.attrs)
+    }
+
+    /** Correlated-subquery decorrelation (the same rewrite Spark's optimizer
+      * applies): correlated conjuncts are lifted out of the subplan's Filter
+      * nodes into the enclosing semi-join condition. Lifting is only legal
+      * across Filter/Project/alias layers — an Aggregate/Limit/Window between
+      * the correlation and the top would change semantics, so any
+      * OuterReference below such a node fails loudly.
+      *
+      * Returns (rebuilt subplan, lifted correlated conjuncts, appended inner
+      * attrs). The rebuilt plan's output = (original output exprs when
+      * `keepOutput`, for IN) ++ the inner attributes the lifted predicates
+      * reference — a semi join ignores extra right-side columns.
+      */
+    private def decorrelate(plan: LogicalPlan, outerAttrs: Seq[Expression],
+                            keepOutput: Boolean)
+        : (LogicalPlan, Seq[Expression], Seq[Attribute]) = {
+      def hasOuter(e: Expression): Boolean =
+        e.exists(_.isInstanceOf[OuterReference])
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      // peel Filter/Project/alias layers, collecting correlated conjuncts;
+      // keep local filters, remember the top-level output exprs
+      var outExprs: Option[Seq[NamedExpression]] = None
+      val corr = mutable.ArrayBuffer.empty[Expression]
+      def strip(p: LogicalPlan): LogicalPlan = p match {
+        // catalog boundary (named scan) is a leaf — never peel into a View
+        case _ if leafRead(p).isDefined => p
+        case logical.Filter(c, child) =>
+          val (cs, local) = conjuncts(c).partition(hasOuter)
+          corr ++= cs
+          val stripped = strip(child)
+          if (local.isEmpty) stripped
+          else logical.Filter(local.reduceLeft(And(_, _)), stripped)
+        case pr: logical.Project =>
+          if (outExprs.isEmpty) outExprs = Some(pr.projectList)
+          // drop the projection: needed columns are re-selected at the top
+          strip(pr.child)
+        case a: logical.SubqueryAlias => strip(a.child)
+        case v: logical.View => strip(v.child)
+        case other =>
+          if (other.exists(n => n.expressions.exists(hasOuter)))
+            notImplemented(
+              "correlated predicate below an aggregation/limit/window")
+          other
+      }
+      val core = strip(plan)
+      val outerIds = outerAttrs.collect { case a: AttributeReference => a.exprId }.toSet
+      val needed: Seq[Attribute] = corr.toSeq
+        .flatMap(_.references.toSeq)
+        .filter(a => !outerIds.contains(a.exprId))
+        .distinctBy(_.exprId)
+      needed.foreach { a =>
+        if (!core.outputSet.contains(a))
+          notImplemented(s"correlated inner attribute ${a.name} not in subquery scan")
+      }
+      val out: Seq[NamedExpression] =
+        (if (keepOutput) outExprs.getOrElse(core.output) else Nil) ++ needed
+      (logical.Project(out, core), corr.toSeq, needed)
+    }
+
+    /** OuterReference(a) → a, so the lifted predicate resolves over the
+      * combined (left ++ right) join schema */
+    private def stripOuter(e: Expression): Expression = e.transform {
+      case OuterReference(a) => a
     }
 
     /** rewrite positional refs through a projection mask (ref i → mask(i)) —

@@ -272,6 +272,38 @@ class RoundtripSpec extends SparkTestBase {
         |WHERE b > (SELECT min(b) FROM data2) AND a IN (SELECT a FROM data2)""".stripMargin))
   }
 
+  test("correlated EXISTS decorrelates into a semi-join condition") {
+    fixture
+    assertRoundtrip(spark.sql(
+      """SELECT d1.a, d1.b FROM data d1
+        |WHERE EXISTS (SELECT 1 FROM data2 d2
+        |              WHERE d2.a = d1.a AND d2.d)""".stripMargin))
+  }
+
+  test("correlated NOT EXISTS becomes an anti join") {
+    fixture
+    assertRoundtrip(spark.sql(
+      """SELECT d1.a FROM data d1
+        |WHERE NOT EXISTS (SELECT 1 FROM data2 d2
+        |                  WHERE d2.a = d1.a AND d2.d)""".stripMargin))
+  }
+
+  test("correlated IN lifts the correlation into the semi-join condition") {
+    fixture
+    assertRoundtrip(spark.sql(
+      """SELECT d1.a, d1.b FROM data d1
+        |WHERE d1.b IN (SELECT d2.b FROM data2 d2 WHERE d2.a = d1.a)""".stripMargin))
+  }
+
+  test("correlated predicate under an aggregation is loudly rejected") {
+    fixture
+    val df = spark.sql(
+      """SELECT d1.a FROM data d1
+        |WHERE d1.b < (SELECT sum(d2.b) FROM data2 d2 WHERE d2.a = d1.a)""".stripMargin)
+    val e = intercept[model.SubstraitException](Producer.produce(df))
+    assert(e.getMessage.contains("NotImplemented"), e.getMessage)
+  }
+
   test("NOT IN stays loudly rejected (null-aware anti-join has no JoinRel twin)") {
     fixture
     val df = spark.sql("SELECT a FROM data WHERE a NOT IN (SELECT a FROM data2)")
