@@ -488,6 +488,18 @@ object SparkEntry {
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
     }),
 
+    // correlated scalar aggregate (TPC-H Q17 shape) → grouped left join
+    "q35_scalar_correlated" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+      rt(s, s.sql(
+        """SELECT l1.l_orderkey, l1.l_linenumber, l1.l_quantity
+          |FROM lineitem l1
+          |WHERE l1.l_quantity > 1.9 * (SELECT avg(l2.l_quantity)
+          |                             FROM lineitem l2
+          |                             WHERE l2.l_partkey = l1.l_partkey)
+          |ORDER BY l1.l_orderkey, l1.l_linenumber""".stripMargin))
+    }),
+
     // uncorrelated scalar subquery → cross-joined single-row AggregateRel
     "q33_scalar_subquery" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -908,6 +920,13 @@ object SparkEntry {
         |WINDOW win AS (PARTITION BY o_custkey
         |               ORDER BY o_totalprice DESC, o_orderkey ASC))
         |SELECT * FROM w WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q35_scalar_correlated" ->
+      """SELECT l1.l_orderkey, l1.l_linenumber, l1.l_quantity
+        |FROM lineitem l1
+        |WHERE l1.l_quantity > 1.9 * (SELECT avg(l2.l_quantity)
+        |                             FROM lineitem l2
+        |                             WHERE l2.l_partkey = l1.l_partkey)
+        |ORDER BY l1.l_orderkey, l1.l_linenumber""".stripMargin,
     "q34_exists_correlated" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

@@ -265,31 +265,75 @@ object Producer {
       }
       var cur = toRel(child)
       val nLeft = cur.attrs.size
-      // uncorrelated SCALAR subqueries in the remaining conjuncts: cross-join
-      // their single-row results onto the input and rewrite each subquery
-      // expression into a field ref; the filter then compares plain columns.
-      // (Safe: a scalar subquery is exactly one row by contract, so the cross
-      // join is a 1-row broadcast, and the appended columns are projected
-      // away below.)
+      // SCALAR subqueries in the remaining conjuncts become joins whose
+      // single result column replaces the subquery expression:
+      // - uncorrelated → cross join of the one-row result (1-row broadcast);
+      // - correlated equality over a global Aggregate (the TPC-H Q17 shape)
+      //   → group the aggregate by the lifted keys and LEFT join on them
+      //     (a key with no group yields NULL, and NULL comparisons filter
+      //     out — exactly the empty-subquery semantics; COUNT is rejected,
+      //     whose empty-group value is 0, not NULL).
+      // The appended columns are projected away below.
       val scalarSubs = mutable.ArrayBuffer.empty[ScalarSubquery]
       plain0.foreach(_.foreach {
         case s: ScalarSubquery
-            if s.outerAttrs.isEmpty &&
-              !scalarSubs.exists(_.exprId == s.exprId) => scalarSubs += s
+            if !scalarSubs.exists(_.exprId == s.exprId) => scalarSubs += s
         case _ => ()
       })
-      val scalarPos: Map[ExprId, Int] = scalarSubs.zipWithIndex.map {
-        case (s, i) => s.exprId -> i
-      }.toMap
+      val replacement = mutable.Map.empty[ExprId, Attribute]
       scalarSubs.foreach { s =>
-        val sub = toRel(s.plan)
-        if (sub.attrs.size != 1) notImplemented("scalar subquery arity != 1")
-        cur = Produced(Rel.Cross(cur.rel, sub.rel), cur.attrs ++ sub.attrs)
+        if (s.outerAttrs.isEmpty) {
+          val sub = toRel(s.plan)
+          if (sub.attrs.size != 1) notImplemented("scalar subquery arity != 1")
+          replacement(s.exprId) = sub.attrs.head
+          cur = Produced(Rel.Cross(cur.rel, sub.rel), cur.attrs ++ sub.attrs)
+        } else s.plan match {
+          case agg: logical.Aggregate
+              if agg.groupingExpressions.isEmpty &&
+                agg.aggregateExpressions.size == 1 =>
+            val usesCount = agg.aggregateExpressions.head.exists {
+              case ae: AggregateExpression =>
+                ae.aggregateFunction.prettyName.startsWith("count")
+              case _ => false
+            }
+            if (usesCount) notImplemented(
+              "correlated COUNT scalar subquery (empty group is 0, not NULL)")
+            val (core, _, corr, _) = decorrelateRaw(agg.child, s.outerAttrs)
+            val outerIds = s.outerAttrs.collect {
+              case a: AttributeReference => a.exprId }.toSet
+            val keyPairs: Seq[(Attribute, Attribute)] =
+              corr.map(stripOuter).map {
+                case EqualTo(a: AttributeReference, b: AttributeReference)
+                    if outerIds.contains(a.exprId) && !outerIds.contains(b.exprId) =>
+                  (a, b)
+                case EqualTo(a: AttributeReference, b: AttributeReference)
+                    if outerIds.contains(b.exprId) && !outerIds.contains(a.exprId) =>
+                  (b, a)
+                case other => notImplemented(
+                  s"non-equality correlation in scalar subquery: $other")
+              }
+            if (keyPairs.isEmpty) notImplemented(
+              "correlated scalar subquery without equality keys")
+            val innerKeys = keyPairs.map(_._2).distinctBy(_.exprId)
+            val newAgg = logical.Aggregate(innerKeys,
+              (innerKeys: Seq[NamedExpression]) ++ agg.aggregateExpressions, core)
+            val sub = toRel(newAgg)
+            replacement(s.exprId) = sub.attrs.last
+            val both = cur.attrs ++ sub.attrs
+            val cond = keyPairs.map { case (o, i) =>
+              SExpr.ScalarFn(anchor("equal"),
+                Seq(toSExpr(o, cur.attrs), toSExpr(i, both)))
+            }.reduceLeft((a, b) => SExpr.ScalarFn(anchor("and"), Seq(a, b)))
+            cur = Produced(Rel.Join(cur.rel, sub.rel, cond, JoinType.Left),
+              cur.attrs ++ sub.attrs)
+          case _ => notImplemented(
+            "correlated scalar subquery outside the single-aggregate shape")
+        }
       }
       val plain = plain0.map(_.transform {
-        case s: ScalarSubquery if scalarPos.contains(s.exprId) =>
-          // stand-in attr: resolves via the appended cross-join columns
-          cur.attrs(nLeft + scalarPos(s.exprId))
+        case s: ScalarSubquery if replacement.contains(s.exprId) =>
+          // stand-in attr: resolves via the appended join columns
+          replacement(s.exprId)
       })
       subq.foreach {
         case InSubquery(values, l: ListQuery) =>
@@ -378,6 +422,19 @@ object Producer {
     private def decorrelate(plan: LogicalPlan, outerAttrs: Seq[Expression],
                             keepOutput: Boolean)
         : (LogicalPlan, Seq[Expression], Seq[Attribute]) = {
+      val (core, outExprs, corr, needed) = decorrelateRaw(plan, outerAttrs)
+      val out: Seq[NamedExpression] =
+        (if (keepOutput) outExprs.getOrElse(core.output) else Nil) ++ needed
+      (logical.Project(out, core), corr, needed)
+    }
+
+    /** peel Filter/Project/alias layers (stopping at catalog leaves), lift
+      * correlated conjuncts, keep local filters in place. Returns
+      * (core plan, top-level output exprs if any, lifted conjuncts, inner
+      * attrs those conjuncts reference).
+      */
+    private def decorrelateRaw(plan: LogicalPlan, outerAttrs: Seq[Expression])
+        : (LogicalPlan, Option[Seq[NamedExpression]], Seq[Expression], Seq[Attribute]) = {
       def hasOuter(e: Expression): Boolean =
         e.exists(_.isInstanceOf[OuterReference])
       def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -419,9 +476,7 @@ object Producer {
         if (!core.outputSet.contains(a))
           notImplemented(s"correlated inner attribute ${a.name} not in subquery scan")
       }
-      val out: Seq[NamedExpression] =
-        (if (keepOutput) outExprs.getOrElse(core.output) else Nil) ++ needed
-      (logical.Project(out, core), corr.toSeq, needed)
+      (core, outExprs, corr.toSeq, needed)
     }
 
     /** OuterReference(a) → a, so the lifted predicate resolves over the

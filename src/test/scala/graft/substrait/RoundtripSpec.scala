@@ -295,11 +295,22 @@ class RoundtripSpec extends SparkTestBase {
         |WHERE d1.b IN (SELECT d2.b FROM data2 d2 WHERE d2.a = d1.a)""".stripMargin))
   }
 
-  test("correlated predicate under an aggregation is loudly rejected") {
+  test("correlated scalar aggregate (TPC-H Q17 shape) → grouped left join") {
+    fixture
+    assertRoundtrip(spark.sql(
+      """SELECT d1.a, d1.b FROM data d1
+        |WHERE d1.b < (SELECT sum(d2.b) FROM data2 d2 WHERE d2.a = d1.a)""".stripMargin))
+    assertRoundtrip(spark.sql(
+      """SELECT d1.a FROM data d1
+        |WHERE d1.b >= (SELECT avg(d2.b) * 0.5 FROM data2 d2
+        |               WHERE d2.a = d1.a AND d2.d)""".stripMargin))
+  }
+
+  test("correlated COUNT scalar subquery is loudly rejected (0 vs NULL)") {
     fixture
     val df = spark.sql(
       """SELECT d1.a FROM data d1
-        |WHERE d1.b < (SELECT sum(d2.b) FROM data2 d2 WHERE d2.a = d1.a)""".stripMargin)
+        |WHERE d1.a < (SELECT count(*) FROM data2 d2 WHERE d2.a = d1.a)""".stripMargin)
     val e = intercept[model.SubstraitException](Producer.produce(df))
     assert(e.getMessage.contains("NotImplemented"), e.getMessage)
   }
