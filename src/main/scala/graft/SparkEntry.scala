@@ -105,10 +105,12 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
-    // ANN top-k via IVF: KMeans coarse quantizer, probe 4 of 16 cells
+    // ANN top-k via IVF: KMeans coarse quantizer trained on a half sample
+    // (the 100 TB path — the quantizer never sees the full corpus),
+    // probe 4 of 16 cells
     "s03_knn_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val idx = ops.Ivf.build(e, nlist = 16)
+      val idx = ops.Ivf.build(e, nlist = 16, trainSampleFraction = 0.5)
       ops.Ivf.search(idx, e.filter(col("vec_id") < 8), k = 5, nprobe = 4)
         .orderBy("q_id", "rank")
     }),
