@@ -280,7 +280,7 @@ object Producer {
             if !scalarSubs.exists(_.exprId == s.exprId) => scalarSubs += s
         case _ => ()
       })
-      val replacement = mutable.Map.empty[ExprId, Attribute]
+      val replacement = mutable.Map.empty[ExprId, Expression]
       scalarSubs.foreach { s =>
         if (s.outerAttrs.isEmpty) {
           val sub = toRel(s.plan)
@@ -291,13 +291,25 @@ object Producer {
           case agg: logical.Aggregate
               if agg.groupingExpressions.isEmpty &&
                 agg.aggregateExpressions.size == 1 =>
+            // COUNT of an empty group is 0, but a left-join miss yields NULL:
+            // when the output is EXACTLY the count (the common case), wrap
+            // the replacement in coalesce(…, 0); count buried inside a wider
+            // expression (where NULL would propagate before the fix-up) is
+            // rejected.
+            val topIsBareCount = agg.aggregateExpressions.head match {
+              case Alias(ae: AggregateExpression, _) =>
+                ae.aggregateFunction.prettyName.startsWith("count")
+              case ae: AggregateExpression =>
+                ae.aggregateFunction.prettyName.startsWith("count")
+              case _ => false
+            }
             val usesCount = agg.aggregateExpressions.head.exists {
               case ae: AggregateExpression =>
                 ae.aggregateFunction.prettyName.startsWith("count")
               case _ => false
             }
-            if (usesCount) notImplemented(
-              "correlated COUNT scalar subquery (empty group is 0, not NULL)")
+            if (usesCount && !topIsBareCount) notImplemented(
+              "correlated COUNT inside a wider scalar expression")
             val (core, _, corr, _) = decorrelateRaw(agg.child, s.outerAttrs)
             val outerIds = s.outerAttrs.collect {
               case a: AttributeReference => a.exprId }.toSet
@@ -318,7 +330,10 @@ object Producer {
             val newAgg = logical.Aggregate(innerKeys,
               (innerKeys: Seq[NamedExpression]) ++ agg.aggregateExpressions, core)
             val sub = toRel(newAgg)
-            replacement(s.exprId) = sub.attrs.last
+            replacement(s.exprId) =
+              if (topIsBareCount)
+                Coalesce(Seq(sub.attrs.last, Literal(0L, LongType)))
+              else sub.attrs.last
             val both = cur.attrs ++ sub.attrs
             val cond = keyPairs.map { case (o, i) =>
               SExpr.ScalarFn(anchor("equal"),

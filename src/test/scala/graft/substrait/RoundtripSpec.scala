@@ -306,13 +306,30 @@ class RoundtripSpec extends SparkTestBase {
         |               WHERE d2.a = d1.a AND d2.d)""".stripMargin))
   }
 
-  test("correlated COUNT scalar subquery is loudly rejected (0 vs NULL)") {
+  test("correlated COUNT scalar subquery: empty group compares as 0") {
+    fixture
+    // a=1 has one match in data2, a=3 has one; use <> to exercise both sides;
+    // rows with NO matching group must see 0, not NULL
+    assertRoundtrip(spark.sql(
+      """SELECT d1.a FROM data d1
+        |WHERE d1.a > (SELECT count(*) FROM data2 d2
+        |              WHERE d2.a = d1.a AND d2.d)""".stripMargin))
+  }
+
+  test("correlated COUNT inside a wider expression is loudly rejected") {
     fixture
     val df = spark.sql(
       """SELECT d1.a FROM data d1
-        |WHERE d1.a < (SELECT count(*) FROM data2 d2 WHERE d2.a = d1.a)""".stripMargin)
+        |WHERE d1.a < (SELECT count(*) * 2 FROM data2 d2 WHERE d2.a = d1.a)""".stripMargin)
     val e = intercept[model.SubstraitException](Producer.produce(df))
     assert(e.getMessage.contains("NotImplemented"), e.getMessage)
+  }
+
+  test("HAVING with a subquery: semi join sits above the aggregate") {
+    fixture
+    assertRoundtrip(spark.sql(
+      """SELECT a, count(*) AS n FROM data GROUP BY a
+        |HAVING count(*) >= (SELECT min(a) FROM data2)""".stripMargin))
   }
 
   test("NOT IN stays loudly rejected (null-aware anti-join has no JoinRel twin)") {
