@@ -676,13 +676,24 @@ object Producer {
         case other => other
       }
 
-    /** Catalyst frame boundary → WBound (negative literal = preceding). */
+    /** Catalyst frame boundary → WBound (negative literal = preceding).
+      * RANGE bounds arrive cast to the order column's type — peel the cast;
+      * substrait offsets are i64, so non-integral value bounds fail loudly.
+      */
     private def windowBound(e: Expression): WBound = e match {
       case UnboundedPreceding | UnboundedFollowing => WBound.Unbounded
       case CurrentRow => WBound.CurrentRow
+      case Cast(inner, _, _, _) => windowBound(inner)
       case Literal(n: Int, _) =>
         if (n < 0) WBound.Preceding(-n.toLong) else WBound.Following(n.toLong)
       case Literal(n: Long, _) =>
+        if (n < 0) WBound.Preceding(-n) else WBound.Following(n)
+      case Literal(d: Double, _) if d.isWhole =>
+        val n = d.toLong
+        if (n < 0) WBound.Preceding(-n) else WBound.Following(n)
+      case Literal(d: org.apache.spark.sql.types.Decimal, _)
+          if d.toBigDecimal.isWhole =>
+        val n = d.toBigDecimal.toLongExact
         if (n < 0) WBound.Preceding(-n) else WBound.Following(n)
       case other => notImplemented(s"window frame boundary $other")
     }

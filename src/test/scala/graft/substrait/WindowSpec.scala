@@ -40,6 +40,20 @@ class WindowFnSpec extends SparkTestBase {
       avg(col("value")).over(w).as("avg3")))
   }
 
+  test("RANGE frame: unbounded-preceding to current peers") {
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_quantity"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    assertRoundtrip(li.select(col("l_orderkey"), col("l_suppkey"),
+      col("l_quantity"), sum(col("l_extendedprice")).over(w).as("cum_price")))
+  }
+
+  test("RANGE frame with VALUE bounds (quantity within 5 below)") {
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_quantity"))
+      .rangeBetween(-5, 0)
+    assertRoundtrip(li.select(col("l_orderkey"), col("l_suppkey"),
+      col("l_quantity"), count(lit(1)).over(w).as("n_near")))
+  }
+
   test("lag and lead with defaults") {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     assertRoundtrip(ev.select(col("event_id"), col("user_id"),
