@@ -91,11 +91,13 @@ object SparkEntry {
       ops.Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.35)
         .orderBy("id_a", "id_b")),
 
-    // exact brute-force cosine top-k (broadcast queries, one corpus scan)
+    // exact brute-force cosine top-k (broadcast queries, one corpus scan) —
+    // wire-round-tripped: the codegen'd vec_cosine kernel travels as a named
+    // extension function, the broadcast hint re-derives on the consumer side
     "s01_knn_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      ops.Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 8), k = 5)
-        .orderBy("q_id", "rank")
+      rt(s, ops.Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 8), k = 5)
+        .orderBy("q_id", "rank"))
     }),
 
     // ANN top-k via multi-table sign-LSH (the 100 TB path)

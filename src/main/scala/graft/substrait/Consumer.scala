@@ -427,8 +427,11 @@ object Consumer {
           case "negate" => -a0
           case "coalesce" => coalesce(all: _*)
           // named scalar functions (Producer.namedScalarFns) resolve through
-          // the session function registry
+          // the session function registry; graft's vector kernels register
+          // themselves on first use so foreign plans naming them resolve too
           case other if Producer.namedScalarFns.contains(other) =>
+            if (other.startsWith("vec_"))
+              graft.functions.VecFunctions.ensureSessionRegistered()
             call_function(other, all: _*)
           case other => notImplemented(s"scalar function $other")
         }
@@ -458,6 +461,7 @@ object Consumer {
       case LitVal.LDecimal(bytesLE, _, s) =>
         new java.math.BigDecimal(new java.math.BigInteger(bytesLE.reverse), s)
       case LitVal.LNull(_) => null
+      case LitVal.LList(_, vs) => vs.map(litExternal)
     }
 
     private def literalColumn(v: LitVal): Column = v match {
@@ -484,6 +488,8 @@ object Consumer {
         val bd = new java.math.BigDecimal(new java.math.BigInteger(be), s)
         lit(bd).cast(DecimalType(p, s))
       case LitVal.LNull(t) => lit(null).cast(sparkType(t))
+      case LitVal.LList(et, vs) =>
+        array(vs.map(literalColumn): _*).cast(ArrayType(sparkType(et)))
     }
   }
 

@@ -116,6 +116,10 @@ object Producer {
 
       case a: logical.SubqueryAlias => toRel(a.child) // alias stripped (producer.rs:276-280)
       case v: logical.View => toRel(v.child)
+      // join-strategy hints don't cross the wire (substrait carries logical
+      // plans only); the consumer's Catalyst re-derives broadcastability
+      // from stats/AQE, so dropping the hint costs semantics nothing
+      case h: logical.ResolvedHint => toRel(h.child)
 
       case j: logical.Join =>
         val l = toRel(j.left); val r = toRel(j.right)
@@ -834,6 +838,12 @@ object Producer {
           var i = 0
           while (i < be.length) { out(i) = be(be.length - 1 - i); i += 1 }
           LitVal.LDecimal(out, dt.precision, dt.scale)
+        case ArrayType(et, _) =>
+          val ad = l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          val n = ad.numElements()
+          if (n == 0) notImplemented("empty array literal")
+          LitVal.LList(sTypeOf(et),
+            (0 until n).map(i => literal(Literal(ad.get(i, et), et))))
         case other => notImplemented(s"literal of type $other")
       }
     }
@@ -856,7 +866,10 @@ object Producer {
     "size", "array_contains", "array_distinct", "array_min", "array_max",
     "sort_array", "element_at", "slice", "array_join", "arrays_overlap",
     "array_intersect", "array_union", "array_except", "sequence",
-    "if", "ifnull", "nullif", "nvl", "nvl2")
+    "if", "ifnull", "nullif", "nvl", "nvl2",
+    // graft's own codegen'd vector kernels — session-registered functions,
+    // carried as substrait extension functions by name
+    "vec_dot", "vec_cosine", "vec_l2sq")
 
   // -------------------------------------------------------------------- types
   def sTypeOf(dt: DataType): SType = dt match {

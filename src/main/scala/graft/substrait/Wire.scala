@@ -213,6 +213,11 @@ object Wire {
       case LitVal.LDecimal(bytes, p, s) =>
         lw.msg(24, dw => { dw.bytes(1, bytes); dw.int32(2, p); dw.int32(3, s) })
       case LitVal.LNull(t)      => writeType(lw, 29, t, nullable = true)
+      case LitVal.LList(et, vs) =>
+        lw.msg(26, listw => {
+          writeType(listw, 2, et, nullable = true)
+          vs.foreach(writeLiteral(listw, 1, _))
+        })
     })
 
   private def readLiteral(r: R): LitVal = {
@@ -241,6 +246,16 @@ object Wire {
         }}
         res = LitVal.LDecimal(bytes, p, s); true
       case (29, 2) => res = LitVal.LNull(readType(r.lenDelim())._1); true
+      case (26, 2) =>
+        val lr = r.lenDelim()
+        var et: SType = null
+        val vs = Seq.newBuilder[LitVal]
+        lr.fields { (lf, lwt) => (lf, lwt) match {
+          case (1, 2) => vs += readLiteral(lr.lenDelim()); true
+          case (2, 2) => et = readType(lr.lenDelim())._1; true
+          case _ => false
+        }}
+        res = LitVal.LList(et, vs.result()); true
       case (50, 0) => r.varint(); true // nullable flag — carried by the value
       case _ => false
     }}

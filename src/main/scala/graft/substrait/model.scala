@@ -91,6 +91,9 @@ object model {
     final case class LDecimal(valueLE: Array[Byte], precision: Int, scale: Int) extends LitVal
     /** typed null (consumer.rs:617-639) */
     final case class LNull(tpe: SType) extends LitVal
+    /** non-empty array literal (substrait Literal.list — beyond reference);
+      * element type carried for the consumer's cast */
+    final case class LList(elemType: SType, values: Seq[LitVal]) extends LitVal
   }
 
   // ---- relations (algebra.proto Rel) ----

@@ -339,6 +339,26 @@ class RoundtripSpec extends SparkTestBase {
     assert(e.getMessage.contains("NotImplemented"), e.getMessage)
   }
 
+  test("array literals and the codegen'd vector kernels ride the wire") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.6, 0.8)))
+      .toDF("id", "vec")
+    val q = df.select(col("id"),
+      round(graft.functions.VecFunctions.vecCosine(
+        col("vec"), typedLit(Seq(1.0, 0.0))), 6).as("sim"))
+    assertRoundtrip(q)
+    val got = Serializer.roundtrip(spark, q).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 0.6))
+  }
+
+  test("brute-force kNN (hint + kernel) is wire-expressible end-to-end") {
+    graft.Tables.register(spark, sfDir)
+    val e = spark.table("embeddings")
+    val knn = graft.ops.Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 3), k = 3)
+    assertRoundtrip(knn)
+  }
+
   test("inline literal frame rides the wire as a VirtualTable") {
     import spark.implicits._
     val dim = Seq((1L, "one", true), (3L, "three", false)).toDF("k", "label", "flag")
