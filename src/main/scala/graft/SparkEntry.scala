@@ -54,8 +54,8 @@ object SparkEntry {
     */
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: digest group-by (shuffles md5 digests, not payloads)
-    "d01_dedup_exact" -> ((s, dir) =>
-      ops.Dedup.exactDedup(t(s, dir, "documents")).orderBy("digest")),
+    "d01_dedup_exact" -> ((s, dir) => rt(s,
+      ops.Dedup.exactDedup(t(s, dir, "documents")).orderBy("digest"))),
 
     // MinHash + banded LSH near-dup pairs, exact-jaccard verified
     "d02_minhash_pairs" -> ((s, dir) =>
@@ -74,8 +74,8 @@ object SparkEntry {
         .select("blk", "id_a", "id_b", "jaccard").orderBy("blk", "id_a", "id_b")),
 
     // composed corpus prep: quality filter → lang-ID → exact dedup
-    "d06_prepare_corpus" -> ((s, dir) =>
-      ops.Pipeline.prepareCorpus(t(s, dir, "documents")).orderBy("doc_id")),
+    "d06_prepare_corpus" -> ((s, dir) => rt(s,
+      ops.Pipeline.prepareCorpus(t(s, dir, "documents")).orderBy("doc_id"))),
 
     // incremental dedup: the "new batch" (odd ids) against the already-kept
     // corpus (even ids) — digest anti-join, payloads never shuffle
@@ -118,26 +118,26 @@ object SparkEntry {
     }),
 
     // language-ID heuristic + accuracy vs the labeled lang column
-    "t01_langid" -> ((s, dir) =>
+    "t01_langid" -> ((s, dir) => rt(s,
       ops.TextOps.langId(t(s, dir, "documents"))
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("lang", "lang_pred")),
+        .orderBy("lang", "lang_pred"))),
 
     // per-document quality metrics
-    "t02_text_quality" -> ((s, dir) =>
+    "t02_text_quality" -> ((s, dir) => rt(s,
       ops.TextOps.qualityScore(t(s, dir, "documents"))
         .select("doc_id", "n_tokens", "n_punct", "n_stopwords",
           "punct_ratio", "stopword_ratio", "avg_token_len", "quality_score")
-        .orderBy("doc_id")),
+        .orderBy("doc_id"))),
 
     // md5 fingerprint + whitespace and BPE-ish token counts
-    "t03_fingerprint" -> ((s, dir) =>
+    "t03_fingerprint" -> ((s, dir) => rt(s,
       t(s, dir, "documents").select(
         col("doc_id"),
         ops.TextOps.fingerprint(col("text")).as("digest"),
         ops.TextOps.tokenCount(col("text")).as("n_tokens"),
-        ops.TextOps.bpeTokenCount(col("text")).as("bpe_tokens")).orderBy("doc_id")),
+        ops.TextOps.bpeTokenCount(col("text")).as("bpe_tokens")).orderBy("doc_id"))),
 
     // top-k corpus vocabulary (map-side combined counts + TakeOrdered)
     "t04_top_terms" -> ((s, dir) =>

@@ -856,6 +856,7 @@ object Producer {
   val namedScalarFns: Set[String] = Set(
     "lower", "upper", "trim", "ltrim", "rtrim", "length", "substring",
     "replace", "split", "regexp_replace", "regexp_extract", "regexp_count",
+    "regexp_extract_all", // regexp_count's analyzed replacement form
     "concat_ws", "lpad", "rpad", "reverse", "instr", "left", "right",
     "abs", "round", "floor", "ceil", "sqrt", "exp", "ln", "log10", "power",
     "sin", "cos", "tan", "atan", "atan2", "sign", "greatest", "least",
