@@ -100,7 +100,12 @@ class PlanQualitySpec extends SparkTestBase {
     Tables.register(spark, sfDir)
     val df: DataFrame = SparkEntry.queries("d01_dedup_exact")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
-    // the exchange partitions on the digest column, and text is not carried
-    assert(p.contains("Exchange hashpartitioning(digest"), p)
+    // the md5 digest is computed BELOW the shuffle (deeper in the plan
+    // string), so only (id, 32-char digest) rows ride the exchange — the
+    // round-tripped plan uses fresh column names, so match structure not names
+    val ex = p.indexOf("Exchange hashpartitioning(")
+    assert(ex >= 0, p)
+    assert(p.indexOf("md5(") > ex, s"digest must be computed pre-shuffle:\n$p")
+    assert(p.contains("partial_min"), s"map-side combine expected:\n$p")
   }
 }
