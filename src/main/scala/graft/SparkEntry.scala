@@ -81,9 +81,9 @@ object SparkEntry {
     // corpus (even ids) — digest anti-join, payloads never shuffle
     "d07_incremental_dedup" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      ops.Dedup.incrementalDedup(
+      rt(s, ops.Dedup.incrementalDedup(
         d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0))
-        .orderBy("digest")
+        .orderBy("digest"))
     }),
 
     // embedding-cosine near-dups via multi-table sign-LSH
