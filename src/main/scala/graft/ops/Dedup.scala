@@ -144,8 +144,12 @@ object Dedup {
 
     val sa = shingled(base, idCol, textCol, shingleSize, "id_a", "sh_a")
     val sb = shingled(base, idCol, textCol, shingleSize, "id_b", "sh_b")
+    // shingle sets are distinct → |A∪B| = |A|+|B|−|A∩B|: one array op per
+    // candidate instead of two
     candidates.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("jaccard", jaccardCol("sh_a", "sh_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -184,12 +188,15 @@ object Dedup {
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
       // size-ratio prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
       // failing the ratio can never reach the threshold — the expensive
-      // intersect/union runs only on survivors (output provably unchanged)
+      // intersect runs only on survivors (output provably unchanged)
       .filter(least(col("sz_a"), col("sz_b")).cast("double") /
         greatest(col("sz_a"), col("sz_b")) >= threshold)
+      // shingle sets are distinct, so |A∪B| = |A|+|B|−|A∩B| — one array
+      // op per pair instead of two
       .select(col("blk"), col("id_a"), col("id_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
-        size(array_union(col("sh_a"), col("sh_b"))).as("n_union"))
+        col("sz_a"), col("sz_b"))
+      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
       .filter(col("n_inter").cast("double") / col("n_union") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"),
         round(col("n_inter").cast("double") / col("n_union"), 6).as("jaccard"))
