@@ -176,9 +176,9 @@ object SparkEntry {
         .select("event_id", "user_id", "ts")
       val purchases = ev.filter(col("event_type") === "purchase")
         .select("user_id", "ts", "event_id", "value")
-      ops.AsOfJoin.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+      rt(s, ops.AsOfJoin.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
         payload = Seq("event_id", "value"), prefix = "p_")
-        .orderBy("event_id")
+        .orderBy("event_id"))
     }),
 
     // binned range join: clicks within the hour before each error event

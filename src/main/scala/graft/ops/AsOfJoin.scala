@@ -39,7 +39,8 @@ object AsOfJoin {
     val rSide = right.select(
       keys.map(col) ++ Seq(col(rightTs).as("__t"), lit(0).as("__side"),
         rStruct.as("__r")) ++
-        leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*)
+        leftCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val lSide = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("__t"), lit(1).as("__side"),
         lit(null).cast(rSide.schema("__r").dataType).as("__r")) ++

@@ -391,6 +391,12 @@ object Consumer {
         def a1 = toColumnRec(args(1), cols)
         def all = args.map(toColumnRec(_, cols))
         n match {
+          // struct field access (producer's get_field extension): the field
+          // name is a string literal, consumed raw — not a Column
+          case "get_field" => args(1) match {
+            case SExpr.Lit(LitVal.LStr(fieldName)) => a0.getField(fieldName)
+            case other => notImplemented(s"get_field name $other")
+          }
           // name_to_op's 26 operators (consumer.rs:37-71)
           case "equal" => a0 === a1
           case "not_equal" => a0 =!= a1
@@ -509,5 +515,9 @@ object Consumer {
     case SType.STimestampTz => TimestampType
     case SType.SDecimal(p, s) => DecimalType(p, s)
     case SType.SList(e, n) => ArrayType(sparkType(e), n)
+    case SType.SStruct(names, fields) =>
+      StructType(names.zip(fields).map { case (n, (t, nul)) =>
+        StructField(n, sparkType(t), nul)
+      })
   }
 }

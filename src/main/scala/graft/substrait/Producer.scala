@@ -804,6 +804,19 @@ object Producer {
       // named scalar functions whose Catalyst children order matches their
       // SQL argument order — encoded by prettyName, consumed via
       // call_function (beyond the reference's 26 operators)
+      // struct construction: children alternate name-literal/value, exactly
+      // SQL named_struct's argument order (prettyName is "struct" when built
+      // via the struct() column function, so match the node class)
+      case cns: CreateNamedStruct =>
+        SExpr.ScalarFn(anchor("named_struct"), cns.children.map(rec))
+
+      // struct field access: no SQL-callable function exists, so it rides
+      // as the extension function get_field(struct, name-literal)
+      case g: GetStructField =>
+        SExpr.ScalarFn(anchor("get_field"),
+          Seq(rec(g.child), SExpr.Lit(LitVal.LStr(
+            g.name.getOrElse(g.childSchema(g.ordinal).name)))))
+
       case e if Producer.namedScalarFns.contains(e.prettyName) &&
           e.deterministic && e.children.nonEmpty =>
         SExpr.ScalarFn(anchor(e.prettyName), e.children.map(rec))
@@ -870,7 +883,9 @@ object Producer {
     "if", "ifnull", "nullif", "nvl", "nvl2",
     // graft's own codegen'd vector kernels — session-registered functions,
     // carried as substrait extension functions by name
-    "vec_dot", "vec_cosine", "vec_l2sq")
+    "vec_dot", "vec_cosine", "vec_l2sq",
+    // struct construction (SQL-callable; get_field is its access twin)
+    "named_struct")
 
   // -------------------------------------------------------------------- types
   def sTypeOf(dt: DataType): SType = dt match {
@@ -888,6 +903,9 @@ object Producer {
     case TimestampType => SType.STimestampTz
     case d: DecimalType => SType.SDecimal(d.precision, d.scale)
     case ArrayType(e, n) => SType.SList(sTypeOf(e), n)
+    case StructType(fs) =>
+      SType.SStruct(fs.toSeq.map(_.name),
+        fs.toSeq.map(f => (sTypeOf(f.dataType), f.nullable)))
     case other => notImplemented(s"data type $other")
   }
 }

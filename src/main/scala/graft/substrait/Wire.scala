@@ -119,6 +119,13 @@ object Wire {
       case SType.SList(e, en) =>
         // List{type=1, tvr=2, nullability=3}
         tw.msg(27, l => { writeType(l, 1, e, en); l.int32(3, if (nullable) 1 else 2) })
+      case SType.SStruct(names, fields) =>
+        // Struct{types=1, nullability=3; field names in 10 — see model.SStruct}
+        tw.msg(25, s => {
+          fields.foreach { case (t, n) => writeType(s, 1, t, n) }
+          s.int32(3, if (nullable) 1 else 2)
+          names.foreach(s.str(10, _))
+        })
     })
 
   private def readType(r: R): (SType, Boolean) = {
@@ -164,6 +171,17 @@ object Wire {
               case _ => false
             }}
             res = (SType.SList(elem._1, elem._2), nullable); true
+          case 25 =>
+            val fs = Seq.newBuilder[(SType, Boolean)]
+            val ns = Seq.newBuilder[String]
+            var nullable = true
+            kr.fields { (sf, swt) => (sf, swt) match {
+              case (1, 2) => fs += readType(kr.lenDelim()); true
+              case (3, 0) => nullable = kr.varint() == 1L; true
+              case (10, 2) => ns += kr.str(); true
+              case _ => false
+            }}
+            res = (SType.SStruct(ns.result(), fs.result()), nullable); true
           case _ => notImplemented(s"type kind field $f")
         }
       }

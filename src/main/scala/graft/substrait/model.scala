@@ -34,6 +34,11 @@ object model {
     case object STimestampTz extends SType
     final case class SDecimal(precision: Int, scale: Int) extends SType
     final case class SList(elem: SType, elemNullable: Boolean) extends SType
+    /** struct type. Substrait's Struct is anonymous (names live only in the
+      * root NamedStruct); Spark struct fields are named, so names travel in
+      * an unused proto field — a documented beyond-reference extension. */
+    final case class SStruct(names: Seq[String],
+                             fields: Seq[(SType, Boolean)]) extends SType
   }
 
   /** NamedStruct: flat field names + types (+nullability). type.proto NamedStruct. */

@@ -359,6 +359,34 @@ class RoundtripSpec extends SparkTestBase {
     assertRoundtrip(knn)
   }
 
+  test("structs ride the wire: named_struct, get_field, typed null struct") {
+    fixture
+    assertRoundtrip(spark.sql(
+      """SELECT a, named_struct('x', a + 1, 'y', b).x AS x1,
+        |       named_struct('x', a + 1, 'y', b).y AS y1
+        |FROM data""".stripMargin))
+    // null struct literal with named fields (the as-of join's union shape)
+    import spark.implicits._
+    val df = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val withNull = df.select(col("k"),
+      when(col("k") === 1, struct(col("v").as("a"), (col("v") * 2).as("b")))
+        .otherwise(lit(null)).as("s"))
+      .select(col("k"), col("s").getField("b").as("sb"))
+    assertRoundtrip(withNull)
+  }
+
+  test("as-of join is wire-expressible (union + struct + running max window)") {
+    graft.Tables.register(spark, sfDir)
+    val ev = spark.table("events").withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts").limit(200)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    assertRoundtrip(graft.ops.AsOfJoin.asofJoin(
+      clicks, purchases, Seq("user_id"), "ts", "ts",
+      payload = Seq("event_id", "value"), prefix = "p_"))
+  }
+
   test("inline literal frame rides the wire as a VirtualTable") {
     import spark.implicits._
     val dim = Seq((1L, "one", true), (3L, "three", false)).toDF("k", "label", "flag")
