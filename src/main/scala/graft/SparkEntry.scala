@@ -143,9 +143,10 @@ object SparkEntry {
     "t04_top_terms" -> ((s, dir) =>
       ops.TextOps.topTerms(t(s, dir, "documents"), k = 50)),
 
-    // exact per-language length quantiles (R-7 interpolation, = quantile_cont)
-    "t05_length_quantiles" -> ((s, dir) =>
-      ops.TextOps.lengthQuantiles(t(s, dir, "documents")).orderBy("lang")),
+    // exact per-language length quantiles (R-7 interpolation, = quantile_cont;
+    // exact percentile rides the wire as percentile_cont)
+    "t05_length_quantiles" -> ((s, dir) => rt(s,
+      ops.TextOps.lengthQuantiles(t(s, dir, "documents")).orderBy("lang"))),
 
     // element-wise per-label centroid vectors, decimal-exact accumulation
     "s04_label_centroids" -> ((s, dir) =>

@@ -248,6 +248,11 @@ object Consumer {
           val acc = if (args.size > 2) args(2) else lit(10000)
           percentile_approx(args.head, args(1), acc)
         case "array_agg" => collect_list(one)
+        // exact interpolated percentile (substrait quantile/percentile_cont;
+        // Spark's percentile takes an optional frequency third arg)
+        case "percentile_cont" | "percentile" =>
+          if (args.size > 2) percentile(args.head, args(1), args(2))
+          else percentile(args.head, args(1))
         case "stddev" | "stddev_samp" => stddev_samp(one)
         case "stddev_pop" => stddev_pop(one)
         case "variance" | "var_samp" => var_samp(one)

@@ -632,6 +632,7 @@ object Producer {
       case "avg" | "mean" => "avg"
       case "approx_count_distinct" => "approx_distinct"
       case "percentile_approx" | "approx_percentile" => "approx_percentile_cont"
+      case "percentile" => "percentile_cont"
       case "collect_list" => "array_agg"
       case "stddev" | "stddev_samp" => "stddev"
       case "variance" | "var_samp" => "variance"
