@@ -65,6 +65,14 @@ class WireSpec extends AnyFunSuite {
     }.mkString(";")
   }
 
+  private lazy val genStructType: Gen[SType] = for {
+    n <- Gen.choose(1, 3)
+    names <- Gen.listOfN(n, Gen.alphaNumStr)
+    fields <- Gen.listOfN(n, for {
+      t <- genSType; nul <- Arbitrary.arbitrary[Boolean]
+    } yield (t, nul))
+  } yield SType.SStruct(names, fields)
+
   private val genSType: Gen[SType] = Gen.oneOf(
     Gen.const(SType.SBool), Gen.const(SType.SI8), Gen.const(SType.SI16),
     Gen.const(SType.SI32), Gen.const(SType.SI64), Gen.const(SType.SFp32),
@@ -129,12 +137,15 @@ class WireSpec extends AnyFunSuite {
     Gen.choose(0L, 1000L).map(WBound.Preceding),
     Gen.choose(0L, 1000L).map(WBound.Following))
 
+  private lazy val genColType: Gen[SType] =
+    Gen.frequency(5 -> genSType, 1 -> genStructType)
+
   private val genRead: Gen[Rel] = for {
     nNames <- Gen.choose(1, 3)
     names <- Gen.listOfN(nNames, Gen.alphaStr.suchThat(_.nonEmpty))
     nCols <- Gen.choose(1, 6)
     colNames <- Gen.listOfN(nCols, Gen.alphaNumStr)
-    types <- Gen.listOfN(nCols, for { t <- genSType; n <- Arbitrary.arbitrary[Boolean] } yield (t, n))
+    types <- Gen.listOfN(nCols, for { t <- genColType; n <- Arbitrary.arbitrary[Boolean] } yield (t, n))
     proj <- Gen.option(Gen.someOf(0 until nCols).map(_.toSeq))
     filt <- Gen.option(genExpr(1))
   } yield Rel.Read(NamedStruct(colNames, types), names, proj, filt)
