@@ -3,7 +3,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch: dump analyzed plans of grouping-set shapes. */
+/** Analyzed-plan introspection: dumps the Catalyst shapes the producer
+  * pattern-matches (grouping sets / subqueries) — the reference material for
+  * extending Producer.toRel with new node types.
+  */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[2]")
