@@ -148,6 +148,22 @@ object SparkEntry {
     "t05_length_quantiles" -> ((s, dir) => rt(s,
       ops.TextOps.lengthQuantiles(t(s, dir, "documents")).orderBy("lang"))),
 
+    // PII scrubbing: placeholder substitution + per-doc audit counts,
+    // certified through the wire (pure regex projection)
+    "t06_redact" -> ((s, dir) => rt(s,
+      ops.TextOps.redact(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          md5(col("text_redacted")).as("redacted_digest"))
+        .orderBy("doc_id"))),
+
+    // context-window chunking: fixed windows with overlap, chunk geometry
+    // and content both oracle-checked
+    "t07_chunking" -> ((s, dir) =>
+      ops.TextOps.chunk(t(s, dir, "documents"), chunkChars = 256, overlap = 64)
+        .select(col("doc_id"), col("chunk_id"),
+          length(col("chunk")).as("chunk_chars"), md5(col("chunk")).as("chunk_digest"))
+        .orderBy("doc_id", "chunk_id")),
+
     // element-wise per-label centroid vectors, decimal-exact accumulation
     "s04_label_centroids" -> ((s, dir) =>
       ops.Embeddings.centroids(t(s, dir, "embeddings"))
@@ -700,6 +716,27 @@ object SparkEntry {
         |SELECT doc_id, CAST(k AS INT) AS frame_idx,
         |  CAST(least(256, b - k * 192) AS INT) AS frame_bytes
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "t06_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS INTEGER) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g')) AS redacted_digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t07_chunking" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+        |k AS (SELECT doc_id, text,
+        |        unnest(range(greatest(
+        |          CAST(ceil((n - 64) / 192.0) AS BIGINT), 1))) AS k
+        |      FROM d)
+        |SELECT doc_id, CAST(k AS INT) AS chunk_id,
+        |  CAST(len(substr(text, CAST(k * 192 + 1 AS BIGINT), 256)) AS INTEGER)
+        |    AS chunk_chars,
+        |  md5(substr(text, CAST(k * 192 + 1 AS BIGINT), 256)) AS chunk_digest
+        |FROM k ORDER BY doc_id, chunk_id""".stripMargin,
     "t04_top_terms" ->
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS term

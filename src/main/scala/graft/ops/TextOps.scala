@@ -91,6 +91,41 @@ object TextOps {
       .orderBy(col("n").desc, col("term").asc)
       .limit(k)
 
+  /** PII scrubbing: email/phone patterns replaced with typed placeholder
+    * tokens, with per-document match counts for audit. Pure per-row regex
+    * projection — zero shuffles at any scale. Patterns use the regex subset
+    * shared by Java and RE2 so any engine reproduces them byte-for-byte.
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhonePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  def redact(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(EmailPattern)))
+      .withColumn("n_phones", regexp_count(t, lit(PhonePattern)))
+      .withColumn("text_redacted",
+        regexp_replace(regexp_replace(t, EmailPattern, "[EMAIL]"),
+          PhonePattern, "[PHONE]"))
+  }
+
+  /** Context-window chunking: fixed-size character windows with overlap —
+    * the standard long-document preprocessing for bounded-context models.
+    * One explode per document, chunks stay in their document's partition;
+    * swap `chunkChars` for a token budget by pre-tokenizing upstream.
+    */
+  def chunk(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+            chunkChars: Int = 256, overlap: Int = 64): DataFrame = {
+    require(overlap >= 0 && overlap < chunkChars, "need 0 <= overlap < chunkChars")
+    val stride = chunkChars - overlap
+    df.select(col(idCol),
+      posexplode(expr(
+        s"""transform(
+           |  sequence(0, greatest(cast(ceil((length($textCol) - $overlap)
+           |    / CAST($stride AS DOUBLE)) AS INT), 1) - 1),
+           |  k -> substring($textCol, k * $stride + 1, $chunkChars))""".stripMargin))
+        .as(Seq("chunk_id", "chunk")))
+  }
+
   /** Exact per-group length quantiles (p25/p50/p75, linearly interpolated —
     * the same R-7 definition DuckDB's quantile_cont uses). Exact percentile
     * is a one-shuffle sort-based aggregate; switch to percentile_approx at
