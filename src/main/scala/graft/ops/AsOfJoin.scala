@@ -36,7 +36,10 @@ object AsOfJoin {
     // one struct column carries (rightTs, payload...) through the union;
     // max() over it is ordered by rightTs first, payload head second
     val rStruct = struct((col(rightTs) +: payload.map(col)): _*)
-    val rSide = right.select(
+    // ASOF semantics (DuckDB oracle): a right row with a NULL time never
+    // matches. Unfiltered it would sort first under __t.asc and its struct
+    // (non-null, null first field) would seed the running max.
+    val rSide = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(col(rightTs).as("__t"), lit(0).as("__side"),
         rStruct.as("__r")) ++
         leftCols.filterNot(keys.contains).map(c =>

@@ -285,8 +285,21 @@ object Producer {
         case _ => ()
       })
       val replacement = mutable.Map.empty[ExprId, Expression]
+      // A cross join only preserves scalar-subquery semantics when the
+      // subplan yields EXACTLY one row: 0 rows would drop every probe row
+      // (SQL says the value is NULL) and >1 would duplicate them (SQL says
+      // runtime error). Only a global Aggregate (no grouping) proves that,
+      // possibly under Projects — anything else is loud-rejected.
+      def provablySingleRow(p: LogicalPlan): Boolean = p match {
+        case agg: logical.Aggregate => agg.groupingExpressions.isEmpty
+        case prj: logical.Project => provablySingleRow(prj.child)
+        case _ => false
+      }
       scalarSubs.foreach { s =>
         if (s.outerAttrs.isEmpty) {
+          if (!provablySingleRow(s.plan)) notImplemented(
+            "uncorrelated scalar subquery whose plan is not a global aggregate " +
+              "(cannot guarantee exactly one row on the wire)")
           val sub = toRel(s.plan)
           if (sub.attrs.size != 1) notImplemented("scalar subquery arity != 1")
           replacement(s.exprId) = sub.attrs.head
@@ -854,8 +867,7 @@ object Producer {
           LitVal.LDecimal(out, dt.precision, dt.scale)
         case ArrayType(et, _) =>
           val ad = l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          val n = ad.numElements()
-          if (n == 0) notImplemented("empty array literal")
+          val n = ad.numElements() // n == 0 rides as Literal.empty_list
           LitVal.LList(sTypeOf(et),
             (0 until n).map(i => literal(Literal(ad.get(i, et), et))))
         case other => notImplemented(s"literal of type $other")

@@ -190,9 +190,46 @@ object Wire {
     res
   }
 
+  /** Names of every struct field nested inside `t`, depth-first — standard
+    * substrait flattens ALL struct-field names (including structs inside
+    * lists) into the root NamedStruct.names. */
+  private def nestedNames(t: SType): Seq[String] = t match {
+    case SType.SStruct(names, fields) =>
+      names.zip(fields).flatMap { case (n, (ft, _)) => n +: nestedNames(ft) }
+    case SType.SList(e, _) => nestedNames(e)
+    case _ => Nil
+  }
+
+  /** Count of nested struct-field names inside `t` (arity of nestedNames). */
+  private def nestedArity(t: SType): Int = t match {
+    case SType.SStruct(_, fields) =>
+      fields.map { case (ft, _) => 1 + nestedArity(ft) }.sum
+    case SType.SList(e, _) => nestedArity(e)
+    case _ => 0
+  }
+
+  /** Re-assign depth-first flattened names into the SStruct nodes of `t`.
+    * `it` is positioned AFTER this field's own name. */
+  private def assignNames(t: SType, it: Iterator[String]): SType = t match {
+    case SType.SStruct(_, fields) =>
+      val rebuilt = fields.map { case (ft, n) =>
+        val nm = it.next()
+        (nm, (assignNames(ft, it), n))
+      }
+      SType.SStruct(rebuilt.map(_._1), rebuilt.map(_._2))
+    case SType.SList(e, n) => SType.SList(assignNames(e, it), n)
+    case other => other
+  }
+
   private def writeNamedStruct(w: W, f: Int, ns: NamedStruct): Unit =
     w.msg(f, nw => {
-      ns.names.foreach(nw.str(1, _))
+      // standard substrait: names of nested struct fields flatten depth-first
+      // into the root name list (Type.Struct itself is anonymous); graft's
+      // field-10 in-struct names remain as a self-describing fallback
+      ns.names.zip(ns.types).foreach { case (n, (t, _)) =>
+        nw.str(1, n)
+        nestedNames(t).foreach(nw.str(1, _))
+      }
       nw.msg(2, sw => ns.types.foreach { case (t, n) => writeType(sw, 1, t, n) })
     })
 
@@ -210,7 +247,19 @@ object Wire {
         true
       case _ => false
     }}
-    NamedStruct(names.result(), types.result())
+    val ns = names.result(); val ts = types.result()
+    val flatTotal = ts.map { case (t, _) => 1 + nestedArity(t) }.sum
+    if (ns.length == flatTotal && flatTotal > ts.length) {
+      // a conformant producer's flattened name list: peel the top-level
+      // names and push the nested ones into their SStruct nodes (overrides
+      // any field-10 names, which a foreign producer never sends)
+      val it = ns.iterator
+      val rebuilt = ts.map { case (t, n) =>
+        val top = it.next()
+        (top, (assignNames(t, it), n))
+      }
+      NamedStruct(rebuilt.map(_._1), rebuilt.map(_._2))
+    } else NamedStruct(ns, ts)
   }
 
   // ------------------------------------------------------------- expressions
@@ -232,11 +281,36 @@ object Wire {
         lw.msg(24, dw => { dw.bytes(1, bytes); dw.int32(2, p); dw.int32(3, s) })
       case LitVal.LNull(t)      => writeType(lw, 29, t, nullable = true)
       case LitVal.LList(et, vs) =>
-        lw.msg(26, listw => {
-          writeType(listw, 2, et, nullable = true)
-          vs.foreach(writeLiteral(listw, 1, _))
-        })
+        // Literal.list = field 30 (List{repeated Literal values=1}); the
+        // element type is NOT on the wire for non-empty lists (a conformant
+        // consumer infers it from the values). Empty lists are
+        // Literal.empty_list = field 31, a Type.List carrying the type.
+        if (vs.isEmpty)
+          lw.msg(31, l => { writeType(l, 1, et, nullable = true)
+            l.int32(3, 1) })
+        else
+          lw.msg(30, listw => vs.foreach(writeLiteral(listw, 1, _)))
     })
+
+  /** Infer a literal's substrait type — used to recover a list literal's
+    * element type on read (the wire does not carry it for non-empty lists). */
+  private def litType(v: LitVal): SType = v match {
+    case _: LitVal.LBool => SType.SBool
+    case _: LitVal.LI8 => SType.SI8
+    case _: LitVal.LI16 => SType.SI16
+    case _: LitVal.LI32 => SType.SI32
+    case _: LitVal.LI64 => SType.SI64
+    case _: LitVal.LFp32 => SType.SFp32
+    case _: LitVal.LFp64 => SType.SFp64
+    case _: LitVal.LStr => SType.SStr
+    case _: LitVal.LBin => SType.SBin
+    case _: LitVal.LDate => SType.SDate
+    case _: LitVal.LTimestamp => SType.STimestamp
+    case _: LitVal.LTimestampTz => SType.STimestampTz
+    case LitVal.LDecimal(_, p, s) => SType.SDecimal(p, s)
+    case LitVal.LNull(t) => t
+    case LitVal.LList(et, _) => SType.SList(et, elemNullable = true)
+  }
 
   private def readLiteral(r: R): LitVal = {
     var res: LitVal = null
@@ -264,16 +338,25 @@ object Wire {
         }}
         res = LitVal.LDecimal(bytes, p, s); true
       case (29, 2) => res = LitVal.LNull(readType(r.lenDelim())._1); true
-      case (26, 2) =>
+      case (30, 2) => // Literal.list: List{repeated Literal values=1}
         val lr = r.lenDelim()
-        var et: SType = null
         val vs = Seq.newBuilder[LitVal]
         lr.fields { (lf, lwt) => (lf, lwt) match {
           case (1, 2) => vs += readLiteral(lr.lenDelim()); true
-          case (2, 2) => et = readType(lr.lenDelim())._1; true
           case _ => false
         }}
-        res = LitVal.LList(et, vs.result()); true
+        val values = vs.result()
+        if (values.isEmpty) notImplemented("Literal.list with no values (use empty_list)")
+        res = LitVal.LList(litType(values.head), values); true
+      case (31, 2) => // Literal.empty_list: Type.List{type=1, nullability=3}
+        val lr = r.lenDelim()
+        var et: SType = SType.SStr
+        lr.fields { (lf, lwt) => (lf, lwt) match {
+          case (1, 2) => et = readType(lr.lenDelim())._1; true
+          case _ => false
+        }}
+        res = LitVal.LList(et, Nil); true
+      case (26, 2) => notImplemented("map literal")
       case (50, 0) => r.varint(); true // nullable flag — carried by the value
       case _ => false
     }}

@@ -85,19 +85,39 @@ object model {
     final case class LFp32(v: Float) extends LitVal
     final case class LFp64(v: Double) extends LitVal
     final case class LStr(v: String) extends LitVal
-    final case class LBin(v: Array[Byte]) extends LitVal
+    /** value-based equality: Array[Byte]'s default equals is reference
+      * identity, which breaks SExpr structural comparison after a wire
+      * round-trip (grouping-set union dedup, Validator arity checks). */
+    final case class LBin(v: Array[Byte]) extends LitVal {
+      override def equals(o: Any): Boolean = o match {
+        case LBin(b) => java.util.Arrays.equals(v, b)
+        case _ => false
+      }
+      override def hashCode: Int = java.util.Arrays.hashCode(v)
+    }
     /** days since epoch (Date32, consumer.rs:579-581) */
     final case class LDate(days: Int) extends LitVal
     /** naive wall-clock micros since epoch (substrait `timestamp` literal) */
     final case class LTimestamp(micros: Long) extends LitVal
     /** UTC micros since epoch (substrait `timestamp_tz` literal) */
     final case class LTimestampTz(micros: Long) extends LitVal
-    /** 16-byte little-endian two's-complement i128 (producer.rs:585-589) */
-    final case class LDecimal(valueLE: Array[Byte], precision: Int, scale: Int) extends LitVal
+    /** 16-byte little-endian two's-complement i128 (producer.rs:585-589);
+      * equality is value-based (see LBin). */
+    final case class LDecimal(valueLE: Array[Byte], precision: Int, scale: Int) extends LitVal {
+      override def equals(o: Any): Boolean = o match {
+        case LDecimal(b, p, s) =>
+          p == precision && s == scale && java.util.Arrays.equals(valueLE, b)
+        case _ => false
+      }
+      override def hashCode: Int =
+        (java.util.Arrays.hashCode(valueLE) * 31 + precision) * 31 + scale
+    }
     /** typed null (consumer.rs:617-639) */
     final case class LNull(tpe: SType) extends LitVal
-    /** non-empty array literal (substrait Literal.list — beyond reference);
-      * element type carried for the consumer's cast */
+    /** array literal (substrait Literal.list, field 30 — beyond reference).
+      * On the wire a non-empty list carries no element type (inferred from
+      * the first element on read); an empty list is Literal.empty_list
+      * (field 31, a Type.List) which DOES carry it. */
     final case class LList(elemType: SType, values: Seq[LitVal]) extends LitVal
   }
 

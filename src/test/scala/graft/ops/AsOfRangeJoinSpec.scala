@@ -49,6 +49,19 @@ class AsOfRangeJoinSpec extends SparkTestBase {
     assert(out.map(_.getAs[String]("r_tag")).toSeq == Seq("at4", "at10"))
   }
 
+  test("asofJoin: a right row with a NULL time never matches (ASOF semantics)") {
+    import spark.implicits._
+    val l = Seq((1L, 10L), (2L, 10L)).toDF("k", "t")
+    val r = Seq((1L, Option.empty[Long], "nullt"), (2L, Some(5L), "at5"))
+      .toDF("k", "t", "tag")
+    val out = AsOfJoin.asofJoin(l, r, Seq("k"), "t", "t", Seq("tag"))
+      .orderBy("k").collect()
+    // k=1's only right row has NULL time → no match; k=2 matches at5
+    assert(out.map(_.getAs[String]("r_tag")).toSeq == Seq(null, "at5"))
+    assert(out.map(r => Option(r.getAs[Any]("r_t"))).toSeq ==
+      Seq(None, Some(5L)))
+  }
+
   test("pointInInterval == plain inequality join, across bin widths") {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("c_id"),

@@ -352,6 +352,25 @@ class RoundtripSpec extends SparkTestBase {
     assert(got == Map(1L -> 1.0, 2L -> 0.6))
   }
 
+  test("empty array literal rides the wire as Literal.empty_list") {
+    import spark.implicits._
+    val df = Seq(1L, 2L).toDF("id")
+    val q = df.select(col("id"), typedLit(Seq.empty[Int]).as("arr"),
+      size(typedLit(Seq.empty[Int])).as("n"))
+    assertRoundtrip(q)
+    val got = Serializer.roundtrip(spark, q).collect()
+    assert(got.forall(_.getSeq[Int](1).isEmpty))
+  }
+
+  test("uncorrelated scalar subquery that may not be single-row is loudly rejected") {
+    fixture
+    // SELECT a FROM data2 WHERE ... can yield 0 or many rows — a cross-join
+    // rewrite would silently change semantics, so the producer must refuse
+    val df = spark.sql("SELECT a FROM data WHERE a = (SELECT a FROM data2 WHERE b > 100)")
+    val e = intercept[model.SubstraitException](Producer.produce(df))
+    assert(e.getMessage.contains("not a global aggregate"), e.getMessage)
+  }
+
   test("brute-force kNN (hint + kernel) is wire-expressible end-to-end") {
     graft.Tables.register(spark, sfDir)
     val e = spark.table("embeddings")

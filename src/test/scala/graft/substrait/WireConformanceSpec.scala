@@ -1,0 +1,149 @@
+package graft.substrait
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import model._
+
+/** Spec-conformance checks against the PUBLIC substrait .proto field layout —
+  * not just self round-trip consistency. A foreign (spec-conformant) producer
+  * or consumer must agree with graft on these bytes:
+  *   - Literal.list      = field 30 (List{repeated Literal values=1});
+  *     field 26 is Literal.map and must NOT be used for lists
+  *   - Literal.empty_list = field 31 (Type.List carrying the element type)
+  *   - nested struct field names flatten depth-first into the root
+  *     NamedStruct.names (Type.Struct itself is anonymous)
+  * Each "foreign bytes" fixture below is hand-assembled protobuf, standing in
+  * for what prost/protobuf-java would emit for the same message.
+  */
+class WireConformanceSpec extends AnyFunSuite {
+
+  // -- minimal protobuf writer, independent of Wire's (so a Wire bug cannot
+  //    cancel itself out in the fixture)
+  private class PW {
+    val out = new java.io.ByteArrayOutputStream()
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def tag(f: Int, wt: Int): Unit = varint((f.toLong << 3) | wt)
+    def int(f: Int, v: Long): Unit = { tag(f, 0); varint(v) }
+    def str(f: Int, s: String): Unit = {
+      val b = s.getBytes("UTF-8"); tag(f, 2); varint(b.length.toLong); out.write(b)
+    }
+    def msg(f: Int, body: PW => Unit): Unit = {
+      val w = new PW; body(w); val b = w.out.toByteArray
+      tag(f, 2); varint(b.length.toLong); out.write(b)
+    }
+    def bytes: Array[Byte] = out.toByteArray
+  }
+
+  /** i32 Type message: Type{i32=5:{nullability=2}} (NULLABILITY_NULLABLE=1). */
+  private def i32Type(w: PW, f: Int): Unit =
+    w.msg(f, t => t.msg(5, k => k.int(2, 1)))
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  test("non-empty list literals encode at Literal.list field 30, not map field 26") {
+    val plan = Plan(Nil, Seq(PlanRel.RelOnly(
+      Rel.Project(
+        Rel.Read(NamedStruct(Seq("x"), Seq((SType.SI32, true))), Seq("t"), None),
+        Seq(SExpr.Lit(LitVal.LList(SType.SI32,
+          Seq(LitVal.LI32(7), LitVal.LI32(9)))))))))
+    val enc = hex(Wire.encode(plan))
+    // tag(30, len-delim) = varint(242) = f2 01; tag(26, len-delim) = d2 01
+    assert(enc.contains("f201"), s"no field-30 tag in $enc")
+    assert(!enc.contains("d201"), s"field-26 (map) tag present in $enc")
+    assert(Wire.decode(Wire.encode(plan)) == plan)
+  }
+
+  test("foreign list literal (field 30, no element type) decodes with inferred type") {
+    // Plan{relations=3:{rel=1:{project=7:{input=2:{read=1:{base_schema=2, named_table=7}},
+    //   expressions=3:{literal=1:{list=30:{values=1,1}}}}}}}
+    val w = new PW
+    w.msg(3, pr => pr.msg(1, rel => rel.msg(7, proj => {
+      proj.msg(2, in => in.msg(1, rd => {
+        rd.msg(2, ns => { ns.str(1, "x"); ns.msg(2, st => i32Type(st, 1)) })
+        rd.msg(7, nt => nt.str(1, "t"))
+      }))
+      proj.msg(3, ex => ex.msg(1, lit => lit.msg(30, l => {
+        l.msg(1, v => v.int(5, 7)) // Literal{i32=5}
+        l.msg(1, v => v.int(5, 9))
+      })))
+    })))
+    val plan = Wire.decode(w.bytes)
+    val Rel.Project(_, exprs) = plan.relations.head
+      .asInstanceOf[PlanRel.RelOnly].rel: @unchecked
+    assert(exprs == Seq(SExpr.Lit(LitVal.LList(SType.SI32,
+      Seq(LitVal.LI32(7), LitVal.LI32(9))))))
+  }
+
+  test("empty list literals ride as Literal.empty_list (field 31) and round-trip") {
+    val plan = Plan(Nil, Seq(PlanRel.RelOnly(
+      Rel.Project(
+        Rel.Read(NamedStruct(Seq("x"), Seq((SType.SI32, true))), Seq("t"), None),
+        Seq(SExpr.Lit(LitVal.LList(SType.SFp64, Nil)))))))
+    assert(Wire.decode(Wire.encode(plan)) == plan)
+    // tag(31, len-delim) = varint(250) = fa 01
+    assert(hex(Wire.encode(plan)).contains("fa01"))
+  }
+
+  test("decimal and binary literals compare structurally after a round-trip") {
+    val dec = LitVal.LDecimal(Array.fill[Byte](16)(3), 10, 2)
+    val bin = LitVal.LBin(Array[Byte](1, 2, 3))
+    val plan = Plan(Nil, Seq(PlanRel.RelOnly(
+      Rel.Project(
+        Rel.Read(NamedStruct(Seq("x"), Seq((SType.SI32, true))), Seq("t"), None),
+        Seq(SExpr.Lit(dec), SExpr.Lit(bin))))))
+    val back = Wire.decode(Wire.encode(plan))
+    assert(back == plan) // Array[Byte] fields must not fall back to reference eq
+    val exprs = back.relations.head.asInstanceOf[PlanRel.RelOnly]
+      .rel.asInstanceOf[Rel.Project].expressions
+    assert(exprs.head == SExpr.Lit(LitVal.LDecimal(Array.fill[Byte](16)(3), 10, 2)))
+    assert(exprs.distinct.size == 2 && (exprs ++ exprs).distinct.size == 2)
+  }
+
+  test("nested struct field names flatten depth-first into NamedStruct.names") {
+    val inner = SType.SStruct(Seq("lat", "lon"),
+      Seq((SType.SFp64, true), (SType.SFp64, true)))
+    val outer = SType.SStruct(Seq("id", "loc"),
+      Seq((SType.SI64, true), (inner, true)))
+    val plan = Plan(Nil, Seq(PlanRel.RelOnly(
+      Rel.Read(NamedStruct(Seq("a", "s"), Seq((SType.SI32, true), (outer, true))),
+        Seq("t"), None))))
+    // the root name list must read a, s, id, loc, lat, lon in order
+    val enc = hex(Wire.encode(plan))
+    val expected = Seq("a", "s", "id", "loc", "lat", "lon")
+      .map(n => "0a%02x".format(n.length) + hex(n.getBytes("UTF-8"))).mkString
+    assert(enc.contains(expected), s"flattened names missing/misordered in $enc")
+    assert(Wire.decode(Wire.encode(plan)) == plan)
+  }
+
+  test("foreign schema with anonymous structs + flattened names gets names back") {
+    // NamedStruct{names=[a,s,id,loc], struct=2:{types=[i32, Struct{i64, Struct-less}}]}
+    // — no graft field-10 in-struct names anywhere
+    val w = new PW
+    w.msg(3, pr => pr.msg(1, rel => rel.msg(1, rd => {
+      rd.msg(2, ns => {
+        Seq("a", "s", "id", "loc").foreach(ns.str(1, _))
+        ns.msg(2, st => {
+          i32Type(st, 1)
+          // Type{struct=25:{types={i64, fp64}, nullability=3}}
+          st.msg(1, t => t.msg(25, s => {
+            s.msg(1, t2 => t2.msg(7, k => k.int(2, 1)))  // i64
+            s.msg(1, t2 => t2.msg(11, k => k.int(2, 1))) // fp64
+            s.int(3, 1)
+          }))
+        })
+      })
+      rd.msg(7, nt => nt.str(1, "t"))
+    })))
+    val plan = Wire.decode(w.bytes)
+    val read = plan.relations.head.asInstanceOf[PlanRel.RelOnly].rel
+      .asInstanceOf[Rel.Read]
+    assert(read.baseSchema.names == Seq("a", "s"))
+    val SType.SStruct(fieldNames, fields) = read.baseSchema.types(1)._1: @unchecked
+    assert(fieldNames == Seq("id", "loc"))
+    assert(fields.map(_._1) == Seq(SType.SI64, SType.SFp64))
+  }
+}
