@@ -175,27 +175,36 @@ object Dedup {
                         blockCols: Seq[String], shingleSize: Int = 3,
                         threshold: Double = 0.1): DataFrame = {
     val blk = concat_ws("|", blockCols.map(col): _*)
+    // One shuffle total: each block collects its (id, shingles) members and
+    // emits its own ordered pairs — the same in-bucket explosion the LSH
+    // paths use, which beats a blocked self-join (whose sort-merge has to
+    // sort rows carrying multi-KB shingle arrays) and needs no persist: the
+    // collect_list aggregation buffer is the materialization barrier that
+    // keeps the per-pair intersect from re-running the shingle expression.
+    // Per-task memory is O(block size), the documented blocking contract.
     val s = df.select(blk.as("blk"), col(idCol).as("jid"),
         col(textCol).as("jtext"))
-      .repartition(col("blk"))
       .withColumn("sh", shingles("jtext", shingleSize))
-      .select(col("blk"), col("jid"), col("sh"), size(col("sh")).as("sz"))
-      .persist()
-    val a = s.select(col("blk"), col("jid").as("id_a"), col("sh").as("sh_a"),
-      col("sz").as("sz_a"))
-    val b = s.select(col("blk"), col("jid").as("id_b"), col("sh").as("sh_b"),
-      col("sz").as("sz_b"))
-    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .select(col("blk"),
+        struct(col("jid"), col("sh"), size(col("sh")).as("sz")).as("it"))
+    s.groupBy("blk")
+      // sort by id (the struct's first field) so pairs come out id_a < id_b
+      .agg(sort_array(collect_list(col("it"))).as("items"))
+      // two chained generators stream the pairs through whole-stage codegen —
+      // no all-pairs array (with shingle payloads) is ever materialized
+      .select(col("blk"), col("items"), posexplode(col("items")).as(Seq("i", "x")))
+      .select(col("blk"), col("x"),
+        explode(expr("slice(items, i + 2, size(items))")).as("y"))
       // size-ratio prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
       // failing the ratio can never reach the threshold — the expensive
       // intersect runs only on survivors (output provably unchanged)
-      .filter(least(col("sz_a"), col("sz_b")).cast("double") /
-        greatest(col("sz_a"), col("sz_b")) >= threshold)
+      .filter(least(col("x.sz"), col("y.sz")).cast("double") /
+        greatest(col("x.sz"), col("y.sz")) >= threshold)
       // shingle sets are distinct, so |A∪B| = |A|+|B|−|A∩B| — one array
       // op per pair instead of two
-      .select(col("blk"), col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
-        col("sz_a"), col("sz_b"))
+      .select(col("blk"), col("x.jid").as("id_a"), col("y.jid").as("id_b"),
+        size(array_intersect(col("x.sh"), col("y.sh"))).as("n_inter"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
       .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
       .filter(col("n_inter").cast("double") / col("n_union") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"),

@@ -118,9 +118,10 @@ object Similarity {
   def lshNearDups(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, tables: Int = 6, planesPerTable: Int = 6,
                   dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
+    // no persist: each use re-scans the (columnar, pruned) source instead of
+    // caching a corpus-sized vector table that would spill at scale
     val vecs = df.select(col(idCol).as("nd_id"), asDouble(col(vecCol)).as("nd_vec"))
       .repartition(col("nd_id"))
-      .persist()
     val bucketed = vecs.select(col("nd_id"),
       explode(lshBucketArray(col("nd_vec"), tables, planesPerTable, dim)).as("bucket"))
     // one shuffle: each bucket collects its member ids and emits its own
