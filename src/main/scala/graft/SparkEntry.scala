@@ -58,20 +58,20 @@ object SparkEntry {
       ops.Dedup.exactDedup(t(s, dir, "documents")).orderBy("digest"))),
 
     // MinHash + banded LSH near-dup pairs, exact-jaccard verified
-    "d02_minhash_pairs" -> ((s, dir) =>
+    "d02_minhash_pairs" -> ((s, dir) => rt(s,
       ops.Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("id_a", "id_b")),
+        .orderBy("id_a", "id_b"))),
 
     // SimHash fingerprints + pigeonhole hamming≤3 pairs
-    "d03_simhash_neardup" -> ((s, dir) =>
-      ops.Dedup.simhashNearDups(t(s, dir, "documents")).orderBy("id_a", "id_b")),
+    "d03_simhash_neardup" -> ((s, dir) => rt(s,
+      ops.Dedup.simhashNearDups(t(s, dir, "documents")).orderBy("id_a", "id_b"))),
 
     // blocked exact n-gram Jaccard (no hashing — DuckDB-checkable)
-    "d04_ngram_jaccard" -> ((s, dir) =>
+    "d04_ngram_jaccard" -> ((s, dir) => rt(s,
       ops.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         blockCols = Seq("lang", "source"), threshold = 0.3)
-        .select("blk", "id_a", "id_b", "jaccard").orderBy("blk", "id_a", "id_b")),
+        .select("blk", "id_a", "id_b", "jaccard").orderBy("blk", "id_a", "id_b"))),
 
     // composed corpus prep: quality filter → lang-ID → exact dedup
     "d06_prepare_corpus" -> ((s, dir) => rt(s,
@@ -87,9 +87,9 @@ object SparkEntry {
     }),
 
     // embedding-cosine near-dups via multi-table sign-LSH
-    "d05_embedding_neardup" -> ((s, dir) =>
+    "d05_embedding_neardup" -> ((s, dir) => rt(s,
       ops.Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.35)
-        .orderBy("id_a", "id_b")),
+        .orderBy("id_a", "id_b"))),
 
     // exact brute-force cosine top-k (broadcast queries, one corpus scan) —
     // wire-round-tripped: the codegen'd vec_cosine kernel travels as a named
@@ -103,8 +103,8 @@ object SparkEntry {
     // ANN top-k via multi-table sign-LSH (the 100 TB path)
     "s02_knn_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      ops.Similarity.lshKnn(e, e.filter(col("vec_id") < 8), k = 5)
-        .orderBy("q_id", "rank")
+      rt(s, ops.Similarity.lshKnn(e, e.filter(col("vec_id") < 8), k = 5)
+        .orderBy("q_id", "rank"))
     }),
 
     // ANN top-k via IVF: KMeans coarse quantizer trained on a half sample
@@ -113,8 +113,10 @@ object SparkEntry {
     "s03_knn_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val idx = ops.Ivf.build(e, nlist = 16, trainSampleFraction = 0.5)
-      ops.Ivf.search(idx, e.filter(col("vec_id") < 8), k = 5, nprobe = 4)
-        .orderBy("q_id", "rank")
+      // the KMeans TRAINING is imperative (no wire form), but the search
+      // query over the assigned index is a plain plan — that rides the wire
+      rt(s, ops.Ivf.search(idx, e.filter(col("vec_id") < 8), k = 5, nprobe = 4)
+        .orderBy("q_id", "rank"))
     }),
 
     // language-ID heuristic + accuracy vs the labeled lang column
@@ -140,8 +142,8 @@ object SparkEntry {
         ops.TextOps.bpeTokenCount(col("text")).as("bpe_tokens")).orderBy("doc_id"))),
 
     // top-k corpus vocabulary (map-side combined counts + TakeOrdered)
-    "t04_top_terms" -> ((s, dir) =>
-      ops.TextOps.topTerms(t(s, dir, "documents"), k = 50)),
+    "t04_top_terms" -> ((s, dir) => rt(s,
+      ops.TextOps.topTerms(t(s, dir, "documents"), k = 50))),
 
     // exact per-language length quantiles (R-7 interpolation, = quantile_cont;
     // exact percentile rides the wire as percentile_cont)
@@ -158,17 +160,17 @@ object SparkEntry {
 
     // context-window chunking: fixed windows with overlap, chunk geometry
     // and content both oracle-checked
-    "t07_chunking" -> ((s, dir) =>
+    "t07_chunking" -> ((s, dir) => rt(s,
       ops.TextOps.chunk(t(s, dir, "documents"), chunkChars = 256, overlap = 64)
         .select(col("doc_id"), col("chunk_id"),
           length(col("chunk")).as("chunk_chars"), md5(col("chunk")).as("chunk_digest"))
-        .orderBy("doc_id", "chunk_id")),
+        .orderBy("doc_id", "chunk_id"))),
 
     // element-wise per-label centroid vectors, decimal-exact accumulation
-    "s04_label_centroids" -> ((s, dir) =>
+    "s04_label_centroids" -> ((s, dir) => rt(s,
       ops.Embeddings.centroids(t(s, dir, "embeddings"))
         .select(col("label"), col("idx"), round(col("centroid"), 9).as("centroid"))
-        .orderBy("label", "idx")),
+        .orderBy("label", "idx"))),
 
     // multimodal binary plumbing (stub decode, real schema/partitioning)
     "m01_media_features" -> ((s, dir) =>
@@ -177,13 +179,13 @@ object SparkEntry {
 
     // video-style frame sampling over binary payloads: the oracle checks the
     // exact frame geometry (index + byte count) the slicer must produce
-    "m02_frame_stats" -> ((s, dir) =>
+    "m02_frame_stats" -> ((s, dir) => rt(s,
       ops.Multimodal.frameSample(
           ops.Multimodal.asMediaTable(t(s, dir, "documents")),
           frameLen = 256, stride = 192)
         .select(col("doc_id"), col("frame_idx"),
           octet_length(col("frame")).cast("int").as("frame_bytes"))
-        .orderBy("doc_id", "frame_idx")),
+        .orderBy("doc_id", "frame_idx"))),
 
     // as-of join: each click enriched with the user's most recent preceding
     // purchase (union + running-max window: one shuffle, no join explosion)
@@ -215,11 +217,11 @@ object SparkEntry {
           clicks, errors, Seq("user_id"), "pt", "lo", "hi", binWidth = hourUs)
         .groupBy("e_id", "user_id", "e_ts")
         .agg(count(lit(1)).as("n_clicks_1h"))
-      errors.select("e_id", "user_id", "e_ts")
+      rt(s, errors.select("e_id", "user_id", "e_ts")
         .join(matched, Seq("e_id", "user_id", "e_ts"), "left")
         .select(col("e_id"), col("user_id"), col("e_ts"),
           coalesce(col("n_clicks_1h"), lit(0L)).as("n_clicks_1h"))
-        .orderBy("e_id")
+        .orderBy("e_id"))
     }),
 
     // event-stream analytics, batch form (the same transformations run under

@@ -127,6 +127,10 @@ object MinHashFunctions {
   private val registered = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
+  /** public hook: the substrait consumer registers the kernels before
+    * resolving a foreign plan that names them as extension functions */
+  def ensureSessionRegistered(): Unit = ensureRegistered()
+
   private def ensureRegistered(): Unit = {
     val spark = SparkSession.active
     if (registered.add(System.identityHashCode(spark).toString)) {

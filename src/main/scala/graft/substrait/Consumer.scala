@@ -126,6 +126,29 @@ object Consumer {
 
       case Rel.Aggregate(input, groupings, measures) => buildAggregate(input, groupings, measures)
 
+      case Rel.ExtGenerate(input, gen, arg, outer, genArity) =>
+        val in = build(input)
+        val c = toColumn(arg, in.df)
+        val gcol = (gen, outer) match {
+          case ("explode", false) => explode(c)
+          case ("explode", true) => explode_outer(c)
+          case ("posexplode", false) => posexplode(c)
+          case ("posexplode", true) => posexplode_outer(c)
+          case ("inline", false) => inline(c)
+          case ("inline", true) => inline_outer(c)
+          case other => notImplemented(s"generator $other")
+        }
+        // generated columns get fresh names via multi-alias; output schema is
+        // input columns ++ generator columns, matching the producer's attrs
+        Built(in.df.select(col("*"), gcol.as(freshNames(genArity))))
+
+      case Rel.ExtExchange(input, exprs, num) =>
+        val in = build(input)
+        val cols = exprs.map(toColumn(_, in.df))
+        Built(
+          if (num > 0) in.df.repartition(num, cols: _*)
+          else in.df.repartition(cols: _*))
+
       case Rel.Set(inputs, op) =>
         val dfs = inputs.map(build(_).df)
         if (dfs.size < 2) internalErr("SetRel needs at least two inputs")
@@ -308,6 +331,35 @@ object Consumer {
       case other => notImplemented(s"expected integer literal, got $other")
     }
 
+    // lambda-variable bindings for the __lambda/__lambda_var wire convention:
+    // slots are assigned in depth-first scope order, mirroring the producer
+    private val lambdaEnv = scala.collection.mutable.Map.empty[Int, Column]
+    private var lambdaDepth = 0
+
+    /** arity of a wire lambda (__lambda(arity, body)), None if not one */
+    private def lambdaArity(e: SExpr): Option[Int] = e match {
+      case SExpr.ScalarFn(ref, args)
+          if extMap.get(ref).contains("__lambda") && args.size == 2 =>
+        Some(litInt(args.head))
+      case _ => None
+    }
+
+    /** Convert a wire lambda's body with `xs` bound to its variables. */
+    private def bindLambda(e: SExpr, cols: Seq[Column], xs: Seq[Column]): Column =
+      e match {
+        case SExpr.ScalarFn(ref, Seq(_, body))
+            if extMap.get(ref).contains("__lambda") =>
+          val base = lambdaDepth
+          xs.zipWithIndex.foreach { case (x, i) => lambdaEnv(base + i) = x }
+          lambdaDepth += xs.size
+          try toColumnRec(body, cols)
+          finally {
+            lambdaDepth -= xs.size
+            xs.indices.foreach(i => lambdaEnv.remove(base + i))
+          }
+        case other => notImplemented(s"expected lambda argument, got $other")
+      }
+
     private def toColumnRec(e: SExpr, cols: Seq[Column]): Column = e match {
       case SExpr.FieldRef(i) =>
         if (i < 0 || i >= cols.size)
@@ -402,6 +454,12 @@ object Consumer {
             case SExpr.Lit(LitVal.LStr(fieldName)) => a0.getField(fieldName)
             case other => notImplemented(s"get_field name $other")
           }
+          case "get_array_field" => args(1) match {
+            case SExpr.Lit(LitVal.LStr(fieldName)) =>
+              transform(a0, x => x.getField(fieldName))
+            case other => notImplemented(s"get_array_field name $other")
+          }
+          case "get_array_item" => a0.getItem(a1)
           // name_to_op's 26 operators (consumer.rs:37-71)
           case "equal" => a0 === a1
           case "not_equal" => a0 =!= a1
@@ -428,8 +486,10 @@ object Consumer {
           case "bitwise_and" => a0.bitwiseAND(a1)
           case "bitwise_or" => a0.bitwiseOR(a1)
           case "bitwise_xor" => a0.bitwiseXOR(a1)
-          case "bitwise_shift_right" => shiftright(a0, litInt(args(1)))
-          case "bitwise_shift_left" => shiftleft(a0, litInt(args(1)))
+          // shift amounts may be expressions (e.g. a lambda variable), which
+          // the Int-typed functions API can't take — resolve via the registry
+          case "bitwise_shift_right" => call_function("shiftright", a0, a1)
+          case "bitwise_shift_left" => call_function("shiftleft", a0, a1)
           case "str_concat" => concat(all: _*)
           // unary / variadic extensions (Producer.scala)
           case "not" => !a0
@@ -437,12 +497,50 @@ object Consumer {
           case "is_not_null" => a0.isNotNull
           case "negate" => -a0
           case "coalesce" => coalesce(all: _*)
+          case "array" => array(all: _*)
+
+          // higher-order functions: lambda args arrive as __lambda(arity,
+          // body) and bind positionally via bindLambda
+          case "__lambda" => notImplemented("lambda outside a higher-order function")
+          case "__lambda_var" =>
+            lambdaEnv.getOrElse(litInt(args.head),
+              internalErr(s"lambda variable slot ${litInt(args.head)} unbound"))
+          case "transform" => lambdaArity(args(1)) match {
+            case Some(1) => transform(a0, x => bindLambda(args(1), cols, Seq(x)))
+            case Some(2) => transform(a0, (x, i) => bindLambda(args(1), cols, Seq(x, i)))
+            case _ => notImplemented("transform lambda arity")
+          }
+          case "filter" => lambdaArity(args(1)) match {
+            case Some(1) => filter(a0, x => bindLambda(args(1), cols, Seq(x)))
+            case Some(2) => filter(a0, (x, i) => bindLambda(args(1), cols, Seq(x, i)))
+            case _ => notImplemented("filter lambda arity")
+          }
+          case "exists" => exists(a0, x => bindLambda(args(1), cols, Seq(x)))
+          case "forall" => forall(a0, x => bindLambda(args(1), cols, Seq(x)))
+          case "aggregate" =>
+            if (args.size == 4)
+              aggregate(a0, a1,
+                (acc, x) => bindLambda(args(2), cols, Seq(acc, x)),
+                fin => bindLambda(args(3), cols, Seq(fin)))
+            else aggregate(a0, a1,
+              (acc, x) => bindLambda(args(2), cols, Seq(acc, x)))
+          case "zip_with" =>
+            zip_with(a0, a1, (x, y) => bindLambda(args(2), cols, Seq(x, y)))
+          case "array_sort" if args.size == 2 && lambdaArity(args(1)).isDefined =>
+            array_sort(a0, (x, y) => bindLambda(args(1), cols, Seq(x, y)))
+
+          // graft's minhash kernel: numHashes rides as a literal argument
+          case "minhash_sig" =>
+            graft.functions.MinHashFunctions.ensureSessionRegistered()
+            call_function("minhash_sig", a0, lit(litInt(args(1))))
           // named scalar functions (Producer.namedScalarFns) resolve through
           // the session function registry; graft's vector kernels register
           // themselves on first use so foreign plans naming them resolve too
           case other if Producer.namedScalarFns.contains(other) =>
             if (other.startsWith("vec_"))
               graft.functions.VecFunctions.ensureSessionRegistered()
+            if (other == "simhash64")
+              graft.functions.MinHashFunctions.ensureSessionRegistered()
             call_function(other, all: _*)
           case other => notImplemented(s"scalar function $other")
         }

@@ -41,6 +41,11 @@ object Producer {
     /** name → dense anchor, insertion-ordered (producer.rs:393-431). */
     private val registry = mutable.LinkedHashMap.empty[String, Int]
     def anchor(name: String): Int = registry.getOrElseUpdate(name, registry.size)
+
+    // lambda-variable slot assignment (depth-first scope order) for the
+    // __lambda/__lambda_var wire convention; see the LambdaFunction case
+    private val lambdaSlots = mutable.Map.empty[ExprId, Int]
+    private var lambdaDepth = 0
     def extensions: Seq[ExtensionFunction] =
       registry.toSeq.map { case (n, a) =>
         // extension_uri_reference = u32::MAX, like the reference (producer.rs:412)
@@ -144,6 +149,36 @@ object Producer {
             }
             Produced(Rel.Join(l.rel, r.rel, toSExpr(cond, both), t), outAttrs)
         }
+
+      // hash repartition → ExtensionSingleRel (substrait 0.3 predates
+      // ExchangeRel); partition placement is schema-preserving, so the
+      // output attrs are the child's
+      case r: logical.RepartitionByExpression =>
+        if (r.partitionExpressions.exists(_.isInstanceOf[SortOrder]))
+          notImplemented("range repartitioning on the wire")
+        val in = toRel(r.child)
+        Produced(
+          Rel.ExtExchange(in.rel,
+            r.partitionExpressions.map(toSExpr(_, in.attrs)),
+            r.optNumPartitions.getOrElse(0)),
+          in.attrs)
+
+      // explode/posexplode/inline → ExtensionSingleRel (substrait 0.3 has no
+      // unnest; the Any detail is graft's sanctioned extension point)
+      case g: logical.Generate =>
+        if (g.unrequiredChildIndex.nonEmpty)
+          notImplemented("Generate with pruned child columns")
+        val in = toRel(g.child)
+        val (gname, garg) = g.generator match {
+          case Explode(c) => ("explode", c)
+          case PosExplode(c) => ("posexplode", c)
+          case Inline(c) => ("inline", c)
+          case other => notImplemented(s"generator ${other.prettyName}")
+        }
+        Produced(
+          Rel.ExtGenerate(in.rel, gname, toSExpr(garg, in.attrs), g.outer,
+            g.generatorOutput.size),
+          in.attrs ++ g.generatorOutput.map(_.toAttribute))
 
       case agg: logical.Aggregate => produceAggregate(agg)
 
@@ -831,6 +866,72 @@ object Producer {
           Seq(rec(g.child), SExpr.Lit(LitVal.LStr(
             g.name.getOrElse(g.childSchema(g.ordinal).name)))))
 
+      // arr.field over ARRAY<STRUCT>: rides as get_array_field(arr, name);
+      // the consumer rebuilds it as transform(arr, x -> x.field)
+      case g: GetArrayStructFields =>
+        SExpr.ScalarFn(anchor("get_array_field"),
+          Seq(rec(g.child), SExpr.Lit(LitVal.LStr(g.field.name))))
+
+      // arr[i] (0-based, NULL out of bounds) — element_at is 1-based and
+      // ANSI-throws, so it rides as its own extension function
+      case g: GetArrayItem =>
+        SExpr.ScalarFn(anchor("get_array_item"),
+          Seq(rec(g.child), rec(g.ordinal)))
+
+      // ceil/floor: prettyName is upper-case, so the generic allowlist
+      // case misses them; pmod has no operator form
+      case c: Ceil => fn("ceil", rec(c.child))
+      case f: Floor => fn("floor", rec(f.child))
+      case p: Pmod => fn("pmod", rec(p.left), rec(p.right))
+      // Spark 4 analyzes encode()/decode() into StaticInvoke wrappers —
+      // re-surface the SQL-callable name (args beyond (input, charset) are
+      // legacy-behavior flags the session already defaults)
+      case si: org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+          if si.functionName == "encode" && si.arguments.size >= 2 =>
+        fn("encode", rec(si.arguments(0)), rec(si.arguments(1)))
+      case si: org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+          if si.functionName == "decode" && si.arguments.size >= 2 =>
+        fn("decode", rec(si.arguments(0)), rec(si.arguments(1)))
+
+      // array constructor (CreateArray's prettyName is "array"; empty arrays
+      // need the element type to survive, so they ride as typed literals)
+      case ca: CreateArray if ca.children.isEmpty =>
+        SExpr.Lit(LitVal.LList(sTypeOf(
+          ca.dataType.asInstanceOf[ArrayType].elementType), Nil))
+      case ca: CreateArray =>
+        SExpr.ScalarFn(anchor("array"), ca.children.map(rec))
+
+      // higher-order functions: substrait 0.3 has no lambda expression, so a
+      // lambda rides as the reserved extension function __lambda(arity, body)
+      // and its variables as __lambda_var(slot) — slots are assigned in
+      // depth-first scope order, which both sides reproduce structurally
+      case lf: LambdaFunction =>
+        val k = lf.arguments.size
+        val base = lambdaDepth
+        lf.arguments.zipWithIndex.foreach { case (v, i) =>
+          lambdaSlots(v.exprId) = base + i
+        }
+        lambdaDepth += k
+        val body = try rec(lf.function) finally lambdaDepth -= k
+        SExpr.ScalarFn(anchor("__lambda"),
+          Seq(SExpr.Lit(LitVal.LI32(k)), body))
+      case v: NamedLambdaVariable =>
+        lambdaSlots.get(v.exprId) match {
+          case Some(slot) =>
+            SExpr.ScalarFn(anchor("__lambda_var"),
+              Seq(SExpr.Lit(LitVal.LI32(slot))))
+          case None => notImplemented(s"lambda variable ${v.name} out of scope")
+        }
+      case hof: HigherOrderFunction
+          if Producer.hofFns.contains(hof.prettyName) =>
+        SExpr.ScalarFn(anchor(hof.prettyName), hof.children.map(rec))
+
+      // minhash_sig carries numHashes as a constructor param, not a child —
+      // re-attach it as a literal argument on the wire
+      case m: graft.functions.MinHashSig =>
+        SExpr.ScalarFn(anchor("minhash_sig"),
+          Seq(rec(m.child), SExpr.Lit(LitVal.LI32(m.numHashes))))
+
       case e if Producer.namedScalarFns.contains(e.prettyName) &&
           e.deterministic && e.children.nonEmpty =>
         SExpr.ScalarFn(anchor(e.prettyName), e.children.map(rec))
@@ -890,15 +991,25 @@ object Producer {
     "dayofweek", "dayofyear", "weekofyear", "date_trunc", "to_date",
     "date_add", "date_sub", "datediff", "unix_timestamp", "from_unixtime",
     "md5", "sha2", "crc32", "xxhash64", "hash",
+    "bit_count", "octet_length", "encode", "decode", "pmod",
+    "unix_micros", "timestamp_micros",
     "size", "array_contains", "array_distinct", "array_min", "array_max",
     "sort_array", "element_at", "slice", "array_join", "arrays_overlap",
-    "array_intersect", "array_union", "array_except", "sequence",
+    "array_intersect", "array_union", "array_except", "sequence", "flatten",
+    "array_repeat", "array_position", "array_remove", "array_compact",
     "if", "ifnull", "nullif", "nvl", "nvl2",
     // graft's own codegen'd vector kernels — session-registered functions,
     // carried as substrait extension functions by name
-    "vec_dot", "vec_cosine", "vec_l2sq",
+    "vec_dot", "vec_cosine", "vec_l2sq", "simhash64",
     // struct construction (SQL-callable; get_field is its access twin)
     "named_struct")
+
+  /** Higher-order functions whose Catalyst children order is
+    * (collection args…, lambda args…), matching the SQL argument order.
+    * Lambdas ride as the reserved __lambda extension function. */
+  val hofFns: Set[String] = Set(
+    "transform", "filter", "exists", "forall", "aggregate", "zip_with",
+    "array_sort")
 
   // -------------------------------------------------------------------- types
   def sTypeOf(dt: DataType): SType = dt match {

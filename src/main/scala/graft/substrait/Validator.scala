@@ -109,6 +109,19 @@ object Validator {
         if (ws.forall(_ >= 0) && ws.distinct.size > 1)
           issues += Issue(path, s"set inputs have differing arities $ws")
         ws.headOption.getOrElse(-1)
+      case Rel.ExtGenerate(input, gen, arg, _, genArity) =>
+        val w = walkRel(input, s"$path/generate")
+        if (!Set("explode", "posexplode", "inline").contains(gen))
+          issues += Issue(path, s"unknown generator '$gen'")
+        if (genArity < 1) issues += Issue(path, s"generator arity $genArity < 1")
+        walkExpr(arg, w, s"$path/generate.arg")
+        if (w < 0) -1 else w + genArity
+      case Rel.ExtExchange(input, exprs, num) =>
+        val w = walkRel(input, s"$path/exchange")
+        if (num < 0) issues += Issue(path, s"negative partition count $num")
+        exprs.zipWithIndex.foreach { case (e, i) =>
+          walkExpr(e, w, s"$path/exchange[$i]") }
+        w
     }
 
     def walkExpr(e: SExpr, width: Int, path: String): Unit = e match {

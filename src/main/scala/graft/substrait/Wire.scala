@@ -611,7 +611,39 @@ object Wire {
         rw.msg(8, sw => { inputs.foreach(writeRel(sw, 2, _)); sw.int32(3, op) })
       case Rel.Cross(l, r) =>
         rw.msg(12, cw => { writeRel(cw, 2, l); writeRel(cw, 3, r) })
+      case Rel.ExtGenerate(in, gen, arg, outer, k) =>
+        // ExtensionSingleRel{input=2, detail=3: Any{type_url=1, value=2}};
+        // value = GenerateRelDetail{generator=1, arg=2, outer=3, gen_arity=4}
+        rw.msg(9, ew => {
+          writeRel(ew, 2, in)
+          ew.msg(3, any => {
+            any.str(1, generateDetailUrl)
+            val dw = new W
+            dw.str(1, gen)
+            writeExpr(dw, 2, arg)
+            dw.bool(3, outer)
+            dw.int32(4, k)
+            any.bytes(2, dw.out.toByteArray)
+          })
+        })
+      case Rel.ExtExchange(in, exprs, num) =>
+        // value = ExchangeRelDetail{exprs=1 repeated, num_partitions=2}
+        rw.msg(9, ew => {
+          writeRel(ew, 2, in)
+          ew.msg(3, any => {
+            any.str(1, exchangeDetailUrl)
+            val dw = new W
+            exprs.foreach(writeExpr(dw, 1, _))
+            dw.int32(2, num)
+            any.bytes(2, dw.out.toByteArray)
+          })
+        })
     })
+
+  /** Any.type_url for graft's Generate extension rel detail. */
+  val generateDetailUrl = "graft.dev/GenerateRelDetail"
+  /** Any.type_url for graft's Exchange (hash repartition) detail. */
+  val exchangeDetailUrl = "graft.dev/ExchangeRelDetail"
 
   private def readRel(r: R): Rel = {
     var res: Rel = null
@@ -760,6 +792,46 @@ object Wire {
               case _ => false
             }}
             res = Rel.Cross(l, rt); true
+          case 9 => // ExtensionSingleRel
+            var in: Rel = null
+            var url = ""; var detail: Array[Byte] = null
+            rr.fields { (rf, rwt) => (rf, rwt) match {
+              case (2, 2) => in = readRel(rr.lenDelim()); true
+              case (3, 2) =>
+                val ar = rr.lenDelim()
+                ar.fields { (af, awt) => (af, awt) match {
+                  case (1, 2) => url = ar.str(); true
+                  case (2, 2) => detail = ar.rawBytes(); true
+                  case _ => false
+                }}
+                true
+              case _ => false
+            }}
+            res = url match {
+              case `generateDetailUrl` =>
+                val dr = new R(detail, 0, detail.length)
+                var gen = ""; var arg: SExpr = null; var outer = false; var k = 1
+                dr.fields { (df, dwt) => (df, dwt) match {
+                  case (1, 2) => gen = dr.str(); true
+                  case (2, 2) => arg = readExpr(dr.lenDelim()); true
+                  case (3, 0) => outer = dr.varint() == 1L; true
+                  case (4, 0) => k = dr.varint().toInt; true
+                  case _ => false
+                }}
+                Rel.ExtGenerate(in, gen, arg, outer, k)
+              case `exchangeDetailUrl` =>
+                val dr = new R(detail, 0, detail.length)
+                val exprs = Seq.newBuilder[SExpr]; var num = 0
+                dr.fields { (df, dwt) => (df, dwt) match {
+                  case (1, 2) => exprs += readExpr(dr.lenDelim()); true
+                  case (2, 0) => num = dr.varint().toInt; true
+                  case _ => false
+                }}
+                Rel.ExtExchange(in, exprs.result(), num)
+              case other =>
+                notImplemented(s"extension_single rel with foreign detail '$other'")
+            }
+            true
           case other => notImplemented(s"rel_type field $other")
         }
       }

@@ -144,6 +144,22 @@ object model {
                           joinType: Int) extends Rel
     final case class Cross(left: Rel, right: Rel) extends Rel
     final case class Set(inputs: Seq[Rel], op: Int) extends Rel
+    /** Spark's Generate (explode / posexplode / inline) carried through
+      * substrait's sanctioned extension mechanism: ExtensionSingleRel
+      * (algebra.proto Rel field 9) with an Any detail graft owns
+      * (`graft.dev/GenerateRelDetail`). Substrait 0.3 has no unnest relation,
+      * so a foreign consumer rejects the Any type_url loudly — the intended
+      * extension contract — while graft round-trips it. Output schema =
+      * input columns ++ genArity generated columns. */
+    final case class ExtGenerate(input: Rel, generator: String, arg: SExpr,
+                                 outer: Boolean, genArity: Int) extends Rel
+    /** Hash repartitioning (Spark RepartitionByExpression) carried as
+      * ExtensionSingleRel with Any type_url `graft.dev/ExchangeRelDetail`
+      * (substrait 0.3 predates ExchangeRel). Schema-preserving; a foreign
+      * consumer may safely treat it as a no-op — it only places rows.
+      * numPartitions 0 = unspecified (let the engine choose). */
+    final case class ExtExchange(input: Rel, exprs: Seq[SExpr],
+                                 numPartitions: Int) extends Rel
   }
 
   /** algebra.proto JoinRel.JoinType values. */

@@ -371,6 +371,47 @@ class RoundtripSpec extends SparkTestBase {
     assert(e.getMessage.contains("not a global aggregate"), e.getMessage)
   }
 
+  test("explode/posexplode ride the wire as an ExtensionSingleRel") {
+    import spark.implicits._
+    val df = Seq((1L, Seq("a", "b")), (2L, Seq("c")), (3L, Seq.empty[String]))
+      .toDF("id", "xs")
+    assertRoundtrip(df.select(col("id"), explode(col("xs")).as("x")))
+    assertRoundtrip(df.select(col("id"),
+      posexplode_outer(col("xs")).as(Seq("pos", "x"))))
+    // explode_outer keeps the empty-array row as NULL
+    val outer = Serializer.roundtrip(spark,
+      df.select(col("id"), explode_outer(col("xs")).as("x")))
+    assert(outer.count() == 4)
+  }
+
+  test("higher-order functions with lambdas ride the wire (incl. nesting)") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1, 2, 3)), (2L, Seq(10, 20))).toDF("id", "xs")
+    assertRoundtrip(df.select(col("id"),
+      transform(col("xs"), x => x * 2).as("doubled"),
+      filter(col("xs"), x => x % 2 === 1).as("odds"),
+      aggregate(col("xs"), lit(0), (acc, x) => acc + x).as("total")))
+    // nested lambdas: the slot numbering must survive produce→consume
+    val nested = df.select(col("id"),
+      flatten(transform(col("xs"), x =>
+        transform(col("xs"), y => x + y))).as("sums"))
+    assertRoundtrip(nested)
+    // zip_with + indexed transform
+    assertRoundtrip(df.select(col("id"),
+      zip_with(col("xs"), col("xs"), (a, b) => a * b).as("sq"),
+      transform(col("xs"), (x, i) => x + i).as("xi")))
+  }
+
+  test("the shingle/minhash pipeline expressions ride the wire") {
+    graft.Tables.register(spark, sfDir)
+    val docs = spark.table("documents").limit(50)
+    assertRoundtrip(docs.select(col("doc_id"),
+      graft.ops.Dedup.shingles("text", 3).as("sh")))
+    assertRoundtrip(
+      graft.ops.Dedup.minhashSignature(docs.select("doc_id", "text"))
+        .select("doc_id", "minhash_sig"))
+  }
+
   test("brute-force kNN (hint + kernel) is wire-expressible end-to-end") {
     graft.Tables.register(spark, sfDir)
     val e = spark.table("embeddings")
