@@ -86,6 +86,16 @@ object SparkEntry {
         .orderBy("digest"))
     }),
 
+    // near-dup clustering: connected components (pointer-doubling label
+    // propagation) over lang-blocked jaccard pairs — the "keep one per
+    // cluster" primitive. The iterative driver loop has no one-shot wire
+    // form (localCheckpoint leaves), so this is a batch-only operator.
+    "d08_neardup_clusters" -> ((s, dir) => {
+      val pairs = ops.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", blockCols = Seq("lang"), threshold = 0.1)
+      ops.Dedup.connectedComponents(pairs).orderBy("node")
+    }),
+
     // embedding-cosine near-dups via multi-table sign-LSH
     "d05_embedding_neardup" -> ((s, dir) => rt(s,
       ops.Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.35)
@@ -550,6 +560,22 @@ object SparkEntry {
             .as("approx_median_price"))
         .orderBy("l_returnflag"))),
 
+    // map construction, element access, keys/size — map type + map literal
+    // (Literal.map field 26 / empty_map 32) certified through the wire; the
+    // output projects scalars so the oracle needs no map comparison
+    "q36_map_ops" -> ((s, dir) => rt(s, {
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") <= 200)
+      val m = map(lit("qty"), col("l_quantity").cast("double"),
+        lit("tax"), col("l_tax").cast("double"))
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        m.getItem("qty").as("qty"),
+        element_at(m, "tax").as("tax"),
+        size(m).as("n_keys"),
+        array_join(map_keys(m), ",").as("keys"),
+        element_at(typedLit(Map("a" -> 1L, "b" -> 2L)), "b").as("lit_b"))
+        .orderBy("l_orderkey", "l_linenumber")
+    })),
+
     // null-safe equality, coalesce, is_null over full-join nulls
     "q23_null_ops" -> ((s, dir) => rt(s, {
       val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
@@ -594,6 +620,20 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
         |SELECT blk, id_a, id_b, ROUND(j, 6) AS jaccard FROM p
         |WHERE j >= 0.3 ORDER BY blk, id_a, id_b""".stripMargin,
+    "d08_neardup_clusters" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, lang AS blk,
+        |  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS g
+        |  FROM s),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.g, b.g))
+        |    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
+        |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p WHERE j >= 0.1
+        |      UNION SELECT id_b, id_a FROM p WHERE j >= 0.1),
+        |r AS (SELECT u, u AS x FROM (SELECT DISTINCT u FROM e)
+        |      UNION SELECT r.u, e.v FROM r JOIN e ON r.x = e.u)
+        |SELECT u AS node, min(x) AS cluster_id FROM r GROUP BY u ORDER BY node""".stripMargin,
     "d06_prepare_corpus" ->
       """WITH m AS (SELECT doc_id, text, lang,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
@@ -907,6 +947,13 @@ object SparkEntry {
     "q22_string_ops" ->
       """SELECT o_orderkey, o_orderstatus || '_' || o_orderpriority AS status_prio
         |FROM orders WHERE regexp_matches(o_orderpriority, '^[12]')""".stripMargin,
+    "q36_map_ops" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS DOUBLE) AS qty,
+        |  CAST(l_tax AS DOUBLE) AS tax,
+        |  2 AS n_keys, 'qty,tax' AS keys, CAST(2 AS BIGINT) AS lit_b
+        |FROM lineitem WHERE l_orderkey <= 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q23_null_ops" ->
       """SELECT c_custkey IS NOT DISTINCT FROM o_custkey AS matched,
         |  coalesce(c_custkey, o_custkey) AS k,

@@ -272,4 +272,64 @@ object Dedup {
                         vecCol: String = "embedding",
                         threshold: Double = 0.35): DataFrame =
     Similarity.lshNearDups(df, idCol, vecCol, threshold)
+
+  /** Connected components over an undirected pair list — the step that turns
+    * pairwise near-dup output (d02-d05) into "keep one document per cluster".
+    * Returns (node, cluster_id) for every node that appears in a pair, where
+    * cluster_id = the smallest node id reachable from it.
+    *
+    * Algorithm: iterated min-label propagation AUGMENTED with label-pointer
+    * edges (node ↔ current label), which gives pointer-doubling behavior —
+    * a chain of length d converges in O(log d) rounds, not O(d) — so the
+    * round count stays single-digit at any realistic cluster diameter.
+    * Labels only decrease, so the fixpoint test (sum of labels unchanged,
+    * accumulated as DECIMAL — overflow-safe at any node count) is exact.
+    * Each round is one groupBy shuffle over the edge list; only (long,
+    * long) pairs ever shuffle or persist. At cluster scale, set a reliable
+    * checkpoint dir and swap localCheckpoint for checkpoint to survive
+    * executor loss across rounds.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b",
+                          maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"))
+    val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var prevSum: java.math.BigDecimal = null
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val ptr = labels.select(col("node").as("u"), col("label").as("v"))
+      val aug = edges.union(ptr)
+        .union(ptr.select(col("v").as("u"), col("u").as("v")))
+      val next = aug
+        .join(labels.select(col("node").as("v"), col("label")), "v")
+        .groupBy("u").agg(min(col("label")).as("label"))
+        .select(col("u").as("node"), col("label"))
+      labels = next.localCheckpoint(true)
+      val s = labels.agg(sum(col("label").cast("decimal(38,0)")))
+        .head.getDecimal(0)
+      done = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /** Cluster-dedup composite: drop every document whose near-dup cluster
+    * contains a smaller id (the canonical keeper). Documents in no pair are
+    * kept untouched — the anti-join only ships (id, cluster) pairs. */
+  def dedupByClusters(df: DataFrame, pairs: DataFrame,
+                      idCol: String = "doc_id",
+                      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -498,6 +498,8 @@ object Consumer {
           case "negate" => -a0
           case "coalesce" => coalesce(all: _*)
           case "array" => array(all: _*)
+          case "map" => map(all: _*)
+          case "get_map_value" => a0.getItem(a1)
 
           // higher-order functions: lambda args arrive as __lambda(arity,
           // body) and bind positionally via bindLambda
@@ -571,6 +573,8 @@ object Consumer {
         new java.math.BigDecimal(new java.math.BigInteger(bytesLE.reverse), s)
       case LitVal.LNull(_) => null
       case LitVal.LList(_, vs) => vs.map(litExternal)
+      case LitVal.LMap(_, _, es) =>
+        es.map { case (k, v) => litExternal(k) -> litExternal(v) }.toMap
     }
 
     private def literalColumn(v: LitVal): Column = v match {
@@ -599,6 +603,10 @@ object Consumer {
       case LitVal.LNull(t) => lit(null).cast(sparkType(t))
       case LitVal.LList(et, vs) =>
         array(vs.map(literalColumn): _*).cast(ArrayType(sparkType(et)))
+      case LitVal.LMap(kt, vt, es) =>
+        map(es.flatMap { case (k, v) =>
+          Seq(literalColumn(k), literalColumn(v)) }: _*)
+          .cast(MapType(sparkType(kt), sparkType(vt)))
     }
   }
 
@@ -618,6 +626,7 @@ object Consumer {
     case SType.STimestampTz => TimestampType
     case SType.SDecimal(p, s) => DecimalType(p, s)
     case SType.SList(e, n) => ArrayType(sparkType(e), n)
+    case SType.SMap(k, v, vn) => MapType(sparkType(k), sparkType(v), vn)
     case SType.SStruct(names, fields) =>
       StructType(names.zip(fields).map { case (n, (t, nul)) =>
         StructField(n, sparkType(t), nul)

@@ -901,6 +901,13 @@ object Producer {
       case ca: CreateArray =>
         SExpr.ScalarFn(anchor("array"), ca.children.map(rec))
 
+      // map constructor + map[key] access (alternating key/value children,
+      // exactly SQL map()'s argument order)
+      case cm: CreateMap =>
+        SExpr.ScalarFn(anchor("map"), cm.children.map(rec))
+      case g: GetMapValue =>
+        SExpr.ScalarFn(anchor("get_map_value"), Seq(rec(g.child), rec(g.key)))
+
       // higher-order functions: substrait 0.3 has no lambda expression, so a
       // lambda rides as the reserved extension function __lambda(arity, body)
       // and its variables as __lambda_var(slot) — slots are assigned in
@@ -971,6 +978,13 @@ object Producer {
           val n = ad.numElements() // n == 0 rides as Literal.empty_list
           LitVal.LList(sTypeOf(et),
             (0 until n).map(i => literal(Literal(ad.get(i, et), et))))
+        case MapType(kt, vt, _) =>
+          val md = l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+          val ks = md.keyArray(); val vs = md.valueArray()
+          LitVal.LMap(sTypeOf(kt), sTypeOf(vt),
+            (0 until md.numElements()).map(i =>
+              (literal(Literal(ks.get(i, kt), kt)),
+                literal(Literal(vs.get(i, vt), vt)))))
         case other => notImplemented(s"literal of type $other")
       }
     }
@@ -993,6 +1007,8 @@ object Producer {
     "md5", "sha2", "crc32", "xxhash64", "hash",
     "bit_count", "octet_length", "encode", "decode", "pmod",
     "unix_micros", "timestamp_micros",
+    "map_keys", "map_values", "map_concat", "map_from_arrays",
+    "map_contains_key", "map_entries",
     "size", "array_contains", "array_distinct", "array_min", "array_max",
     "sort_array", "element_at", "slice", "array_join", "arrays_overlap",
     "array_intersect", "array_union", "array_except", "sequence", "flatten",
@@ -1027,6 +1043,7 @@ object Producer {
     case TimestampType => SType.STimestampTz
     case d: DecimalType => SType.SDecimal(d.precision, d.scale)
     case ArrayType(e, n) => SType.SList(sTypeOf(e), n)
+    case MapType(k, v, vn) => SType.SMap(sTypeOf(k), sTypeOf(v), vn)
     case StructType(fs) =>
       SType.SStruct(fs.toSeq.map(_.name),
         fs.toSeq.map(f => (sTypeOf(f.dataType), f.nullable)))

@@ -119,6 +119,13 @@ object Wire {
       case SType.SList(e, en) =>
         // List{type=1, tvr=2, nullability=3}
         tw.msg(27, l => { writeType(l, 1, e, en); l.int32(3, if (nullable) 1 else 2) })
+      case SType.SMap(k, v, vn) =>
+        // Map{key=1, value=2, tvr=3, nullability=4}; map keys are non-null
+        tw.msg(28, m => {
+          writeType(m, 1, k, nullable = false)
+          writeType(m, 2, v, vn)
+          m.int32(4, if (nullable) 1 else 2)
+        })
       case SType.SStruct(names, fields) =>
         // Struct{types=1, nullability=3; field names in 10 — see model.SStruct}
         tw.msg(25, s => {
@@ -171,6 +178,16 @@ object Wire {
               case _ => false
             }}
             res = (SType.SList(elem._1, elem._2), nullable); true
+          case 28 =>
+            var k: SType = SType.SStr; var v: (SType, Boolean) = (SType.SStr, true)
+            var nullable = true
+            kr.fields { (mf, mwt) => (mf, mwt) match {
+              case (1, 2) => k = readType(kr.lenDelim())._1; true
+              case (2, 2) => v = readType(kr.lenDelim()); true
+              case (4, 0) => nullable = kr.varint() == 1L; true
+              case _ => false
+            }}
+            res = (SType.SMap(k, v._1, v._2), nullable); true
           case 25 =>
             val fs = Seq.newBuilder[(SType, Boolean)]
             val ns = Seq.newBuilder[String]
@@ -290,6 +307,22 @@ object Wire {
             l.int32(3, 1) })
         else
           lw.msg(30, listw => vs.foreach(writeLiteral(listw, 1, _)))
+      case LitVal.LMap(kt, vt, entries) =>
+        // Literal.map = field 26 (Map{repeated KeyValue key_values=1});
+        // empty maps = Literal.empty_map (field 32, a Type.Map)
+        if (entries.isEmpty)
+          lw.msg(32, m => {
+            writeType(m, 1, kt, nullable = false)
+            writeType(m, 2, vt, nullable = true)
+            m.int32(4, 1)
+          })
+        else
+          lw.msg(26, mw => entries.foreach { case (k, v) =>
+            mw.msg(1, kvw => {
+              writeLiteral(kvw, 1, k)
+              writeLiteral(kvw, 2, v)
+            })
+          })
     })
 
   /** Infer a literal's substrait type — used to recover a list literal's
@@ -310,6 +343,7 @@ object Wire {
     case LitVal.LDecimal(_, p, s) => SType.SDecimal(p, s)
     case LitVal.LNull(t) => t
     case LitVal.LList(et, _) => SType.SList(et, elemNullable = true)
+    case LitVal.LMap(kt, vt, _) => SType.SMap(kt, vt, valueNullable = true)
   }
 
   private def readLiteral(r: R): LitVal = {
@@ -356,7 +390,35 @@ object Wire {
           case _ => false
         }}
         res = LitVal.LList(et, Nil); true
-      case (26, 2) => notImplemented("map literal")
+      case (26, 2) => // Literal.map: Map{repeated KeyValue{key=1, value=2}}
+        val mr = r.lenDelim()
+        val es = Seq.newBuilder[(LitVal, LitVal)]
+        mr.fields { (mf, mwt) => (mf, mwt) match {
+          case (1, 2) =>
+            val kv = mr.lenDelim()
+            var k: LitVal = null; var v: LitVal = null
+            kv.fields { (kf, kwt) => (kf, kwt) match {
+              case (1, 2) => k = readLiteral(kv.lenDelim()); true
+              case (2, 2) => v = readLiteral(kv.lenDelim()); true
+              case _ => false
+            }}
+            if (k == null || v == null) notImplemented("map KeyValue missing key/value")
+            es += ((k, v)); true
+          case _ => false
+        }}
+        val entries = es.result()
+        if (entries.isEmpty) notImplemented("Literal.map with no entries (use empty_map)")
+        res = LitVal.LMap(litType(entries.head._1), litType(entries.head._2),
+          entries); true
+      case (32, 2) => // Literal.empty_map: Type.Map{key=1, value=2}
+        val mr = r.lenDelim()
+        var kt: SType = SType.SStr; var vt: SType = SType.SStr
+        mr.fields { (mf, mwt) => (mf, mwt) match {
+          case (1, 2) => kt = readType(mr.lenDelim())._1; true
+          case (2, 2) => vt = readType(mr.lenDelim())._1; true
+          case _ => false
+        }}
+        res = LitVal.LMap(kt, vt, Nil); true
       case (50, 0) => r.varint(); true // nullable flag — carried by the value
       case _ => false
     }}

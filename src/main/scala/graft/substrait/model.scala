@@ -34,6 +34,9 @@ object model {
     case object STimestampTz extends SType
     final case class SDecimal(precision: Int, scale: Int) extends SType
     final case class SList(elem: SType, elemNullable: Boolean) extends SType
+    /** type.proto Type.Map (field 28): key=1, value=2, nullability=4. */
+    final case class SMap(key: SType, value: SType,
+                          valueNullable: Boolean) extends SType
     /** struct type. Substrait's Struct is anonymous (names live only in the
       * root NamedStruct); Spark struct fields are named, so names travel in
       * an unused proto field — a documented beyond-reference extension. */
@@ -119,6 +122,11 @@ object model {
       * the first element on read); an empty list is Literal.empty_list
       * (field 31, a Type.List) which DOES carry it. */
     final case class LList(elemType: SType, values: Seq[LitVal]) extends LitVal
+    /** map literal (substrait Literal.map, field 26: repeated KeyValue
+      * {key=1, value=2}); empty maps are Literal.empty_map (field 32, a
+      * Type.Map carrying both types). */
+    final case class LMap(keyType: SType, valueType: SType,
+                          entries: Seq[(LitVal, LitVal)]) extends LitVal
   }
 
   // ---- relations (algebra.proto Rel) ----

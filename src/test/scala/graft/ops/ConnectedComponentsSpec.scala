@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Dedup.connectedComponents vs a local union-find over adversarial graph
+  * shapes: long chains (pointer-doubling must converge well under the
+  * iteration cap), stars, disjoint cliques, and a seeded random graph.
+  */
+class ConnectedComponentsSpec extends SparkTestBase {
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical label = min of component; path-compress to roots first
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }.toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)], clue: String): Unit = {
+    import spark.implicits._
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(edges), clue)
+  }
+
+  test("long chain collapses to its minimum (pointer doubling)") {
+    check((0L until 200L).map(i => (i, i + 1)), "chain-201")
+  }
+
+  test("stars, cliques, chains and singleton pairs mix") {
+    val star = (1L to 30L).map(i => (500L + i, 500L))
+    val clique = for { a <- 100L to 110L; b <- (a + 1) to 110L } yield (a, b)
+    val chain = (200L until 240L).map(i => (i + 1, i)) // reversed direction
+    val pairs = Seq((900L, 901L), (950L, 951L))
+    check(star ++ clique ++ chain ++ pairs, "mixed shapes")
+  }
+
+  test("seeded random graph matches union-find") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(e => e._1 != e._2)
+    check(edges, "random-120")
+  }
+
+  test("dedupByClusters keeps exactly one doc per cluster plus unpaired docs") {
+    import spark.implicits._
+    val docs = (0L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByClusters(docs, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // clusters {1,2,3} -> keep 1; {7,8} -> keep 7; others untouched
+    assert(kept == Seq(0L, 1L, 4L, 5L, 6L, 7L, 9L))
+  }
+}

@@ -103,6 +103,31 @@ class WireConformanceSpec extends AnyFunSuite {
     assert(exprs.distinct.size == 2 && (exprs ++ exprs).distinct.size == 2)
   }
 
+  test("foreign map literal (field 26 KeyValue list) decodes; empty_map round-trips") {
+    val w = new PW
+    w.msg(3, pr => pr.msg(1, rel => rel.msg(7, proj => {
+      proj.msg(2, in => in.msg(1, rd => {
+        rd.msg(2, ns => { ns.str(1, "x"); ns.msg(2, st => i32Type(st, 1)) })
+        rd.msg(7, nt => nt.str(1, "t"))
+      }))
+      proj.msg(3, ex => ex.msg(1, lit => lit.msg(26, m => {
+        m.msg(1, kv => { kv.msg(1, k => k.int(5, 1)); kv.msg(2, v => v.int(7, 10)) })
+        m.msg(1, kv => { kv.msg(1, k => k.int(5, 2)); kv.msg(2, v => v.int(7, 20)) })
+      })))
+    })))
+    val plan = Wire.decode(w.bytes)
+    val Rel.Project(_, exprs) = plan.relations.head
+      .asInstanceOf[PlanRel.RelOnly].rel: @unchecked
+    assert(exprs == Seq(SExpr.Lit(LitVal.LMap(SType.SI32, SType.SI64,
+      Seq((LitVal.LI32(1), LitVal.LI64(10)), (LitVal.LI32(2), LitVal.LI64(20)))))))
+    // empty map round-trips via field 32 with both types preserved
+    val empty = Plan(Nil, Seq(PlanRel.RelOnly(
+      Rel.Project(
+        Rel.Read(NamedStruct(Seq("x"), Seq((SType.SI32, true))), Seq("t"), None),
+        Seq(SExpr.Lit(LitVal.LMap(SType.SStr, SType.SFp64, Nil)))))))
+    assert(Wire.decode(Wire.encode(empty)) == empty)
+  }
+
   test("nested struct field names flatten depth-first into NamedStruct.names") {
     val inner = SType.SStruct(Seq("lat", "lon"),
       Seq((SType.SFp64, true), (SType.SFp64, true)))
