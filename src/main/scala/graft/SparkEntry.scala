@@ -91,10 +91,23 @@ object SparkEntry {
     // cluster" primitive. The iterative driver loop has no one-shot wire
     // form (localCheckpoint leaves), so this is a batch-only operator.
     "d08_neardup_clusters" -> ((s, dir) => {
+      // lang+source blocks keep pair generation bounded per block (the
+      // blocking contract) — lang-only blocks go quadratic at 10x the data
       val pairs = ops.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
-        "doc_id", "text", blockCols = Seq("lang"), threshold = 0.1)
+        "doc_id", "text", blockCols = Seq("lang", "source"), threshold = 0.1)
       ops.Dedup.connectedComponents(pairs).orderBy("node")
     }),
+
+    // benchmark decontamination: corpus docs sharing any 5-gram with the
+    // pseudo eval set (doc_id % 7 == 0); the eval side's distinct grams
+    // broadcast, corpus grams stream — text never shuffles
+    "d09_decontaminate" -> ((s, dir) => rt(s, {
+      val d = t(s, dir, "documents")
+      ops.TextOps.contaminationHits(
+        d.filter(col("doc_id") % 7 =!= 0), d.filter(col("doc_id") % 7 === 0),
+        n = 5)
+        .orderBy("doc_id")
+    })),
 
     // embedding-cosine near-dups via multi-table sign-LSH
     "d05_embedding_neardup" -> ((s, dir) => rt(s,
@@ -620,9 +633,18 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
         |SELECT blk, id_a, id_b, ROUND(j, 6) AS jaccard FROM p
         |WHERE j >= 0.3 ORDER BY blk, id_a, id_b""".stripMargin,
+    "d09_decontaminate" ->
+      """WITH g AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |ng AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |  ELSE [array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks)-3)] END) AS grams FROM g),
+        |bench AS (SELECT DISTINCT unnest(grams) AS gr FROM ng WHERE doc_id % 7 = 0),
+        |corp AS (SELECT doc_id, unnest(grams) AS gr FROM ng WHERE doc_id % 7 <> 0)
+        |SELECT corp.doc_id AS doc_id, count(*) AS n_hits
+        |FROM corp JOIN bench ON corp.gr = bench.gr
+        |GROUP BY corp.doc_id ORDER BY doc_id""".stripMargin,
     "d08_neardup_clusters" ->
-      """WITH RECURSIVE s AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id, lang AS blk,
+      """WITH RECURSIVE s AS (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, lang || '|' || source AS blk,
         |  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS g
         |  FROM s),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,

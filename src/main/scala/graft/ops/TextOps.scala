@@ -108,6 +108,45 @@ object TextOps {
           PhonePattern, "[PHONE]"))
   }
 
+  /** Benchmark decontamination: flag every corpus document that shares at
+    * least one word n-gram with any document in the evaluation set — the
+    * standard guard against test-set leakage into training data.
+    *
+    * Scale shape: the BENCHMARK side's distinct n-grams are small by
+    * definition (eval sets are thousands of docs, not billions), so they
+    * broadcast; corpus n-grams stream through the broadcast hash join
+    * without ever shuffling text. Returns (idCol, n_hits) for contaminated
+    * docs only — compose with an anti-join (`decontaminate`) to drop them.
+    */
+  def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, cols: Column*) = df.select(
+      cols :+ explode(wordNgrams(col(textCol), n)).as("g"): _*)
+    val bench = grams(benchmark).select("g").distinct()
+    grams(corpus, col(idCol))
+      .join(broadcast(bench), "g")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Corpus minus every document flagged by `contaminationHits`. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 8): DataFrame =
+    corpus.join(
+      contaminationHits(corpus, benchmark, idCol, textCol, n).select(idCol),
+      Seq(idCol), "left_anti")
+
+  /** Distinct word n-grams of a text column (whitespace tokens, lowercased);
+    * shorter-than-n docs contribute their whole token string as one gram so
+    * exact short duplicates still collide. */
+  def wordNgrams(text: Column, n: Int): Column =
+    expr(
+      s"""array_distinct(flatten(transform(array(split(lower(${text.toString}), ' ')),
+         |  ws -> CASE WHEN size(ws) < $n THEN array(array_join(ws, ' '))
+         |        ELSE transform(sequence(0, size(ws) - $n),
+         |               i -> array_join(slice(ws, i + 1, $n), ' ')) END)))""".stripMargin)
+
   /** Context-window chunking: fixed-size character windows with overlap —
     * the standard long-document preprocessing for bounded-context models.
     * One explode per document, chunks stay in their document's partition;

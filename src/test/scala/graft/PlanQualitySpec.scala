@@ -92,6 +92,37 @@ class PlanQualitySpec extends SparkTestBase {
       .count(_ == "Exchange hashpartitioning") == 1, p)
   }
 
+  test("d04: blocked jaccard is one shuffle, zero joins, generators streamed") {
+    val p = plan("d04_ngram_jaccard")
+    assert(!p.contains("Join"), s"pair generation must not join:\n$p")
+    assert(p.contains("Generate"), p)
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"expected exactly the groupBy(blk) shuffle:\n$p")
+  }
+
+  test("t07/m02: generator queries prune the ReadSchema to the used columns") {
+    val t7 = plan("t07_chunking")
+    assert(t7.contains("ReadSchema: struct<doc_id:bigint,text:string>"), t7)
+    val m2 = plan("m02_frame_stats")
+    assert(m2.contains("ReadSchema: struct<doc_id:bigint,text:string>"), m2)
+  }
+
+  test("q36: the wire-round-tripped filter still pushes to the parquet scan") {
+    val p = plan("q36_map_ops")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThanOrEqual(l_orderkey,200)]"), p)
+  }
+
+  test("no cartesian products in the round-3 wire-certified queries") {
+    for (q <- Seq("d02_minhash_pairs", "d03_simhash_neardup",
+      "d05_embedding_neardup", "s02_knn_lsh", "t04_top_terms",
+      "m02_frame_stats", "q36_map_ops")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+    }
+  }
+
   test("driver smoke contract: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

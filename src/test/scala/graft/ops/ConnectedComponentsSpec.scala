@@ -52,6 +52,23 @@ class ConnectedComponentsSpec extends SparkTestBase {
     check(edges, "random-120")
   }
 
+  test("decontaminate removes exactly the docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "alpha beta gamma delta unrelated tail"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val bench = Seq((100L, "xx alpha beta gamma delta yy")).toDF("doc_id", "text")
+    val hits = TextOps.contaminationHits(corpus, bench, n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1 and 3 share the 4-gram "alpha beta gamma delta"
+    assert(hits.keySet == Set(1L, 3L), hits.toString)
+    val clean = TextOps.decontaminate(corpus, bench, n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(clean == Seq(2L, 4L))
+  }
+
   test("dedupByClusters keeps exactly one doc per cluster plus unpaired docs") {
     import spark.implicits._
     val docs = (0L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
