@@ -58,6 +58,28 @@ object Ivf {
     IvfIndex(centroids, assigned)
   }
 
+  /** Persist the index: assignments as parquet PARTITIONED BY cell (a probe
+    * reads only its nprobe cell directories — partition pruning does the
+    * inverted-file lookup), centroids as a small parquet table beside them.
+    * This is the corpus-scale path: build once, load per query job. */
+  def save(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/cells")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a saved index; `assigned` scans prune to probed cells. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toSeq).toSeq
+    IvfIndex(cents, spark.read.parquet(s"$path/cells"))
+  }
+
   /** Top-k cosine neighbors probing the nprobe nearest cells per query. */
   def search(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

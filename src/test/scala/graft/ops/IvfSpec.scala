@@ -34,6 +34,22 @@ class IvfSpec extends SparkTestBase {
     assert(got.intersect(brute).nonEmpty)
   }
 
+  test("saved index reloads: identical results, probe prunes to cell partitions") {
+    val idx = Ivf.build(embs, nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Ivf.save(idx, dir)
+    val loaded = Ivf.load(spark, dir)
+    assert(loaded.centroids == idx.centroids)
+    val queries = embs.filter(col("vec_id") < 4)
+    val a = Ivf.search(idx, queries, k = 5, nprobe = 3).collect().map(_.toString).sorted
+    val b = Ivf.search(loaded, queries, k = 5, nprobe = 3).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // the probe over the loaded index prunes to the probed cell directories
+    val probed = Ivf.search(loaded, queries, k = 5, nprobe = 3)
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(cell"), scan)
+  }
+
   test("every corpus vector lands in exactly one cell") {
     val idx = Ivf.build(embs, nlist = 8)
     assert(idx.assigned.count() == embs.count())

@@ -128,6 +128,19 @@ class WireConformanceSpec extends AnyFunSuite {
     assert(Wire.decode(Wire.encode(empty)) == empty)
   }
 
+  test("ExtensionSingleRel with a foreign Any type_url is loudly rejected") {
+    val w = new PW
+    w.msg(3, pr => pr.msg(1, rel => rel.msg(9, ext => {
+      ext.msg(2, in => in.msg(1, rd => {
+        rd.msg(2, ns => { ns.str(1, "x"); ns.msg(2, st => i32Type(st, 1)) })
+        rd.msg(7, nt => nt.str(1, "t"))
+      }))
+      ext.msg(3, any => { any.str(1, "example.org/SomeOtherRel"); any.msg(2, _ => ()) })
+    })))
+    val e = intercept[SubstraitException](Wire.decode(w.bytes))
+    assert(e.getMessage.contains("foreign detail"), e.getMessage)
+  }
+
   test("nested struct field names flatten depth-first into NamedStruct.names") {
     val inner = SType.SStruct(Seq("lat", "lon"),
       Seq((SType.SFp64, true), (SType.SFp64, true)))
