@@ -63,4 +63,21 @@ object Sources {
     case "csv" => Map("header" -> "true")
     case _ => Map.empty
   }
+
+  /** Save `df` as a catalog table bucketed (and sorted) by the join/agg key.
+    *
+    * THE co-location primitive at 100 TB: two tables bucketed into the same
+    * bucket count on the same key sort-merge-join with ZERO exchange on
+    * either side (each task reads matching bucket files directly), and a
+    * groupBy on the bucket key skips its exchange the same way. Worth it for
+    * any fact table joined repeatedly on one key; the write pays one shuffle
+    * once, every downstream join saves one per side forever after.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    buckets: Int, format: String = "parquet",
+                    mode: String = "overwrite"): Unit =
+    df.write.format(format).mode(mode)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
 }

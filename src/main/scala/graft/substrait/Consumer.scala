@@ -528,6 +528,15 @@ object Consumer {
               (acc, x) => bindLambda(args(2), cols, Seq(acc, x)))
           case "zip_with" =>
             zip_with(a0, a1, (x, y) => bindLambda(args(2), cols, Seq(x, y)))
+          case "transform_keys" =>
+            transform_keys(a0, (k, v) => bindLambda(args(1), cols, Seq(k, v)))
+          case "transform_values" =>
+            transform_values(a0, (k, v) => bindLambda(args(1), cols, Seq(k, v)))
+          case "map_filter" =>
+            map_filter(a0, (k, v) => bindLambda(args(1), cols, Seq(k, v)))
+          case "map_zip_with" =>
+            map_zip_with(a0, a1,
+              (k, v1, v2) => bindLambda(args(2), cols, Seq(k, v1, v2)))
           case "array_sort" if args.size == 2 && lambdaArity(args(1)).isDefined =>
             array_sort(a0, (x, y) => bindLambda(args(1), cols, Seq(x, y)))
 

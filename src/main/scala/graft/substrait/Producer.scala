@@ -1025,7 +1025,8 @@ object Producer {
     * Lambdas ride as the reserved __lambda extension function. */
   val hofFns: Set[String] = Set(
     "transform", "filter", "exists", "forall", "aggregate", "zip_with",
-    "array_sort")
+    "array_sort", "transform_keys", "transform_values", "map_filter",
+    "map_zip_with")
 
   // -------------------------------------------------------------------- types
   def sTypeOf(dt: DataType): SType = dt match {

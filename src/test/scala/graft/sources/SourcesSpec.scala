@@ -51,6 +51,43 @@ class SourcesSpec extends SparkTestBase {
       Sources.read(spark, "/tmp/nope", "avro", None))
   }
 
+  test("bucketed tables co-locate: join and groupBy run with zero exchanges") {
+    graft.Tables.register(spark, sfDir)
+    Sources.writeBucketed(spark.table("orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders_b", Seq("o_orderkey"), buckets = 4)
+    Sources.writeBucketed(spark.table("lineitem")
+      .select("l_orderkey", "l_quantity"),
+      "lineitem_b", Seq("l_orderkey"), buckets = 4)
+    // at sf0.001 the planner would broadcast these tiny tables (also
+    // correct); disable it to expose the large-large path bucketing exists
+    // for — the sort-merge join over aligned bucket files
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // large-large join: bucket files align, neither side shuffles
+      val joined = spark.table("orders_b").join(spark.table("lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+        .withColumn("x", col("o_totalprice") * col("l_quantity"))
+      val jp = joined.queryExecution.executedPlan.toString
+      assert(!jp.contains("Exchange"), s"bucketed join must not shuffle:\n$jp")
+      assert(joined.count() > 0)
+      // aggregation on the bucket key also skips its exchange
+      val agg = spark.table("lineitem_b").groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("q"))
+      val ap = agg.queryExecution.executedPlan.toString
+      assert(!ap.contains("Exchange"), s"bucketed groupBy must not shuffle:\n$ap")
+      // row parity with the unbucketed join
+      val plain = spark.table("orders").join(spark.table("lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      assert(joined.count() == plain.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
   test("partitioned sink: downstream scan prunes partitions") {
     Tables.register(spark, sfDir)
     val d = Files.createTempDirectory("graft_part").toString

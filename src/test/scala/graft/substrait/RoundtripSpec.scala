@@ -402,6 +402,16 @@ class RoundtripSpec extends SparkTestBase {
       transform(col("xs"), (x, i) => x + i).as("xi")))
   }
 
+  test("map higher-order functions ride the wire") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v")
+    val m = map(lit("a"), col("v"), lit("b"), col("v") * 2)
+    assertRoundtrip(df.select(col("id"),
+      element_at(transform_values(m, (_, v) => v + 1), "b").as("tv"),
+      size(map_filter(m, (_, v) => v > 2)).as("mf"),
+      element_at(map_zip_with(m, m, (_, x, y) => x + y), "a").as("mz")))
+  }
+
   test("the shingle/minhash pipeline expressions ride the wire") {
     graft.Tables.register(spark, sfDir)
     val docs = spark.table("documents").limit(50)
