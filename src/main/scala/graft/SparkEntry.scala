@@ -189,6 +189,18 @@ object SparkEntry {
           length(col("chunk")).as("chunk_chars"), md5(col("chunk")).as("chunk_digest"))
         .orderBy("doc_id", "chunk_id"))),
 
+    // per-group top-k curation: best 5 docs per language by quality score —
+    // the "keep the best N per stratum" selection step of corpus curation
+    "t08_top_docs_per_lang" -> ((s, dir) => rt(s, {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("quality_score").desc, col("doc_id").asc)
+      ops.TextOps.qualityScore(t(s, dir, "documents"))
+        .select(col("lang"), col("doc_id"), col("quality_score"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 5)
+        .orderBy("lang", "rk")
+    })),
+
     // element-wise per-label centroid vectors, decimal-exact accumulation
     "s04_label_centroids" -> ((s, dir) => rt(s,
       ops.Embeddings.centroids(t(s, dir, "embeddings"))
@@ -758,6 +770,22 @@ object SparkEntry {
         |          / GREATEST(len(regexp_extract_all(text, '\S+')), 1)) <= 10.0
         |      THEN 0.2 ELSE 0.0 END AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t08_top_docs_per_lang" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |  LEAST(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0) * 0.5
+        |    + LEAST(1.0, (CAST(len(regexp_extract_all(text, '\b(the|a|and|of|is|to)\b')) AS DOUBLE)
+        |        / GREATEST(len(regexp_extract_all(text, '\S+')), 1)) * 5.0) * 0.3
+        |    + CASE WHEN (CAST(length(text) AS DOUBLE)
+        |          / GREATEST(len(regexp_extract_all(text, '\S+')), 1)) >= 3.0
+        |        AND (CAST(length(text) AS DOUBLE)
+        |          / GREATEST(len(regexp_extract_all(text, '\S+')), 1)) <= 10.0
+        |      THEN 0.2 ELSE 0.0 END AS quality_score
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, quality_score,
+        |  row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id ASC) AS rk
+        |  FROM q)
+        |SELECT lang, doc_id, quality_score, rk FROM r WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
     "t03_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest,

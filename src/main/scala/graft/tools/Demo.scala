@@ -100,6 +100,20 @@ object Demo {
       }
       println(s"== filter folded into ReadRel.filter on the wire: ${hasReadFilter(shape)}")
     }
+
+    // round-3 surface: explode + lambdas + maps through the wire
+    println("== explode through the wire (ExtensionSingleRel): " +
+      Serializer.roundtrip(spark, spark.sql(
+        "SELECT o_orderkey, x FROM orders LATERAL VIEW explode(array(1, 2)) t AS x"))
+        .count() + " rows")
+    println("== lambda HOF through the wire: " +
+      Serializer.roundtrip(spark, spark.sql(
+        "SELECT aggregate(transform(array(1, 2, 3), x -> x * 2), 0, (a, x) -> a + x) AS s FROM region LIMIT 1"))
+        .head().getInt(0) + " = sum of doubled [1,2,3]")
+    println("== map literal + access through the wire: " +
+      Serializer.roundtrip(spark, spark.sql(
+        "SELECT map('a', 1, 'b', 2)['b'] AS v FROM region LIMIT 1"))
+        .head().getInt(0) + " = m['b']")
     spark.stop()
   }
 }
