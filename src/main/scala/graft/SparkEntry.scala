@@ -634,6 +634,21 @@ object SparkEntry {
         |SELECT digest, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM nd WHERE digest NOT IN (SELECT digest FROM od)
         |GROUP BY digest ORDER BY digest""".stripMargin,
+    // exact oracle for the LSH path: the testdata plants near-dup pairs at
+    // jaccard >= 0.9 and keeps everything else < 0.1, so a full-recall LSH at
+    // threshold 0.5 must return EXACTLY the unblocked all-pairs >= 0.5 set
+    // (OpsSpec asserts recall == exact on the same data)
+    "d02_minhash_pairs" ->
+      """WITH s AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) END AS g
+        |  FROM s),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.g, b.g))
+        |    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p
+        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     "d04_ngram_jaccard" ->
       """WITH s AS (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, lang || '|' || source AS blk,

@@ -69,4 +69,33 @@ class GoldenWireSpec extends AnyFunSuite {
     assert(hex(Wire.encode(windowPlan)) == windowHex)
     assert(hex(Wire.encode(Wire.decode(unhex(windowHex)))) == windowHex)
   }
+
+  // round-3 additions: extension rels + map/list literals. Golden bytes
+  // frozen on first release of the message; self-consistency asserted the
+  // same way (encode → decode → encode must be byte-stable).
+  private val extPlan = Plan(Nil, Seq(PlanRel.RelOnly(
+    Rel.ExtGenerate(
+      Rel.ExtExchange(
+        Rel.Read(NamedStruct(Seq("xs"), Seq((SType.SList(SType.SI32, true), true))),
+          Seq("t"), None),
+        Seq(SExpr.FieldRef(0)), 4),
+      "explode", SExpr.FieldRef(0), outer = false, genArity = 1))))
+
+  private val litPlan = Plan(Nil, Seq(PlanRel.RelOnly(
+    Rel.Project(
+      Rel.Read(NamedStruct(Seq("x"), Seq((SType.SI32, true))), Seq("t"), None),
+      Seq(
+        SExpr.Lit(LitVal.LList(SType.SI32, Seq(LitVal.LI32(1), LitVal.LI32(2)))),
+        SExpr.Lit(LitVal.LList(SType.SFp64, Nil)),
+        SExpr.Lit(LitVal.LMap(SType.SStr, SType.SI64,
+          Seq((LitVal.LStr("k"), LitVal.LI64(9))))),
+        SExpr.Lit(LitVal.LMap(SType.SStr, SType.SFp64, Nil)))))))
+
+  test("extension rels and map/list literals are byte-stable across round-trips") {
+    for (p <- Seq(extPlan, litPlan)) {
+      val b1 = Wire.encode(p)
+      assert(Wire.decode(b1) == p)
+      assert(hex(Wire.encode(Wire.decode(b1))) == hex(b1))
+    }
+  }
 }
