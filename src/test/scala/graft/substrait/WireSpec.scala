@@ -33,6 +33,9 @@ class WireSpec extends AnyFunSuite {
     def nl(v: LitVal): String = v match {
       case LitVal.LBin(b) => s"LBin(${b.toSeq})"
       case LitVal.LDecimal(b, pr, s) => s"LDecimal(${b.toSeq},$pr,$s)"
+      case LitVal.LList(t, vs) => s"LList($t,${vs.map(nl).mkString(",")})"
+      case LitVal.LMap(kt, vt, es) =>
+        s"LMap($kt,$vt,${es.map { case (k, v) => s"(${nl(k)},${nl(v)})" }.mkString(",")})"
       case other => other.toString
     }
     def ne(e: SExpr): String = e match {
@@ -58,6 +61,10 @@ class WireSpec extends AnyFunSuite {
       case Rel.Join(l, rr, e, t) => s"Join(${nr(l)},${nr(rr)},${ne(e)},$t)"
       case Rel.Cross(l, rr) => s"Cross(${nr(l)},${nr(rr)})"
       case Rel.Set(is, op) => s"Set(${is.map(nr)},$op)"
+      case Rel.ExtGenerate(i, g, a, o, k) =>
+        s"Gen(${nr(i)},$g,${ne(a)},$o,$k)"
+      case Rel.ExtExchange(i, es, n) =>
+        s"Exch(${nr(i)},${es.map(ne).mkString(",")},$n)"
     }
     p.extensions.toString + p.relations.map {
       case PlanRel.RelOnly(r) => s"RelOnly(${nr(r)})"
@@ -81,6 +88,42 @@ class WireSpec extends AnyFunSuite {
     Gen.const(SType.STimestampTz),
     for { p <- Gen.choose(1, 38); s <- Gen.choose(0, 20) } yield SType.SDecimal(p, s))
 
+  private lazy val genNestedType: Gen[SType] = Gen.frequency(
+    4 -> genSType,
+    1 -> (for { e <- genSType; n <- Arbitrary.arbitrary[Boolean] }
+      yield SType.SList(e, n)),
+    1 -> (for { k <- genSType; v <- genSType; vn <- Arbitrary.arbitrary[Boolean] }
+      yield SType.SMap(k, v, vn)))
+
+  /** typed literal generator so container literals stay homogeneous — the
+    * wire carries no element type for non-empty lists/maps (inferred from
+    * the first element on decode), so heterogeneous values would break the
+    * decode == original structural property */
+  private def genLitOf(t: SType): Gen[LitVal] = t match {
+    case SType.SI32 => Arbitrary.arbitrary[Int].map(LitVal.LI32)
+    case SType.SI64 => Arbitrary.arbitrary[Long].map(LitVal.LI64)
+    case SType.SStr => Gen.alphaNumStr.map(LitVal.LStr)
+    case SType.SFp64 => Arbitrary.arbitrary[Double].map(LitVal.LFp64)
+    case _ => Gen.alphaNumStr.map(LitVal.LStr)
+  }
+  private val genElemType: Gen[SType] =
+    Gen.oneOf(SType.SI32, SType.SI64, SType.SStr, SType.SFp64)
+
+  private val genContainerLit: Gen[LitVal] = Gen.oneOf(
+    for { // non-empty list: element type inferred from values on decode
+      et <- genElemType
+      n <- Gen.choose(1, 4)
+      vs <- Gen.listOfN(n, genLitOf(et))
+    } yield LitVal.LList(et, vs),
+    genNestedType.map(t => LitVal.LList(t, Nil)), // empty_list keeps any type
+    for {
+      kt <- genElemType; vt <- genElemType
+      n <- Gen.choose(1, 3)
+      ks <- Gen.listOfN(n, genLitOf(kt)); vls <- Gen.listOfN(n, genLitOf(vt))
+    } yield LitVal.LMap(kt, vt, ks.zip(vls)),
+    for { kt <- genElemType; vt <- genNestedType }
+      yield LitVal.LMap(kt, vt, Nil))
+
   private val genLit: Gen[LitVal] = Gen.oneOf(
     Arbitrary.arbitrary[Boolean].map(LitVal.LBool),
     Gen.choose(-128, 127).map(LitVal.LI8),
@@ -98,7 +141,8 @@ class WireSpec extends AnyFunSuite {
       bytes <- Gen.containerOfN[Array, Byte](16, Arbitrary.arbitrary[Byte])
       p <- Gen.choose(1, 38); s <- Gen.choose(0, 10)
     } yield LitVal.LDecimal(bytes, p, s),
-    genSType.map(LitVal.LNull))
+    genSType.map(LitVal.LNull),
+    genContainerLit)
 
   private def genExpr(depth: Int): Gen[SExpr] =
     if (depth <= 0)
@@ -177,7 +221,19 @@ class WireSpec extends AnyFunSuite {
                   e <- genExpr(1); t <- Gen.choose(1, 6) } yield Rel.Join(l, r, e, t)),
       1 -> (for { l <- genRel(depth - 1); r <- genRel(depth - 1) } yield Rel.Cross(l, r)),
       1 -> (for { n <- Gen.choose(2, 3); is <- Gen.listOfN(n, genRel(depth - 1))
-                  op <- Gen.choose(1, 6) } yield Rel.Set(is, op)))
+                  op <- Gen.choose(1, 6) } yield Rel.Set(is, op)),
+      1 -> (for {
+        i <- genRel(depth - 1)
+        g <- Gen.oneOf("explode", "posexplode", "inline")
+        arg <- genExpr(1)
+        outer <- Arbitrary.arbitrary[Boolean]
+        k <- Gen.choose(1, 3)
+      } yield Rel.ExtGenerate(i, g, arg, outer, k)),
+      1 -> (for {
+        i <- genRel(depth - 1)
+        ne <- Gen.choose(0, 2); es <- Gen.listOfN(ne, genExpr(1))
+        num <- Gen.choose(0, 64)
+      } yield Rel.ExtExchange(i, es, num)))
 
   private val genPlan: Gen[Plan] = for {
     nExts <- Gen.choose(0, 5)
