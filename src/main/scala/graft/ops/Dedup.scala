@@ -296,6 +296,10 @@ object Dedup {
       col(bCol).cast("long").as("v"))
     val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
       .distinct().persist()
+    // the labels frame is referenced three times per iteration (both pointer
+    // directions + the join side), so each generation is checkpointed —
+    // dropping this recomputes the distinct per reference and costs more
+    // than the checkpoint job does
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)

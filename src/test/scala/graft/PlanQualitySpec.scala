@@ -113,6 +113,12 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThanOrEqual(l_orderkey,200)]"), p)
   }
 
+  test("d09: the benchmark n-gram side broadcasts (corpus text never shuffles)") {
+    val p = plan("d09_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"gram join must not shuffle corpus grams:\n$p")
+  }
+
   test("no cartesian products in the round-3 wire-certified queries") {
     for (q <- Seq("d02_minhash_pairs", "d03_simhash_neardup",
       "d05_embedding_neardup", "s02_knn_lsh", "t04_top_terms",
