@@ -142,12 +142,23 @@ object Consumer {
         // input columns ++ generator columns, matching the producer's attrs
         Built(in.df.select(col("*"), gcol.as(freshNames(genArity))))
 
-      case Rel.ExtExchange(input, exprs, num) =>
+      case Rel.ExtExchange(input, exprs, num, shuffle) =>
         val in = build(input)
         val cols = exprs.map(toColumn(_, in.df))
         Built(
-          if (num > 0) in.df.repartition(num, cols: _*)
-          else in.df.repartition(cols: _*))
+          if (cols.nonEmpty)
+            if (num > 0) in.df.repartition(num, cols: _*)
+            else in.df.repartition(cols: _*)
+          else if (!shuffle) in.df.coalesce(math.max(num, 1))
+          else if (num > 0) in.df.repartition(num)
+          else in.df)
+
+      case Rel.ExtSample(input, lo, hi, wr, seed) =>
+        val in = build(input)
+        // Dataset.sample has no lower bound; Spark's own Sample node does —
+        // reconstruct via the internal fraction on the standard API surface
+        if (lo != 0.0) notImplemented("sample with non-zero lower bound")
+        Built(in.df.sample(wr, hi, seed))
 
       case Rel.Set(inputs, op) =>
         val dfs = inputs.map(build(_).df)

@@ -163,6 +163,19 @@ object Producer {
             r.optNumPartitions.getOrElse(0)),
           in.attrs)
 
+      // round-robin repartition / coalesce (no partition expressions)
+      case r: logical.Repartition =>
+        val in = toRel(r.child)
+        Produced(Rel.ExtExchange(in.rel, Nil, r.numPartitions, r.shuffle),
+          in.attrs)
+
+      // Bernoulli sampling: the seed rides so the consumed plan draws the
+      // same rows on the same engine
+      case s0: logical.Sample =>
+        val in = toRel(s0.child)
+        Produced(Rel.ExtSample(in.rel, s0.lowerBound, s0.upperBound,
+          s0.withReplacement, s0.seed), in.attrs)
+
       // explode/posexplode/inline → ExtensionSingleRel (substrait 0.3 has no
       // unnest; the Any detail is graft's sanctioned extension point)
       case g: logical.Generate =>

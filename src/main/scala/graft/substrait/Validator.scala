@@ -116,11 +116,16 @@ object Validator {
         if (genArity < 1) issues += Issue(path, s"generator arity $genArity < 1")
         walkExpr(arg, w, s"$path/generate.arg")
         if (w < 0) -1 else w + genArity
-      case Rel.ExtExchange(input, exprs, num) =>
+      case Rel.ExtExchange(input, exprs, num, _) =>
         val w = walkRel(input, s"$path/exchange")
         if (num < 0) issues += Issue(path, s"negative partition count $num")
         exprs.zipWithIndex.foreach { case (e, i) =>
           walkExpr(e, w, s"$path/exchange[$i]") }
+        w
+      case Rel.ExtSample(input, lo, hi, _, _) =>
+        val w = walkRel(input, s"$path/sample")
+        if (lo < 0.0 || hi > 1.0 || lo > hi)
+          issues += Issue(path, s"bad sample bounds [$lo, $hi]")
         w
     }
 

@@ -688,8 +688,9 @@ object Wire {
             any.bytes(2, dw.out.toByteArray)
           })
         })
-      case Rel.ExtExchange(in, exprs, num) =>
-        // value = ExchangeRelDetail{exprs=1 repeated, num_partitions=2}
+      case Rel.ExtExchange(in, exprs, num, shuffle) =>
+        // value = ExchangeRelDetail{exprs=1 repeated, num_partitions=2,
+        // shuffle=3}
         rw.msg(9, ew => {
           writeRel(ew, 2, in)
           ew.msg(3, any => {
@@ -697,6 +698,22 @@ object Wire {
             val dw = new W
             exprs.foreach(writeExpr(dw, 1, _))
             dw.int32(2, num)
+            dw.bool(3, shuffle)
+            any.bytes(2, dw.out.toByteArray)
+          })
+        })
+      case Rel.ExtSample(in, lo, hi, wr, seed) =>
+        // value = SampleRelDetail{lower=1 fixed64, upper=2 fixed64,
+        // with_replacement=3, seed=4}
+        rw.msg(9, ew => {
+          writeRel(ew, 2, in)
+          ew.msg(3, any => {
+            any.str(1, sampleDetailUrl)
+            val dw = new W
+            dw.fixed64(1, java.lang.Double.doubleToLongBits(lo))
+            dw.fixed64(2, java.lang.Double.doubleToLongBits(hi))
+            dw.bool(3, wr)
+            dw.int64(4, seed)
             any.bytes(2, dw.out.toByteArray)
           })
         })
@@ -706,6 +723,8 @@ object Wire {
   val generateDetailUrl = "graft.dev/GenerateRelDetail"
   /** Any.type_url for graft's Exchange (hash repartition) detail. */
   val exchangeDetailUrl = "graft.dev/ExchangeRelDetail"
+  /** Any.type_url for graft's Sample detail. */
+  val sampleDetailUrl = "graft.dev/SampleRelDetail"
 
   private def readRel(r: R): Rel = {
     var res: Rel = null
@@ -883,13 +902,25 @@ object Wire {
                 Rel.ExtGenerate(in, gen, arg, outer, k)
               case `exchangeDetailUrl` =>
                 val dr = new R(detail, 0, detail.length)
-                val exprs = Seq.newBuilder[SExpr]; var num = 0
+                val exprs = Seq.newBuilder[SExpr]; var num = 0; var sh = true
                 dr.fields { (df, dwt) => (df, dwt) match {
                   case (1, 2) => exprs += readExpr(dr.lenDelim()); true
                   case (2, 0) => num = dr.varint().toInt; true
+                  case (3, 0) => sh = dr.varint() == 1L; true
                   case _ => false
                 }}
-                Rel.ExtExchange(in, exprs.result(), num)
+                Rel.ExtExchange(in, exprs.result(), num, sh)
+              case `sampleDetailUrl` =>
+                val dr = new R(detail, 0, detail.length)
+                var lo = 0.0; var hi = 1.0; var wr = false; var seed = 0L
+                dr.fields { (df, dwt) => (df, dwt) match {
+                  case (1, 1) => lo = java.lang.Double.longBitsToDouble(dr.fixed64()); true
+                  case (2, 1) => hi = java.lang.Double.longBitsToDouble(dr.fixed64()); true
+                  case (3, 0) => wr = dr.varint() == 1L; true
+                  case (4, 0) => seed = dr.varint(); true
+                  case _ => false
+                }}
+                Rel.ExtSample(in, lo, hi, wr, seed)
               case other =>
                 notImplemented(s"extension_single rel with foreign detail '$other'")
             }

@@ -161,13 +161,23 @@ object model {
       * input columns ++ genArity generated columns. */
     final case class ExtGenerate(input: Rel, generator: String, arg: SExpr,
                                  outer: Boolean, genArity: Int) extends Rel
-    /** Hash repartitioning (Spark RepartitionByExpression) carried as
-      * ExtensionSingleRel with Any type_url `graft.dev/ExchangeRelDetail`
-      * (substrait 0.3 predates ExchangeRel). Schema-preserving; a foreign
+    /** Repartitioning carried as ExtensionSingleRel with Any type_url
+      * `graft.dev/ExchangeRelDetail` (substrait 0.3 predates ExchangeRel).
+      * exprs non-empty = hash partitioning on them; empty + shuffle = round-
+      * robin; empty + !shuffle = coalesce. Schema-preserving; a foreign
       * consumer may safely treat it as a no-op — it only places rows.
       * numPartitions 0 = unspecified (let the engine choose). */
     final case class ExtExchange(input: Rel, exprs: Seq[SExpr],
-                                 numPartitions: Int) extends Rel
+                                 numPartitions: Int,
+                                 shuffle: Boolean = true) extends Rel
+    /** Bernoulli sampling (Spark logical.Sample) as ExtensionSingleRel with
+      * Any type_url `graft.dev/SampleRelDetail`. The seed crosses the wire,
+      * so the consumed plan draws the same rows on the same engine; row-level
+      * RNG is engine-specific, so no cross-engine oracle exists (like the
+      * reference's approx aggregates). */
+    final case class ExtSample(input: Rel, lowerBound: Double,
+                               upperBound: Double, withReplacement: Boolean,
+                               seed: Long) extends Rel
   }
 
   /** algebra.proto JoinRel.JoinType values. */

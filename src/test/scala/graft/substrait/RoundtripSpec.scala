@@ -402,6 +402,18 @@ class RoundtripSpec extends SparkTestBase {
       transform(col("xs"), (x, i) => x + i).as("xi")))
   }
 
+  test("sample, repartition and coalesce ride the wire") {
+    graft.Tables.register(spark, sfDir)
+    val li = spark.table("lineitem").select("l_orderkey", "l_quantity")
+    // seeded sample: same engine + same seed => identical rows after the hop
+    assertRoundtrip(li.sample(withReplacement = false, 0.3, seed = 7L))
+    // round-robin repartition and coalesce preserve rows and cross the wire
+    assertRoundtrip(li.repartition(8))
+    assertRoundtrip(li.coalesce(2))
+    val n = Serializer.roundtrip(spark, li.coalesce(2)).rdd.getNumPartitions
+    assert(n <= 2, s"coalesce lost on the wire: $n partitions")
+  }
+
   test("map higher-order functions ride the wire") {
     import spark.implicits._
     val df = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v")

@@ -63,8 +63,10 @@ class WireSpec extends AnyFunSuite {
       case Rel.Set(is, op) => s"Set(${is.map(nr)},$op)"
       case Rel.ExtGenerate(i, g, a, o, k) =>
         s"Gen(${nr(i)},$g,${ne(a)},$o,$k)"
-      case Rel.ExtExchange(i, es, n) =>
-        s"Exch(${nr(i)},${es.map(ne).mkString(",")},$n)"
+      case Rel.ExtExchange(i, es, n, sh) =>
+        s"Exch(${nr(i)},${es.map(ne).mkString(",")},$n,$sh)"
+      case Rel.ExtSample(i, lo, hi, wr, seed) =>
+        s"Sample(${nr(i)},$lo,$hi,$wr,$seed)"
     }
     p.extensions.toString + p.relations.map {
       case PlanRel.RelOnly(r) => s"RelOnly(${nr(r)})"
@@ -233,7 +235,14 @@ class WireSpec extends AnyFunSuite {
         i <- genRel(depth - 1)
         ne <- Gen.choose(0, 2); es <- Gen.listOfN(ne, genExpr(1))
         num <- Gen.choose(0, 64)
-      } yield Rel.ExtExchange(i, es, num)))
+        sh <- Arbitrary.arbitrary[Boolean]
+      } yield Rel.ExtExchange(i, es, num, sh)),
+      1 -> (for {
+        i <- genRel(depth - 1)
+        hi <- Gen.choose(0.0, 1.0)
+        wr <- Arbitrary.arbitrary[Boolean]
+        seed <- Arbitrary.arbitrary[Long]
+      } yield Rel.ExtSample(i, 0.0, hi, wr, seed)))
 
   private val genPlan: Gen[Plan] = for {
     nExts <- Gen.choose(0, 5)
