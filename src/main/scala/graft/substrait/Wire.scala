@@ -726,8 +726,60 @@ object Wire {
   /** Any.type_url for graft's Sample detail. */
   val sampleDetailUrl = "graft.dev/SampleRelDetail"
 
+  /** Output arity of a decoded rel — needed to resolve RelCommon.emit on a
+    * ProjectRel, whose mapping indexes the concatenated (input ++
+    * expressions) space per the substrait spec. */
+  private def relArity(rel: Rel): Int = rel match {
+    case Rel.Read(schema, _, proj, _, _) =>
+      proj.map(_.size).getOrElse(if (schema == null) -1 else schema.names.size)
+    case Rel.Project(_, exprs) => exprs.size
+    case Rel.Filter(in, _) => relArity(in)
+    case Rel.Fetch(in, _, _) => relArity(in)
+    case Rel.Sort(in, _) => relArity(in)
+    case Rel.Aggregate(_, groupings, measures) =>
+      groupings.flatten.distinct.size + measures.size +
+        (if (groupings.size > 1) 1 else 0)
+    case Rel.Join(l, rr, _, jt) => jt match {
+      case JoinType.Semi | JoinType.Anti => relArity(l)
+      case _ =>
+        val (a, b) = (relArity(l), relArity(rr))
+        if (a < 0 || b < 0) -1 else a + b
+    }
+    case Rel.Cross(l, rr) =>
+      val (a, b) = (relArity(l), relArity(rr))
+      if (a < 0 || b < 0) -1 else a + b
+    case Rel.Set(inputs, _) => inputs.headOption.map(relArity).getOrElse(-1)
+    case Rel.ExtGenerate(in, _, _, _, k) =>
+      val a = relArity(in); if (a < 0) -1 else a + k
+    case Rel.ExtExchange(in, _, _, _) => relArity(in)
+    case Rel.ExtSample(in, _, _, _, _) => relArity(in)
+  }
+
+  /** RelCommon{emit=2{repeated int32 output_mapping=1}} → the mapping.
+    * direct=1 (or absent) means identity output. */
+  private def readCommonEmit(cr: R): Option[Seq[Int]] = {
+    var mapping: Option[Seq[Int]] = None
+    cr.fields { (f, wt) => (f, wt) match {
+      case (2, 2) =>
+        val er = cr.lenDelim()
+        val idxs = Seq.newBuilder[Int]
+        er.fields { (ef, ewt) => (ef, ewt) match {
+          case (1, 0) => idxs += er.varint().toInt; true
+          case (1, 2) => // packed repeated int32
+            val pr = er.lenDelim()
+            while (pr.hasMore) idxs += pr.varint().toInt
+            true
+          case _ => false
+        }}
+        mapping = Some(idxs.result()); true
+      case _ => false
+    }}
+    mapping
+  }
+
   private def readRel(r: R): Rel = {
     var res: Rel = null
+    var emit: Option[Seq[Int]] = None
     r.fields { (f, wt) =>
       if (wt != 2) false
       else {
@@ -739,6 +791,7 @@ object Wire {
             var filt: Option[SExpr] = None
             var vrows: Option[Seq[Seq[LitVal]]] = None
             rr.fields { (rf, rwt) => (rf, rwt) match {
+              case (1, 2) => emit = readCommonEmit(rr.lenDelim()); true
               case (2, 2) => schema = readNamedStruct(rr.lenDelim()); true
               case (3, 2) => filt = Some(readExpr(rr.lenDelim())); true
               case (5, 2) =>
@@ -792,6 +845,7 @@ object Wire {
           case 2 =>
             var in: Rel = null; var cond: SExpr = null
             rr.fields { (rf, rwt) => (rf, rwt) match {
+              case (1, 2) => emit = readCommonEmit(rr.lenDelim()); true
               case (2, 2) => in = readRel(rr.lenDelim()); true
               case (3, 2) => cond = readExpr(rr.lenDelim()); true
               case _ => false
@@ -800,6 +854,7 @@ object Wire {
           case 3 =>
             var in: Rel = null; var off = 0L; var cnt = 0L
             rr.fields { (rf, rwt) => (rf, rwt) match {
+              case (1, 2) => emit = readCommonEmit(rr.lenDelim()); true
               case (2, 2) => in = readRel(rr.lenDelim()); true
               case (3, 0) => off = rr.varint(); true
               case (4, 0) => cnt = rr.varint(); true
@@ -811,6 +866,7 @@ object Wire {
             val groupings = Seq.newBuilder[Seq[SExpr]]
             val measures = Seq.newBuilder[Measure]
             rr.fields { (rf, rwt) => (rf, rwt) match {
+              case (1, 2) => emit = readCommonEmit(rr.lenDelim()); true
               case (2, 2) => in = readRel(rr.lenDelim()); true
               case (3, 2) =>
                 val gr = rr.lenDelim(); val ges = Seq.newBuilder[SExpr]
@@ -834,6 +890,7 @@ object Wire {
           case 5 =>
             var in: Rel = null; val sorts = Seq.newBuilder[SortField]
             rr.fields { (rf, rwt) => (rf, rwt) match {
+              case (1, 2) => emit = readCommonEmit(rr.lenDelim()); true
               case (2, 2) => in = readRel(rr.lenDelim()); true
               case (3, 2) => sorts += readSortField(rr.lenDelim()); true
               case _ => false
@@ -842,6 +899,7 @@ object Wire {
           case 6 =>
             var l: Rel = null; var rt: Rel = null; var e: SExpr = null; var jt = 0
             rr.fields { (rf, rwt) => (rf, rwt) match {
+              case (1, 2) => emit = readCommonEmit(rr.lenDelim()); true
               case (2, 2) => l = readRel(rr.lenDelim()); true
               case (3, 2) => rt = readRel(rr.lenDelim()); true
               case (4, 2) => e = readExpr(rr.lenDelim()); true
@@ -852,6 +910,7 @@ object Wire {
           case 7 =>
             var in: Rel = null; val exprs = Seq.newBuilder[SExpr]
             rr.fields { (rf, rwt) => (rf, rwt) match {
+              case (1, 2) => emit = readCommonEmit(rr.lenDelim()); true
               case (2, 2) => in = readRel(rr.lenDelim()); true
               case (3, 2) => exprs += readExpr(rr.lenDelim()); true
               case _ => false
@@ -860,6 +919,7 @@ object Wire {
           case 8 =>
             val inputs = Seq.newBuilder[Rel]; var op = 0
             rr.fields { (rf, rwt) => (rf, rwt) match {
+              case (1, 2) => emit = readCommonEmit(rr.lenDelim()); true
               case (2, 2) => inputs += readRel(rr.lenDelim()); true
               case (3, 0) => op = rr.varint().toInt; true
               case _ => false
@@ -868,6 +928,7 @@ object Wire {
           case 12 =>
             var l: Rel = null; var rt: Rel = null
             rr.fields { (rf, rwt) => (rf, rwt) match {
+              case (1, 2) => emit = readCommonEmit(rr.lenDelim()); true
               case (2, 2) => l = readRel(rr.lenDelim()); true
               case (3, 2) => rt = readRel(rr.lenDelim()); true
               case _ => false
@@ -877,6 +938,7 @@ object Wire {
             var in: Rel = null
             var url = ""; var detail: Array[Byte] = null
             rr.fields { (rf, rwt) => (rf, rwt) match {
+              case (1, 2) => emit = readCommonEmit(rr.lenDelim()); true
               case (2, 2) => in = readRel(rr.lenDelim()); true
               case (3, 2) =>
                 val ar = rr.lenDelim()
@@ -930,7 +992,26 @@ object Wire {
       }
     }
     if (res == null) notImplemented("empty Rel")
-    res
+    // RelCommon.emit (a foreign producer's inline output mapping — graft's
+    // own producer always emits `direct`): resolve to a plain Project. On a
+    // ProjectRel the mapping indexes the CONCATENATED (input ++ expressions)
+    // space per the substrait spec; on every other rel it indexes the rel's
+    // own output.
+    emit match {
+      case Some(mapping) =>
+        res match {
+          case Rel.Project(in, exprs) =>
+            val inA = relArity(in)
+            if (inA < 0) notImplemented("emit on a project with unknowable input arity")
+            Rel.Project(in, mapping.map { i =>
+              if (i < inA) SExpr.FieldRef(i)
+              else if (i - inA < exprs.size) exprs(i - inA)
+              else notImplemented(s"emit index $i beyond input+expressions")
+            })
+          case other => Rel.Project(other, mapping.map(SExpr.FieldRef(_)))
+        }
+      case None => res
+    }
   }
 
   // -------------------------------------------------------------------- plan

@@ -128,6 +128,49 @@ class WireConformanceSpec extends AnyFunSuite {
     assert(Wire.decode(Wire.encode(empty)) == empty)
   }
 
+  test("foreign RelCommon.emit resolves: ProjectRel maps the input++expressions space") {
+    // the standard modern-producer shape (DataFusion/DuckDB): a 2-column
+    // scan, one computed expression, emit=[0, 2] → (col0, computed)
+    val w = new PW
+    w.msg(3, pr => pr.msg(1, rel => rel.msg(7, proj => {
+      proj.msg(1, c => c.msg(2, e => { e.int(1, 0); e.int(1, 2) })) // common.emit
+      proj.msg(2, in => in.msg(1, rd => {
+        rd.msg(2, ns => {
+          ns.str(1, "a"); ns.str(1, "b")
+          ns.msg(2, st => { i32Type(st, 1); i32Type(st, 1) })
+        })
+        rd.msg(7, nt => nt.str(1, "t"))
+      }))
+      proj.msg(3, ex => ex.msg(1, lit => lit.int(5, 42))) // expression: 42
+    })))
+    val plan = Wire.decode(w.bytes)
+    val Rel.Project(_, exprs) = plan.relations.head
+      .asInstanceOf[PlanRel.RelOnly].rel: @unchecked
+    assert(exprs == Seq(SExpr.FieldRef(0), SExpr.Lit(LitVal.LI32(42))))
+  }
+
+  test("foreign RelCommon.emit on a non-project rel wraps its own output") {
+    // FilterRel over a 3-column scan with emit=[2, 0] → reordered projection
+    val w = new PW
+    w.msg(3, pr => pr.msg(1, rel => rel.msg(2, flt => {
+      flt.msg(1, c => c.msg(2, e => { e.int(1, 2); e.int(1, 0) }))
+      flt.msg(2, in => in.msg(1, rd => {
+        rd.msg(2, ns => {
+          Seq("a", "b", "c").foreach(ns.str(1, _))
+          ns.msg(2, st => { i32Type(st, 1); i32Type(st, 1); i32Type(st, 1) })
+        })
+        rd.msg(7, nt => nt.str(1, "t"))
+      }))
+      flt.msg(3, ex => ex.msg(1, lit => lit.int(1, 1))) // condition: true
+    })))
+    val plan = Wire.decode(w.bytes)
+    plan.relations.head.asInstanceOf[PlanRel.RelOnly].rel match {
+      case Rel.Project(_: Rel.Filter, exprs) =>
+        assert(exprs == Seq(SExpr.FieldRef(2), SExpr.FieldRef(0)))
+      case other => fail(s"expected Project(Filter, ...), got $other")
+    }
+  }
+
   test("ExtensionSingleRel with a foreign Any type_url is loudly rejected") {
     val w = new PW
     w.msg(3, pr => pr.msg(1, rel => rel.msg(9, ext => {
