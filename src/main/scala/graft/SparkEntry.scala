@@ -201,6 +201,17 @@ object SparkEntry {
         .orderBy("lang", "rk")
     })),
 
+    // sequence packing: deterministic (bin, token-offset) assignment in the
+    // per-language packed stream — the indexing step before writing packed
+    // pretraining shards; one window pass = one shuffle on the group key
+    "t09_pack_sequences" -> ((s, dir) => rt(s, {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        ops.TextOps.tokenCount(col("text")).as("n_tokens"))
+      ops.Pipeline.packSequences(d, "n_tokens", "doc_id",
+        budget = 1024, byCols = Seq("lang"))
+        .orderBy("lang", "doc_id")
+    })),
+
     // element-wise per-label centroid vectors, decimal-exact accumulation
     "s04_label_centroids" -> ((s, dir) => rt(s,
       ops.Embeddings.centroids(t(s, dir, "embeddings"))
@@ -785,6 +796,17 @@ object SparkEntry {
         |          / GREATEST(len(regexp_extract_all(text, '\S+')), 1)) <= 10.0
         |      THEN 0.2 ELSE 0.0 END AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t09_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, lang, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS stream_offset
+        |  FROM d)
+        |SELECT doc_id, lang, n_tokens, stream_offset,
+        |  CAST(FLOOR(stream_offset / 1024.0) AS BIGINT) AS bin_id
+        |FROM p ORDER BY lang, doc_id""".stripMargin,
     "t08_top_docs_per_lang" ->
       """WITH q AS (SELECT doc_id, lang,
         |  LEAST(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0) * 0.5

@@ -59,6 +59,48 @@ object Pipeline {
     df.withColumn("split", split)
   }
 
+  /** Sequence packing for pretraining: assign each document a bin and a
+    * token offset in a deterministic packed stream, per group (e.g. per
+    * language/shard), ordered by `orderCol`. A document's bin is the one its
+    * STARTING offset falls in (offset-based packing: a doc may straddle into
+    * the next bin's budget — the standard indexing for packed datasets,
+    * where the reader slices windows from the concatenated token stream).
+    *
+    * One window pass (cumulative sum) per group — a single hash shuffle on
+    * the group key at any scale; the stream offset doubles as the byte-exact
+    * index for the downstream packed-file writer.
+    */
+  def packSequences(df: DataFrame, tokenCol: String, orderCol: String,
+                    budget: Int, byCols: Seq[String]): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(byCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offset = coalesce(sum(col(tokenCol)).over(w), lit(0L))
+    df.withColumn("stream_offset", offset)
+      .withColumn("bin_id", (col("stream_offset") / budget).cast("long"))
+  }
+
+  /** Deterministic per-stratum sampling: keep ~`fraction(stratum)` of each
+    * stratum's rows, decided by xxhash64 of the id — stable across runs and
+    * re-processing like [[deterministicSplit]], zero shuffles. A row's
+    * membership never changes when the corpus grows, so incremental
+    * pipelines can re-sample without churning previously selected docs.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       fractions: Map[String, Double],
+                       default: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(default)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    val buckets = 1000000L
+    val slot = pmod(xxhash64(col(idCol)), lit(buckets))
+    val cut = fractions.foldRight(lit((default * buckets).toLong)) {
+      case ((s, f), rest) =>
+        when(col(strataCol) === s, lit((f * buckets).toLong)).otherwise(rest)
+    }
+    df.filter(slot < cut)
+  }
+
   /** Skew-safe equi-join: the build side is replicated `salts` times, the
     * probe side's rows get a deterministic salt from their own payload, and
     * the join runs on (key, salt) — a hot key's rows spread over `salts`

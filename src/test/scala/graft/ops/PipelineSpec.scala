@@ -86,4 +86,36 @@ class PipelineSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Pipeline.deterministicSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
   }
+
+  test("packSequences: offsets are the exact prefix sums, bins cover the stream") {
+    import spark.implicits._
+    val d = Seq((1L, "en", 600), (2L, "en", 600), (3L, "en", 100),
+      (4L, "fr", 2000), (5L, "fr", 10)).toDF("doc_id", "lang", "n_tokens")
+    val p = Pipeline.packSequences(d, "n_tokens", "doc_id", budget = 1024,
+      byCols = Seq("lang")).orderBy("doc_id").collect()
+    val offs = p.map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    // en: offsets 0, 600, 1200 -> bins 0, 0, 1; fr: offsets 0, 2000 -> bins 0, 1
+    assert(offs.toSeq == Seq((1L, 0L, 0L), (2L, 600L, 0L), (3L, 1200L, 1L),
+      (4L, 0L, 0L), (5L, 2000L, 1L)))
+  }
+
+  test("stratifiedSample: deterministic, per-stratum, membership-stable") {
+    val d = docs
+    val s1 = Pipeline.stratifiedSample(d, "doc_id", "lang",
+      Map("en" -> 0.5, "fr" -> 1.0), default = 0.0)
+    val byLang = s1.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val frTotal = d.filter(col("lang") === "fr").count()
+    assert(byLang.getOrElse("fr", 0L) == frTotal, "fraction 1.0 keeps everything")
+    assert(!byLang.contains("de") && !byLang.contains("es"),
+      "default 0.0 drops unlisted strata")
+    val enTotal = d.filter(col("lang") === "en").count()
+    assert(math.abs(byLang.getOrElse("en", 0L) - 0.5 * enTotal) < 0.2 * enTotal)
+    // growing the corpus never drops a previously selected doc
+    val shrunk = Pipeline.stratifiedSample(d.filter(col("doc_id") < 250),
+      "doc_id", "lang", Map("en" -> 0.5, "fr" -> 1.0))
+    val fullIds = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    shrunk.select("doc_id").collect().map(_.getLong(0))
+      .foreach(id => assert(fullIds.contains(id), s"doc $id churned"))
+  }
 }
