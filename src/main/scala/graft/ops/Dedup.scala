@@ -303,18 +303,22 @@ object Dedup {
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    def step(lbl: DataFrame): DataFrame = {
+      val ptr = lbl.select(col("node").as("u"), col("label").as("v"))
+      edges.union(ptr)
+        .union(ptr.select(col("v").as("u"), col("u").as("v")))
+        .join(lbl.select(col("node").as("v"), col("label")), "v")
+        .groupBy("u").agg(min(col("label")).as("label"))
+        .select(col("u").as("node"), col("label"))
+    }
     var prevSum: java.math.BigDecimal = null
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val ptr = labels.select(col("node").as("u"), col("label").as("v"))
-      val aug = edges.union(ptr)
-        .union(ptr.select(col("v").as("u"), col("u").as("v")))
-      val next = aug
-        .join(labels.select(col("node").as("v"), col("label")), "v")
-        .groupBy("u").agg(min(col("label")).as("label"))
-        .select(col("u").as("node"), col("label"))
-      labels = next.localCheckpoint(true)
+      // two propagation hops per materialization round: halves the fixed
+      // checkpoint/action cost and still detects the exact fixpoint (labels
+      // are monotone, so a stable sum across a double-hop is a fixpoint)
+      labels = step(step(labels)).localCheckpoint(true)
       val s = labels.agg(sum(col("label").cast("decimal(38,0)")))
         .head.getDecimal(0)
       done = prevSum != null && s.compareTo(prevSum) == 0
