@@ -591,6 +591,11 @@ object Consumer {
           Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
       case LitVal.LDecimal(bytesLE, _, s) =>
         new java.math.BigDecimal(new java.math.BigInteger(bytesLE.reverse), s)
+      case LitVal.LIntervalDay(d, s, us) =>
+        java.time.Duration.ofSeconds(d.toLong * 86400L + s)
+          .plusNanos(us.toLong * 1000L)
+      case LitVal.LIntervalYear(y, m) =>
+        java.time.Period.ofYears(y).plusMonths(m.toLong.toInt)
       case LitVal.LNull(_) => null
       case LitVal.LList(_, vs) => vs.map(litExternal)
       case LitVal.LMap(_, _, es) =>
@@ -615,6 +620,11 @@ object Consumer {
       case LitVal.LTimestampTz(us) =>
         lit(java.time.Instant.ofEpochSecond(
           Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+      case LitVal.LIntervalDay(d, s, us) =>
+        lit(java.time.Duration.ofSeconds(d.toLong * 86400L + s)
+          .plusNanos(us.toLong * 1000L))
+      case LitVal.LIntervalYear(y, m) =>
+        lit(java.time.Period.ofYears(y).plusMonths(m.toLong.toInt))
       case LitVal.LDecimal(bytesLE, p, s) =>
         // little-endian i128 → BigInteger (big-endian) → BigDecimal(unscaled, s)
         val be = bytesLE.reverse
@@ -644,6 +654,8 @@ object Consumer {
     case SType.SDate => DateType
     case SType.STimestamp => TimestampNTZType
     case SType.STimestampTz => TimestampType
+    case SType.SIntervalDay => DayTimeIntervalType()
+    case SType.SIntervalYear => YearMonthIntervalType()
     case SType.SDecimal(p, s) => DecimalType(p, s)
     case SType.SList(e, n) => ArrayType(sparkType(e), n)
     case SType.SMap(k, v, vn) => MapType(sparkType(k), sparkType(v), vn)

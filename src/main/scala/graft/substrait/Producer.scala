@@ -795,6 +795,10 @@ object Producer {
       case GreaterThanOrEqual(l, r) => fn("gte", rec(l), rec(r))
       case Add(l, r, _) => fn("add", rec(l), rec(r))
       case Subtract(l, r, _) => fn("subtract", rec(l), rec(r))
+      // timestamp/date ± interval resolve to dedicated Catalyst nodes; on
+      // the wire they are plain add (the consumer's Column + re-derives them)
+      case t: TimestampAddInterval => fn("add", rec(t.start), rec(t.interval))
+      case d: DateAddInterval => fn("add", rec(d.start), rec(d.interval))
       case Multiply(l, r, _) => fn("multiply", rec(l), rec(r))
       case Divide(l, r, _) => fn("divide", rec(l), rec(r))
       case Remainder(l, r, _) => fn("mod", rec(l), rec(r))
@@ -975,6 +979,16 @@ object Producer {
         case DateType => LitVal.LDate(l.value.asInstanceOf[Int])
         case TimestampNTZType => LitVal.LTimestamp(l.value.asInstanceOf[Long])
         case TimestampType => LitVal.LTimestampTz(l.value.asInstanceOf[Long])
+        case _: DayTimeIntervalType =>
+          // Spark stores total microseconds; decompose with one sign across
+          // components (truncating division) — recomposition is exact
+          val t = l.value.asInstanceOf[Long]
+          val d = t / 86400000000L; val rem = t - d * 86400000000L
+          val s = rem / 1000000L; val us = rem - s * 1000000L
+          LitVal.LIntervalDay(d.toInt, s.toInt, us.toInt)
+        case _: YearMonthIntervalType =>
+          val m = l.value.asInstanceOf[Int]
+          LitVal.LIntervalYear(m / 12, m % 12)
         case dt: DecimalType =>
           // 16-byte little-endian two's-complement i128 (producer.rs:585-589)
           val unscaled = l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
@@ -1055,6 +1069,8 @@ object Producer {
     case DateType => SType.SDate
     case TimestampNTZType => SType.STimestamp
     case TimestampType => SType.STimestampTz
+    case _: DayTimeIntervalType => SType.SIntervalDay
+    case _: YearMonthIntervalType => SType.SIntervalYear
     case d: DecimalType => SType.SDecimal(d.precision, d.scale)
     case ArrayType(e, n) => SType.SList(sTypeOf(e), n)
     case MapType(k, v, vn) => SType.SMap(sTypeOf(k), sTypeOf(v), vn)

@@ -112,6 +112,8 @@ object Wire {
       case SType.SBin       => writeKind(tw, (13, 0), nullable)
       case SType.STimestamp   => writeKind(tw, (14, 0), nullable)
       case SType.SDate        => writeKind(tw, (16, 0), nullable)
+      case SType.SIntervalYear => writeKind(tw, (19, 0), nullable)
+      case SType.SIntervalDay  => writeKind(tw, (20, 0), nullable)
       case SType.STimestampTz => writeKind(tw, (29, 0), nullable)
       case SType.SDecimal(p, s) =>
         // Decimal{scale=1, precision=2, tvr=3, nullability=4}
@@ -160,6 +162,8 @@ object Wire {
           case 13 => simple(SType.SBin, kr); true
           case 14 => simple(SType.STimestamp, kr); true
           case 16 => simple(SType.SDate, kr); true
+          case 19 => simple(SType.SIntervalYear, kr); true
+          case 20 => simple(SType.SIntervalDay, kr); true
           case 29 => simple(SType.STimestampTz, kr); true
           case 24 =>
             var p = 0; var s = 0; var nullable = true
@@ -293,6 +297,10 @@ object Wire {
       case LitVal.LBin(b)       => lw.bytes(13, b)
       case LitVal.LTimestamp(t)   => lw.int64(14, t)
       case LitVal.LDate(d)        => lw.int32(16, d)
+      case LitVal.LIntervalYear(y, m) =>
+        lw.msg(19, iw => { iw.int32(1, y); iw.int32(2, m) })
+      case LitVal.LIntervalDay(d, s, us) =>
+        lw.msg(20, iw => { iw.int32(1, d); iw.int32(2, s); iw.int32(3, us) })
       case LitVal.LTimestampTz(t) => lw.int64(27, t)
       case LitVal.LDecimal(bytes, p, s) =>
         lw.msg(24, dw => { dw.bytes(1, bytes); dw.int32(2, p); dw.int32(3, s) })
@@ -340,6 +348,8 @@ object Wire {
     case _: LitVal.LDate => SType.SDate
     case _: LitVal.LTimestamp => SType.STimestamp
     case _: LitVal.LTimestampTz => SType.STimestampTz
+    case _: LitVal.LIntervalYear => SType.SIntervalYear
+    case _: LitVal.LIntervalDay => SType.SIntervalDay
     case LitVal.LDecimal(_, p, s) => SType.SDecimal(p, s)
     case LitVal.LNull(t) => t
     case LitVal.LList(et, _) => SType.SList(et, elemNullable = true)
@@ -360,6 +370,23 @@ object Wire {
       case (13, 2) => res = LitVal.LBin(r.rawBytes()); true
       case (14, 0) => res = LitVal.LTimestamp(r.varint()); true
       case (16, 0) => res = LitVal.LDate(r.varint().toInt); true
+      case (19, 2) =>
+        val ir = r.lenDelim(); var y = 0; var m = 0
+        ir.fields { (f2, w2) => (f2, w2) match {
+          case (1, 0) => y = ir.varint().toInt; true
+          case (2, 0) => m = ir.varint().toInt; true
+          case _ => false
+        }}
+        res = LitVal.LIntervalYear(y, m); true
+      case (20, 2) =>
+        val ir = r.lenDelim(); var d = 0; var s = 0; var us = 0
+        ir.fields { (f2, w2) => (f2, w2) match {
+          case (1, 0) => d = ir.varint().toInt; true
+          case (2, 0) => s = ir.varint().toInt; true
+          case (3, 0) => us = ir.varint().toInt; true
+          case _ => false
+        }}
+        res = LitVal.LIntervalDay(d, s, us); true
       case (27, 0) => res = LitVal.LTimestampTz(r.varint()); true
       case (24, 2) =>
         val dr = r.lenDelim()

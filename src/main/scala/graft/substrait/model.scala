@@ -30,6 +30,10 @@ object model {
     case object SDate extends SType
     /** naive wall-clock timestamp — Spark TimestampNTZType */
     case object STimestamp extends SType
+    /** type.proto IntervalYear (field 19) — Spark YearMonthIntervalType */
+    case object SIntervalYear extends SType
+    /** type.proto IntervalDay (field 20) — Spark DayTimeIntervalType */
+    case object SIntervalDay extends SType
     /** UTC-adjusted timestamp — Spark TimestampType (LTZ) */
     case object STimestampTz extends SType
     final case class SDecimal(precision: Int, scale: Int) extends SType
@@ -104,6 +108,12 @@ object model {
     final case class LTimestamp(micros: Long) extends LitVal
     /** UTC micros since epoch (substrait `timestamp_tz` literal) */
     final case class LTimestampTz(micros: Long) extends LitVal
+    /** Literal.interval_year_to_month (field 19): {years=1, months=2} */
+    final case class LIntervalYear(years: Int, months: Int) extends LitVal
+    /** Literal.interval_day_to_second (field 20):
+      * {days=1, seconds=2, microseconds=3} — components share one sign */
+    final case class LIntervalDay(days: Int, seconds: Int,
+                                  micros: Int) extends LitVal
     /** 16-byte little-endian two's-complement i128 (producer.rs:585-589);
       * equality is value-based (see LBin). */
     final case class LDecimal(valueLE: Array[Byte], precision: Int, scale: Int) extends LitVal {

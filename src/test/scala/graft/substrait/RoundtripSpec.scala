@@ -402,6 +402,25 @@ class RoundtripSpec extends SparkTestBase {
       transform(col("xs"), (x, i) => x + i).as("xi")))
   }
 
+  test("interval literals and timestamp arithmetic ride the wire") {
+    graft.Tables.register(spark, sfDir)
+    // ts ± INTERVAL analyzes to TimestampAddInterval + DayTimeInterval
+    // literal; the wire carries interval_day_to_second and a plain add
+    assertRoundtrip(spark.sql(
+      """SELECT event_id, ts - INTERVAL '90' MINUTE AS t_back,
+        |       ts + INTERVAL '1 12:00:30.5' DAY TO SECOND AS t_fwd
+        |FROM events ORDER BY event_id LIMIT 100""".stripMargin), ordered = true)
+    // the shifted value is exactly -90 minutes (micros preserved)
+    val got = Serializer.roundtrip(spark, spark.sql(
+      "SELECT ts, ts - INTERVAL '90' MINUTE AS t2 FROM events LIMIT 5")).collect()
+    got.foreach { r =>
+      val d = java.time.Duration.between(
+        r.getAs[java.sql.Timestamp]("t2").toInstant,
+        r.getAs[java.sql.Timestamp]("ts").toInstant)
+      assert(d == java.time.Duration.ofMinutes(90), d.toString)
+    }
+  }
+
   test("sample, repartition and coalesce ride the wire") {
     graft.Tables.register(spark, sfDir)
     val li = spark.table("lineitem").select("l_orderkey", "l_quantity")
