@@ -88,6 +88,7 @@ class WireSpec extends AnyFunSuite {
     Gen.const(SType.SFp64), Gen.const(SType.SStr), Gen.const(SType.SBin),
     Gen.const(SType.SDate), Gen.const(SType.STimestamp),
     Gen.const(SType.STimestampTz),
+    Gen.const(SType.SIntervalYear), Gen.const(SType.SIntervalDay),
     for { p <- Gen.choose(1, 38); s <- Gen.choose(0, 20) } yield SType.SDecimal(p, s))
 
   private lazy val genNestedType: Gen[SType] = Gen.frequency(
@@ -143,6 +144,11 @@ class WireSpec extends AnyFunSuite {
       bytes <- Gen.containerOfN[Array, Byte](16, Arbitrary.arbitrary[Byte])
       p <- Gen.choose(1, 38); s <- Gen.choose(0, 10)
     } yield LitVal.LDecimal(bytes, p, s),
+    for { y <- Gen.choose(-100, 100); m <- Gen.choose(-11, 11) }
+      yield LitVal.LIntervalYear(y, m),
+    for { d <- Gen.choose(-1000, 1000); s <- Gen.choose(-86399, 86399)
+          us <- Gen.choose(-999999, 999999) }
+      yield LitVal.LIntervalDay(d, s, us),
     genSType.map(LitVal.LNull),
     genContainerLit)
 
