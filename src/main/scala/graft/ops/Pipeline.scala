@@ -68,7 +68,8 @@ object Pipeline {
     *
     * One window pass (cumulative sum) per group — a single hash shuffle on
     * the group key at any scale; the stream offset doubles as the byte-exact
-    * index for the downstream packed-file writer.
+    * index for the downstream packed-file writer. `orderCol` must be unique
+    * within each group (ties would make the prefix sums order-dependent).
     */
   def packSequences(df: DataFrame, tokenCol: String, orderCol: String,
                     budget: Int, byCols: Seq[String]): DataFrame = {

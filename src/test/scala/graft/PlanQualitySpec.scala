@@ -113,6 +113,14 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThanOrEqual(l_orderkey,200)]"), p)
   }
 
+  test("t09: sequence packing is one window pass over one key shuffle") {
+    val p = plan("t09_pack_sequences")
+    assert(p.contains("Window"), p)
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"expected exactly the group-key shuffle:\n$p")
+  }
+
   test("d09: the benchmark n-gram side broadcasts (corpus text never shuffles)") {
     val p = plan("d09_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p)
