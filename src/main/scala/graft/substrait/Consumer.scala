@@ -334,6 +334,13 @@ object Consumer {
       case other => notImplemented(s"expected literal, got $other")
     }
 
+    /** optional trailing boolean-literal argument (default false) */
+    private def litBool(args: Seq[SExpr], i: Int): Boolean =
+      if (i < args.size) args(i) match {
+        case SExpr.Lit(LitVal.LBool(b)) => b
+        case other => notImplemented(s"expected boolean literal, got $other")
+      } else false
+
     private def litInt(e: SExpr): Int = e match {
       case SExpr.Lit(LitVal.LI8(v)) => v
       case SExpr.Lit(LitVal.LI16(v)) => v
@@ -448,6 +455,13 @@ object Consumer {
             val off = if (args.size > 1) litInt(args(1)) else 1
             if (args.size > 2) lead(toColumnRec(args.head, cols), off, lit2(args(2)))
             else lead(toColumnRec(args.head, cols), off)
+          case "first_value" =>
+            first(toColumnRec(args.head, cols), ignoreNulls = litBool(args, 1))
+          case "last_value" =>
+            last(toColumnRec(args.head, cols), ignoreNulls = litBool(args, 1))
+          case "nth_value" =>
+            nth_value(toColumnRec(args.head, cols), litInt(args(1)),
+              ignoreNulls = litBool(args, 2))
           case aggName => aggColumn(aggName, args.map(toColumnRec(_, cols)),
             distinct = false)
         }

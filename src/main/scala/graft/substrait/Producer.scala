@@ -830,6 +830,17 @@ object Producer {
 
       case WindowExpression(wf, spec) =>
         val (name, args) = wf match {
+          // first/last are aggregate functions in Catalyst, but as window
+          // functions they carry the ignore-nulls flag — ride it as a
+          // trailing boolean literal argument
+          case ae: AggregateExpression
+              if ae.aggregateFunction.isInstanceOf[aggregate.First] =>
+            val f = ae.aggregateFunction.asInstanceOf[aggregate.First]
+            ("first_value", Seq(f.child, Literal(f.ignoreNulls)))
+          case ae: AggregateExpression
+              if ae.aggregateFunction.isInstanceOf[aggregate.Last] =>
+            val f = ae.aggregateFunction.asInstanceOf[aggregate.Last]
+            ("last_value", Seq(f.child, Literal(f.ignoreNulls)))
           case ae: AggregateExpression =>
             if (ae.isDistinct) notImplemented("DISTINCT window aggregate")
             (dataFusionAggName(ae.aggregateFunction.prettyName),
@@ -842,6 +853,8 @@ object Producer {
           case l: Lag => ("lag", trimNullDefault(l.children.take(3)))
           case l: Lead => ("lead", trimNullDefault(l.children.take(3)))
           case n: NTile => ("ntile", n.children)
+          case n: NthValue =>
+            ("nth_value", Seq(n.input, n.offset, Literal(n.ignoreNulls)))
           case other => notImplemented(s"window function ${other.prettyName}")
         }
         val sorts = spec.orderSpec.map(so => sortField(so, rec))

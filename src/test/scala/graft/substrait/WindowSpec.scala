@@ -67,6 +67,20 @@ class WindowFnSpec extends SparkTestBase {
       ntile(4).over(w).as("quartile")))
   }
 
+  test("first_value, last_value and nth_value (incl. IGNORE NULLS)") {
+    li
+    assertRoundtrip(spark.sql(
+      """SELECT l_orderkey, l_linenumber,
+        |  first_value(l_quantity) OVER w AS fv,
+        |  last_value(l_quantity) OVER w AS lv,
+        |  nth_value(l_quantity, 2) OVER w AS nv,
+        |  first_value(nullif(l_tax, 0.0)) IGNORE NULLS OVER
+        |    (PARTITION BY l_orderkey ORDER BY l_linenumber) AS fv_in
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin))
+  }
+
   test("sql window round-trips") {
     Tables.register(spark, sfDir)
     assertRoundtrip(spark.sql(
