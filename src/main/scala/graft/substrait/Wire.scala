@@ -816,11 +816,13 @@ object Wire {
             var schema: NamedStruct = null; var names: Seq[String] = Nil
             var proj: Option[Seq[Int]] = None
             var filt: Option[SExpr] = None
+            var bestEffort: Option[SExpr] = None
             var vrows: Option[Seq[Seq[LitVal]]] = None
             rr.fields { (rf, rwt) => (rf, rwt) match {
               case (1, 2) => emit = readCommonEmit(rr.lenDelim()); true
               case (2, 2) => schema = readNamedStruct(rr.lenDelim()); true
               case (3, 2) => filt = Some(readExpr(rr.lenDelim())); true
+              case (11, 2) => bestEffort = Some(readExpr(rr.lenDelim())); true
               case (5, 2) =>
                 val vt = rr.lenDelim()
                 val rows = Seq.newBuilder[Seq[LitVal]]
@@ -868,7 +870,16 @@ object Wire {
             }}
             if (names.isEmpty && vrows.isEmpty)
               notImplemented("ReadRel without NamedTable or VirtualTable")
-            res = Rel.Read(schema, names, proj, filt, vrows); true
+            // best_effort_filter (newer producers): a consumer MAY apply it —
+            // graft applies it exactly. Combining it with a separate exact
+            // filter would need an `and` anchor this layer can't mint, so
+            // that (rare) combination stays a loud reject.
+            val scanFilter = (filt, bestEffort) match {
+              case (Some(_), Some(_)) =>
+                notImplemented("ReadRel with both filter and best_effort_filter")
+              case (f, b) => f.orElse(b)
+            }
+            res = Rel.Read(schema, names, proj, scanFilter, vrows); true
           case 2 =>
             var in: Rel = null; var cond: SExpr = null
             rr.fields { (rf, rwt) => (rf, rwt) match {

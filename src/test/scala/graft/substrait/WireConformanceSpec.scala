@@ -171,6 +171,25 @@ class WireConformanceSpec extends AnyFunSuite {
     }
   }
 
+  test("foreign ReadRel.best_effort_filter (field 11) is applied as the scan filter") {
+    def readBytes(bothFilters: Boolean): Array[Byte] = {
+      val w = new PW
+      w.msg(3, pr => pr.msg(1, rel => rel.msg(1, rd => {
+        rd.msg(2, ns => { ns.str(1, "x"); ns.msg(2, st => i32Type(st, 1)) })
+        rd.msg(7, nt => nt.str(1, "t"))
+        // best_effort_filter: literal true
+        rd.msg(11, ex => ex.msg(1, lit => lit.int(1, 1)))
+        if (bothFilters) rd.msg(3, ex => ex.msg(1, lit => lit.int(1, 1)))
+      })))
+      w.bytes
+    }
+    val read = Wire.decode(readBytes(bothFilters = false))
+      .relations.head.asInstanceOf[PlanRel.RelOnly].rel.asInstanceOf[Rel.Read]
+    assert(read.filter == Some(SExpr.Lit(LitVal.LBool(true))))
+    val e = intercept[SubstraitException](Wire.decode(readBytes(bothFilters = true)))
+    assert(e.getMessage.contains("best_effort_filter"), e.getMessage)
+  }
+
   test("ExtensionSingleRel with a foreign Any type_url is loudly rejected") {
     val w = new PW
     w.msg(3, pr => pr.msg(1, rel => rel.msg(9, ext => {
