@@ -402,6 +402,20 @@ class RoundtripSpec extends SparkTestBase {
       transform(col("xs"), (x, i) => x + i).as("xi")))
   }
 
+  test("VirtualTable rows with array and map cells ride the wire") {
+    import spark.implicits._
+    val dim = Seq(
+      (1L, Seq("a", "b"), Map("k" -> 1.5)),
+      (2L, Seq.empty[String], Map.empty[String, Double]))
+      .toDF("id", "tags", "weights")
+    val q = dim.select(col("id"), size(col("tags")).as("n_tags"),
+      element_at(col("weights"), "k").as("wk"))
+    assertRoundtrip(q)
+    val got = Serializer.roundtrip(spark, q).orderBy("id").collect()
+    assert(got.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 2), (2L, 0)))
+  }
+
   test("interval literals and timestamp arithmetic ride the wire") {
     graft.Tables.register(spark, sfDir)
     // ts ± INTERVAL analyzes to TimestampAddInterval + DayTimeInterval
