@@ -142,11 +142,21 @@ object Consumer {
         // input columns ++ generator columns, matching the producer's attrs
         Built(in.df.select(col("*"), gcol.as(freshNames(genArity))))
 
-      case Rel.ExtExchange(input, exprs, num, shuffle) =>
+      case Rel.ExtExchange(input, exprs, num, shuffle, rangeDirs) =>
         val in = build(input)
         val cols = exprs.map(toColumn(_, in.df))
         Built(
-          if (cols.nonEmpty)
+          if (rangeDirs.nonEmpty) {
+            val ordered = cols.zip(rangeDirs).map { case (c, d) => d match {
+              case SortDirection.AscNullsFirst => c.asc_nulls_first
+              case SortDirection.AscNullsLast => c.asc_nulls_last
+              case SortDirection.DescNullsFirst => c.desc_nulls_first
+              case SortDirection.DescNullsLast => c.desc_nulls_last
+              case other => notImplemented(s"range partition direction $other")
+            }}
+            if (num > 0) in.df.repartitionByRange(num, ordered: _*)
+            else in.df.repartitionByRange(ordered: _*)
+          } else if (cols.nonEmpty)
             if (num > 0) in.df.repartition(num, cols: _*)
             else in.df.repartition(cols: _*)
           else if (!shuffle) in.df.coalesce(math.max(num, 1))

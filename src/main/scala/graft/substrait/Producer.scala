@@ -154,10 +154,19 @@ object Producer {
       // ExchangeRel); partition placement is schema-preserving, so the
       // output attrs are the child's
       case r: logical.RepartitionByExpression =>
-        if (r.partitionExpressions.exists(_.isInstanceOf[SortOrder]))
-          notImplemented("range repartitioning on the wire")
         val in = toRel(r.child)
-        Produced(
+        if (r.partitionExpressions.exists(_.isInstanceOf[SortOrder])) {
+          // repartitionByRange: every partition expr is a SortOrder
+          val dirs = r.partitionExpressions.map {
+            case so: SortOrder => sortField(so, toSExpr(_, in.attrs))
+            case other => notImplemented(s"mixed range partition expr $other")
+          }
+          Produced(
+            Rel.ExtExchange(in.rel, dirs.map(_.expr),
+              r.optNumPartitions.getOrElse(0), shuffle = true,
+              rangeDirections = dirs.map(_.direction)),
+            in.attrs)
+        } else Produced(
           Rel.ExtExchange(in.rel,
             r.partitionExpressions.map(toSExpr(_, in.attrs)),
             r.optNumPartitions.getOrElse(0)),

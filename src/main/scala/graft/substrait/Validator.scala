@@ -116,9 +116,12 @@ object Validator {
         if (genArity < 1) issues += Issue(path, s"generator arity $genArity < 1")
         walkExpr(arg, w, s"$path/generate.arg")
         if (w < 0) -1 else w + genArity
-      case Rel.ExtExchange(input, exprs, num, _) =>
+      case Rel.ExtExchange(input, exprs, num, _, rangeDirs) =>
         val w = walkRel(input, s"$path/exchange")
         if (num < 0) issues += Issue(path, s"negative partition count $num")
+        if (rangeDirs.nonEmpty && rangeDirs.size != exprs.size)
+          issues += Issue(path,
+            s"${rangeDirs.size} range directions for ${exprs.size} exprs")
         exprs.zipWithIndex.foreach { case (e, i) =>
           walkExpr(e, w, s"$path/exchange[$i]") }
         w

@@ -715,9 +715,9 @@ object Wire {
             any.bytes(2, dw.out.toByteArray)
           })
         })
-      case Rel.ExtExchange(in, exprs, num, shuffle) =>
+      case Rel.ExtExchange(in, exprs, num, shuffle, rangeDirs) =>
         // value = ExchangeRelDetail{exprs=1 repeated, num_partitions=2,
-        // shuffle=3}
+        // shuffle=3, range_directions=4 repeated (SortDirection per expr)}
         rw.msg(9, ew => {
           writeRel(ew, 2, in)
           ew.msg(3, any => {
@@ -726,6 +726,7 @@ object Wire {
             exprs.foreach(writeExpr(dw, 1, _))
             dw.int32(2, num)
             dw.bool(3, shuffle)
+            rangeDirs.foreach(dw.int32(4, _))
             any.bytes(2, dw.out.toByteArray)
           })
         })
@@ -778,7 +779,7 @@ object Wire {
     case Rel.Set(inputs, _) => inputs.headOption.map(relArity).getOrElse(-1)
     case Rel.ExtGenerate(in, _, _, _, k) =>
       val a = relArity(in); if (a < 0) -1 else a + k
-    case Rel.ExtExchange(in, _, _, _) => relArity(in)
+    case Rel.ExtExchange(in, _, _, _, _) => relArity(in)
     case Rel.ExtSample(in, _, _, _, _) => relArity(in)
   }
 
@@ -1003,13 +1004,15 @@ object Wire {
               case `exchangeDetailUrl` =>
                 val dr = new R(detail, 0, detail.length)
                 val exprs = Seq.newBuilder[SExpr]; var num = 0; var sh = true
+                val dirs = Seq.newBuilder[Int]
                 dr.fields { (df, dwt) => (df, dwt) match {
                   case (1, 2) => exprs += readExpr(dr.lenDelim()); true
                   case (2, 0) => num = dr.varint().toInt; true
                   case (3, 0) => sh = dr.varint() == 1L; true
+                  case (4, 0) => dirs += dr.varint().toInt; true
                   case _ => false
                 }}
-                Rel.ExtExchange(in, exprs.result(), num, sh)
+                Rel.ExtExchange(in, exprs.result(), num, sh, dirs.result())
               case `sampleDetailUrl` =>
                 val dr = new R(detail, 0, detail.length)
                 var lo = 0.0; var hi = 1.0; var wr = false; var seed = 0L

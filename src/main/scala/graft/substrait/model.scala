@@ -173,13 +173,15 @@ object model {
                                  outer: Boolean, genArity: Int) extends Rel
     /** Repartitioning carried as ExtensionSingleRel with Any type_url
       * `graft.dev/ExchangeRelDetail` (substrait 0.3 predates ExchangeRel).
-      * exprs non-empty = hash partitioning on them; empty + shuffle = round-
-      * robin; empty + !shuffle = coalesce. Schema-preserving; a foreign
-      * consumer may safely treat it as a no-op — it only places rows.
-      * numPartitions 0 = unspecified (let the engine choose). */
+      * exprs non-empty = hash partitioning on them (or RANGE partitioning
+      * when `rangeDirections` carries one SortDirection per expr); empty +
+      * shuffle = round-robin; empty + !shuffle = coalesce. Schema-
+      * preserving; a foreign consumer may safely treat it as a no-op — it
+      * only places rows. numPartitions 0 = unspecified. */
     final case class ExtExchange(input: Rel, exprs: Seq[SExpr],
                                  numPartitions: Int,
-                                 shuffle: Boolean = true) extends Rel
+                                 shuffle: Boolean = true,
+                                 rangeDirections: Seq[Int] = Nil) extends Rel
     /** Bernoulli sampling (Spark logical.Sample) as ExtensionSingleRel with
       * Any type_url `graft.dev/SampleRelDetail`. The seed crosses the wire,
       * so the consumed plan draws the same rows on the same engine; row-level

@@ -443,6 +443,12 @@ class RoundtripSpec extends SparkTestBase {
     // round-robin repartition and coalesce preserve rows and cross the wire
     assertRoundtrip(li.repartition(8))
     assertRoundtrip(li.coalesce(2))
+    // range partitioning survives with its sort directions
+    val rp = Serializer.roundtrip(spark,
+      li.repartitionByRange(4, col("l_orderkey").desc))
+    assert(rp.count() == li.count())
+    assert(rp.queryExecution.executedPlan.toString.contains("rangepartitioning"),
+      "range partitioning must survive the wire")
     val n = Serializer.roundtrip(spark, li.coalesce(2)).rdd.getNumPartitions
     assert(n <= 2, s"coalesce lost on the wire: $n partitions")
   }

@@ -63,8 +63,8 @@ class WireSpec extends AnyFunSuite {
       case Rel.Set(is, op) => s"Set(${is.map(nr)},$op)"
       case Rel.ExtGenerate(i, g, a, o, k) =>
         s"Gen(${nr(i)},$g,${ne(a)},$o,$k)"
-      case Rel.ExtExchange(i, es, n, sh) =>
-        s"Exch(${nr(i)},${es.map(ne).mkString(",")},$n,$sh)"
+      case Rel.ExtExchange(i, es, n, sh, rd) =>
+        s"Exch(${nr(i)},${es.map(ne).mkString(",")},$n,$sh,$rd)"
       case Rel.ExtSample(i, lo, hi, wr, seed) =>
         s"Sample(${nr(i)},$lo,$hi,$wr,$seed)"
     }
