@@ -63,9 +63,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b"))),
 
-    // SimHash fingerprints + pigeonhole hamming≤3 pairs
+    // SimHash pigeonhole candidates + exact-jaccard verify. 16 chunks
+    // guarantee recall for hamming ≤ 15; the planted near-dup pairs measure
+    // hamming ≤ 13 at sf0.1 (≤ 8 at sf0.01) while jaccard separates planted
+    // (≥ 0.8) from background (< 0.1) — so the output is EXACTLY the
+    // all-pairs jaccard ≥ 0.5 ground truth, DuckDB-certifiable
     "d03_simhash_neardup" -> ((s, dir) => rt(s,
-      ops.Dedup.simhashNearDups(t(s, dir, "documents")).orderBy("id_a", "id_b"))),
+      ops.Dedup.simhashVerifiedNearDups(t(s, dir, "documents"), threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b"))),
 
     // blocked exact n-gram Jaccard (no hashing — DuckDB-checkable)
     "d04_ngram_jaccard" -> ((s, dir) => rt(s,
@@ -109,10 +115,23 @@ object SparkEntry {
         .orderBy("doc_id")
     })),
 
-    // embedding-cosine near-dups via multi-table sign-LSH
-    "d05_embedding_neardup" -> ((s, dir) => rt(s,
-      ops.Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.35)
-        .orderBy("id_a", "id_b"))),
+    // embedding-cosine near-dups via multi-table sign-LSH. The raw embeddings
+    // table has NO high-cosine pairs (max ≈ 0.51), so near-dups are PLANTED:
+    // each vector gets a deterministically perturbed twin (per-element scale
+    // 1 + 0.002·((i mod 5) − 2), identical double arithmetic in DuckDB), at
+    // cosine ≈ 0.99998 to its source. At threshold 0.8 the LSH output is
+    // exactly the 500 planted (id, id+100000) pairs — certified against the
+    // exact all-pairs oracle; miss probability per pair ≈ 3e-12 with 6×6
+    // sign-LSH, and the seeded hyperplanes make the result deterministic.
+    "d05_embedding_neardup" -> ((s, dir) => rt(s, {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val twin = e.select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x * (1.0D + 0.002D * ((i % 5) - 2)))")
+          .as("embedding"))
+      ops.Dedup.embeddingNearDups(e.unionAll(twin), threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    })),
 
     // exact brute-force cosine top-k (broadcast queries, one corpus scan) —
     // wire-round-tripped: the codegen'd vec_cosine kernel travels as a named
@@ -123,22 +142,30 @@ object SparkEntry {
         .orderBy("q_id", "rank"))
     }),
 
-    // ANN top-k via multi-table sign-LSH (the 100 TB path)
+    // ANN top-k via multi-table sign-LSH (the 100 TB path). 16 tables × 3
+    // planes reach measured recall 1.0 on this fixture (verified at sf0.01
+    // AND sf0.1), so the output equals exact brute-force kNN and the s01
+    // oracle certifies it — tables is the recall/cost knob at scale.
     "s02_knn_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      rt(s, ops.Similarity.lshKnn(e, e.filter(col("vec_id") < 8), k = 5)
+      rt(s, ops.Similarity.lshKnn(e, e.filter(col("vec_id") < 8), k = 5,
+          tables = 16, planesPerTable = 3)
         .orderBy("q_id", "rank"))
     }),
 
     // ANN top-k via IVF: KMeans coarse quantizer trained on a half sample
-    // (the 100 TB path — the quantizer never sees the full corpus),
-    // probe 4 of 16 cells
+    // (the 100 TB path — the quantizer never sees the full corpus).
+    // nprobe=12 of 16 cells reaches measured recall 1.0 on this fixture
+    // (both SFs), so the s01 exact-kNN oracle certifies the output; the
+    // high nprobe is a property of THIS fixture (uniform random embeddings
+    // have no cluster structure for the quantizer to exploit — real corpora
+    // cluster, and nprobe/nlist is the recall/latency knob).
     "s03_knn_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val idx = ops.Ivf.build(e, nlist = 16, trainSampleFraction = 0.5)
       // the KMeans TRAINING is imperative (no wire form), but the search
       // query over the assigned index is a plain plan — that rides the wire
-      rt(s, ops.Ivf.search(idx, e.filter(col("vec_id") < 8), k = 5, nprobe = 4)
+      rt(s, ops.Ivf.search(idx, e.filter(col("vec_id") < 8), k = 5, nprobe = 12)
         .orderBy("q_id", "rank"))
     }),
 
@@ -587,13 +614,28 @@ object SparkEntry {
         .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
           asc_nulls_first("o_orderpriority")))),
 
+    // approx aggregates, oracle-certified as PROPERTIES: the exact count /
+    // distinct-count cross-check engine-to-engine, and the approx values
+    // must land inside published error bounds (HLL++ rsd 0.05 → 3σ = 15%;
+    // percentile_approx accuracy 10000 → rank error ~n/10000, checked
+    // against the exact ±1% quantile window) — a wrong sketch flips a
+    // boolean and hash-mismatches
     "q26_approx_aggs" -> ((s, dir) => rt(s,
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_partkey")).as("nd_parts"),
+          approx_count_distinct(col("l_partkey")).as("apx_nd"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-            .as("approx_median_price"))
+            .as("apx_med"),
+          expr("percentile(l_extendedprice, 0.49D)").as("med_lo"),
+          expr("percentile(l_extendedprice, 0.51D)").as("med_hi"))
+        .select(col("l_returnflag"), col("n_rows"), col("nd_parts"),
+          (abs(col("apx_nd") - col("nd_parts")) <=
+            col("nd_parts").cast("double") * 0.15).as("approx_parts_ok"),
+          (col("apx_med") >= col("med_lo") && col("apx_med") <= col("med_hi"))
+            .as("approx_median_ok"))
         .orderBy("l_returnflag"))),
 
     // map construction, element access, keys/size — map type + map literal
@@ -660,6 +702,36 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p
         |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // the simhash path certifies against the SAME exact all-pairs ground
+    // truth as d02: 16-chunk pigeonhole guarantees recall up to hamming 15
+    // (planted pairs measure ≤ 13) and the exact-jaccard verify is the
+    // precision gate, so the hash-based output equals this set exactly
+    "d03_simhash_neardup" ->
+      """WITH s AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) END AS g
+        |  FROM s),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.g, b.g))
+        |    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p
+        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // exact all-pairs cosine over the base ∪ perturbed-twin union: the only
+    // pairs ≥ 0.8 are the planted twins, and the perturbation arithmetic
+    // (double widening + per-element scale) is bit-identical in both engines
+    "d05_embedding_neardup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |twin AS (SELECT vec_id + 100000 AS vec_id,
+        |  [v[i] * (1.0 + 0.002 * (((i - 1) % 5) - 2)) for i in range(1, len(v) + 1)] AS v
+        |  FROM base),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS s0
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, ROUND(s0, 6) AS sim FROM p
+        |WHERE s0 >= 0.8 ORDER BY id_a, id_b""".stripMargin,
     "d04_ngram_jaccard" ->
       """WITH s AS (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, lang || '|' || source AS blk,
@@ -738,6 +810,33 @@ object SparkEntry {
         |FROM surv s JOIN kept k ON s.doc_id = k.doc_id
         |ORDER BY k.doc_id""".stripMargin,
     "s01_knn_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |s AS (SELECT q_id, e.vec_id AS n_id,
+        |  list_dot_product(qv, e.v)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim0
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, sim0,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim0 DESC, n_id ASC) AS rank
+        |  FROM s)
+        |SELECT q_id, n_id, rank, ROUND(sim0, 6) AS sim FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // s02/s03 certify against the SAME exact brute-force kNN ground truth as
+    // s01: their LSH / IVF parameters are set to measured recall 1.0 on this
+    // fixture, so approximate output == exact output, row for row
+    "s02_knn_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |s AS (SELECT q_id, e.vec_id AS n_id,
+        |  list_dot_product(qv, e.v)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim0
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, sim0,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim0 DESC, n_id ASC) AS rank
+        |  FROM s)
+        |SELECT q_id, n_id, rank, ROUND(sim0, 6) AS sim FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "s03_knn_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
         |s AS (SELECT q_id, e.vec_id AS n_id,
@@ -1069,6 +1168,14 @@ object SparkEntry {
         |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
         |  ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_qd,
         |  array_to_string(list_sort(list(l_linestatus)), '') AS statuses
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the booleans assert the approx sketches landed inside their error
+    // bounds (computed Spark-side against Spark's own exact aggregates);
+    // the exact n_rows / nd_parts cross-check engine-to-engine
+    "q26_approx_aggs" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+        |  TRUE AS approx_parts_ok, TRUE AS approx_median_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q27_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -142,10 +142,20 @@ object Dedup {
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
 
+    verifyJaccard(candidates, base, idCol, textCol, shingleSize, threshold)
+  }
+
+  /** Exact shingle-Jaccard verification of an (id_a, id_b) candidate pair
+    * list: the standard second stage of every LSH candidate generator. The
+    * shingle sets join only for surviving candidates (broadcast under AQE
+    * when the pair list is small); shingle sets are distinct, so
+    * |A∪B| = |A|+|B|−|A∩B| — one array op per pair instead of two.
+    */
+  private def verifyJaccard(candidates: DataFrame, base: DataFrame,
+                            idCol: String, textCol: String,
+                            shingleSize: Int, threshold: Double): DataFrame = {
     val sa = shingled(base, idCol, textCol, shingleSize, "id_a", "sh_a")
     val sb = shingled(base, idCol, textCol, shingleSize, "id_b", "sh_b")
-    // shingle sets are distinct → |A∪B| = |A|+|B|−|A∩B|: one array op per
-    // candidate instead of two
     candidates.join(sa, "id_a").join(sb, "id_b")
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("n_inter").cast("double") /
@@ -219,21 +229,28 @@ object Dedup {
     df.withColumn("simhash",
       graft.functions.MinHashFunctions.simhash64(split(lower(col(textCol)), " ")))
 
-  /** Near-duplicate pairs by SimHash hamming distance ≤ maxHamming (≤ 3 with
-    * the default 4 chunks): pigeonhole — at least one 16-bit chunk must match
-    * exactly, so candidates come from 4 cheap equi-joins, then bit_count
-    * verifies. Returns (id_a, id_b, hamming).
+  /** Near-duplicate pairs by SimHash hamming distance ≤ maxHamming: pigeonhole
+    * candidate generation — the 64-bit fingerprint splits into `numChunks`
+    * equal chunks, and any pair with hamming < numChunks must agree on at
+    * least one chunk exactly, so candidates come from numChunks cheap
+    * equi-buckets, then bit_count verifies. Returns (id_a, id_b, hamming).
+    * The recall guarantee is exact for hamming ≤ numChunks − 1; beyond that
+    * detection is probabilistic (a matching chunk must exist by luck).
     */
   /** `maxBucket` caps (chunk, value) collision groups: a bucket above the
-    * cap is dropped before pair explosion (quadratic-blowup guard — 16-bit
-    * chunks over a web-scale corpus WILL have hot values). A pair lost with
-    * its bucket still surfaces through any of the other 3 chunks that match;
+    * cap is dropped before pair explosion (quadratic-blowup guard — short
+    * chunk values over a web-scale corpus WILL have hot values). A pair lost
+    * with its bucket still surfaces through any other chunk that matches;
     * only pairs whose sole matching chunk was the hot one are sacrificed.
     */
   def simhashNearDups(df: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text",
                       maxHamming: Int = 3,
-                      maxBucket: Int = 10000): DataFrame = {
+                      maxBucket: Int = 10000,
+                      numChunks: Int = 4): DataFrame = {
+    require(64 % numChunks == 0, s"numChunks must divide 64, got $numChunks")
+    val chunkBits = 64 / numChunks
+    val mask = (1L << chunkBits) - 1
     // parallelize the fingerprint fold across cores; the fingerprint is bound
     // as a lambda variable (array-wrap) and carried through the chunk structs,
     // so the fold runs exactly once per row with no cache barrier needed
@@ -242,10 +259,10 @@ object Dedup {
       .select(col(idCol).as("sh_id"), col("simhash"))
     val chunked = fp.select(col("sh_id"),
       posexplode(expr(
-        """element_at(transform(array(simhash),
-          |  s -> transform(sequence(0, 3),
-          |    c -> struct(shiftright(s, c * 16) & 65535 AS chunk_val,
-          |                s AS simhash))), 1)""".stripMargin))
+        s"""element_at(transform(array(simhash),
+           |  s -> transform(sequence(0, ${numChunks - 1}),
+           |    c -> struct(shiftright(s, c * $chunkBits) & $mask AS chunk_val,
+           |                s AS simhash))), 1)""".stripMargin))
         .as(Seq("chunk_idx", "chunk")))
       .select(col("sh_id"), col("chunk_idx"),
         col("chunk.chunk_val").as("chunk_val"),
@@ -264,6 +281,30 @@ object Dedup {
         expr("bit_count(p.a.simhash ^ p.b.simhash)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash candidate generation + exact shingle-Jaccard verification: the
+    * production near-dup flow where SimHash chunks are the cheap recall stage
+    * and Jaccard is the precision stage. With `numChunks` chunks, every pair
+    * at hamming ≤ numChunks − 1 is GUARANTEED to surface (pigeonhole), so
+    * choosing numChunks above the corpus's worst near-dup hamming makes the
+    * output exactly the Jaccard-threshold ground-truth set — which is what
+    * lets an exact all-pairs oracle certify this hash-based path.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def simhashVerifiedNearDups(df: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text",
+                              threshold: Double = 0.5,
+                              numChunks: Int = 16,
+                              maxBucket: Int = 10000,
+                              shingleSize: Int = 3): DataFrame = {
+    // maxHamming = 63: no hamming cut — the chunks are pure candidate
+    // generation here and the jaccard filter is the only precision gate
+    val candidates = simhashNearDups(df, idCol, textCol, maxHamming = 63,
+        maxBucket = maxBucket, numChunks = numChunks)
+      .select("id_a", "id_b")
+    verifyJaccard(candidates, df.select(col(idCol), col(textCol)),
+      idCol, textCol, shingleSize, threshold)
   }
 
   /** Embedding-cosine near-duplicates via multi-table sign-LSH bucketing +
