@@ -56,9 +56,9 @@ object Consumer {
       extMap.getOrElse(ref, internalErr(s"unregistered function anchor $ref"))
 
     def build(rel: Rel): Built = rel match {
-      case Rel.Read(schema, tableNames, projection, filter, virtualRows) =>
-        val df0 = virtualRows match {
-          case Some(rows) =>
+      case Rel.Read(schema, tableNames, projection, filter, virtualRows, localFiles) =>
+        val df0 = (virtualRows, localFiles) match {
+          case (Some(rows), _) =>
             // VirtualTable: materialize the struct-literal rows locally —
             // a LocalRelation, exactly what the producer serialized
             val st = StructType(schema.names.zip(schema.types).map {
@@ -67,7 +67,33 @@ object Consumer {
             val jrows = new java.util.ArrayList[Row](rows.size)
             rows.foreach(r => jrows.add(Row.fromSeq(r.map(litExternal))))
             spark.createDataFrame(jrows, st)
-          case None => spark.table(tableNames.mkString("."))
+          case (None, Some(items)) =>
+            // LocalFiles: a file-backed scan with the DECLARED schema (the
+            // wire contract, not re-inference — positional refs depend on
+            // it). All items must share one format; Spark's reader accepts
+            // files, globs, and folders uniformly, so pathKind collapses.
+            val formats = items.map(_.format).distinct
+            if (formats.size != 1)
+              notImplemented(s"LocalFiles with mixed formats $formats")
+            val st = StructType(schema.names.zip(schema.types).map {
+              case (n, (t, nul)) => StructField(n, sparkType(t), nul)
+            })
+            val paths = items.map(_.path)
+            val reader = spark.read.schema(st)
+            formats.head match {
+              case "parquet" => reader.parquet(paths: _*)
+              case "orc" => reader.orc(paths: _*)
+              case "csv" =>
+                val head = items.head
+                if (head.csvHeaderLines > 1L)
+                  notImplemented("LocalFiles csv header_lines_to_skip > 1")
+                reader
+                  .option("header", (head.csvHeaderLines == 1L).toString)
+                  .option("sep", head.csvDelimiter.getOrElse(","))
+                  .csv(paths: _*)
+              case other => notImplemented(s"LocalFiles format $other")
+            }
+          case (None, None) => spark.table(tableNames.mkString("."))
         }
         if (schema != null && schema.names.nonEmpty &&
             schema.names.size != df0.columns.length)

@@ -84,6 +84,34 @@ object Producer {
         val (names, attrs) = leafRead(p).get
         Produced(readRel(names, attrs, attrs.indices), attrs)
 
+      // bare file-backed scan (spark.read.parquet(path) without a registered
+      // view) → ReadRel/LocalFiles (algebra.proto field 6 — beyond the
+      // reference, which rejects LocalFiles at consumer.rs:371-373): the
+      // root paths and format travel on the wire, the declared schema is the
+      // scan's attribute schema
+      case r: LogicalRelation
+          if r.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+        val fs = r.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        val fmt = fs.fileFormat match {
+          case _: org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat =>
+            "parquet"
+          case _: org.apache.spark.sql.execution.datasources.orc.OrcFileFormat => "orc"
+          case _: org.apache.spark.sql.execution.datasources.csv.CSVFileFormat => "csv"
+          case other => notImplemented(s"LocalFiles file format ${other.getClass.getSimpleName}")
+        }
+        val headerLines =
+          if (fmt == "csv" && fs.options.getOrElse("header", "false") == "true") 1L else 0L
+        val delim = if (fmt == "csv") fs.options.get("sep").orElse(fs.options.get("delimiter"))
+                    else None
+        val items = fs.location.rootPaths.map(p =>
+          FileItem(p.toString, pathKind = 1, format = fmt,
+            csvDelimiter = delim, csvHeaderLines = headerLines))
+        val schema = NamedStruct(r.output.map(_.name),
+          r.output.map(a => (sTypeOf(a.dataType), a.nullable)))
+        Produced(Rel.Read(schema, Nil, None, None, None, Some(items)), r.output)
+
       // inline literal frame (Seq(...).toDF without a registered view) →
       // ReadRel/VirtualTable: rows travel IN the plan as struct literals
       // (algebra.proto ReadRel.virtual_table — beyond the reference, which

@@ -29,9 +29,16 @@ object Validator {
 
     /** returns the rel's output arity, or -1 when unknowable */
     def walkRel(rel: Rel, path: String): Int = rel match {
-      case Rel.Read(schema, names, projection, filter, vrows) =>
-        if (names.isEmpty && vrows.isEmpty)
-          issues += Issue(path, "ReadRel without table name or virtual rows")
+      case Rel.Read(schema, names, projection, filter, vrows, localFiles) =>
+        if (names.isEmpty && vrows.isEmpty && localFiles.isEmpty)
+          issues += Issue(path,
+            "ReadRel without table name, virtual rows, or local files")
+        localFiles.foreach(_.zipWithIndex.foreach { case (item, i) =>
+          if (item.path.isEmpty)
+            issues += Issue(path, s"local file item $i has an empty path")
+          if (!Set("parquet", "orc", "csv").contains(item.format))
+            issues += Issue(path, s"local file item $i format ${item.format}")
+        })
         val width = if (schema == null) -1 else schema.names.size
         if (schema != null && schema.names.size != schema.types.size)
           issues += Issue(path,

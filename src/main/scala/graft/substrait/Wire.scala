@@ -654,7 +654,7 @@ object Wire {
 
   private def writeRel(w: W, f: Int, rel: Rel): Unit =
     w.msg(f, rw => rel match {
-      case Rel.Read(schema, names, proj, filter, vrows) =>
+      case Rel.Read(schema, names, proj, filter, vrows, localFiles) =>
         rw.msg(1, readW => {
           writeNamedStruct(readW, 2, schema)
           filter.foreach(writeExpr(readW, 3, _))
@@ -662,13 +662,31 @@ object Wire {
             readW.msg(4, mw => mw.msg(1, sel =>
               idxs.foreach(i => sel.msg(1, item => item.int32(1, i)))))
           }
-          vrows match {
+          (vrows, localFiles) match {
             // VirtualTable (field 5): values = repeated Literal.Struct, each
             // row a struct literal whose fields are the cell literals
-            case Some(rows) =>
+            case (Some(rows), _) =>
               readW.msg(5, vt => rows.foreach(row =>
                 vt.msg(1, st => row.foreach(writeLiteral(st, 1, _)))))
-            case None =>
+            // LocalFiles (field 6): items = repeated FileOrFiles with the
+            // path in its original oneof slot and an empty format options
+            // message selecting the format
+            case (None, Some(items)) =>
+              readW.msg(6, lf => items.foreach(item =>
+                lf.msg(1, it => {
+                  it.str(item.pathKind, item.path)
+                  item.format match {
+                    case "parquet" => it.msg(9, _ => ())
+                    case "orc" => it.msg(11, _ => ())
+                    case "csv" => it.msg(14, tw => {
+                      item.csvDelimiter.foreach(tw.str(1, _))
+                      if (item.csvHeaderLines != 0L)
+                        tw.int64(4, item.csvHeaderLines)
+                    })
+                    case other => notImplemented(s"LocalFiles format $other")
+                  }
+                })))
+            case (None, None) =>
               readW.msg(7, nt => names.foreach(nt.str(1, _)))
           }
         })
@@ -758,7 +776,7 @@ object Wire {
     * ProjectRel, whose mapping indexes the concatenated (input ++
     * expressions) space per the substrait spec. */
   private def relArity(rel: Rel): Int = rel match {
-    case Rel.Read(schema, _, proj, _, _) =>
+    case Rel.Read(schema, _, proj, _, _, _) =>
       proj.map(_.size).getOrElse(if (schema == null) -1 else schema.names.size)
     case Rel.Project(_, exprs) => exprs.size
     case Rel.Filter(in, _) => relArity(in)
@@ -819,6 +837,7 @@ object Wire {
             var filt: Option[SExpr] = None
             var bestEffort: Option[SExpr] = None
             var vrows: Option[Seq[Seq[LitVal]]] = None
+            var localItems: Option[Seq[FileItem]] = None
             rr.fields { (rf, rwt) => (rf, rwt) match {
               case (1, 2) => emit = readCommonEmit(rr.lenDelim()); true
               case (2, 2) => schema = readNamedStruct(rr.lenDelim()); true
@@ -865,12 +884,55 @@ object Wire {
                   case _ => false
                 }}
                 names = ns.result(); true
-              case (6, 2) | (8, 2) =>
-                notImplemented("only NamedTable and VirtualTable reads are supported")
+              case (6, 2) => // LocalFiles{items=1 repeated FileOrFiles}
+                val lf = rr.lenDelim()
+                val items = Seq.newBuilder[FileItem]
+                lf.fields { (lff, lfwt) => (lff, lfwt) match {
+                  case (1, 2) =>
+                    val it = lf.lenDelim()
+                    var path: String = null; var kind = 0; var fmt: String = null
+                    var delim: Option[String] = None; var headerLines = 0L
+                    it.fields { (itf, itwt) => (itf, itwt) match {
+                      // oneof path_type: uri_path=1 / glob=2 / file=3 / folder=4
+                      case (pf, 2) if pf >= 1 && pf <= 4 && path == null =>
+                        path = it.str(); kind = pf; true
+                      case (6, 0) => it.varint(); true // partition_index: ignored
+                      case (7, 0) | (8, 0) =>
+                        // sub-file byte ranges have no public DataFrameReader
+                        // form — a silent whole-file read would duplicate rows
+                        if (it.varint() != 0L)
+                          notImplemented("LocalFiles start/length byte ranges")
+                        true
+                      // oneof file_format: parquet=9 / arrow=10 / orc=11 /
+                      // extension=12 / dwrf=13 / text=14
+                      case (9, 2) => it.lenDelim().fields((_, _) => false); fmt = "parquet"; true
+                      case (11, 2) => it.lenDelim().fields((_, _) => false); fmt = "orc"; true
+                      case (14, 2) =>
+                        // DelimiterSeparatedTextReadOptions{field_delimiter=1,
+                        // max_line_size=2, quote=3, header_lines_to_skip=4, ...}
+                        val tr = it.lenDelim()
+                        tr.fields { (tf, twt) => (tf, twt) match {
+                          case (1, 2) => delim = Some(tr.str()); true
+                          case (4, 0) => headerLines = tr.varint(); true
+                          case _ => false
+                        }}
+                        fmt = "csv"; true
+                      case (10, 2) | (12, 2) | (13, 2) =>
+                        notImplemented("LocalFiles arrow/extension/dwrf formats")
+                      case _ => false
+                    }}
+                    if (path == null) notImplemented("LocalFiles item without a path")
+                    if (fmt == null) notImplemented("LocalFiles item without a file format")
+                    items += FileItem(path, kind, fmt, delim, headerLines); true
+                  case _ => false
+                }}
+                localItems = Some(items.result()); true
+              case (8, 2) =>
+                notImplemented("ReadRel/ExtensionTable reads are not supported")
               case _ => false
             }}
-            if (names.isEmpty && vrows.isEmpty)
-              notImplemented("ReadRel without NamedTable or VirtualTable")
+            if (names.isEmpty && vrows.isEmpty && localItems.isEmpty)
+              notImplemented("ReadRel without NamedTable, VirtualTable, or LocalFiles")
             // best_effort_filter (newer producers): a consumer MAY apply it —
             // graft applies it exactly. Combining it with a separate exact
             // filter would need an `and` anchor this layer can't mint, so
@@ -880,7 +942,7 @@ object Wire {
                 notImplemented("ReadRel with both filter and best_effort_filter")
               case (f, b) => f.orElse(b)
             }
-            res = Rel.Read(schema, names, proj, scanFilter, vrows); true
+            res = Rel.Read(schema, names, proj, scanFilter, vrows, localItems); true
           case 2 =>
             var in: Rel = null; var cond: SExpr = null
             rr.fields { (rf, rwt) => (rf, rwt) match {

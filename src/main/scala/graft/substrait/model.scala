@@ -139,6 +139,16 @@ object model {
                           entries: Seq[(LitVal, LitVal)]) extends LitVal
   }
 
+  /** One ReadRel/LocalFiles item (algebra.proto ReadRel.LocalFiles.FileOrFiles):
+    * `pathKind` remembers which oneof member carried the path (1=uri_path,
+    * 2=uri_path_glob, 3=uri_file, 4=uri_folder — Spark's DataFrameReader
+    * treats all four uniformly, so the kind matters only for re-encoding
+    * fidelity); `format` is "parquet" / "orc" / "csv" from the format oneof.
+    */
+  final case class FileItem(path: String, pathKind: Int, format: String,
+                            csvDelimiter: Option[String] = None,
+                            csvHeaderLines: Long = 0L)
+
   // ---- relations (algebra.proto Rel) ----
   sealed trait Rel
   object Rel {
@@ -147,11 +157,15 @@ object model {
       * field 3 — beyond the reference, which only reads name + mask: the
       * producer folds a Filter directly above a leaf scan into the ReadRel so
       * selective predicates arrive AT the scan on any consumer).
+      * ReadRel/LocalFiles (field 6 — beyond the reference, which rejects it at
+      * consumer.rs:371-373) carries file-backed scans: `localFiles` maps to
+      * `spark.read.<format>(paths)` with the declared base schema applied.
       */
     final case class Read(baseSchema: NamedStruct, tableNames: Seq[String],
                           projection: Option[Seq[Int]],
                           filter: Option[SExpr] = None,
-                          virtualRows: Option[Seq[Seq[LitVal]]] = None) extends Rel
+                          virtualRows: Option[Seq[Seq[LitVal]]] = None,
+                          localFiles: Option[Seq[FileItem]] = None) extends Rel
     final case class Project(input: Rel, expressions: Seq[SExpr]) extends Rel
     final case class Filter(input: Rel, condition: SExpr) extends Rel
     final case class Fetch(input: Rel, offset: Long, count: Long) extends Rel

@@ -141,6 +141,50 @@ class ConsumerCompatSpec extends SparkTestBase {
       (None, 3L, 1)))
   }
 
+  test("foreign LocalFiles read executes without any catalog: parquet + mask + filter") {
+    // region.parquet: (r_regionkey i64, r_name str, r_comment str);
+    // mask to r_name with a filter r_regionkey > 1 over the BASE schema
+    val plan = Plan(
+      Seq(ExtensionFunction(0xffffffffL, 0, "gt")),
+      Seq(PlanRel.Root(
+        Rel.Read(
+          NamedStruct(Seq("r_regionkey", "r_name", "r_comment"),
+            Seq((SType.SI64, true), (SType.SStr, true), (SType.SStr, true))),
+          Nil, Some(Seq(1)),
+          Some(SExpr.ScalarFn(0, Seq(SExpr.FieldRef(0), SExpr.Lit(LitVal.LI64(1))))),
+          None,
+          Some(Seq(FileItem(s"$sfDir/region.parquet", 3, "parquet")))),
+        Seq("r_name"))))
+    val got = consume(plan).collect().map(_.getString(0)).sorted.toSeq
+    val want = spark.read.parquet(s"$sfDir/region.parquet")
+      .filter(col("r_regionkey") > 1).select("r_name")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("bare spark.read.parquet produces ReadRel/LocalFiles and round-trips") {
+    val df = spark.read.parquet(s"$sfDir/nation.parquet")
+      .filter(col("n_regionkey") > 0)
+      .select(col("n_name"), col("n_regionkey"))
+    val plan = Producer.produce(df)
+    def findRead(r: Rel): Option[Rel.Read] = r match {
+      case rd: Rel.Read => Some(rd)
+      case Rel.Filter(in, _) => findRead(in)
+      case Rel.Project(in, _) => findRead(in)
+      case _ => None
+    }
+    val read = findRead(plan.relations.head match {
+      case PlanRel.Root(rel, _) => rel
+      case PlanRel.RelOnly(rel) => rel
+    }).getOrElse(fail("no ReadRel in produced plan"))
+    assert(read.localFiles.exists(_.forall(_.format == "parquet")),
+      s"expected LocalFiles scan, got $read")
+    val got = Consumer.consume(spark, Wire.decode(Wire.encode(plan)))
+    assert(got.collect().map(_.toString).sorted.toSeq ==
+      df.collect().map(_.toString).sorted.toSeq)
+    assert(got.columns.toSeq == df.columns.toSeq)
+  }
+
   test("foreign VirtualTable read executes without any catalog") {
     val plan = Plan(Nil, Seq(PlanRel.Root(
       Rel.Read(

@@ -246,4 +246,46 @@ class WireConformanceSpec extends AnyFunSuite {
     assert(fieldNames == Seq("id", "loc"))
     assert(fields.map(_._1) == Seq(SType.SI64, SType.SFp64))
   }
+
+  test("foreign ReadRel/LocalFiles (field 6) decodes: parquet folder + csv options") {
+    // ReadRel{base_schema=2, local_files=6:{items=1:[
+    //   FileOrFiles{uri_folder=4, parquet=9:{}},
+    //   FileOrFiles{uri_path=1, text=14:{field_delimiter=1 "|",
+    //                                    header_lines_to_skip=4 1}}]}}
+    val w = new PW
+    w.msg(3, pr => pr.msg(1, rel => rel.msg(1, rd => {
+      rd.msg(2, ns => { ns.str(1, "x"); ns.msg(2, st => i32Type(st, 1)) })
+      rd.msg(6, lf => {
+        lf.msg(1, it => { it.str(4, "/data/part"); it.msg(9, _ => ()) })
+        lf.msg(1, it => { it.str(1, "/data/f.csv")
+          it.msg(14, t => { t.str(1, "|"); t.int(4, 1) }) })
+      })
+    })))
+    val read = Wire.decode(w.bytes).relations.head
+      .asInstanceOf[PlanRel.RelOnly].rel.asInstanceOf[Rel.Read]
+    assert(read.localFiles == Some(Seq(
+      FileItem("/data/part", 4, "parquet"),
+      FileItem("/data/f.csv", 1, "csv", Some("|"), 1L))))
+    assert(read.tableNames.isEmpty)
+    // and graft's own encoding of the same model decodes back identically
+    val self = Plan(Nil, Seq(PlanRel.RelOnly(read)))
+    assert(Wire.decode(Wire.encode(self)) == self)
+  }
+
+  test("foreign LocalFiles with a byte-range or unsupported format is loudly rejected") {
+    def rel(body: PW => Unit): Array[Byte] = {
+      val w = new PW
+      w.msg(3, pr => pr.msg(1, r0 => r0.msg(1, rd => {
+        rd.msg(2, ns => { ns.str(1, "x"); ns.msg(2, st => i32Type(st, 1)) })
+        rd.msg(6, lf => lf.msg(1, body))
+      })))
+      w.bytes
+    }
+    val ranged = rel(it => { it.str(3, "/f.parquet"); it.msg(9, _ => ()); it.int(7, 100) })
+    val e1 = intercept[SubstraitException](Wire.decode(ranged))
+    assert(e1.getMessage.contains("byte ranges"), e1.getMessage)
+    val arrow = rel(it => { it.str(3, "/f.arrow"); it.msg(10, _ => ()) })
+    val e2 = intercept[SubstraitException](Wire.decode(arrow))
+    assert(e2.getMessage.contains("arrow"), e2.getMessage)
+  }
 }

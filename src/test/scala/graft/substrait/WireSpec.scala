@@ -49,8 +49,8 @@ class WireSpec extends AnyFunSuite {
         s"Win($r,${as.map(ne)},${ps.map(ne)},${ss.map(s => s"(${ne(s.expr)},${s.direction})")},$lo,$hi,$rf)"
     }
     def nr(r: Rel): String = r match {
-      case Rel.Read(sch, names, proj, filt, vrows) =>
-        s"Read($sch,$names,$proj,${filt.map(ne)},${vrows.map(_.map(_.map(nl)))})"
+      case Rel.Read(sch, names, proj, filt, vrows, lfiles) =>
+        s"Read($sch,$names,$proj,${filt.map(ne)},${vrows.map(_.map(_.map(nl)))},$lfiles)"
       case Rel.Project(i, es) => s"Project(${nr(i)},${es.map(ne).mkString(",")})"
       case Rel.Filter(i, c) => s"Filter(${nr(i)},${ne(c)})"
       case Rel.Fetch(i, o, c) => s"Fetch(${nr(i)},$o,$c)"
