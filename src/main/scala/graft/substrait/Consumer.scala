@@ -346,8 +346,16 @@ object Consumer {
         case Some(r) => df.columns.map(df.col).toSeq ++ r.columns.map(r.col).toSeq
         case None => df.columns.map(df.col).toSeq
       }
+      // top-level column types, needed only to resolve NestedRef ordinals to
+      // struct field NAMES (the public Column.getField API is name-based)
+      refTypes = right match {
+        case Some(r) => df.schema.map(_.dataType).toSeq ++ r.schema.map(_.dataType).toSeq
+        case None => df.schema.map(_.dataType).toSeq
+      }
       toColumnRec(e, cols)
     }
+
+    private var refTypes: Seq[org.apache.spark.sql.types.DataType] = Nil
 
     private def litString(e: SExpr): String = e match {
       case SExpr.Lit(LitVal.LStr(s)) => s
@@ -419,6 +427,22 @@ object Consumer {
         if (i < 0 || i >= cols.size)
           internalErr(s"field reference $i out of range ${cols.size}")
         cols(i)
+
+      case SExpr.NestedRef(i, path) =>
+        if (i < 0 || i >= cols.size)
+          internalErr(s"nested reference base $i out of range ${cols.size}")
+        // walk the struct ordinals, resolving each to its field name from
+        // the input schema (ordinal-addressed per spec, name-accessed here)
+        var dt: org.apache.spark.sql.types.DataType =
+          if (i < refTypes.size) refTypes(i) else null
+        path.foldLeft(cols(i)) { (c, ord) => dt match {
+          case st: StructType if ord >= 0 && ord < st.fields.length =>
+            val f = st.fields(ord)
+            dt = f.dataType
+            c.getField(f.name)
+          case other =>
+            notImplemented(s"nested reference ordinal $ord into ${other}")
+        }}
 
       case SExpr.Lit(v) => literalColumn(v)
 

@@ -607,6 +607,7 @@ object Producer {
       * indexes the base schema */
     private def remapRefs(e: SExpr, mask: Seq[Int]): SExpr = e match {
       case SExpr.FieldRef(i) => SExpr.FieldRef(mask(i))
+      case SExpr.NestedRef(i, path) => SExpr.NestedRef(mask(i), path)
       case SExpr.ScalarFn(r, args) => SExpr.ScalarFn(r, args.map(remapRefs(_, mask)))
       case SExpr.IfThen(cls, els) =>
         SExpr.IfThen(cls.map(cl => IfClause(remapRefs(cl.cond, mask),
@@ -926,12 +927,31 @@ object Producer {
       case cns: CreateNamedStruct =>
         SExpr.ScalarFn(anchor("named_struct"), cns.children.map(rec))
 
-      // struct field access: no SQL-callable function exists, so it rides
-      // as the extension function get_field(struct, name-literal)
+      // struct field access: when the chain bottoms out at an input column,
+      // it is spec-expressible as a DirectReference child chain (ordinals at
+      // each level) — any conformant consumer decodes it. Over a computed
+      // struct (named_struct(...), map value, …) no spec form exists, so it
+      // rides as the extension function get_field(struct, name-literal).
       case g: GetStructField =>
-        SExpr.ScalarFn(anchor("get_field"),
-          Seq(rec(g.child), SExpr.Lit(LitVal.LStr(
-            g.name.getOrElse(g.childSchema(g.ordinal).name)))))
+        def chain(e0: Expression, acc: List[Int]): Option[(Expression, List[Int])] =
+          e0 match {
+            case inner: GetStructField => chain(inner.child, inner.ordinal :: acc)
+            case a: AttributeReference => Some((a, acc))
+            case _ => None
+          }
+        chain(g.child, g.ordinal :: Nil) match {
+          case Some((attr, path)) => rec(attr) match {
+            case SExpr.FieldRef(i) => SExpr.NestedRef(i, path)
+            // leaf resolved to something non-positional (e.g. a post-agg
+            // measure ref): keep the extension form
+            case _ => SExpr.ScalarFn(anchor("get_field"),
+              Seq(rec(g.child), SExpr.Lit(LitVal.LStr(
+                g.name.getOrElse(g.childSchema(g.ordinal).name)))))
+          }
+          case None => SExpr.ScalarFn(anchor("get_field"),
+            Seq(rec(g.child), SExpr.Lit(LitVal.LStr(
+              g.name.getOrElse(g.childSchema(g.ordinal).name)))))
+        }
 
       // arr.field over ARRAY<STRUCT>: rides as get_array_field(arr, name);
       // the consumer rebuilds it as transform(arr, x -> x.field)

@@ -143,6 +143,13 @@ object Validator {
       case SExpr.FieldRef(i) =>
         if (i < 0 || (width >= 0 && i >= width))
           issues += Issue(path, s"field reference $i out of range [0, $width)")
+      case SExpr.NestedRef(i, nestedPath) =>
+        if (i < 0 || (width >= 0 && i >= width))
+          issues += Issue(path, s"nested reference base $i out of range [0, $width)")
+        if (nestedPath.isEmpty)
+          issues += Issue(path, "nested reference with an empty child chain")
+        nestedPath.filter(_ < 0).foreach(o =>
+          issues += Issue(path, s"nested reference ordinal $o negative"))
       case SExpr.ScalarFn(ref, args) =>
         if (!anchors.contains(ref))
           issues += Issue(path, s"unregistered function anchor $ref")

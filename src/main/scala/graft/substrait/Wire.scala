@@ -459,6 +459,14 @@ object Wire {
       case SExpr.FieldRef(i) =>
         // FieldReference{direct_reference=1: ReferenceSegment{struct_field=2: {field=1}}}
         ew.msg(2, fr => fr.msg(1, seg => seg.msg(2, sf => sf.int32(1, i))))
+      case SExpr.NestedRef(i, path) =>
+        // nested chain: StructField{field, child=2: ReferenceSegment{...}}
+        def writeChain(seg: W, idxs: Seq[Int]): Unit =
+          seg.msg(2, sf => {
+            sf.int32(1, idxs.head)
+            if (idxs.tail.nonEmpty) sf.msg(2, child => writeChain(child, idxs.tail))
+          })
+        ew.msg(2, fr => fr.msg(1, seg => writeChain(seg, i +: path)))
       case SExpr.ScalarFn(ref, args) =>
         ew.msg(3, sw => { sw.uint32(1, ref.toLong); args.foreach(writeExpr(sw, 2, _)) })
       case SExpr.IfThen(clauses, els) =>
@@ -528,14 +536,19 @@ object Wire {
   }
 
   private def readFieldRef(r: R): SExpr = {
-    var idx = -1
+    // ReferenceSegment.StructField{field=1, child=2: ReferenceSegment}:
+    // the outermost segment is the top-level column ordinal, each child
+    // descends one struct level (spec-conformant nested references — the
+    // reference rejects the child chain at consumer.rs:451-454)
+    val chain = Seq.newBuilder[Int]
+    var depth = 0
     def readSegment(sr: R): Unit =
       sr.fields { (f, wt) => (f, wt) match {
         case (2, 2) => // struct_field
           val fr = sr.lenDelim()
           fr.fields { (ff, fwt) => (ff, fwt) match {
-            case (1, 0) => idx = fr.varint().toInt; true
-            case (2, 2) => notImplemented("nested struct field reference") // child
+            case (1, 0) => chain += fr.varint().toInt; depth += 1; true
+            case (2, 2) => readSegment(fr.lenDelim()); true // child
             case _ => false
           }}
           true
@@ -546,8 +559,11 @@ object Wire {
       case (4, 2) => r.lenDelim(); true // root_reference — ignored
       case _ => false
     }}
-    if (idx < 0) notImplemented("field reference without struct_field index")
-    SExpr.FieldRef(idx)
+    chain.result() match {
+      case Seq() => notImplemented("field reference without struct_field index")
+      case Seq(i) => SExpr.FieldRef(i)
+      case i +: path => SExpr.NestedRef(i, path)
+    }
   }
 
   private def readExpr(r: R): SExpr = {

@@ -56,6 +56,12 @@ object model {
   object SExpr {
     /** DirectReference(StructField(i)) — flat positional ref (consumer.rs:449-468). */
     final case class FieldRef(index: Int) extends SExpr
+    /** DirectReference with a `child` chain — a reference INTO a struct-typed
+      * top-level column: `path` lists the struct-field ordinals walked at
+      * each nesting level. The reference rejects these (consumer.rs:451-454);
+      * the spec expresses them, so graft consumes and produces them for
+      * struct columns (beyond-reference). */
+    final case class NestedRef(index: Int, path: Seq[Int]) extends SExpr
     /** ScalarFunction{function_reference, args} — name resolved via extensions. */
     final case class ScalarFn(functionReference: Int, args: Seq[SExpr]) extends SExpr
     /** IfThen: clauses of (if, then); reference encodes CASE base expr as a

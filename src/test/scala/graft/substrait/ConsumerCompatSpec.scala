@@ -185,6 +185,46 @@ class ConsumerCompatSpec extends SparkTestBase {
     assert(got.columns.toSeq == df.columns.toSeq)
   }
 
+  test("foreign nested struct references execute: ordinal chains resolve by name") {
+    import org.apache.spark.sql.functions.struct
+    spark.range(1, 4).toDF("a")
+      .select(struct(col("a"), struct((col("a") * 10).as("b10"),
+        (col("a") + 0.5).as("c")).as("inner")).as("s"))
+      .createOrReplaceTempView("nested_compat")
+    // SELECT s.a, s.inner.c FROM nested_compat — pure child-chain refs
+    val plan = Plan(Nil, Seq(PlanRel.Root(
+      Rel.Project(
+        Rel.Read(
+          NamedStruct(Seq("s"), Seq((SType.SStruct(Seq("a", "inner"), Seq(
+            (SType.SI64, false),
+            (SType.SStruct(Seq("b10", "c"),
+              Seq((SType.SI64, false), (SType.SFp64, false))), false))), false))),
+          Seq("nested_compat"), None),
+        Seq(SExpr.NestedRef(0, Seq(0)), SExpr.NestedRef(0, Seq(1, 1)))),
+      Seq("a", "c"))))
+    val got = consume(plan).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+  }
+
+  test("struct field access over a scan produces NestedRef (no get_field ext) and round-trips") {
+    import org.apache.spark.sql.functions.struct
+    import spark.implicits._
+    Seq((1L, "x", 2.5), (2L, "y", 3.5)).toDF("a", "b", "c")
+      .select(struct(col("a"), struct(col("b"), col("c")).as("inner")).as("s"))
+      .createOrReplaceTempView("structed")
+    val df = spark.table("structed")
+      .select(col("s").getField("a").as("sa"),
+        col("s").getField("inner").getField("c").as("sc"))
+      .filter(col("s").getField("a") > 0L)
+    val plan = Producer.produce(df)
+    assert(!plan.extensions.exists(_.name == "get_field"),
+      s"expected NestedRef, got get_field in ${plan.extensions}")
+    val back = Consumer.consume(spark, Wire.decode(Wire.encode(plan)))
+    assert(back.collect().map(_.toString).sorted.toSeq ==
+      df.collect().map(_.toString).sorted.toSeq)
+    assert(back.columns.toSeq == df.columns.toSeq)
+  }
+
   test("foreign VirtualTable read executes without any catalog") {
     val plan = Plan(Nil, Seq(PlanRel.Root(
       Rel.Read(

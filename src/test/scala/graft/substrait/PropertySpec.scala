@@ -21,6 +21,11 @@ class PropertySpec extends SparkTestBase {
     Seq((1L, 2.5d, true, "alpha"), (3L, 4.25d, false, "beta"),
       (7L, -1.75d, true, "gamma"), (-2L, 0.0d, false, "alpha delta"))
       .toDF("a", "b", "d", "s")
+      // struct-typed column: random trees pick nested refs (st.x, st.inner.y)
+      // so the DirectReference child-chain path is property-covered
+      .select(col("a"), col("b"), col("d"), col("s"),
+        struct(col("a").as("x"),
+          struct(col("b").as("y")).as("inner")).as("st"))
       .createOrReplaceTempView("prop_data")
   }
 
@@ -37,6 +42,8 @@ class PropertySpec extends SparkTestBase {
   private def numExpr(depth: Int): Gen[Column] = {
     val leaf = Gen.oneOf(
       Gen.const(col("a")), Gen.const(col("b")),
+      Gen.const(col("st").getField("x")),
+      Gen.const(col("st").getField("inner").getField("y")),
       Gen.choose(-50, 50).map(n => lit(n.toLong)),
       Gen.choose(-50.0, 50.0).map(lit(_)))
     if (depth <= 0) leaf

@@ -272,6 +272,30 @@ class WireConformanceSpec extends AnyFunSuite {
     assert(Wire.decode(Wire.encode(self)) == self)
   }
 
+  test("foreign nested DirectReference (StructField child chain) decodes to NestedRef") {
+    // expression = FieldReference{direct_reference=1:
+    //   StructField{field=1, child=2: StructField{field=0}}} → col 1, then .0
+    val w = new PW
+    w.msg(3, pr => pr.msg(1, rel => rel.msg(7, proj => {
+      proj.msg(2, in => in.msg(1, rd => {
+        rd.msg(2, ns => { ns.str(1, "x"); ns.msg(2, st => i32Type(st, 1)) })
+        rd.msg(7, nt => nt.str(1, "t"))
+      }))
+      proj.msg(3, ex => ex.msg(2, fr => fr.msg(1, seg => seg.msg(2, sf => {
+        sf.int(1, 1)
+        sf.msg(2, child => child.msg(2, sf2 => sf2.int(1, 0)))
+      }))))
+    })))
+    val Rel.Project(_, exprs) = Wire.decode(w.bytes).relations.head
+      .asInstanceOf[PlanRel.RelOnly].rel: @unchecked
+    assert(exprs == Seq(SExpr.NestedRef(1, Seq(0))))
+    // and graft's own encoding decodes back to the same chain
+    val self = Plan(Nil, Seq(PlanRel.RelOnly(Rel.Project(
+      Rel.Read(NamedStruct(Seq("x"), Seq((SType.SI32, true))), Seq("t"), None),
+      Seq(SExpr.NestedRef(1, Seq(0, 2)))))))
+    assert(Wire.decode(Wire.encode(self)) == self)
+  }
+
   test("foreign LocalFiles with a byte-range or unsupported format is loudly rejected") {
     def rel(body: PW => Unit): Array[Byte] = {
       val w = new PW

@@ -42,6 +42,7 @@ class WireSpec extends AnyFunSuite {
       case SExpr.Lit(v) => s"Lit(${nl(v)})"
       case SExpr.FieldRef(i) => s"Ref($i)"
       case SExpr.ScalarFn(r, as) => s"Fn($r,${as.map(ne).mkString(",")})"
+      case SExpr.NestedRef(i, p) => s"NRef($i,$p)"
       case SExpr.Cast(t, n, in) => s"Cast($t,$n,${ne(in)})"
       case SExpr.IfThen(cs, el) =>
         s"If(${cs.map(c => s"(${ne(c.cond)},${c.thenExpr.map(ne)})").mkString(",")},${el.map(ne)})"
