@@ -585,6 +585,20 @@ object SparkEntry {
     }),
 
     // correlated scalar aggregate (TPC-H Q17 shape) → grouped left join
+    // NOT IN with a NULLABLE probe side: the anti JoinRel's null-aware
+    // condition (eq OR is_null(eq)) crosses the wire; NULL probes drop
+    // (SQL three-valued logic), non-null probes anti-join
+    "q37_not_in_subquery" -> ((s, dir) => {
+      t(s, dir, "orders"); t(s, dir, "customer")
+      rt(s, s.sql(
+        """SELECT o_orderkey, o_totalprice FROM (
+          |  SELECT o_orderkey, o_totalprice,
+          |    CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END AS probe
+          |  FROM orders)
+          |WHERE probe NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
+          |ORDER BY o_orderkey""".stripMargin))
+    }),
+
     "q35_scalar_correlated" -> ((s, dir) => {
       t(s, dir, "lineitem")
       rt(s, s.sql(
@@ -1212,6 +1226,13 @@ object SparkEntry {
         |                             FROM lineitem l2
         |                             WHERE l2.l_partkey = l1.l_partkey)
         |ORDER BY l1.l_orderkey, l1.l_linenumber""".stripMargin,
+    "q37_not_in_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END AS probe
+        |  FROM orders)
+        |WHERE probe NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
+        |ORDER BY o_orderkey""".stripMargin,
     "q34_exists_correlated" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

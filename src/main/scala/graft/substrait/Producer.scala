@@ -335,8 +335,14 @@ object Producer {
       * SEMI JoinRels (the same rewrite Spark's own optimizer applies) — the
       * wire has no subquery-expression message in the reference's subset, and
       * the semi join preserves IN's null semantics exactly (a NULL probe
-      * value matches nothing in both). NOT IN stays loud-rejected: its
-      * null-aware anti-join semantics have no plain JoinRel equivalent.
+      * value matches nothing in both). NOT IN becomes an ANTI JoinRel whose
+      * condition is `eq OR is_null(eq)` — Spark's own null-aware rewrite,
+      * expressible with plain JoinRel + scalar functions, so it crosses the
+      * wire with exact SQL semantics (NULL probe → dropped; any NULL in the
+      * subquery side → nothing survives). On consume, Spark's planner
+      * recognizes the single-column shape as a null-aware anti join
+      * (broadcast hash); multi-column falls back to nested-loop — fine for
+      * the dimension-sized subqueries NOT IN is used with.
       * Remaining conjuncts fold into a ReadRel scan filter when the child is
       * a leaf scan (algebra.proto field 3), else a FilterRel.
       */
@@ -347,9 +353,9 @@ object Producer {
       }
       val (subq, plain0) = conjuncts(cond).partition {
         case InSubquery(_, _: ListQuery) => true
+        case Not(InSubquery(_, _: ListQuery)) => true // null-aware anti join
         case _: Exists => true
-        case Not(_: Exists) => true // NOT EXISTS = anti join (null-safe,
-        // unlike NOT IN, whose null-aware anti has no JoinRel twin)
+        case Not(_: Exists) => true // NOT EXISTS = plain anti join
         case _ => false
       }
       var cur = toRel(child)
@@ -471,6 +477,29 @@ object Producer {
           val c = (eqs ++ corrS).reduceLeft((a, b) =>
             SExpr.ScalarFn(anchor("and"), Seq(a, b)))
           cur = Produced(Rel.Join(cur.rel, sub.rel, c, JoinType.Semi), cur.attrs)
+        case Not(InSubquery(values, l: ListQuery)) =>
+          // NOT IN: anti join on (eqs AND …) OR is_null(eqs AND …) — the
+          // null-aware form. Correlated predicates AND on the outside (they
+          // gate WHICH right rows participate, exactly as in the semi case).
+          val (subPlan, corr, needed) =
+            decorrelate(l.plan, l.outerAttrs, keepOutput = true)
+          val sub = toRel(subPlan)
+          val nL = cur.attrs.size
+          val nOut = sub.attrs.size - needed.size
+          val both = cur.attrs ++ sub.attrs
+          val eqs = values.zipWithIndex.map { case (v, i) =>
+            if (i >= nOut) internalErr("NOT IN value arity > subquery output")
+            SExpr.ScalarFn(anchor("equal"),
+              Seq(toSExpr(v, cur.attrs), SExpr.FieldRef(nL + i)))
+          }
+          val eqConj = eqs.reduceLeft((a, b) =>
+            SExpr.ScalarFn(anchor("and"), Seq(a, b)))
+          val nullAware = SExpr.ScalarFn(anchor("or"),
+            Seq(eqConj, SExpr.ScalarFn(anchor("is_null"), Seq(eqConj))))
+          val corrS = corr.map(e => toSExpr(stripOuter(e), both))
+          val c = (nullAware +: corrS).reduceLeft((a, b) =>
+            SExpr.ScalarFn(anchor("and"), Seq(a, b)))
+          cur = Produced(Rel.Join(cur.rel, sub.rel, c, JoinType.Anti), cur.attrs)
         case ex: Exists =>
           cur = existsJoin(cur, ex, JoinType.Semi)
         case Not(ex: Exists) =>

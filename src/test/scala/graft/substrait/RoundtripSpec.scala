@@ -332,11 +332,27 @@ class RoundtripSpec extends SparkTestBase {
         |HAVING count(*) >= (SELECT min(a) FROM data2)""".stripMargin))
   }
 
-  test("NOT IN stays loudly rejected (null-aware anti-join has no JoinRel twin)") {
+  test("NOT IN rides the wire as a null-aware anti JoinRel (eq OR is_null(eq))") {
     fixture
-    val df = spark.sql("SELECT a FROM data WHERE a NOT IN (SELECT a FROM data2)")
-    val e = intercept[model.SubstraitException](Producer.produce(df))
-    assert(e.getMessage.contains("NotImplemented"), e.getMessage)
+    import spark.implicits._
+    // probe side with NULLs, list side without: NULL probes drop, others anti-join
+    Seq(Some(1L), Some(3L), Some(9L), None).toDF("x")
+      .createOrReplaceTempView("ni_probe")
+    val kept = spark.sql(
+      "SELECT x FROM ni_probe WHERE x NOT IN (SELECT a FROM data2)")
+    assertRoundtrip(kept)
+    assert(Serializer.roundtrip(spark, kept).collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // list side WITH a NULL: SQL three-valued logic → empty result
+    Seq(Some(1L), Some(42L), None).toDF("y")
+      .createOrReplaceTempView("ni_list")
+    val empty = spark.sql(
+      "SELECT x FROM ni_probe WHERE x NOT IN (SELECT y FROM ni_list)")
+    assertRoundtrip(empty)
+    assert(Serializer.roundtrip(spark, empty).count() == 0L)
+    // correlated NOT IN: correlation gates which list rows participate
+    assertRoundtrip(spark.sql(
+      """SELECT d1.a FROM data d1
+        |WHERE d1.a NOT IN (SELECT d2.a FROM data2 d2 WHERE d2.a > d1.a)""".stripMargin))
   }
 
   test("array literals and the codegen'd vector kernels ride the wire") {
