@@ -94,14 +94,16 @@ object SparkEntry {
 
     // near-dup clustering: connected components (pointer-doubling label
     // propagation) over lang-blocked jaccard pairs — the "keep one per
-    // cluster" primitive. The iterative driver loop has no one-shot wire
-    // form (localCheckpoint leaves), so this is a batch-only operator.
+    // cluster" primitive. The iterative DRIVER LOOP stays host-side
+    // (substrait has no iteration construct), but stepThroughWire sends
+    // every double-hop round's plan produce→encode→decode→consume before
+    // executing: the per-round plan is fully interchangeable.
     "d08_neardup_clusters" -> ((s, dir) => {
       // lang+source blocks keep pair generation bounded per block (the
       // blocking contract) — lang-only blocks go quadratic at 10x the data
       val pairs = ops.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
         "doc_id", "text", blockCols = Seq("lang", "source"), threshold = 0.1)
-      ops.Dedup.connectedComponents(pairs).orderBy("node")
+      ops.Dedup.connectedComponents(pairs, stepThroughWire = true).orderBy("node")
     }),
 
     // benchmark decontamination: corpus docs sharing any 5-gram with the

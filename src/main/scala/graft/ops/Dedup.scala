@@ -330,23 +330,47 @@ object Dedup {
     * checkpoint dir and swap localCheckpoint for checkpoint to survive
     * executor loss across rounds.
     */
+  /** `checkpointDir`: when set, label generations (and the edge list) use
+    * RELIABLE `checkpoint` into that directory instead of `localCheckpoint` —
+    * the production setting: localCheckpoint pins blocks to executors, so one
+    * lost executor kills the lineage-truncated frame mid-iteration; a
+    * reliable checkpoint survives executor loss.
+    *
+    * `stepThroughWire`: when set, every double-hop round's plan is
+    * produce→encode→decode→consume'd through the substrait wire before
+    * executing — the iterative DRIVER LOOP stays host-side (substrait has no
+    * iteration construct), but each round's plan is interchangeable: the
+    * checkpointed edges/labels register as temp views, so the step plan's
+    * leaves are named reads any conformant consumer could resolve.
+    */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b",
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          checkpointDir: Option[String] = None,
+                          stepThroughWire: Boolean = false): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     val fwd = pairs.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))
-    val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
-      .distinct().persist()
+    val edges0 = fwd.union(fwd.select(col("v").as("u"), col("u").as("v"))).distinct()
+    // the edge list is referenced every round: checkpoint when wiring rounds
+    // (a leaf plan is what makes the step a named read) or when reliability
+    // is requested, else persist
+    val edges =
+      if (stepThroughWire || checkpointDir.isDefined) materialize(edges0)
+      else edges0.persist()
     // the labels frame is referenced three times per iteration (both pointer
     // directions + the join side), so each generation is checkpointed —
     // dropping this recomputes the distinct per reference and costs more
     // than the checkpoint job does
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
-    def step(lbl: DataFrame): DataFrame = {
+    var labels = materialize(edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")))
+    if (stepThroughWire) edges.createOrReplaceTempView("graft_cc_edges")
+    def step(ed: DataFrame)(lbl: DataFrame): DataFrame = {
       val ptr = lbl.select(col("node").as("u"), col("label").as("v"))
-      edges.union(ptr)
+      ed.union(ptr)
         .union(ptr.select(col("v").as("u"), col("u").as("v")))
         .join(lbl.select(col("node").as("v"), col("label")), "v")
         .groupBy("u").agg(min(col("label")).as("label"))
@@ -359,14 +383,24 @@ object Dedup {
       // two propagation hops per materialization round: halves the fixed
       // checkpoint/action cost and still detects the exact fixpoint (labels
       // are monotone, so a stable sum across a double-hop is a fixpoint)
-      labels = step(step(labels)).localCheckpoint(true)
+      val next =
+        if (stepThroughWire) {
+          labels.createOrReplaceTempView("graft_cc_labels")
+          val e = spark.table("graft_cc_edges")
+          val l = spark.table("graft_cc_labels")
+          val roundPlan = step(e)(step(e)(l))
+          graft.substrait.Consumer.consume(spark,
+            graft.substrait.Wire.decode(graft.substrait.Wire.encode(
+              graft.substrait.Producer.produce(roundPlan))))
+        } else step(edges)(step(edges)(labels))
+      labels = materialize(next)
       val s = labels.agg(sum(col("label").cast("decimal(38,0)")))
         .head.getDecimal(0)
       done = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
     }
-    edges.unpersist()
+    if (!(stepThroughWire || checkpointDir.isDefined)) edges.unpersist()
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 

@@ -65,7 +65,12 @@ object Producer {
       case a: logical.SubqueryAlias =>
         a.child match {
           case _: logical.View | _: LogicalRelation | _: DataSourceV2Relation |
-               _: logical.LocalRelation =>
+               _: logical.LocalRelation |
+               // a checkpointed frame registered as a temp view: the RDD leaf
+               // is opaque, but the VIEW NAME is a valid named read (the
+               // consumer resolves it against the same session catalog) —
+               // what lets iterative operators wire their per-round plans
+               _: org.apache.spark.sql.execution.LogicalRDD =>
             Some((a.identifier.qualifier :+ a.identifier.name, p.output))
           case _ => None
         }

@@ -52,6 +52,30 @@ class ConnectedComponentsSpec extends SparkTestBase {
     check(edges, "random-120")
   }
 
+  test("reliable checkpoint path (checkpointDir) converges identically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val edges = (0L until 60L).map(i => (i, i + 1)) ++ Seq((200L, 201L))
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(edges), "reliable-checkpoint")
+    // reliable checkpoints actually landed in the requested directory
+    val files = new java.io.File(dir).listFiles()
+    assert(files != null && files.nonEmpty, s"no checkpoint data under $dir")
+  }
+
+  test("per-round plans ride the wire (stepThroughWire) with identical fixpoint") {
+    import spark.implicits._
+    val star = (1L to 20L).map(i => (600L + i, 600L))
+    val chain = (0L until 50L).map(i => (i, i + 1))
+    val edges = star ++ chain
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+        stepThroughWire = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(edges), "wire-step")
+  }
+
   test("decontaminate removes exactly the docs sharing an n-gram with the benchmark") {
     import spark.implicits._
     val corpus = Seq(
