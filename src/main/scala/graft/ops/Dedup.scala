@@ -291,20 +291,105 @@ object Dedup {
     * output exactly the Jaccard-threshold ground-truth set — which is what
     * lets an exact all-pairs oracle certify this hash-based path.
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * SimHash's niche is HIGH-similarity detection (near-identical documents):
+    * at moderate thresholds the hamming radius needed for full recall makes
+    * nearly every pair a candidate (measured: radius 15 of 64 admits ~40% of
+    * all pairs on a web-ish corpus — the index adds nothing; that regime
+    * belongs to MinHash banding, `minhashNearDups`). Keep the threshold high
+    * and the chunk count low. A maxHamming above numChunks − 1 weakens the
+    * pigeonhole guarantee into a measured property — legitimate when the
+    * corpus's threshold-qualifying pairs are verified to share a chunk (the
+    * oracle certifies exactly that).
+    *
+    * Scale design: candidates never carry payloads — pair generation streams
+    * (id, fingerprint, set-size) triples (26 bytes) through a SALTED
+    * self-join (hot buckets from biased chunks would otherwise explode
+    * quadratically inside one task), the hamming cut and size-ratio bound
+    * run as codegen'd ALU filters on that stream, and only surviving pairs
+    * reach the shingle-set verify join (hashed 8-byte shingles, AQE
+    * broadcasts the doc-keyed side at these scales).
     */
   def simhashVerifiedNearDups(df: DataFrame, idCol: String = "doc_id",
                               textCol: String = "text",
-                              threshold: Double = 0.5,
-                              numChunks: Int = 16,
+                              threshold: Double = 0.9,
+                              numChunks: Int = 8,
+                              maxHamming: Int = 7,
                               maxBucket: Int = 10000,
                               shingleSize: Int = 3): DataFrame = {
-    // maxHamming = 63: no hamming cut — the chunks are pure candidate
-    // generation here and the jaccard filter is the only precision gate
-    val candidates = simhashNearDups(df, idCol, textCol, maxHamming = 63,
-        maxBucket = maxBucket, numChunks = numChunks)
-      .select("id_a", "id_b")
-    verifyJaccard(candidates, df.select(col(idCol), col(textCol)),
-      idCol, textCol, shingleSize, threshold)
+    require(64 % numChunks == 0, s"numChunks must divide 64, got $numChunks")
+    val chunkBits = 64 / numChunks
+    val mask = (1L << chunkBits) - 1
+    // pair generation carries ONLY (id, fingerprint, set size) — 26 bytes —
+    // never shingle payloads: with fine chunks the in-bucket pair stream is
+    // tens of millions of rows, and materializing multi-KB arrays per
+    // generated pair is ~100 GB of copy churn (the measured 137 s trap).
+    // Shingle sets join back AFTER the cheap filters, against a doc-keyed
+    // table AQE broadcasts at these scales.
+    val base = df.select(col(idCol), col(textCol)).repartition(col(idCol))
+    val fp = simhash64(base, textCol)
+      .withColumn("sz", size(shingles(textCol, shingleSize)))
+      .select(col(idCol).as("sv_id"), col("simhash"), col("sz"))
+    val chunked = fp.select(
+      posexplode(expr(
+        s"""element_at(transform(array(simhash),
+           |  s -> transform(sequence(0, ${numChunks - 1}),
+           |    c -> shiftright(s, c * $chunkBits) & $mask)), 1)""".stripMargin))
+        .as(Seq("chunk_idx", "chunk_val")),
+      struct(col("sv_id"), col("simhash"), col("sz")).as("it"))
+    // fine chunks make HOT buckets a certainty (a biased 4-bit chunk can
+    // hold most of the corpus), and collect_list pair generation would run
+    // a hot bucket's quadratic explosion in ONE task (measured: a 4.2k-doc
+    // bucket = 8.6M pairs serially). Instead pairs come from a SALTED
+    // self-join: the probe side keeps its id-hash salt, the build side
+    // replicates across all $pairSalts salts, so each hot bucket's pair
+    // stream spreads over pairSalts parallel tasks while every unordered
+    // pair still arises exactly once per matching chunk.
+    val pairSalts = 16
+    val bucketSizes = chunked.groupBy("chunk_idx", "chunk_val")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") >= 2 && col("bn") <= maxBucket)
+    val inBuckets = chunked.join(broadcast(bucketSizes.select("chunk_idx", "chunk_val")),
+      Seq("chunk_idx", "chunk_val"))
+    val probe = inBuckets.select(col("chunk_idx"), col("chunk_val"),
+      pmod(xxhash64(col("it.sv_id")), lit(pairSalts)).as("salt"), col("it").as("x"))
+    val build = inBuckets.select(col("chunk_idx"), col("chunk_val"),
+      explode(expr(s"sequence(0, ${pairSalts - 1})")).as("salt"), col("it").as("y"))
+    val candidates = probe.join(build, Seq("chunk_idx", "chunk_val", "salt"))
+      .filter(col("x.sv_id") < col("y.sv_id"))
+      .filter(expr(s"bit_count(x.simhash ^ y.simhash) <= $maxHamming"))
+      // a hamming-h pair matches ~numChunks·(1−1/numChunks)^h chunks; keep
+      // it ONLY in its first matching chunk — each surviving pair is emitted
+      // exactly once, so no cross-chunk distinct is needed and the verify
+      // join handles each unique pair once. zmap = bitmap of zero (matching)
+      // chunks of the xor; lowest set bit picks the first match — pure
+      // codegen'd ALU ops (no per-pair lambda/alloc; the classic
+      // subtract-borrow nibble hack would overflow under ANSI arithmetic)
+      .withColumn("xorfp", expr("x.simhash ^ y.simhash"))
+      .withColumn("zmap", expr(
+        (0 until numChunks).map(c =>
+          s"(CASE WHEN (shiftright(xorfp, ${c * chunkBits}) & $mask) = 0 " +
+            s"THEN ${1L << c}L ELSE 0L END)").mkString(" + ")))
+      .filter(expr("(zmap & -zmap) = shiftleft(1L, chunk_idx)"))
+      // J(A,B) ≤ min/max sizes: threshold-failing pairs skip the verify
+      .filter(least(col("x.sz"), col("y.sz")).cast("double") /
+        greatest(col("x.sz"), col("y.sz")) >= threshold)
+      .select(col("x.sv_id").as("id_a"), col("y.sv_id").as("id_b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
+    // exact verify on survivors; shingles travel HASHED (xxhash64 longs):
+    // the intersect compares 8-byte longs instead of multi-byte strings and
+    // |A∩B| is unchanged (sets are distinct; a 64-bit collision within one
+    // union is ~1e-13-improbable and deterministic — certified by the oracle)
+    val hashedShingles = base.select(col(idCol),
+      transform(shingles(textCol, shingleSize), s => xxhash64(s)).as("sh"))
+    val sa = hashedShingles.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val sb = hashedShingles.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    candidates.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Embedding-cosine near-duplicates via multi-table sign-LSH bucketing +
