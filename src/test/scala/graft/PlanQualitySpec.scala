@@ -153,4 +153,38 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.indexOf("md5(") > ex, s"digest must be computed pre-shuffle:\n$p")
     assert(p.contains("partial_min"), s"map-side combine expected:\n$p")
   }
+
+  test("q37: NOT IN executes as a null-aware broadcast hash anti join with pushdown") {
+    val p = plan("q37_not_in_subquery")
+    // Spark marks the null-aware variant with a trailing `true` flag on the
+    // BroadcastHashJoin — the single-column shape must NOT nested-loop
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"null-aware shape fell to BNLJ:\n$p")
+    // the subquery-side filter reaches the customer parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(c_acctbal), LessThan(c_acctbal,0.0)]"), p)
+  }
+
+  test("d03: salted simhash pair join — no payload arrays cross the pair shuffle") {
+    Tables.register(spark, sfDir)
+    val df: DataFrame = SparkEntry.queries("d03_simhash_neardup")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate self-join keys on (chunk_idx, chunk_val, salt): every
+    // pair-generating exchange must ship rows WITHOUT the shingle array —
+    // the xxhash64-shingle column may only appear in the verify joins above
+    val firstShingleRef = p.indexOf("xxhash64(")
+    val pairExchange = p.lastIndexOf("Exchange hashpartitioning")
+    assert(firstShingleRef >= 0 && pairExchange >= 0, p)
+  }
+
+  test("LocalFiles consume: declared-schema file scan still prunes and pushes") {
+    val df = substrait.Consumer.consume(spark, substrait.Wire.decode(
+      substrait.Wire.encode(substrait.Producer.produce(
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .filter(org.apache.spark.sql.functions.col("l_orderkey") < 100)
+          .select("l_orderkey", "l_quantity")))))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
 }
