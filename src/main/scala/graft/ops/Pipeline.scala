@@ -102,6 +102,36 @@ object Pipeline {
     df.filter(slot < cut)
   }
 
+  /** Materialize a packed corpus as size-bounded parquet shards — the
+    * training-data layout: each (group, shard) directory holds
+    * `binsPerShard` consecutive packing bins (≤ binsPerShard × budget
+    * tokens), rows sorted by their stream offset so the reader concatenates
+    * token streams by scanning a shard front to back.
+    *
+    * Scale design: one window pass assigns offsets (packSequences), one
+    * repartition routes every (group, shard) to a single task — so each
+    * shard directory is exactly one parquet file, written sorted, no
+    * post-hoc compaction. Readers fetch shards via PARTITION PRUNING
+    * (`where shard_id = N`): a trainer streaming shard k touches one
+    * directory, not the corpus. Deterministic end to end — same input,
+    * same shards, byte for byte (offsets come from the orderCol window,
+    * routing from the bin arithmetic; nothing samples or races).
+    */
+  def writePackedShards(df: DataFrame, tokenCol: String, orderCol: String,
+                        budget: Int, byCols: Seq[String], outDir: String,
+                        binsPerShard: Int = 64): Unit = {
+    require(binsPerShard > 0, "binsPerShard must be positive")
+    val packed = packSequences(df, tokenCol, orderCol, budget, byCols)
+      .withColumn("shard_id", (col("bin_id") / binsPerShard).cast("long"))
+    val routeCols = byCols.map(col) :+ col("shard_id")
+    packed
+      .repartition(routeCols: _*)
+      .sortWithinPartitions(routeCols :+ col("stream_offset"): _*)
+      .write.mode("overwrite")
+      .partitionBy(byCols :+ "shard_id": _*)
+      .parquet(outDir)
+  }
+
   /** Skew-safe equi-join: the build side is replicated `salts` times, the
     * probe side's rows get a deterministic salt from their own payload, and
     * the join runs on (key, salt) — a hot key's rows spread over `salts`

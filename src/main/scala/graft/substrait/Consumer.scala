@@ -655,6 +655,8 @@ object Consumer {
       case LitVal.LBin(b) => b
       case LitVal.LDate(days) =>
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
+      case LitVal.LTime(us) =>
+        java.time.LocalTime.ofNanoOfDay(us * 1000L)
       case LitVal.LTimestamp(us) =>
         java.time.LocalDateTime.ofEpochSecond(
           Math.floorDiv(us, 1000000L),
@@ -687,6 +689,7 @@ object Consumer {
       case LitVal.LStr(s) => lit(s)
       case LitVal.LBin(b) => lit(b)
       case LitVal.LDate(days) => lit(java.time.LocalDate.ofEpochDay(days.toLong))
+      case LitVal.LTime(us) => lit(java.time.LocalTime.ofNanoOfDay(us * 1000L))
       case LitVal.LTimestamp(us) =>
         lit(java.time.LocalDateTime.ofEpochSecond(
           Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
@@ -726,6 +729,9 @@ object Consumer {
     case SType.SStr => StringType
     case SType.SBin => BinaryType
     case SType.SDate => DateType
+    // substrait time is microsecond-precision time of day (consuming TIME
+    // needs Spark 4.1's spark.sql.timeType.enabled flag on)
+    case SType.STime => org.apache.spark.sql.types.TimeType(6)
     case SType.STimestamp => TimestampNTZType
     case SType.STimestampTz => TimestampType
     case SType.SIntervalDay => DayTimeIntervalType()

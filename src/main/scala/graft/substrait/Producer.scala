@@ -1081,6 +1081,13 @@ object Producer {
         case StringType => LitVal.LStr(l.value.toString)
         case BinaryType => LitVal.LBin(l.value.asInstanceOf[Array[Byte]])
         case DateType => LitVal.LDate(l.value.asInstanceOf[Int])
+        case _: org.apache.spark.sql.types.TimeType =>
+          // Spark stores nanos of day; substrait time is micros — sub-micro
+          // components cannot cross losslessly, so they reject loudly
+          val nanos = l.value.asInstanceOf[Long]
+          if (nanos % 1000L != 0L)
+            notImplemented("TIME literal with sub-microsecond precision")
+          LitVal.LTime(nanos / 1000L)
         case TimestampNTZType => LitVal.LTimestamp(l.value.asInstanceOf[Long])
         case TimestampType => LitVal.LTimestampTz(l.value.asInstanceOf[Long])
         case _: DayTimeIntervalType =>
@@ -1171,6 +1178,7 @@ object Producer {
     case StringType => SType.SStr
     case BinaryType => SType.SBin
     case DateType => SType.SDate
+    case _: org.apache.spark.sql.types.TimeType => SType.STime
     case TimestampNTZType => SType.STimestamp
     case TimestampType => SType.STimestampTz
     case _: DayTimeIntervalType => SType.SIntervalDay

@@ -112,6 +112,7 @@ object Wire {
       case SType.SBin       => writeKind(tw, (13, 0), nullable)
       case SType.STimestamp   => writeKind(tw, (14, 0), nullable)
       case SType.SDate        => writeKind(tw, (16, 0), nullable)
+      case SType.STime        => writeKind(tw, (17, 0), nullable)
       case SType.SIntervalYear => writeKind(tw, (19, 0), nullable)
       case SType.SIntervalDay  => writeKind(tw, (20, 0), nullable)
       case SType.STimestampTz => writeKind(tw, (29, 0), nullable)
@@ -162,6 +163,7 @@ object Wire {
           case 13 => simple(SType.SBin, kr); true
           case 14 => simple(SType.STimestamp, kr); true
           case 16 => simple(SType.SDate, kr); true
+          case 17 => simple(SType.STime, kr); true
           case 19 => simple(SType.SIntervalYear, kr); true
           case 20 => simple(SType.SIntervalDay, kr); true
           case 29 => simple(SType.STimestampTz, kr); true
@@ -297,6 +299,7 @@ object Wire {
       case LitVal.LBin(b)       => lw.bytes(13, b)
       case LitVal.LTimestamp(t)   => lw.int64(14, t)
       case LitVal.LDate(d)        => lw.int32(16, d)
+      case LitVal.LTime(us)       => lw.int64(17, us)
       case LitVal.LIntervalYear(y, m) =>
         lw.msg(19, iw => { iw.int32(1, y); iw.int32(2, m) })
       case LitVal.LIntervalDay(d, s, us) =>
@@ -346,6 +349,7 @@ object Wire {
     case _: LitVal.LStr => SType.SStr
     case _: LitVal.LBin => SType.SBin
     case _: LitVal.LDate => SType.SDate
+    case _: LitVal.LTime => SType.STime
     case _: LitVal.LTimestamp => SType.STimestamp
     case _: LitVal.LTimestampTz => SType.STimestampTz
     case _: LitVal.LIntervalYear => SType.SIntervalYear
@@ -370,6 +374,7 @@ object Wire {
       case (13, 2) => res = LitVal.LBin(r.rawBytes()); true
       case (14, 0) => res = LitVal.LTimestamp(r.varint()); true
       case (16, 0) => res = LitVal.LDate(r.varint().toInt); true
+      case (17, 0) => res = LitVal.LTime(r.varint()); true
       case (19, 2) =>
         val ir = r.lenDelim(); var y = 0; var m = 0
         ir.fields { (f2, w2) => (f2, w2) match {

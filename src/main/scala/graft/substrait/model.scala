@@ -28,6 +28,8 @@ object model {
     case object SStr extends SType
     case object SBin extends SType
     case object SDate extends SType
+    /** type.proto Time (field 17) — time of day; Spark 4 TimeType */
+    case object STime extends SType
     /** naive wall-clock timestamp — Spark TimestampNTZType */
     case object STimestamp extends SType
     /** type.proto IntervalYear (field 19) — Spark YearMonthIntervalType */
@@ -110,6 +112,8 @@ object model {
     }
     /** days since epoch (Date32, consumer.rs:579-581) */
     final case class LDate(days: Int) extends LitVal
+    /** microseconds since midnight (substrait `time` literal, field 17) */
+    final case class LTime(micros: Long) extends LitVal
     /** naive wall-clock micros since epoch (substrait `timestamp` literal) */
     final case class LTimestamp(micros: Long) extends LitVal
     /** UTC micros since epoch (substrait `timestamp_tz` literal) */

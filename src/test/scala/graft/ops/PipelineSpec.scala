@@ -99,6 +99,55 @@ class PipelineSpec extends SparkTestBase {
       (4L, 0L, 0L), (5L, 2000L, 1L)))
   }
 
+  test("writePackedShards: one sorted file per shard dir, prunable, deterministic") {
+    import spark.implicits._
+    val d = (1L to 200L).map(i => (i, if (i % 3 == 0) "fr" else "en",
+      100 + (i % 7).toInt * 50)).toDF("doc_id", "lang", "n_tokens")
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Pipeline.writePackedShards(d, "n_tokens", "doc_id", budget = 1024,
+      byCols = Seq("lang"), outDir = out, binsPerShard = 4)
+    val back = spark.read.parquet(out)
+    // complete: every row lands in exactly one shard
+    assert(back.count() == 200)
+    // shard membership is the bin arithmetic, bins are consecutive per shard
+    val byShard = back.groupBy("lang", "shard_id")
+      .agg(min("bin_id").as("lo"), max("bin_id").as("hi"))
+      .collect()
+    byShard.foreach { r =>
+      // shard_id is a partition column — parquet reads it back as int
+      val sid = r.getAs[Number]("shard_id").longValue
+      val (lo, hi) = (r.getLong(2), r.getLong(3))
+      assert(lo >= sid * 4 && hi < (sid + 1) * 4, r.toString)
+    }
+    // exactly one data file per shard directory (no compaction needed)
+    val shardDirs = new java.io.File(out).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles.filter(_.isDirectory))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { dir =>
+      val files = dir.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${dir} has ${files.length} files")
+    }
+    // rows inside a shard file are sorted by stream offset (reader streams
+    // the token stream front to back)
+    val oneShard = back.filter(col("lang") === "en" && col("shard_id") === 0)
+      .select("stream_offset").collect().map(_.getLong(0))
+    // partition pruning: reading one shard touches one directory
+    val pruned = spark.read.parquet(out)
+      .filter(col("lang") === "en" && col("shard_id") === 0)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
+    assert(oneShard.nonEmpty && oneShard.sameElements(oneShard.sorted))
+    // deterministic: a second write produces identical shard contents
+    val out2 = java.nio.file.Files.createTempDirectory("graft-shards2").toString
+    Pipeline.writePackedShards(d, "n_tokens", "doc_id", budget = 1024,
+      byCols = Seq("lang"), outDir = out2, binsPerShard = 4)
+    val a = spark.read.parquet(out).orderBy("lang", "shard_id", "stream_offset")
+      .collect().map(_.toString).toSeq
+    val b = spark.read.parquet(out2).orderBy("lang", "shard_id", "stream_offset")
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("stratifiedSample: deterministic, per-stratum, membership-stable") {
     val d = docs
     val s1 = Pipeline.stratifiedSample(d, "doc_id", "lang",

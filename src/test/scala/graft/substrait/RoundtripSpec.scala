@@ -355,6 +355,25 @@ class RoundtripSpec extends SparkTestBase {
         |WHERE d1.a NOT IN (SELECT d2.a FROM data2 d2 WHERE d2.a > d1.a)""".stripMargin))
   }
 
+  test("TIME type and literals ride the wire (substrait time, field 17)") {
+    import spark.implicits._
+    // Spark 4.1 gates the TIME type behind this flag
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    val t = java.time.LocalTime.of(13, 45, 30, 123456000)
+    val df = Seq(1L, 2L, 3L).toDF("id")
+      .select(col("id"), lit(t).as("t"))
+      .withColumn("later", col("t") > lit(java.time.LocalTime.of(1, 0)))
+    assertRoundtrip(df)
+    val got = Serializer.roundtrip(spark, df).collect()
+    assert(got.forall(r => r.getAs[java.time.LocalTime]("t") == t
+      && r.getBoolean(2)))
+    // sub-microsecond times cannot cross losslessly -> loud reject
+    val bad = Seq(1L).toDF("id")
+      .select(lit(java.time.LocalTime.of(0, 0, 0, 1)).as("t"))
+    val e = intercept[model.SubstraitException](Producer.produce(bad))
+    assert(e.getMessage.contains("sub-microsecond"), e.getMessage)
+  }
+
   test("array literals and the codegen'd vector kernels ride the wire") {
     import spark.implicits._
     val df = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.6, 0.8)))
