@@ -244,6 +244,19 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     })),
 
+    // Gopher-style repetition filters: zero-shuffle narrow fold per document
+    "t10_repetition" -> ((s, dir) => rt(s,
+      ops.TextOps.repetitionStats(t(s, dir, "documents"))
+        .orderBy("doc_id"))),
+
+    // mixture-weighted resampling to a target language mix (md5-draw filter)
+    "t11_mixture_sample" -> ((s, dir) => rt(s,
+      ops.Pipeline.mixtureSample(t(s, dir, "documents"), "doc_id", "lang",
+        rates = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.75, "zh" -> 1.0),
+        default = 0.125)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id"))),
+
     // element-wise per-label centroid vectors, decimal-exact accumulation
     "s04_label_centroids" -> ((s, dir) => rt(s,
       ops.Embeddings.centroids(t(s, dir, "embeddings"))
@@ -925,6 +938,55 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, stream_offset,
         |  CAST(FLOOR(stream_offset / 1024.0) AS BIGINT) AS bin_id
         |FROM p ORDER BY lang, doc_id""".stripMargin,
+    "t11_mixture_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CASE lang
+        |  WHEN 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        |  WHEN 'de' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |  WHEN 'fr' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000'
+        |  WHEN 'zh' THEN TRUE
+        |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000' END
+        |ORDER BY doc_id""".stripMargin,
+    "t10_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |w AS (SELECT doc_id, unnest(ws) AS word FROM toks),
+        |wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+        |wagg AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+        |                max(c) AS top_word_n FROM wc GROUP BY 1),
+        |bg AS (SELECT doc_id,
+        |         [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))] AS bgs
+        |       FROM toks),
+        |bgu AS (SELECT doc_id, unnest(bgs) AS b FROM bg),
+        |bgc AS (SELECT doc_id, b, count(*) AS c FROM bgu GROUP BY 1, 2),
+        |bagg AS (SELECT doc_id, max(c) AS top_bigram_n FROM bgc GROUP BY 1),
+        |pos AS (SELECT doc_id, unnest(ws) AS word,
+        |               generate_subscripts(ws, 1) AS i FROM toks),
+        |isl AS (SELECT doc_id, word,
+        |          i - row_number() OVER (PARTITION BY doc_id, word ORDER BY i) AS g
+        |        FROM pos),
+        |runs AS (SELECT doc_id, count(*) AS rl FROM isl GROUP BY doc_id, word, g),
+        |ragg AS (SELECT doc_id, max(rl) AS max_token_run FROM runs GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(w.n_words, 0) AS INTEGER) AS n_words,
+        |  ROUND(CASE WHEN COALESCE(w.n_words, 0) = 0 THEN 0.0
+        |        ELSE 1.0 - w.n_distinct / CAST(w.n_words AS DOUBLE) END, 6) AS dup_word_frac,
+        |  ROUND(CASE WHEN COALESCE(w.n_words, 0) = 0 THEN 0.0
+        |        ELSE w.top_word_n / CAST(w.n_words AS DOUBLE) END, 6) AS top_word_frac,
+        |  ROUND(CASE WHEN COALESCE(w.n_words, 0) < 2 THEN 0.0
+        |        ELSE b.top_bigram_n / CAST(w.n_words - 1 AS DOUBLE) END, 6) AS top_bigram_frac,
+        |  CAST(COALESCE(r.max_token_run, 0) AS INTEGER) AS max_token_run,
+        |  (CASE WHEN COALESCE(w.n_words, 0) = 0 THEN 0.0
+        |        ELSE w.top_word_n / CAST(w.n_words AS DOUBLE) END > 0.2
+        |   OR CASE WHEN COALESCE(w.n_words, 0) < 2 THEN 0.0
+        |        ELSE b.top_bigram_n / CAST(w.n_words - 1 AS DOUBLE) END > 0.1
+        |   OR COALESCE(r.max_token_run, 0) >= 4) AS repetitive
+        |FROM documents d
+        |LEFT JOIN wagg w USING (doc_id)
+        |LEFT JOIN bagg b USING (doc_id)
+        |LEFT JOIN ragg r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "t08_top_docs_per_lang" ->
       """WITH q AS (SELECT doc_id, lang,
         |  LEAST(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0) * 0.5

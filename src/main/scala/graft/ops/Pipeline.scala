@@ -102,6 +102,33 @@ object Pipeline {
     df.filter(slot < cut)
   }
 
+  /** Mixture-weighted corpus resampling: keep ~`rates(stratum)` of each
+    * stratum, the standard lever for hitting a target domain/language mix
+    * in a training corpus. Like [[stratifiedSample]] it is a zero-shuffle
+    * narrow filter, deterministic, and membership-monotone (raising a
+    * stratum's rate only ADDS documents — the decision compares the same
+    * per-id draw against a higher cut, so epoch-over-epoch mixture tuning
+    * never churns already-selected docs). The per-id draw is the first 4
+    * hex chars of md5(id) — engine-portable (any SQL engine reproduces the
+    * selection bit for bit, unlike xxhash64 which is Spark-specific), and
+    * lowercase-hex string order equals numeric order so the cut is a plain
+    * string compare the scan pushes down.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+                    rates: Map[String, Double],
+                    default: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(default)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val draw = substring(md5(col(idCol).cast("string")), 1, 4)
+    def keep(rate: Double): Column =
+      if (rate >= 1.0) lit(true)
+      else draw < lit(f"${math.floor(rate * 65536).toInt}%04x")
+    val decision = rates.foldRight(keep(default)) { case ((s, r), rest) =>
+      when(col(strataCol) === s, keep(r)).otherwise(rest)
+    }
+    df.filter(decision)
+  }
+
   /** Materialize a packed corpus as size-bounded parquet shards — the
     * training-data layout: each (group, shard) directory holds
     * `binsPerShard` consecutive packing bins (≤ binsPerShard × budget

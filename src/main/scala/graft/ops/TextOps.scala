@@ -178,4 +178,65 @@ object TextOps {
         percentile(length(col(textCol)), lit(0.5)).as("p50"),
         percentile(length(col(textCol)), lit(0.75)).as("p75"),
         count(lit(1)).as("n_docs"))
+
+  /** Longest run of adjacent equal elements in the array SQL expression
+    * `arr` (array&lt;string&gt;) — over a sorted array this is the max element
+    * frequency; over the raw token stream it is the longest consecutive
+    * repeat. One codegen'd fold, no explode.
+    */
+  private def maxRunSql(arr: String): String =
+    s"""aggregate($arr,
+       |  named_struct('prev', '', 'run', 0, 'best', 0),
+       |  (s, w) -> named_struct(
+       |    'prev', w,
+       |    'run',  IF(s.prev = w, s.run + 1, 1),
+       |    'best', GREATEST(s.best, IF(s.prev = w, s.run + 1, 1))),
+       |  s -> s.best)""".stripMargin
+
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1): fraction of
+    * duplicate words, character share of the most frequent word, share of
+    * the most frequent word bigram, and the longest consecutive token run —
+    * the standard signals for boilerplate / degenerate generation detection
+    * in training-data curation. `repetitive` applies the blended cutoff.
+    *
+    * Scale shape: a pure narrow projection — tokens are bound ONCE as a
+    * lambda variable (the single-element-array wrap; a bare column reference
+    * would re-split the text per downstream use after CollapseProject), all
+    * four metrics fold inside one whole-stage-codegen stage, and nothing
+    * shuffles at any corpus size. Frequencies come from sorted-run lengths
+    * (max frequency == longest adjacent run after array_sort), not a
+    * groupBy — per-document state never leaves the row.
+    */
+  def repetitionStats(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val stats = expr(
+      s"""element_at(transform(
+         |  array(filter(split(lower($textCol), ' '), w -> w != '')),
+         |  ws -> named_struct(
+         |    'n_words', size(ws),
+         |    'n_distinct', size(array_distinct(ws)),
+         |    'top_word_n', ${maxRunSql("array_sort(ws)")},
+         |    'top_bigram_n', CASE WHEN size(ws) < 2 THEN 0 ELSE
+         |      ${maxRunSql(
+        "array_sort(zip_with(slice(ws, 1, size(ws) - 1), " +
+          "slice(ws, 2, size(ws) - 1), (a, b) -> concat(a, ' ', b)))")} END,
+         |    'max_token_run', ${maxRunSql("ws")})), 1)""".stripMargin)
+    df.select(col(idCol), stats.as("st"))
+      .select(
+        col(idCol),
+        col("st.n_words").as("n_words"),
+        round(when(col("st.n_words") === 0, 0.0)
+          .otherwise(lit(1.0) - col("st.n_distinct").cast("double") /
+            col("st.n_words")), 6).as("dup_word_frac"),
+        round(when(col("st.n_words") === 0, 0.0)
+          .otherwise(col("st.top_word_n").cast("double") /
+            col("st.n_words")), 6).as("top_word_frac"),
+        round(when(col("st.n_words") < 2, 0.0)
+          .otherwise(col("st.top_bigram_n").cast("double") /
+            (col("st.n_words") - 1)), 6).as("top_bigram_frac"),
+        col("st.max_token_run").as("max_token_run"))
+      .withColumn("repetitive",
+        col("top_word_frac") > 0.2 || col("top_bigram_frac") > 0.1 ||
+          col("max_token_run") >= 4)
+  }
 }

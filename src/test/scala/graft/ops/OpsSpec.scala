@@ -77,6 +77,39 @@ class OpsSpec extends SparkTestBase {
     assert(r.forall(x => Set("en", "fr", "es", "de").contains(x.getString(0))))
   }
 
+  test("repetition stats: hand-computed ground truth") {
+    import spark.implicits._
+    val d = Seq(
+      // 6 words, 3 distinct {a,b,c}; "a" ×3 (top word, longest raw run 2);
+      // bigrams "a b","b a","a a","a c","c b" all distinct → top_bigram_n 1
+      (1L, "a b a a c b"),
+      // degenerate repetition: one word, one bigram
+      (2L, "x x x x x"),
+      (3L, "unique words only here today with many extra different fresh tokens"),
+      (4L, "")).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(d).orderBy("doc_id").collect()
+    val r1 = r(0)
+    assert(r1.getAs[Int]("n_words") == 6)
+    assert(math.abs(r1.getAs[Double]("dup_word_frac") - (1.0 - 3.0 / 6)) < 1e-6)
+    assert(math.abs(r1.getAs[Double]("top_word_frac") - 0.5) < 1e-6)
+    assert(math.abs(r1.getAs[Double]("top_bigram_frac") - 0.2) < 1e-6)
+    assert(r1.getAs[Int]("max_token_run") == 2)
+    assert(r1.getAs[Boolean]("repetitive")) // top_word_frac 0.5 > 0.2
+    val r2 = r(1)
+    assert(r2.getAs[Int]("n_words") == 5)
+    assert(math.abs(r2.getAs[Double]("top_word_frac") - 1.0) < 1e-6)
+    assert(math.abs(r2.getAs[Double]("top_bigram_frac") - 1.0) < 1e-6)
+    assert(r2.getAs[Int]("max_token_run") == 5)
+    assert(r2.getAs[Boolean]("repetitive"))
+    val r3 = r(2)
+    assert(r3.getAs[Double]("dup_word_frac") == 0.0)
+    assert(r3.getAs[Int]("max_token_run") == 1)
+    assert(!r3.getAs[Boolean]("repetitive"))
+    val r4 = r(3)
+    assert(r4.getAs[Int]("n_words") == 0 && r4.getAs[Int]("max_token_run") == 0)
+    assert(!r4.getAs[Boolean]("repetitive"))
+  }
+
   test("quality metrics are bounded") {
     val r = TextOps.qualityScore(docs)
       .select("quality_score", "punct_ratio", "stopword_ratio").collect()

@@ -167,4 +167,27 @@ class PipelineSpec extends SparkTestBase {
     shrunk.select("doc_id").collect().map(_.getLong(0))
       .foreach(id => assert(fullIds.contains(id), s"doc $id churned"))
   }
+
+  test("mixtureSample: deterministic, rate-accurate, membership-monotone") {
+    val d = docs
+    val s1 = Pipeline.mixtureSample(d, "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 1.0), default = 0.0)
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Pipeline.mixtureSample(d, "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 1.0), default = 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "same rates must select the same docs")
+    val byLang = s1.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.getOrElse("zh", 0L) == d.filter(col("lang") === "zh").count(),
+      "rate 1.0 keeps everything")
+    assert(!byLang.contains("de"), "default 0.0 drops unlisted strata")
+    val enTotal = d.filter(col("lang") === "en").count()
+    assert(math.abs(byLang.getOrElse("en", 0L) - 0.5 * enTotal) < 0.2 * enTotal)
+    // raising a rate only ADDS docs (the draw compares against a higher cut)
+    val raised = Pipeline.mixtureSample(d, "doc_id", "lang",
+      Map("en" -> 0.9, "zh" -> 1.0), default = 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1.subsetOf(raised), "raising rates must never drop a member")
+  }
 }
