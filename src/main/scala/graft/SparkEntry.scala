@@ -330,6 +330,19 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), dsum4(col("value")).as("total_value"))
         .orderBy("hour", "event_type"))),
+
+    // streaming exact dedup, batch twin: at-least-once redelivery (every
+    // event arrives twice) restored to exactly-once. idCols = the full
+    // event identity, so the Deduplicate rides the wire as the
+    // groupBy-all AggregateRel; the watermark node encodes transparently.
+    "e03_stream_dedup" -> ((s, dir) => rt(s, {
+      val ev = t(s, dir, "events")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      streaming.EventStream.streamingDedup(ev.unionAll(ev),
+        Seq("event_id", "user_id", "event_type", "value"))
+        .orderBy("event_id")
+    })),
   )
 
   private def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1108,6 +1121,10 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "e03_stream_dedup" ->
+      """SELECT DISTINCT event_id, ts, user_id, event_type, value
+        |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+        |ORDER BY event_id""".stripMargin,
   )
 
   private def parityOracles: Map[String, String] = Map(

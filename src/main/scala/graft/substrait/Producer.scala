@@ -259,6 +259,13 @@ object Producer {
         Produced(Rel.Aggregate(in.rel, Seq(in.attrs.indices.map(SExpr.FieldRef(_))), Nil),
           in.attrs)
 
+      // streaming watermarks are execution-time metadata with no substrait
+      // 0.3 counterpart; on a batch frame the plan's semantics are identical
+      // without the node, so the wire form carries the batch twin of the
+      // streaming pipeline (the consumer re-attaches watermarks when it
+      // re-deploys the plan against a stream)
+      case w: logical.EventTimeWatermark => toRel(w.child)
+
       case s: logical.Sort =>
         if (!s.global) notImplemented("partition-local sort")
         val in = toRel(s.child)

@@ -76,6 +76,14 @@ class EventStreamSpec extends SparkTestBase {
       q.processAllAvailable()
       val n = spark.table("dedup_out").count()
       assert(n == ev.count(), s"expected ${ev.count()} unique events, got $n")
+      // streaming == batch: the same function on the duplicated batch frame
+      // (watermark is a no-op there) restores the identical exactly-once set
+      val batch = EventStream.streamingDedup(
+        ev.unionByName(ev), ev.columns.filter(_ != "ts").toSeq)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      val streamed = spark.table("dedup_out")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(batch == streamed, "batch twin must equal the streamed result")
     } finally q.stop()
   }
 
