@@ -249,6 +249,12 @@ object SparkEntry {
       ops.TextOps.repetitionStats(t(s, dir, "documents"))
         .orderBy("doc_id"))),
 
+    // one-pass ANALYZE-style column profile (corpus health check)
+    "t12_profile" -> ((s, dir) => rt(s,
+      ops.Pipeline.profile(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("col_name"))),
+
     // mixture-weighted resampling to a target language mix (md5-draw filter)
     "t11_mixture_sample" -> ((s, dir) => rt(s,
       ops.Pipeline.mixtureSample(t(s, dir, "documents"), "doc_id", "lang",
@@ -951,6 +957,26 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, stream_offset,
         |  CAST(FLOOR(stream_offset / 1024.0) AS BIGINT) AS bin_id
         |FROM p ORDER BY lang, doc_id""".stripMargin,
+    "t12_profile" ->
+      """WITH p AS (
+        |  SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+        |    count(*) - count(doc_id) AS n_nulls,
+        |    count(DISTINCT doc_id) AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |    CAST(max(doc_id) AS VARCHAR) AS max_value FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*), count(*) - count(lang),
+        |    count(DISTINCT lang), CAST(min(lang) AS VARCHAR),
+        |    CAST(max(lang) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*), count(*) - count(source),
+        |    count(DISTINCT source), CAST(min(source) AS VARCHAR),
+        |    CAST(max(source) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |    count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+        |    CAST(max(n_chars) AS VARCHAR) FROM documents)
+        |SELECT * FROM p ORDER BY col_name""".stripMargin,
     "t11_mixture_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE CASE lang

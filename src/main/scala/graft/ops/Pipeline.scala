@@ -159,6 +159,39 @@ object Pipeline {
       .parquet(outDir)
   }
 
+  /** One-pass column profiler (ANALYZE-style data QA): per column, row
+    * count, null count, distinct count, and stringified min/max — the
+    * standard pre-training corpus health check. ONE scan and ONE aggregate
+    * produce every column's stats (the long form comes from exploding an
+    * inline struct array, not from per-column jobs).
+    *
+    * Scale note: exact distinct counts expand the aggregate input once per
+    * distinct-counted column (Spark's Expand); at corpus scale pass
+    * `approx = true` to switch to approx_count_distinct (HLL, one pass,
+    * no expand) — the remaining stats are unchanged.
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+              approx: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"cnt_$c"),
+        (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c)))
+          .as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val agged = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val entries = cols.map(c => struct(
+      lit(c).as("col_name"),
+      col("n_rows"),
+      (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
+      col(s"nd_$c").as("n_distinct"),
+      col(s"min_$c").as("min_value"),
+      col(s"max_$c").as("max_value")))
+    agged.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
   /** Skew-safe equi-join: the build side is replicated `salts` times, the
     * probe side's rows get a deterministic salt from their own payload, and
     * the join runs on (key, salt) — a hot key's rows spread over `salts`

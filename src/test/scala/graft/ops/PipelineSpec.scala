@@ -168,6 +168,22 @@ class PipelineSpec extends SparkTestBase {
       .foreach(id => assert(fullIds.contains(id), s"doc $id churned"))
   }
 
+  test("profile: one-pass stats including nulls; approx variant stays sane") {
+    import spark.implicits._
+    val d = Seq((1L, Option("a")), (2L, None), (3L, Option("b")),
+      (3L, Option("a"))).toDF("id", "s")
+    val p = Pipeline.profile(d, Seq("id", "s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val idr = p("id")
+    assert(idr.getLong(1) == 4 && idr.getLong(2) == 0 && idr.getLong(3) == 3)
+    assert(idr.getString(4) == "1" && idr.getString(5) == "3")
+    val sr = p("s")
+    assert(sr.getLong(2) == 1 && sr.getLong(3) == 2)
+    assert(sr.getString(4) == "a" && sr.getString(5) == "b")
+    val ap = Pipeline.profile(d, Seq("id"), approx = true).collect()(0)
+    assert(math.abs(ap.getLong(3) - 3L) <= 1, "HLL on 3 values is near-exact")
+  }
+
   test("mixtureSample: deterministic, rate-accurate, membership-monotone") {
     val d = docs
     val s1 = Pipeline.mixtureSample(d, "doc_id", "lang",
