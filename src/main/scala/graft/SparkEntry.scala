@@ -269,6 +269,19 @@ object SparkEntry {
         .select(col("label"), col("idx"), round(col("centroid"), 9).as("centroid"))
         .orderBy("label", "idx"))),
 
+    // symmetric int8 quantization (4x storage cut for an embedding store)
+    "s05_quantize" -> ((s, dir) => rt(s,
+      ops.Embeddings.quantized(t(s, dir, "embeddings"))
+        .select(col("vec_id"), round(col("embedding_scale"), 9).as("scale"),
+          posexplode(col("embedding_q")).as(Seq("idx0", "q")))
+        .select(col("vec_id"), (col("idx0") + 1).as("idx"), col("q"), col("scale"))
+        .orderBy("vec_id", "idx"))),
+
+    // per-document TF-IDF top-k terms (smoothed idf, deterministic ranking)
+    "t13_tfidf" -> ((s, dir) => rt(s,
+      ops.TextOps.tfidfTopTerms(t(s, dir, "documents"), k = 3)
+        .orderBy("doc_id", "rk"))),
+
     // multimodal binary plumbing (stub decode, real schema/partitioning)
     "m01_media_features" -> ((s, dir) =>
       ops.Multimodal.mediaFeatureSummary(s, t(s, dir, "documents"))
@@ -957,6 +970,30 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, stream_offset,
         |  CAST(FLOOR(stream_offset / 1024.0) AS BIGINT) AS bin_id
         |FROM p ORDER BY lang, doc_id""".stripMargin,
+    "s05_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |        list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc FROM v),
+        |x AS (SELECT vec_id, ROUND(sc, 9) AS scale,
+        |        unnest(CASE WHEN sc = 0 THEN list_transform(e, x -> 0)
+        |               ELSE list_transform(e, x -> CAST(round(x / sc) AS INTEGER)) END) AS q,
+        |        CAST(generate_subscripts(e, 1) AS INTEGER) AS idx
+        |      FROM s)
+        |SELECT vec_id, idx, q, scale FROM x ORDER BY vec_id, idx""".stripMargin,
+    "t13_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |idf AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+        |sc AS (SELECT f.doc_id, f.term, f.tf,
+        |        ROUND(f.tf * (ln((n.n_docs + 1) / CAST(i.df_t + 1 AS DOUBLE)) + 1.0), 6) AS score
+        |       FROM tf f, idf i, n WHERE f.term = i.term),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY score DESC, term ASC) AS rnk FROM sc)
+        |SELECT doc_id, CAST(rnk AS INTEGER) AS rk, term, tf, score
+        |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "t12_profile" ->
       """WITH p AS (
         |  SELECT 'doc_id' AS col_name, count(*) AS n_rows,

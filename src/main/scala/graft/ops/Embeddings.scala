@@ -38,4 +38,32 @@ object Embeddings {
          |    array(sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))),
          |    nrm -> CASE WHEN nrm = 0.0 THEN v
          |           ELSE transform(v, x -> x / nrm) END), 1)), 1)""".stripMargin))
+
+  /** Symmetric int8 quantization: per-vector scale = max|x| / 127, elements
+    * become round(x / scale) ∈ [−127, 127] — a 4× storage cut for a 100 TB
+    * embedding store (fp32 → int8 + one fp scale). Zero vectors quantize to
+    * zeros with scale 0. Arithmetic runs in double (fp32 → fp64 promotion
+    * is exact, so any engine reproduces the quantized values bit for bit);
+    * the scale is bound as a lambda variable so the max-abs reduction runs
+    * once per row. Adds `<vecCol>_q` (array&lt;int&gt;) and `<vecCol>_scale`.
+    */
+  def quantized(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    df.withColumn("_qz", expr(
+      s"""element_at(transform(array(cast($vecCol AS ARRAY<DOUBLE>)), v ->
+         |  element_at(transform(
+         |    array(aggregate(v, CAST(0.0 AS DOUBLE),
+         |      (a, x) -> GREATEST(a, abs(x))) / 127.0D),
+         |    sc -> named_struct(
+         |      'q', CASE WHEN sc = 0.0 THEN transform(v, x -> 0)
+         |           ELSE transform(v, x -> CAST(round(x / sc) AS INT)) END,
+         |      'scale', sc)), 1)), 1)""".stripMargin))
+      .withColumn(s"${vecCol}_q", col("_qz.q"))
+      .withColumn(s"${vecCol}_scale", col("_qz.scale"))
+      .drop("_qz")
+
+  /** Dequantized (lossy) reconstruction of [[quantized]] output. */
+  def dequantized(df: DataFrame, vecCol: String = "embedding",
+                  outCol: String = "embedding_dq"): DataFrame =
+    df.withColumn(outCol, expr(
+      s"transform(${vecCol}_q, q -> q * ${vecCol}_scale)"))
 }

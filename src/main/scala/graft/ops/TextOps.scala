@@ -193,6 +193,41 @@ object TextOps {
        |    'best', GREATEST(s.best, IF(s.prev = w, s.run + 1, 1))),
        |  s -> s.best)""".stripMargin
 
+  /** Per-document top-k TF-IDF terms (smoothed idf: ln((N+1)/(df+1)) + 1,
+    * the scikit-learn convention) — keyword extraction / topic tagging for
+    * corpus curation. Deterministic end to end: scores round to 6 dp BEFORE
+    * ranking and ties break on the term string, so any engine reproduces
+    * the exact top-k.
+    *
+    * Scale shape: one shuffle for (doc, term) term frequencies, the
+    * document-frequency table derives from it with map-side combine, and
+    * the per-doc ranking is one window pass keyed by the same doc id the
+    * tf shuffle already established. The idf side of the join is
+    * vocabulary-sized — orders of magnitude under the corpus; AQE
+    * broadcasts it at moderate scale and a shuffle join still only moves
+    * (term, idf) pairs at web scale.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf",
+        log((col("n_docs") + 1).cast("double") / (col("df_t") + 1)) + 1.0)
+    tf.join(idf.select("term", "idf"), "term")
+      .withColumn("score", round(col("tf") * col("idf"), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("term"), col("tf"), col("score"))
+  }
+
   /** Gopher-style repetition filters (Rae et al. 2021 §A1.1): fraction of
     * duplicate words, character share of the most frequent word, share of
     * the most frequent word bigram, and the longest consecutive token run —

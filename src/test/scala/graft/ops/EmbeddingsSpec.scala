@@ -39,4 +39,27 @@ class EmbeddingsSpec extends SparkTestBase {
       .filter(col("err") > 1e-9).count()
     assert(bad == 0)
   }
+
+  test("quantized: int8 range, zero vectors, reconstruction within scale/2") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)), (2L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Embeddings.dequantized(Embeddings.quantized(df))
+    val rows = q.collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val q1 = rows(1L).getAs[scala.collection.Seq[Int]]("embedding_q").toSeq
+    assert(q1 == Seq(64, -127, 32), s"got $q1") // scale = 1/127
+    assert(rows(2L).getAs[scala.collection.Seq[Int]]("embedding_q").toSeq ==
+      Seq(0, 0, 0))
+    assert(rows(2L).getAs[Double]("embedding_scale") == 0.0)
+    // max |x - dequant(x)| <= scale/2 on the real table (round-to-nearest)
+    Tables.register(spark, sfDir)
+    val bad = Embeddings.dequantized(Embeddings.quantized(spark.table("embeddings")))
+      .select(expr(
+        """aggregate(zip_with(cast(embedding AS ARRAY<DOUBLE>), embedding_dq,
+          |  (x, d) -> abs(x - d)), CAST(0.0 AS DOUBLE), (a, e) -> GREATEST(a, e))
+          |  - embedding_scale / 2.0""".stripMargin).as("excess"))
+      .filter(col("excess") > 1e-12).count()
+    assert(bad == 0, "every element must reconstruct within half a step")
+  }
 }

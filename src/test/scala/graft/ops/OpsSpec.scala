@@ -110,6 +110,21 @@ class OpsSpec extends SparkTestBase {
     assert(!r4.getAs[Boolean]("repetitive"))
   }
 
+  test("tfidf: rare terms outrank common ones; exactly k rows per doc") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "common rare1 rare1 common"),
+      (2L, "common other words common"),
+      (3L, "common filler text here")).toDF("doc_id", "text")
+    val r = TextOps.tfidfTopTerms(d, k = 2)
+    val byDoc = r.collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.values.forall(_.length == 2), "k rows per doc")
+    // doc 1: tf("common") = tf("rare1") = 2, but df 3 vs 1 — idf decides:
+    // rare1 scores 2·(ln(4/2)+1) ≈ 3.39 over common's 2·(ln(4/4)+1) = 2
+    val top1 = byDoc(1L).minBy(_.getAs[Int]("rk")).getAs[String]("term")
+    assert(top1 == "rare1", s"rare term must rank first, got $top1")
+  }
+
   test("quality metrics are bounded") {
     val r = TextOps.qualityScore(docs)
       .select("quality_score", "punct_ratio", "stopword_ratio").collect()
