@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional args = run only those queries (single-query scale debugging)
+    val only = args.toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only.contains(n) }
     // uncounted warmup: session init, parquet listing, and — when a smaller
     // sibling scale factor exists — every query once at sf0.001, so each
     // query's generated code is JIT-compiled and cached before measurement
@@ -24,13 +29,13 @@ object Bench {
             sibling.toString != java.nio.file.Paths.get(sfDir).toAbsolutePath.toString)
           sibling.toString else null
       if (warmDir != null)
-        SparkEntry.queries.foreach { case (_, fn) =>
+        selected.foreach { case (_, fn) =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }
       else
         SparkEntry.queries.get("q01_scan_project").foreach(f => f(spark, sfDir).count())
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reproducible scale-rehearsal fixture generator: replicates an sf
+  * directory N× with consistent key spaces, so any query can be re-run at
+  * 10× (or 100×) data to measure its scaling exponent (see BASELINE.md
+  * "Scale rehearsal").
+  *
+  * Replication scheme (the one the round-4 rehearsal used):
+  * - every key column gets `replica × offset` added, where the offset is
+  *   shared per key FAMILY (custkey in both customer and orders, etc.) and
+  *   is the next power of 10 above the family's max — joins inside a
+  *   replica stay consistent, keys across replicas never collide;
+  * - `documents.text` gets a ` repN` tag (N = replica) so cross-replica
+  *   texts are NEAR-duplicates, keeping the planted near-dup RATE constant
+  *   instead of exploding with exact clones (`n_chars` is recomputed);
+  * - `embeddings.embedding` replicates VERBATIM — a deliberate stress:
+  *   every vector gains N−1 exact clones, modeling a duplicate-heavy
+  *   web-scale embedding corpus.
+  *
+  * Usage: runMain graft.tools.ScaleUp <inDir> <outDir> [reps=10]
+  */
+object ScaleUp {
+
+  /** key column → family; one offset per family keeps FK joins consistent */
+  private val keyFamily: Map[String, String] = Map(
+    "r_regionkey" -> "regionkey", "n_regionkey" -> "regionkey",
+    "n_nationkey" -> "nationkey", "c_nationkey" -> "nationkey",
+    "s_nationkey" -> "nationkey",
+    "c_custkey" -> "custkey", "o_custkey" -> "custkey",
+    "s_suppkey" -> "suppkey", "l_suppkey" -> "suppkey",
+    "p_partkey" -> "partkey", "l_partkey" -> "partkey",
+    "o_orderkey" -> "orderkey", "l_orderkey" -> "orderkey",
+    "doc_id" -> "doc_id", "vec_id" -> "vec_id",
+    "event_id" -> "event_id", "user_id" -> "user_id")
+
+  private val tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def pow10Above(n: Long): Long = {
+    var p = 1L
+    while (p <= n) p *= 10
+    p
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleUp <inDir> <outDir> [reps=10]")
+    val (inDir, outDir) = (args(0), args(1))
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val frames: Map[String, DataFrame] =
+      tables.map(t => t -> spark.read.parquet(s"$inDir/$t.parquet")).toMap
+
+    // one offset per family: next power of 10 above the family max anywhere
+    val famMax = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, df) <- frames; c <- df.columns; fam <- keyFamily.get(c)) {
+      val m = df.agg(max(col(c).cast("long"))).head.getLong(0)
+      famMax(fam) = math.max(famMax.getOrElse(fam, 0L), m)
+    }
+    val famOffset = famMax.map { case (f, m) => f -> pow10Above(m) }.toMap
+
+    for ((name, df) <- frames) {
+      def replica(r: Int): DataFrame = {
+        val keyed = df.columns.foldLeft(df) { (d, c) =>
+          keyFamily.get(c) match {
+            case Some(fam) if r > 0 =>
+              d.withColumn(c, (col(c) + lit(r * famOffset(fam))).cast(
+                df.schema(c).dataType))
+            case _ => d
+          }
+        }
+        if (name == "documents") {
+          val tagged =
+            if (r == 0) keyed
+            else keyed.withColumn("text", concat(col("text"), lit(s" rep$r")))
+          if (tagged.columns.contains("n_chars"))
+            tagged.withColumn("n_chars", length(col("text")).cast("long"))
+          else tagged
+        } else keyed
+      }
+      val out = (0 until reps).map(replica).reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[scaleup] $name ×$reps → $outDir/$name.parquet")
+    }
+    spark.stop()
+  }
+}
