@@ -177,6 +177,52 @@ class PlanQualitySpec extends SparkTestBase {
     assert(firstShingleRef >= 0 && pairExchange >= 0, p)
   }
 
+  test("t10/t11: narrow text ops — no shuffle except the deterministic sort") {
+    for (q <- Seq("t10_repetition", "t11_mixture_sample")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not hash-shuffle (narrow projection/filter):\n$p")
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+    }
+    // t11's scan reads only the 3 output columns, never the text payload
+    val p11 = plan("t11_mixture_sample")
+    assert(p11.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"), p11)
+  }
+
+  test("t12: profile is one scan with map-side partial aggregation") {
+    val p = plan("t12_profile")
+    // one base scan feeds every column's stats (no per-column jobs)
+    assert(p.sliding("FileScan parquet".length)
+      .count(_ == "FileScan parquet") == 1, s"expected a single scan:\n$p")
+    assert(p.contains("partial_"), s"map-side combine expected:\n$p")
+  }
+
+  test("t13: tf-idf joins the vocab-sized idf side as broadcast, one window pass") {
+    val p = plan("t13_tfidf")
+    assert(p.contains("BroadcastHashJoin"), s"idf side must broadcast:\n$p")
+    assert(p.contains("Window"), p)
+    // the lone nested-loop join is the broadcast of the SINGLE-ROW corpus
+    // count onto the vocab table (same sanctioned shape as q33's scalar
+    // subquery); the term join itself must stay a hash join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 1, p)
+  }
+
+  test("s05/e03: quantize is shuffle-free; stream-dedup is one grouping exchange") {
+    val s05 = plan("s05_quantize")
+    assert(!s05.contains("Exchange hashpartitioning"),
+      s"quantization is a narrow projection:\n$s05")
+    val e03 = plan("e03_stream_dedup")
+    assert(e03.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"dedup = exactly the grouping shuffle:\n$e03")
+    // keys-only dedup has no agg functions, so map-side combine shows as a
+    // partial HashAggregate below the exchange rather than partial_* markers
+    assert(e03.sliding("HashAggregate".length)
+      .count(_ == "HashAggregate") >= 2, s"map-side combine expected:\n$e03")
+  }
+
   test("LocalFiles consume: declared-schema file scan still prunes and pushes") {
     val df = substrait.Consumer.consume(spark, substrait.Wire.decode(
       substrait.Wire.encode(substrait.Producer.produce(
