@@ -282,6 +282,11 @@ object SparkEntry {
       ops.TextOps.tfidfTopTerms(t(s, dir, "documents"), k = 3)
         .orderBy("doc_id", "rk"))),
 
+    // CCNet-style LM quality score (char-bigram perplexity proxy)
+    "t14_lm_score" -> ((s, dir) => rt(s,
+      ops.TextOps.charLmScore(t(s, dir, "documents"))
+        .orderBy("doc_id"))),
+
     // multimodal binary plumbing (stub decode, real schema/partitioning)
     "m01_media_features" -> ((s, dir) =>
       ops.Multimodal.mediaFeatureSummary(s, t(s, dir, "documents"))
@@ -994,6 +999,20 @@ object SparkEntry {
         |         ORDER BY score DESC, term ASC) AS rnk FROM sc)
         |SELECT doc_id, CAST(rnk AS INTEGER) AS rk, term, tf, score
         |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "t14_lm_score" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS tx FROM documents
+        |           WHERE length(text) >= 2),
+        |gi AS (SELECT doc_id, unnest(generate_series(1, len(tx) - 1)) AS i, tx FROM t),
+        |g2 AS (SELECT doc_id, substr(tx, CAST(i AS INTEGER), 2) AS g FROM gi),
+        |bc AS (SELECT g, count(*) AS bc FROM g2 GROUP BY 1),
+        |pc AS (SELECT substr(g, 1, 1) AS c1, sum(bc) AS pc FROM bc GROUP BY 1),
+        |model AS (SELECT g, bc / CAST(pc AS DOUBLE) AS p
+        |          FROM bc JOIN pc ON substr(bc.g, 1, 1) = pc.c1),
+        |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+        |        ROUND(CAST(sum(CAST(round(ln(p), 12) AS DECIMAL(28,14))) AS DOUBLE)
+        |          / count(*), 6) AS avg_logp
+        |       FROM g2 JOIN model USING (g) GROUP BY 1)
+        |SELECT doc_id, n_bigrams, avg_logp FROM sc ORDER BY doc_id""".stripMargin,
     "t12_profile" ->
       """WITH p AS (
         |  SELECT 'doc_id' AS col_name, count(*) AS n_rows,

@@ -179,6 +179,43 @@ object TextOps {
         percentile(length(col(textCol)), lit(0.75)).as("p75"),
         count(lit(1)).as("n_docs"))
 
+  /** Statistical-LM quality score (the CCNet / Wenzek et al. 2020 signal,
+    * with a char-bigram model standing in for KenLM): train P(c2|c1) on the
+    * corpus itself, score each document by its mean log-probability —
+    * boilerplate and natural text score high, character noise scores low.
+    *
+    * Determinism: each bigram's log-prob rounds to 12 dp and accumulates as
+    * an exact DECIMAL before the mean, so the score is independent of
+    * partition/summation order (float addition is not associative) and any
+    * engine reproduces it bit for bit.
+    *
+    * Scale shape: the model is bounded by charset² regardless of corpus
+    * size — it BROADCASTS at any scale. Model building aggregates with
+    * map-side combine (the bigram explosion collapses to ≤ charset² rows
+    * before the exchange); scoring is the broadcast lookup plus ONE
+    * doc-keyed shuffle for the per-document mean. Documents shorter than
+    * two characters carry no signal and are dropped (inner semantics).
+    */
+  def charLmScore(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val grams = df.filter(length(col(textCol)) >= 2)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(1, length(lower($textCol)) - 1),
+           |  i -> substring(lower($textCol), i, 2))""".stripMargin)).as("g"))
+    val bc = grams.groupBy("g").agg(count(lit(1)).as("bc"))
+    val pc = bc.groupBy(substring(col("g"), 1, 1).as("c1"))
+      .agg(sum("bc").as("pc"))
+    val model = bc.join(pc, substring(col("g"), 1, 1) === col("c1"))
+      .select(col("g"), (col("bc").cast("double") / col("pc")).as("p"))
+    grams.join(broadcast(model), "g")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round((sum(round(log(col("p")), 12).cast(DecimalType(28, 14)))
+          .cast("double") / count(lit(1))), 6).as("avg_logp"))
+  }
+
   /** Longest run of adjacent equal elements in the array SQL expression
     * `arr` (array&lt;string&gt;) — over a sorted array this is the max element
     * frequency; over the raw token stream it is the longest consecutive

@@ -110,6 +110,17 @@ class OpsSpec extends SparkTestBase {
     assert(!r4.getAs[Boolean]("repetitive"))
   }
 
+  test("charLmScore: character noise scores below all natural corpus text") {
+    import spark.implicits._
+    val noisy = docs.select(col("doc_id"), col("text")).unionByName(
+      Seq((99999L, "zq xv qj vk jz wx kq zj vq xk")).toDF("doc_id", "text"))
+    val scored = TextOps.charLmScore(noisy).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logp")).toMap
+    assert(scored.size == noisy.count())
+    val worst = scored.minBy(_._2)._1
+    assert(worst == 99999L, s"noise doc must score lowest, got doc $worst")
+  }
+
   test("tfidf: rare terms outrank common ones; exactly k rows per doc") {
     import spark.implicits._
     val d = Seq(
