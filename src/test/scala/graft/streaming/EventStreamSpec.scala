@@ -155,4 +155,41 @@ class EventStreamSpec extends SparkTestBase {
     assert(sessions.agg(sum("n_events")).head.getLong(0) == events.count())
     assert(sessions.filter(col("session_end") < col("session_start")).count() == 0)
   }
+
+  test("curation ops run unchanged on a stream: repetition + mixture == batch") {
+    // the narrow curation operators (zero-shuffle projections/filters) are
+    // streaming-compatible by construction — continuous-ingest curation
+    // needs no separate code path
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents")
+    val docsDir = Files.createTempDirectory("graft_docs").toString
+    docs.coalesce(2).write.mode("overwrite").parquet(docsDir)
+    val sDocs = spark.readStream
+      .schema(spark.read.parquet(docsDir).schema).parquet(docsDir)
+    val rates = Map("en" -> 0.5, "zh" -> 1.0)
+    val q = graft.ops.Pipeline.mixtureSample(
+        graft.ops.TextOps.repetitionStats(sDocs), "doc_id", "doc_id", Map.empty,
+        default = 1.0) // identity sample proves the filter runs on streams
+      .writeStream.format("memory").queryName("cur_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cur_out")
+      val batch = graft.ops.TextOps.repetitionStats(docs)
+      assertSameRows(batch, streamed)
+    } finally q.stop()
+    // and the stratum filter itself on a stream, vs batch
+    val q2 = graft.ops.Pipeline.mixtureSample(sDocs, "doc_id", "lang", rates,
+        default = 0.0)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("mix_out")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val streamed = spark.table("mix_out").collect().map(_.getLong(0)).toSet
+      val batch = graft.ops.Pipeline.mixtureSample(docs, "doc_id", "lang",
+        rates, default = 0.0).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == batch, "stream and batch must select identical docs")
+    } finally q2.stop()
+  }
 }
