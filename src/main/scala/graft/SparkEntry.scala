@@ -288,9 +288,11 @@ object SparkEntry {
         .orderBy("doc_id"))),
 
     // multimodal binary plumbing (stub decode, real schema/partitioning)
-    "m01_media_features" -> ((s, dir) =>
+    // the mapPartitions decode stage crosses the wire as a NAMED typed
+    // stage (ExtStage "graft.media_features_v1"), so m01 now round-trips
+    "m01_media_features" -> ((s, dir) => rt(s,
       ops.Multimodal.mediaFeatureSummary(s, t(s, dir, "documents"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id"))),
 
     // video-style frame sampling over binary payloads: the oracle checks the
     // exact frame geometry (index + byte count) the slicer must produce

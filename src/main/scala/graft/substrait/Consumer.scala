@@ -196,6 +196,17 @@ object Consumer {
         if (lo != 0.0) notImplemented("sample with non-zero lower bound")
         Built(in.df.sample(wr, hi, seed))
 
+      case Rel.ExtStage(input, stage) =>
+        val in = build(input)
+        val st = Stages.registry.getOrElse(stage,
+          notImplemented(s"unknown typed stage '$stage'"))
+        if (in.df.columns.length != st.inputCols.size)
+          internalErr(s"stage '$stage' expects ${st.inputCols.size} input " +
+            s"columns, got ${in.df.columns.length}")
+        // wire frames carry positional fresh names; the stage's input
+        // contract is positional, so rename by position before rebuilding
+        Built(st.rebuild(spark, in.df.toDF(st.inputCols: _*)))
+
       case Rel.Set(inputs, op) =>
         val dfs = inputs.map(build(_).df)
         if (dfs.size < 2) internalErr("SetRel needs at least two inputs")

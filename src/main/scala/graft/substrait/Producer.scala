@@ -218,6 +218,25 @@ object Producer {
         Produced(Rel.ExtSample(in.rel, s0.lowerBound, s0.upperBound,
           s0.withReplacement, s0.seed), in.attrs)
 
+      // registered typed stages (mapPartitions pipelines) cross the wire by
+      // SYMBOLIC NAME — the convention engines use for UDF stages. Closures
+      // are not introspectable, so only stages in the Stages registry
+      // encode; anything else stays a loud notImplemented below.
+      case so: logical.SerializeFromObject => so.child match {
+        case logical.MapPartitions(f, _, logical.DeserializeToObject(_, _, child))
+            if Stages.nameOf(f).isDefined =>
+          val in = toRel(child)
+          val name = Stages.nameOf(f).get
+          val st = Stages.registry(name)
+          if (in.attrs.size != st.inputCols.size)
+            internalErr(s"stage '$name' expects ${st.inputCols.size} input " +
+              s"columns, plan provides ${in.attrs.size}")
+          Produced(Rel.ExtStage(in.rel, name), so.output)
+        case other =>
+          notImplemented(s"typed object pipeline without a registered stage: " +
+            s"${other.nodeName}")
+      }
+
       // explode/posexplode/inline → ExtensionSingleRel (substrait 0.3 has no
       // unnest; the Any detail is graft's sanctioned extension point)
       case g: logical.Generate =>

@@ -1,0 +1,44 @@
+package graft.substrait
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registry of named partition-wise typed stages — the resolution table for
+  * `Rel.ExtStage`. A stage crosses the wire as a symbolic name (the
+  * convention engines use for UDF stages); both ends must agree on its
+  * semantics, so each entry pins:
+  *
+  *  - `inputCols`: the positional input contract. Wire frames carry
+  *    positional fresh names, so the consumer renames the input by POSITION
+  *    before rebuilding (arity-checked by the Validator).
+  *  - `outputArity`: declared output width, used for emit/arity resolution
+  *    without executing the stage.
+  *  - `rebuild`: reconstructs the typed pipeline on the consuming session.
+  *
+  * Versioned names ("…_v1") keep old plans decodable if a stage's contract
+  * ever changes: ship a _v2 alongside instead of mutating _v1.
+  */
+object Stages {
+
+  final case class Stage(inputCols: Seq[String], outputArity: Int,
+                         rebuild: (SparkSession, DataFrame) => DataFrame)
+
+  val registry: Map[String, Stage] = Map(
+    // Multimodal.extractFeatures: (doc_id, media_type, payload) →
+    // (doc_id, media_type, n_bytes, feature) via the partition-wise decode
+    "graft.media_features_v1" -> Stage(
+      Seq("doc_id", "media_type", "payload"), 4,
+      (spark, in) => graft.ops.Multimodal.extractFeatures(spark, in).toDF()))
+
+  /** Producer-side reverse lookup: the typed-stage closure's owning class
+    * prefix → wire name. A mapPartitions whose function belongs to none of
+    * these stays a loud notImplemented (closures are not introspectable —
+    * only registered stages may cross the wire).
+    */
+  private val byClosureOwner: Seq[(String, String)] = Seq(
+    "graft.ops.Multimodal" -> "graft.media_features_v1")
+
+  def nameOf(func: AnyRef): Option[String] = {
+    val cls = func.getClass.getName
+    byClosureOwner.collectFirst { case (p, n) if cls.startsWith(p) => n }
+  }
+}

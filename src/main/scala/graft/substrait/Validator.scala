@@ -137,6 +137,18 @@ object Validator {
         if (lo < 0.0 || hi > 1.0 || lo > hi)
           issues += Issue(path, s"bad sample bounds [$lo, $hi]")
         w
+      case Rel.ExtStage(input, stage) =>
+        val w = walkRel(input, s"$path/stage")
+        Stages.registry.get(stage) match {
+          case None =>
+            issues += Issue(path, s"unknown typed stage '$stage'")
+            -1
+          case Some(st) =>
+            if (w >= 0 && w != st.inputCols.size)
+              issues += Issue(path, s"stage '$stage' expects " +
+                s"${st.inputCols.size} inputs, plan provides $w")
+            st.outputArity
+        }
     }
 
     def walkExpr(e: SExpr, width: Int, path: String): Unit = e match {

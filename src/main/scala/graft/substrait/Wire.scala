@@ -784,6 +784,17 @@ object Wire {
             any.bytes(2, dw.out.toByteArray)
           })
         })
+      case Rel.ExtStage(in, stage) =>
+        // value = StageRelDetail{stage=1 string} (resolution via Stages)
+        rw.msg(9, ew => {
+          writeRel(ew, 2, in)
+          ew.msg(3, any => {
+            any.str(1, stageDetailUrl)
+            val dw = new W
+            dw.str(1, stage)
+            any.bytes(2, dw.out.toByteArray)
+          })
+        })
     })
 
   /** Any.type_url for graft's Generate extension rel detail. */
@@ -792,6 +803,8 @@ object Wire {
   val exchangeDetailUrl = "graft.dev/ExchangeRelDetail"
   /** Any.type_url for graft's Sample detail. */
   val sampleDetailUrl = "graft.dev/SampleRelDetail"
+  /** Any.type_url for graft's named typed-stage detail. */
+  val stageDetailUrl = "graft.dev/StageRelDetail"
 
   /** Output arity of a decoded rel — needed to resolve RelCommon.emit on a
     * ProjectRel, whose mapping indexes the concatenated (input ++
@@ -820,6 +833,8 @@ object Wire {
       val a = relArity(in); if (a < 0) -1 else a + k
     case Rel.ExtExchange(in, _, _, _, _) => relArity(in)
     case Rel.ExtSample(in, _, _, _, _) => relArity(in)
+    case Rel.ExtStage(_, stage) =>
+      Stages.registry.get(stage).map(_.outputArity).getOrElse(-1)
   }
 
   /** RelCommon{emit=2{repeated int32 output_mapping=1}} → the mapping.
@@ -1107,6 +1122,14 @@ object Wire {
                   case _ => false
                 }}
                 Rel.ExtSample(in, lo, hi, wr, seed)
+              case `stageDetailUrl` =>
+                val dr = new R(detail, 0, detail.length)
+                var stage = ""
+                dr.fields { (df, dwt) => (df, dwt) match {
+                  case (1, 2) => stage = dr.str(); true
+                  case _ => false
+                }}
+                Rel.ExtStage(in, stage)
               case other =>
                 notImplemented(s"extension_single rel with foreign detail '$other'")
             }

@@ -214,6 +214,13 @@ object model {
     final case class ExtSample(input: Rel, lowerBound: Double,
                                upperBound: Double, withReplacement: Boolean,
                                seed: Long) extends Rel
+    /** A named partition-wise typed stage (Spark mapPartitions pipeline)
+      * carried by SYMBOLIC NAME — the wire convention engines use for UDF
+      * stages: the plan names the stage, the consumer resolves it in its
+      * stage registry ([[Stages]]) and rebuilds the identical typed
+      * pipeline, and an unknown name fails loudly. detail =
+      * StageRelDetail{stage=1 string}. */
+    final case class ExtStage(input: Rel, stage: String) extends Rel
   }
 
   /** algebra.proto JoinRel.JoinType values. */

@@ -584,6 +584,39 @@ class RoundtripSpec extends SparkTestBase {
     assertRoundtrip(df)
   }
 
+  test("typed stage crosses the wire by name; unknown stages fail loudly") {
+    graft.Tables.register(spark, sfDir)
+    val df = graft.ops.Multimodal.mediaFeatureSummary(
+      spark, spark.table("documents"))
+    // the produced plan must contain exactly one ExtStage with the v1 name
+    val plan = Producer.produce(df)
+    def findStage(r: model.Rel): Seq[model.Rel.ExtStage] = r match {
+      case s: model.Rel.ExtStage => Seq(s)
+      case p: model.Rel.Project => findStage(p.input)
+      case f: model.Rel.Filter => findStage(f.input)
+      case s: model.Rel.Sort => findStage(s.input)
+      case _ => Nil
+    }
+    val root = plan.relations.head match {
+      case model.PlanRel.Root(r, _) => r
+      case model.PlanRel.RelOnly(r) => r
+    }
+    val stages = findStage(root)
+    assert(stages.map(_.stage) == Seq("graft.media_features_v1"), stages)
+    // full wire round-trip executes and matches
+    assertRoundtrip(df)
+    // a plan naming an unregistered stage must be rejected loudly
+    val bogus = model.Plan(plan.extensions, Seq(model.PlanRel.Root(
+      model.Rel.ExtStage(stages.head.input, "graft.nope_v9"),
+      Seq("a", "b", "c", "d"))))
+    val decoded = Wire.decode(Wire.encode(bogus))
+    val err = intercept[Exception](Consumer.consume(spark, decoded))
+    assert(err.getMessage.contains("unknown typed stage"), err.getMessage)
+    // and the validator flags it without executing anything
+    val issues = Validator.validate(decoded)
+    assert(issues.exists(_.msg.contains("unknown typed stage")), issues)
+  }
+
   private def collectRels[T](rel: model.Rel)(pf: PartialFunction[model.Rel, T]): Seq[T] = {
     val children = rel match {
       case r: model.Rel.Project => Seq(r.input)
