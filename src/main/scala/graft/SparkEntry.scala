@@ -1011,8 +1011,8 @@ object SparkEntry {
         |model AS (SELECT g, bc / CAST(pc AS DOUBLE) AS p
         |          FROM bc JOIN pc ON substr(bc.g, 1, 1) = pc.c1),
         |sc AS (SELECT doc_id, count(*) AS n_bigrams,
-        |        ROUND(CAST(sum(CAST(round(ln(p), 12) AS DECIMAL(28,14))) AS DOUBLE)
-        |          / count(*), 6) AS avg_logp
+        |        ROUND(CAST(sum(CAST(round(ln(p) * 1e9) AS BIGINT)) AS DOUBLE)
+        |          / 1e9 / count(*), 6) AS avg_logp
         |       FROM g2 JOIN model USING (g) GROUP BY 1)
         |SELECT doc_id, n_bigrams, avg_logp FROM sc ORDER BY doc_id""".stripMargin,
     "t12_profile" ->

@@ -184,36 +184,65 @@ object TextOps {
     * corpus itself, score each document by its mean log-probability —
     * boilerplate and natural text score high, character noise scores low.
     *
-    * Determinism: each bigram's log-prob rounds to 12 dp and accumulates as
-    * an exact DECIMAL before the mean, so the score is independent of
-    * partition/summation order (float addition is not associative) and any
-    * engine reproduces it bit for bit.
+    * Determinism: each bigram's log-prob rounds to 9 dp and accumulates as
+    * an exact scaled LONG (nano-units) before the mean, so the score is
+    * independent of partition/summation order (float addition is not
+    * associative) and any engine reproduces it bit for bit — long adds stay
+    * inside whole-stage codegen where a DECIMAL accumulator would burn a
+    * BigDecimal per bigram. |ln p| < 50 ⇒ overflow needs > 10^8 bigrams in
+    * ONE document; beyond that, chunk documents first.
     *
     * Scale shape: the model is bounded by charset² regardless of corpus
-    * size — it BROADCASTS at any scale. Model building aggregates with
-    * map-side combine (the bigram explosion collapses to ≤ charset² rows
-    * before the exchange); scoring is the broadcast lookup plus ONE
-    * doc-keyed shuffle for the per-document mean. Documents shorter than
-    * two characters carry no signal and are dropped (inner semantics).
+    * size. Model building aggregates with map-side combine (the bigram
+    * explosion collapses to ≤ charset² rows before the exchange). For a
+    * bounded charset (≤ `maxLiteralModel` bigrams — any Latin-script
+    * corpus) the model collects to the driver (the same bounded-collect
+    * contract as the IVF quantizer) and scoring becomes a SHUFFLE-FREE
+    * narrow fold over a literal map — no second explosion, no join, no
+    * doc-keyed exchange. A CJK-scale charset falls back to the broadcast
+    * join + one doc-keyed shuffle. Documents shorter than two characters
+    * carry no signal and are dropped (inner semantics).
     */
   def charLmScore(df: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+                  textCol: String = "text",
+                  maxLiteralModel: Int = 65536): DataFrame = {
+    // lower(text) binds ONCE as a lambda variable (array-wrap) — referenced
+    // directly inside the per-bigram lambda it would re-lowercase the whole
+    // document once per bigram (O(n²) per doc; measured 9.6 s → 1.6 s)
     val grams = df.filter(length(col(textCol)) >= 2)
       .select(col(idCol), explode(expr(
-        s"""transform(sequence(1, length(lower($textCol)) - 1),
-           |  i -> substring(lower($textCol), i, 2))""".stripMargin)).as("g"))
+        s"""element_at(transform(array(lower($textCol)),
+           |  tx -> transform(sequence(1, length(tx) - 1),
+           |          i -> substring(tx, i, 2))), 1)""".stripMargin)).as("g"))
     val bc = grams.groupBy("g").agg(count(lit(1)).as("bc"))
     val pc = bc.groupBy(substring(col("g"), 1, 1).as("c1"))
       .agg(sum("bc").as("pc"))
     val model = bc.join(pc, substring(col("g"), 1, 1) === col("c1"))
       .select(col("g"), (col("bc").cast("double") / col("pc")).as("p"))
-    grams.join(broadcast(model), "g")
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_bigrams"),
-        round((sum(round(log(col("p")), 12).cast(DecimalType(28, 14)))
-          .cast("double") / count(lit(1))), 6).as("avg_logp"))
+    val entries = model.collect() // ≤ charset² rows by construction
+    if (entries.length <= maxLiteralModel) {
+      val kvs = entries.toSeq.flatMap(r =>
+        Seq(lit(r.getString(0)), lit(r.getDouble(1))))
+      val modelMap = map(kvs: _*)
+      val st = expr(
+        s"""element_at(transform(array(lower($textCol)), tx ->
+           |  transform(sequence(1, length(tx) - 1),
+           |    i -> substring(tx, i, 2))), 1)""".stripMargin)
+      df.filter(length(col(textCol)) >= 2)
+        .select(col(idCol), st.as("gs"))
+        .select(col(idCol),
+          size(col("gs")).cast("long").as("n_bigrams"),
+          round(
+            aggregate(col("gs"), lit(0L), (a, g) =>
+              a + round(log(element_at(modelMap, g)) * 1e9).cast("long"))
+              .cast("double") / 1e9 / size(col("gs")), 6).as("avg_logp"))
+    } else
+      grams.join(broadcast(model), "g")
+        .groupBy(col(idCol))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          round(sum(round(log(col("p")) * 1e9).cast("long")).cast("double")
+            / 1e9 / count(lit(1)), 6).as("avg_logp"))
   }
 
   /** Longest run of adjacent equal elements in the array SQL expression

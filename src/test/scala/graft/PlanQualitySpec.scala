@@ -223,6 +223,18 @@ class PlanQualitySpec extends SparkTestBase {
       .count(_ == "HashAggregate") >= 2, s"map-side combine expected:\n$e03")
   }
 
+  test("t14: literal-map scoring is shuffle-free (model collected, bounded)") {
+    val p = plan("t14_lm_score")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"scoring must fold over the literal model map with no shuffle:\n$p")
+    assert(!p.contains("Join"), s"no join in the scoring plan:\n$p")
+  }
+
+  test("m01: the typed decode stage survives the wire (mapPartitions present)") {
+    val p = plan("m01_media_features")
+    assert(p.contains("MapPartitions"), s"stage must rebuild through rt:\n$p")
+  }
+
   test("LocalFiles consume: declared-schema file scan still prunes and pushes") {
     val df = substrait.Consumer.consume(spark, substrait.Wire.decode(
       substrait.Wire.encode(substrait.Producer.produce(
