@@ -43,6 +43,21 @@ class GoldenWireSpec extends AnyFunSuite {
     "0a04120208001a0c0a0812060a0412020800100122021a002a022200420812060a0412020800" +
     "4801"
 
+  private val stagePlan = Plan(Nil, Seq(PlanRel.Root(
+    Rel.ExtStage(
+      Rel.Read(NamedStruct(Seq("doc_id", "media_type", "payload"),
+        Seq((SType.SI64, true), (SType.SStr, true), (SType.SBin, true))),
+        Seq("media"), None),
+      "graft.media_features_v1"),
+    Seq("doc_id", "media_type", "n_bytes", "feature"))))
+
+  private val stageHex =
+    "1aa40112a1010a794a77123e0a3c12310a06646f635f69640a0a6d656469615f747970650a07" +
+    "7061796c6f616412120a043a0210010a04620210010a046a0210013a070a056d656469611a35" +
+    "0a1867726166742e6465762f537461676552656c44657461696c12190a1767726166742e6d65" +
+    "6469615f66656174757265735f76311206646f635f6964120a6d656469615f7479706512076e" +
+    "5f6279746573120766656174757265"
+
   private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
   private def unhex(s: String): Array[Byte] =
     s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
@@ -96,6 +111,18 @@ class GoldenWireSpec extends AnyFunSuite {
       val b1 = Wire.encode(p)
       assert(Wire.decode(b1) == p)
       assert(hex(Wire.encode(Wire.decode(b1))) == hex(b1))
+    }
+  }
+
+  test("typed-stage plan encodes to the golden bytes and decodes back") {
+    assert(hex(Wire.encode(stagePlan)) == stageHex)
+    val p = Wire.decode(unhex(stageHex))
+    assert(p == stagePlan)
+    p.relations.head match {
+      case PlanRel.Root(Rel.ExtStage(_, name), names) =>
+        assert(name == "graft.media_features_v1")
+        assert(names == Seq("doc_id", "media_type", "n_bytes", "feature"))
+      case other => fail(s"unexpected shape $other")
     }
   }
 }
