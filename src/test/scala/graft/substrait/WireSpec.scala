@@ -68,6 +68,7 @@ class WireSpec extends AnyFunSuite {
         s"Exch(${nr(i)},${es.map(ne).mkString(",")},$n,$sh,$rd)"
       case Rel.ExtSample(i, lo, hi, wr, seed) =>
         s"Sample(${nr(i)},$lo,$hi,$wr,$seed)"
+      case Rel.ExtStage(i, s) => s"Stage(${nr(i)},$s)"
     }
     p.extensions.toString + p.relations.map {
       case PlanRel.RelOnly(r) => s"RelOnly(${nr(r)})"
@@ -249,7 +250,11 @@ class WireSpec extends AnyFunSuite {
         hi <- Gen.choose(0.0, 1.0)
         wr <- Arbitrary.arbitrary[Boolean]
         seed <- Arbitrary.arbitrary[Long]
-      } yield Rel.ExtSample(i, 0.0, hi, wr, seed)))
+      } yield Rel.ExtSample(i, 0.0, hi, wr, seed)),
+      1 -> (for {
+        i <- genRel(depth - 1)
+        name <- Gen.oneOf("graft.media_features_v1", "graft.unknown_stage_v0")
+      } yield Rel.ExtStage(i, name)))
 
   private val genPlan: Gen[Plan] = for {
     nExts <- Gen.choose(0, 5)
