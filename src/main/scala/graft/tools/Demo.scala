@@ -114,6 +114,34 @@ object Demo {
       Serializer.roundtrip(spark, spark.sql(
         "SELECT map('a', 1, 'b', 2)['b'] AS v FROM region LIMIT 1"))
         .head().getInt(0) + " = m['b']")
+
+    // round-4 surface: typed stage by name + curation ops through the wire
+    println("== typed mapPartitions stage through the wire (ExtStage): " +
+      Serializer.roundtrip(spark, graft.ops.Multimodal.mediaFeatureSummary(
+        spark, spark.table("documents"))).count() + " media rows")
+    expectFail("unknown stage name is rejected loudly") {
+      val good = Producer.produce(graft.ops.Multimodal.mediaFeatureSummary(
+        spark, spark.table("documents")))
+      def rename(r: graft.substrait.model.Rel): graft.substrait.model.Rel =
+        r match {
+          case s: graft.substrait.model.Rel.ExtStage =>
+            s.copy(stage = "graft.no_such_stage_v9")
+          case p: graft.substrait.model.Rel.Project => p.copy(input = rename(p.input))
+          case f: graft.substrait.model.Rel.Filter => f.copy(input = rename(f.input))
+          case s: graft.substrait.model.Rel.Sort => s.copy(input = rename(s.input))
+          case other => other
+        }
+      val bogus = good.copy(relations = good.relations.map {
+        case graft.substrait.model.PlanRel.Root(r, n) =>
+          graft.substrait.model.PlanRel.Root(rename(r), n)
+        case other => other
+      })
+      Consumer.consume(spark, Wire.decode(Wire.encode(bogus))).count()
+    }
+    println("== repetition filters through the wire: " +
+      Serializer.roundtrip(spark, graft.ops.TextOps.repetitionStats(
+        spark.table("documents"))).filter("repetitive").count() +
+      " repetitive docs flagged")
     spark.stop()
   }
 }
