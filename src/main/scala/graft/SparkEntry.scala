@@ -287,6 +287,24 @@ object SparkEntry {
       ops.TextOps.charLmScore(t(s, dir, "documents"))
         .orderBy("doc_id"))),
 
+    // the round-4 curation stages COMPOSED as one declarative plan:
+    // exact dedup → repetition filter → mixture resample → sequence pack
+    "p01_curation_pipeline" -> ((s, dir) => rt(s, {
+      val docs = t(s, dir, "documents")
+      val kept = ops.Dedup.exactDedup(docs).select(col("keep_id").as("doc_id"))
+      val surviving = docs.join(kept, "doc_id")
+      val cleanIds = ops.TextOps.repetitionStats(surviving)
+        .filter(!col("repetitive")).select("doc_id")
+      val mixed = ops.Pipeline.mixtureSample(
+        surviving.join(cleanIds, "doc_id"), "doc_id", "lang",
+        rates = Map("en" -> 0.5, "zh" -> 1.0), default = 0.25)
+      val d = mixed.select(col("doc_id"), col("lang"),
+        ops.TextOps.tokenCount(col("text")).as("n_tokens"))
+      ops.Pipeline.packSequences(d, "n_tokens", "doc_id",
+        budget = 1024, byCols = Seq("lang"))
+        .orderBy("lang", "doc_id")
+    })),
+
     // multimodal binary plumbing (stub decode, real schema/partitioning)
     // the mapPartitions decode stage crosses the wire as a NAMED typed
     // stage (ExtStage "graft.media_features_v1"), so m01 now round-trips
@@ -1001,6 +1019,55 @@ object SparkEntry {
         |         ORDER BY score DESC, term ASC) AS rnk FROM sc)
         |SELECT doc_id, CAST(rnk AS INTEGER) AS rk, term, tf, score
         |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "p01_curation_pipeline" ->
+      """WITH dedup AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+        |surv AS (SELECT d.* FROM documents d JOIN dedup USING (doc_id)),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws FROM surv),
+        |w AS (SELECT doc_id, unnest(ws) AS word FROM toks),
+        |wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+        |wagg AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_word_n
+        |         FROM wc GROUP BY 1),
+        |bg AS (SELECT doc_id,
+        |         [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))] AS bgs FROM toks),
+        |bgu AS (SELECT doc_id, unnest(bgs) AS b FROM bg),
+        |bgc AS (SELECT doc_id, b, count(*) AS c FROM bgu GROUP BY 1, 2),
+        |bagg AS (SELECT doc_id, max(c) AS top_bigram_n FROM bgc GROUP BY 1),
+        |pos AS (SELECT doc_id, unnest(ws) AS word,
+        |               generate_subscripts(ws, 1) AS i FROM toks),
+        |isl AS (SELECT doc_id, word,
+        |          i - row_number() OVER (PARTITION BY doc_id, word ORDER BY i) AS g
+        |        FROM pos),
+        |runs AS (SELECT doc_id, count(*) AS rl FROM isl GROUP BY doc_id, word, g),
+        |ragg AS (SELECT doc_id, max(rl) AS max_token_run FROM runs GROUP BY 1),
+        |clean AS (
+        |  SELECT s.* FROM surv s
+        |  LEFT JOIN wagg USING (doc_id) LEFT JOIN bagg USING (doc_id)
+        |  LEFT JOIN ragg USING (doc_id)
+        |  WHERE NOT (
+        |    CASE WHEN COALESCE(n_words, 0) = 0 THEN 0.0
+        |         ELSE top_word_n / CAST(n_words AS DOUBLE) END > 0.2
+        |    OR CASE WHEN COALESCE(n_words, 0) < 2 THEN 0.0
+        |         ELSE top_bigram_n / CAST(n_words - 1 AS DOUBLE) END > 0.1
+        |    OR COALESCE(max_token_run, 0) >= 4)),
+        |mixed AS (
+        |  SELECT * FROM clean
+        |  WHERE CASE lang
+        |    WHEN 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        |    WHEN 'zh' THEN TRUE
+        |    ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000' END),
+        |d AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens
+        |  FROM mixed),
+        |p AS (SELECT doc_id, lang, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS stream_offset
+        |  FROM d)
+        |SELECT doc_id, lang, n_tokens, stream_offset,
+        |  CAST(FLOOR(stream_offset / 1024.0) AS BIGINT) AS bin_id
+        |FROM p ORDER BY lang, doc_id""".stripMargin,
     "t14_lm_score" ->
       """WITH t AS (SELECT doc_id, lower(text) AS tx FROM documents
         |           WHERE length(text) >= 2),

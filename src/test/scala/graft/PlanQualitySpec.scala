@@ -223,6 +223,17 @@ class PlanQualitySpec extends SparkTestBase {
       .count(_ == "HashAggregate") >= 2, s"map-side combine expected:\n$e03")
   }
 
+  test("no cartesian products in the round-4 queries") {
+    // t13's single-row count broadcast is asserted separately above
+    for (q <- Seq("t10_repetition", "t11_mixture_sample", "t12_profile",
+      "t14_lm_score", "s05_quantize", "e03_stream_dedup",
+      "p01_curation_pipeline", "m01_media_features")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+    }
+  }
+
   test("t14: literal-map scoring is shuffle-free (model collected, bounded)") {
     val p = plan("t14_lm_score")
     assert(!p.contains("Exchange hashpartitioning"),
