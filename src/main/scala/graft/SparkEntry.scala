@@ -287,6 +287,10 @@ object SparkEntry {
       ops.TextOps.charLmScore(t(s, dir, "documents"))
         .orderBy("doc_id"))),
 
+    // heavy-hitter report: the pre-join skew diagnostic feeding saltedJoin
+    "p02_skew_report" -> ((s, dir) => rt(s,
+      ops.Pipeline.skewReport(t(s, dir, "lineitem"), "l_suppkey", k = 20))),
+
     // the round-4 curation stages COMPOSED as one declarative plan:
     // exact dedup → repetition filter → mixture resample → sequence pack
     "p01_curation_pipeline" -> ((s, dir) => rt(s, {
@@ -1019,6 +1023,12 @@ object SparkEntry {
         |         ORDER BY score DESC, term ASC) AS rnk FROM sc)
         |SELECT doc_id, CAST(rnk AS INTEGER) AS rk, term, tf, score
         |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "p02_skew_report" ->
+      """WITH c AS (SELECT l_suppkey AS key, count(*) AS n
+        |           FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM c)
+        |SELECT key, n, ROUND(n / CAST(total AS DOUBLE), 6) AS share
+        |FROM c, t ORDER BY n DESC, key ASC LIMIT 20""".stripMargin,
     "p01_curation_pipeline" ->
       """WITH dedup AS (
         |  SELECT min(doc_id) AS doc_id FROM documents

@@ -192,6 +192,23 @@ object Pipeline {
     agged.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
+  /** Heavy-hitter report for a join/shuffle key: the top-k keys by row
+    * count with their corpus share — run it BEFORE a big join; keys holding
+    * more than a few percent are [[saltedJoin]] / AQE-skew-split
+    * candidates. One map-side-combined shuffle (the explosion collapses to
+    * distinct keys before the exchange), a single-row total broadcast, and
+    * a TakeOrdered top-k — no full sort at any scale. Ties break on the
+    * key, so the report is deterministic.
+    */
+  def skewReport(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", round(col("n") / col("total"), 6))
+      .orderBy(col("n").desc, col("key").asc).limit(k)
+      .select("key", "n", "share")
+  }
+
   /** Skew-safe equi-join: the build side is replicated `salts` times, the
     * probe side's rows get a deterministic salt from their own payload, and
     * the join runs on (key, salt) — a hot key's rows spread over `salts`

@@ -234,6 +234,12 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("p02: skew report fuses sort+limit into TakeOrdered, combines map-side") {
+    val p = plan("p02_skew_report")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not full-sort:\n$p")
+    assert(p.contains("partial_count"), s"map-side combine expected:\n$p")
+  }
+
   test("t14: literal-map scoring is shuffle-free (model collected, bounded)") {
     val p = plan("t14_lm_score")
     assert(!p.contains("Exchange hashpartitioning"),

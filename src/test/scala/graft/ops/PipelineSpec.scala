@@ -168,6 +168,16 @@ class PipelineSpec extends SparkTestBase {
       .foreach(id => assert(fullIds.contains(id), s"doc $id churned"))
   }
 
+  test("skewReport: hot key first with exact share, deterministic ties") {
+    import spark.implicits._
+    val d = (Seq.fill(6)("hot") ++ Seq("a", "a", "b", "b")).toDF("k")
+    val r = Pipeline.skewReport(d, "k", k = 2).collect()
+    assert(r.length == 2)
+    assert(r(0).getString(0) == "hot" && r(0).getLong(1) == 6)
+    assert(math.abs(r(0).getDouble(2) - 0.6) < 1e-9)
+    assert(r(1).getString(0) == "a", "count tie must break on the key")
+  }
+
   test("profile: one-pass stats including nulls; approx variant stays sane") {
     import spark.implicits._
     val d = Seq((1L, Option("a")), (2L, None), (3L, Option("b")),
