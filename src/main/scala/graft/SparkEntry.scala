@@ -287,6 +287,15 @@ object SparkEntry {
       ops.TextOps.charLmScore(t(s, dir, "documents"))
         .orderBy("doc_id"))),
 
+    // corpus version diff by content digest (dataset-versioning audit)
+    "p03_corpus_diff" -> ((s, dir) => rt(s, {
+      val docs = t(s, dir, "documents")
+      ops.Dedup.corpusDiff(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 =!= 1))
+        .orderBy("digest")
+    })),
+
     // heavy-hitter report: the pre-join skew diagnostic feeding saltedJoin
     "p02_skew_report" -> ((s, dir) => rt(s,
       ops.Pipeline.skewReport(t(s, dir, "lineitem"), "l_suppkey", k = 20))),
@@ -1023,6 +1032,19 @@ object SparkEntry {
         |         ORDER BY score DESC, term ASC) AS rnk FROM sc)
         |SELECT doc_id, CAST(rnk AS INTEGER) AS rk, term, tf, score
         |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "p03_corpus_diff" ->
+      """WITH od AS (SELECT DISTINCT
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |nd AS (SELECT DISTINCT
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest
+        |  FROM documents WHERE doc_id % 3 <> 1)
+        |SELECT COALESCE(od.digest, nd.digest) AS digest,
+        |  CASE WHEN od.digest IS NULL THEN 'added'
+        |       WHEN nd.digest IS NULL THEN 'removed'
+        |       ELSE 'kept' END AS status
+        |FROM od FULL OUTER JOIN nd ON od.digest = nd.digest
+        |ORDER BY digest""".stripMargin,
     "p02_skew_report" ->
       """WITH c AS (SELECT l_suppkey AS key, count(*) AS n
         |           FROM lineitem GROUP BY 1),

@@ -29,6 +29,25 @@ object Dedup {
       .groupBy("digest")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Corpus version diff by content digest: which normalized texts were
+    * added, removed, or kept between two corpus snapshots — the audit
+    * companion to [[incrementalDedup]] for dataset versioning. One
+    * digest-keyed full outer join; payloads never shuffle (both sides
+    * reduce to distinct 32-char digests first, with map-side combine).
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 textCol: String = "text"): DataFrame = {
+    def digests(df: DataFrame) = df
+      .select(TextOps.fingerprint(col(textCol)).as("digest")).distinct()
+    digests(oldDocs).withColumn("in_old", lit(true))
+      .join(digests(newDocs).withColumn("in_new", lit(true)),
+        Seq("digest"), "full_outer")
+      .select(col("digest"),
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .otherwise("kept").as("status"))
+  }
+
   /** Incremental exact dedup: new documents whose normalized-text digest is
     * absent from the existing corpus — the standard ingest flow (dedup the
     * new crawl against everything already kept, then within itself). The
