@@ -115,4 +115,32 @@ class PropertySpec extends SparkTestBase {
         spark.table("prop_data").groupBy(grp: _*).agg(a.as("m")))
     }
   }
+
+  test("random sort+offset+limit shapes round-trip in order") {
+    fixture
+    val sortKey: Gen[Column] = for {
+      c <- Gen.oneOf(col("b"), col("s"), col("d"))
+      dir <- Gen.choose(0, 3)
+    } yield dir match {
+      case 0 => c.asc_nulls_first
+      case 1 => c.asc_nulls_last
+      case 2 => c.desc_nulls_first
+      case _ => c.desc_nulls_last
+    }
+    val gen = for {
+      nk <- Gen.choose(1, 2)
+      keys <- Gen.listOfN(nk, sortKey)
+      off <- Gen.choose(0, 3)
+      cnt <- Gen.choose(1, 4)
+      withFetch <- Gen.oneOf(true, false)
+    } yield (keys, off, cnt, withFetch)
+    forAllSeeded(gen, 40) { case (keys, off, cnt, withFetch) =>
+      // a unique final key ("a") totalizes the order, so ordered compare
+      // is well-defined even when the random keys tie
+      val sorted = spark.table("prop_data").select("a", "b", "d", "s")
+        .orderBy(keys :+ col("a").asc: _*)
+      val df = if (withFetch) sorted.offset(off).limit(cnt) else sorted
+      assertRoundtrip(df, ordered = true)
+    }
+  }
 }
