@@ -49,6 +49,9 @@ object ScaleUp {
     require(args.length >= 2, "usage: ScaleUp <inDir> <outDir> [reps=10]")
     val (inDir, outDir) = (args(0), args(1))
     val reps = if (args.length > 2) args(2).toInt else 10
+    // reuse a live session (specs call main() in-process); stop only our own
+    val ownSession = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isEmpty
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
@@ -91,6 +94,6 @@ object ScaleUp {
       out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[scaleup] $name ×$reps → $outDir/$name.parquet")
     }
-    spark.stop()
+    if (ownSession) spark.stop()
   }
 }
