@@ -287,6 +287,21 @@ object SparkEntry {
       ops.TextOps.charLmScore(t(s, dir, "documents"))
         .orderBy("doc_id"))),
 
+    // packing-efficiency report: per-bin fill and padding waste (the
+    // batch-efficiency audit over t09's packed stream)
+    "t15_pack_efficiency" -> ((s, dir) => rt(s, {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        ops.TextOps.tokenCount(col("text")).as("n_tokens"))
+      ops.Pipeline.packSequences(d, "n_tokens", "doc_id",
+        budget = 1024, byCols = Seq("lang"))
+        .groupBy("lang", "bin_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))
+        .withColumn("fill_frac",
+          round(least(col("n_tokens"), lit(1024L)).cast("double") / 1024, 6))
+        .orderBy("lang", "bin_id")
+    })),
+
     // corpus version diff by content digest (dataset-versioning audit)
     "p03_corpus_diff" -> ((s, dir) => rt(s, {
       val docs = t(s, dir, "documents")
@@ -1032,6 +1047,20 @@ object SparkEntry {
         |         ORDER BY score DESC, term ASC) AS rnk FROM sc)
         |SELECT doc_id, CAST(rnk AS INTEGER) AS rk, term, tf, score
         |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "t15_pack_efficiency" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, lang, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS stream_offset
+        |  FROM d),
+        |b AS (SELECT lang, CAST(FLOOR(stream_offset / 1024.0) AS BIGINT) AS bin_id,
+        |        count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |      FROM p GROUP BY 1, 2)
+        |SELECT lang, bin_id, n_docs, n_tokens,
+        |  ROUND(LEAST(n_tokens, 1024) / 1024.0, 6) AS fill_frac
+        |FROM b ORDER BY lang, bin_id""".stripMargin,
     "p03_corpus_diff" ->
       """WITH od AS (SELECT DISTINCT
         |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest
