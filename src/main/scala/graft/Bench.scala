@@ -12,6 +12,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // optional args = run only those queries (single-query scale debugging)
     val only = args.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"Bench: unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}; " +
+          s"valid names: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only.contains(n) }
@@ -43,7 +51,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout gets truncated/interleaved by harnesses; the file is the durable copy
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-out.json"))
+    java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -76,6 +76,30 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b"))),
 
+    // the PRODUCTION simhash config — 16-bit chunks (numChunks=4), radius
+    // 3 = numChunks−1 — where the pigeonhole guarantee is EXACT: every pair
+    // at hamming ≤ 3 is guaranteed to surface, no measurement needed.
+    // Certified on a fixture whose qualifying pairs are exact text copies
+    // (hamming 0, provably covered): each doc's tokens interleave with a
+    // doc-unique salt token, so every shingle contains the salt and
+    // cross-doc jaccard is 0; the planted twin (id+100000) copies the
+    // salted text verbatim → jaccard 1. Output = exactly the planted pairs,
+    // certified by the DuckDB all-pairs oracle and complete BY CONSTRUCTION.
+    // Unlike d03's radius 15 (fixture-measured coverage), this is the knob
+    // setting that scales: 65,536 bucket values per chunk keep in-bucket
+    // pair counts sub-quadratic as the corpus grows.
+    "d03b_simhash_prod" -> ((s, dir) => rt(s, {
+      val salted = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"),
+          expr("array_join(flatten(transform(split(lower(text), ' '), " +
+            "w -> array(w, concat('s', cast(doc_id AS STRING))))), ' ')").as("text"))
+      val twins = salted.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      ops.Dedup.simhashVerifiedNearDups(salted.unionAll(twins),
+          threshold = 0.9, numChunks = 4, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    })),
+
     // blocked exact n-gram Jaccard (no hashing — DuckDB-checkable)
     "d04_ngram_jaccard" -> ((s, dir) => rt(s,
       ops.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -134,7 +158,12 @@ object SparkEntry {
       val twin = e.select((col("vec_id") + 100000L).as("vec_id"),
         expr("transform(embedding, (x, i) -> x * (1.0D + 0.002D * ((i % 5) - 2)))")
           .as("embedding"))
-      ops.Dedup.embeddingNearDups(e.unionAll(twin), threshold = 0.8)
+      // the plane-count sizing hint is a cheap COUNT(*) over the RAW parquet
+      // table (column-pruned metadata scan) — without it lshNearDups would
+      // run a full extra pass over the derived union+transform frame
+      val hint = 2L * t(s, dir, "embeddings").count()
+      ops.Dedup.embeddingNearDups(e.unionAll(twin), threshold = 0.8,
+          corpusSizeHint = hint)
         .orderBy("id_a", "id_b")
     })),
 
@@ -171,6 +200,24 @@ object SparkEntry {
       // the KMeans TRAINING is imperative (no wire form), but the search
       // query over the assigned index is a plain plan — that rides the wire
       rt(s, ops.Ivf.search(idx, e.filter(col("vec_id") < 8), k = 5, nprobe = 12)
+        .orderBy("q_id", "rank"))
+    }),
+
+    // the SAVED-index IVF path — build, save partitioned-by-cell, load,
+    // probe: the parquet layout IS the inverted file. searchPruned applies
+    // the probed cell set as a literal partition filter, so the scan reads
+    // only the probed cell directories (PlanQualitySpec asserts the
+    // PartitionFilters + pruned file count) — at a production nlist of
+    // thousands, a probe touches a vanishing fraction of the corpus bytes.
+    // Same fixture/params as s03 (measured recall 1.0) → exact-kNN oracle.
+    "s06_knn_ivf_saved" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = ops.Ivf.build(e, nlist = 16, trainSampleFraction = 0.5)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-${math.abs(dir.hashCode)}"
+      ops.Ivf.save(idx, path)
+      idx.assigned.unpersist()
+      val loaded = ops.Ivf.load(s, path)
+      rt(s, ops.Ivf.searchPruned(loaded, e.filter(col("vec_id") < 8), k = 5, nprobe = 12)
         .orderBy("q_id", "rank"))
     }),
 
@@ -849,6 +896,27 @@ object SparkEntry {
         |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, ROUND(s0, 6) AS sim FROM p
         |WHERE s0 >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    // d03b: same salted-twin construction, exact all-pairs jaccard. The salt
+    // interleave makes cross-doc pairs jaccard 0, so the ≥0.9 set is exactly
+    // the planted twins — and every one has hamming 0 ≤ radius 3, so the
+    // pigeonhole guarantee (not a measurement) makes the engine output equal
+    // this ground truth.
+    "d03b_simhash_prod" ->
+      """WITH s0 AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |sal AS (SELECT doc_id, flatten([[toks[i], 's' || CAST(doc_id AS VARCHAR)]
+        |  for i in range(1, len(toks) + 1)]) AS tk FROM s0),
+        |u AS (SELECT doc_id, tk FROM sal
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, tk FROM sal),
+        |sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |  ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) END AS g
+        |  FROM u),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.g, b.g))
+        |    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p
+        |WHERE j >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     "d04_ngram_jaccard" ->
       """WITH s AS (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, lang || '|' || source AS blk,
@@ -954,6 +1022,21 @@ object SparkEntry {
         |SELECT q_id, n_id, rank, ROUND(sim0, 6) AS sim FROM r
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "s03_knn_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |s AS (SELECT q_id, e.vec_id AS n_id,
+        |  list_dot_product(qv, e.v)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim0
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, sim0,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim0 DESC, n_id ASC) AS rank
+        |  FROM s)
+        |SELECT q_id, n_id, rank, ROUND(sim0, 6) AS sim FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // s06 certifies against the same exact brute-force kNN ground truth as
+    // s01/s03: the saved+loaded index probes the same 12/16 cells (measured
+    // recall 1.0), so approximate output == exact output, row for row
+    "s06_knn_ivf_saved" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
         |s AS (SELECT q_id, e.vec_id AS n_id,

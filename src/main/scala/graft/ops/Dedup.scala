@@ -200,9 +200,25 @@ object Dedup {
     * computed once in a projection below the threshold filter, not re-derived
     * per consumer.
     */
+  /** `sizeBucketing` (default ON — the scale contract): refines the user's
+    * block key with a LOSSLESS geometric shingle-count bucket. J(A,B) ≥ t
+    * implies max(|A|,|B|)/min(|A|,|B|) ≤ 1/t < base, so with buckets
+    * floor(log_base |S|) every qualifying pair lands in the same or an
+    * adjacent bucket; each doc enters its own bucket as HOME and the bucket
+    * below as GUEST, and a pair is emitted unless BOTH sides are guests —
+    * same-bucket pairs arise once as home/home (their guest/guest copy one
+    * bucket down is filtered), cross-bucket pairs once as home/guest in the
+    * lower bucket. Output is provably identical to the unbucketed run; what
+    * changes is the blocking contract at scale: a coarse user block (lang,
+    * source) no longer puts all its documents in ONE quadratic pair
+    * explosion — in-bucket pair counts stay bounded by the corpus's length
+    * distribution as the corpus grows, and the per-task memory of the
+    * collect_list group drops to O(bucket), not O(block).
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], shingleSize: Int = 3,
-                        threshold: Double = 0.1): DataFrame = {
+                        threshold: Double = 0.1,
+                        sizeBucketing: Boolean = true): DataFrame = {
     val blk = concat_ws("|", blockCols.map(col): _*)
     // One shuffle total: each block collects its (id, shingles) members and
     // emits its own ordered pairs — the same in-bucket explosion the LSH
@@ -210,13 +226,36 @@ object Dedup {
     // sort rows carrying multi-KB shingle arrays) and needs no persist: the
     // collect_list aggregation buffer is the materialization barrier that
     // keeps the per-pair intersect from re-running the shingle expression.
-    // Per-task memory is O(block size), the documented blocking contract.
+    // Per-task memory is O(size bucket), the documented blocking contract.
     val s = df.select(blk.as("blk"), col(idCol).as("jid"),
         col(textCol).as("jtext"))
       .withColumn("sh", shingles("jtext", shingleSize))
-      .select(col("blk"),
-        struct(col("jid"), col("sh"), size(col("sh")).as("sz")).as("it"))
-    s.groupBy("blk")
+      .select(col("blk"), col("jid"), col("sh"), size(col("sh")).as("sz"))
+    val bucketed =
+      if (sizeBucketing && threshold > 0.0 && threshold < 1.0) {
+        // base is 1/t padded by 1e-6 so a pair at EXACTLY ratio t (integer
+        // sizes can hit it) sits strictly inside one bucket step — floating-
+        // point log can then never spread a qualifying pair two buckets apart
+        val lnBase = math.log((1.0 / threshold) * (1.0 + 1e-6))
+        // home + guest copies come from ONE explode over the already-computed
+        // (sh, sz) row — not a union, which would scan (and re-shingle) the
+        // source twice. Guests from bucket 0 would land in a homeless bucket
+        // −1 (every pair there is guest/guest, filtered) — not generated.
+        s.withColumn("szb0",
+            floor(log(greatest(col("sz"), lit(1)).cast("double")) / lnBase).cast("int"))
+          .select(col("blk"), col("jid"), col("sh"), col("sz"),
+            explode(when(col("szb0") >= 1, array(
+                struct(col("szb0").as("szb"), lit(false).as("guest")),
+                struct((col("szb0") - 1).as("szb"), lit(true).as("guest"))))
+              .otherwise(array(
+                struct(col("szb0").as("szb"), lit(false).as("guest"))))).as("bg"))
+          .select(col("blk"), col("bg.szb").as("szb"),
+            col("jid"), col("sh"), col("sz"), col("bg.guest").as("guest"))
+      } else s.withColumn("szb", lit(0)).withColumn("guest", lit(false))
+    bucketed
+      .select(col("blk"), col("szb"),
+        struct(col("jid"), col("sh"), col("sz"), col("guest")).as("it"))
+      .groupBy("blk", "szb")
       // sort by id (the struct's first field) so pairs come out id_a < id_b
       .agg(sort_array(collect_list(col("it"))).as("items"))
       // two chained generators stream the pairs through whole-stage codegen —
@@ -224,6 +263,8 @@ object Dedup {
       .select(col("blk"), col("items"), posexplode(col("items")).as(Seq("i", "x")))
       .select(col("blk"), col("x"),
         explode(expr("slice(items, i + 2, size(items))")).as("y"))
+      // the exactly-once emission rule for the size buckets (see above)
+      .filter(!(col("x.guest") && col("y.guest")))
       // size-ratio prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
       // failing the ratio can never reach the threshold — the expensive
       // intersect runs only on survivors (output provably unchanged)
@@ -412,11 +453,14 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicates via multi-table sign-LSH bucketing +
-    * exact cosine verify; see Similarity.scala for the primitives. */
+    * exact cosine verify; see Similarity.scala for the primitives.
+    * `corpusSizeHint` sizes the LSH plane count without an extra corpus pass. */
   def embeddingNearDups(df: DataFrame, idCol: String = "vec_id",
                         vecCol: String = "embedding",
-                        threshold: Double = 0.35): DataFrame =
-    Similarity.lshNearDups(df, idCol, vecCol, threshold)
+                        threshold: Double = 0.35,
+                        corpusSizeHint: Long = 0L): DataFrame =
+    Similarity.lshNearDups(df, idCol, vecCol, threshold,
+      corpusSizeHint = corpusSizeHint)
 
   /** Connected components over an undirected pair list — the step that turns
     * pairwise near-dup output (d02-d05) into "keep one document per cluster".

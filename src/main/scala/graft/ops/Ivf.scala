@@ -80,6 +80,27 @@ object Ivf {
     IvfIndex(cents, spark.read.parquet(s"$path/cells"))
   }
 
+  /** Top-k over a SAVED index with static partition pruning: the probed
+    * cell set is computed driver-side from the (small, broadcast-by-contract)
+    * query side and applied as a literal partition filter, so a scan over
+    * `save`'s cell-partitioned layout reads ONLY the probed cell directories
+    * — the inverted-file lookup expressed as partition pruning, robust to
+    * stats (no reliance on runtime DPP). At nprobe/nlist = 12/16 this fixture
+    * reads 3/4 of the cells; a production nlist is thousands, so a probe
+    * touches a vanishing fraction of the corpus bytes.
+    */
+  def searchPruned(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val probed = queries
+      .select(explode(nearestCells(asDouble(col(vecCol)), index.centroids, nprobe))
+        .as("cell"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val pruned = index.copy(assigned =
+      index.assigned.filter(col("cell").isin(probed.map(Integer.valueOf): _*)))
+    search(pruned, queries, k, nprobe, idCol, vecCol)
+  }
+
   /** Top-k cosine neighbors probing the nprobe nearest cells per query. */
   def search(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -51,17 +51,24 @@ object Multimodal {
     bins
   }
 
+  /** THE stage function, as a stable instance: the wire registry
+    * (substrait.Stages) binds the stage name to this exact object, so a
+    * different mapPartitions closure — even one defined in this file — can
+    * never silently encode as graft.media_features_v1.
+    */
+  val mediaFeaturesFn: Iterator[MediaRow] => Iterator[MediaFeature] =
+    rows =>
+      // per-task init hook (real codecs allocate decoder state here, once)
+      rows.map { r =>
+        MediaFeature(r.doc_id, r.media_type, r.payload.length,
+          decodeStub(r.payload))
+      }
+
   /** Partition-wise feature extraction over the binary payloads. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
     import spark.implicits._
     media.select("doc_id", "media_type", "payload").as[MediaRow]
-      .mapPartitions { rows =>
-        // per-task init hook (real codecs allocate decoder state here, once)
-        rows.map { r =>
-          MediaFeature(r.doc_id, r.media_type, r.payload.length,
-            decodeStub(r.payload))
-        }
-      }
+      .mapPartitions(mediaFeaturesFn)
   }
 
   /** Flattened, oracle-friendly projection: id, modality, byte count and the

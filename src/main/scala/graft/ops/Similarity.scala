@@ -124,14 +124,19 @@ object Similarity {
     * extra planes easily (split probability per plane ≈ θ/π ≈ 0.002 at
     * cosine 0.9999), so recall at the dedup threshold is unaffected.
     */
+  /** `corpusSizeHint > 0` sizes the derived plane count without touching the
+    * data — the caller usually knows |corpus| (or a cheap raw-table count of
+    * the pre-transform source); counting the DERIVED frame here would be a
+    * full extra pass over the corpus just to pick an index granularity.
+    */
   def lshNearDups(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, tables: Int = 6, planesPerTable: Int = 0,
-                  dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
+                  dim: Int = 64, maxBucket: Int = 10000,
+                  corpusSizeHint: Long = 0L): DataFrame = {
     val planes =
       if (planesPerTable > 0) planesPerTable
       else {
-        // one metadata-cheap count to size the index to the corpus
-        val n = math.max(df.count(), 1L)
+        val n = math.max(if (corpusSizeHint > 0) corpusSizeHint else df.count(), 1L)
         math.max(6, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
       }
     // no persist: each use re-scans the (columnar, pruned) source instead of

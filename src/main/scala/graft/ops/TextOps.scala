@@ -219,8 +219,13 @@ object TextOps {
       .agg(sum("bc").as("pc"))
     val model = bc.join(pc, substring(col("g"), 1, 1) === col("c1"))
       .select(col("g"), (col("bc").cast("double") / col("pc")).as("p"))
-    val entries = model.collect() // ≤ charset² rows by construction
-    if (entries.length <= maxLiteralModel) {
+    // bounded probe: collect at most maxLiteralModel+1 rows to DECIDE which
+    // path to take — collecting the full model first would materialize up to
+    // charset² rows on the driver (hundreds of millions for CJK), an OOM in
+    // exactly the case the broadcast-join fallback exists for
+    val probe = model.limit(maxLiteralModel + 1).collect()
+    if (probe.length <= maxLiteralModel) {
+      val entries = probe
       val kvs = entries.toSeq.flatMap(r =>
         Seq(lit(r.getString(0)), lit(r.getDouble(1))))
       val modelMap = map(kvs: _*)
@@ -322,22 +327,30 @@ object TextOps {
         "array_sort(zip_with(slice(ws, 1, size(ws) - 1), " +
           "slice(ws, 2, size(ws) - 1), (a, b) -> concat(a, ' ', b)))")} END,
          |    'max_token_run', ${maxRunSql("ws")})), 1)""".stripMargin)
+    // thresholds apply to the UNROUNDED ratios (the oracle's semantics);
+    // rounding is only for the REPORTED fractions — classifying on rounded
+    // values would diverge for ratios within 5e-7 of a threshold
     df.select(col(idCol), stats.as("st"))
       .select(
         col(idCol),
         col("st.n_words").as("n_words"),
-        round(when(col("st.n_words") === 0, 0.0)
+        when(col("st.n_words") === 0, 0.0)
           .otherwise(lit(1.0) - col("st.n_distinct").cast("double") /
-            col("st.n_words")), 6).as("dup_word_frac"),
-        round(when(col("st.n_words") === 0, 0.0)
+            col("st.n_words")).as("dup_word_raw"),
+        when(col("st.n_words") === 0, 0.0)
           .otherwise(col("st.top_word_n").cast("double") /
-            col("st.n_words")), 6).as("top_word_frac"),
-        round(when(col("st.n_words") < 2, 0.0)
+            col("st.n_words")).as("top_word_raw"),
+        when(col("st.n_words") < 2, 0.0)
           .otherwise(col("st.top_bigram_n").cast("double") /
-            (col("st.n_words") - 1)), 6).as("top_bigram_frac"),
+            (col("st.n_words") - 1)).as("top_bigram_raw"),
         col("st.max_token_run").as("max_token_run"))
       .withColumn("repetitive",
-        col("top_word_frac") > 0.2 || col("top_bigram_frac") > 0.1 ||
+        col("top_word_raw") > 0.2 || col("top_bigram_raw") > 0.1 ||
           col("max_token_run") >= 4)
+      .select(col(idCol), col("n_words"),
+        round(col("dup_word_raw"), 6).as("dup_word_frac"),
+        round(col("top_word_raw"), 6).as("top_word_frac"),
+        round(col("top_bigram_raw"), 6).as("top_bigram_frac"),
+        col("max_token_run"), col("repetitive"))
   }
 }

@@ -254,7 +254,14 @@ object Consumer {
         val aliased = union.zip(names).map { case (e, n) => toColumn(e, in.df).as(n) }
         val base = in.df.select(col("*") +: aliased: _*)
         val sets = groupings.map(_.map(e => col(names(union.indexOf(e)))))
-        val aggCols = measureCols(measures, in.df)
+        // a `grouping` MEASURE (reference consumer.rs:383-415 accepts the
+        // name) must reference the ALIASED grouping column — Spark's
+        // grouping() resolves only against the groupingSets expressions
+        val aggCols = measureCols(measures, in.df,
+          e => union.indexOf(e) match {
+            case -1 => None
+            case i => Some(col(names(i)))
+          })
         // trailing i32 grouping-set index (wire convention): recovered from
         // Spark's grouping_id() bitmask over the union columns — bit j (MSB
         // first) set when union column j is aggregated-out of the set
@@ -288,11 +295,20 @@ object Consumer {
       Built(grouped.agg(aggCols.head, aggCols.tail: _*))
     }
 
-    /** measure → named aggregate Column; FILTER p becomes agg(when(p, x)) */
-    private def measureCols(measures: Seq[Measure], df: DataFrame): Seq[Column] =
+    /** measure → named aggregate Column; FILTER p becomes agg(when(p, x)).
+      * `groupingResolve` rebinds a `grouping` measure's argument to the
+      * grouping-set alias column (multi-groupings path only — with a single
+      * grouping Spark rejects grouping() itself, loudly, as does DataFusion).
+      */
+    private def measureCols(measures: Seq[Measure], df: DataFrame,
+                            groupingResolve: SExpr => Option[Column] =
+                              _ => None): Seq[Column] =
       measures.map { m =>
         val fname = name(m.function.functionReference).toLowerCase
-        val rawArgs = m.function.args.map(e => toColumn(e, df))
+        val rawArgs =
+          if (fname == "grouping")
+            m.function.args.map(e => groupingResolve(e).getOrElse(toColumn(e, df)))
+          else m.function.args.map(e => toColumn(e, df))
         val args = m.filter match {
           case Some(f) =>
             val p = toColumn(f, df)

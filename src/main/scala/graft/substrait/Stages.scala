@@ -29,16 +29,16 @@ object Stages {
       Seq("doc_id", "media_type", "payload"), 4,
       (spark, in) => graft.ops.Multimodal.extractFeatures(spark, in).toDF()))
 
-  /** Producer-side reverse lookup: the typed-stage closure's owning class
-    * prefix → wire name. A mapPartitions whose function belongs to none of
-    * these stays a loud notImplemented (closures are not introspectable —
-    * only registered stages may cross the wire).
+  /** Producer-side reverse lookup by EXACT closure identity: each wire name
+    * binds to one registered function instance, so a second mapPartitions
+    * closure added anywhere (even beside a registered one) can never
+    * silently encode under an existing stage name — it stays a loud
+    * notImplemented. (A class-name prefix match would be a silent
+    * wrong-result hazard: the consumer rebuilds whatever the NAME says.)
     */
-  private val byClosureOwner: Seq[(String, String)] = Seq(
-    "graft.ops.Multimodal" -> "graft.media_features_v1")
+  private lazy val byClosureInstance: Seq[(AnyRef, String)] = Seq(
+    graft.ops.Multimodal.mediaFeaturesFn -> "graft.media_features_v1")
 
-  def nameOf(func: AnyRef): Option[String] = {
-    val cls = func.getClass.getName
-    byClosureOwner.collectFirst { case (p, n) if cls.startsWith(p) => n }
-  }
+  def nameOf(func: AnyRef): Option[String] =
+    byClosureInstance.collectFirst { case (f, n) if f eq func => n }
 }

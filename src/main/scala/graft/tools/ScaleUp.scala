@@ -64,12 +64,30 @@ object ScaleUp {
       tables.map(t => t -> spark.read.parquet(s"$inDir/$t.parquet")).toMap
 
     // one offset per family: next power of 10 above the family max anywhere
+    // (an EMPTY table's max is null — contributes 0, not an NPE)
     val famMax = scala.collection.mutable.Map.empty[String, Long]
     for ((_, df) <- frames; c <- df.columns; fam <- keyFamily.get(c)) {
-      val m = df.agg(max(col(c).cast("long"))).head.getLong(0)
+      val row = df.agg(max(col(c).cast("long"))).head
+      val m = if (row.isNullAt(0)) 0L else row.getLong(0)
       famMax(fam) = math.max(famMax.getOrElse(fam, 0L), m)
     }
     val famOffset = famMax.map { case (f, m) => f -> pow10Above(m) }.toMap
+
+    // the shifted key is cast back to the column's ORIGINAL dtype with a
+    // non-ANSI cast, which silently wraps on overflow — fail loudly instead:
+    // max replica key must fit the narrowest int type carrying the family
+    def dtypeMax(dt: org.apache.spark.sql.types.DataType): Long = dt match {
+      case org.apache.spark.sql.types.IntegerType => Int.MaxValue
+      case org.apache.spark.sql.types.ShortType => Short.MaxValue
+      case org.apache.spark.sql.types.ByteType => Byte.MaxValue
+      case _ => Long.MaxValue
+    }
+    for ((_, df) <- frames; c <- df.columns; fam <- keyFamily.get(c)) {
+      val top = (reps - 1).toLong * famOffset(fam) + famMax(fam)
+      require(top <= dtypeMax(df.schema(c).dataType),
+        s"key column $c (${df.schema(c).dataType.simpleString}) would overflow " +
+          s"at $reps replicas: max shifted key $top — widen the column or lower reps")
+    }
 
     for ((name, df) <- frames) {
       def replica(r: Int): DataFrame = {

@@ -177,6 +177,26 @@ class PlanQualitySpec extends SparkTestBase {
     assert(firstShingleRef >= 0 && pairExchange >= 0, p)
   }
 
+  test("s06: saved-IVF probe prunes the scan to the probed cell directories") {
+    Tables.register(spark, sfDir)
+    val e = Tables.table(spark, sfDir, "embeddings")
+    val idx = ops.Ivf.build(e, nlist = 8, trainSampleFraction = 1.0)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_pq").toString
+    ops.Ivf.save(idx, path)
+    idx.assigned.unpersist()
+    val loaded = ops.Ivf.load(spark, path)
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 1)
+    val df = ops.Ivf.searchPruned(loaded, q, k = 3, nprobe = 2)
+    val p = df.queryExecution.executedPlan.toString
+    // the probed cell set is a LITERAL partition filter on the cell-
+    // partitioned parquet — the inverted-file lookup as partition pruning
+    assert(p.contains("PartitionFilters:"), s"no partition filter on the cell scan:\n$p")
+    val in = "cell#\\d+ IN \\(([-\\d,]+)\\)".r.findFirstMatchIn(p)
+    assert(in.isDefined, s"no literal cell IN-list in PartitionFilters:\n$p")
+    val cells = in.get.group(1).split(",")
+    assert(cells.length == 2, s"expected the 2 probed cells, got ${in.get.group(1)}:\n$p")
+  }
+
   test("t10/t11: narrow text ops — no shuffle except the deterministic sort") {
     for (q <- Seq("t10_repetition", "t11_mixture_sample")) {
       val p = plan(q)

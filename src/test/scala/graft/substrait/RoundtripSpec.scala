@@ -249,6 +249,34 @@ class RoundtripSpec extends SparkTestBase {
         |FROM data GROUP BY CUBE (a, d)""".stripMargin))
   }
 
+  // A FOREIGN plan can encode grouping() as an aggregate MEASURE named
+  // "grouping" — the reference's AggregateFunction::from_str accepts it
+  // (consumer.rs:383-415). Graft's own producer rides grouping() through the
+  // Expand recovery instead, so this path only arises from foreign bytes:
+  // hand-build the plan, encode→decode, consume, compare with Spark SQL.
+  test("foreign plan with a `grouping` measure consumes") {
+    fixture
+    import model._
+    val schema = NamedStruct(Seq("a", "b", "c", "d"),
+      Seq((SType.SI64, true), (SType.SDecimal(5, 2), true),
+        (SType.SDate, true), (SType.SBool, true)))
+    val agg = Rel.Aggregate(
+      Rel.Read(schema, Seq("data"), None),
+      groupings = Seq(Seq(SExpr.FieldRef(0)), Seq()),
+      measures = Seq(
+        Measure(AggFunction(0, Seq(SExpr.FieldRef(0)), AggInvocation.All), None),
+        Measure(AggFunction(1, Seq(SExpr.FieldRef(0)), AggInvocation.All), None)))
+    val plan = Plan(
+      Seq(ExtensionFunction(0xffffffffL, 0, "count"),
+        ExtensionFunction(0xffffffffL, 1, "grouping")),
+      Seq(PlanRel.Root(agg, Seq("a", "n", "g", "set_idx"))))
+    val got = Consumer.consume(spark, Wire.decode(Wire.encode(plan)))
+    assert(got.columns.toSeq == Seq("a", "n", "g", "set_idx"))
+    val want = spark.sql(
+      "SELECT a, count(a) AS n, grouping(a) AS g FROM data GROUP BY GROUPING SETS ((a), ())")
+    assertSameRows(want, got.select(col("a"), col("n"), col("g")))
+  }
+
   test("uncorrelated IN subquery rides the wire as a semi JoinRel") {
     fixture
     assertRoundtrip(spark.sql(
