@@ -111,6 +111,28 @@ object Consumer {
         }
         Built(projected.toDF(freshNames(projected.columns.length): _*))
 
+      // window project (the producer's Window encoding: pass-through refs +
+      // WindowFn columns): rename the pass-throughs FIRST so the window spec
+      // partitions/orders by the very attributes that flow downstream. The
+      // generic path would resolve the spec against the INPUT attributes,
+      // leaving the window's exchange keyed on an attribute the next project
+      // drops — alias-aware partitioning propagation cannot see through a
+      // sibling copy, so a second window/aggregate over the same key would
+      // pay a fresh exchange + sort (measured 2× wall on sessionization).
+      case Rel.Project(input, exprs)
+          if exprs.exists(_.isInstanceOf[SExpr.WindowFn]) &&
+            exprs.forall(e => e.isInstanceOf[SExpr.FieldRef] ||
+              e.isInstanceOf[SExpr.WindowFn]) && {
+            val refs = exprs.collect { case SExpr.FieldRef(i) => i }
+            refs.distinct.size == refs.size // unaliased dups would be ambiguous
+          } =>
+        val in = build(input)
+        val cols = exprs.map {
+          case SExpr.FieldRef(i) => in.df.col(in.df.columns(i))
+          case e => toColumn(e, in.df).as(fresh())
+        }
+        Built(in.df.select(cols: _*))
+
       case Rel.Project(input, exprs) =>
         val in = build(input)
         val cols = exprs.map(e => toColumn(e, in.df))
