@@ -40,6 +40,43 @@ class OpsSpec extends SparkTestBase {
     assert(exact == lsh, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
   }
 
+  test("size-bucketed blocked jaccard is lossless: bucketed == unbucketed, at every threshold") {
+    // the geometric size bucket + home/guest replication must emit EXACTLY
+    // the unbucketed pair set — including thresholds that put qualifying
+    // pairs in adjacent buckets (low t → coarse buckets, high t → fine)
+    for (t <- Seq(0.05, 0.1, 0.3, 0.7, 0.9)) {
+      def run(b: Boolean) =
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+            blockCols = Seq("lang"), threshold = t, sizeBucketing = b)
+          .select("blk", "id_a", "id_b", "jaccard").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val bucketed = run(true)
+      val flat = run(false)
+      assert(bucketed == flat,
+        s"t=$t: bucketing lost ${flat -- bucketed}, invented ${bucketed -- flat}")
+    }
+  }
+
+  test("size-bucketed pairs are emitted exactly once (no dup from the guest copies)") {
+    val rows = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      blockCols = Seq("lang"), threshold = 0.1)
+      .select("blk", "id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == rows.distinct.length,
+      s"duplicate pairs: ${rows.groupBy(identity).filter(_._2.length > 1).keys}")
+    rows.foreach { case (_, a, b) => assert(a < b) }
+  }
+
+  test("lshNearDups corpusSizeHint path equals the counted path") {
+    val e = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val n = e.count()
+    def run(hint: Long) =
+      Similarity.lshNearDups(e, "vec_id", "embedding", threshold = 0.5,
+          corpusSizeHint = hint)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(n) == run(0L), "hinted plane count must reproduce the counted run")
+  }
+
   test("simhash hamming pairs are symmetric-free and verified") {
     val pairs = Dedup.simhashNearDups(docs).collect()
     pairs.foreach { r =>
