@@ -133,6 +133,20 @@ object SparkEntry {
       ops.Dedup.connectedComponents(pairs, stepThroughWire = true).orderBy("node")
     }),
 
+    // incremental NEAR-dup: the new batch (odd ids) LSH-checked against the
+    // kept corpus (even ids) — the near-dup companion to d07's exact-digest
+    // ingest. Banding params match d02 (measured-complete on the planted
+    // pairs at threshold 0.5), so the exact cross-pairs oracle certifies.
+    "d10_incremental_neardup" -> ((s, dir) => rt(s, {
+      val d = t(s, dir, "documents")
+      ops.Dedup.incrementalNearDups(
+        d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+        threshold = 0.5)
+        .select(col("new_id"), col("kept_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("new_id", "kept_id")
+    })),
+
     // benchmark decontamination: corpus docs sharing any 5-gram with the
     // pseudo eval set (doc_id % 7 == 0); the eval side's distinct grams
     // broadcast, corpus grams stream — text never shuffles
@@ -308,6 +322,14 @@ object SparkEntry {
         rates = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.75, "zh" -> 1.0),
         default = 0.125)
         .select("doc_id", "lang", "source")
+        .orderBy("doc_id"))),
+
+    // absolute token-budget mixture: md5-ordered prefix per language until
+    // each budget fills (the "build an N-token training mix" primitive)
+    "t16_token_budget" -> ((s, dir) => rt(s,
+      ops.Pipeline.tokenBudgetSample(t(s, dir, "documents"),
+        budgets = Map("en" -> 3000L, "de" -> 2000L, "fr" -> 1500L, "zh" -> 1000L))
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
         .orderBy("doc_id"))),
 
     // element-wise per-label centroid vectors, decimal-exact accumulation
@@ -928,6 +950,19 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
         |SELECT blk, id_a, id_b, ROUND(j, 6) AS jaccard FROM p
         |WHERE j >= 0.3 ORDER BY blk, id_a, id_b""".stripMargin,
+    // exact all-pairs jaccard across the odd/even split — the same
+    // certification technique as d02, restricted to cross pairs
+    "d10_incremental_neardup" ->
+      """WITH s AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) END AS g
+        |  FROM s),
+        |p AS (SELECT a.doc_id AS new_id, b.doc_id AS kept_id,
+        |  len(list_intersect(a.g, b.g))
+        |    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+        |SELECT new_id, kept_id, ROUND(j, 6) AS jaccard FROM p
+        |WHERE j >= 0.5 ORDER BY new_id, kept_id""".stripMargin,
     "d09_decontaminate" ->
       """WITH g AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
         |ng AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
@@ -1254,6 +1289,20 @@ object SparkEntry {
         |  WHEN 'fr' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000'
         |  WHEN 'zh' THEN TRUE
         |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000' END
+        |ORDER BY doc_id""".stripMargin,
+    "t16_token_budget" ->
+      """WITH tk AS (SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM tk)
+        |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens - n_tokens < CASE lang WHEN 'en' THEN 3000
+        |  WHEN 'de' THEN 2000 WHEN 'fr' THEN 1500 WHEN 'zh' THEN 1000
+        |  ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
     "t10_repetition" ->
       """WITH toks AS (

@@ -125,30 +125,39 @@ object Dedup {
     * are recomputed per side from the pruned (id, text) scan, which at corpus
     * scale is strictly cheaper than caching + shuffling multi-KB arrays.
     */
+  /** (id, band_idx, band_hash) triples for a corpus: the LSH banding stage
+    * shared by [[minhashNearDups]] and [[incrementalNearDups]]. The
+    * signature is bound as a lambda variable (`sig`, single-element-array
+    * wrap) so the 64-hash fold evaluates once per row — referencing the
+    * minhash_sig attribute inside the band lambda would inline and re-run
+    * the fold once per band.
+    */
+  private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                               numHashes: Int, bands: Int, shingleSize: Int,
+                               idAs: String): DataFrame = {
+    val r = numHashes / bands
+    // repartition BEFORE the signature computation so it runs across all
+    // cores (a small parquet input is otherwise a single serial partition)
+    val base = df.select(col(idCol), col(textCol)).repartition(col(idCol))
+    minhashSignature(base, textCol, numHashes, shingleSize)
+      .select(col(idCol).as(idAs),
+        posexplode(expr(
+          s"""element_at(transform(array(minhash_sig),
+             |  sig -> transform(sequence(0, ${bands - 1}),
+             |    b -> xxhash64(b, array_join(
+             |           transform(slice(sig, b * $r + 1, $r),
+             |                     x -> cast(x AS STRING)), ',')))), 1)""".stripMargin))
+          .as(Seq("band_idx", "band_hash")))
+  }
+
   def minhashNearDups(df: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", numHashes: Int = 64,
                       bands: Int = 16, shingleSize: Int = 3,
                       threshold: Double = 0.5,
                       maxBucket: Int = 1000): DataFrame = {
-    val r = numHashes / bands
-    // repartition BEFORE the signature computation so it runs across all
-    // cores (a small parquet input is otherwise a single serial partition)
     val base = df.select(col(idCol), col(textCol)).repartition(col(idCol))
-    val sigs = minhashSignature(base, textCol, numHashes, shingleSize)
-      .select(col(idCol).as("mh_id"), col("minhash_sig"))
-
-    // the signature is bound as a lambda variable (`sig`, single-element-array
-    // wrap) so the 64-hash fold evaluates once per row — referencing the
-    // minhash_sig attribute inside the band lambda would inline and re-run
-    // the fold once per band
-    val banded = sigs.select(col("mh_id"),
-      posexplode(expr(
-        s"""element_at(transform(array(minhash_sig),
-           |  sig -> transform(sequence(0, ${bands - 1}),
-           |    b -> xxhash64(b, array_join(
-           |           transform(slice(sig, b * $r + 1, $r),
-           |                     x -> cast(x AS STRING)), ',')))), 1)""".stripMargin))
-        .as(Seq("band_idx", "band_hash")))
+    val banded = bandedSignatures(df, idCol, textCol, numHashes, bands,
+      shingleSize, "mh_id")
 
     // one shuffle: bucket members collect into their bucket's row; buckets
     // above maxBucket drop (quadratic-blowup guard — a giant near-dup
@@ -162,6 +171,55 @@ object Dedup {
       .distinct()
 
     verifyJaccard(candidates, base, idCol, textCol, shingleSize, threshold)
+  }
+
+  /** Incremental NEAR-dup: new documents whose shingle-jaccard with any
+    * already-kept document reaches `threshold` — the LSH companion to
+    * [[incrementalDedup]] (exact digests), i.e. the production ingest flow
+    * "flag new crawl docs that near-duplicate the kept corpus". Returns
+    * (new_id, kept_id, jaccard), one row per qualifying CROSS pair (within-
+    * batch near-dups are [[minhashNearDups]]'s job on the new side alone).
+    *
+    * Scale design: both sides reduce to fixed-width signatures before
+    * anything shuffles; the candidate join keys on (band, bandHash), so work
+    * tracks bucket occupancy, not |new|·|kept|. The kept side's banded
+    * signatures are a pure function of text — at production scale persist
+    * them once and reuse across ingests instead of recomputing. `maxBucket`
+    * drops kept-side hot buckets before the join (quadratic-blowup guard,
+    * same contract as minhashNearDups: a pair lost with its bucket still
+    * surfaces via any other matching band w.h.p.).
+    */
+  def incrementalNearDups(newDocs: DataFrame, existing: DataFrame,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          numHashes: Int = 64, bands: Int = 16,
+                          shingleSize: Int = 3, threshold: Double = 0.5,
+                          maxBucket: Int = 1000): DataFrame = {
+    val newBands = bandedSignatures(newDocs, idCol, textCol, numHashes,
+      bands, shingleSize, "new_id")
+    val keptBands = bandedSignatures(existing, idCol, textCol, numHashes,
+      bands, shingleSize, "kept_id")
+    // the hot-bucket set is tiny by definition (hot = many members), so it
+    // broadcasts; map-side combine collapses the count before its shuffle
+    val hot = keptBands.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
+      .select("band_idx", "band_hash")
+    val keptCapped = keptBands
+      .join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
+    val candidates = newBands.join(keptCapped, Seq("band_idx", "band_hash"))
+      .select("new_id", "kept_id").distinct()
+    // exact verify on hashed shingles (8-byte longs; |A∩B| unchanged, the
+    // string-shingle oracle certifies — same contract as ngramJaccardPairs)
+    def hashed(df: DataFrame, as: String, sh: String) =
+      df.select(col(idCol).as(as),
+        transform(shingles(textCol, shingleSize), x => xxhash64(x)).as(sh))
+    candidates
+      .join(hashed(newDocs, "new_id", "sh_n"), "new_id")
+      .join(hashed(existing, "kept_id", "sh_k"), "kept_id")
+      .withColumn("n_inter", size(array_intersect(col("sh_n"), col("sh_k"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sh_n")) + size(col("sh_k")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("kept_id"), col("jaccard"))
   }
 
   /** Exact shingle-Jaccard verification of an (id_a, id_b) candidate pair

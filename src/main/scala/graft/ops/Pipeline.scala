@@ -129,6 +129,37 @@ object Pipeline {
     df.filter(decision)
   }
 
+  /** Deterministic token-budget sampling: keep each stratum's md5-ordered
+    * document prefix until the stratum's TOKEN budget fills — "build an
+    * N-token mixture at these per-language budgets", the curation step when
+    * the target is absolute token counts, not [[mixtureSample]]'s rates. A
+    * document is kept iff its stratum's budget was not yet full when it
+    * arrived (the first overshooting doc is included, so every non-empty
+    * budget yields ≥ 1 doc and the shortfall is < 1 document); strata
+    * without a budget drop entirely. Returns the kept rows + n_tokens +
+    * the stratum's running total (audit column).
+    *
+    * Scale design: one window pass = one hash shuffle on the stratum key;
+    * the md5 draw order is engine-portable (same convention as
+    * mixtureSample). Ranks reshuffle when the corpus grows — pin a corpus
+    * snapshot for reproducible mixtures.
+    */
+  def tokenBudgetSample(df: DataFrame, budgets: Map[String, Long],
+                        stratumCol: String = "lang",
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val budget = budgets.foldRight(lit(0L)) { case ((s, b), rest) =>
+      when(col(stratumCol) === s, lit(b)).otherwise(rest)
+    }
+    df.withColumn("n_tokens", TextOps.tokenCount(col(textCol)).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+  }
+
   /** Materialize a packed corpus as size-bounded parquet shards — the
     * training-data layout: each (group, shard) directory holds
     * `binsPerShard` consecutive packing bins (≤ binsPerShard × budget

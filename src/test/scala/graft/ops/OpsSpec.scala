@@ -85,6 +85,43 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("incremental near-dups: cross pairs only, all above threshold, matches exact") {
+    val newDocs = docs.filter(col("doc_id") % 2 === 1)
+    val kept = docs.filter(col("doc_id") % 2 === 0)
+    val got = Dedup.incrementalNearDups(newDocs, kept, threshold = 0.5).collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("new_id") % 2 == 1 && r.getAs[Long]("kept_id") % 2 == 0)
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+    }
+    // exact cross-pairs ground truth (small corpus → all-pairs is fine)
+    val sh = docs.select(col("doc_id"), Dedup.shingles("text", 3).as("g"))
+    val exact = sh.select(col("doc_id").as("new_id"), col("g").as("ga"))
+      .crossJoin(sh.select(col("doc_id").as("kept_id"), col("g").as("gb")))
+      .filter(col("new_id") % 2 === 1 && col("kept_id") % 2 === 0)
+      .withColumn("j", Dedup.jaccardCol("ga", "gb")).filter(col("j") >= 0.5)
+      .select("new_id", "kept_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == lsh, s"missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
+  test("token-budget sample: per-stratum prefix fills the budget, shortfall < 1 doc") {
+    val budgets = Map("en" -> 900L, "de" -> 500L)
+    val got = Pipeline.tokenBudgetSample(docs, budgets).collect()
+    val byLang = got.groupBy(_.getAs[String]("lang"))
+    assert(byLang.keySet.subsetOf(budgets.keySet), "unbudgeted strata must drop")
+    for ((lang, rows) <- byLang) {
+      val total = rows.map(_.getAs[Long]("n_tokens")).sum
+      val maxDoc = rows.map(_.getAs[Long]("n_tokens")).max
+      val b = budgets(lang)
+      assert(total >= math.min(b, total) && total < b + maxDoc,
+        s"$lang: total $total outside [budget, budget + max doc) for budget $b")
+      // every kept row was admitted while the budget had room
+      rows.foreach(r => assert(
+        r.getAs[Long]("cum_tokens") - r.getAs[Long]("n_tokens") < b))
+    }
+  }
+
   test("exact dedup keeps one id per digest") {
     val d = Dedup.exactDedup(docs)
     assert(d.count() == d.select("digest").distinct().count())
