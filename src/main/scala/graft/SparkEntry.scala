@@ -89,7 +89,7 @@ object SparkEntry {
     // setting that scales: 65,536 bucket values per chunk keep in-bucket
     // pair counts sub-quadratic as the corpus grows.
     "d03b_simhash_prod" -> ((s, dir) => rt(s, {
-      val salted = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+      val salted = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"),
           expr("array_join(flatten(transform(split(lower(text), ' '), " +
             "w -> array(w, concat('s', cast(doc_id AS STRING))))), ' ')").as("text"))
@@ -925,7 +925,7 @@ object SparkEntry {
     // this ground truth.
     "d03b_simhash_prod" ->
       """WITH s0 AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
-        |  FROM documents WHERE doc_id % 2 = 0),
+        |  FROM documents WHERE doc_id % 5 = 0),
         |sal AS (SELECT doc_id, flatten([[toks[i], 's' || CAST(doc_id AS VARCHAR)]
         |  for i in range(1, len(toks) + 1)]) AS tk FROM s0),
         |u AS (SELECT doc_id, tk FROM sal
