@@ -324,6 +324,13 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id"))),
 
+    // segment-level dedup (RefinedWeb line-dedup): 20-token windows, each
+    // distinct window kept only at its first (doc, pos) occurrence, docs
+    // reassembled from their surviving segments
+    "t17_segment_dedup" -> ((s, dir) => rt(s,
+      ops.TextOps.dedupSegments(t(s, dir, "documents"))
+        .orderBy("doc_id"))),
+
     // absolute token-budget mixture: md5-ordered prefix per language until
     // each budget fills (the "build an N-token training mix" primitive)
     "t16_token_budget" -> ((s, dir) => rt(s,
@@ -1290,6 +1297,21 @@ object SparkEntry {
         |  WHEN 'zh' THEN TRUE
         |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000' END
         |ORDER BY doc_id""".stripMargin,
+    "t17_segment_dedup" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |segl AS (SELECT doc_id,
+        |  [{'pos': k - 1, 'seg': array_to_string(w[(k-1)*20+1 : (k-1)*20+20], ' ')}
+        |   for k in range(1, GREATEST(CAST(ceil(len(w) / 20.0) AS INT), 1) + 1)] AS segs
+        |  FROM ws),
+        |seg AS (SELECT doc_id, u.pos AS pos, u.seg AS seg
+        |  FROM (SELECT doc_id, unnest(segs) AS u FROM segl)
+        |  WHERE len(u.seg) > 0),
+        |kept AS (SELECT doc_id, pos, seg FROM seg
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(seg)
+        |    ORDER BY doc_id, pos) = 1)
+        |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_deduped,
+        |  count(*) AS n_segments_kept
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t16_token_budget" ->
       """WITH tk AS (SELECT doc_id, lang,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens

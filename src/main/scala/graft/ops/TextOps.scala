@@ -165,6 +165,53 @@ object TextOps {
         .as(Seq("chunk_id", "chunk")))
   }
 
+  /** Fixed-size token windows as segment strings: the segment generator for
+    * [[dedupSegments]] on corpora without natural line/paragraph breaks.
+    * The split word array binds ONCE as a lambda variable (array wrap) —
+    * referencing it per window would re-split the document per segment.
+    */
+  def tokenWindowSegments(textCol: String, n: Int): org.apache.spark.sql.Column =
+    expr(
+      s"""element_at(transform(array(split($textCol, ' ')),
+         |  ws -> transform(
+         |    sequence(0, greatest(cast(ceil(size(ws) / ${n}.0) AS INT), 1) - 1),
+         |    k -> array_join(slice(ws, k * $n + 1, $n), ' '))), 1)""".stripMargin)
+
+  /** Segment-level exact dedup — RefinedWeb/C4-style line dedup generalized:
+    * split every document into segments, keep each distinct segment only at
+    * its FIRST occurrence in (id, position) order, reassemble survivors in
+    * original order (documents left with no segments drop). Near-duplicate
+    * documents shrink to their novel content instead of being dropped whole
+    * — the granularity between exact doc-dedup (d01) and near-dup pair
+    * removal (d02-d08). Returns (id, text_deduped, n_segments_kept).
+    *
+    * Scale design: segments shuffle ONCE keyed by their md5 digest (the
+    * global first-occurrence decision is a window min over the digest
+    * partition — no self-join), and kept segments shuffle once more back to
+    * their document for reassembly. Only segment text rides those shuffles;
+    * if segments are huge, pre-hash to (digest, id, pos) for the decision
+    * and re-join the winners against a segment scan instead.
+    */
+  def dedupSegments(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    segments: org.apache.spark.sql.Column = null): DataFrame = {
+    val segCol = Option(segments).getOrElse(tokenWindowSegments(textCol, 20))
+    val segs = df.select(col(idCol), posexplode(segCol).as(Seq("pos", "seg")))
+      .filter(length(col("seg")) > 0)
+      .withColumn("digest", md5(col("seg")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("digest")
+    segs
+      .withColumn("first",
+        min(struct(col(idCol).as("i"), col("pos").as("p"))).over(w))
+      .filter(col("first.i") === col(idCol) && col("first.p") === col("pos"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("seg")))),
+            s => s.getField("seg")), " ").as("text_deduped"),
+        count(lit(1)).as("n_segments_kept"))
+  }
+
   /** Exact per-group length quantiles (p25/p50/p75, linearly interpolated —
     * the same R-7 definition DuckDB's quantile_cont uses). Exact percentile
     * is a one-shuffle sort-based aggregate; switch to percentile_approx at

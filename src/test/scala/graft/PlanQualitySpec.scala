@@ -177,6 +177,17 @@ class PlanQualitySpec extends SparkTestBase {
     assert(firstShingleRef >= 0 && pairExchange >= 0, p)
   }
 
+  test("e01: both session windows AND the session aggregate ride ONE hash exchange") {
+    // the round-5 wire fix: window projects keep pass-through attributes, so
+    // the lag window's exchange satisfies the sum window and the (user_id,
+    // session_no) aggregate (subset partitioning) — a regression reintroduces
+    // a fresh exchange + sort per stage
+    val p = plan("e01_sessions")
+    val hashEx = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx == 1, s"expected exactly one hash exchange, got $hashEx:\n$p")
+  }
+
   test("s06: saved-IVF probe prunes the scan to the probed cell directories") {
     Tables.register(spark, sfDir)
     val e = Tables.table(spark, sfDir, "embeddings")

@@ -122,6 +122,19 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("segment dedup: every distinct segment survives exactly once, at its first (id,pos)") {
+    val got = TextOps.dedupSegments(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val segs = docs.select(col("doc_id"),
+        posexplode(TextOps.tokenWindowSegments("text", 20)).as(Seq("pos", "seg")))
+      .filter(length(col("seg")) > 0).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val expect = segs.groupBy(_._3).values
+      .map(occ => occ.map(o => (o._1, o._2)).min._1)
+      .groupBy(identity).map { case (id, v) => id -> v.size.toLong }
+    assert(got == expect, s"per-doc kept-segment counts diverge")
+  }
+
   test("exact dedup keeps one id per digest") {
     val d = Dedup.exactDedup(docs)
     assert(d.count() == d.select("digest").distinct().count())
