@@ -72,6 +72,30 @@ object Ivf {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Assign NEW vectors to an EXISTING quantizer — the incremental-ingest
+    * path: cell boundaries stay stable (no retraining, no re-assignment of
+    * old vectors), the new batch maps in one narrow stage. */
+  def assign(index: IvfIndex, newVectors: DataFrame, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame =
+    newVectors
+      .select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
+      .withColumn("cell", nearestCells(col("n_vec"), index.centroids, 1).getItem(0))
+
+  /** Grow a SAVED index with a new vector batch: assign against the saved
+    * centroids and APPEND into the cell-partitioned layout — old cell files
+    * are untouched (append writes new files into the same cell directories),
+    * so the ingest cost is proportional to the batch, not the index, and a
+    * concurrent reader keeps partition pruning. Returns the reloaded index.
+    */
+  def appendToSaved(spark: org.apache.spark.sql.SparkSession, path: String,
+                    newVectors: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): IvfIndex = {
+    val idx = load(spark, path)
+    assign(idx, newVectors, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    load(spark, path)
+  }
+
   /** Load a saved index; `assigned` scans prune to probed cells. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     val cents = spark.read.parquet(s"$path/centroids")

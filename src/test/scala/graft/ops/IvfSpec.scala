@@ -34,6 +34,27 @@ class IvfSpec extends SparkTestBase {
     assert(got.intersect(brute).nonEmpty)
   }
 
+  test("incremental append: grown saved index equals building over the union") {
+    val oldHalf = embs.filter(col("vec_id") % 2 === 0)
+    val newHalf = embs.filter(col("vec_id") % 2 === 1)
+    val idx = Ivf.build(oldHalf, nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    Ivf.save(idx, dir)
+    val grown = Ivf.appendToSaved(spark, dir, newHalf)
+    assert(grown.centroids == idx.centroids, "append must not move centroids")
+    // the grown index answers exactly like the same quantizer assigned over
+    // the full corpus in one shot
+    val oneShot = Ivf.IvfIndex(idx.centroids, Ivf.assign(idx, embs))
+    val queries = embs.filter(col("vec_id") < 4)
+    val a = Ivf.searchPruned(grown, queries, k = 5, nprobe = 3)
+      .collect().map(_.toString).sorted
+    val b = Ivf.search(oneShot, queries, k = 5, nprobe = 3)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b), "append path must equal one-shot assignment")
+    // old cell files untouched: ingest wrote only the new batch's rows
+    assert(grown.assigned.count() == embs.count())
+  }
+
   test("saved index reloads: identical results, probe prunes to cell partitions") {
     val idx = Ivf.build(embs, nlist = 8)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
