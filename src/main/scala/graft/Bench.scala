@@ -53,9 +53,12 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // stdout gets truncated/interleaved by harnesses; the file is the durable copy
+    // stdout gets truncated/interleaved by harnesses; the file is the durable
+    // copy. Subset (single-query debug) runs write to a -partial file so they
+    // never clobber the last full-run record.
+    val defaultOut = if (only.isEmpty) "bench-out.json" else "bench-out-partial.json"
     val outPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-out.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
     java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }

@@ -194,18 +194,23 @@ object Dedup {
                           numHashes: Int = 64, bands: Int = 16,
                           shingleSize: Int = 3, threshold: Double = 0.5,
                           maxBucket: Int = 1000): DataFrame = {
-    val newBands = bandedSignatures(newDocs, idCol, textCol, numHashes,
-      bands, shingleSize, "new_id")
-    val keptBands = bandedSignatures(existing, idCol, textCol, numHashes,
-      bands, shingleSize, "kept_id")
-    // the hot-bucket set is tiny by definition (hot = many members), so it
-    // broadcasts; map-side combine collapses the count before its shuffle
-    val hot = keptBands.groupBy("band_idx", "band_hash")
-      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
-      .select("band_idx", "band_hash")
-    val keptCapped = keptBands
-      .join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
-    val candidates = newBands.join(keptCapped, Seq("band_idx", "band_hash"))
+    // per-side occupancy via a WINDOW count: one pass over each side's
+    // bands (no second signature computation for a separate groupBy), and
+    // the window's hash partitioning on the band key is exactly the join
+    // key, so the candidate join reuses the exchange. A bucket hot on
+    // EITHER side drops — capping only the kept side would let a templated
+    // new-batch cluster explode the join just the same.
+    def capped(bandsDf: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band_idx", "band_hash")
+      bandsDf.withColumn("bn", count(lit(1)).over(w))
+        .filter(col("bn") <= maxBucket).drop("bn")
+    }
+    val newBands = capped(bandedSignatures(newDocs, idCol, textCol,
+      numHashes, bands, shingleSize, "new_id"))
+    val keptBands = capped(bandedSignatures(existing, idCol, textCol,
+      numHashes, bands, shingleSize, "kept_id"))
+    val candidates = newBands.join(keptBands, Seq("band_idx", "band_hash"))
       .select("new_id", "kept_id").distinct()
     // exact verify on hashed shingles (8-byte longs; |A∩B| unchanged, the
     // string-shingle oracle certifies — same contract as ngramJaccardPairs)

@@ -266,13 +266,16 @@ object TextOps {
       .agg(sum("bc").as("pc"))
     val model = bc.join(pc, substring(col("g"), 1, 1) === col("c1"))
       .select(col("g"), (col("bc").cast("double") / col("pc")).as("p"))
-    // bounded probe: collect at most maxLiteralModel+1 rows to DECIDE which
-    // path to take — collecting the full model first would materialize up to
-    // charset² rows on the driver (hundreds of millions for CJK), an OOM in
-    // exactly the case the broadcast-join fallback exists for
-    val probe = model.limit(maxLiteralModel + 1).collect()
-    if (probe.length <= maxLiteralModel) {
-      val entries = probe
+    // decide the path with a distributed COUNT over the PERSISTED model —
+    // never a driver collect of a potentially charset²-row frame (CJK OOM),
+    // and never a second corpus-scan to rebuild the model for the chosen
+    // branch (the aggregation over the corpus is the dominant cost; the
+    // cached frame itself is ≤ charset² tiny rows)
+    val modelP = model.persist()
+    val isLiteral = modelP.count() <= maxLiteralModel
+    if (isLiteral) {
+      val entries = modelP.collect()
+      modelP.unpersist()
       val kvs = entries.toSeq.flatMap(r =>
         Seq(lit(r.getString(0)), lit(r.getDouble(1))))
       val modelMap = map(kvs: _*)
@@ -289,7 +292,9 @@ object TextOps {
               a + round(log(element_at(modelMap, g)) * 1e9).cast("long"))
               .cast("double") / 1e9 / size(col("gs")), 6).as("avg_logp"))
     } else
-      grams.join(broadcast(model), "g")
+      // the persisted model frame backs the scoring join (staying cached for
+      // the job is the point — rebuilding it would re-scan the corpus)
+      grams.join(broadcast(modelP), "g")
         .groupBy(col(idCol))
         .agg(
           count(lit(1)).as("n_bigrams"),

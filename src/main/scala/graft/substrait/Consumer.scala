@@ -327,6 +327,11 @@ object Consumer {
                               _ => None): Seq[Column] =
       measures.map { m =>
         val fname = name(m.function.functionReference).toLowerCase
+        // grouping() is structural, not data-dependent: a FILTER clause
+        // would wrap the rebound grouping column in when(p, col) and break
+        // resolution against the grouping sets — reject loudly
+        if (fname == "grouping" && m.filter.isDefined)
+          notImplemented("grouping measure with a FILTER clause")
         val rawArgs =
           if (fname == "grouping")
             m.function.args.map(e => groupingResolve(e).getOrElse(toColumn(e, df)))

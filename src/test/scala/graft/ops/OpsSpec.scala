@@ -110,12 +110,21 @@ class OpsSpec extends SparkTestBase {
     val got = Pipeline.tokenBudgetSample(docs, budgets).collect()
     val byLang = got.groupBy(_.getAs[String]("lang"))
     assert(byLang.keySet.subsetOf(budgets.keySet), "unbudgeted strata must drop")
+    // stratum token totals in the source, to distinguish "budget filled"
+    // from "stratum exhausted"
+    val available = docs
+      .groupBy("lang").agg(sum(TextOps.tokenCount(col("text")).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     for ((lang, rows) <- byLang) {
       val total = rows.map(_.getAs[Long]("n_tokens")).sum
       val maxDoc = rows.map(_.getAs[Long]("n_tokens")).max
       val b = budgets(lang)
-      assert(total >= math.min(b, total) && total < b + maxDoc,
-        s"$lang: total $total outside [budget, budget + max doc) for budget $b")
+      if (available(lang) >= b)
+        assert(total >= b && total < b + maxDoc,
+          s"$lang: total $total outside [budget, budget + max doc) for budget $b")
+      else
+        assert(total == available(lang),
+          s"$lang: stratum exhausted but total $total != available ${available(lang)}")
       // every kept row was admitted while the budget had room
       rows.foreach(r => assert(
         r.getAs[Long]("cum_tokens") - r.getAs[Long]("n_tokens") < b))
