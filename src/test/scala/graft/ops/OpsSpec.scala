@@ -57,6 +57,32 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("size-bucketing losslessness holds on adversarial random corpora (seeded)") {
+    // tiny vocab → heavy shingle collisions; lengths spanning many geometric
+    // buckets, plus degenerate docs (empty, single-token, exact twins) —
+    // the shapes that stress the home/guest adjacency argument
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d")
+    def doc(len: Int): String = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val lens = Seq(0, 1, 2, 3, 5, 8, 13, 30, 80, 200, 500)
+    val rows = (0 until 60).map { i =>
+      (i.toLong, if (i < lens.size) doc(lens(i)) else doc(1 + rnd.nextInt(300)))
+    } ++ Seq((900L, doc(40))).flatMap(t => Seq(t, (901L, t._2))) // exact twin pair
+    import spark.implicits._
+    val df = rows.toDF("doc_id", "text").withColumn("lang", lit("x"))
+    for (t <- Seq(0.07, 0.33, 0.5, 0.95)) {
+      def run(b: Boolean) =
+        Dedup.ngramJaccardPairs(df, "doc_id", "text", blockCols = Seq("lang"),
+            threshold = t, sizeBucketing = b)
+          .select("id_a", "id_b", "jaccard").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val bucketed = run(true)
+      val flat = run(false)
+      assert(bucketed == flat,
+        s"t=$t: lost ${flat -- bucketed}, invented ${bucketed -- flat}")
+    }
+  }
+
   test("size-bucketed pairs are emitted exactly once (no dup from the guest copies)") {
     val rows = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       blockCols = Seq("lang"), threshold = 0.1)
