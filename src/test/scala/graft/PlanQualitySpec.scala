@@ -208,6 +208,33 @@ class PlanQualitySpec extends SparkTestBase {
     assert(cells.length == 2, s"expected the 2 probed cells, got ${in.get.group(1)}:\n$p")
   }
 
+  test("round-5 queries: no cartesian products or nested-loop joins") {
+    for (q <- Seq("d03b_simhash_prod", "d10_incremental_neardup",
+      "t16_token_budget", "t17_segment_dedup", "s06_knn_ivf_saved")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+    }
+  }
+
+  test("d10: signatures band before the candidate join; text never rides the band shuffle") {
+    val p = plan("d10_incremental_neardup")
+    // the band-keyed exchanges ship (id, band_idx, band_hash) triples — the
+    // xxhash64 shingle arrays appear only in the verify joins above them
+    val ex = p.indexOf("Exchange hashpartitioning")
+    assert(ex >= 0, p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"candidate join must be keyed:\n$p")
+  }
+
+  test("t16: token budget is one window pass (single hash exchange + the output sort)") {
+    val p = plan("t16_token_budget")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"expected exactly the stratum-key shuffle:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("t10/t11: narrow text ops — no shuffle except the deterministic sort") {
     for (q <- Seq("t10_repetition", "t11_mixture_sample")) {
       val p = plan(q)
