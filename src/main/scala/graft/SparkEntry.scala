@@ -133,6 +133,19 @@ object SparkEntry {
       ops.Dedup.connectedComponents(pairs, stepThroughWire = true).orderBy("node")
     }),
 
+    // streaming-shaped incremental dedup as its batch twin: the new batch
+    // anti-joins a static kept-digest table, then dedups in-batch — the
+    // EXACT call EventStreamSpec runs on a readStream frame (stream-static
+    // left_anti). Output = the novel digest set (deterministic either way).
+    "e04_stream_incremental_dedup" -> ((s, dir) => rt(s, {
+      val d = t(s, dir, "documents")
+      streaming.EventStream.streamingIncrementalDedup(
+        d.filter(col("doc_id") % 2 === 1),
+        d.filter(col("doc_id") % 2 === 0)
+          .select(ops.TextOps.fingerprint(col("text")).as("digest")))
+        .select("digest").orderBy("digest")
+    })),
+
     // incremental NEAR-dup: the new batch (odd ids) LSH-checked against the
     // kept corpus (even ids) — the near-dup companion to d07's exact-digest
     // ingest. Banding params match d02 (measured-complete on the planted
@@ -957,6 +970,13 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
         |SELECT blk, id_a, id_b, ROUND(j, 6) AS jaccard FROM p
         |WHERE j >= 0.3 ORDER BY blk, id_a, id_b""".stripMargin,
+    "e04_stream_incremental_dedup" ->
+      """WITH nd AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |kd AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT digest FROM nd WHERE digest NOT IN (SELECT digest FROM kd)
+        |ORDER BY digest""".stripMargin,
     // exact all-pairs jaccard across the odd/even split — the same
     // certification technique as d02, restricted to cross pairs
     "d10_incremental_neardup" ->

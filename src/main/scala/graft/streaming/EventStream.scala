@@ -46,6 +46,29 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicates(idCols :+ "ts")
 
+  /** Streaming incremental dedup against a STATIC kept corpus: the ingest
+    * shape — documents arrive as a stream, each batch drops rows whose
+    * content digest already exists in the kept table (stream-static
+    * left_anti join; the static side is re-scannable per micro-batch, so a
+    * growing kept table is picked up on restart), then in-stream duplicates
+    * drop via keyed state. Works identically on batch frames (specs assert
+    * streaming == batch).
+    *
+    * Scale shape: only digests join — the static side reduces to a distinct
+    * digest projection that Catalyst prunes to one column; with the kept
+    * digests written as a parquet table the anti-join build side stays
+    * columnar and the stream side never shuffles its payloads.
+    */
+  def streamingIncrementalDedup(newDocs: DataFrame, keptDigests: DataFrame,
+                                idCol: String = "doc_id",
+                                textCol: String = "text"): DataFrame = {
+    val digested = newDocs.withColumn("digest",
+      graft.ops.TextOps.fingerprint(col(textCol)))
+    digested
+      .join(keptDigests.select(col("digest")).distinct(), Seq("digest"), "left_anti")
+      .dropDuplicates("digest")
+  }
+
   /** Stream-stream interval join: pair each left event with the right events
     * of the same key whose time falls in [leftTs − horizon, leftTs]. With
     * watermarks on BOTH sides and a two-sided time bound, Spark keeps join

@@ -277,6 +277,27 @@ object Producer {
         val in = toRel(d.child)
         Produced(Rel.Aggregate(in.rel, Seq(in.attrs.indices.map(SExpr.FieldRef(_))), Nil),
           in.attrs)
+      // subset-key dedup (dropDuplicates(keys)): encoded exactly as Spark's
+      // own ReplaceDeduplicateWithAggregate rewrite executes it — groupBy the
+      // keys, first() every other column — plus a ProjectRel restoring the
+      // child's column order (AggregateRel output is groups ++ measures)
+      case d: logical.Deduplicate =>
+        val in = toRel(d.child)
+        val keyIds = d.keys.map(_.exprId).toSet
+        val keyIdx = in.attrs.zipWithIndex.collect {
+          case (a, i) if keyIds.contains(a.exprId) => i
+        }
+        val otherIdx = in.attrs.zipWithIndex.collect {
+          case (a, i) if !keyIds.contains(a.exprId) => i
+        }
+        val measures = otherIdx.map(i => Measure(
+          AggFunction(anchor("first"), Seq(SExpr.FieldRef(i)), AggInvocation.All),
+          None))
+        val aggRel = Rel.Aggregate(in.rel,
+          Seq(keyIdx.map(SExpr.FieldRef(_))), measures)
+        val aggPos: Map[Int, Int] = (keyIdx ++ otherIdx).zipWithIndex.toMap
+        Produced(Rel.Project(aggRel,
+          in.attrs.indices.map(i => SExpr.FieldRef(aggPos(i)))), in.attrs)
 
       // streaming watermarks are execution-time metadata with no substrait
       // 0.3 counterpart; on a batch frame the plan's semantics are identical

@@ -156,6 +156,31 @@ class EventStreamSpec extends SparkTestBase {
     assert(sessions.filter(col("session_end") < col("session_start")).count() == 0)
   }
 
+  test("streaming incremental dedup: stream-static anti-join == batch twin") {
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents")
+    val docsDir = Files.createTempDirectory("graft_incdocs").toString
+    docs.filter(col("doc_id") % 2 === 1).coalesce(2)
+      .write.mode("overwrite").parquet(docsDir)
+    val sNew = spark.readStream
+      .schema(spark.read.parquet(docsDir).schema).parquet(docsDir)
+    val kept = docs.filter(col("doc_id") % 2 === 0)
+      .select(graft.ops.TextOps.fingerprint(col("text")).as("digest"))
+    val q = graft.streaming.EventStream.streamingIncrementalDedup(sNew, kept)
+      .select("digest")
+      .writeStream.format("memory").queryName("inc_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("inc_out").collect().map(_.getString(0)).toSet
+      val batch = graft.streaming.EventStream.streamingIncrementalDedup(
+          docs.filter(col("doc_id") % 2 === 1), kept)
+        .select("digest").collect().map(_.getString(0)).toSet
+      assert(streamed == batch, "stream and batch must keep identical digests")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("curation ops run unchanged on a stream: repetition + mixture == batch") {
     // the narrow curation operators (zero-shuffle projections/filters) are
     // streaming-compatible by construction — continuous-ingest curation

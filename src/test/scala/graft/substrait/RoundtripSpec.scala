@@ -249,6 +249,17 @@ class RoundtripSpec extends SparkTestBase {
         |FROM data GROUP BY CUBE (a, d)""".stripMargin))
   }
 
+  // subset-key dropDuplicates rides the wire as groupBy(keys)+first(others)
+  // (the same rewrite Spark's ReplaceDeduplicateWithAggregate executes);
+  // a deterministic projection of the kept KEY set must round-trip exactly
+  test("dropDuplicates on a key subset rides the wire") {
+    fixture
+    val df = spark.table("data").dropDuplicates("a").select(col("a"))
+    assertRoundtrip(df)
+    val full = spark.table("data").dropDuplicates("a", "b", "c", "d")
+    assertRoundtrip(full)
+  }
+
   // A FOREIGN plan can encode grouping() as an aggregate MEASURE named
   // "grouping" — the reference's AggregateFunction::from_str accepts it
   // (consumer.rs:383-415). Graft's own producer rides grouping() through the
