@@ -42,6 +42,12 @@ object Producer {
     private val registry = mutable.LinkedHashMap.empty[String, Int]
     def anchor(name: String): Int = registry.getOrElseUpdate(name, registry.size)
 
+    // CTE definitions in scope (WithCTE registers, CTERelationRef inlines):
+    // substrait 0.3 has no common-subplan sharing, so each reference
+    // re-produces the definition's subtree — the same inlined form the
+    // reference engines exchange
+    private val cteDefs = mutable.Map.empty[Long, LogicalPlan]
+
     // lambda-variable slot assignment (depth-first scope order) for the
     // __lambda/__lambda_var wire convention; see the LambdaFunction case
     private val lambdaSlots = mutable.Map.empty[ExprId, Int]
@@ -335,6 +341,34 @@ object Producer {
         val l = toRel(e.left); val r = toRel(e.right)
         val op = if (e.isAll) SetOp.MinusMultiset else SetOp.MinusPrimary
         Produced(Rel.Set(Seq(l.rel, r.rel), op), l.attrs)
+
+      // WITH ... : register the definitions, produce the main plan; each
+      // CTERelationRef inlines its definition's subtree with the REF's
+      // output attributes (positional match) so parent exprId lookups bind
+      case w: logical.WithCTE =>
+        w.cteDefs.foreach(d => cteDefs(d.id) = d.child)
+        toRel(w.plan)
+      case r: logical.CTERelationRef =>
+        val child = cteDefs.getOrElse(r.cteId,
+          internalErr(s"CTERelationRef ${r.cteId} without a WithCTE definition"))
+        val in = toRel(child)
+        if (in.attrs.size != r.output.size)
+          internalErr(s"CTE ${r.cteId}: def arity ${in.attrs.size} != ref arity ${r.output.size}")
+        Produced(in.rel, r.output)
+
+      // standalone Expand (UNPIVOT / melt): a row-expansion is the union of
+      // its projections — encode as SetRel UnionAll of one ProjectRel per
+      // projection, each over its own copy of the child subtree (substrait
+      // 0.3 has no expand/unnest-projection relation). The consumed plan
+      // scans the child once per branch; Catalyst prunes each branch's scan
+      // to its projection's columns. (Expand under an Aggregate is the
+      // grouping-sets encoding, matched earlier in produceAggregate.)
+      case ex: logical.Expand =>
+        val branches = ex.projections.map { proj =>
+          val in = toRel(ex.child)
+          Rel.Project(in.rel, proj.map(p => toSExpr(p, in.attrs)))
+        }
+        Produced(Rel.Set(branches, SetOp.UnionAll), ex.output)
 
       case other =>
         notImplemented(s"logical plan node ${other.getClass.getSimpleName}")

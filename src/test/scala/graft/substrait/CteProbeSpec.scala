@@ -1,0 +1,37 @@
+package graft.substrait
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Probes for analyzer-surviving plan nodes beyond the core set: WITH CTEs
+  * (single- and multi-reference — Spark keeps `WithCTE`/`CTERelationRef` in
+  * the ANALYZED plan, which is what the producer consumes) and UNPIVOT.
+  */
+class CteProbeSpec extends SparkTestBase {
+
+  private lazy val fixture: Unit = {
+    import spark.implicits._
+    Seq((1L, 2.0, true), (3L, 4.5, false), (3L, 1.5, true))
+      .toDF("a", "b", "d").createOrReplaceTempView("cte_data")
+  }
+
+  test("single-reference CTE rides the wire") {
+    fixture
+    assertRoundtrip(spark.sql(
+      "WITH t AS (SELECT a, b FROM cte_data WHERE d) SELECT a, b FROM t WHERE a > 1"))
+  }
+
+  test("multi-reference CTE (self-join through the CTE) rides the wire") {
+    fixture
+    assertRoundtrip(spark.sql(
+      """WITH t AS (SELECT a, sum(b) AS s FROM cte_data GROUP BY a)
+        |SELECT t1.a, t1.s, t2.s AS s2 FROM t t1 JOIN t t2 ON t1.a = t2.a""".stripMargin))
+  }
+
+  test("UNPIVOT rides the wire") {
+    fixture
+    assertRoundtrip(spark.sql(
+      """SELECT * FROM (SELECT a, b, b * 2 AS c FROM cte_data)
+        |UNPIVOT (val FOR metric IN (b, c))""".stripMargin))
+  }
+}
