@@ -342,6 +342,87 @@ object Producer {
         val op = if (e.isAll) SetOp.MinusMultiset else SetOp.MinusPrimary
         Produced(Rel.Set(Seq(l.rel, r.rel), op), l.attrs)
 
+      // LATERAL (SELECT <aggregates> ... WHERE <equality correlation>): a
+      // correlated apply whose subquery is a GLOBAL aggregate yields exactly
+      // one row per probe row, so it decorrelates into the same grouped LEFT
+      // join as the correlated-scalar-subquery path (group the aggregate by
+      // the lifted keys, left-join, project the aggregate columns; bare
+      // COUNT columns coalesce to 0 on group misses). Multi-row laterals
+      // have no relational wire form — rejected loudly.
+      case lj: logical.LateralJoin
+          if lj.condition.isEmpty &&
+            (lj.joinType == plans.Inner || lj.joinType == plans.LeftOuter) =>
+        def peel(p: LogicalPlan): LogicalPlan = p match {
+          case a: logical.SubqueryAlias => peel(a.child)
+          case v: logical.View => peel(v.child)
+          case other => other
+        }
+        peel(lj.right.plan) match {
+          case agg: logical.Aggregate if agg.groupingExpressions.isEmpty =>
+            val left = toRel(lj.left)
+            def isBareCount(ne: NamedExpression): Boolean = ne match {
+              case Alias(ae: AggregateExpression, _) =>
+                ae.aggregateFunction.prettyName.startsWith("count")
+              case ae: AggregateExpression =>
+                ae.aggregateFunction.prettyName.startsWith("count")
+              case _ => false
+            }
+            val countInWider = agg.aggregateExpressions.exists(ne =>
+              !isBareCount(ne) && ne.exists {
+                case ae: AggregateExpression =>
+                  ae.aggregateFunction.prettyName.startsWith("count")
+                case _ => false
+              })
+            if (countInWider)
+              notImplemented("lateral COUNT inside a wider expression")
+            if (lj.right.outerAttrs.isEmpty) {
+              // uncorrelated lateral aggregate = one-row cross join
+              val sub = toRel(agg)
+              Produced(Rel.Cross(left.rel, sub.rel), lj.left.output ++ agg.output)
+            } else {
+              val (core, _, corr, _) = decorrelateRaw(agg.child, lj.right.outerAttrs)
+              val outerIds = lj.right.outerAttrs.collect {
+                case a: AttributeReference => a.exprId
+              }.toSet
+              val keyPairs: Seq[(Attribute, Attribute)] = corr.map(stripOuter).map {
+                case EqualTo(a: AttributeReference, b: AttributeReference)
+                    if outerIds.contains(a.exprId) && !outerIds.contains(b.exprId) =>
+                  (a, b)
+                case EqualTo(a: AttributeReference, b: AttributeReference)
+                    if outerIds.contains(b.exprId) && !outerIds.contains(a.exprId) =>
+                  (b, a)
+                case other =>
+                  notImplemented(s"non-equality lateral correlation: $other")
+              }
+              if (keyPairs.isEmpty)
+                notImplemented("correlated lateral aggregate without equality keys")
+              val innerKeys = keyPairs.map(_._2).distinctBy(_.exprId)
+              val newAgg = logical.Aggregate(innerKeys,
+                (innerKeys: Seq[NamedExpression]) ++ agg.aggregateExpressions, core)
+              val sub = toRel(newAgg)
+              val both = left.attrs ++ sub.attrs
+              val cond = keyPairs.map { case (o, i) =>
+                SExpr.ScalarFn(anchor("equal"),
+                  Seq(toSExpr(o, left.attrs), toSExpr(i, both)))
+              }.reduceLeft((a, b) => SExpr.ScalarFn(anchor("and"), Seq(a, b)))
+              val joined = Rel.Join(left.rel, sub.rel, cond, JoinType.Left)
+              val nL = left.attrs.size
+              val nK = innerKeys.size
+              val aggAttrs = sub.attrs.drop(nK)
+              val outCols: Seq[SExpr] =
+                left.attrs.indices.map(i => SExpr.FieldRef(i): SExpr) ++
+                  agg.aggregateExpressions.zipWithIndex.map { case (ne, i) =>
+                    if (isBareCount(ne))
+                      toSExpr(Coalesce(Seq(aggAttrs(i), Literal(0L, LongType))), both)
+                    else SExpr.FieldRef(nL + nK + i): SExpr
+                  }
+              Produced(Rel.Project(joined, outCols),
+                lj.left.output ++ lj.right.plan.output)
+            }
+          case _ =>
+            notImplemented("LATERAL subquery that is not a global aggregate")
+        }
+
       // WITH ... : register the definitions, produce the main plan; each
       // CTERelationRef inlines its definition's subtree with the REF's
       // output attributes (positional match) so parent exprId lookups bind
@@ -903,6 +984,12 @@ object Producer {
       case UnboundedPreceding | UnboundedFollowing => WBound.Unbounded
       case CurrentRow => WBound.CurrentRow
       case Cast(inner, _, _, _) => windowBound(inner)
+      // RANGE/ROWS n PRECEDING parses as UnaryMinus(Literal(n)) in SQL form
+      case UnaryMinus(inner, _) => windowBound(inner) match {
+        case WBound.Following(n) => WBound.Preceding(n)
+        case WBound.Preceding(n) => WBound.Following(n)
+        case b => b
+      }
       case Literal(n: Int, _) =>
         if (n < 0) WBound.Preceding(-n.toLong) else WBound.Following(n.toLong)
       case Literal(n: Long, _) =>

@@ -34,4 +34,34 @@ class CteProbeSpec extends SparkTestBase {
       """SELECT * FROM (SELECT a, b, b * 2 AS c FROM cte_data)
         |UNPIVOT (val FOR metric IN (b, c))""".stripMargin))
   }
+
+  test("PIVOT rejects loudly (pivotfirst has no wire form); manual pivot rides") {
+    fixture
+    // Spark lowers SQL PIVOT to the imperative PivotFirst aggregate, which
+    // has no substrait counterpart — and no DataFusion one either (the
+    // reference's from_str list has no pivot function), so loud rejection IS
+    // reference parity. The relational spelling of the same query rides.
+    val e = intercept[Exception](Serializer.roundtrip(spark, spark.sql(
+      """SELECT * FROM (SELECT a, d, b FROM cte_data)
+        |PIVOT (sum(b) FOR d IN (true AS t, false AS f))""".stripMargin)))
+    assert(e.getMessage.contains("pivotfirst"), e.getMessage)
+    assertRoundtrip(spark.sql(
+      """SELECT a, sum(CASE WHEN d THEN b END) AS t,
+        |       sum(CASE WHEN NOT d THEN b END) AS f
+        |FROM cte_data GROUP BY a""".stripMargin))
+  }
+
+  test("LATERAL subquery rides the wire") {
+    fixture
+    assertRoundtrip(spark.sql(
+      """SELECT c.a, l.mb FROM cte_data c,
+        |LATERAL (SELECT max(b) AS mb FROM cte_data i WHERE i.a = c.a) l""".stripMargin))
+  }
+
+  test("RANGE-value window frame rides the wire") {
+    fixture
+    assertRoundtrip(spark.sql(
+      """SELECT a, sum(b) OVER (ORDER BY a RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+        |FROM cte_data""".stripMargin))
+  }
 }
