@@ -58,6 +58,24 @@ class CteProbeSpec extends SparkTestBase {
         |LATERAL (SELECT max(b) AS mb FROM cte_data i WHERE i.a = c.a) l""".stripMargin))
   }
 
+  test("JOIN USING and NATURAL JOIN ride the wire") {
+    fixture
+    import spark.implicits._
+    Seq((1L, "x"), (3L, "y")).toDF("a", "tag").createOrReplaceTempView("cte_dim")
+    assertRoundtrip(spark.sql(
+      "SELECT a, b, tag FROM cte_data JOIN cte_dim USING (a)"))
+    assertRoundtrip(spark.sql(
+      "SELECT * FROM cte_data NATURAL JOIN cte_dim"))
+  }
+
+  test("percent_rank and cume_dist ride the wire") {
+    fixture
+    assertRoundtrip(spark.sql(
+      """SELECT a, percent_rank() OVER (ORDER BY b) AS pr,
+        |       cume_dist() OVER (ORDER BY b) AS cd
+        |FROM cte_data""".stripMargin))
+  }
+
   test("RANGE-value window frame rides the wire") {
     fixture
     assertRoundtrip(spark.sql(
