@@ -791,6 +791,31 @@ object SparkEntry {
           |ORDER BY o_orderkey""".stripMargin))
     }),
 
+    // LATERAL aggregate subquery: decorrelates on the wire into the grouped
+    // left join (bare COUNT coalesces to 0 on group misses)
+    "q38_lateral" -> ((s, dir) => {
+      t(s, dir, "customer"); t(s, dir, "orders")
+      rt(s, s.sql(
+        """SELECT c.c_custkey, l.n_orders, l.max_price
+          |FROM customer c,
+          |LATERAL (SELECT count(*) AS n_orders, max(o_totalprice) AS max_price
+          |         FROM orders o WHERE o.o_custkey = c.c_custkey) l
+          |ORDER BY c.c_custkey""".stripMargin))
+    }),
+
+    // multi-reference CTE: WithCTE/CTERelationRef inline per reference on
+    // the wire (substrait has no subplan sharing)
+    "q39_cte" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+      rt(s, s.sql(
+        """WITH t AS (SELECT l_partkey,
+          |             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+          |           FROM lineitem GROUP BY l_partkey)
+          |SELECT t1.l_partkey, t1.q
+          |FROM t t1 JOIN t t2 ON t1.l_partkey = t2.l_partkey + 1
+          |WHERE t1.q > t2.q ORDER BY t1.l_partkey""".stripMargin))
+    }),
+
     "q35_scalar_correlated" -> ((s, dir) => {
       t(s, dir, "lineitem")
       rt(s, s.sql(
@@ -1696,6 +1721,18 @@ object SparkEntry {
         |                             FROM lineitem l2
         |                             WHERE l2.l_partkey = l1.l_partkey)
         |ORDER BY l1.l_orderkey, l1.l_linenumber""".stripMargin,
+    "q38_lateral" ->
+      """SELECT c.c_custkey,
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT max(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c ORDER BY c.c_custkey""".stripMargin,
+    "q39_cte" ->
+      """WITH t AS (SELECT l_partkey,
+        |             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+        |           FROM lineitem GROUP BY l_partkey)
+        |SELECT t1.l_partkey, t1.q
+        |FROM t t1 JOIN t t2 ON t1.l_partkey = t2.l_partkey + 1
+        |WHERE t1.q > t2.q ORDER BY t1.l_partkey""".stripMargin,
     "q37_not_in_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM (
         |  SELECT o_orderkey, o_totalprice,
