@@ -387,6 +387,8 @@ object Consumer {
         case "grouping" => grouping(one)
         case "first" => first(one)
         case "last" => last(one)
+        case "first_ignore_nulls" => first(one, ignoreNulls = true)
+        case "last_ignore_nulls" => last(one, ignoreNulls = true)
         case other => notImplemented(s"aggregate function $other")
       }
     }

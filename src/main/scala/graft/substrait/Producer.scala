@@ -824,7 +824,17 @@ object Producer {
         case _ => ()
       })
       val measures = measureList.toSeq.map { ae =>
-        val name = dataFusionAggName(ae.aggregateFunction.prettyName)
+        // IGNORE NULLS is part of first/last's SEMANTICS, not an argument —
+        // encoding it as plain first/last would silently change results on
+        // the consumer; distinct extension names keep it explicit (a foreign
+        // consumer that lacks them rejects loudly, the intended contract)
+        val name = ae.aggregateFunction match {
+          case f: org.apache.spark.sql.catalyst.expressions.aggregate.First
+              if f.ignoreNulls => "first_ignore_nulls"
+          case l: org.apache.spark.sql.catalyst.expressions.aggregate.Last
+              if l.ignoreNulls => "last_ignore_nulls"
+          case f => dataFusionAggName(f.prettyName)
+        }
         val args = ae.aggregateFunction.children.map(c => toSExpr(c, inAttrs))
         Measure(
           AggFunction(anchor(name.toLowerCase), args,

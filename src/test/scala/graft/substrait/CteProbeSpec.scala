@@ -76,6 +76,20 @@ class CteProbeSpec extends SparkTestBase {
         |FROM cte_data""".stripMargin))
   }
 
+  test("first/last IGNORE NULLS keep their semantics across the wire") {
+    import spark.implicits._
+    // one non-null value per group → IGNORE NULLS result is deterministic;
+    // a producer that silently dropped the flag would surface the null
+    Seq((1L, Option.empty[Double]), (1L, Some(5.0)),
+        (2L, Some(7.0)), (2L, Option.empty[Double]))
+      .toDF("g", "v").coalesce(1).createOrReplaceTempView("fl_data")
+    val df = spark.sql(
+      "SELECT g, first(v, true) AS fv, last(v, true) AS lv FROM fl_data GROUP BY g")
+    val got = Serializer.roundtrip(spark, df)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 5.0, 5.0), (2L, 7.0, 7.0)), got)
+  }
+
   test("RANGE-value window frame rides the wire") {
     fixture
     assertRoundtrip(spark.sql(
