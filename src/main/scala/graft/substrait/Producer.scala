@@ -4,6 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans
 import org.apache.spark.sql.catalyst.plans.logical
@@ -41,6 +42,13 @@ object Producer {
     /** name → dense anchor, insertion-ordered (producer.rs:393-431). */
     private val registry = mutable.LinkedHashMap.empty[String, Int]
     def anchor(name: String): Int = registry.getOrElseUpdate(name, registry.size)
+
+    // PIVOT lowering: Spark's pivotfirst measure returns an ARRAY the parent
+    // project indexes; the producer rewrites it into one
+    // first(IF(pivot <=> v, value), ignoreNulls) measure per pivot value and
+    // records the array attr → replacement columns here so the parent
+    // project's GetArrayItem(attr, i) resolves to the i-th column
+    private val pivotSlices = mutable.Map.empty[ExprId, Seq[Attribute]]
 
     // CTE definitions in scope (WithCTE registers, CTERelationRef inlines):
     // substrait 0.3 has no common-subplan sharing, so each reference
@@ -465,6 +473,36 @@ object Producer {
       agg.child match {
         case ex: logical.Expand => return produceGroupingSets(agg, ex)
         case _ => ()
+      }
+      // PIVOT: rewrite each pivotfirst measure into per-value
+      // first-ignore-nulls measures (the inner pivot aggregate guarantees at
+      // most one non-null per (group, value), so first IS the pivot cell;
+      // a miss yields NULL — exactly PIVOT's semantics)
+      def isPivot(e: Expression): Boolean = e match {
+        case ae: AggregateExpression =>
+          ae.aggregateFunction.isInstanceOf[aggregate.PivotFirst]
+        case _ => false
+      }
+      if (agg.aggregateExpressions.exists(_.exists(isPivot))) {
+        val newExprs: Seq[NamedExpression] = agg.aggregateExpressions.flatMap {
+          case al @ Alias(ae: AggregateExpression, name) if isPivot(ae) =>
+            val pf = ae.aggregateFunction.asInstanceOf[aggregate.PivotFirst]
+            val slices = pf.pivotColumnValues.zipWithIndex.map { case (v, i) =>
+              Alias(new aggregate.First(
+                If(EqualNullSafe(pf.pivotColumn,
+                    Literal.create(v, pf.pivotColumn.dataType)),
+                  pf.valueColumn,
+                  Literal.create(null, pf.valueColumn.dataType)),
+                ignoreNulls = true).toAggregateExpression(), s"${name}_$i")()
+            }
+            pivotSlices(al.exprId) = slices.map(_.toAttribute)
+            slices
+          case ne if ne.exists(isPivot) =>
+            notImplemented("pivotfirst inside a wider expression")
+          case other => Seq(other)
+        }
+        return produceAggregate(
+          logical.Aggregate(agg.groupingExpressions, newExprs, agg.child))
       }
       val in = toRel(agg.child)
       val groups = agg.groupingExpressions
@@ -1016,6 +1054,12 @@ object Producer {
 
     private def convert(e: Expression, rec: Expression => SExpr): SExpr = e match {
       case Alias(c, _) => rec(c) // names live only in RelRoot (producer.rs:605)
+      // PIVOT extraction: the parent project indexes the pivotfirst array —
+      // resolve to the per-value replacement column recorded by the rewrite
+      // (ordinary array indexing falls through to the element_at case below)
+      case GetArrayItem(a: AttributeReference, Literal(i: Int, _), _)
+          if pivotSlices.contains(a.exprId) =>
+        rec(pivotSlices(a.exprId)(i))
       // Catalyst keeps BETWEEN / nvl / nullif … as RuntimeReplaceable wrappers
       // in the analyzed plan; the replacement is the desugared form the
       // reference's producer sees from DataFusion (producer.rs:473-530)

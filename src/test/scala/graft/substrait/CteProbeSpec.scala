@@ -35,20 +35,18 @@ class CteProbeSpec extends SparkTestBase {
         |UNPIVOT (val FOR metric IN (b, c))""".stripMargin))
   }
 
-  test("PIVOT rejects loudly (pivotfirst has no wire form); manual pivot rides") {
+  test("PIVOT rides the wire (pivotfirst rewritten to per-value first measures)") {
     fixture
-    // Spark lowers SQL PIVOT to the imperative PivotFirst aggregate, which
-    // has no substrait counterpart — and no DataFusion one either (the
-    // reference's from_str list has no pivot function), so loud rejection IS
-    // reference parity. The relational spelling of the same query rides.
-    val e = intercept[Exception](Serializer.roundtrip(spark, spark.sql(
-      """SELECT * FROM (SELECT a, d, b FROM cte_data)
-        |PIVOT (sum(b) FOR d IN (true AS t, false AS f))""".stripMargin)))
-    assert(e.getMessage.contains("pivotfirst"), e.getMessage)
     assertRoundtrip(spark.sql(
-      """SELECT a, sum(CASE WHEN d THEN b END) AS t,
-        |       sum(CASE WHEN NOT d THEN b END) AS f
-        |FROM cte_data GROUP BY a""".stripMargin))
+      """SELECT * FROM (SELECT a, d, b FROM cte_data)
+        |PIVOT (sum(b) FOR d IN (true AS t, false AS f))""".stripMargin))
+    // string pivot values and a two-aggregate pivot
+    import spark.implicits._
+    Seq((1L, "x", 2.0), (1L, "y", 3.0), (2L, "x", 5.0))
+      .toDF("k", "s", "v").createOrReplaceTempView("pv_data")
+    assertRoundtrip(spark.sql(
+      """SELECT * FROM pv_data
+        |PIVOT (sum(v) AS sv, max(v) AS mv FOR s IN ('x' AS cx, 'y' AS cy))""".stripMargin))
   }
 
   test("LATERAL subquery rides the wire") {
