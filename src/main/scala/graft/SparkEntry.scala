@@ -816,6 +816,17 @@ object SparkEntry {
           |WHERE t1.q > t2.q ORDER BY t1.l_partkey""".stripMargin))
     }),
 
+    // PIVOT: pivotfirst rewritten on the wire into per-value first measures
+    "q40_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+      rt(s, s.sql(
+        """SELECT * FROM (SELECT l_returnflag, l_linestatus,
+          |                      CAST(l_quantity AS DECIMAL(18,2)) AS q
+          |               FROM lineitem)
+          |PIVOT (CAST(sum(q) AS DOUBLE) FOR l_linestatus IN ('O' AS o, 'F' AS f))
+          |ORDER BY l_returnflag""".stripMargin))
+    }),
+
     "q35_scalar_correlated" -> ((s, dir) => {
       t(s, dir, "lineitem")
       rt(s, s.sql(
@@ -1721,6 +1732,13 @@ object SparkEntry {
         |                             FROM lineitem l2
         |                             WHERE l2.l_partkey = l1.l_partkey)
         |ORDER BY l1.l_orderkey, l1.l_linenumber""".stripMargin,
+    "q40_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O'
+        |           THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS o,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |           THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS f
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q38_lateral" ->
       """SELECT c.c_custkey,
         |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
