@@ -457,7 +457,10 @@ object Producer {
           val in = toRel(ex.child)
           Rel.Project(in.rel, proj.map(p => toSExpr(p, in.attrs)))
         }
-        Produced(Rel.Set(branches, SetOp.UnionAll), ex.output)
+        // a one-projection expand is just that projection (SetRel needs ≥2)
+        Produced(
+          if (branches.size == 1) branches.head
+          else Rel.Set(branches, SetOp.UnionAll), ex.output)
 
       case other =>
         notImplemented(s"logical plan node ${other.getClass.getSimpleName}")

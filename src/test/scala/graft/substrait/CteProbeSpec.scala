@@ -28,11 +28,17 @@ class CteProbeSpec extends SparkTestBase {
         |SELECT t1.a, t1.s, t2.s AS s2 FROM t t1 JOIN t t2 ON t1.a = t2.a""".stripMargin))
   }
 
-  test("UNPIVOT rides the wire") {
+  test("UNPIVOT rides the wire (incl. 3-branch n-ary union and single-column)") {
     fixture
     assertRoundtrip(spark.sql(
       """SELECT * FROM (SELECT a, b, b * 2 AS c FROM cte_data)
         |UNPIVOT (val FOR metric IN (b, c))""".stripMargin))
+    assertRoundtrip(spark.sql(
+      """SELECT * FROM (SELECT a, b, b * 2 AS c, b + 1 AS e FROM cte_data)
+        |UNPIVOT (val FOR metric IN (b, c, e))""".stripMargin))
+    assertRoundtrip(spark.sql(
+      """SELECT * FROM (SELECT a, b FROM cte_data)
+        |UNPIVOT (val FOR metric IN (b))""".stripMargin))
   }
 
   test("PIVOT rides the wire (pivotfirst rewritten to per-value first measures)") {
