@@ -142,6 +142,22 @@ object Demo {
       Serializer.roundtrip(spark, graft.ops.TextOps.repetitionStats(
         spark.table("documents"))).filter("repetitive").count() +
       " repetitive docs flagged")
+    println("== WITH CTE (multi-reference, inlined) through the wire: " +
+      Serializer.roundtrip(spark, spark.sql(
+        """WITH t AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey)
+          |SELECT count(*) FROM t t1 JOIN t t2 ON t1.l_partkey = t2.l_partkey""".stripMargin))
+        .head.getLong(0) + " joined rows")
+    println("== PIVOT (pivotfirst -> per-value first measures) through the wire: " +
+      Serializer.roundtrip(spark, spark.sql(
+        """SELECT * FROM (SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem)
+          |PIVOT (count(l_quantity) FOR l_linestatus IN ('O' AS o, 'F' AS f))""".stripMargin))
+        .count() + " pivoted rows")
+    println("== LATERAL aggregate subquery (decorrelated) through the wire: " +
+      Serializer.roundtrip(spark, spark.sql(
+        """SELECT c.c_custkey, l.n FROM customer c,
+          |LATERAL (SELECT count(*) AS n FROM orders o
+          |         WHERE o.o_custkey = c.c_custkey) l""".stripMargin))
+        .count() + " rows")
     spark.stop()
   }
 }
