@@ -100,4 +100,23 @@ class CteProbeSpec extends SparkTestBase {
       """SELECT a, sum(b) OVER (ORDER BY a RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
         |FROM cte_data""".stripMargin))
   }
+
+  test("new shapes double round-trip: consumed plans re-produce") {
+    fixture
+    for (q <- Seq(
+      """WITH t AS (SELECT a, sum(b) AS s FROM cte_data GROUP BY a)
+        |SELECT t1.a, t1.s FROM t t1 JOIN t t2 ON t1.a = t2.a""".stripMargin,
+      """SELECT * FROM (SELECT a, d, b FROM cte_data)
+        |PIVOT (sum(b) FOR d IN (true AS t, false AS f))""".stripMargin,
+      """SELECT c.a, l.mb FROM cte_data c,
+        |LATERAL (SELECT max(b) AS mb FROM cte_data i WHERE i.a = c.a) l""".stripMargin,
+      """SELECT * FROM (SELECT a, b, b * 2 AS c FROM cte_data)
+        |UNPIVOT (val FOR metric IN (b, c))""".stripMargin)) {
+      val df = spark.sql(q)
+      val once = Serializer.roundtrip(spark, df)
+      val twice = Serializer.roundtrip(spark, once)
+      assertSameRows(df, twice)
+      assert(twice.columns.toSeq == df.columns.toSeq)
+    }
+  }
 }
