@@ -1006,12 +1006,16 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
         |SELECT blk, id_a, id_b, ROUND(j, 6) AS jaccard FROM p
         |WHERE j >= 0.3 ORDER BY blk, id_a, id_b""".stripMargin,
+    // NOT EXISTS, not NOT IN: the driver side is a left_anti join, and the
+    // two only agree when no NULL digests exist — anti-join semantics keep
+    // the oracle exact even if a NULL text ever enters the fixture
     "e04_stream_incremental_dedup" ->
       """WITH nd AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest
         |  FROM documents WHERE doc_id % 2 = 1),
         |kd AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest
         |  FROM documents WHERE doc_id % 2 = 0)
-        |SELECT digest FROM nd WHERE digest NOT IN (SELECT digest FROM kd)
+        |SELECT digest FROM nd
+        |WHERE NOT EXISTS (SELECT 1 FROM kd WHERE kd.digest = nd.digest)
         |ORDER BY digest""".stripMargin,
     // exact all-pairs jaccard across the odd/even split — the same
     // certification technique as d02, restricted to cross pairs

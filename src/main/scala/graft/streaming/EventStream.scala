@@ -59,14 +59,25 @@ object EventStream {
     * digests written as a parquet table the anti-join build side stays
     * columnar and the stream side never shuffles its payloads.
     */
+  /** `watermarkCol`: on an UNBOUNDED stream the in-stream dedup state grows
+    * one entry per distinct digest forever; pass the event-time column to
+    * bound state to the watermark window (dropDuplicatesWithinWatermark —
+    * exact within the window, the standard streaming-dedup contract). Leave
+    * None for batch frames or short-lived backfills.
+    */
   def streamingIncrementalDedup(newDocs: DataFrame, keptDigests: DataFrame,
-                                idCol: String = "doc_id",
-                                textCol: String = "text"): DataFrame = {
+                                textCol: String = "text",
+                                watermarkCol: Option[String] = None,
+                                watermark: String = "24 hours"): DataFrame = {
     val digested = newDocs.withColumn("digest",
       graft.ops.TextOps.fingerprint(col(textCol)))
-    digested
+    val novel = digested
       .join(keptDigests.select(col("digest")).distinct(), Seq("digest"), "left_anti")
-      .dropDuplicates("digest")
+    watermarkCol match {
+      case Some(c) if novel.isStreaming =>
+        novel.withWatermark(c, watermark).dropDuplicatesWithinWatermark("digest")
+      case _ => novel.dropDuplicates("digest")
+    }
   }
 
   /** Stream-stream interval join: pair each left event with the right events

@@ -368,40 +368,50 @@ object Producer {
         peel(lj.right.plan) match {
           case agg: logical.Aggregate if agg.groupingExpressions.isEmpty =>
             val left = toRel(lj.left)
-            def isBareCount(ne: NamedExpression): Boolean = ne match {
+            // the grouped-left-join rewrite yields NULL on a group miss; a
+            // GLOBAL aggregate over empty input yields NULL only for a BARE
+            // non-count aggregate. Anything non-null-on-empty — coalesce
+            // wraps, literals, count buried in wider expressions — would
+            // silently diverge, so only bare aggregates are accepted: exact
+            // counts coalesce to 0, everything else must be NULL-on-empty.
+            def aggFn(ne: NamedExpression): Option[String] = ne match {
               case Alias(ae: AggregateExpression, _) =>
-                ae.aggregateFunction.prettyName.startsWith("count")
+                Some(ae.aggregateFunction.prettyName)
               case ae: AggregateExpression =>
-                ae.aggregateFunction.prettyName.startsWith("count")
-              case _ => false
+                Some(ae.aggregateFunction.prettyName)
+              case _ => None
             }
-            val countInWider = agg.aggregateExpressions.exists(ne =>
-              !isBareCount(ne) && ne.exists {
-                case ae: AggregateExpression =>
-                  ae.aggregateFunction.prettyName.startsWith("count")
-                case _ => false
-              })
-            if (countInWider)
-              notImplemented("lateral COUNT inside a wider expression")
+            val bareCountNames = Set("count", "count_if")
+            // aggregates whose GLOBAL form yields NULL on empty input — the
+            // only ones whose semantics a join miss reproduces (collect_list
+            // gives [], count_min_sketch an empty sketch, etc.: those would
+            // silently diverge and are rejected)
+            val nullOnEmpty = Set("min", "max", "sum", "avg", "mean", "first",
+              "last", "any_value", "stddev", "stddev_samp", "stddev_pop",
+              "variance", "var_samp", "var_pop", "corr", "covar_samp",
+              "covar_pop", "median", "percentile", "percentile_approx",
+              "approx_percentile", "mode", "skewness", "kurtosis", "bool_and",
+              "bool_or", "every", "max_by", "min_by", "bit_and", "bit_or",
+              "bit_xor")
+            def isBareCount(ne: NamedExpression): Boolean =
+              aggFn(ne).exists(bareCountNames.contains)
             if (lj.right.outerAttrs.isEmpty) {
-              // uncorrelated lateral aggregate = one-row cross join
+              // uncorrelated lateral aggregate = one-row cross join; the
+              // global aggregate always yields its row, so there is no
+              // group-miss hazard and any output expression is fine
               val sub = toRel(agg)
               Produced(Rel.Cross(left.rel, sub.rel), lj.left.output ++ agg.output)
             } else {
-              val (core, _, corr, _) = decorrelateRaw(agg.child, lj.right.outerAttrs)
-              val outerIds = lj.right.outerAttrs.collect {
-                case a: AttributeReference => a.exprId
-              }.toSet
-              val keyPairs: Seq[(Attribute, Attribute)] = corr.map(stripOuter).map {
-                case EqualTo(a: AttributeReference, b: AttributeReference)
-                    if outerIds.contains(a.exprId) && !outerIds.contains(b.exprId) =>
-                  (a, b)
-                case EqualTo(a: AttributeReference, b: AttributeReference)
-                    if outerIds.contains(b.exprId) && !outerIds.contains(a.exprId) =>
-                  (b, a)
-                case other =>
-                  notImplemented(s"non-equality lateral correlation: $other")
+              agg.aggregateExpressions.foreach { ne =>
+                val ok = aggFn(ne).exists(n =>
+                  nullOnEmpty.contains(n) || bareCountNames.contains(n))
+                if (!ok) notImplemented(
+                  s"lateral output $ne: only bare NULL-on-empty aggregates (or " +
+                    "bare counts) survive the grouped-join rewrite — anything " +
+                    "non-null on an empty group would silently diverge")
               }
+              val (core, _, corr, _) = decorrelateRaw(agg.child, lj.right.outerAttrs)
+              val keyPairs = correlationKeyPairs(corr, lj.right.outerAttrs, "lateral")
               if (keyPairs.isEmpty)
                 notImplemented("correlated lateral aggregate without equality keys")
               val innerKeys = keyPairs.map(_._2).distinctBy(_.exprId)
@@ -474,7 +484,14 @@ object Producer {
       */
     private def produceAggregate(agg: logical.Aggregate): Produced = {
       agg.child match {
-        case ex: logical.Expand => return produceGroupingSets(agg, ex)
+        // only the grouping-sets Expand (trailing spark_grouping_id) takes
+        // the multi-groupings path — an aggregate directly over an UNPIVOT
+        // Expand falls through to the generic path, whose child production
+        // handles the standalone Expand as a union of projections
+        case ex: logical.Expand
+            if ex.output.nonEmpty &&
+              ex.output.last.name.contains("spark_grouping_id") =>
+          return produceGroupingSets(agg, ex)
         case _ => ()
       }
       // PIVOT: rewrite each pivotfirst measure into per-value
@@ -627,19 +644,7 @@ object Producer {
             if (usesCount && !topIsBareCount) notImplemented(
               "correlated COUNT inside a wider scalar expression")
             val (core, _, corr, _) = decorrelateRaw(agg.child, s.outerAttrs)
-            val outerIds = s.outerAttrs.collect {
-              case a: AttributeReference => a.exprId }.toSet
-            val keyPairs: Seq[(Attribute, Attribute)] =
-              corr.map(stripOuter).map {
-                case EqualTo(a: AttributeReference, b: AttributeReference)
-                    if outerIds.contains(a.exprId) && !outerIds.contains(b.exprId) =>
-                  (a, b)
-                case EqualTo(a: AttributeReference, b: AttributeReference)
-                    if outerIds.contains(b.exprId) && !outerIds.contains(a.exprId) =>
-                  (b, a)
-                case other => notImplemented(
-                  s"non-equality correlation in scalar subquery: $other")
-              }
+            val keyPairs = correlationKeyPairs(corr, s.outerAttrs, "scalar subquery")
             if (keyPairs.isEmpty) notImplemented(
               "correlated scalar subquery without equality keys")
             val innerKeys = keyPairs.map(_._2).distinctBy(_.exprId)
@@ -835,6 +840,27 @@ object Producer {
 
     /** OuterReference(a) → a, so the lifted predicate resolves over the
       * combined (left ++ right) join schema */
+    /** Lifted correlation conjuncts → (outer, inner) equality key pairs —
+      * shared by the correlated-scalar-subquery and LATERAL decorrelations;
+      * anything but `outer = inner` rejects loudly. */
+    private def correlationKeyPairs(corr: Seq[Expression],
+                                    outerAttrs: Seq[Expression],
+                                    what: String): Seq[(Attribute, Attribute)] = {
+      val outerIds = outerAttrs.collect {
+        case a: AttributeReference => a.exprId
+      }.toSet
+      corr.map(stripOuter).map {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if outerIds.contains(a.exprId) && !outerIds.contains(b.exprId) =>
+          (a, b)
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if outerIds.contains(b.exprId) && !outerIds.contains(a.exprId) =>
+          (b, a)
+        case other =>
+          notImplemented(s"non-equality correlation in $what: $other")
+      }
+    }
+
     private def stripOuter(e: Expression): Expression = e.transform {
       case OuterReference(a) => a
     }

@@ -101,6 +101,32 @@ class CteProbeSpec extends SparkTestBase {
         |FROM cte_data""".stripMargin))
   }
 
+  test("aggregate directly over UNPIVOT rides the wire (not the grouping-sets path)") {
+    fixture
+    assertRoundtrip(spark.sql(
+      """SELECT metric, sum(val) AS s FROM (
+        |  SELECT * FROM (SELECT a, b, b * 2 AS c FROM cte_data)
+        |  UNPIVOT INCLUDE NULLS (val FOR metric IN (b, c)))
+        |GROUP BY metric""".stripMargin))
+  }
+
+  test("lateral outputs that are not NULL-on-empty aggregates reject loudly") {
+    fixture
+    // coalesce(max(b), -1) is -1.0 on an empty group in Spark but NULL after
+    // the grouped-join rewrite — silently diverging, so it must reject
+    val e = intercept[Exception](Serializer.roundtrip(spark, spark.sql(
+      """SELECT c.a, l.p FROM cte_data c,
+        |LATERAL (SELECT coalesce(max(b), -1.0) AS p FROM cte_data i
+        |         WHERE i.a = c.a AND i.b > 100) l""".stripMargin)))
+    assert(e.getMessage.contains("NULL-on-empty"), e.getMessage)
+    // collect_list gives [] on empty — also not representable by a join miss
+    val e2 = intercept[Exception](Serializer.roundtrip(spark, spark.sql(
+      """SELECT c.a, l.vs FROM cte_data c,
+        |LATERAL (SELECT collect_list(b) AS vs FROM cte_data i
+        |         WHERE i.a = c.a) l""".stripMargin)))
+    assert(e2.getMessage.contains("NULL-on-empty"), e2.getMessage)
+  }
+
   test("new shapes double round-trip: consumed plans re-produce") {
     fixture
     for (q <- Seq(
