@@ -218,6 +218,14 @@ object Consumer {
         if (lo != 0.0) notImplemented("sample with non-zero lower bound")
         Built(in.df.sample(wr, hi, seed))
 
+      case Rel.ExtHint(input, hint) =>
+        val in = build(input)
+        // Dataset.hint resolves through Catalyst's hint-alias table, so the
+        // canonical names the producer writes (broadcast / merge /
+        // shuffle_hash / shuffle_replicate_nl) all re-resolve; an unknown
+        // name would be dropped with Spark's own analyzer warning
+        Built(in.df.hint(hint))
+
       case Rel.ExtStage(input, stage) =>
         val in = build(input)
         val st = Stages.registry.getOrElse(stage,

@@ -168,10 +168,16 @@ object Producer {
 
       case a: logical.SubqueryAlias => toRel(a.child) // alias stripped (producer.rs:276-280)
       case v: logical.View => toRel(v.child)
-      // join-strategy hints don't cross the wire (substrait carries logical
-      // plans only); the consumer's Catalyst re-derives broadcastability
-      // from stats/AQE, so dropping the hint costs semantics nothing
-      case h: logical.ResolvedHint => toRel(h.child)
+      // join-strategy hints cross the wire as a schema-preserving extension
+      // rel: post-roundtrip plans have no reliable stats, so Catalyst can
+      // invert a hinted broadcast (build the large side) and collapse the
+      // parallelism of everything downstream of the small stream
+      case h: logical.ResolvedHint =>
+        val in = toRel(h.child)
+        h.hints.strategy match {
+          case Some(s) => Produced(Rel.ExtHint(in.rel, s.displayName), in.attrs)
+          case None => in
+        }
 
       case j: logical.Join =>
         val l = toRel(j.left); val r = toRel(j.right)

@@ -137,6 +137,13 @@ object Validator {
         if (lo < 0.0 || hi > 1.0 || lo > hi)
           issues += Issue(path, s"bad sample bounds [$lo, $hi]")
         w
+      case Rel.ExtHint(input, hint) =>
+        val w = walkRel(input, s"$path/hint")
+        if (!Set("broadcast", "merge", "shuffle_hash",
+            "shuffle_replicate_nl").contains(hint))
+          issues += Issue(path, s"unknown join-strategy hint '$hint'")
+        w
+
       case Rel.ExtStage(input, stage) =>
         val w = walkRel(input, s"$path/stage")
         Stages.registry.get(stage) match {

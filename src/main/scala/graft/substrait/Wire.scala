@@ -795,6 +795,18 @@ object Wire {
             any.bytes(2, dw.out.toByteArray)
           })
         })
+      case Rel.ExtHint(in, hint) =>
+        // value = HintRelDetail{hint=1 string}; semantically a no-op for
+        // foreign consumers (placement advice only)
+        rw.msg(9, ew => {
+          writeRel(ew, 2, in)
+          ew.msg(3, any => {
+            any.str(1, hintDetailUrl)
+            val dw = new W
+            dw.str(1, hint)
+            any.bytes(2, dw.out.toByteArray)
+          })
+        })
     })
 
   /** Any.type_url for graft's Generate extension rel detail. */
@@ -805,6 +817,9 @@ object Wire {
   val sampleDetailUrl = "graft.dev/SampleRelDetail"
   /** Any.type_url for graft's named typed-stage detail. */
   val stageDetailUrl = "graft.dev/StageRelDetail"
+
+  /** Any.type_url for graft's join-strategy-hint extension rel detail. */
+  val hintDetailUrl = "graft.dev/HintRelDetail"
 
   /** Output arity of a decoded rel — needed to resolve RelCommon.emit on a
     * ProjectRel, whose mapping indexes the concatenated (input ++
@@ -833,6 +848,7 @@ object Wire {
       val a = relArity(in); if (a < 0) -1 else a + k
     case Rel.ExtExchange(in, _, _, _, _) => relArity(in)
     case Rel.ExtSample(in, _, _, _, _) => relArity(in)
+    case Rel.ExtHint(in, _) => relArity(in)
     case Rel.ExtStage(_, stage) =>
       Stages.registry.get(stage).map(_.outputArity).getOrElse(-1)
   }
@@ -1130,6 +1146,14 @@ object Wire {
                   case _ => false
                 }}
                 Rel.ExtStage(in, stage)
+              case `hintDetailUrl` =>
+                val dr = new R(detail, 0, detail.length)
+                var hint = ""
+                dr.fields { (df, dwt) => (df, dwt) match {
+                  case (1, 2) => hint = dr.str(); true
+                  case _ => false
+                }}
+                Rel.ExtHint(in, hint)
               case other =>
                 notImplemented(s"extension_single rel with foreign detail '$other'")
             }

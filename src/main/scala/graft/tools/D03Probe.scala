@@ -32,7 +32,12 @@ object D03Probe {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
       def summarize(tag: String, df: DataFrame): Unit = {
-        df.count()
+        // collect() executes THIS frame's executedPlan, so the adaptive plan
+        // finalizes and the dump below shows the runtime join strategies
+        // (count() would execute a derived aggregate plan instead)
+        val t0 = System.nanoTime()
+        val n = df.collect().length
+        println(f"PROBE $tag%-6s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
         val plan = df.queryExecution.executedPlan.toString
         println(s"===== $tag =====")
         val counts = plan.split("\n")

@@ -656,6 +656,46 @@ class RoundtripSpec extends SparkTestBase {
     assert(issues.exists(_.msg.contains("unknown typed stage")), issues)
   }
 
+  test("broadcast join-strategy hint survives the wire (ExtHint)") {
+    fixture
+    val left = spark.table("data")
+    val right = spark.table("data2").groupBy("a").agg(max("b").as("mb"))
+    val hinted = left.join(broadcast(right), "a")
+    // the producer must emit the hint as an extension rel
+    val plan = Producer.produce(hinted)
+    val hints = plan.relations.flatMap(r =>
+      collectRels(r.asInstanceOf[model.PlanRel.Root].input) {
+        case h: model.Rel.ExtHint => h })
+    assert(hints.map(_.hint) == Seq("broadcast"), hints)
+    // with auto-broadcast off, ONLY the hint can make the join a
+    // BroadcastHashJoin — so the roundtripped plan keeping BHJ proves the
+    // hint re-applied, not that Catalyst re-derived it from stats
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val rt = Serializer.roundtrip(spark, hinted)
+      assertSameRows(hinted, rt)
+      val phys = rt.queryExecution.executedPlan.toString
+      assert(phys.contains("BroadcastHashJoin"), phys)
+      // control: the unhinted join must NOT broadcast under the same conf,
+      // proving the assertion above is sharp
+      val bare = Serializer.roundtrip(spark, left.join(right, "a"))
+      assert(!bare.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // non-broadcast strategy names ride the same rail
+    val merged = Serializer.roundtrip(spark, left.join(right.hint("merge"), "a"))
+    assertSameRows(hinted, merged)
+    // validator: unknown hint names are flagged without executing
+    val bogus = model.Plan(plan.extensions, Seq(model.PlanRel.Root(
+      model.Rel.ExtHint(
+        model.Rel.Read(model.NamedStruct(Seq("a"), Seq((model.SType.SI64, true))),
+          Seq("data"), None),
+        "zigzag"),
+      Seq("a"))))
+    val issues = Validator.validate(Wire.decode(Wire.encode(bogus)))
+    assert(issues.exists(_.msg.contains("unknown join-strategy hint")), issues)
+  }
+
   private def collectRels[T](rel: model.Rel)(pf: PartialFunction[model.Rel, T]): Seq[T] = {
     val children = rel match {
       case r: model.Rel.Project => Seq(r.input)
@@ -666,6 +706,11 @@ class RoundtripSpec extends SparkTestBase {
       case r: model.Rel.Join => Seq(r.left, r.right)
       case r: model.Rel.Cross => Seq(r.left, r.right)
       case r: model.Rel.Set => r.inputs
+      case r: model.Rel.ExtGenerate => Seq(r.input)
+      case r: model.Rel.ExtExchange => Seq(r.input)
+      case r: model.Rel.ExtSample => Seq(r.input)
+      case r: model.Rel.ExtStage => Seq(r.input)
+      case r: model.Rel.ExtHint => Seq(r.input)
       case _: model.Rel.Read => Nil
     }
     pf.lift(rel).toSeq ++ children.flatMap(collectRels(_)(pf))
