@@ -1122,6 +1122,22 @@ object Producer {
       case LessThanOrEqual(l, r) => fn("lte", rec(l), rec(r))
       case GreaterThan(l, r) => fn("gt", rec(l), rec(r))
       case GreaterThanOrEqual(l, r) => fn("gte", rec(l), rec(r))
+      // TRY eval mode must not be silently dropped: plain "divide" would
+      // turn try_divide(x, 0)'s NULL into an ANSI runtime error on the
+      // consumer. try_* ride as their own SQL-callable names.
+      // NOTE guard form, not Divide(l, r, EvalMode.TRY): the arithmetic
+      // companions' extractors don't expose evalMode, so the constructor
+      // pattern silently never matches
+      case e: Add if e.evalMode == EvalMode.TRY =>
+        fn("try_add", rec(e.left), rec(e.right))
+      case e: Subtract if e.evalMode == EvalMode.TRY =>
+        fn("try_subtract", rec(e.left), rec(e.right))
+      case e: Multiply if e.evalMode == EvalMode.TRY =>
+        fn("try_multiply", rec(e.left), rec(e.right))
+      case e: Divide if e.evalMode == EvalMode.TRY =>
+        fn("try_divide", rec(e.left), rec(e.right))
+      case e: Remainder if e.evalMode == EvalMode.TRY =>
+        fn("try_mod", rec(e.left), rec(e.right))
       case Add(l, r, _) => fn("add", rec(l), rec(r))
       case Subtract(l, r, _) => fn("subtract", rec(l), rec(r))
       // timestamp/date ± interval resolve to dedicated Catalyst nodes; on
@@ -1264,9 +1280,25 @@ object Producer {
       // Spark 4 analyzes encode()/decode() into StaticInvoke wrappers —
       // re-surface the SQL-callable name (args beyond (input, charset) are
       // legacy-behavior flags the session already defaults)
+      // base64() analyzes to StaticInvoke(Base64.encode(input, legacyChunk
+      // FLAG)) — functionName is also "encode", so match the owner class
+      // before the charset-encode cases below
       case si: org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-          if si.functionName == "encode" && si.arguments.size >= 2 =>
+          if si.functionName == "encode" &&
+            si.staticObject.getName.contains("expressions.Base64") =>
+        fn("base64", rec(si.arguments(0)))
+      case si: org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+          if si.functionName == "encode" && si.arguments.size >= 2 &&
+            si.arguments(1).dataType == StringType =>
         fn("encode", rec(si.arguments(0)), rec(si.arguments(1)))
+      // CAST(string AS binary) analyzes to StaticInvoke(encode) whose 2nd
+      // argument is a legacy-behavior BOOLEAN (no charset — UTF-8 implied);
+      // emitting that boolean as the charset would make the consumer throw,
+      // so ride it as the plain binary cast it is
+      case si: org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+          if si.functionName == "encode" && si.arguments.nonEmpty &&
+            si.dataType == BinaryType =>
+        SExpr.Cast(SType.SBin, si.arguments(0).nullable, rec(si.arguments(0)))
       case si: org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
           if si.functionName == "decode" && si.arguments.size >= 2 =>
         fn("decode", rec(si.arguments(0)), rec(si.arguments(1)))
@@ -1317,9 +1349,11 @@ object Producer {
         SExpr.ScalarFn(anchor("minhash_sig"),
           Seq(rec(m.child), SExpr.Lit(LitVal.LI32(m.numHashes))))
 
-      case e if Producer.namedScalarFns.contains(e.prettyName) &&
-          e.deterministic && e.children.nonEmpty =>
-        SExpr.ScalarFn(anchor(e.prettyName), e.children.map(rec))
+      // UnaryMathExpression prettyNames are upper-case ("ASIN"); the wire
+      // name is always the lower-case SQL-registry name
+      case e if e.deterministic && e.children.nonEmpty &&
+          Producer.namedScalarFns.contains(e.prettyName.toLowerCase) =>
+        SExpr.ScalarFn(anchor(e.prettyName.toLowerCase), e.children.map(rec))
 
       case other =>
         notImplemented(s"expression ${other.getClass.getSimpleName}: $other")
@@ -1409,6 +1443,26 @@ object Producer {
     "array_intersect", "array_union", "array_except", "sequence", "flatten",
     "array_repeat", "array_position", "array_remove", "array_compact",
     "if", "ifnull", "nullif", "nvl", "nvl2",
+    // everyday-SQL tail (each certified by ScalarFnProbeSpec roundtrips;
+    // names are SQL-registry names == Catalyst prettyName, children ==
+    // SQL argument order — the generic-case contract)
+    "translate", "initcap", "repeat", "ascii", "chr", "base64", "unbase64",
+    "overlay", "levenshtein", "soundex", "substring_index", "find_in_set",
+    "format_string", "format_number", "elt", "locate", "bit_length", "space",
+    "contains", "startswith", "endswith",
+    "asin", "acos", "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
+    "cot", "sec", "csc", "cbrt", "log2", "log", "degrees", "radians",
+    "hypot", "expm1", "log1p", "rint", "bround", "factorial", "conv",
+    "hex", "unhex", "bin", "width_bucket",
+    "date_format", "add_months", "months_between", "last_day", "next_day",
+    "weekday", "trunc", "make_date", "to_unix_timestamp",
+    "dayname", "monthname", "char_length", "character_length",
+    "arrays_zip", "array_append", "array_prepend", "array_insert",
+    "map_from_entries", "str_to_map",
+    "sha1", "isnan", "nanvl", "typeof", "getbit",
+    // TRY-eval-mode arithmetic (produced by the explicit EvalMode.TRY
+    // cases, consumed via the session registry like any named fn)
+    "try_add", "try_subtract", "try_multiply", "try_divide", "try_mod",
     // graft's own codegen'd vector kernels — session-registered functions,
     // carried as substrait extension functions by name
     "vec_dot", "vec_cosine", "vec_l2sq", "simhash64",

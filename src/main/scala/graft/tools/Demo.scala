@@ -55,9 +55,9 @@ object Demo {
       try { f; println(s"!! $label: NO ERROR (unexpected)") }
       catch { case e: Throwable => println(s"== $label -> ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next()}") }
 
-    expectFail("scalar fn outside the named allowlist (translate)") {
+    expectFail("scalar fn outside the named allowlist (parse_url)") {
       Producer.produce(spark.sql(
-        "SELECT translate(o_orderpriority, 'ab', 'xy') FROM orders"))
+        "SELECT parse_url(o_orderpriority, 'HOST') FROM orders"))
     }
     println("== window fn now supported: " +
       Serializer.roundtrip(spark, spark.sql(
