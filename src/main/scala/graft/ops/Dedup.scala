@@ -479,8 +479,17 @@ object Dedup {
       .filter(col("bn") >= 2 && col("bn") <= maxBucket)
     val inBuckets = chunked.join(broadcast(bucketSizes.select("chunk_idx", "chunk_val")),
       Seq("chunk_idx", "chunk_val"))
+    // the probe stream is BYTES-tiny (26 B/row) but CPU-heavy downstream
+    // (pair generation + hamming + verify), so AQE's byte-based coalescing
+    // would fuse it into ONE serial task (measured: the whole sf0.1 pipeline
+    // in a single 13 s task). An explicit numbered repartition on the join
+    // keys pins the pair stage at cluster parallelism — REPARTITION_BY_NUM
+    // is exempt from AQE coalescing, and hashing on the exact join keys
+    // means no further exchange is ever needed for this join.
+    val pairPar = df.sparkSession.sparkContext.defaultParallelism
     val probe = inBuckets.select(col("chunk_idx"), col("chunk_val"),
-      pmod(xxhash64(col("it.sv_id")), lit(pairSalts)).as("salt"), col("it").as("x"))
+        pmod(xxhash64(col("it.sv_id")), lit(pairSalts)).as("salt"), col("it").as("x"))
+      .repartition(pairPar, col("chunk_idx"), col("chunk_val"), col("salt"))
     val build = inBuckets.select(col("chunk_idx"), col("chunk_val"),
       explode(expr(s"sequence(0, ${pairSalts - 1})")).as("salt"), col("it").as("y"))
     val candidates = probe.join(build, Seq("chunk_idx", "chunk_val", "salt"))
