@@ -35,7 +35,8 @@ object Tables {
         if (new java.io.File(p).exists()) {
           val df0 = spark.read.parquet(p)
           val df =
-            if (n == "events")
+            if (n == "events" &&
+                df0.schema("ts").dataType.isInstanceOf[org.apache.spark.sql.types.LongType.type])
               df0.withColumn("ts",
                 org.apache.spark.sql.functions.timestamp_micros(
                   org.apache.spark.sql.functions.expr("ts div 1000")))
