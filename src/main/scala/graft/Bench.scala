@@ -48,18 +48,48 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def mkLine(qmap: Seq[(String, String)], total: Double): String = {
+      val qs = qmap.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
+    val fullLine = mkLine(results.toSeq.map { case (k, v) => k -> v.toString }, total)
+    // The driver keeps only the LAST ~2000 chars of stdout and json-parses
+    // the metric line out of that tail (BENCH_r04/r05 were "parsed": null
+    // because the full-precision 85-query line was ~2.6k chars and lost its
+    // head). stdout therefore gets a line guaranteed ≤ BUDGET: 3-decimal
+    // values, and if still too long, the slowest queries that fit plus an
+    // "omitted" rollup of the fast tail. The file keeps the full map.
+    val budget = 1800
+    val rounded = results.toSeq.map { case (k, v) => k -> f3(v) }
+    val roundedLine = mkLine(rounded, total)
+    val stdoutLine =
+      if (roundedLine.length <= budget) roundedLine
+      else {
+        val bySlow = results.toSeq.sortBy(-_._2)
+        // greedy: keep the slowest queries while the line stays under budget
+        var kept = Vector.empty[(String, String)]
+        var keptSec = 0.0
+        var len = mkLine(Seq("omitted_n" -> "00", "omitted_sec" -> "000.000"), total).length
+        for ((k, v) <- bySlow) {
+          val add = k.length + f3(v).length + 4
+          if (len + add <= budget) { kept :+= (k -> f3(v)); keptSec += v; len += add }
+        }
+        val omitted = results.size - kept.size
+        mkLine(kept ++ Seq("omitted_n" -> omitted.toString,
+          "omitted_sec" -> f3(total - keptSec)), total)
+      }
+    println(stdoutLine)
     // stdout gets truncated/interleaved by harnesses; the file is the durable
-    // copy. Subset (single-query debug) runs write to a -partial file so they
-    // never clobber the last full-run record.
+    // full-precision copy. Subset (single-query debug) runs write to a
+    // -partial file so they never clobber the last full-run record.
     val defaultOut = if (only.isEmpty) "bench-out.json" else "bench-out-partial.json"
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
-    java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(outPath, (fullLine + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -26,22 +26,31 @@ object Tables {
   def register(spark: SparkSession, dir: String): Unit = synchronized {
     val key = System.identityHashCode(spark).toString
     if (!current.get(key).contains(dir)) {
-      // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-      // rejects; read the raw int64 nanos and expose micros-precision ts
-      // (matching DuckDB, whose timestamps are micros).
+      // events.parquet's ts physical type has varied across testdata
+      // generations: TIMESTAMP(NANOS) (unreadable unless surfaced as raw
+      // int64 via nanosAsLong), TIMESTAMP(MICROS) isAdjustedToUTC=false
+      // (reads as TIMESTAMP_NTZ), or already-LTZ micros. The view exposes
+      // ONE canonical type regardless: micros-precision LTZ TIMESTAMP with
+      // session timezone UTC — the same instants DuckDB's naive timestamps
+      // compare as, and the only event-time type Structured Streaming
+      // watermarks accept.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       names.foreach { n =>
         val p = s"$dir/$n.parquet"
         if (new java.io.File(p).exists()) {
           val df0 = spark.read.parquet(p)
           val df =
-            if (n == "events" &&
-                df0.schema("ts").dataType.isInstanceOf[org.apache.spark.sql.types.LongType.type])
-              df0.withColumn("ts",
-                org.apache.spark.sql.functions.timestamp_micros(
-                  org.apache.spark.sql.functions.expr("ts div 1000")))
+            if (n == "events") {
+              import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+              import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+              val ts = df0.schema("ts").dataType match {
+                case LongType         => timestamp_micros(expr("ts div 1000"))
+                case TimestampNTZType => col("ts").cast(TimestampType)
+                case _                => col("ts")
+              }
+              df0.withColumn("ts", ts)
                 .select("event_id", "ts", "user_id", "event_type", "value", "props")
-            else df0
+            } else df0
           df.createOrReplaceTempView(n)
         }
       }

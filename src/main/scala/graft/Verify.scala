@@ -2,7 +2,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Robustness contract (round-6 hardening — CORRECTNESS_r05 came back `{}`):
+  *  - oracle_sql.json is written FIRST, before any query runs, so a timeout
+  *    or crash mid-run still leaves the oracle map plus every completed
+  *    query's parquet → a partial correctness report instead of an empty one.
+  *  - queries run on a small thread pool (Spark's scheduler is thread-safe;
+  *    concurrent jobs overlap each other's single-threaded planning/codegen
+  *    phases) → ~3-4× lower wall than the serial loop, far under any driver
+  *    timeout.
+  *  - every query logs start/finish + elapsed to stderr, so a driver-side
+  *    failure is attributable to a specific query instead of silent.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
@@ -17,15 +29,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -41,6 +45,34 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }.toSeq
+    val t0 = System.nanoTime()
+    def log(m: String): Unit =
+      System.err.println(f"[verify +${(System.nanoTime() - t0) / 1e9}%.1fs] $m")
+    val nThreads = math.max(2, math.min(8, cpus.toInt / 4))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tasks = selected.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val s0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            log(f"$name ok (${(System.nanoTime() - s0) / 1e9}%.1fs, " +
+              s"${done.incrementAndGet()}/${selected.size})")
+          } catch { case e: Throwable =>
+            done.incrementAndGet()
+            log(s"$name FAILED: ${e.getMessage}")
+          }
+        }
+      })
+    }
+    tasks.foreach(_.get())
+    pool.shutdown()
+    log(s"all ${selected.size} queries done")
     spark.stop()
   }
 }
