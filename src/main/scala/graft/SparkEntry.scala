@@ -404,6 +404,68 @@ object SparkEntry {
     "p02_skew_report" -> ((s, dir) => rt(s,
       ops.Pipeline.skewReport(t(s, dir, "lineitem"), "l_suppkey", k = 20))),
 
+    // co-located bucketed join: both sides pre-bucketed+sorted on the join
+    // key — the repeated-join layout for 100 TB fact tables (one shuffle
+    // paid at write, every later join on the key exchange-free on BOTH
+    // sides; PlanQualitySpec asserts the zero-exchange SMJ). Result is
+    // DuckDB-certified equal to the plain join.
+    "p04_bucketed_join" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-buck-${math.abs(dir.hashCode)}"
+      val ob = "orders_bucketed"; val cb = "customer_bucketed"
+      sources.Sources.writeBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        ob, Seq("o_custkey"), buckets = 8, path = Some(s"$base/$ob"))
+      sources.Sources.writeBucketed(
+        t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        cb, Seq("c_custkey"), buckets = 8, path = Some(s"$base/$cb"))
+      rt(s, s.table(ob).hint("merge")
+        .join(s.table(cb), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("c_nationkey"))
+    }),
+
+    // mergeable-sketch cardinality: per-(lang, ingestion-shard) HLL
+    // sketches merged to per-lang distinct-text estimates — the
+    // incremental-statistics pattern at 100 TB (per-shard sketches computed
+    // once when a shard lands; a corpus-wide refresh merges KB-sized sketch
+    // rows instead of re-scanning corpus bytes). exact_distinct is
+    // DuckDB-verified; est_ok certifies the estimate within 5% (HLL lgK=12
+    // ≈ 1.6% se, deterministic given the data). Sketch aggregates and the
+    // estimate scalar ride the wire by name.
+    "p05_sketch_cardinality" -> ((s, dir) => rt(s, {
+      val d = t(s, dir, "documents")
+      val est = ops.Sketches.distinctEstimate(d, "text",
+        shardCol = col("doc_id") % 16, groupCols = Seq("lang"))
+      val exact = d.groupBy("lang")
+        .agg(countDistinct(col("text")).as("exact_distinct"))
+      exact.join(est, "lang")
+        .select(col("lang"), col("exact_distinct"),
+          (abs(col("distinct_est") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.05).as("est_ok"))
+        .orderBy("lang")
+    })),
+
+    // mergeable-sketch quantiles: per-shard KLL sketches of the token-count
+    // distribution merged and read at p50/p95; certified by computing each
+    // estimate's EXACT rank in the same query and asserting it within the
+    // sketch's rank-error bound (k=200 ≈ 1.65%; 2.5% margin). n itself is
+    // DuckDB-verified.
+    "p06_sketch_quantiles" -> ((s, dir) => rt(s, {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        ops.TextOps.tokenCount(col("text")).as("n_tokens"))
+      val q = ops.Sketches.kllQuantiles(
+        ops.Sketches.kllShards(docs, "n_tokens", col("doc_id") % 16),
+        quantiles = Seq(0.5, 0.95))
+      docs.crossJoin(q).agg(
+        count(lit(1)).as("n"),
+        (abs(avg(when(col("n_tokens") <= col("p50"), 1.0).otherwise(0.0)) - 0.5)
+          <= 0.025).as("p50_ok"),
+        (abs(avg(when(col("n_tokens") <= col("p95"), 1.0).otherwise(0.0)) - 0.95)
+          <= 0.025).as("p95_ok"))
+    })),
+
     // the round-4 curation stages COMPOSED as one declarative plan:
     // exact dedup → repetition filter → mixture resample → sequence pack
     "p01_curation_pipeline" -> ((s, dir) => rt(s, {
@@ -1265,6 +1327,16 @@ object SparkEntry {
         |t AS (SELECT sum(n) AS total FROM c)
         |SELECT key, n, ROUND(n / CAST(total AS DOUBLE), 6) AS share
         |FROM c, t ORDER BY n DESC, key ASC LIMIT 20""".stripMargin,
+    "p04_bucketed_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "p05_sketch_cardinality" ->
+      """SELECT lang, count(DISTINCT text) AS exact_distinct, TRUE AS est_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "p06_sketch_quantiles" ->
+      "SELECT count(*) AS n, TRUE AS p50_ok, TRUE AS p95_ok FROM documents",
     "p01_curation_pipeline" ->
       """WITH dedup AS (
         |  SELECT min(doc_id) AS doc_id FROM documents

@@ -75,9 +75,13 @@ object Sources {
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     buckets: Int, format: String = "parquet",
-                    mode: String = "overwrite"): Unit =
-    df.write.format(format).mode(mode)
+                    mode: String = "overwrite",
+                    path: Option[String] = None): Unit = {
+    val w = df.write.format(format).mode(mode)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .saveAsTable(table)
+    // explicit path → external table: data lands at the caller's location
+    // (not the session warehouse), catalog carries only the bucket metadata
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

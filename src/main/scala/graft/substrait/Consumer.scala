@@ -397,6 +397,15 @@ object Consumer {
         case "last" => last(one)
         case "first_ignore_nulls" => first(one, ignoreNulls = true)
         case "last_ignore_nulls" => last(one, ignoreNulls = true)
+        // mergeable datasketches aggregates (ops.Sketches) — beyond the
+        // reference's name list; arity rides as-is (value [, k/allowDiff])
+        // and the names resolve through the session function registry
+        case n @ ("hll_sketch_agg" | "hll_union_agg" |
+                  "kll_sketch_agg_bigint" | "kll_sketch_agg_double" |
+                  "kll_sketch_agg_float" | "kll_merge_agg_bigint" |
+                  "kll_merge_agg_double" | "kll_merge_agg_float" |
+                  "count_min_sketch") =>
+          call_function(n, args: _*)
         case other => notImplemented(s"aggregate function $other")
       }
     }

@@ -1466,6 +1466,11 @@ object Producer {
     // graft's own codegen'd vector kernels — session-registered functions,
     // carried as substrait extension functions by name
     "vec_dot", "vec_cosine", "vec_l2sq", "simhash64",
+    // datasketches scalar companions of the mergeable-sketch aggregates
+    // (ops.Sketches): estimate/merge/read over binary sketch columns
+    "hll_sketch_estimate", "hll_union",
+    "kll_sketch_get_quantile_bigint", "kll_sketch_get_rank_bigint",
+    "kll_sketch_get_n_bigint",
     // struct construction (SQL-callable; get_field is its access twin)
     "named_struct")
 

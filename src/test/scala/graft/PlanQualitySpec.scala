@@ -310,6 +310,24 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("MapPartitions"), s"stage must rebuild through rt:\n$p")
   }
 
+  test("p04: bucketed join is exchange-free on both join sides") {
+    val p = plan("p04_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"bucketed join should SMJ:\n$p")
+    // the ONLY hash exchange is the post-join rollup's; the join itself
+    // reads co-located bucket files on both sides
+    val shuffles = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(shuffles == 1, s"expected only the rollup exchange, got $shuffles:\n$p")
+  }
+
+  test("p05: sketch rollup aggregates partially before its exchange") {
+    val p = plan("p05_sketch_cardinality")
+    // per-(lang, shard) sketches combine map-side: partial HLL aggregation
+    // appears below the exchange, so sketch rows (not corpus rows) shuffle
+    assert(p.contains("partial_hllsketchagg") || p.contains("partial_hll"),
+      s"HLL sketches must aggregate map-side:\n$p")
+  }
+
   test("LocalFiles consume: declared-schema file scan still prunes and pushes") {
     val df = substrait.Consumer.consume(spark, substrait.Wire.decode(
       substrait.Wire.encode(substrait.Producer.produce(

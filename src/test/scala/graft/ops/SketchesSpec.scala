@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+
+/** Mergeable-sketch properties: what makes the per-shard-sketch pattern
+  * sound at 100 TB is that merging shard sketches answers like sketching
+  * the whole corpus at once — shard count, shard order, and incremental
+  * arrival must not move the estimate outside the sketch's error bound.
+  * NOTE: merges are order-insensitive only within that bound, not
+  * byte-identical — KLL compaction in particular keeps different survivors
+  * under different merge orders — so these assert error bounds, not
+  * equality (measured drift here is ~1%, well inside the 5%/2.5% margins
+  * the driver queries certify).
+  */
+class SketchesSpec extends SparkTestBase {
+
+  private lazy val docs = {
+    Tables.register(spark, sfDir)
+    spark.table("documents")
+  }
+
+  test("HLL: merged shard sketches answer like a single global sketch") {
+    val sharded: Long = Sketches.distinctEstimate(docs, "text", col("doc_id") % 8)
+      .collect()(0).getLong(0)
+    val global: Long = Sketches.distinctEstimate(docs, "text", lit(0))
+      .collect()(0).getLong(0)
+    assert(math.abs(sharded - global) <= global * 0.02,
+      s"shard-merge must track the one-shot sketch: $sharded vs $global")
+  }
+
+  test("HLL: estimate within 5% of exact, per group") {
+    val est = Sketches.distinctEstimate(docs, "text", col("doc_id") % 8,
+      groupCols = Seq("lang"))
+    val exact = docs.groupBy("lang").agg(countDistinct(col("text")).as("exact"))
+    val rows = exact.join(est, "lang").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getAs[Long]("exact").toDouble
+      val g = r.getAs[Long]("distinct_est").toDouble
+      assert(math.abs(g - e) <= e * 0.05, s"lang=${r.get(0)}: est $g vs exact $e")
+    }
+  }
+
+  test("HLL: incremental arrival — old shards' sketches are reusable as-is") {
+    // history = sketches of shards 0..5 (persisted once); a new shard lands;
+    // the refresh merges history ∪ new WITHOUT touching shards 0..5 rows
+    val all = Sketches.hllShards(docs, "text", col("doc_id") % 8)
+    val history = all.filter(col("shard") < 6)
+    val fresh = Sketches.hllShards(
+      docs.filter(col("doc_id") % 8 >= 6), "text", col("doc_id") % 8)
+    val incremental: Long = Sketches.hllMerge(history.unionAll(fresh))
+      .collect()(0).getLong(0)
+    val oneShot: Long = Sketches.hllMerge(all).collect()(0).getLong(0)
+    assert(math.abs(incremental - oneShot) <= oneShot * 0.02,
+      s"$incremental vs $oneShot")
+    val exact = docs.select("text").distinct().count()
+    assert(math.abs(incremental - exact) <= exact * 0.05,
+      s"incremental $incremental vs exact $exact")
+  }
+
+  test("KLL: merged shard quantiles carry rank error within bound") {
+    val d = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("len"))
+    val q = Sketches.kllQuantiles(
+      Sketches.kllShards(d, "len", col("doc_id") % 8), Seq(0.5, 0.95))
+      .collect()(0)
+    val n = d.count().toDouble
+    for ((target, v) <- Seq(0.5 -> q.getAs[Long]("p50"), 0.95 -> q.getAs[Long]("p95"))) {
+      val rank = d.filter(col("len") <= v).count() / n
+      assert(math.abs(rank - target) <= 0.025,
+        s"p${(target * 100).round}: value $v has rank $rank")
+    }
+  }
+
+  test("KLL: every shard-merge order stays within the rank bound") {
+    val d = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("len"))
+    val n = d.count().toDouble
+    val shards = Sketches.kllShards(d, "len", col("doc_id") % 8)
+    for (ord <- Seq(col("shard").asc, col("shard").desc)) {
+      val p50 = Sketches.kllQuantiles(shards.orderBy(ord), Seq(0.5))
+        .collect()(0).getAs[Long]("p50")
+      val rank = d.filter(col("len") <= p50).count() / n
+      assert(math.abs(rank - 0.5) <= 0.025, s"order $ord: p50 $p50 rank $rank")
+    }
+  }
+}
