@@ -212,18 +212,18 @@ object Dedup {
       numHashes, bands, shingleSize, "kept_id"))
     val candidates = newBands.join(keptBands, Seq("band_idx", "band_hash"))
       .select("new_id", "kept_id").distinct()
-    // exact verify on hashed shingles (8-byte longs; |A∩B| unchanged, the
-    // string-shingle oracle certifies — same contract as ngramJaccardPairs)
+    // exact verify on hashed+sorted shingles via the early-terminating
+    // merge-scan kernel (8-byte longs; |A∩B| unchanged, the string-shingle
+    // oracle certifies — same contract as ngramJaccardPairs)
     def hashed(df: DataFrame, as: String, sh: String) =
       df.select(col(idCol).as(as),
-        transform(shingles(textCol, shingleSize), x => xxhash64(x)).as(sh))
+        array_sort(transform(shingles(textCol, shingleSize), x => xxhash64(x))).as(sh))
     candidates
       .join(hashed(newDocs, "new_id", "sh_n"), "new_id")
       .join(hashed(existing, "kept_id", "sh_k"), "kept_id")
-      .withColumn("n_inter", size(array_intersect(col("sh_n"), col("sh_k"))))
-      .withColumn("jaccard", col("n_inter").cast("double") /
-        (size(col("sh_n")) + size(col("sh_k")) - col("n_inter")))
-      .filter(col("jaccard") >= threshold)
+      .withColumn("jaccard", graft.functions.JaccardFunctions
+        .sortedJaccardGe(col("sh_n"), col("sh_k"), threshold))
+      .filter(col("jaccard").isNotNull)
       .select(col("new_id"), col("kept_id"), col("jaccard"))
   }
 
@@ -236,13 +236,15 @@ object Dedup {
   private def verifyJaccard(candidates: DataFrame, base: DataFrame,
                             idCol: String, textCol: String,
                             shingleSize: Int, threshold: Double): DataFrame = {
-    val sa = shingled(base, idCol, textCol, shingleSize, "id_a", "sh_a")
-    val sb = shingled(base, idCol, textCol, shingleSize, "id_b", "sh_b")
-    candidates.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("n_inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
-      .filter(col("jaccard") >= threshold)
+    // hashed (8-byte longs) + sorted once per doc → early-terminating
+    // merge-scan per pair (functions.SortedJaccardGe); |A∩B| unchanged by
+    // hashing, certified by the string-shingle oracle
+    def hs(idAs: String, shAs: String) = base.select(col(idCol).as(idAs),
+      array_sort(transform(shingles(textCol, shingleSize), x => xxhash64(x))).as(shAs))
+    candidates.join(hs("id_a", "sh_a"), "id_a").join(hs("id_b", "sh_b"), "id_b")
+      .withColumn("jaccard", graft.functions.JaccardFunctions
+        .sortedJaccardGe(col("sh_a"), col("sh_b"), threshold))
+      .filter(col("jaccard").isNotNull)
       .select("id_a", "id_b", "jaccard")
   }
 
@@ -297,7 +299,8 @@ object Dedup {
     // and deterministic — certified by the exact string-shingle oracle)
     val s = df.select(blk.as("blk"), col(idCol).as("jid"),
         col(textCol).as("jtext"))
-      .withColumn("sh", transform(shingles("jtext", shingleSize), x => xxhash64(x)))
+      .withColumn("sh",
+        array_sort(transform(shingles("jtext", shingleSize), x => xxhash64(x))))
       .select(col("blk"), col("jid"), col("sh"), size(col("sh")).as("sz"))
     val bucketed =
       if (sizeBucketing && threshold > 0.0 && threshold < 1.0) {
@@ -338,15 +341,15 @@ object Dedup {
       // intersect runs only on survivors (output provably unchanged)
       .filter(least(col("x.sz"), col("y.sz")).cast("double") /
         greatest(col("x.sz"), col("y.sz")) >= threshold)
-      // shingle sets are distinct, so |A∪B| = |A|+|B|−|A∩B| — one array
-      // op per pair instead of two
+      // per-pair check = the early-terminating sorted merge-scan kernel
+      // (functions.SortedJaccardGe) over the per-doc sorted hashed shingles:
+      // zero allocation, bails once the jaccard bound falls below threshold
       .select(col("blk"), col("x.jid").as("id_a"), col("y.jid").as("id_b"),
-        size(array_intersect(col("x.sh"), col("y.sh"))).as("n_inter"),
-        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
-      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
-      .filter(col("n_inter").cast("double") / col("n_union") >= threshold)
+        graft.functions.JaccardFunctions
+          .sortedJaccardGe(col("x.sh"), col("y.sh"), threshold).as("jac"))
+      .filter(col("jac").isNotNull)
       .select(col("blk"), col("id_a"), col("id_b"),
-        round(col("n_inter").cast("double") / col("n_union"), 6).as("jaccard"))
+        round(col("jac"), 6).as("jaccard"))
   }
 
   /** 64-bit SimHash fingerprint via the codegen'd single-pass kernel
@@ -513,19 +516,22 @@ object Dedup {
         greatest(col("x.sz"), col("y.sz")) >= threshold)
       .select(col("x.sv_id").as("id_a"), col("y.sv_id").as("id_b"),
         col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
-    // exact verify on survivors; shingles travel HASHED (xxhash64 longs):
-    // the intersect compares 8-byte longs instead of multi-byte strings and
-    // |A∩B| is unchanged (sets are distinct; a 64-bit collision within one
-    // union is ~1e-13-improbable and deterministic — certified by the oracle)
+    // exact verify on survivors; shingles travel HASHED (xxhash64 longs)
+    // and SORTED once per document: the per-pair check is then the
+    // early-terminating sorted merge-scan (functions.SortedJaccardGe) —
+    // zero allocation, bails as soon as the jaccard upper bound falls
+    // below the threshold, which for the ~99.9% non-matching candidates is
+    // within a few elements. |A∩B| is unchanged by hashing (sets are
+    // distinct; a 64-bit collision within one union is ~1e-13-improbable
+    // and deterministic — certified by the oracle)
     val hashedShingles = base.select(col(idCol),
-      transform(shingles(textCol, shingleSize), s => xxhash64(s)).as("sh"))
+      array_sort(transform(shingles(textCol, shingleSize), s => xxhash64(s))).as("sh"))
     val sa = hashedShingles.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val sb = hashedShingles.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
     candidates.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("n_inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("n_inter")))
-      .filter(col("jaccard") >= threshold)
+      .withColumn("jaccard", graft.functions.JaccardFunctions
+        .sortedJaccardGe(col("sh_a"), col("sh_b"), threshold))
+      .filter(col("jaccard").isNotNull)
       .select("id_a", "id_b", "jaccard")
   }
 

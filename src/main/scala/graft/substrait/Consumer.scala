@@ -710,6 +710,8 @@ object Consumer {
               graft.functions.VecFunctions.ensureSessionRegistered()
             if (other == "simhash64")
               graft.functions.MinHashFunctions.ensureSessionRegistered()
+            if (other == "sorted_jaccard_ge")
+              graft.functions.JaccardFunctions.ensureSessionRegistered()
             call_function(other, all: _*)
           case other => notImplemented(s"scalar function $other")
         }

@@ -1465,7 +1465,7 @@ object Producer {
     "try_add", "try_subtract", "try_multiply", "try_divide", "try_mod",
     // graft's own codegen'd vector kernels — session-registered functions,
     // carried as substrait extension functions by name
-    "vec_dot", "vec_cosine", "vec_l2sq", "simhash64",
+    "vec_dot", "vec_cosine", "vec_l2sq", "simhash64", "sorted_jaccard_ge",
     // datasketches scalar companions of the mergeable-sketch aggregates
     // (ops.Sketches): estimate/merge/read over binary sketch columns
     "hll_sketch_estimate", "hll_union",
