@@ -119,6 +119,18 @@ object SparkEntry {
         .orderBy("digest"))
     }),
 
+    // d07 restructured for mostly-novel ingest: a broadcast Bloom filter of
+    // the kept corpus's digests drops the batch's definitely-new rows before
+    // the exact anti-join (no false negatives → byte-identical output,
+    // certified by the SAME oracle as d07). At 100 TB the anti-join probe
+    // side shrinks from |batch| to |dups| + fpp·|batch|.
+    "d11_bloom_incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      rt(s, ops.Dedup.bloomIncrementalDedup(
+        d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0))
+        .orderBy("digest"))
+    }),
+
     // near-dup clustering: connected components (pointer-doubling label
     // propagation) over lang-blocked jaccard pairs — the "keep one per
     // cluster" primitive. The iterative DRIVER LOOP stays host-side
@@ -982,6 +994,17 @@ object SparkEntry {
         |  min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
     "d07_incremental_dedup" ->
+      """WITH nd AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |od AS (SELECT DISTINCT
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT digest, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM nd WHERE digest NOT IN (SELECT digest FROM od)
+        |GROUP BY digest ORDER BY digest""".stripMargin,
+    // identical semantics to d07 — the Bloom prefilter must not change one row
+    "d11_bloom_incremental_dedup" ->
       """WITH nd AS (SELECT doc_id,
         |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest
         |  FROM documents WHERE doc_id % 2 = 1),

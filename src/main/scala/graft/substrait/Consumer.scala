@@ -406,6 +406,9 @@ object Consumer {
                   "kll_merge_agg_double" | "kll_merge_agg_float" |
                   "count_min_sketch") =>
           call_function(n, args: _*)
+        case "bloom_filter_agg" =>
+          graft.functions.BloomFunctions.ensureSessionRegistered()
+          call_function("bloom_filter_agg", args: _*)
         case other => notImplemented(s"aggregate function $other")
       }
     }
@@ -712,6 +715,8 @@ object Consumer {
               graft.functions.MinHashFunctions.ensureSessionRegistered()
             if (other == "sorted_jaccard_ge")
               graft.functions.JaccardFunctions.ensureSessionRegistered()
+            if (other == "might_contain")
+              graft.functions.BloomFunctions.ensureSessionRegistered()
             call_function(other, all: _*)
           case other => notImplemented(s"scalar function $other")
         }

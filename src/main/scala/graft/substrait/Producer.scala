@@ -159,8 +159,43 @@ object Producer {
         Produced(readRel(names, attrs, mask), list.map(_.toAttribute))
 
       case logical.Project(list, child) =>
-        val in = toRel(child)
-        val exprs = list.map(e => toSExpr(e, in.attrs))
+        var in = toRel(child)
+        // uncorrelated scalar subqueries in a PROJECTION (e.g. probing a
+        // bloom_filter_agg subquery with might_contain) ride the same way
+        // as in filters: cross-join the provably-one-row subplan and
+        // replace the subquery expression with its appended column. The
+        // Rel.Project emits exactly `list`, so the appended column never
+        // leaks downstream.
+        val scalarSubs = mutable.ArrayBuffer.empty[ScalarSubquery]
+        list.foreach(_.foreach {
+          case s: ScalarSubquery if s.outerAttrs.isEmpty &&
+              !scalarSubs.exists(_.exprId == s.exprId) => scalarSubs += s
+          case _ => ()
+        })
+        val replaced: Seq[NamedExpression] =
+          if (scalarSubs.isEmpty) list
+          else {
+            def oneRow(p: LogicalPlan): Boolean = p match {
+              case agg: logical.Aggregate => agg.groupingExpressions.isEmpty
+              case prj: logical.Project => oneRow(prj.child)
+              case _ => false
+            }
+            val replacement = mutable.Map.empty[ExprId, Expression]
+            scalarSubs.foreach { s =>
+              if (!oneRow(s.plan)) notImplemented(
+                "projected scalar subquery whose plan is not a global aggregate " +
+                  "(cannot guarantee exactly one row on the wire)")
+              val sub = toRel(s.plan)
+              if (sub.attrs.size != 1) notImplemented("scalar subquery arity != 1")
+              replacement(s.exprId) = sub.attrs.head
+              in = Produced(Rel.Cross(in.rel, sub.rel), in.attrs ++ sub.attrs)
+            }
+            list.map(_.transform {
+              case s: ScalarSubquery if replacement.contains(s.exprId) =>
+                replacement(s.exprId)
+            }.asInstanceOf[NamedExpression])
+          }
+        val exprs = replaced.map(e => toSExpr(e, in.attrs))
         Produced(Rel.Project(in.rel, exprs), list.map(_.toAttribute))
 
       case logical.Filter(cond, child) =>
@@ -1466,6 +1501,7 @@ object Producer {
     // graft's own codegen'd vector kernels — session-registered functions,
     // carried as substrait extension functions by name
     "vec_dot", "vec_cosine", "vec_l2sq", "simhash64", "sorted_jaccard_ge",
+    "might_contain",
     // datasketches scalar companions of the mergeable-sketch aggregates
     // (ops.Sketches): estimate/merge/read over binary sketch columns
     "hll_sketch_estimate", "hll_union",
