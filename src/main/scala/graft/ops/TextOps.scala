@@ -121,11 +121,19 @@ object TextOps {
   def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
                         idCol: String = "doc_id", textCol: String = "text",
                         n: Int = 8): DataFrame = {
+    // grams travel HASHED (xxhash64 longs): the broadcast build side and the
+    // corpus-side probe stream carry 8 bytes per gram instead of the ~80-byte
+    // 8-word strings (measured 15× wall at a 10× rehearsal with string grams
+    // — the join itself, not the explode, was the cost). |matches| unchanged:
+    // gram sets are distinct per doc and a cross-side 64-bit collision is
+    // ~1e-13-improbable and deterministic — certified by the exact
+    // string-gram oracle.
     def grams(df: DataFrame, cols: Column*) = df.select(
-      cols :+ explode(wordNgrams(col(textCol), n)).as("g"): _*)
-    val bench = grams(benchmark).select("g").distinct()
+      cols :+ explode(transform(wordNgrams(col(textCol), n),
+        g => xxhash64(g))).as("gh"): _*)
+    val bench = grams(benchmark).select("gh").distinct()
     grams(corpus, col(idCol))
-      .join(broadcast(bench), "g")
+      .join(broadcast(bench), "gh")
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
   }
 
@@ -265,7 +273,8 @@ object TextOps {
     val pc = bc.groupBy(substring(col("g"), 1, 1).as("c1"))
       .agg(sum("bc").as("pc"))
     val model = bc.join(pc, substring(col("g"), 1, 1) === col("c1"))
-      .select(col("g"), (col("bc").cast("double") / col("pc")).as("p"))
+      .select(col("g"), (col("bc").cast("double") / col("pc")).as("p"),
+        col("bc"))
     // decide the path with a distributed COUNT over the PERSISTED model —
     // never a driver collect of a potentially charset²-row frame (CJK OOM),
     // and never a second corpus-scan to rebuild the model for the chosen
@@ -276,7 +285,10 @@ object TextOps {
     if (isLiteral) {
       val entries = modelP.collect()
       modelP.unpersist()
-      val kvs = entries.toSeq.flatMap(r =>
+      // literal-map lookup (GetMapValue) is a LINEAR scan of the entry
+      // array — order entries by descending corpus frequency so the
+      // expected scan depth is the zipf head (~tens), not the full model
+      val kvs = entries.toSeq.sortBy(-_.getLong(2)).flatMap(r =>
         Seq(lit(r.getString(0)), lit(r.getDouble(1))))
       val modelMap = map(kvs: _*)
       val st = expr(
