@@ -459,6 +459,28 @@ object SparkEntry {
         .orderBy("lang")
     })),
 
+    // mergeable-sketch heavy hitters: per-shard Count-Min frequency sketches
+    // merged (graft's cms_merge_agg) and probed for the exact top-20 keys —
+    // the refresh-without-rescan companion to p02's exact skew report.
+    // exact_n is DuckDB-verified; est_ok certifies the CMS guarantee
+    // exact ≤ est ≤ exact + ε·N in-query (deterministic given the seed).
+    "p07_cms_heavy_hitters" -> ((s, dir) => rt(s, {
+      val li = t(s, dir, "lineitem")
+      val merged = ops.Sketches.cmsMerge(ops.Sketches.cmsShards(
+        li, "l_suppkey", col("l_orderkey") % 16))
+      val n = li.agg(count(lit(1)).as("n"))
+      val top = li.groupBy("l_suppkey").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("l_suppkey").asc).limit(20)
+      top.select(col("l_suppkey"), col("exact_n"),
+          graft.functions.CmsFunctions.cmsEstimateLong(
+            merged.scalar(), col("l_suppkey")).as("est"),
+          n.scalar().as("total"))
+        .select(col("l_suppkey"), col("exact_n"),
+          (col("est") >= col("exact_n") &&
+            col("est") <= col("exact_n") + ceil(col("total") * 1e-4)).as("est_ok"))
+        .orderBy(col("exact_n").desc, col("l_suppkey").asc)
+    })),
+
     // mergeable-sketch quantiles: per-shard KLL sketches of the token-count
     // distribution merged and read at p50/p95; certified by computing each
     // estimate's EXACT rank in the same query and asserting it within the
@@ -1360,6 +1382,11 @@ object SparkEntry {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "p06_sketch_quantiles" ->
       "SELECT count(*) AS n, TRUE AS p50_ok, TRUE AS p95_ok FROM documents",
+    "p07_cms_heavy_hitters" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS exact_n
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_suppkey, exact_n, TRUE AS est_ok FROM c
+        |ORDER BY exact_n DESC, l_suppkey ASC LIMIT 20""".stripMargin,
     "p01_curation_pipeline" ->
       """WITH dedup AS (
         |  SELECT min(doc_id) AS doc_id FROM documents

@@ -1,0 +1,162 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Count-Min Sketch merge + probe — the heavy-hitter member of the
+  * mergeable-sketch family (HLL = cardinality, KLL = quantiles, Bloom =
+  * membership, CMS = per-key frequency). Spark registers the BUILD
+  * aggregate (`count_min_sketch`) but gives no way to merge shard sketches
+  * or read one back; these two close the loop, so per-shard frequency
+  * sketches persist once and corpus-wide heavy-hitter refreshes merge
+  * KB-sized sketch rows instead of re-aggregating corpus rows.
+  *
+  * CMS guarantees (depth d = ⌈ln(1/δ)⌉, width w = ⌈e/ε⌉): the estimate
+  * never undercounts, and overcounts by more than ε·N with probability at
+  * most δ. Deterministic given the build seed, so an in-query certification
+  * (`exact ≤ est ≤ exact + ε·N`) is stable run to run.
+  */
+object CmsFunctions {
+
+  /** Merge of serialized CountMinSketch blobs (all built with the same
+    * depth/width/seed — `CountMinSketch.mergeInPlace` rejects mismatches
+    * loudly). Null inputs are skipped; an all-null group yields null.
+    */
+  case class CmsMergeAgg(child: Expression,
+                         override val mutableAggBufferOffset: Int = 0,
+                         override val inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[CountMinSketch] {
+    override def prettyName: String = "cms_merge_agg"
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = true
+    override def dataType: DataType = BinaryType
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires BINARY sketches, got $t")
+    }
+
+    override def createAggregationBuffer(): CountMinSketch = null
+
+    override def update(buffer: CountMinSketch, input: InternalRow): CountMinSketch = {
+      val v = child.eval(input)
+      if (v == null) buffer
+      else {
+        val s = CountMinSketch.readFrom(
+          new ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
+        if (buffer == null) s else { buffer.mergeInPlace(s); buffer }
+      }
+    }
+
+    override def merge(a: CountMinSketch, b: CountMinSketch): CountMinSketch =
+      if (a == null) b else if (b == null) a else { a.mergeInPlace(b); a }
+
+    override def eval(buffer: CountMinSketch): Any =
+      if (buffer == null) null else serialize(buffer)
+
+    override def serialize(buffer: CountMinSketch): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      buffer.writeTo(out)
+      out.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): CountMinSketch =
+      CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+
+    override def withNewMutableAggBufferOffset(o: Int): CmsMergeAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): CmsMergeAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+  }
+
+  /** Frequency probe of a LONG key against a serialized sketch, with the
+    * same per-task reference-equality deserialization cache as
+    * [[BloomMightContain]] — works with the sketch from any plan shape.
+    */
+  case class CmsEstimateLong(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def prettyName: String = "cms_estimate_long"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (BINARY, BIGINT), got ($l, $r)")
+      }
+
+    override def dataType: DataType = LongType
+
+    @transient private var cachedBytes: Array[Byte] = _
+    @transient private var cachedSketch: CountMinSketch = _
+
+    override def nullSafeEval(b: Any, v: Any): Any = {
+      val bytes = b.asInstanceOf[Array[Byte]]
+      if (!(bytes eq cachedBytes)) {
+        cachedSketch = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+        cachedBytes = bytes
+      }
+      cachedSketch.estimateCount(v.asInstanceOf[Long])
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cb = ctx.addMutableState("byte[]", "cmsCachedBytes")
+      val cs = ctx.addMutableState("org.apache.spark.util.sketch.CountMinSketch",
+        "cmsCachedSketch")
+      nullSafeCodeGen(ctx, ev, (b, v) => {
+        s"""
+           |if ($b != $cb) {
+           |  try {
+           |    $cs = org.apache.spark.util.sketch.CountMinSketch
+           |      .readFrom(new java.io.ByteArrayInputStream($b));
+           |  } catch (java.io.IOException e) {
+           |    throw new RuntimeException("malformed count-min sketch bytes", e);
+           |  }
+           |  $cb = $b;
+           |}
+           |${ev.value} = $cs.estimateCount(java.lang.Long.valueOf($v));
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  /** public hook: the substrait consumer registers the kernels before
+    * resolving a foreign plan that names them as extension functions */
+  def ensureSessionRegistered(): Unit = ensureRegistered()
+
+  private def ensureRegistered(): Unit = {
+    val spark = SparkSession.active
+    val key = System.identityHashCode(spark).toString
+    if (registered.add(key)) {
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("cms_merge_agg",
+        es => CmsMergeAgg(es(0)).toAggregateExpression(), "scala_udf")
+      reg.createOrReplaceTempFunction("cms_estimate_long",
+        es => CmsEstimateLong(es(0), es(1)), "scala_udf")
+    }
+  }
+
+  def cmsMergeAgg(sketch: Column): Column = {
+    ensureRegistered(); call_function("cms_merge_agg", sketch)
+  }
+  def cmsEstimateLong(sketch: Column, key: Column): Column = {
+    ensureRegistered(); call_function("cms_estimate_long", sketch, key)
+  }
+}

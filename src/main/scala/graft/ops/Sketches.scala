@@ -57,6 +57,30 @@ object Sketches {
                        groupCols: Seq[String] = Nil, lgK: Int = 12): DataFrame =
     hllMerge(hllShards(df, valueCol, shardCol, groupCols, lgK), groupCols)
 
+  // ------------------------------------------------------------- frequency
+
+  /** Stage 1 — one Count-Min frequency sketch of a BIGINT key per (group,
+    * shard), via Spark's `count_min_sketch` build aggregate. All shards
+    * MUST share (eps, confidence, seed) — the merge rejects mismatches.
+    * Size ≈ (e/eps)·⌈ln(1/(1−confidence))⌉·8 bytes, independent of rows.
+    */
+  def cmsShards(df: DataFrame, keyCol: String, shardCol: Column,
+                groupCols: Seq[String] = Nil, eps: Double = 1e-4,
+                confidence: Double = 0.999, seed: Int = 42): DataFrame =
+    df.groupBy(shardCol.as("shard") +: groupCols.map(col): _*)
+      .agg(expr(s"count_min_sketch(cast($keyCol as bigint), ${eps}d, " +
+        s"${confidence}d, $seed)").as("cms"))
+
+  /** Stage 2 — merge shard sketches (graft's `cms_merge_agg`; Spark has no
+    * built-in CMS merge) to one per-group frequency sketch, ready for
+    * [[graft.functions.CmsFunctions.cmsEstimateLong]] probes.
+    */
+  def cmsMerge(shards: DataFrame, groupCols: Seq[String] = Nil): DataFrame = {
+    val m = graft.functions.CmsFunctions.cmsMergeAgg(col("cms")).as("cms")
+    if (groupCols.isEmpty) shards.agg(m)
+    else shards.groupBy(groupCols.map(col): _*).agg(m)
+  }
+
   // ------------------------------------------------------------- quantiles
 
   /** Stage 1 — one binary KLL sketch of a BIGINT measure per (group, shard).

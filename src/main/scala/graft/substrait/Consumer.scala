@@ -409,6 +409,9 @@ object Consumer {
         case "bloom_filter_agg" =>
           graft.functions.BloomFunctions.ensureSessionRegistered()
           call_function("bloom_filter_agg", args: _*)
+        case "cms_merge_agg" =>
+          graft.functions.CmsFunctions.ensureSessionRegistered()
+          call_function("cms_merge_agg", args: _*)
         case other => notImplemented(s"aggregate function $other")
       }
     }
@@ -717,6 +720,8 @@ object Consumer {
               graft.functions.JaccardFunctions.ensureSessionRegistered()
             if (other == "might_contain")
               graft.functions.BloomFunctions.ensureSessionRegistered()
+            if (other == "cms_estimate_long")
+              graft.functions.CmsFunctions.ensureSessionRegistered()
             call_function(other, all: _*)
           case other => notImplemented(s"scalar function $other")
         }
