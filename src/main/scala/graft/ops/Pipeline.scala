@@ -258,4 +258,42 @@ object Pipeline {
     p.join(b, p(probeKey) === b(buildKey) && p("_salt") === b("_salt"))
       .drop("_salt")
   }
+
+  /** Deterministic negative sampling for contrastive training: each anchor
+    * row draws `k` pseudo-random partner rows, with no RNG anywhere — the
+    * draw is xxhash64 of (anchor id, draw index), so pairs are stable
+    * across runs, machines, partitionings, and insertion order (the
+    * [[deterministicSplit]] property, which matters when a corpus is
+    * re-processed incrementally: an anchor's negatives never silently
+    * change). Returns (anchor_id, neg_id, draw); self-draws are dropped, so
+    * an anchor yields k or occasionally k−1 pairs (probability 1/n per
+    * draw) — re-drawing would need a second corpus pass for a ~1/n event.
+    *
+    * Scale design: no global index (a corpus-wide row_number would be a
+    * single-partition window). Partners get a (bucket, index-in-bucket)
+    * address via a BUCKET-partitioned window — `buckets` ≫ cores keeps
+    * every window partition small — and bucket sizes broadcast (`buckets`
+    * rows). The anchor side computes its k (bucket, index) draws and
+    * equi-joins the address table: one window shuffle + one pair join,
+    * both on 8-byte keys; payloads never travel.
+    */
+  def negativePairs(df: DataFrame, idCol: String = "doc_id", k: Int = 4,
+                    buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = df.select(col(idCol))
+    val addressed = ids.select(col(idCol).as("neg_id"),
+      pmod(xxhash64(col(idCol)), lit(buckets.toLong)).as("b"))
+      .withColumn("idx", row_number().over(
+        Window.partitionBy("b").orderBy(xxhash64(col("neg_id"), lit(7)),
+          col("neg_id"))).cast("long") - 1L)
+    val sizes = addressed.groupBy("b").agg(count(lit(1)).as("bn"))
+    val draws = ids.select(col(idCol).as("anchor_id"),
+        explode(sequence(lit(1), lit(k))).as("draw"))
+      .withColumn("b", pmod(xxhash64(col("anchor_id"), col("draw")), lit(buckets.toLong)))
+      .join(broadcast(sizes), "b")
+      .withColumn("idx", pmod(xxhash64(col("anchor_id"), col("draw"), lit(13)), col("bn")))
+    draws.join(addressed, Seq("b", "idx"))
+      .filter(col("anchor_id") =!= col("neg_id"))
+      .select(col("anchor_id"), col("neg_id"), col("draw"))
+  }
 }

@@ -216,4 +216,26 @@ class PipelineSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids1.subsetOf(raised), "raising rates must never drop a member")
   }
+
+  test("negative sampling: deterministic, self-free, covering, spread") {
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents")
+    val n = docs.count()
+    val pairs = Pipeline.negativePairs(docs, k = 4).cache()
+    try {
+      // no self pairs; every anchor draws, keeping >= k-1
+      assert(pairs.filter(col("anchor_id") === col("neg_id")).count() == 0)
+      val perAnchor = pairs.groupBy("anchor_id").count()
+      assert(perAnchor.count() == n, "every document must anchor")
+      assert(perAnchor.filter(col("count") < 3).count() == 0)
+      // deterministic: a second independent run draws identical pairs
+      assertSameRows(pairs, Pipeline.negativePairs(docs, k = 4))
+      // spread: no partner is drawn wildly above the uniform expectation
+      // (expected in-degree = k; bound is loose on purpose — hash draws over
+      // uneven bucket sizes are near-uniform, not exactly uniform)
+      val maxIn = pairs.groupBy("neg_id").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      assert(maxIn <= 4 * 12, s"partner in-degree $maxIn too concentrated")
+    } finally pairs.unpersist()
+  }
 }

@@ -217,4 +217,30 @@ class EventStreamSpec extends SparkTestBase {
       assert(streamed == batch, "stream and batch must select identical docs")
     } finally q2.stop()
   }
+
+  test("mergeable sketches build on a stream: per-shard HLL == batch shards") {
+    // the per-shard sketch stage of Sketches.distinctEstimate runs on a
+    // readStream frame in complete mode — continuous ingest keeps the
+    // sketch table fresh, and the merge stage stays a batch query over it
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents")
+    val docsDir = Files.createTempDirectory("graft_docs_hll").toString
+    docs.coalesce(2).write.mode("overwrite").parquet(docsDir)
+    val sDocs = spark.readStream
+      .schema(spark.read.parquet(docsDir).schema).parquet(docsDir)
+    val q = graft.ops.Sketches.hllShards(sDocs, "text", col("doc_id") % 4)
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // merged estimates must agree with the batch-shard merge exactly:
+      // each (shard) group saw identical input sets
+      val streamedEst = graft.ops.Sketches.hllMerge(spark.table("hll_out"))
+        .collect()(0).getLong(0)
+      val batchEst = graft.ops.Sketches.distinctEstimate(
+        docs, "text", col("doc_id") % 4).collect()(0).getLong(0)
+      assert(math.abs(streamedEst - batchEst) <= batchEst * 0.02,
+        s"$streamedEst vs $batchEst")
+    } finally q.stop()
+  }
 }
