@@ -938,6 +938,34 @@ object SparkEntry {
           |ORDER BY l_returnflag""".stripMargin))
     }),
 
+    // multiset set operations (SetRel IntersectionMultiset / MinusMultiset):
+    // duplicates preserved per multiset semantics — q15 certifies the
+    // PRIMARY variants, this the ALL variants
+    "q41_setops_all" -> ((s, dir) => rt(s, {
+      val ck = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val sk = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      val nk = t(s, dir, "nation").filter(col("n_nationkey") >= 10)
+        .select(col("n_nationkey").as("k"))
+      ck.intersectAll(sk).exceptAll(nk).groupBy("k")
+        .agg(count(lit(1)).as("n")).orderBy("k")
+    })),
+
+    // IGNORE NULLS window offsets over outer-join nulls (the
+    // first_ignore_nulls/last_ignore_nulls extension names on the wire)
+    "q42_window_ignore_nulls" -> ((s, dir) => {
+      t(s, dir, "customer"); t(s, dir, "orders")
+      rt(s, s.sql(
+        """SELECT c_custkey,
+          |  last_value(o_orderkey) IGNORE NULLS OVER
+          |    (ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS last_seen_order
+          |FROM (SELECT c_custkey, o_orderkey
+          |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          |        AND o_orderkey % 50 = 0)
+          |ORDER BY c_custkey, last_seen_order""".stripMargin))
+    }),
+
     "q35_scalar_correlated" -> ((s, dir) => {
       t(s, dir, "lineitem")
       rt(s, s.sql(
@@ -1405,6 +1433,24 @@ object SparkEntry {
     "t18_negative_pairs" ->
       """SELECT count(*) AS n_anchors, TRUE AS no_self, TRUE AS coverage_ok
         |FROM documents""".stripMargin,
+    "q41_setops_all" ->
+      """WITH x AS (
+        |  SELECT k FROM (SELECT c_nationkey AS k FROM customer
+        |                 INTERSECT ALL
+        |                 SELECT s_nationkey FROM supplier)
+        |  EXCEPT ALL
+        |  SELECT n_nationkey FROM nation WHERE n_nationkey >= 10)
+        |SELECT k, count(*) AS n FROM x GROUP BY k ORDER BY k""".stripMargin,
+    "q42_window_ignore_nulls" ->
+      """SELECT c_custkey,
+        |  last_value(o_orderkey IGNORE NULLS) OVER
+        |    (ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_seen_order
+        |FROM (SELECT c_custkey, o_orderkey
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |        AND o_orderkey % 50 = 0)
+        |ORDER BY c_custkey, last_seen_order""".stripMargin,
     "p01_curation_pipeline" ->
       """WITH dedup AS (
         |  SELECT min(doc_id) AS doc_id FROM documents
