@@ -286,11 +286,20 @@ object Pipeline {
       .withColumn("idx", row_number().over(
         Window.partitionBy("b").orderBy(xxhash64(col("neg_id"), lit(7)),
           col("neg_id"))).cast("long") - 1L)
+    // draws address the RANKED non-empty buckets, not the raw hash range: a
+    // draw into an empty bucket would silently vanish (at |corpus| ≲
+    // `buckets` most buckets are empty), breaking the ≥ k−1 coverage
+    // contract. The rank table is ≤ `buckets` rows (broadcast); the
+    // non-empty count rides as a scalar subquery — no driver action.
     val sizes = addressed.groupBy("b").agg(count(lit(1)).as("bn"))
+      .withColumn("brank",
+        row_number().over(Window.orderBy("b")).cast("long") - 1L)
+    val nBuckets = sizes.agg(count(lit(1)).as("m"))
     val draws = ids.select(col(idCol).as("anchor_id"),
         explode(sequence(lit(1), lit(k))).as("draw"))
-      .withColumn("b", pmod(xxhash64(col("anchor_id"), col("draw")), lit(buckets.toLong)))
-      .join(broadcast(sizes), "b")
+      .withColumn("brank",
+        pmod(xxhash64(col("anchor_id"), col("draw")), nBuckets.scalar()))
+      .join(broadcast(sizes), "brank")
       .withColumn("idx", pmod(xxhash64(col("anchor_id"), col("draw"), lit(13)), col("bn")))
     draws.join(addressed, Seq("b", "idx"))
       .filter(col("anchor_id") =!= col("neg_id"))
