@@ -32,12 +32,19 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   override def dataType: DataType = BooleanType
 
+  // cache check is reference-equality FIRST (hits when the filter arrives
+  // as a Literal — the scalar-subquery shape after Catalyst executes the
+  // subquery), then content-equality (the substrait-round-tripped shape
+  // rebuilds the subquery as a cross-joined column, and UnsafeRow.getBinary
+  // copies on every access so references never repeat; Arrays.equals on the
+  // constant filter is one memcmp per row — cheap next to a rebuild, and
+  // the literal shape is the documented one at scale)
   @transient private var cachedBytes: Array[Byte] = _
   @transient private var cachedFilter: org.apache.spark.util.sketch.BloomFilter = _
 
   override def nullSafeEval(b: Any, v: Any): Any = {
     val bytes = b.asInstanceOf[Array[Byte]]
-    if (!(bytes eq cachedBytes)) {
+    if (!(bytes eq cachedBytes) && !java.util.Arrays.equals(bytes, cachedBytes)) {
       cachedFilter = org.apache.spark.util.sketch.BloomFilter
         .readFrom(new java.io.ByteArrayInputStream(bytes))
       cachedBytes = bytes
@@ -51,7 +58,7 @@ case class BloomMightContain(left: Expression, right: Expression)
       "bloomCachedFilter")
     nullSafeCodeGen(ctx, ev, (b, v) => {
       s"""
-         |if ($b != $cb) {
+         |if ($b != $cb && !java.util.Arrays.equals($b, $cb)) {
          |  try {
          |    $cf = org.apache.spark.util.sketch.BloomFilter
          |      .readFrom(new java.io.ByteArrayInputStream($b));
@@ -90,7 +97,10 @@ object BloomFunctions {
     * resolving a foreign plan that names them as extension functions */
   def ensureSessionRegistered(): Unit = ensureRegistered()
 
-  private def ensureRegistered(): Unit = {
+  // synchronized: a thread losing the registered.add race must BLOCK until
+  // the winner finishes createOrReplaceTempFunction — otherwise a pooled
+  // Verify query can analyze against a not-yet-registered name
+  private def ensureRegistered(): Unit = synchronized {
     val spark = SparkSession.active
     val key = System.identityHashCode(spark).toString
     if (registered.add(key)) {

@@ -64,14 +64,21 @@ object CmsFunctions {
     override def eval(buffer: CountMinSketch): Any =
       if (buffer == null) null else serialize(buffer)
 
-    override def serialize(buffer: CountMinSketch): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream()
-      buffer.writeTo(out)
-      out.toByteArray
-    }
+    // the no-input buffer is null, and Spark's partial-aggregation path
+    // calls serialize() on it unconditionally (TypedImperativeAggregate
+    // .serializeAggregateBufferInPlace) — an empty byte array round-trips
+    // the "nothing merged yet" state instead of NPE-ing on an all-null group
+    override def serialize(buffer: CountMinSketch): Array[Byte] =
+      if (buffer == null) Array.emptyByteArray
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        buffer.writeTo(out)
+        out.toByteArray
+      }
 
     override def deserialize(bytes: Array[Byte]): CountMinSketch =
-      CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+      if (bytes.isEmpty) null
+      else CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
 
     override def withNewMutableAggBufferOffset(o: Int): CmsMergeAgg =
       copy(mutableAggBufferOffset = o)
@@ -98,12 +105,15 @@ object CmsFunctions {
 
     override def dataType: DataType = LongType
 
+    // reference-equality first (Literal shape), content-equality fallback
+    // (cross-joined column shape: UnsafeRow.getBinary copies per access) —
+    // see BloomMightContain for the full rationale
     @transient private var cachedBytes: Array[Byte] = _
     @transient private var cachedSketch: CountMinSketch = _
 
     override def nullSafeEval(b: Any, v: Any): Any = {
       val bytes = b.asInstanceOf[Array[Byte]]
-      if (!(bytes eq cachedBytes)) {
+      if (!(bytes eq cachedBytes) && !java.util.Arrays.equals(bytes, cachedBytes)) {
         cachedSketch = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
         cachedBytes = bytes
       }
@@ -116,7 +126,7 @@ object CmsFunctions {
         "cmsCachedSketch")
       nullSafeCodeGen(ctx, ev, (b, v) => {
         s"""
-           |if ($b != $cb) {
+           |if ($b != $cb && !java.util.Arrays.equals($b, $cb)) {
            |  try {
            |    $cs = org.apache.spark.util.sketch.CountMinSketch
            |      .readFrom(new java.io.ByteArrayInputStream($b));
@@ -141,7 +151,10 @@ object CmsFunctions {
     * resolving a foreign plan that names them as extension functions */
   def ensureSessionRegistered(): Unit = ensureRegistered()
 
-  private def ensureRegistered(): Unit = {
+  // synchronized: a thread losing the registered.add race must BLOCK until
+  // the winner finishes createOrReplaceTempFunction — otherwise a pooled
+  // Verify query can analyze against a not-yet-registered name
+  private def ensureRegistered(): Unit = synchronized {
     val spark = SparkSession.active
     val key = System.identityHashCode(spark).toString
     if (registered.add(key)) {

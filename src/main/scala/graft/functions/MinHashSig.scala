@@ -131,7 +131,10 @@ object MinHashFunctions {
     * resolving a foreign plan that names them as extension functions */
   def ensureSessionRegistered(): Unit = ensureRegistered()
 
-  private def ensureRegistered(): Unit = {
+  // synchronized: a thread losing the registered.add race must BLOCK until
+  // the winner finishes createOrReplaceTempFunction — otherwise a pooled
+  // Verify query can analyze against a not-yet-registered name
+  private def ensureRegistered(): Unit = synchronized {
     val spark = SparkSession.active
     if (registered.add(System.identityHashCode(spark).toString)) {
       val reg = spark.sessionState.functionRegistry

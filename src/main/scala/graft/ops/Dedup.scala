@@ -92,8 +92,13 @@ object Dedup {
     import graft.functions.BloomFunctions
     val newD = newDocs.select(col(idCol),
       TextOps.fingerprint(col(textCol)).as("digest"))
+    // the corpus digest set is read up to three times (count fallback,
+    // bloom build, anti-join build side) — persist so text normalization +
+    // the distinct shuffle run once, not per consumer. At 100 TB the
+    // production shape passes a pre-computed digest TABLE as `existing`
+    // plus `expectedItems`, making this cache a digests-only frame.
     val oldD = existing.select(
-      TextOps.fingerprint(col(textCol)).as("digest")).distinct()
+      TextOps.fingerprint(col(textCol)).as("digest")).distinct().persist()
     val nItems = math.max(1L,
       if (expectedItems > 0) expectedItems else oldD.count())
     // might_contain requires the filter as a constant or scalar subquery —
@@ -263,7 +268,7 @@ object Dedup {
     // oracle certifies — same contract as ngramJaccardPairs)
     def hashed(df: DataFrame, as: String, sh: String) =
       df.select(col(idCol).as(as),
-        array_sort(transform(shingles(textCol, shingleSize), x => xxhash64(x))).as(sh))
+        sortedHashedShingles(textCol, shingleSize).as(sh))
     candidates
       .join(hashed(newDocs, "new_id", "sh_n"), "new_id")
       .join(hashed(existing, "kept_id", "sh_k"), "kept_id")
@@ -286,7 +291,7 @@ object Dedup {
     // merge-scan per pair (functions.SortedJaccardGe); |A∩B| unchanged by
     // hashing, certified by the string-shingle oracle
     def hs(idAs: String, shAs: String) = base.select(col(idCol).as(idAs),
-      array_sort(transform(shingles(textCol, shingleSize), x => xxhash64(x))).as(shAs))
+      sortedHashedShingles(textCol, shingleSize).as(shAs))
     candidates.join(hs("id_a", "sh_a"), "id_a").join(hs("id_b", "sh_b"), "id_b")
       .withColumn("jaccard", graft.functions.JaccardFunctions
         .sortedJaccardGe(col("sh_a"), col("sh_b"), threshold))
@@ -294,10 +299,16 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  private def shingled(base: DataFrame, idCol: String, textCol: String,
-                       shingleSize: Int, idAs: String, shAs: String): DataFrame =
-    base.select(col(idCol).as(idAs),
-      shingles(textCol, shingleSize).as(shAs))
+  /** The verify-stage shingle encoding shared by every near-dup path:
+    * xxhash64-hashed (8-byte longs instead of multi-byte strings) and
+    * SORTED ASCENDING — the input contract of
+    * [[graft.functions.SortedJaccardGe]] (sorted, duplicate-free; the
+    * distinctness comes from [[shingles]]). |A∩B| is unchanged by hashing:
+    * a 64-bit collision within one union is ~1e-13-improbable and
+    * deterministic — certified by the exact string-shingle oracles.
+    */
+  private[ops] def sortedHashedShingles(textCol: String, k: Int): org.apache.spark.sql.Column =
+    array_sort(transform(shingles(textCol, k), x => xxhash64(x)))
 
   /** exact Jaccard over two distinct-element array columns */
   def jaccardCol(a: String, b: String): org.apache.spark.sql.Column =
@@ -345,8 +356,7 @@ object Dedup {
     // and deterministic — certified by the exact string-shingle oracle)
     val s = df.select(blk.as("blk"), col(idCol).as("jid"),
         col(textCol).as("jtext"))
-      .withColumn("sh",
-        array_sort(transform(shingles("jtext", shingleSize), x => xxhash64(x))))
+      .withColumn("sh", sortedHashedShingles("jtext", shingleSize))
       .select(col("blk"), col("jid"), col("sh"), size(col("sh")).as("sz"))
     val bucketed =
       if (sizeBucketing && threshold > 0.0 && threshold < 1.0) {
@@ -571,7 +581,7 @@ object Dedup {
     // distinct; a 64-bit collision within one union is ~1e-13-improbable
     // and deterministic — certified by the oracle)
     val hashedShingles = base.select(col(idCol),
-      array_sort(transform(shingles(textCol, shingleSize), s => xxhash64(s))).as("sh"))
+      sortedHashedShingles(textCol, shingleSize).as("sh"))
     val sa = hashedShingles.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val sb = hashedShingles.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
     candidates.join(sa, "id_a").join(sb, "id_b")

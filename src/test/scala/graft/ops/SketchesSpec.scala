@@ -67,9 +67,12 @@ class SketchesSpec extends SparkTestBase {
       .collect()(0)
     val n = d.count().toDouble
     for ((target, v) <- Seq(0.5 -> q.getAs[Long]("p50"), 0.95 -> q.getAs[Long]("p95"))) {
-      val rank = d.filter(col("len") <= v).count() / n
-      assert(math.abs(rank - target) <= 0.025,
-        s"p${(target * 100).round}: value $v has rank $rank")
+      // with ties the item's rank is an interval [P(X<v), P(X≤v)]; the KLL
+      // bound is on the rank, so certify interval-overlap, not CDF-at-v
+      val lt = d.filter(col("len") < v).count() / n
+      val le = d.filter(col("len") <= v).count() / n
+      assert(lt <= target + 0.025 && le >= target - 0.025,
+        s"p${(target * 100).round}: value $v has rank interval [$lt, $le]")
     }
   }
 
@@ -81,8 +84,10 @@ class SketchesSpec extends SparkTestBase {
     for (ord <- Seq(col("shard").asc, col("shard").desc)) {
       val p50 = Sketches.kllQuantiles(shards.orderBy(ord), Seq(0.5))
         .collect()(0).getAs[Long]("p50")
-      val rank = d.filter(col("len") <= p50).count() / n
-      assert(math.abs(rank - 0.5) <= 0.025, s"order $ord: p50 $p50 rank $rank")
+      val lt = d.filter(col("len") < p50).count() / n
+      val le = d.filter(col("len") <= p50).count() / n
+      assert(lt <= 0.525 && le >= 0.475,
+        s"order $ord: p50 $p50 rank interval [$lt, $le]")
     }
   }
 }
