@@ -474,6 +474,31 @@ object SparkEntry {
         .orderBy("lang")
     })),
 
+    // small-file compaction: the documents table rewritten into evenly-sized
+    // files (repartition, not coalesce — even output beats narrow-but-skewed)
+    // and read back; the oracle certifies the rewrite is row-lossless.
+    "p08_compaction" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-compact-${math.abs(dir.hashCode)}"
+      sources.Sources.compact(s, s"$dir/documents.parquet", out,
+        targetBytes = 4L * 1024 * 1024)
+      rt(s, s.read.parquet(out).select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id"))
+    }),
+
+    // range-partitioned layout: documents laid out directory-per-length-band
+    // with in-file sort; the band filter prunes partitions at plan time
+    // (PlanQualitySpec asserts PartitionFilters + pruned file count) and the
+    // oracle certifies the surviving rows exactly.
+    "p09_range_layout" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-layout-${math.abs(dir.hashCode)}"
+      sources.Sources.writeRangePartitioned(
+        t(s, dir, "documents").withColumn("len_band",
+          floor(col("n_chars") / 100).cast("int")),
+        bucketCol = "len_band", path = out, sortCols = Seq("n_chars"))
+      rt(s, s.read.parquet(out).filter(col("len_band") === 2)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id"))
+    }),
+
     // mergeable-sketch heavy hitters: per-shard Count-Min frequency sketches
     // merged (graft's cms_merge_agg) and probed for the exact top-20 keys —
     // the refresh-without-rescan companion to p02's exact skew report.
@@ -1435,6 +1460,11 @@ object SparkEntry {
         |           FROM lineitem GROUP BY 1)
         |SELECT l_suppkey, exact_n, TRUE AS est_ok FROM c
         |ORDER BY exact_n DESC, l_suppkey ASC LIMIT 20""".stripMargin,
+    "p08_compaction" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "p09_range_layout" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE floor(n_chars / 100) = 2 ORDER BY doc_id""".stripMargin,
     "t18_negative_pairs" ->
       """SELECT count(*) AS n_anchors, TRUE AS no_self, TRUE AS coverage_ok
         |FROM documents""".stripMargin,

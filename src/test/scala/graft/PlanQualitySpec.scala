@@ -328,6 +328,13 @@ class PlanQualitySpec extends SparkTestBase {
       s"HLL sketches must aggregate map-side:\n$p")
   }
 
+  test("p09: range-layout band filter prunes partition directories at plan time") {
+    val p = plan("p09_range_layout")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("len_band")),
+      s"band predicate must be a partition filter, not a data filter:\n$p")
+  }
+
   test("LocalFiles consume: declared-schema file scan still prunes and pushes") {
     val df = substrait.Consumer.consume(spark, substrait.Wire.decode(
       substrait.Wire.encode(substrait.Producer.produce(

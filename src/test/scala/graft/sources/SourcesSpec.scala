@@ -100,4 +100,37 @@ class SourcesSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"), plan)
     assert(scan.count() > 0)
   }
+
+  test("compaction: target file count, even sizes, row-lossless") {
+    Tables.register(spark, sfDir)
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // tiny target forces a multi-file rewrite even at sf0.001
+    Sources.compact(spark, s"$sfDir/documents.parquet", out,
+      targetBytes = 8L * 1024)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 2, s"expected a multi-file rewrite, got ${files.length}")
+    // repartition (round-robin), not coalesce: sizes must be even-ish
+    val sizes = files.map(_.length()).sorted
+    assert(sizes.last <= sizes.head * 3,
+      s"file sizes too skewed: ${sizes.mkString(", ")}")
+    assertSameRows(spark.table("documents"), spark.read.parquet(out))
+  }
+
+  test("range-partitioned layout restores rows and partition-prunes") {
+    Tables.register(spark, sfDir)
+    val out = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    Sources.writeRangePartitioned(
+      spark.table("documents").withColumn("len_band",
+        org.apache.spark.sql.functions.floor(
+          org.apache.spark.sql.functions.col("n_chars") / 1000).cast("int")),
+      bucketCol = "len_band", path = out, sortCols = Seq("n_chars"))
+    val back = spark.read.parquet(out)
+    assertSameRows(
+      spark.table("documents").select("doc_id", "text", "lang", "source", "n_chars"),
+      back.select("doc_id", "text", "lang", "source", "n_chars"))
+    val pruned = back.filter(org.apache.spark.sql.functions.col("len_band") === 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(len_band"), plan)
+  }
 }
