@@ -260,6 +260,26 @@ object SparkEntry {
         .orderBy("q_id", "rank"))
     }),
 
+    // semantic near-dup pairs via k-means cluster blocking (the SemDeDup
+    // shape): same planted-twin fixture as d05, but candidates come from
+    // data-adaptive quantizer cells (multi-probe 2) instead of random
+    // hyperplanes — the complementary scale path, with nlist as the direct
+    // occupancy knob. The exact-cosine verify makes precision exact; twins
+    // at cosine ≈ 0.99998 co-cluster under any trained centroid set (and a
+    // boundary straddle still meets via the second probe cell), so the
+    // output equals the exact all-pairs oracle. KMeans training is
+    // imperative (no wire form); the blocked pair query rides the wire.
+    "s07_semantic_dedup" -> ((s, dir) => rt(s, {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val twin = e.select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x * (1.0D + 0.002D * ((i % 5) - 2)))")
+          .as("embedding"))
+      ops.Similarity.semanticNearDups(e.unionAll(twin), threshold = 0.8,
+          nlist = 16, probeCells = 2, trainSampleFraction = 0.5)
+        .orderBy("id_a", "id_b")
+    })),
+
     // language-ID heuristic + accuracy vs the labeled lang column
     "t01_langid" -> ((s, dir) => rt(s,
       ops.TextOps.langId(t(s, dir, "documents"))
@@ -1330,6 +1350,22 @@ object SparkEntry {
         |  FROM s)
         |SELECT q_id, n_id, rank, ROUND(sim0, 6) AS sim FROM r
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // s07: identical ground truth to d05 (exact all-pairs cosine over the
+    // planted-twin union) — the k-means cluster blocking changes the compute
+    // path, not the qualifying pair set: the exact-cosine verify pins
+    // precision and the twins' co-clustering (multi-probe 2) pins recall
+    "s07_semantic_dedup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |twin AS (SELECT vec_id + 100000 AS vec_id,
+        |  [v[i] * (1.0 + 0.002 * (((i - 1) % 5) - 2)) for i in range(1, len(v) + 1)] AS v
+        |  FROM base),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS s0
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, ROUND(s0, 6) AS sim FROM p
+        |WHERE s0 >= 0.8 ORDER BY id_a, id_b""".stripMargin,
     "t01_langid" ->
       """WITH sc AS (SELECT lang,
         |  (CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END +

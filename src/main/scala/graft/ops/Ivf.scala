@@ -25,7 +25,7 @@ object Ivf {
 
   /** nearest-centroid id for a vector column, centroids as literals
     * (broadcast with the task binary — they are tiny by construction) */
-  private def nearestCells(vec: Column, centroids: Seq[Seq[Double]], n: Int): Column = {
+  private[ops] def nearestCells(vec: Column, centroids: Seq[Seq[Double]], n: Int): Column = {
     // squared L2 to each centroid (codegen'd single-pass kernel);
     // take the n smallest cell ids
     val dists = centroids.zipWithIndex.map { case (cent, i) =>
@@ -39,18 +39,28 @@ object Ivf {
   /** Train the coarse quantizer on a sample and assign every corpus vector
     * to its nearest cell.
     */
-  def build(corpus: DataFrame, nlist: Int, idCol: String = "vec_id",
-            vecCol: String = "embedding",
-            trainSampleFraction: Double = 1.0, seed: Long = 42L): IvfIndex = {
-    val base = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
+  /** Train the coarse quantizer on a (bounded) sample of a pre-projected
+    * (id, vec) frame and return the centroids — a few KB regardless of
+    * corpus size, so they travel as literals in every downstream plan.
+    * Shared by the IVF index build and cluster-blocked semantic dedup. */
+  private[ops] def trainCentroids(base: DataFrame, nlist: Int,
+                                  trainSampleFraction: Double,
+                                  seed: Long, vecField: String): Seq[Seq[Double]] = {
     val train = (if (trainSampleFraction < 1.0)
       base.sample(withReplacement = false, trainSampleFraction, seed) else base)
-      .select(array_to_vector(col("n_vec")).as("features"))
+      .select(array_to_vector(col(vecField)).as("features"))
     // a handful of iterations is plenty for a coarse quantizer — cell
     // boundaries need to be stable, not optimal
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("features").fit(train)
-    val centroids = model.clusterCenters.toSeq.map(_.toArray.toSeq)
+    model.clusterCenters.toSeq.map(_.toArray.toSeq)
+  }
+
+  def build(corpus: DataFrame, nlist: Int, idCol: String = "vec_id",
+            vecCol: String = "embedding",
+            trainSampleFraction: Double = 1.0, seed: Long = 42L): IvfIndex = {
+    val base = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
+    val centroids = trainCentroids(base, nlist, trainSampleFraction, seed, "n_vec")
     val assigned = base
       .withColumn("cell", nearestCells(col("n_vec"), centroids, 1).getItem(0))
       .repartition(col("cell"))

@@ -163,4 +163,49 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
+
+  /** Semantic near-duplicate pairs via k-means CLUSTER blocking (the
+    * SemDeDup shape — Abbas et al. 2023, arXiv:2303.09540): a coarse
+    * quantizer trained on a bounded sample partitions the corpus into
+    * `nlist` cells; candidate pairs are generated only WITHIN a cell and
+    * verified with exact cosine. Complementary scale path to sign-LSH
+    * (`lshNearDups`): data-adaptive cells follow the corpus's own cluster
+    * structure instead of fixed random hyperplanes, and `nlist` scales the
+    * block granularity directly (production: nlist ~ n/10k keeps expected
+    * cell occupancy flat as the corpus grows).
+    *
+    * Boundary robustness: each vector lands in its `probeCells` nearest
+    * cells (multi-probe); a pair straddling one boundary still meets in the
+    * other's cell. `maxBucket` caps a degenerate cell before the quadratic
+    * pair blowup. Output: (id_a, id_b, sim) with id_a < id_b.
+    *
+    * Shuffle budget: centroid training reads a sample; assignment is one
+    * narrow map (centroids are literals); one wide shuffle groups 8-byte ids
+    * by cell (vectors never ride it); the verify joins' build side is the
+    * candidate pair list, which AQE broadcasts.
+    */
+  def semanticNearDups(df: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       threshold: Double = 0.8, nlist: Int = 16,
+                       probeCells: Int = 2, trainSampleFraction: Double = 1.0,
+                       seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
+    val vecs = df.select(col(idCol).as("nd_id"), asDouble(col(vecCol)).as("nd_vec"))
+      .repartition(col("nd_id"))
+    val centroids = Ivf.trainCentroids(vecs, nlist, trainSampleFraction, seed, "nd_vec")
+    val bucketed = vecs.select(col("nd_id"),
+      explode(Ivf.nearestCells(col("nd_vec"), centroids, probeCells)).as("cell"))
+    val candidates = bucketed
+      .groupBy("cell")
+      .agg(sort_array(collect_list(col("nd_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(explode(Dedup.sortedPairs("ids")).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+    candidates
+      .join(vecs.select(col("nd_id").as("id_a"), col("nd_vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("nd_id").as("id_b"), col("nd_vec").as("vec_b")), "id_b")
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
 }

@@ -103,6 +103,44 @@ class OpsSpec extends SparkTestBase {
     assert(run(n) == run(0L), "hinted plane count must reproduce the counted run")
   }
 
+  test("semanticNearDups equals exact all-pairs cosine on planted twins") {
+    val e = embs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val twin = e.select((col("vec_id") + 100000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> x * (1.0D + 0.002D * ((i % 5) - 2)))")
+        .as("embedding"))
+    val u = e.unionAll(twin)
+    val a = u.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = u.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.semanticNearDups(u, threshold = 0.8, nlist = 8,
+        probeCells = 2, seed = 42L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact, s"missed ${exact -- got}, extra ${got -- exact}")
+  }
+
+  test("semanticNearDups multi-probe covers a pair split at probeCells=1") {
+    // two clearly separated clusters plus a twin pair halfway between them:
+    // with probeCells=2 the twins meet in a shared cell no matter which side
+    // of the k=2 boundary each lands on
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    def jitter(base: Seq[Double]) = base.map(_ + rnd.nextGaussian() * 0.01)
+    val c1 = Seq.fill(20)(jitter(Seq(1.0, 0.0, 0.0, 0.0)))
+    val c2 = Seq.fill(20)(jitter(Seq(0.0, 1.0, 0.0, 0.0)))
+    val mid = Seq(0.7071, 0.7071, 0.0, 0.0)
+    val rows = (c1 ++ c2 ++ Seq(mid, mid.map(_ * 1.0001))).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.semanticNearDups(df, threshold = 0.999, nlist = 2,
+        probeCells = 2, seed = 42L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((40L, 41L)), s"midpoint twin pair lost: $got")
+  }
+
   test("simhash hamming pairs are symmetric-free and verified") {
     val pairs = Dedup.simhashNearDups(docs).collect()
     pairs.foreach { r =>
