@@ -519,6 +519,21 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars").orderBy("doc_id"))
     }),
 
+    // Z-ordered layout: rows clustered by the Morton interleave of per-column
+    // quantile ranks, so file/row-group min-max stats skip on BOTH box
+    // dimensions — p09's single-column answer generalized to multi-column
+    // selective queries. The oracle certifies the rewrite is row-lossless
+    // under a 2-D box filter; SourcesSpec asserts the actual file-level
+    // skipping beats a single-column sort on the second dimension.
+    "p10_zorder_layout" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-zorder-${math.abs(dir.hashCode)}"
+      sources.Sources.writeZOrdered(t(s, dir, "documents"),
+        Seq("doc_id", "n_chars"), out, numFiles = 16)
+      rt(s, s.read.parquet(out)
+        .filter(col("doc_id").between(100, 300) && col("n_chars").between(150, 350))
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id"))
+    }),
+
     // mergeable-sketch heavy hitters: per-shard Count-Min frequency sketches
     // merged (graft's cms_merge_agg) and probed for the exact top-20 keys —
     // the refresh-without-rescan companion to p02's exact skew report.
@@ -1501,6 +1516,12 @@ object SparkEntry {
     "p09_range_layout" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE floor(n_chars / 100) = 2 ORDER BY doc_id""".stripMargin,
+    // p10: the z-order rewrite must be row-lossless — a 2-D box filter over
+    // the relaid-out table equals the same filter over the source
+    "p10_zorder_layout" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id BETWEEN 100 AND 300 AND n_chars BETWEEN 150 AND 350
+        |ORDER BY doc_id""".stripMargin,
     "t18_negative_pairs" ->
       """SELECT count(*) AS n_anchors, TRUE AS no_self, TRUE AS coverage_ok
         |FROM documents""".stripMargin,

@@ -121,4 +121,64 @@ object Sources {
       else df.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
     sorted.write.mode("overwrite").partitionBy(bucketCol).parquet(path)
   }
+
+  /** Morton/Z-order spread table: the 2^bits possible ranks with their bits
+    * re-spaced `stride` positions apart, so `stride` interleaved ranks OR
+    * together without collision. A 256-entry literal — rides in the plan. */
+  private def spreadTable(bits: Int, stride: Int): Seq[Long] =
+    (0 until (1 << bits)).map { r =>
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((r >> i) & 1).toLong << (i * stride))
+      }
+    }
+
+  /** Z-value of a row: each column quantized to a 2^bits-band rank against
+    * its own (pre-computed) quantile boundaries, ranks bit-interleaved.
+    * Boundaries are literal arrays (≤255 doubles/column) and the spread
+    * lookup is a 256-entry `element_at` — all codegen'd, no UDF. */
+  def zorderCol(colsWithBounds: Seq[(org.apache.spark.sql.Column, Seq[Double])],
+                bits: Int = 8): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(colsWithBounds.nonEmpty && colsWithBounds.size * bits <= 63,
+      s"${colsWithBounds.size} cols x $bits bits exceeds a signed long")
+    val stride = colsWithBounds.size
+    val spread = typedLit(spreadTable(bits, stride))
+    colsWithBounds.zipWithIndex.map { case ((c, bounds), idx) =>
+      require(bounds.size == (1 << bits) - 1,
+        s"need ${(1 << bits) - 1} boundaries, got ${bounds.size}")
+      val v = c.cast("double")
+      // rank = #boundaries <= v, in 0..2^bits-1 (nulls sort first: rank 0)
+      val rank = size(filter(typedLit(bounds), b => v.isNotNull && v >= b))
+      shiftleft(element_at(spread, rank + 1), idx)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-ordered (multi-dimensional-clustered) parquet layout: rows sorted by
+    * the Morton interleave of per-column quantile ranks, so parquet
+    * row-group/file min-max stats skip on EVERY z-dimension at once — the
+    * layout for corpora queried by more than one selective column (date x
+    * domain, length x quality, ...), where a single-column sort gives
+    * skipping power to that column only and leaves the rest full-scan.
+    *
+    * Scale shape: one multi-column approx-quantile aggregate sizes the band
+    * boundaries (bounded sketch state, never a sort); one range shuffle on
+    * the z-value distributes rows into `numFiles` even, contiguous z-ranges;
+    * the within-partition sort is local. Boundaries and spread tables are
+    * KB-sized literals in the plan. Row content is untouched (certified by
+    * the p10 oracle: a 2-D box filter over the layout equals the same filter
+    * over the source).
+    */
+  def writeZOrdered(df: DataFrame, zCols: Seq[String], path: String,
+                    numFiles: Int, bits: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cuts = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val casted = df.select(zCols.map(c => col(c).cast("double").as(c)): _*)
+    val bounds = casted.stat.approxQuantile(zCols.toArray, cuts, 1e-3)
+    val z = zorderCol(zCols.zip(bounds).map { case (c, b) => (col(c), b.toSeq) }, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -133,4 +133,43 @@ class SourcesSpec extends SparkTestBase {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(len_band"), plan)
   }
+
+  test("z-ordered layout is row-lossless and skips files on BOTH box dimensions") {
+    import org.apache.spark.sql.functions._
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents")
+    val nFiles = 16
+    val zOut = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    Sources.writeZOrdered(docs, Seq("doc_id", "n_chars"), zOut, numFiles = nFiles)
+    assertSameRows(
+      docs.select("doc_id", "text", "lang", "source", "n_chars"),
+      spark.read.parquet(zOut).select("doc_id", "text", "lang", "source", "n_chars"))
+    // single-column comparison layout: same file count, sorted by doc_id only
+    val sOut = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    docs.repartitionByRange(nFiles, col("doc_id"))
+      .sortWithinPartitions("doc_id").write.mode("overwrite").parquet(sOut)
+    // per-file min/max decide stats-based skipping; count the files a
+    // predicate on the SECOND dimension alone must touch — the layout
+    // property parquet row-group/file pruning keys off
+    def fileStats(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"),
+        min("n_chars").as("c0"), max("n_chars").as("c1"))
+    // n_chars-only predicate: the doc_id-sorted layout spreads every
+    // n_chars value across ALL files (zero skipping possible); z-order
+    // constrains n_chars's high bits per z-range → real skipping
+    val zTouchC = fileStats(zOut)
+      .filter(col("c1") >= 150 && col("c0") <= 250).count()
+    val sTouchC = fileStats(sOut)
+      .filter(col("c1") >= 150 && col("c0") <= 250).count()
+    assert(sTouchC == nFiles,
+      s"doc_id-sorted layout unexpectedly skipped n_chars files: $sTouchC")
+    assert(zTouchC < sTouchC,
+      s"z-order touched $zTouchC files on the n_chars band, sorted $sTouchC")
+    // and the 2-D box (the p10 shape) touches a minority of files
+    val zTouchBox = fileStats(zOut)
+      .filter(col("d1") >= 100 && col("d0") <= 300 &&
+        col("c1") >= 150 && col("c0") <= 350).count()
+    assert(zTouchBox < nFiles, s"2-D box touched all $nFiles files")
+  }
 }
