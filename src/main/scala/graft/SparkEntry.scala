@@ -534,6 +534,24 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars").orderBy("doc_id"))
     }),
 
+    // runtime-filter join: a bloom over the selective dim side's keys
+    // (scalar subquery — never driver-side) prefilters lineitem BEFORE the
+    // join shuffle, so the shuffle carries only rows that can join — the
+    // semi-join reduction every 100 TB fact-dim join wants when the dim is
+    // too big to broadcast. Output provably equals the plain inner join
+    // (no false negatives; false positives die in the join itself).
+    "p11_bloom_join" -> ((s, dir) => rt(s, {
+      val li = t(s, dir, "lineitem")
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      ops.Pipeline.bloomPrefilteredJoin(li, urgent, "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy("l_returnflag")
+    })),
+
     // mergeable-sketch heavy hitters: per-shard Count-Min frequency sketches
     // merged (graft's cms_merge_agg) and probed for the exact top-20 keys —
     // the refresh-without-rescan companion to p02's exact skew report.
@@ -1522,6 +1540,15 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id BETWEEN 100 AND 300 AND n_chars BETWEEN 150 AND 350
         |ORDER BY doc_id""".stripMargin,
+    // p11: the bloom-prefiltered join must equal the PLAIN inner join —
+    // the runtime filter is a pure shuffle reduction, never a semantics change
+    "p11_bloom_join" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "t18_negative_pairs" ->
       """SELECT count(*) AS n_anchors, TRUE AS no_self, TRUE AS coverage_ok
         |FROM documents""".stripMargin,

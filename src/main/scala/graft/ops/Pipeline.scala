@@ -305,4 +305,33 @@ object Pipeline {
       .filter(col("anchor_id") =!= col("neg_id"))
       .select(col("anchor_id"), col("neg_id"), col("draw"))
   }
+
+  /** Runtime-filter (semi-join-reduction) join: a Bloom filter built over
+    * the dim side's join keys prefilters the FACT side before it reaches the
+    * join's shuffle. The 100 TB case: dim is selective but too large to
+    * broadcast, so Spark plans a shuffle join that moves EVERY fact row;
+    * the bloom probe (a scalar subquery — the filter itself never lands on
+    * the driver) drops non-matching fact rows at the scan, so the shuffle
+    * carries only rows that can actually join. Exact by construction for
+    * inner/left_semi: no false negatives, and false positives die in the
+    * real join (`fpp` only tunes how much useless data still shuffles).
+    *
+    * `expectedDimKeys` sizes the filter without an extra dim pass (same
+    * hint contract as lshNearDups / bloomIncrementalDedup).
+    */
+  def bloomPrefilteredJoin(fact: DataFrame, dim: DataFrame,
+                           factKey: String, dimKey: String,
+                           joinType: String = "inner",
+                           fpp: Double = 0.01,
+                           expectedDimKeys: Long = 0L): DataFrame = {
+    require(joinType == "inner" || joinType == "left_semi",
+      s"bloom prefilter preserves only inner/left_semi semantics, got $joinType")
+    import graft.functions.BloomFunctions
+    val nItems = math.max(1L,
+      if (expectedDimKeys > 0) expectedDimKeys else dim.select(dimKey).count())
+    val bloom = dim.agg(BloomFunctions.bloomFilterAgg(
+      xxhash64(col(dimKey)), nItems, BloomFunctions.bitsFor(nItems, fpp)).as("bf"))
+    fact.filter(BloomFunctions.mightContain(bloom.scalar(), xxhash64(col(factKey))))
+      .join(dim, col(factKey) === col(dimKey), joinType)
+  }
 }

@@ -25,6 +25,43 @@ class PipelineSpec extends SparkTestBase {
     assert(plain.sameElements(salted))
   }
 
+  test("bloom-prefiltered join equals plain join, and the probe sits below the join") {
+    Tables.register(spark, sfDir)
+    val li = spark.table("lineitem").select("l_orderkey", "l_extendedprice")
+    val dim = spark.table("orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderpriority")
+    val plain = li.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_extendedprice", "o_orderpriority")
+    for (fpp <- Seq(0.5, 0.01)) { // high fpp: many false positives, same rows
+      val bloomed = Pipeline.bloomPrefilteredJoin(li, dim,
+          "l_orderkey", "o_orderkey", fpp = fpp)
+        .select("l_orderkey", "l_extendedprice", "o_orderpriority")
+      assertSameRows(plain, bloomed)
+    }
+    val semi = Pipeline.bloomPrefilteredJoin(li, dim,
+      "l_orderkey", "o_orderkey", joinType = "left_semi")
+    assertSameRows(
+      li.join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi"), semi)
+    // plan shape: the might_contain filter must be on the fact side BELOW
+    // the join, not applied to the join output
+    val plan = Pipeline.bloomPrefilteredJoin(li, dim, "l_orderkey", "o_orderkey")
+      .queryExecution.optimizedPlan
+    val filterBelowJoin = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.left.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.toString.contains("might_contain") => f
+        }.isDefined
+    }
+    assert(filterBelowJoin.contains(true),
+      s"might_contain not below the join:\n$plan")
+    intercept[IllegalArgumentException] {
+      Pipeline.bloomPrefilteredJoin(li, dim, "l_orderkey", "o_orderkey",
+        joinType = "left")
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     Tables.register(spark, sfDir)
     Pipeline.writeBucketed(
