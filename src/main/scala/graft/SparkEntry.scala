@@ -391,6 +391,14 @@ object SparkEntry {
         (count(lit(1)) >= countDistinct(col("anchor_id")) * 3).as("coverage_ok"))
     })),
 
+    // deterministic global training-order shuffle into shards: md5-keyed
+    // shard + in-shard rank — reproducible across engines/cluster sizes
+    // (one hash exchange + per-shard local sort; no global window)
+    "t19_shuffle_shards" -> ((s, dir) => rt(s,
+      ops.Pipeline.shuffleShards(t(s, dir, "documents"), numShards = 8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos"))),
+
     // absolute token-budget mixture: md5-ordered prefix per language until
     // each budget fills (the "build an N-token training mix" primitive)
     "t16_token_budget" -> ((s, dir) => rt(s,
@@ -1552,6 +1560,16 @@ object SparkEntry {
     "t18_negative_pairs" ->
       """SELECT count(*) AS n_anchors, TRUE AS no_self, TRUE AS coverage_ok
         |FROM documents""".stripMargin,
+    // t19: the md5 draw convention is engine-portable — DuckDB reproduces
+    // the exact shard assignment and in-shard order
+    "t19_shuffle_shards" ->
+      """WITH h AS (SELECT doc_id,
+        |  md5('42:' || CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+        |s AS (SELECT doc_id, hk,
+        |  CAST(('0x' || substring(hk, 1, 8))::UBIGINT % 8 AS INT) AS shard FROM h)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
     "q41_setops_all" ->
       """WITH x AS (
         |  SELECT k FROM (SELECT c_nationkey AS k FROM customer

@@ -306,6 +306,35 @@ object Pipeline {
       .select(col("anchor_id"), col("neg_id"), col("draw"))
   }
 
+  /** Deterministic global training-order shuffle into shards: every row gets
+    * a pseudo-random but REPRODUCIBLE (seed, id)-keyed position — shard by
+    * one md5 draw, rank within the shard by another — so the training data
+    * order is stable across reruns, engines, and cluster sizes (no
+    * rand()/monotonically_increasing_id, whose values depend on the physical
+    * partitioning). Output: (id, shard, pos); writing partitioned by shard
+    * gives the epoch reader one directory per shard in a ready order.
+    *
+    * Scale shape: one hash exchange on shard + a per-shard local sort for
+    * the row_number — no global window, no single-partition sort; shard
+    * sizes concentrate at n/numShards (md5 is uniform), so per-shard sorts
+    * stay balanced at any corpus size. The md5 convention matches
+    * mixtureSample/tokenBudgetSample — any SQL engine reproduces the order.
+    */
+  def shuffleShards(df: DataFrame, numShards: Int, seed: Long = 42L,
+                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hk = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val withShard = df
+      .withColumn("__hk", hk)
+      .withColumn("shard",
+        pmod(conv(substring(col("__hk"), 1, 8), 16, 10).cast("long"),
+          lit(numShards.toLong)).cast("int"))
+    withShard
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("__hk"), col(idCol))).cast("long"))
+      .drop("__hk")
+  }
+
   /** Runtime-filter (semi-join-reduction) join: a Bloom filter built over
     * the dim side's join keys prefilters the FACT side before it reaches the
     * join's shuffle. The 100 TB case: dim is selective but too large to

@@ -25,6 +25,33 @@ class PipelineSpec extends SparkTestBase {
     assert(plain.sameElements(salted))
   }
 
+  test("shuffleShards: complete, contiguous per-shard positions, deterministic, balanced") {
+    val n = docs.count()
+    val out = Pipeline.shuffleShards(docs, numShards = 8)
+    assert(out.count() == n, "every row exactly once")
+    assert(out.select("doc_id").distinct().count() == n)
+    // per shard: pos is exactly 1..size (dense, no gaps or dups)
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("sz"), min("pos").as("lo"), max("pos").as("hi"),
+        countDistinct("pos").as("np")).collect()
+    assert(perShard.length == 8, s"expected 8 shards, got ${perShard.length}")
+    perShard.foreach { r =>
+      assert(r.getAs[Long]("lo") == 1L && r.getAs[Long]("hi") == r.getAs[Long]("sz")
+        && r.getAs[Long]("np") == r.getAs[Long]("sz"), s"ragged shard: $r")
+    }
+    // md5 uniformity keeps shards balanced
+    val sizes = perShard.map(_.getAs[Long]("sz"))
+    assert(sizes.max <= sizes.min * 3, s"skewed shards: ${sizes.mkString(",")}")
+    // reruns and repartitioned inputs reproduce the identical order
+    assertSameRows(out.select("doc_id", "shard", "pos"),
+      Pipeline.shuffleShards(docs.repartition(13), numShards = 8)
+        .select("doc_id", "shard", "pos"))
+    // a different seed produces a different order (not a constant function)
+    val reseeded = Pipeline.shuffleShards(docs, numShards = 8, seed = 7L)
+      .select("doc_id", "shard", "pos")
+    assert(out.select("doc_id", "shard", "pos").except(reseeded).count() > 0)
+  }
+
   test("bloom-prefiltered join equals plain join, and the probe sits below the join") {
     Tables.register(spark, sfDir)
     val li = spark.table("lineitem").select("l_orderkey", "l_extendedprice")
