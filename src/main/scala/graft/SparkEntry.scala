@@ -542,6 +542,38 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars").orderBy("doc_id"))
     }),
 
+    // theta-sketch corpus overlap: per-shard theta sketches of two corpus
+    // versions merge mergeably (KB-sized rows), then union/intersection/
+    // difference cardinalities evaluate BETWEEN the merged sketches — the
+    // "how much does crawl N+1 overlap crawl N" question without a join.
+    // Exact counts are DuckDB-checked; each estimate is certified in-query
+    // within 5% (theta is in EXACT mode below 16,384 distinct keys, so at
+    // driver SF the estimates equal the exact counts outright).
+    "p12_theta_overlap" -> ((s, dir) => rt(s, {
+      import graft.functions.ThetaFunctions._
+      val d = t(s, dir, "documents")
+      val verA = d.filter(col("doc_id") % 3 =!= 0)
+      val verB = d.filter(col("doc_id") % 2 === 0)
+      val skA = ops.Sketches.thetaMerge(
+        ops.Sketches.thetaShards(verA, "doc_id", col("doc_id") % 8))
+      val skB = ops.Sketches.thetaMerge(
+        ops.Sketches.thetaShards(verB, "doc_id", col("doc_id") % 8))
+      def ok(est: Column, exact: Column): Column =
+        abs(est - exact) <= greatest(lit(2.0), exact * 0.05)
+      d.agg(
+          sum(when(col("doc_id") % 3 =!= 0, 1).otherwise(0)).as("exact_a"),
+          sum(when(col("doc_id") % 2 === 0, 1).otherwise(0)).as("exact_b"),
+          sum(when(col("doc_id") % 3 =!= 0 && col("doc_id") % 2 === 0, 1)
+            .otherwise(0)).as("exact_common"))
+        .select(col("exact_a"), col("exact_b"), col("exact_common"),
+          ok(thetaEstimate(skA.scalar()), col("exact_a")).as("a_ok"),
+          ok(thetaEstimate(skB.scalar()), col("exact_b")).as("b_ok"),
+          ok(thetaIntersectEstimate(skA.scalar(), skB.scalar()),
+            col("exact_common")).as("common_ok"),
+          ok(thetaANotBEstimate(skA.scalar(), skB.scalar()),
+            col("exact_a") - col("exact_common")).as("removed_ok"))
+    })),
+
     // runtime-filter join: a bloom over the selective dim side's keys
     // (scalar subquery — never driver-side) prefilters lineitem BEFORE the
     // join shuffle, so the shuffle carries only rows that can join — the
@@ -1548,6 +1580,16 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id BETWEEN 100 AND 300 AND n_chars BETWEEN 150 AND 350
         |ORDER BY doc_id""".stripMargin,
+    // p12: exact version cardinalities DuckDB-checked; the sketch estimates
+    // are certified in-query (TRUE columns) — deterministic given the
+    // default datasketches seed
+    "p12_theta_overlap" ->
+      """SELECT
+        |  sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS exact_a,
+        |  sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS exact_b,
+        |  sum(CASE WHEN doc_id % 3 <> 0 AND doc_id % 2 = 0 THEN 1 ELSE 0 END) AS exact_common,
+        |  TRUE AS a_ok, TRUE AS b_ok, TRUE AS common_ok, TRUE AS removed_ok
+        |FROM documents""".stripMargin,
     // p11: the bloom-prefiltered join must equal the PLAIN inner join —
     // the runtime filter is a pure shuffle reduction, never a semantics change
     "p11_bloom_join" ->

@@ -412,6 +412,9 @@ object Consumer {
         case "cms_merge_agg" =>
           graft.functions.CmsFunctions.ensureSessionRegistered()
           call_function("cms_merge_agg", args: _*)
+        case n @ ("theta_sketch_agg_long" | "theta_union_agg") =>
+          graft.functions.ThetaFunctions.ensureSessionRegistered()
+          call_function(n, args: _*)
         case other => notImplemented(s"aggregate function $other")
       }
     }
@@ -722,6 +725,8 @@ object Consumer {
               graft.functions.BloomFunctions.ensureSessionRegistered()
             if (other == "cms_estimate_long")
               graft.functions.CmsFunctions.ensureSessionRegistered()
+            if (other.startsWith("theta_"))
+              graft.functions.ThetaFunctions.ensureSessionRegistered()
             call_function(other, all: _*)
           case other => notImplemented(s"scalar function $other")
         }

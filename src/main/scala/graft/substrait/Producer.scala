@@ -1502,6 +1502,7 @@ object Producer {
     // carried as substrait extension functions by name
     "vec_dot", "vec_cosine", "vec_l2sq", "simhash64", "sorted_jaccard_ge",
     "might_contain", "cms_estimate_long",
+    "theta_estimate", "theta_intersect_estimate", "theta_anotb_estimate",
     // datasketches scalar companions of the mergeable-sketch aggregates
     // (ops.Sketches): estimate/merge/read over binary sketch columns
     "hll_sketch_estimate", "hll_union",

@@ -90,4 +90,57 @@ class SketchesSpec extends SparkTestBase {
         s"order $ord: p50 $p50 rank interval [$lt, $le]")
     }
   }
+
+  test("Theta: exact below nominal — estimates equal exact set cardinalities") {
+    import graft.functions.ThetaFunctions._
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+    val b = docs.filter(col("doc_id") % 2 === 0)
+    val skA = Sketches.thetaMerge(Sketches.thetaShards(a, "doc_id", col("doc_id") % 8))
+    val skB = Sketches.thetaMerge(Sketches.thetaShards(b, "doc_id", col("doc_id") % 8))
+    val r = skA.select(col("theta").as("ta"))
+      .crossJoin(skB.select(col("theta").as("tb")))
+      .select(
+        round(thetaEstimate(col("ta"))).as("ea"),
+        round(thetaEstimate(col("tb"))).as("eb"),
+        round(thetaIntersectEstimate(col("ta"), col("tb"))).as("ei"),
+        round(thetaANotBEstimate(col("ta"), col("tb"))).as("ed"))
+      .collect()(0)
+    val exactA = a.count(); val exactB = b.count()
+    val exactI = a.select("doc_id").intersect(b.select("doc_id")).count()
+    assert(r.getDouble(0) == exactA && r.getDouble(1) == exactB,
+      s"exact-mode estimates must be exact: $r vs ($exactA, $exactB)")
+    assert(r.getDouble(2) == exactI && r.getDouble(3) == exactA - exactI,
+      s"intersection/difference: $r vs ($exactI, ${exactA - exactI})")
+  }
+
+  test("Theta: shard-merge equals one-shot, any shard order") {
+    import graft.functions.ThetaFunctions._
+    val shards = Sketches.thetaShards(docs, "doc_id", col("doc_id") % 8)
+    val oneShot = Sketches.thetaMerge(
+      Sketches.thetaShards(docs, "doc_id", lit(0)))
+      .select(thetaEstimate(col("theta"))).collect()(0).getDouble(0)
+    for (ord <- Seq(col("shard").asc, col("shard").desc)) {
+      val merged = Sketches.thetaMerge(shards.orderBy(ord))
+        .select(thetaEstimate(col("theta"))).collect()(0).getDouble(0)
+      assert(merged == oneShot, s"order $ord: $merged vs $oneShot")
+    }
+  }
+
+  test("Theta: estimation mode stays within the RSE bound at 8x nominal occupancy") {
+    import graft.functions.ThetaFunctions._
+    val n = 32768L
+    val d = spark.range(n).select(col("id"))
+    val est = d.agg(thetaSketchAggLong(xxhash64(col("id")), 1 << 12).as("t"))
+      .select(thetaEstimate(col("t"))).collect()(0).getDouble(0)
+    // RSE ≈ 1/sqrt(4096) ≈ 1.6%; allow 4 sigma
+    assert(math.abs(est - n) <= n * 0.064, s"est $est vs exact $n")
+  }
+
+  test("Theta: sketches and probes ride the wire") {
+    import graft.functions.ThetaFunctions._
+    val q = Sketches.thetaMerge(
+        Sketches.thetaShards(docs, "doc_id", col("doc_id") % 4))
+      .select(round(thetaEstimate(col("theta"))).as("est"))
+    assertSameRows(q, graft.substrait.Serializer.roundtrip(spark, q))
+  }
 }
