@@ -391,6 +391,15 @@ object SparkEntry {
         (count(lit(1)) >= countDistinct(col("anchor_id")) * 3).as("coverage_ok"))
     })),
 
+    // deterministic weighted (PPS) sampling: inclusion probability ∝
+    // n_tokens, expected 80 docs — decided by IEEE-exact multiply/compare
+    // on md5 draws (no ln/exp), so DuckDB replays the member set exactly
+    "t20_weighted_sample" -> ((s, dir) => rt(s,
+      ops.Pipeline.weightedSample(t(s, dir, "documents"), "n_chars",
+          expectedK = 80.0)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id"))),
+
     // deterministic global training-order shuffle into shards: md5-keyed
     // shard + in-shard rank — reproducible across engines/cluster sizes
     // (one hash exchange + per-shard local sort; no global window)
@@ -1602,6 +1611,15 @@ object SparkEntry {
     "t18_negative_pairs" ->
       """SELECT count(*) AS n_anchors, TRUE AS no_self, TRUE AS coverage_ok
         |FROM documents""".stripMargin,
+    // t20: only IEEE-determined ops (52-bit md5 draw, exact 2^52 scaling,
+    // multiply, compare) — DuckDB replays the weighted member set exactly
+    "t20_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE (('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+        |       / 4503599627370496.0)
+        |      * (SELECT sum(CAST(n_chars AS DOUBLE)) FROM documents)
+        |      < CAST(n_chars AS DOUBLE) * 80.0
+        |ORDER BY doc_id""".stripMargin,
     // t19: the md5 draw convention is engine-portable — DuckDB reproduces
     // the exact shard assignment and in-shard order
     "t19_shuffle_shards" ->

@@ -335,6 +335,32 @@ object Pipeline {
       .drop("__hk")
   }
 
+  /** Deterministic weighted (probability-proportional-to-size) sampling:
+    * row i is kept iff u_i · W < k · w_i, where u_i is an md5-derived
+    * uniform draw, w_i the row's weight and W their sum — a Poisson/PPS
+    * sample with expected size k and inclusion probability ∝ weight (the
+    * "sample by quality score / token count" training-mix primitive).
+    *
+    * Engine-portable BY CONSTRUCTION: the draw is a 52-bit integer scaled
+    * by the exact power of two 2^52, and the decision uses only IEEE
+    * multiply/compare — operations whose results are fully determined by
+    * the standard — never ln/exp, whose last-ulp behavior is libm-specific
+    * (the Efraimidis-Spirakis key formulation would NOT replay exactly
+    * across engines). Any SQL engine reproduces the member set bit-for-bit.
+    *
+    * Scale shape: W rides as a scalar subquery over one aggregate; the
+    * decision is a narrow per-row filter — zero shuffles, membership stable
+    * under any partitioning, monotone in k for a fixed seed.
+    */
+  def weightedSample(df: DataFrame, weightCol: String, expectedK: Double,
+                     seed: Long = 42L, idCol: String = "doc_id"): DataFrame = {
+    val tot = df.agg(sum(col(weightCol).cast("double")).as("tot"))
+    val draw = conv(substring(
+        md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 13),
+      16, 10).cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+    df.filter(draw * tot.scalar() < col(weightCol).cast("double") * expectedK)
+  }
+
   /** Runtime-filter (semi-join-reduction) join: a Bloom filter built over
     * the dim side's join keys prefilters the FACT side before it reaches the
     * join's shuffle. The 100 TB case: dim is selective but too large to

@@ -25,6 +25,42 @@ class PipelineSpec extends SparkTestBase {
     assert(plain.sameElements(salted))
   }
 
+  test("weightedSample: deterministic, size near k, weight-proportional, k-monotone") {
+    val d = docs.select(col("doc_id"), col("n_chars"))
+    val k = 80.0
+    val got = Pipeline.weightedSample(d, "n_chars", k)
+    // deterministic under repartitioning
+    assertSameRows(got, Pipeline.weightedSample(d.repartition(13), "n_chars", k))
+    // matches a driver-side replay of the exact same arithmetic
+    val tot = d.agg(sum(col("n_chars").cast("double"))).collect()(0).getDouble(0)
+    val expected = d.select("doc_id", "n_chars").collect().filter { r =>
+      val id = r.getLong(0); val w = r.getLong(1).toDouble
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"42:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(md5.take(13), 16).toDouble / 4503599627370496.0
+      u * tot < w * k
+    }.map(_.getLong(0)).toSet
+    val gotIds = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == expected,
+      s"engine/replay mismatch: ${gotIds.diff(expected)} / ${expected.diff(gotIds)}")
+    // expected size k — allow 4 sigma of a Poisson-ish sample
+    assert(math.abs(gotIds.size - k) <= 4 * math.sqrt(k),
+      s"sample size ${gotIds.size} far from expected $k")
+    // k-monotone: a smaller target is a subset of a larger one (same seed)
+    val smaller = Pipeline.weightedSample(d, "n_chars", 30.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(smaller.subsetOf(gotIds), "k-monotonicity violated")
+    // inclusion rate must grow with weight: top-quartile tokens vs bottom
+    val q = d.stat.approxQuantile("n_chars", Array(0.25, 0.75), 0.0)
+    val loIds = d.filter(col("n_chars") <= q(0)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val hiIds = d.filter(col("n_chars") >= q(1)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val loRate = loIds.count(gotIds).toDouble / loIds.size
+    val hiRate = hiIds.count(gotIds).toDouble / hiIds.size
+    assert(hiRate > loRate, s"weighting inert: hi $hiRate vs lo $loRate")
+  }
+
   test("shuffleShards: complete, contiguous per-shard positions, deterministic, balanced") {
     val n = docs.count()
     val out = Pipeline.shuffleShards(docs, numShards = 8)
