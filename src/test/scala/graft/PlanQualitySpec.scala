@@ -335,6 +335,46 @@ class PlanQualitySpec extends SparkTestBase {
       s"band predicate must be a partition filter, not a data filter:\n$p")
   }
 
+  test("t19: shard shuffle is one hash exchange + per-shard sort (no global window)") {
+    val p = plan("t19_shuffle_shards")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"expected exactly the shard exchange:\n$p")
+    assert(!p.contains("Exchange SinglePartition") || p.contains("rangepartitioning"),
+      s"no single-partition funnel before the window:\n$p")
+  }
+
+  test("t20: weighted sample never hash-shuffles; the total is a 1-row broadcast") {
+    val p = plan("t20_weighted_sample")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the keep decision must not shuffle:\n$p")
+    // after the wire hop the scalar total rides as a one-row cross-joined
+    // rel — its broadcast must be the identity of the single aggregate row
+    assert(p.contains("IdentityBroadcastMode"),
+      s"the total must broadcast as the 1-row aggregate:\n$p")
+  }
+
+  test("s07: cluster-blocked dedup has no cartesian or nested-loop joins") {
+    val p = plan("s07_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"s07:\n$p")
+  }
+
+  test("p11: bloom probe is a 1-row broadcast below a real equi-join") {
+    // after the wire hop the bloom scalar subquery is a one-row cross join
+    // (IdentityBroadcastMode — bounded by construction); the ACTUAL data
+    // join must still be an equi hash/merge join, and the might_contain
+    // condition must sit on the fact side below it
+    val p = plan("p11_bloom_join")
+    assert(!p.contains("CartesianProduct"), s"p11:\n$p")
+    assert(p.contains("IdentityBroadcastMode"), s"bloom must broadcast 1 row:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"the data join must be an equi-join:\n$p")
+    val nlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(nlj.forall(_.contains("might_contain")),
+      s"only the bloom probe may nested-loop:\n${nlj.mkString("\n")}")
+  }
+
   test("LocalFiles consume: declared-schema file scan still prunes and pushes") {
     val df = substrait.Consumer.consume(spark, substrait.Wire.decode(
       substrait.Wire.encode(substrait.Producer.produce(
