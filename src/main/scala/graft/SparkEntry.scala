@@ -551,6 +551,34 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars").orderBy("doc_id"))
     }),
 
+    // CMS inner-product join-size estimation (Cormode-Muthukrishnan §4.3):
+    // the size of lineitem ⨝ orders and the l_suppkey self-join size (the
+    // F₂ skew moment) estimated from KB-sized frequency sketches WITHOUT
+    // executing the joins — what prices a shuffle join before running it.
+    // Exact values are DuckDB-checked; the never-undercount + ε·N_a·N_b
+    // overcount bound is certified in-query (deterministic given the seed).
+    "p13_join_size_estimate" -> ((s, dir) => rt(s, {
+      val li = t(s, dir, "lineitem"); val ord = t(s, dir, "orders")
+      val estJoin = ops.Sketches.joinSizeEstimate(li, "l_orderkey", ord, "o_orderkey")
+      val estF2 = ops.Sketches.joinSizeEstimate(li, "l_suppkey", li, "l_suppkey")
+      val exactF2 = li.groupBy("l_suppkey").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("f2"))
+      val nL = li.agg(count(lit(1)).as("n"))
+      val nO = ord.agg(count(lit(1)).as("n"))
+      // eps 1e-4 → width ≥ 2/eps = 20000 cells → bound ≤ 1e-4·N_a·N_b
+      def bound(na: Column, nb: Column): Column =
+        ceil(lit(1e-4) * na.cast("double") * nb.cast("double")).cast("long")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("exact_join"))
+        .select(col("exact_join"), exactF2.scalar().as("exact_f2"),
+          (estJoin.scalar() >= col("exact_join") &&
+            estJoin.scalar() <= col("exact_join") +
+              bound(nL.scalar(), nO.scalar())).as("join_ok"),
+          (estF2.scalar() >= exactF2.scalar() &&
+            estF2.scalar() <= exactF2.scalar() +
+              bound(nL.scalar(), nL.scalar())).as("f2_ok"))
+    })),
+
     // theta-sketch corpus overlap: per-shard theta sketches of two corpus
     // versions merge mergeably (KB-sized rows), then union/intersection/
     // difference cardinalities evaluate BETWEEN the merged sketches — the
@@ -1589,6 +1617,15 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id BETWEEN 100 AND 300 AND n_chars BETWEEN 150 AND 350
         |ORDER BY doc_id""".stripMargin,
+    // p13: exact join sizes DuckDB-checked; the inner-product estimates are
+    // certified in-query against the formal CMS bound
+    "p13_join_size_estimate" ->
+      """SELECT
+        |  (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |    AS exact_join,
+        |  (SELECT CAST(sum(c * c) AS BIGINT) FROM
+        |    (SELECT count(*) AS c FROM lineitem GROUP BY l_suppkey)) AS exact_f2,
+        |  TRUE AS join_ok, TRUE AS f2_ok""".stripMargin,
     // p12: exact version cardinalities DuckDB-checked; the sketch estimates
     // are certified in-query (TRUE columns) — deterministic given the
     // default datasketches seed

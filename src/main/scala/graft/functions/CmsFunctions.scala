@@ -144,6 +144,69 @@ object CmsFunctions {
         l: Expression, r: Expression): Expression = copy(left = l, right = r)
   }
 
+  /** Join-size / second-frequency-moment estimation from two CMS blobs
+    * (Cormode & Muthukrishnan 2005 §4.3): est = min over rows r of
+    * Σ_w a[r][w]·b[r][w]. Never undercounts; overcounts by more than
+    * (2/width)·N_a·N_b with probability ≤ 2^-depth. With a == b this is
+    * the AMS-style self-join size (F₂ moment). The sketches must share
+    * depth/width/seed (same build parameters — checked loudly).
+    *
+    * Spark's CountMinSketch exposes no cell accessor, so the (stable, V1)
+    * serialized layout is parsed directly: int version, long totalCount,
+    * int depth, int width, long hashA[depth], long table[depth][width] —
+    * the exact field order CountMinSketchImpl.writeTo emits.
+    *
+    * Interpreted eval (CodegenFallback): runs once per sketch PAIR — a few
+    * KB-sized rows, never the per-document hot path.
+    */
+  case class CmsInnerProduct(left: Expression, right: Expression)
+      extends BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def prettyName: String = "cms_inner_product"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (BINARY, BINARY), got ($l, $r)")
+      }
+
+    override def dataType: DataType = LongType
+
+    private def parse(bytes: Array[Byte]): (Int, Int, Array[Long], Array[Array[Long]]) = {
+      val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+      val version = in.readInt()
+      if (version != 1)
+        throw new IllegalArgumentException(s"$prettyName: unsupported CMS version $version")
+      in.readLong() // totalCount
+      val depth = in.readInt(); val width = in.readInt()
+      val hashA = Array.fill(depth)(in.readLong())
+      val table = Array.fill(depth)(Array.fill(width)(in.readLong()))
+      (depth, width, hashA, table)
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val (da, wa, ha, ta) = parse(a.asInstanceOf[Array[Byte]])
+      val (db, wb, hb, tb) = parse(b.asInstanceOf[Array[Byte]])
+      if (da != db || wa != wb || !java.util.Arrays.equals(ha, hb))
+        throw new IllegalArgumentException(
+          s"$prettyName: sketches built with different depth/width/seed " +
+            s"(($da,$wa) vs ($db,$wb)) cannot combine")
+      var best = Long.MaxValue
+      var r = 0
+      while (r < da) {
+        var s = 0L; var w = 0
+        while (w < wa) { s += ta(r)(w) * tb(r)(w); w += 1 }
+        if (s < best) best = s
+        r += 1
+      }
+      best
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
   private val registered = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
@@ -163,6 +226,8 @@ object CmsFunctions {
         es => CmsMergeAgg(es(0)).toAggregateExpression(), "scala_udf")
       reg.createOrReplaceTempFunction("cms_estimate_long",
         es => CmsEstimateLong(es(0), es(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("cms_inner_product",
+        es => CmsInnerProduct(es(0), es(1)), "scala_udf")
     }
   }
 
@@ -171,5 +236,8 @@ object CmsFunctions {
   }
   def cmsEstimateLong(sketch: Column, key: Column): Column = {
     ensureRegistered(); call_function("cms_estimate_long", sketch, key)
+  }
+  def cmsInnerProduct(a: Column, b: Column): Column = {
+    ensureRegistered(); call_function("cms_inner_product", a, b)
   }
 }

@@ -81,6 +81,25 @@ object Sketches {
     else shards.groupBy(groupCols.map(col): _*).agg(m)
   }
 
+  /** Join-size estimate between two key columns WITHOUT executing the join
+    * (Cormode-Muthukrishnan inner product): one CMS per side, est =
+    * cms_inner_product of the two sketches. Self-join size (a == b, the F₂
+    * frequency moment) is the skew diagnostic that prices a shuffle join
+    * BEFORE running it — the planning companion to Pipeline.skewReport.
+    * Guarantee: never undercounts; overcounts > (2/width)·N_a·N_b with
+    * probability ≤ 2^-depth (deterministic given the build seed).
+    * Returns a 1-row frame (join_size_est).
+    */
+  def joinSizeEstimate(a: DataFrame, keyA: String, b: DataFrame, keyB: String,
+                       eps: Double = 1e-4, confidence: Double = 0.999,
+                       seed: Int = 42): DataFrame = {
+    def sk(df: DataFrame, k: String) =
+      df.agg(expr(s"count_min_sketch(cast($k as bigint), ${eps}d, " +
+        s"${confidence}d, $seed)").as("cms"))
+    sk(a, keyA).select(graft.functions.CmsFunctions.cmsInnerProduct(
+      col("cms"), sk(b, keyB).scalar()).as("join_size_est"))
+  }
+
   // --------------------------------------------------------- set operations
 
   /** Stage 1 — one theta sketch of a BIGINT key per (group, shard): the

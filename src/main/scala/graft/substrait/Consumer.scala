@@ -723,7 +723,7 @@ object Consumer {
               graft.functions.JaccardFunctions.ensureSessionRegistered()
             if (other == "might_contain")
               graft.functions.BloomFunctions.ensureSessionRegistered()
-            if (other == "cms_estimate_long")
+            if (other.startsWith("cms_"))
               graft.functions.CmsFunctions.ensureSessionRegistered()
             if (other.startsWith("theta_"))
               graft.functions.ThetaFunctions.ensureSessionRegistered()

@@ -40,6 +40,49 @@ class CmsSpec extends SparkTestBase {
     assert(bad.count() == 0, bad.collect().take(5).mkString(", "))
   }
 
+  test("inner product: never undercounts, overcount within the formal bound") {
+    // two sides with known per-key frequencies → exact inner product
+    val a = li.select(col("l_suppkey").as("k"))
+    val b = li.filter(col("l_orderkey") % 2 === 0).select(col("l_suppkey").as("k"))
+    val exact = a.groupBy("k").agg(count(lit(1)).as("ca"))
+      .join(b.groupBy("k").agg(count(lit(1)).as("cb")), "k")
+      .agg(sum(col("ca") * col("cb"))).collect()(0).getLong(0)
+    val est = Sketches.joinSizeEstimate(a, "k", b, "k")
+      .collect()(0).getLong(0)
+    val na = a.count(); val nb = b.count()
+    assert(est >= exact, s"inner product undercounted: $est < $exact")
+    assert(est <= exact + math.ceil(1e-4 * na * nb).toLong,
+      s"overcount beyond bound: $est vs $exact (+${math.ceil(1e-4 * na * nb)})")
+  }
+
+  test("inner product with itself is the exact-bounded F2 self-join size") {
+    val exactF2 = li.groupBy("l_suppkey").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c"))).collect()(0).getLong(0)
+    val est = Sketches.joinSizeEstimate(li, "l_suppkey", li, "l_suppkey")
+      .collect()(0).getLong(0)
+    val n = li.count()
+    assert(est >= exactF2 && est <= exactF2 + math.ceil(1e-4 * n * n).toLong,
+      s"F2 estimate $est outside [$exactF2, +${math.ceil(1e-4 * n * n)}]")
+  }
+
+  test("inner product rejects sketches built with different parameters") {
+    def sk(eps: Double) =
+      li.agg(expr(s"count_min_sketch(cast(l_suppkey as bigint), ${eps}d, " +
+        "0.999d, 42)").as("cms"))
+    val e = intercept[Exception] {
+      sk(1e-4).select(CmsFunctions.cmsInnerProduct(
+        col("cms"), sk(1e-3).scalar())).collect()
+    }
+    assert(e.getMessage.contains("cannot combine") ||
+      Option(e.getCause).exists(_.getMessage.contains("cannot combine")), e.getMessage)
+  }
+
+  test("inner product rides the wire") {
+    assertRoundtrip(
+      Sketches.joinSizeEstimate(li, "l_orderkey",
+        spark.table("orders"), "o_orderkey"), ordered = true)
+  }
+
   test("cms merge + probe ride the wire") {
     val merged = Sketches.cmsMerge(
       Sketches.cmsShards(li, "l_suppkey", col("l_orderkey") % 8))
