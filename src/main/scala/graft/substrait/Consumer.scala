@@ -170,7 +170,24 @@ object Consumer {
 
       case Rel.Cross(left, right) =>
         val l = build(left); val r = build(right)
-        Built(l.df.crossJoin(r.df))
+        // A cross against a PROVABLY one-row side is the producer's lifted
+        // scalar subquery (Producer.scala lifting: global Aggregate, maybe
+        // under Projects). Rebuild it as Dataset.scalar() columns instead
+        // of a physical join: the subquery value computes ONCE and lands in
+        // the probe expression as a literal, where a 1-row broadcast
+        // nested-loop join would re-evaluate the build row per PROBE row —
+        // measured 100×+ on a bloom probe over a fact table. Exactly-one-row
+        // makes the rewrite semantics-identical (constant columns).
+        def oneRow(rel: Rel): Boolean = rel match {
+          // a global aggregate encodes as zero grouping sets OR one empty set
+          case Rel.Aggregate(_, groupings, _) => groupings.flatten.isEmpty
+          case Rel.Project(in, _) => oneRow(in)
+          case _ => false
+        }
+        if (oneRow(right)) {
+          val scalars = r.df.columns.toSeq.map(c => r.df.select(c).scalar().as(c))
+          Built(l.df.select(col("*") +: scalars: _*))
+        } else Built(l.df.crossJoin(r.df))
 
       case Rel.Aggregate(input, groupings, measures) => buildAggregate(input, groupings, measures)
 
