@@ -747,6 +747,26 @@ object SparkEntry {
         .orderBy("e_id"))
     }),
 
+    // interval-overlap join: purchase attention windows × error windows per
+    // user. Both sides replicate to time bins; the ownership-bin filter
+    // (bin of the intersection's left edge) emits each overlapping pair
+    // exactly once, so the result streams out of one equi-join shuffle
+    // with no dedup pass — never nested-loop.
+    "j03_interval_join" -> ((s, dir) => {
+      val us = (c: Column) => unix_micros(c.cast("timestamp_ltz"))
+      val ev = t(s, dir, "events").withColumn("ts", col("ts").cast("timestamp_ntz"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          (us(col("ts")) - 1800000000L).as("p_lo"), us(col("ts")).as("p_hi"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("e_id"),
+          (us(col("ts")) - 2700000000L).as("e_lo"), us(col("ts")).as("e_hi"))
+      rt(s, ops.RangeJoin.intervalOverlapJoin(purchases, errors, Seq("user_id"),
+          "p_lo", "p_hi", "e_lo", "e_hi", binWidth = 1800000000L)
+        .select("user_id", "p_id", "e_id")
+        .orderBy("p_id", "e_id"))
+    }),
+
     // event-stream analytics, batch form (the same transformations run under
     // Structured Streaming — graft.streaming.EventStream + its specs). Both
     // round-trip through substrait: window functions (lag + running sum) and
@@ -1944,6 +1964,16 @@ object SparkEntry {
         |FROM e LEFT JOIN c ON e.user_id = c.user_id
         |  AND c.c_ts BETWEEN e.e_ts - INTERVAL 1 HOUR AND e.e_ts
         |GROUP BY 1, 2, 3 ORDER BY e.e_id""".stripMargin,
+    "j03_interval_join" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id, event_id AS e_id, ts AS e_ts FROM events
+        |      WHERE event_type = 'error')
+        |SELECT p.user_id, p.p_id, e.e_id
+        |FROM p JOIN e ON p.user_id = e.user_id
+        |  AND p.p_ts - INTERVAL 30 MINUTE <= e.e_ts
+        |  AND e.e_ts - INTERVAL 45 MINUTE <= p.p_ts
+        |ORDER BY p.p_id, e.e_id""".stripMargin,
     "e01_sessions" ->
       """WITH l AS (SELECT user_id, ts, event_id, value,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

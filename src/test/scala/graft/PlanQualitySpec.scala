@@ -377,6 +377,14 @@ class PlanQualitySpec extends SparkTestBase {
       s"bloom probe must be a subquery-fed filter:\n$p")
   }
 
+  test("j03: interval-overlap join is a bin equi-join, never nested-loop") {
+    val p = plan("j03_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"j03 must bin-replicate into an equi-join:\n$p")
+    assert(p.contains("Generate explode"),
+      s"both sides must bin-replicate via a streamed generator:\n$p")
+  }
+
   test("LocalFiles consume: declared-schema file scan still prunes and pushes") {
     val df = substrait.Consumer.consume(spark, substrait.Wire.decode(
       substrait.Wire.encode(substrait.Producer.produce(

@@ -92,4 +92,53 @@ class AsOfRangeJoinSpec extends SparkTestBase {
       .select("pt", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == Set((-5L, "a"), (-1L, "b"), (0L, "b"), (3L, "b")))
   }
+
+  test("intervalOverlapJoin == plain inequality join, across bin widths") {
+    val us = (c: org.apache.spark.sql.Column) =>
+      unix_micros(c.cast("timestamp_ltz"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        (us(col("ts")) - 1800000000L).as("p_lo"), us(col("ts")).as("p_hi"))
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("e_id"),
+        (us(col("ts")) - 2700000000L).as("e_lo"), us(col("ts")).as("e_hi"))
+
+    val naive = purchases.join(errors, Seq("user_id"))
+      .filter(col("p_lo") <= col("e_hi") && col("e_lo") <= col("p_hi"))
+      .select("user_id", "p_id", "e_id")
+
+    for (w <- Seq(600000000L, 1800000000L, 7200000000L)) {
+      val fast = RangeJoin.intervalOverlapJoin(purchases, errors,
+          Seq("user_id"), "p_lo", "p_hi", "e_lo", "e_hi", binWidth = w)
+        .select("user_id", "p_id", "e_id")
+      assertSameRows(naive, fast)
+      // exactly-once: no dedup pass exists, so duplicates would survive
+      assert(fast.count() ==
+        fast.select("user_id", "p_id", "e_id").distinct().count())
+    }
+  }
+
+  test("intervalOverlapJoin: touching endpoints match, disjoint do not") {
+    import spark.implicits._
+    val l = Seq((0L, 10L, "l1"), (20L, 30L, "l2")).toDF("a", "b", "ltag")
+      .withColumn("k", lit(1))
+    val r = Seq((10L, 15L, "r1"), (16L, 19L, "r2"), (-5L, -1L, "r3"))
+      .toDF("c", "d", "rtag").withColumn("k", lit(1))
+    val got = RangeJoin.intervalOverlapJoin(l, r, Seq("k"), "a", "b", "c", "d", 7L)
+      .select("ltag", "rtag").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    // l1 [0,10] touches r1 [10,15] at 10 → match; nothing else overlaps
+    assert(got == Set(("l1", "r1")))
+  }
+
+  test("intervalOverlapJoin handles negative bounds and containment") {
+    import spark.implicits._
+    val l = Seq((-10L, 10L, "wide")).toDF("a", "b", "ltag")
+      .withColumn("k", lit(1))
+    val r = Seq((-3L, -2L, "inner1"), (-12L, -10L, "edge"), (11L, 12L, "out"))
+      .toDF("c", "d", "rtag").withColumn("k", lit(1))
+    val got = RangeJoin.intervalOverlapJoin(l, r, Seq("k"), "a", "b", "c", "d", 4L)
+      .select("rtag").collect().map(_.getString(0)).toSet
+    assert(got == Set("inner1", "edge"))
+  }
 }
