@@ -557,6 +557,29 @@ object SparkEntry {
     // executing the joins — what prices a shuffle join before running it.
     // Exact values are DuckDB-checked; the never-undercount + ε·N_a·N_b
     // overcount bound is certified in-query (deterministic given the seed).
+    // copy-on-write upsert: a daily batch (replacements + inserts) merges
+    // into a range-partitioned corpus layout rewriting ONLY the touched
+    // band directories — untouched directories are never read or written
+    // (SourcesSpec asserts byte-identical files). The oracle recomputes
+    // the post-merge corpus from scratch in DuckDB.
+    "p14_cow_upsert" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-upsert-${math.abs(dir.hashCode)}"
+      val docs = t(s, dir, "documents")
+        .withColumn("len_band", floor(col("n_chars") / 100).cast("int"))
+      sources.Sources.writeRangePartitioned(docs, "len_band", out,
+        sortCols = Seq("doc_id"))
+      val mods = docs.filter(col("doc_id") % 13 === 3)
+        .withColumn("text", upper(col("text")))
+      val ins = docs.filter(col("doc_id") % 101 === 7)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+      sources.Sources.upsertRangePartitioned(s, out, mods.unionByName(ins),
+        "len_band", Seq("doc_id"), sortCols = Seq("doc_id"))
+      rt(s, s.read.parquet(out)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id"))
+    }),
+
     "p13_join_size_estimate" -> ((s, dir) => rt(s, {
       val li = t(s, dir, "lineitem"); val ord = t(s, dir, "orders")
       val estJoin = ops.Sketches.joinSizeEstimate(li, "l_orderkey", ord, "o_orderkey")
@@ -1639,6 +1662,18 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // p13: exact join sizes DuckDB-checked; the inner-product estimates are
     // certified in-query against the formal CMS bound
+    "p14_cow_upsert" ->
+      """WITH mods AS (SELECT doc_id, upper(text) AS text, lang, n_chars
+        |              FROM documents WHERE doc_id % 13 = 3),
+        |ins AS (SELECT doc_id + 10000000 AS doc_id, text, lang, n_chars
+        |        FROM documents WHERE doc_id % 101 = 7),
+        |batch AS (SELECT * FROM mods UNION ALL SELECT * FROM ins),
+        |final AS (
+        |  SELECT doc_id, text, lang, n_chars FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM batch)
+        |  UNION ALL SELECT * FROM batch)
+        |SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+        |FROM final ORDER BY doc_id""".stripMargin,
     "p13_join_size_estimate" ->
       """SELECT
         |  (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey)

@@ -122,6 +122,63 @@ object Sources {
     sorted.write.mode("overwrite").partitionBy(bucketCol).parquet(path)
   }
 
+  /** Copy-on-write upsert into a `writeRangePartitioned` layout: merge
+    * `updates` (full rows, same schema as the corpus, `keyCols` as row
+    * identity) into `basePath`, rewriting ONLY the partition directories
+    * whose `bucketCol` value appears in the batch. Rows whose key exists
+    * are replaced by the update; new keys are inserts (including into
+    * brand-new bucket values).
+    *
+    * THE incremental-maintenance primitive at 100 TB: a daily batch that
+    * touches 1% of the bands costs 1% of a full rewrite — the untouched
+    * 99% of directories are never read, never written, byte-identical
+    * after the merge (SourcesSpec asserts exactly that). The affected-
+    * bucket list is collected to the driver (bounded by the number of
+    * touched bands, the same driver-side pruning lever Ivf.searchPruned
+    * uses) and prunes the corpus read to those directories at plan time.
+    * The swap is a per-directory FileSystem rename — a metadata op on
+    * HDFS-like stores, no second data copy.
+    *
+    * Contract: `bucketCol` must be a deterministic function of the key
+    * (else a key that changed band would leave its stale row in the old
+    * directory), and bucket values must be non-null.
+    */
+  def upsertRangePartitioned(spark: SparkSession, basePath: String,
+                             updates: DataFrame, bucketCol: String,
+                             keyCols: Seq[String],
+                             sortCols: Seq[String] = Nil): Seq[Any] = {
+    import org.apache.spark.sql.functions.col
+    val affected = updates.select(bucketCol).distinct().collect().map(_.get(0))
+    require(!affected.contains(null), s"null $bucketCol in update batch")
+    val base = spark.read.parquet(basePath)
+    // isInCollection over the driver-side band list → PartitionFilters:
+    // only the affected directories are ever read
+    val survivors = base.filter(col(bucketCol).isInCollection(affected))
+      .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val merged = survivors.unionByName(updates.select(base.columns.map(col): _*))
+    val sorted =
+      if (sortCols.isEmpty) merged
+      else merged.sortWithinPartitions(sortCols.map(col): _*)
+    val staging = s"$basePath.upsert-staging"
+    sorted.write.mode("overwrite").partitionBy(bucketCol).parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.foreach { v =>
+      val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(bucketCol, v.toString)
+      val dst = new org.apache.hadoop.fs.Path(basePath, dir)
+      val src = new org.apache.hadoop.fs.Path(staging, dir)
+      fs.delete(dst, true)
+      // a batch may delete every row of a band (all its keys replaced into
+      // other output... not possible under the bucket-of-key contract, but
+      // an all-update band still always re-materializes) — rename only what
+      // the staging write produced
+      if (fs.exists(src)) fs.rename(src, dst)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    affected.toSeq
+  }
+
   /** Morton/Z-order spread table: the 2^bits possible ranks with their bits
     * re-spaced `stride` positions apart, so `stride` interleaved ranks OR
     * together without collision. A 256-entry literal — rides in the plan. */

@@ -134,6 +134,56 @@ class SourcesSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters: [isnotnull(len_band"), plan)
   }
 
+  test("copy-on-write upsert rewrites only affected bands; untouched files identical") {
+    Tables.register(spark, sfDir)
+    val out = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val docs = spark.table("documents").withColumn("len_band",
+      floor(col("n_chars") / 100).cast("int"))
+    Sources.writeRangePartitioned(docs, "len_band", out, sortCols = Seq("doc_id"))
+
+    // batch touches only bands 2 and 3: replace one doc per band, insert one
+    val mods = docs.filter(col("len_band").isin(2, 3))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("len_band").orderBy("doc_id")))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("text", upper(col("text")))
+    val ins = mods.withColumn("doc_id", col("doc_id") + 10000000L)
+    val batch = mods.unionByName(ins)
+
+    def snapshot(band: Int): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$out/len_band=$band")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val untouchedBands = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && !Seq("len_band=2", "len_band=3").contains(f.getName))
+      .map(_.getName.stripPrefix("len_band=").toInt).toSeq
+    assert(untouchedBands.nonEmpty, "fixture needs untouched bands")
+    val before = untouchedBands.map(b => b -> snapshot(b)).toMap
+
+    val touched = Sources.upsertRangePartitioned(spark, out, batch,
+      "len_band", Seq("doc_id"), sortCols = Seq("doc_id"))
+    assert(touched.map(_.toString.toInt).toSet == Set(2, 3))
+
+    // untouched directories: same files, same bytes, same mtimes
+    untouchedBands.foreach(b => assert(snapshot(b) == before(b),
+      s"band $b was rewritten but not in the batch"))
+
+    // merged content == anti-join + batch, computed independently
+    val expected = docs
+      .join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(batch)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assertSameRows(expected,
+      spark.read.parquet(out).select("doc_id", "text", "lang", "source", "n_chars"))
+
+    // second upsert over the same keys is idempotent (replace, not append)
+    Sources.upsertRangePartitioned(spark, out, batch,
+      "len_band", Seq("doc_id"), sortCols = Seq("doc_id"))
+    assertSameRows(expected,
+      spark.read.parquet(out).select("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
   test("z-ordered layout is row-lossless and skips files on BOTH box dimensions") {
     import org.apache.spark.sql.functions._
     Tables.register(spark, sfDir)
