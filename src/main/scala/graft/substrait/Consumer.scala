@@ -738,6 +738,8 @@ object Consumer {
               graft.functions.MinHashFunctions.ensureSessionRegistered()
             if (other == "sorted_jaccard_ge")
               graft.functions.JaccardFunctions.ensureSessionRegistered()
+            if (other.startsWith("pq_"))
+              graft.functions.PqFunctions.ensureSessionRegistered()
             if (other == "might_contain")
               graft.functions.BloomFunctions.ensureSessionRegistered()
             if (other.startsWith("cms_"))
