@@ -418,6 +418,14 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id"))),
 
+    // hashed linear classifier scoring (fastText shape): word uni+bigrams
+    // → 256 md5-prefix buckets → integer-weight sum from a literal map —
+    // zero-shuffle scoring whose exact integer score any engine replays
+    "t21_linear_classifier" -> ((s, dir) => rt(s,
+      ops.TextOps.hashedLinearScore(t(s, dir, "documents"))
+        .select("doc_id", "lang", "n_features", "score_num")
+        .orderBy("doc_id"))),
+
     // deterministic global training-order shuffle into shards: md5-keyed
     // shard + in-shard rank — reproducible across engines/cluster sizes
     // (one hash exchange + per-shard local sort; no global window)
@@ -1747,6 +1755,24 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // t19: the md5 draw convention is engine-portable — DuckDB reproduces
     // the exact shard assignment and in-shard order
+    "t21_linear_classifier" ->
+      """WITH w AS (SELECT printf('%02x', i) AS b,
+        |    ((i * 1103515245 + 12345) % 2048) - 1024 AS wt FROM range(256) t(i)),
+        |d AS (SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, unnest(toks) AS feat FROM d
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || '_' || toks[i + 1])) AS feat FROM d),
+        |sc AS (SELECT doc_id, count(*) AS n_features, sum(wt) AS score_num
+        |  FROM f JOIN w ON substring(md5(f.feat), 1, 2) = w.b
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        |  CAST(COALESCE(sc.n_features, 0) AS BIGINT) AS n_features,
+        |  CAST(COALESCE(sc.score_num, 0) AS BIGINT) AS score_num
+        |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "t19_shuffle_shards" ->
       """WITH h AS (SELECT doc_id,
         |  md5('42:' || CAST(doc_id AS VARCHAR)) AS hk FROM documents),

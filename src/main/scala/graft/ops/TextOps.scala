@@ -417,4 +417,50 @@ object TextOps {
         round(col("top_bigram_raw"), 6).as("top_bigram_frac"),
         col("max_token_run"), col("repetitive"))
   }
+
+  /** Deterministic 256-bucket weight table for [[hashedLinearScore]]:
+    * bucket "00".."ff" → an integer weight in [-1024, 1023] via an exact
+    * LCG step — integer arithmetic only, so ANY engine reproduces it
+    * (the oracle rebuilds the same table from printf('%02x', i)). */
+  def defaultBucketWeights: Map[String, Long] =
+    (0 until 256).map(i =>
+      f"$i%02x" -> (((i.toLong * 1103515245L + 12345L) % 2048L) - 1024L)).toMap
+
+  /** Hashed linear text classifier scoring — the fastText-shaped quality/
+    * domain filter: lowercase word unigrams + bigrams hash into 256
+    * md5-prefix buckets; the document score is the SUM OF INTEGER bucket
+    * weights (a literal map riding the plan), so scoring is one narrow
+    * zero-shuffle pass and the result is EXACT — no float summation order
+    * to disagree about, which is what lets a foreign engine replay the
+    * scores bit-for-bit. `score` rescales to [-1, 1]-ish for human use;
+    * certification rides `score_num`/`n_features`.
+    *
+    * Scale notes: per-row compute ∝ tokens (md5 per feature); the weight
+    * map is 256 entries regardless of corpus size. A trained production
+    * model swaps in its own `weights` (bucket → quantized integer weight)
+    * without touching the plan shape.
+    */
+  def hashedLinearScore(df: DataFrame, textCol: String = "text",
+                        weights: Map[String, Long] = defaultBucketWeights,
+                        idCol: String = "doc_id"): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "[^a-z]+"),
+      t => length(t) > 0)
+    val n = size(col("__toks"))
+    val bigrams = when(n < 2, typedLit(Seq.empty[String]))
+      .otherwise(zip_with(
+        slice(col("__toks"), lit(1), n - 1),
+        slice(col("__toks"), lit(2), n - 1),
+        (x, y) => concat(x, lit("_"), y)))
+    val wmap = typedLit(weights)
+    val score = aggregate(
+      transform(col("__feats"), f => substring(md5(f), 1, 2)),
+      lit(0L), (acc, b) => acc + coalesce(element_at(wmap, b), lit(0L)))
+    df.withColumn("__toks", toks)
+      .withColumn("__feats", concat(col("__toks"), bigrams))
+      .withColumn("n_features", size(col("__feats")).cast("long"))
+      .withColumn("score_num", score)
+      .withColumn("score", col("score_num").cast("double") /
+        (lit(1024.0) * greatest(col("n_features"), lit(1)).cast("double")))
+      .drop("__toks", "__feats")
+  }
 }

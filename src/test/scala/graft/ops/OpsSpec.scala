@@ -270,6 +270,43 @@ class OpsSpec extends SparkTestBase {
     assert(!r4.getAs[Boolean]("repetitive"))
   }
 
+  test("hashedLinearScore: JVM-replayed exact reference + edge cases") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "The cat sat on the mat!"),
+      (2L, "a"),                 // 1 token, no bigrams
+      (3L, "12345 ... !!!"),     // no alpha tokens at all
+      (4L, "Cat cat CAT")        // case-folds to the same feature
+    ).toDF("doc_id", "text")
+    val got = TextOps.hashedLinearScore(d).orderBy("doc_id").collect()
+
+    // independent JVM replay of the contract: lowercase, split [^a-z]+,
+    // unigrams + '_'-joined bigrams, md5-prefix bucket, LCG weights
+    val w = TextOps.defaultBucketWeights
+    def score(text: String): (Long, Long) = {
+      val toks = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+      val feats = toks ++ toks.zip(toks.drop(1)).map { case (a, b) => s"${a}_$b" }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val s = feats.map { f =>
+        val hex = md.digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        w(hex.take(2))
+      }.sum
+      (feats.size.toLong, s)
+    }
+    for ((r, text) <- got.zip(Seq("The cat sat on the mat!", "a", "12345 ... !!!",
+        "Cat cat CAT"))) {
+      val (n, s) = score(text)
+      assert(r.getAs[Long]("n_features") == n, s"n_features for '$text'")
+      assert(r.getAs[Long]("score_num") == s, s"score_num for '$text'")
+    }
+    // zero-feature doc scores 0 with a defined (not NaN/null) score
+    val r3 = got(2)
+    assert(r3.getAs[Long]("n_features") == 0L && r3.getAs[Long]("score_num") == 0L)
+    assert(r3.getAs[Double]("score") == 0.0)
+    // identical-after-casefold doc: 3 unigrams + 2 bigrams, all "cat"-derived
+    assert(got(3).getAs[Long]("n_features") == 5L)
+  }
+
   test("charLmScore: character noise scores below all natural corpus text") {
     import spark.implicits._
     val noisy = docs.select(col("doc_id"), col("text")).unionByName(
