@@ -106,6 +106,15 @@ object SparkEntry {
         blockCols = Seq("lang", "source"), threshold = 0.3)
         .select("blk", "id_a", "id_b", "jaccard").orderBy("blk", "id_a", "id_b"))),
 
+    // EXACT unblocked all-pairs jaccard via prefix filtering (AllPairs/
+    // PPJoin family): rarest-first global gram order, per-doc prefix join,
+    // exact kernel verify — deterministic completeness where d02's LSH is
+    // probabilistic and d04 needs a blocking key
+    "d12_prefix_jaccard" -> ((s, dir) => rt(s,
+      ops.Dedup.prefixFilterJaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b"))),
+
     // composed corpus prep: quality filter → lang-ID → exact dedup
     "d06_prepare_corpus" -> ((s, dir) => rt(s,
       ops.Pipeline.prepareCorpus(t(s, dir, "documents")).orderBy("doc_id"))),
@@ -1385,6 +1394,18 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
         |SELECT blk, id_a, id_b, ROUND(j, 6) AS jaccard FROM p
         |WHERE j >= 0.3 ORDER BY blk, id_a, id_b""".stripMargin,
+    "d12_prefix_jaccard" ->
+      """WITH s AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS g
+        |  FROM s),
+        |sh2 AS (SELECT * FROM sh WHERE len(g) > 0),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.g, b.g))
+        |    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
+        |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p
+        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     // NOT EXISTS, not NOT IN: the driver side is a left_anti join, and the
     // two only agree when no NULL digests exist — anti-join semantics keep
     // the oracle exact even if a NULL text ever enters the fixture

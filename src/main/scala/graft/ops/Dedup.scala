@@ -408,6 +408,70 @@ object Dedup {
         round(col("jac"), 6).as("jaccard"))
   }
 
+  /** EXACT all-pairs Jaccard join via prefix filtering (Chaudhuri/Bayardo
+    * AllPairs / PPJoin family) — the deterministic complement to MinHash
+    * LSH: no blocking key, no probabilistic recall, provably complete.
+    *
+    * Principle: put every doc's distinct shingles in ONE global canonical
+    * order (rarest-first by corpus frequency, ties by hash value); a pair
+    * with J ≥ t must share at least ⌈t·max(|a|,|b|)⌉ shingles, and two
+    * sorted sets with overlap ≥ α always intersect within their first
+    * (|x| − α + 1) elements — so joining only on each doc's PREFIX
+    * (|x| − ⌈t·|x|⌉ + 1 rarest shingles, a superset of the required
+    * prefix) generates every qualifying pair. The exact verify
+    * (sorted_jaccard_ge kernel) then removes false positives.
+    *
+    * Scale notes (100 TB): all wide shuffles move 8-byte hashed grams or
+    * bare id pairs — shingle ARRAYS only travel in the final verify join
+    * of surviving candidates. Candidate volume is governed by prefix
+    * selectivity: rarest-first ordering puts each doc's least common
+    * grams in its prefix, so hot grams (stopword shingles) never
+    * generate pairs unless a doc is mostly made of them. Higher
+    * thresholds shrink prefixes linearly ((1−t)·|x| + 1). A hot rare-ish
+    * gram is an AQE skew-join key like any other.
+    */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                               shingleSize: Int = 3,
+                               threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0, "threshold must be in (0,1)")
+    val docs = df.select(col(idCol).as("jid"), col(textCol).as("jtext"))
+      .withColumn("sh", sortedHashedShingles("jtext", shingleSize))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+    val freq = docs.select(explode(col("sh")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("freq"))
+    // per-doc prefix: grams in (freq, gram) order, first sz − ⌈t·sz⌉ + 1.
+    // The 1e-9 slack keeps a float ⌈t·sz⌉ from rounding UP past the exact
+    // value (a too-short prefix loses the completeness guarantee; one gram
+    // longer is merely a few extra candidates)
+    val prefLen = (col("sz") -
+      ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
+    val pref = docs.select(col("jid"), col("sz"), explode(col("sh")).as("gram"))
+      .join(freq, "gram")
+      .groupBy("jid", "sz")
+      .agg(array_sort(collect_list(struct(col("freq"), col("gram")))).as("ord"))
+      .select(col("jid"), col("sz"),
+        explode(slice(transform(col("ord"), s => s.getField("gram")),
+          lit(1), prefLen)).as("gram"))
+    val cand = pref.select(col("gram"), col("jid").as("id_a"), col("sz").as("sz_a"))
+      .join(pref.select(col("gram"), col("jid").as("id_b"), col("sz").as("sz_b")),
+        "gram")
+      .filter(col("id_a") < col("id_b"))
+      // size-ratio prefilter: J ≤ min/max, so failing pairs never qualify
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+      .select("id_a", "id_b").distinct()
+    val g = docs.select(col("jid"), col("sh"))
+    cand
+      .join(g.select(col("jid").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(g.select(col("jid").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.JaccardFunctions
+          .sortedJaccardGe(col("sh_a"), col("sh_b"), threshold).as("jac"))
+      .filter(col("jac").isNotNull)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
+  }
+
   /** 64-bit SimHash fingerprint via the codegen'd single-pass kernel
     * (graft.functions.SimHash64): per token, hash bits vote +1/−1 per
     * position; fingerprint bit b is set when the vote is positive.

@@ -270,6 +270,27 @@ class OpsSpec extends SparkTestBase {
     assert(!r4.getAs[Boolean]("repetitive"))
   }
 
+  test("prefixFilterJaccardPairs == unblocked brute-force, across thresholds") {
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents")
+    val withSh = docs.select(col("doc_id"),
+      Dedup.sortedHashedShingles("text", 3).as("g"))
+      .filter(size(col("g")) > 0)
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val a = withSh.select(col("doc_id").as("id_a"), col("g").as("ga"))
+      val b = withSh.select(col("doc_id").as("id_b"), col("g").as("gb"))
+      val naive = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("j", size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))))
+        .filter(col("j") >= t)
+        .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+      val fast = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+        threshold = t)
+      assertSameRows(naive, fast)
+      assert(fast.count() > 0 || t > 0.5, s"fixture should have pairs at $t")
+    }
+  }
+
   test("hashedLinearScore: JVM-replayed exact reference + edge cases") {
     import spark.implicits._
     val d = Seq(
