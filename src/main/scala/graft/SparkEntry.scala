@@ -435,6 +435,19 @@ object SparkEntry {
         .select("doc_id", "lang", "n_features", "score_num")
         .orderBy("doc_id"))),
 
+    // DSIR-style importance scoring: per-bucket log-ratio weights of the
+    // target (en) vs raw feature distributions, fit as a 256-row sketch
+    // and collected into a literal map; scoring is the same zero-shuffle
+    // exact-integer fold as t21 (scaled-long ln, the t14 convention)
+    "t22_dsir_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = ops.TextOps.dsirWeights(d, col("lang") === "en")
+      rt(s, ops.TextOps.dsirScore(d, w)
+        .select(col("doc_id"), col("lang"), col("n_features"), col("score_num"),
+          round(col("score"), 6).as("avg_logratio"))
+        .orderBy("doc_id"))
+    }),
+
     // deterministic global training-order shuffle into shards: md5-keyed
     // shard + in-shard rank — reproducible across engines/cluster sizes
     // (one hash exchange + per-shard local sort; no global window)
@@ -1793,6 +1806,32 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang,
         |  CAST(COALESCE(sc.n_features, 0) AS BIGINT) AS n_features,
         |  CAST(COALESCE(sc.score_num, 0) AS BIGINT) AS score_num
+        |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "t22_dsir_score" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, lang, unnest(toks) AS feat FROM d
+        |  UNION ALL
+        |  SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || '_' || toks[i + 1])) AS feat FROM d),
+        |fb AS (SELECT doc_id, lang, substring(md5(feat), 1, 2) AS b FROM f),
+        |c AS (SELECT b, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+        |    count(*) AS cr FROM fb GROUP BY 1),
+        |tot AS (SELECT sum(ct) + 256 AS nt, sum(cr) + 256 AS nr FROM c),
+        |w AS (SELECT printf('%02x', i) AS b,
+        |    CAST(round((ln((COALESCE(c.ct, 0) + 1.0) / tot.nt)
+        |      - ln((COALESCE(c.cr, 0) + 1.0) / tot.nr)) * 1e9) AS BIGINT) AS wt
+        |  FROM range(256) t(i) CROSS JOIN tot
+        |  LEFT JOIN c ON printf('%02x', i) = c.b),
+        |sc AS (SELECT doc_id, count(*) AS n, sum(wt) AS sn
+        |  FROM fb JOIN w ON fb.b = w.b GROUP BY 1)
+        |SELECT d.doc_id, d.lang,
+        |  CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_features,
+        |  CAST(COALESCE(sc.sn, 0) AS BIGINT) AS score_num,
+        |  ROUND(CAST(COALESCE(sc.sn, 0) AS DOUBLE)
+        |    / (1e9 * GREATEST(COALESCE(sc.n, 0), 1)), 6) AS avg_logratio
         |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "t19_shuffle_shards" ->
       """WITH h AS (SELECT doc_id,

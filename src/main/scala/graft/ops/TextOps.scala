@@ -442,25 +442,68 @@ object TextOps {
     */
   def hashedLinearScore(df: DataFrame, textCol: String = "text",
                         weights: Map[String, Long] = defaultBucketWeights,
-                        idCol: String = "doc_id"): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "[^a-z]+"),
-      t => length(t) > 0)
-    val n = size(col("__toks"))
-    val bigrams = when(n < 2, typedLit(Seq.empty[String]))
-      .otherwise(zip_with(
-        slice(col("__toks"), lit(1), n - 1),
-        slice(col("__toks"), lit(2), n - 1),
-        (x, y) => concat(x, lit("_"), y)))
+                        idCol: String = "doc_id",
+                        scoreScale: Double = 1024.0): DataFrame = {
     val wmap = typedLit(weights)
-    val score = aggregate(
-      transform(col("__feats"), f => substring(md5(f), 1, 2)),
+    val score = aggregate(col("__buckets"),
       lit(0L), (acc, b) => acc + coalesce(element_at(wmap, b), lit(0L)))
-    df.withColumn("__toks", toks)
-      .withColumn("__feats", concat(col("__toks"), bigrams))
-      .withColumn("n_features", size(col("__feats")).cast("long"))
+    df.withColumn("__buckets", hashedFeatureBuckets(col(textCol)))
+      .withColumn("n_features", size(col("__buckets")).cast("long"))
       .withColumn("score_num", score)
       .withColumn("score", col("score_num").cast("double") /
-        (lit(1024.0) * greatest(col("n_features"), lit(1)).cast("double")))
-      .drop("__toks", "__feats")
+        (lit(scoreScale) * greatest(col("n_features"), lit(1)).cast("double")))
+      .drop("__buckets")
   }
+
+  /** word uni+bigram features of a text column, each as its 2-hex-char
+    * md5-prefix bucket — the shared feature hashing of
+    * [[hashedLinearScore]] and [[dsirWeights]]/[[dsirScore]] */
+  def hashedFeatureBuckets(textCol: Column): Column = {
+    val toks = filter(split(lower(textCol), "[^a-z]+"), t => length(t) > 0)
+    val feats = concat(toks, when(size(toks) < 2, typedLit(Seq.empty[String]))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (x, y) => concat(x, lit("_"), y))))
+    transform(feats, f => substring(md5(f), 1, 2))
+  }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): fit
+    * hashed-feature bag models of the TARGET distribution (rows matching
+    * `targetFilter`) and the RAW corpus, return per-bucket scaled-long
+    * log-ratio weights w(b) = round((ln p̂_t(b) − ln p̂_r(b))·1e9)
+    * (Laplace-smoothed). One aggregate over the exploded features → 256
+    * rows collected to the driver — the fit is a fixed-size sketch of the
+    * corpus, never corpus-sized, and the weights ride every scoring plan
+    * as a literal map.
+    */
+  def dsirWeights(df: DataFrame, targetFilter: Column,
+                  textCol: String = "text"): Map[String, Long] = {
+    val counts = df
+      .select(targetFilter.as("is_t"),
+        explode(hashedFeatureBuckets(col(textCol))).as("b"))
+      .groupBy("b")
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nt = counts.map(_._2).sum.toDouble + 256.0
+    val nr = counts.map(_._3).sum.toDouble + 256.0
+    val byB = counts.map(c => c._1 -> (c._2, c._3)).toMap
+    (0 until 256).map { i =>
+      val b = f"$i%02x"
+      val (ct, cr) = byB.getOrElse(b, (0L, 0L))
+      b -> math.round((math.log((ct + 1.0) / nt) -
+        math.log((cr + 1.0) / nr)) * 1e9)
+    }.toMap
+  }
+
+  /** Score every row with [[dsirWeights]]' scaled-long log-ratios:
+    * `score_num` (exact integer sum — order-independent, engine-portable)
+    * and `score` = avg per-feature log importance ratio. Zero shuffles;
+    * docs scoring high look more target-like. Feed the scores to
+    * Pipeline.weightedSample / top-k selection for the resampling step. */
+  def dsirScore(df: DataFrame, weights: Map[String, Long],
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    hashedLinearScore(df, textCol, weights, idCol, scoreScale = 1e9)
 }

@@ -328,6 +328,26 @@ class OpsSpec extends SparkTestBase {
     assert(got(3).getAs[Long]("n_features") == 5L)
   }
 
+  test("dsirScore: target-like docs outscore off-distribution docs") {
+    import spark.implicits._
+    // target vocabulary (science-ish) vs off-distribution vocabulary —
+    // disjoint token sets, so the log-ratio weights must separate them
+    val target = (1L to 20L).map(i =>
+      (i, s"quantum physics theory experiment measurement result $i", true))
+    val other = (21L to 40L).map(i =>
+      (i, s"pizza recipe cheese tomato basil oven bake $i", false))
+    val d = (target ++ other).toDF("doc_id", "text", "is_target")
+    val w = TextOps.dsirWeights(d, col("is_target"))
+    val scored = TextOps.dsirScore(d, w).select("doc_id", "is_target", "score")
+      .collect().map(r => (r.getBoolean(1), r.getDouble(2)))
+    val tMin = scored.filter(_._1).map(_._2).min
+    val oMax = scored.filterNot(_._1).map(_._2).max
+    assert(tMin > oMax,
+      s"every target doc must outscore every off-distribution doc ($tMin vs $oMax)")
+    // weights cover all 256 buckets (smoothing), exact-integer map
+    assert(w.size == 256 && w.keys.forall(_.length == 2))
+  }
+
   test("charLmScore: character noise scores below all natural corpus text") {
     import spark.implicits._
     val noisy = docs.select(col("doc_id"), col("text")).unionByName(
