@@ -464,6 +464,14 @@ object SparkEntry {
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
         .orderBy("doc_id"))),
 
+    // nearest-centroid (Rocchio) classification: decimal-exact per-label
+    // centroids rounded to 9 decimals (both engines classify against
+    // bit-identical literals), then one narrow codegen'd argmin pass
+    "s09_centroid_classify" -> ((s, dir) => rt(s,
+      ops.Embeddings.nearestCentroidClassify(t(s, dir, "embeddings"))
+        .select("vec_id", "label", "pred", "correct")
+        .orderBy("vec_id"))),
+
     // element-wise per-label centroid vectors, decimal-exact accumulation
     "s04_label_centroids" -> ((s, dir) => rt(s,
       ops.Embeddings.centroids(t(s, dir, "embeddings"))
@@ -2092,6 +2100,22 @@ object SparkEntry {
         |  quantile_cont(len(text), 0.75) AS p75,
         |  count(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "s09_centroid_classify" ->
+      """WITH ev AS (SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS val,
+        |    generate_subscripts(embedding, 1) AS idx FROM embeddings),
+        |cent AS (SELECT label AS clabel, idx,
+        |    ROUND(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,15))) AS DOUBLE)
+        |      / count(*), 9) AS c
+        |  FROM ev GROUP BY 1, 2),
+        |dist AS (SELECT e.vec_id, c.clabel,
+        |    sum((e.val - c.c) * (e.val - c.c)) AS d2
+        |  FROM ev e JOIN cent c ON e.idx = c.idx GROUP BY 1, 2),
+        |r AS (SELECT vec_id, clabel,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, clabel ASC) AS rn
+        |  FROM dist)
+        |SELECT e.vec_id, e.label, r.clabel AS pred, (e.label = r.clabel) AS correct
+        |FROM embeddings e JOIN r ON e.vec_id = r.vec_id AND r.rn = 1
+        |ORDER BY e.vec_id""".stripMargin,
     "s04_label_centroids" ->
       """SELECT label, idx,
         |  ROUND(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,15))) AS DOUBLE)

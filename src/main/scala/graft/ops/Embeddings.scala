@@ -66,4 +66,35 @@ object Embeddings {
                   outCol: String = "embedding_dq"): DataFrame =
     df.withColumn(outCol, expr(
       s"transform(${vecCol}_q, q -> q * ${vecCol}_scale)"))
+
+  /** Nearest-centroid classification (Rocchio): fit per-label centroids
+    * with the decimal-exact [[centroids]] aggregate, ROUND them to
+    * `roundTo` decimals (so any engine rebuilding the same rounded
+    * centroids classifies against bit-identical literals), collect the
+    * labels×dim table (bounded — never corpus-sized) and predict each
+    * row's label as the L2-nearest centroid, ties to the lower label.
+    * One aggregate pass to fit + one narrow codegen'd pass to predict.
+    * Adds `pred` and `correct` next to the true label column.
+    */
+  def nearestCentroidClassify(df: DataFrame, byCol: String = "label",
+                              vecCol: String = "embedding",
+                              idCol: String = "vec_id",
+                              roundTo: Int = 9): DataFrame = {
+    val cents: Seq[(Int, Seq[Double])] =
+      centroids(df, byCol, vecCol)
+        .select(col(byCol), col("idx"), round(col("centroid"), roundTo).as("c"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (lab, rows) =>
+          lab -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }.toSeq.sortBy(_._1)
+    val v = col(vecCol).cast("array<double>")
+    val dists = cents.map { case (lab, c) =>
+      struct(graft.functions.VecFunctions.vecL2Sq(v, typedLit(c)).as("d"),
+        lit(lab).as("l"))
+    }
+    df.withColumn("pred",
+        array_sort(array(dists: _*)).getItem(0).getField("l"))
+      .withColumn("correct", col(byCol) === col("pred"))
+  }
 }

@@ -62,4 +62,32 @@ class EmbeddingsSpec extends SparkTestBase {
       .filter(col("excess") > 1e-12).count()
     assert(bad == 0, "every element must reconstruct within half a step")
   }
+
+  test("nearestCentroidClassify: planted separated clusters classify perfectly") {
+    import spark.implicits._
+    // three well-separated clusters around (0,0), (10,0), (0,10)
+    val pts = for {
+      (lab, cx, cy) <- Seq((0, 0.0, 0.0), (1, 10.0, 0.0), (2, 0.0, 10.0))
+      i <- 0 until 8
+    } yield (lab.toLong * 100 + i, Seq(cx + (i % 3) * 0.1, cy + (i % 2) * 0.1), lab)
+    val df = pts.toDF("vec_id", "embedding", "label")
+    val out = Embeddings.nearestCentroidClassify(df)
+    assert(out.filter(!col("correct")).count() == 0,
+      "separated clusters must classify without error")
+    // prediction column covers every label
+    assert(out.select("pred").distinct().count() == 3)
+  }
+
+  test("nearestCentroidClassify: identical centroids tie to the lower label") {
+    import spark.implicits._
+    // both labels' centroids land exactly at 0.5 → every point is
+    // equidistant and the deterministic tie-break must pick label 0
+    val df = Seq(
+      (1L, Seq(0.0), 0), (2L, Seq(1.0), 0),
+      (3L, Seq(0.2), 1), (4L, Seq(0.8), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val preds = Embeddings.nearestCentroidClassify(df)
+      .select("pred").collect().map(_.getInt(0)).toSet
+    assert(preds == Set(0))
+  }
 }
