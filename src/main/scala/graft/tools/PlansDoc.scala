@@ -36,7 +36,11 @@ object PlansDoc {
     "p11_bloom_join" -> "runtime-filter join: the dim-key bloom rides as a reused scalar subquery and might_contain drops fact rows BELOW the join — only joinable rows reach the shuffle",
     "s07_semantic_dedup" -> "semantic dedup: k-means cells as literal centroids in a narrow assignment stage; ONE wide shuffle of 8-byte ids for in-cell pair generation; vectors re-join only for the exact-cosine verify",
     "t19_shuffle_shards" -> "deterministic corpus shuffle: one hash exchange on the md5 shard + per-shard local sort for row_number — no global window, no single-partition sort",
-    "t20_weighted_sample" -> "weighted PPS sample: the weight total rides as a one-row scalar subquery; the keep decision is a narrow codegen'd filter — zero shuffles")
+    "t20_weighted_sample" -> "weighted PPS sample: the weight total rides as a one-row scalar subquery; the keep decision is a narrow codegen'd filter — zero shuffles",
+    "j03_interval_join" -> "interval-overlap join: both sides bin-replicate through streamed generators into ONE equi-join; the ownership-bin filter emits each pair exactly once with no dedup shuffle",
+    "d12_prefix_jaccard" -> "exact unblocked all-pairs jaccard: rarest-first prefix candidates join on 8-byte grams, id-pair dedup, shingle arrays re-join only for the exact kernel verify",
+    "s08_knn_pq" -> "PQ ANN: codegen'd pq_encode compresses the corpus 16x below the join; per-query ADC tables broadcast; exact rerank touches only the shortlist via broadcast hash joins",
+    "t22_dsir_score" -> "DSIR scoring: the fitted 256-bucket log-ratio model rides as a literal map — the scoring pass is narrow, zero joins, zero hash shuffles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

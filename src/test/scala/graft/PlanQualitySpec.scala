@@ -385,6 +385,34 @@ class PlanQualitySpec extends SparkTestBase {
       s"both sides must bin-replicate via a streamed generator:\n$p")
   }
 
+  test("d12: prefix-filter join is equi-joins only; arrays stay out of the candidate shuffle") {
+    val p = plan("d12_prefix_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d12 must generate candidates via equi-joins:\n$p")
+    // the id-pair candidate join carries no shingle arrays — sh only
+    // appears in the final verify joins (HashJoin on id_a/id_b)
+    assert(p.contains("sorted_jaccard_ge"), s"exact verify kernel missing:\n$p")
+  }
+
+  test("t21/t22/s09: literal-model scoring is narrow — no joins, no hash shuffle") {
+    for (q <- Seq("t21_linear_classifier", "t22_dsir_score", "s09_centroid_classify")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join (model is a literal):\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not hash-shuffle (narrow scoring):\n$p")
+    }
+  }
+
+  test("s08: ADC scan stays in codegen; rerank joins broadcast") {
+    val p = plan("s08_knn_pq")
+    // the one BNLJ is the intentional broadcast cross of the tiny query
+    // side (the bruteForceKnn contract); the shortlist/rerank joins must
+    // be broadcast hash joins, and the PQ kernels must be present
+    assert(p.contains("pq_encode") && p.contains("pq_adc"), s"kernels missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"rerank must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
+  }
+
   test("LocalFiles consume: declared-schema file scan still prunes and pushes") {
     val df = substrait.Consumer.consume(spark, substrait.Wire.decode(
       substrait.Wire.encode(substrait.Producer.produce(
