@@ -636,6 +636,17 @@ object SparkEntry {
         .orderBy("doc_id"))
     }),
 
+    // corpus drift report: per-bucket KL/JS divergence terms between two
+    // corpus versions' hashed-feature distributions — 256 integer rows
+    // (scaled-long ln, the t14 convention), one tagged-union aggregate,
+    // totals as scalar subqueries, bucket domain as an inline table
+    "p15_feature_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      rt(s, ops.TextOps.featureDrift(
+          d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+        .orderBy("b"))
+    }),
+
     "p13_join_size_estimate" -> ((s, dir) => rt(s, {
       val li = t(s, dir, "lineitem"); val ord = t(s, dir, "orders")
       val estJoin = ops.Sketches.joinSizeEstimate(li, "l_orderkey", ord, "o_orderkey")
@@ -1815,6 +1826,33 @@ object SparkEntry {
         |  CAST(COALESCE(sc.n_features, 0) AS BIGINT) AS n_features,
         |  CAST(COALESCE(sc.score_num, 0) AS BIGINT) AS score_num
         |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "p15_feature_drift" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, unnest(toks) AS feat FROM d
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || '_' || toks[i + 1])) AS feat FROM d),
+        |fb AS (SELECT doc_id, substring(md5(feat), 1, 2) AS b FROM f),
+        |c AS (SELECT b, sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS c2
+        |  FROM fb GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n1,
+        |    CAST(sum(c2) AS DOUBLE) AS n2 FROM c),
+        |fl AS (SELECT printf('%02x', i) AS b, COALESCE(c.c1, 0) AS c1,
+        |    COALESCE(c.c2, 0) AS c2
+        |  FROM range(256) t(i) LEFT JOIN c ON printf('%02x', i) = c.b),
+        |z AS (SELECT b, c1, c2,
+        |    (c1 + 1) / (tot.n1 + 256.0) AS p, (c2 + 1) / (tot.n2 + 256.0) AS q,
+        |    ((c1 + 1) / (tot.n1 + 256.0) + (c2 + 1) / (tot.n2 + 256.0)) / 2 AS m
+        |  FROM fl CROSS JOIN tot)
+        |SELECT b, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+        |  CAST(round(p * ln(p / q) * 1e12) AS BIGINT) AS t_pq,
+        |  CAST(round(q * ln(q / p) * 1e12) AS BIGINT) AS t_qp,
+        |  CAST(round((p / 2 * ln(p / m) + q / 2 * ln(q / m)) * 1e12) AS BIGINT) AS t_js
+        |FROM z ORDER BY b""".stripMargin,
     "t22_dsir_score" ->
       """WITH d AS (SELECT doc_id, lang,
         |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),

@@ -498,6 +498,46 @@ object TextOps {
     }.toMap
   }
 
+  /** Corpus feature-drift report: KL/JS divergence terms between two
+    * corpus versions' hashed-feature distributions — "did crawl N+1 shift
+    * under the tokenizer" as 256 rows of integers, answerable without
+    * reading either corpus twice. Laplace-smoothed bucket probabilities
+    * p (v1) and q (v2); per bucket the scaled-long terms (×1e12, the t14
+    * ln convention — integer rows any engine replays):
+    * t_pq = p·ln(p/q), t_qp = q·ln(q/p), t_js = p/2·ln(p/m)+q/2·ln(q/m)
+    * with m = (p+q)/2. Sum/1e12 gives KL(p‖q), KL(q‖p), JS. ONE plan:
+    * tagged union → one 256-group aggregate; totals ride as scalar
+    * subqueries; the full bucket domain is a 256-row inline table.
+    */
+  def featureDrift(v1: DataFrame, v2: DataFrame,
+                   textCol: String = "text"): DataFrame = {
+    val spark = v1.sparkSession
+    import spark.implicits._
+    val tagged = v1.select(lit(1).as("v"),
+        explode(hashedFeatureBuckets(col(textCol))).as("b"))
+      .unionAll(v2.select(lit(2).as("v"),
+        explode(hashedFeatureBuckets(col(textCol))).as("b")))
+    val counts = tagged.groupBy("b").agg(
+      sum(when(col("v") === 1, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("v") === 2, 1L).otherwise(0L)).as("c2"))
+    val n1 = counts.agg(sum(col("c1")).cast("double")).scalar()
+    val n2 = counts.agg(sum(col("c2")).cast("double")).scalar()
+    val domain = (0 until 256).map(i => f"$i%02x").toDF("b")
+    val withP = domain.join(counts, Seq("b"), "left")
+      .select(col("b"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+      .withColumn("p", (col("c1") + 1).cast("double") / (n1 + lit(256.0)))
+      .withColumn("q", (col("c2") + 1).cast("double") / (n2 + lit(256.0)))
+      .withColumn("m", (col("p") + col("q")) / 2)
+    def t(c: Column): Column = round(c * lit(1e12)).cast("long")
+    withP.select(col("b"), col("c1"), col("c2"),
+        t(col("p") * log(col("p") / col("q"))).as("t_pq"),
+        t(col("q") * log(col("q") / col("p"))).as("t_qp"),
+        t(col("p") / 2 * log(col("p") / col("m")) +
+          col("q") / 2 * log(col("q") / col("m"))).as("t_js"))
+  }
+
   /** Score every row with [[dsirWeights]]' scaled-long log-ratios:
     * `score_num` (exact integer sum — order-independent, engine-portable)
     * and `score` = avg per-feature log importance ratio. Zero shuffles;

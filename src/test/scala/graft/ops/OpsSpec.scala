@@ -328,6 +328,26 @@ class OpsSpec extends SparkTestBase {
     assert(got(3).getAs[Long]("n_features") == 5L)
   }
 
+  test("featureDrift: zero on identical corpora, positive and symmetric JS on disjoint ones") {
+    import spark.implicits._
+    val a = (1L to 15L).map(i => (i, s"alpha beta gamma delta $i")).toDF("doc_id", "text")
+    val b = (1L to 15L).map(i => (i, s"omega sigma lambda kappa $i")).toDF("doc_id", "text")
+    val self = TextOps.featureDrift(a, a)
+      .agg(sum("t_pq"), sum("t_qp"), sum("t_js")).head()
+    assert((0 until 3).forall(i => self.getLong(i) == 0L),
+      s"identical corpora must have zero divergence: $self")
+    val cross = TextOps.featureDrift(a, b)
+      .agg(sum("t_pq"), sum("t_qp"), sum("t_js")).head()
+    assert(cross.getLong(0) > 0 && cross.getLong(1) > 0 && cross.getLong(2) > 0,
+      s"disjoint vocabularies must diverge: $cross")
+    // JS is symmetric: swapping the versions must give the same t_js total
+    val swapped = TextOps.featureDrift(b, a).agg(sum("t_js")).head().getLong(0)
+    assert(swapped == cross.getLong(2), "JS must be symmetric")
+    // JS ≤ ln 2 (scaled): a hard upper bound of the divergence
+    assert(cross.getLong(2) <= math.round(math.log(2) * 1e12))
+    assert(TextOps.featureDrift(a, b).count() == 256)
+  }
+
   test("dsirScore: target-like docs outscore off-distribution docs") {
     import spark.implicits._
     // target vocabulary (science-ish) vs off-distribution vocabulary —
