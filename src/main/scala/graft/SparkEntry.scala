@@ -435,6 +435,13 @@ object SparkEntry {
         .select("doc_id", "lang", "n_features", "score_num")
         .orderBy("doc_id"))),
 
+    // winsorized/trimmed robust stats per group: exact R-7 quantiles bound
+    // the trusted band (broadcast back), decimal-exact trimmed + clamped
+    // means — two aggregate passes, no wide join
+    "t23_winsorized_stats" -> ((s, dir) => rt(s,
+      ops.TextOps.winsorizedStats(t(s, dir, "documents"))
+        .orderBy("lang"))),
+
     // DSIR-style importance scoring: per-bucket log-ratio weights of the
     // target (en) vs raw feature distributions, fit as a 256-row sketch
     // and collected into a literal map; scoring is the same zero-shuffle
@@ -1853,6 +1860,22 @@ object SparkEntry {
         |  CAST(round(q * ln(q / p) * 1e12) AS BIGINT) AS t_qp,
         |  CAST(round((p / 2 * ln(p / m) + q / 2 * ln(q / m)) * 1e12) AS BIGINT) AS t_js
         |FROM z ORDER BY b""".stripMargin,
+    "t23_winsorized_stats" ->
+      """WITH q AS (SELECT lang, quantile_cont(n_chars, 0.05) AS q_lo,
+        |    quantile_cont(n_chars, 0.95) AS q_hi
+        |  FROM documents GROUP BY 1)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN CAST(n_chars AS DOUBLE) BETWEEN q_lo AND q_hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  q_lo, q_hi,
+        |  ROUND(CAST(sum(CASE WHEN CAST(n_chars AS DOUBLE) BETWEEN q_lo AND q_hi
+        |      THEN CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(27,15)) END) AS DOUBLE)
+        |    / sum(CASE WHEN CAST(n_chars AS DOUBLE) BETWEEN q_lo AND q_hi
+        |        THEN 1 ELSE 0 END), 6) AS trimmed_mean,
+        |  ROUND(CAST(sum(CAST(GREATEST(q_lo, LEAST(q_hi, CAST(n_chars AS DOUBLE)))
+        |      AS DECIMAL(27,15))) AS DOUBLE) / count(*), 6) AS winsor_mean
+        |FROM documents d JOIN q USING (lang)
+        |GROUP BY d.lang, q_lo, q_hi ORDER BY d.lang""".stripMargin,
     "t22_dsir_score" ->
       """WITH d AS (SELECT doc_id, lang,
         |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),

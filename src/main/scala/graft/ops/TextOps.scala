@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for large-scale training-data pipelines, all built
   * from codegen'd `org.apache.spark.sql.functions` (no UDFs): language-ID
@@ -233,6 +234,38 @@ object TextOps {
         percentile(length(col(textCol)), lit(0.5)).as("p50"),
         percentile(length(col(textCol)), lit(0.75)).as("p75"),
         count(lit(1)).as("n_docs"))
+
+  /** Winsorized / trimmed per-group statistics — the robust-mean report a
+    * corpus health check wants when a handful of giant or empty documents
+    * would swamp a plain mean. Exact per-group quantiles (`percentile`,
+    * the R-7 interpolation DuckDB's quantile_cont matches) bound the
+    * trusted band; survivors' mean (trimmed) and the clamp-to-band mean
+    * (winsorized) accumulate as exact DECIMAL(27,15) so the result is
+    * summation-order-independent. Shape: one quantile aggregate over the
+    * groups (tiny output) broadcast back, one final aggregate — two
+    * passes, no wide join.
+    */
+  def winsorizedStats(df: DataFrame, byCol: String = "lang",
+                      valueCol: String = "n_chars",
+                      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val q = df.groupBy(col(byCol)).agg(
+      percentile(col(valueCol), lit(lo)).as("q_lo"),
+      percentile(col(valueCol), lit(hi)).as("q_hi"))
+    val v = col(valueCol).cast("double")
+    val inBand = v >= col("q_lo") && v <= col("q_hi")
+    val dec = (c: Column) => c.cast(DecimalType(27, 15))
+    df.join(broadcast(q), byCol)
+      .groupBy(col(byCol), col("q_lo"), col("q_hi"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(inBand, 1L).otherwise(0L)).as("n_kept"),
+        round(sum(when(inBand, dec(v))).cast("double") /
+          sum(when(inBand, 1L).otherwise(0L)), 6).as("trimmed_mean"),
+        round(sum(dec(greatest(col("q_lo"), least(col("q_hi"), v))))
+          .cast("double") / count(lit(1)), 6).as("winsor_mean"))
+      .select(col(byCol), col("n_docs"), col("n_kept"), col("q_lo"),
+        col("q_hi"), col("trimmed_mean"), col("winsor_mean"))
+  }
 
   /** Statistical-LM quality score (the CCNet / Wenzek et al. 2020 signal,
     * with a char-bigram model standing in for KenLM): train P(c2|c1) on the

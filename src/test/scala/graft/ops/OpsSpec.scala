@@ -328,6 +328,25 @@ class OpsSpec extends SparkTestBase {
     assert(got(3).getAs[Long]("n_features") == 5L)
   }
 
+  test("winsorizedStats: hand-computed truth with one huge outlier") {
+    import spark.implicits._
+    // values 1..9 plus outlier 1000; p05 (R-7) = 1.45, p95 = 545.5 →
+    // trimmed keeps 2..9... no: band [1.45, 545.5] keeps 2..9 (8 values),
+    // winsorized clamps 1→1.45 and 1000→545.5
+    val d = ((1 to 9).map(_.toLong) :+ 1000L).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toDF("doc_id", "lang", "n_chars")
+    val r = TextOps.winsorizedStats(d).head()
+    assert(r.getAs[Long]("n_docs") == 10L)
+    assert(r.getAs[Long]("n_kept") == 8L)
+    val trimmed = (2 to 9).sum / 8.0
+    assert(math.abs(r.getAs[Double]("trimmed_mean") - trimmed) < 1e-9)
+    val winsor = ((2 to 9).sum + r.getAs[Double]("q_lo") + r.getAs[Double]("q_hi")) / 10.0
+    assert(math.abs(r.getAs[Double]("winsor_mean") -
+      BigDecimal(winsor).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // the plain mean (105.5) is nowhere near the robust means
+    assert(r.getAs[Double]("trimmed_mean") < 10 && r.getAs[Double]("winsor_mean") < 60)
+  }
+
   test("featureDrift: zero on identical corpora, positive and symmetric JS on disjoint ones") {
     import spark.implicits._
     val a = (1L to 15L).map(i => (i, s"alpha beta gamma delta $i")).toDF("doc_id", "text")
