@@ -302,8 +302,12 @@ object SparkEntry {
       val twin = e.select((col("vec_id") + 100000L).as("vec_id"),
         expr("transform(embedding, (x, i) -> x * (1.0D + 0.002D * ((i % 5) - 2)))")
           .as("embedding"))
+      // corpus-derived nlist (~128 vectors/cell): the hint is a cheap
+      // metadata COUNT over the raw table; occupancy — and the quadratic
+      // in-cell pair count — stays bounded as the corpus grows
+      val hint = 2L * t(s, dir, "embeddings").count()
       ops.Similarity.semanticNearDups(e.unionAll(twin), threshold = 0.8,
-          nlist = 16, probeCells = 2, trainSampleFraction = 0.5)
+          probeCells = 2, trainSampleFraction = 0.5, corpusSizeHint = hint)
         .orderBy("id_a", "id_b")
     })),
 

@@ -1,7 +1,5 @@
 package graft.ops
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -36,24 +34,29 @@ object Ivf {
     slice(array_sort(array(dists: _*)), 1, n).getField("cell")
   }
 
-  /** Train the coarse quantizer on a sample and assign every corpus vector
-    * to its nearest cell.
-    */
   /** Train the coarse quantizer on a (bounded) sample of a pre-projected
     * (id, vec) frame and return the centroids — a few KB regardless of
     * corpus size, so they travel as literals in every downstream plan.
-    * Shared by the IVF index build and cluster-blocked semantic dedup. */
+    * Shared by the IVF index build and cluster-blocked semantic dedup.
+    *
+    * The sample (id-ordered, capped) collects to the driver and trains
+    * with the same deterministic Lloyd's as Pq.train: an MLlib KMeans fit
+    * here spent ~2.5 s of per-job scheduling overhead per call for the
+    * same few-KB result, and its centroids depended on input partitioning
+    * — the driver-side fit is partitioning-independent. A handful of
+    * iterations is plenty for a coarse quantizer: cell boundaries need to
+    * be stable, not optimal (downstream probes/verifies carry recall).
+    */
   private[ops] def trainCentroids(base: DataFrame, nlist: Int,
                                   trainSampleFraction: Double,
                                   seed: Long, vecField: String): Seq[Seq[Double]] = {
-    val train = (if (trainSampleFraction < 1.0)
+    val idCol = base.columns.head
+    val sampled = (if (trainSampleFraction < 1.0)
       base.sample(withReplacement = false, trainSampleFraction, seed) else base)
-      .select(array_to_vector(col(vecField)).as("features"))
-    // a handful of iterations is plenty for a coarse quantizer — cell
-    // boundaries need to be stable, not optimal
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("features").fit(train)
-    model.clusterCenters.toSeq.map(_.toArray.toSeq)
+      .orderBy(col(idCol)).limit(16384) // TakeOrdered: bounded + stable
+    val rows = sampled.select(col(vecField)).collect()
+      .map(_.getSeq[Double](0).toArray)
+    Pq.lloyd(rows, nlist, iters = 5).map(_.toSeq).toSeq
   }
 
   def build(corpus: DataFrame, nlist: Int, idCol: String = "vec_id",

@@ -68,7 +68,7 @@ object Pq {
   /** Deterministic Lloyd's: evenly-spaced initial centroids over the
     * id-sorted sample; a cluster that empties keeps its previous centroid.
     */
-  private def lloyd(pts: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+  private[ops] def lloyd(pts: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     val n = pts.length
     val d = pts(0).length
     var cents = Array.tabulate(math.min(k, n))(i => pts((i.toLong * n / k).toInt % n).clone())

@@ -186,12 +186,25 @@ object Similarity {
     */
   def semanticNearDups(df: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding",
-                       threshold: Double = 0.8, nlist: Int = 16,
+                       threshold: Double = 0.8, nlist: Int = 0,
                        probeCells: Int = 2, trainSampleFraction: Double = 1.0,
-                       seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
+                       seed: Long = 42L, maxBucket: Int = 10000,
+                       corpusSizeHint: Long = 0L): DataFrame = {
+    // nlist=0 → derive from corpus size so cell occupancy (and with it the
+    // quadratic in-cell pair count) stays bounded as the corpus grows —
+    // the same self-sizing contract as lshNearDups' plane count. ~128
+    // vectors/cell keeps candidate volume ∝ n, and near-dup pairs (cosine
+    // ≈ 1) still co-cluster under any occupancy; the second probe cell
+    // covers boundary straddles.
+    val cells =
+      if (nlist > 0) nlist
+      else {
+        val n = math.max(if (corpusSizeHint > 0) corpusSizeHint else df.count(), 1L)
+        math.max(16, math.ceil(n / 128.0).toInt)
+      }
     val vecs = df.select(col(idCol).as("nd_id"), asDouble(col(vecCol)).as("nd_vec"))
       .repartition(col("nd_id"))
-    val centroids = Ivf.trainCentroids(vecs, nlist, trainSampleFraction, seed, "nd_vec")
+    val centroids = Ivf.trainCentroids(vecs, cells, trainSampleFraction, seed, "nd_vec")
     val bucketed = vecs.select(col("nd_id"),
       explode(Ivf.nearestCells(col("nd_vec"), centroids, probeCells)).as("cell"))
     val candidates = bucketed

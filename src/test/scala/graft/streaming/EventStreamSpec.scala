@@ -243,4 +243,35 @@ class EventStreamSpec extends SparkTestBase {
         s"$streamedEst vs $batchEst")
     } finally q.stop()
   }
+
+  test("classifier + DSIR scoring run unchanged on a stream == batch") {
+    // literal-map scoring ops are narrow zero-shuffle projections —
+    // continuous-ingest quality filtering needs no separate code path
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents")
+    val docsDir = Files.createTempDirectory("graft_score_docs").toString
+    docs.coalesce(2).write.mode("overwrite").parquet(docsDir)
+    val sDocs = spark.readStream
+      .schema(spark.read.parquet(docsDir).schema).parquet(docsDir)
+    val w = graft.ops.TextOps.dsirWeights(docs, col("lang") === "en")
+    val q = graft.ops.TextOps.dsirScore(
+        graft.ops.TextOps.hashedLinearScore(sDocs)
+          .withColumnRenamed("n_features", "lc_n")
+          .withColumnRenamed("score_num", "lc_score")
+          .withColumnRenamed("score", "lc_scaled"), w)
+      .select("doc_id", "lc_score", "score_num", "n_features")
+      .writeStream.format("memory").queryName("score_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("score_out")
+      val batch = graft.ops.TextOps.dsirScore(
+          graft.ops.TextOps.hashedLinearScore(docs)
+            .withColumnRenamed("n_features", "lc_n")
+            .withColumnRenamed("score_num", "lc_score")
+            .withColumnRenamed("score", "lc_scaled"), w)
+        .select("doc_id", "lc_score", "score_num", "n_features")
+      assertSameRows(batch, streamed)
+    } finally q.stop()
+  }
 }
