@@ -475,6 +475,18 @@ object SparkEntry {
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
         .orderBy("doc_id"))),
 
+    // retrieval evaluation: recall@k + reciprocal rank of the int8-
+    // quantized ranking against the exact one — the ANN tuning metric as
+    // a relational op, with BOTH rankings replayable by the oracle
+    "s10_ann_metrics" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val dq = ops.Embeddings.dequantized(ops.Embeddings.quantized(e))
+        .select(col("vec_id"), col("embedding_dq").as("embedding"))
+      val truth = ops.Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 8), k = 5)
+      val pred = ops.Similarity.bruteForceKnn(dq, dq.filter(col("vec_id") < 8), k = 5)
+      rt(s, ops.Similarity.retrievalMetrics(pred, truth).orderBy("q_id"))
+    }),
+
     // nearest-centroid (Rocchio) classification: decimal-exact per-label
     // centroids rounded to 9 decimals (both engines classify against
     // bit-identical literals), then one narrow codegen'd argmin pass
@@ -645,6 +657,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id"))
+    }),
+
+    // CDC log → snapshot: latest state per user from the event log, error
+    // events acting as delete markers — one window pass, WindowGroupLimit
+    // keeps per-key winners before the exchange
+    "p16_cdc_snapshot" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts", col("ts").cast("timestamp_ntz"))
+      rt(s, ops.Pipeline.cdcSnapshot(ev, Seq("user_id"), "ts",
+          deleteWhen = col("event_type") === "error", tieCols = Seq("event_id"))
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id"))
     }),
 
     // corpus drift report: per-bucket KL/JS divergence terms between two
@@ -1837,6 +1860,13 @@ object SparkEntry {
         |  CAST(COALESCE(sc.n_features, 0) AS BIGINT) AS n_features,
         |  CAST(COALESCE(sc.score_num, 0) AS BIGINT) AS score_num
         |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "p16_cdc_snapshot" ->
+      """WITH r AS (SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, value FROM r
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
     "p15_feature_drift" ->
       """WITH d AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
@@ -2165,6 +2195,42 @@ object SparkEntry {
         |  quantile_cont(len(text), 0.75) AS p75,
         |  count(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "s10_ann_metrics" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |    list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc FROM v),
+        |dq AS (SELECT vec_id, CASE WHEN sc = 0 THEN list_transform(e, x -> 0.0)
+        |    ELSE list_transform(e, x -> CAST(round(x / sc) AS INTEGER) * sc) END AS d
+        |  FROM s),
+        |truth AS (SELECT q_id, n_id, rank FROM (
+        |  SELECT q.vec_id AS q_id, v.vec_id AS n_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_dot_product(q.e, v.e)
+        |        / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(v.e, v.e)))
+        |      DESC, v.vec_id ASC) AS rank
+        |  FROM v q CROSS JOIN v WHERE q.vec_id < 8 AND v.vec_id <> q.vec_id)
+        |  WHERE rank <= 5),
+        |pred AS (SELECT q_id, n_id, rank FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_dot_product(q.d, c.d)
+        |        / (sqrt(list_dot_product(q.d, q.d)) * sqrt(list_dot_product(c.d, c.d)))
+        |      DESC, c.vec_id ASC) AS rank
+        |  FROM dq q CROSS JOIN dq c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+        |  WHERE rank <= 5),
+        |tn AS (SELECT q_id, count(*) AS n_truth FROM truth GROUP BY 1),
+        |j AS (SELECT p.q_id, p.rank,
+        |    CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+        |  FROM pred p LEFT JOIN truth t ON p.q_id = t.q_id AND p.n_id = t.n_id),
+        |m AS (SELECT q_id, sum(rel) AS hits,
+        |    CAST(min(CASE WHEN rel = 1 THEN rank END) AS INTEGER) AS frr
+        |  FROM j GROUP BY 1)
+        |SELECT m.q_id, CAST(tn.n_truth AS BIGINT) AS n_truth,
+        |  CAST(m.hits AS BIGINT) AS hits,
+        |  ROUND(CAST(m.hits AS DOUBLE) / tn.n_truth, 6) AS recall_k,
+        |  m.frr AS first_rel_rank,
+        |  CASE WHEN m.frr IS NOT NULL THEN ROUND(1.0 / m.frr, 6) ELSE 0.0 END AS rr
+        |FROM m JOIN tn USING (q_id) ORDER BY m.q_id""".stripMargin,
     "s09_centroid_classify" ->
       """WITH ev AS (SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS val,
         |    generate_subscripts(embedding, 1) AS idx FROM embeddings),

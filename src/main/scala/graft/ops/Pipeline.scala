@@ -389,4 +389,28 @@ object Pipeline {
     fact.filter(BloomFunctions.mightContain(bloom.scalar(), xxhash64(col(factKey))))
       .join(dim, col(factKey) === col(dimKey), joinType)
   }
+
+  /** CDC log → snapshot compaction: reduce an upsert/delete event log to
+    * the latest state per key — the step that turns an append-only change
+    * stream into the table downstream jobs actually read. For each key,
+    * the event with the highest (`seqCol`, `tieCols`…) wins; if that
+    * winning event satisfies `deleteWhen`, the key is absent from the
+    * snapshot (a delete marker tombstones everything before it).
+    *
+    * One window pass = one hash shuffle on the keys; with
+    * WindowGroupLimit, each partition keeps only its per-key winner before
+    * the exchange, so the shuffle carries ~|keys| rows, not |log| rows.
+    * Compose with `Sources.upsertRangePartitioned` to fold the snapshot
+    * into a partitioned corpus copy-on-write.
+    */
+  def cdcSnapshot(log: DataFrame, keyCols: Seq[String], seqCol: String,
+                  deleteWhen: Column,
+                  tieCols: Seq[String] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((col(seqCol).desc +: tieCols.map(col(_).desc)): _*)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !deleteWhen)
+      .drop("__rn")
+  }
 }

@@ -221,4 +221,30 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
+
+  /** Retrieval-quality evaluation: per-query recall@k and reciprocal rank
+    * of a `predicted` ranking against a `truth` ranking (both in the
+    * (q_id, n_id, rank) shape every kNN operator here emits). The metric
+    * every ANN knob (LSH tables, IVF nprobe, PQ shortlist) is tuned
+    * against — as a relational op: one broadcast-joinable truth side (k
+    * rows per query), exact integer hits, single-division ratios.
+    * Output: q_id, n_truth, hits, recall_k, first_rel_rank (null when no
+    * relevant item was retrieved), rr.
+    */
+  def retrievalMetrics(predicted: DataFrame, truth: DataFrame): DataFrame = {
+    val t = truth.select(col("q_id"), col("n_id"), lit(1).as("__rel"))
+    val tn = truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+    predicted.select("q_id", "n_id", "rank")
+      .join(t, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(
+        sum(when(col("__rel").isNotNull, 1L).otherwise(0L)).as("hits"),
+        min(when(col("__rel").isNotNull, col("rank"))).as("first_rel_rank"))
+      .join(tn, "q_id")
+      .select(col("q_id"), col("n_truth"), col("hits"),
+        round(col("hits").cast("double") / col("n_truth"), 6).as("recall_k"),
+        col("first_rel_rank"),
+        when(col("first_rel_rank").isNotNull,
+          round(lit(1.0) / col("first_rel_rank"), 6)).otherwise(0.0).as("rr"))
+  }
 }

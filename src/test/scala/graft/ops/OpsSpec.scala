@@ -328,6 +328,24 @@ class OpsSpec extends SparkTestBase {
     assert(got(3).getAs[Long]("n_features") == 5L)
   }
 
+  test("retrievalMetrics: hand-computed recall@k and MRR") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3)).toDF("q_id", "n_id", "rank")
+    // q1: relevant at predicted ranks 2 and 3 → hits 2/3, rr 1/2
+    // q2: nothing relevant → hits 0, first_rel_rank null, rr 0
+    val pred = Seq((1L, 99L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 98L, 1), (2L, 97L, 2), (2L, 96L, 3)).toDF("q_id", "n_id", "rank")
+    val m = Similarity.retrievalMetrics(pred, truth).orderBy("q_id").collect()
+    assert(m(0).getAs[Long]("hits") == 2L)
+    assert(math.abs(m(0).getAs[Double]("recall_k") - 2.0 / 3) < 1e-6)
+    assert(m(0).getAs[Int]("first_rel_rank") == 2)
+    assert(m(0).getAs[Double]("rr") == 0.5)
+    assert(m(1).getAs[Long]("hits") == 0L)
+    assert(m(1).isNullAt(m(1).fieldIndex("first_rel_rank")))
+    assert(m(1).getAs[Double]("rr") == 0.0)
+  }
+
   test("winsorizedStats: hand-computed truth with one huge outlier") {
     import spark.implicits._
     // values 1..9 plus outlier 1000; p05 (R-7) = 1.45, p95 = 545.5 →

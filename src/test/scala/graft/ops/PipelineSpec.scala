@@ -338,4 +338,22 @@ class PipelineSpec extends SparkTestBase {
       assert(maxIn <= 4 * 12, s"partner in-degree $maxIn too concentrated")
     } finally pairs.unpersist()
   }
+
+  test("cdcSnapshot: latest wins, delete markers tombstone, ties break on tieCols") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val log = Seq(
+      (1L, 10L, 1L, "upsert", "a"),   // overwritten by seq 2
+      (1L, 2L, 2L, "upsert", "b"),    // winner for key 1
+      (2L, 5L, 1L, "upsert", "x"),
+      (2L, 9L, 2L, "delete", "-"),    // key 2 tombstoned
+      (3L, 7L, 1L, "upsert", "p"),
+      (3L, 8L, 1L, "upsert", "q")     // same seq → higher uid (8) wins
+    ).toDF("key", "uid", "seq", "op", "payload")
+    val snap = Pipeline.cdcSnapshot(log, Seq("key"), "seq",
+        deleteWhen = col("op") === "delete", tieCols = Seq("uid"))
+      .orderBy("key").collect()
+    assert(snap.map(r => (r.getLong(0), r.getString(4))).toSeq ==
+      Seq((1L, "b"), (3L, "q")))
+  }
 }
