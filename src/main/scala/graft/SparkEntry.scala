@@ -475,6 +475,23 @@ object SparkEntry {
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
         .orderBy("doc_id"))),
 
+    // IVF-PQ: the composed billion-scale index — coarse cells cut touched
+    // vectors, residual PQ codes cut bytes per touched vector (16x); the
+    // saved layout partitions by cell so the probe partition-prunes, ADC
+    // shortlists via the codegen'd kernels, exact rerank restores exact
+    // ordering → the s01 exact-kNN oracle certifies end-to-end
+    "s11_knn_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = ops.IvfPq.build(e, nlist = 16, m = 16, k = 64,
+        trainSampleFraction = 0.5)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-${math.abs(dir.hashCode)}"
+      ops.IvfPq.save(idx, path)
+      val loaded = ops.IvfPq.load(s, path)
+      rt(s, ops.IvfPq.searchPruned(loaded, e, e.filter(col("vec_id") < 8),
+          k = 5, nprobe = 12, shortlist = 200)
+        .orderBy("q_id", "rank"))
+    }),
+
     // retrieval evaluation: recall@k + reciprocal rank of the int8-
     // quantized ranking against the exact one — the ANN tuning metric as
     // a relational op, with BOTH rankings replayable by the oracle
@@ -2195,6 +2212,22 @@ object SparkEntry {
         |  quantile_cont(len(text), 0.75) AS p75,
         |  count(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // s11: same exact-kNN ground truth as s01/s03/s06/s08 — probed cells
+    // cover the true neighbors (measured, the s03 fixture property) and
+    // the rerank shortlist provably contains them (s08's margin argument,
+    // strengthened by residual quantization)
+    "s11_knn_ivfpq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |s AS (SELECT q_id, e.vec_id AS n_id,
+        |  list_dot_product(qv, e.v)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim0
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, sim0,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim0 DESC, n_id ASC) AS rank
+        |  FROM s)
+        |SELECT q_id, n_id, rank, ROUND(sim0, 6) AS sim FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "s10_ann_metrics" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |s AS (SELECT vec_id, e,

@@ -413,6 +413,25 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
   }
 
+  test("s11: saved IVF-PQ probe partition-prunes AND scans codes, not vectors") {
+    Tables.register(spark, sfDir)
+    val e = Tables.table(spark, sfDir, "embeddings")
+    val idx = ops.IvfPq.build(e, nlist = 8, m = 8, k = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_plan").toString
+    ops.IvfPq.save(idx, path)
+    val loaded = ops.IvfPq.load(spark, path)
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 1)
+    val df = ops.IvfPq.searchPruned(loaded, e, q, k = 3, nprobe = 2, shortlist = 50)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters:"), s"no partition filter:\n$p")
+    val in = "cell#\\d+ IN \\(([-\\d,]+)\\)".r.findFirstMatchIn(p)
+    assert(in.isDefined && in.get.group(1).split(",").length == 2,
+      s"expected the 2 probed cells as a literal IN-list:\n$p")
+    // the shortlist stage scans the CODE layout (n_id, codes), never the
+    // raw vectors — bytes ∝ codes; vectors appear only in the rerank scan
+    assert(p.contains("pq_adc"), s"ADC kernel missing:\n$p")
+  }
+
   test("LocalFiles consume: declared-schema file scan still prunes and pushes") {
     val df = substrait.Consumer.consume(spark, substrait.Wire.decode(
       substrait.Wire.encode(substrait.Producer.produce(
