@@ -439,6 +439,16 @@ object SparkEntry {
         .select("doc_id", "lang", "n_features", "score_num")
         .orderBy("doc_id"))),
 
+    // BM25 lexical top-k search: one tf shuffle, broadcast df/query sides,
+    // scalar-subquery corpus stats, scaled-long per-term scores → the
+    // ranking is integer-exact and the oracle replays it bit-for-bit
+    "t24_bm25_search" -> ((s, dir) => rt(s,
+      ops.TextOps.bm25TopK(t(s, dir, "documents"),
+          Seq("q_hash_join" -> Seq("hash", "join"),
+            "q_scan" -> Seq("columnar", "scan", "filter"),
+            "q_stream" -> Seq("stream", "window")), k = 10)
+        .orderBy("query_id", "rank"))),
+
     // winsorized/trimmed robust stats per group: exact R-7 quantiles bound
     // the trusted band (broadcast back), decimal-exact trimmed + clamped
     // means — two aggregate passes, no wide join
@@ -1911,6 +1921,35 @@ object SparkEntry {
         |  CAST(round(q * ln(q / p) * 1e12) AS BIGINT) AS t_qp,
         |  CAST(round((p / 2 * ln(p / m) + q / 2 * ln(q / m)) * 1e12) AS BIGINT) AS t_js
         |FROM z ORDER BY b""".stripMargin,
+    "t24_bm25_search" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |q(query_id, term) AS (VALUES
+        |  ('q_hash_join', 'hash'), ('q_hash_join', 'join'),
+        |  ('q_scan', 'columnar'), ('q_scan', 'scan'), ('q_scan', 'filter'),
+        |  ('q_stream', 'stream'), ('q_stream', 'window')),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |    CAST(round(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |      * (tf.tf * (1.2 + 1))
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+        |      * 1e9) AS BIGINT) AS s
+        |  FROM tf JOIN q ON tf.term = q.term JOIN dfq ON tf.term = dfq.term
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+        |agg AS (SELECT query_id, doc_id, sum(s) AS score_num FROM sc GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score_num,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score_num DESC, doc_id ASC) AS rank
+        |  FROM agg)
+        |SELECT query_id, doc_id, rank,
+        |  ROUND(CAST(score_num AS DOUBLE) / 1e9, 6) AS score
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "t23_winsorized_stats" ->
       """WITH q AS (SELECT lang, quantile_cont(n_chars, 0.05) AS q_lo,
         |    quantile_cont(n_chars, 0.95) AS q_hi

