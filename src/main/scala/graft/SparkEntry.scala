@@ -439,6 +439,14 @@ object SparkEntry {
         .select("doc_id", "lang", "n_features", "score_num")
         .orderBy("doc_id"))),
 
+    // curriculum interleave: md5 rank within language; ORDER BY
+    // (rank, lang) is a round-robin mixture — every |strata|-window
+    // touches each stratum once, with no global window anywhere
+    "t25_curriculum_order" -> ((s, dir) => rt(s,
+      ops.Pipeline.curriculumOrder(t(s, dir, "documents"), "lang", "doc_id")
+        .select("doc_id", "lang", "rank_in_stratum")
+        .orderBy("rank_in_stratum", "lang"))),
+
     // BM25 lexical top-k search: one tf shuffle, broadcast df/query sides,
     // scalar-subquery corpus stats, scaled-long per-term scores → the
     // ranking is integer-exact and the oracle replays it bit-for-bit
@@ -897,6 +905,16 @@ object SparkEntry {
           coalesce(col("n_clicks_1h"), lit(0L)).as("n_clicks_1h"))
         .orderBy("e_id"))
     }),
+
+    // semi-structured JSON payloads: extract + aggregate over the events
+    // props column — get_json_object rides the wire as a named scalar fn
+    "q43_json_ops" -> ((s, dir) => rt(s,
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"))),
 
     // interval-overlap join: purchase attention windows × error windows per
     // user. Both sides replicate to time bins; the ownership-bin filter
@@ -1921,6 +1939,12 @@ object SparkEntry {
         |  CAST(round(q * ln(q / p) * 1e12) AS BIGINT) AS t_qp,
         |  CAST(round((p / 2 * ln(p / m) + q / 2 * ln(q / m)) * 1e12) AS BIGINT) AS t_js
         |FROM z ORDER BY b""".stripMargin,
+    "t25_curriculum_order" ->
+      """SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS rank_in_stratum
+        |FROM documents ORDER BY rank_in_stratum, lang""".stripMargin,
     "t24_bm25_search" ->
       """WITH d AS (SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
@@ -2345,6 +2369,12 @@ object SparkEntry {
         |FROM e LEFT JOIN c ON e.user_id = c.user_id
         |  AND c.c_ts BETWEEN e.e_ts - INTERVAL 1 HOUR AND e.e_ts
         |GROUP BY 1, 2, 3 ORDER BY e.e_id""".stripMargin,
+    "q43_json_ops" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "j03_interval_join" ->
       """WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
         |           WHERE event_type = 'purchase'),

@@ -390,6 +390,23 @@ object Pipeline {
       .join(dim, col(factKey) === col(dimKey), joinType)
   }
 
+  /** Deterministic curriculum interleave: rank each row inside its stratum
+    * by an md5 draw; consuming the corpus ORDER BY (rank_in_stratum,
+    * stratum) yields a round-robin interleave — every window of ~|strata|
+    * consecutive examples touches every stratum once, the anti-clumping
+    * property batch-mixture training wants. No global window: the rank is
+    * one per-stratum hash shuffle, and the interleave itself is a plain
+    * (parallel, range-partitioned) sort any engine reproduces.
+    */
+  def curriculumOrder(df: DataFrame, strataCol: String, idCol: String,
+                      seed: Long = 42L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))),
+        col(idCol))
+    df.withColumn("rank_in_stratum", row_number().over(w))
+  }
+
   /** CDC log → snapshot compaction: reduce an upsert/delete event log to
     * the latest state per key — the step that turns an append-only change
     * stream into the table downstream jobs actually read. For each key,

@@ -1495,6 +1495,7 @@ object Producer {
     "arrays_zip", "array_append", "array_prepend", "array_insert",
     "map_from_entries", "str_to_map",
     "sha1", "isnan", "nanvl", "typeof", "getbit",
+    "get_json_object", "json_array_length",
     // TRY-eval-mode arithmetic (produced by the explicit EvalMode.TRY
     // cases, consumed via the session registry like any named fn)
     "try_add", "try_subtract", "try_multiply", "try_divide", "try_mod",

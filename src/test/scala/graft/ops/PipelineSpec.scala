@@ -339,6 +339,33 @@ class PipelineSpec extends SparkTestBase {
     } finally pairs.unpersist()
   }
 
+  test("curriculumOrder: round-robin interleave property + determinism") {
+    Tables.register(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    val docs = spark.table("documents")
+    val ordered = Pipeline.curriculumOrder(docs, "lang", "doc_id")
+      .orderBy("rank_in_stratum", "lang")
+      .select("lang").collect().map(_.getString(0))
+    val nLangs = docs.select("lang").distinct().count().toInt
+    // in the full prefix where every stratum still has members, each
+    // window of nLangs consecutive rows covers all langs exactly once
+    val minCount = docs.groupBy("lang").count()
+      .agg(min("count")).head().getLong(0).toInt
+    for (w <- 0 until minCount) {
+      val window = ordered.slice(w * nLangs, (w + 1) * nLangs)
+      assert(window.toSet.size == nLangs,
+        s"window $w not a full interleave: ${window.mkString(",")}")
+    }
+    // deterministic across runs
+    val again = Pipeline.curriculumOrder(docs, "lang", "doc_id")
+      .orderBy("rank_in_stratum", "lang").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val first = Pipeline.curriculumOrder(docs, "lang", "doc_id")
+      .orderBy("rank_in_stratum", "lang").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == first)
+  }
+
   test("cdcSnapshot: latest wins, delete markers tombstone, ties break on tieCols") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
