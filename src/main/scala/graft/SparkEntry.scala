@@ -671,6 +671,30 @@ object SparkEntry {
     // executing the joins — what prices a shuffle join before running it.
     // Exact values are DuckDB-checked; the never-undercount + ε·N_a·N_b
     // overcount bound is certified in-query (deterministic given the seed).
+    // schema-evolved corpus read: two generations written with drifted
+    // schemas (gen1 lacks `source` and stores n_chars as INT; gen2 is
+    // full-width) read back as ONE canonical frame — null back-fill +
+    // lossless widening casts, where bare mergeSchema would fail
+    "p17_schema_evolution" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-evolve-${math.abs(dir.hashCode)}"
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("n_chars").cast("int").as("n_chars"))
+        .write.mode("overwrite").parquet(s"$base/gen1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$base/gen2")
+      val canonical = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      rt(s, sources.Sources.readEvolved(s, Seq(s"$base/gen1", s"$base/gen2"), canonical)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id"))
+    }),
+
     // copy-on-write upsert: a daily batch (replacements + inserts) merges
     // into a range-partitioned corpus layout rewriting ONLY the touched
     // band directories — untouched directories are never read or written
@@ -1905,6 +1929,11 @@ object SparkEntry {
         |  CAST(COALESCE(sc.n_features, 0) AS BIGINT) AS n_features,
         |  CAST(COALESCE(sc.score_num, 0) AS BIGINT) AS score_num
         |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "p17_schema_evolution" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END AS source,
+        |  n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "p16_cdc_snapshot" ->
       """WITH r AS (SELECT user_id, event_id, event_type, value,
         |    row_number() OVER (PARTITION BY user_id

@@ -122,6 +122,48 @@ object Sources {
     sorted.write.mode("overwrite").partitionBy(bucketCol).parquet(path)
   }
 
+  /** Conform a frame to a canonical schema: columns reorder, missing
+    * columns fill with typed nulls, and types WIDEN along the lossless
+    * parquet-evolution lattice (byte/short/int→long, float→double,
+    * int→double) — anything else (narrowing, renames, type flips)
+    * rejects loudly instead of silently corrupting. The per-generation
+    * half of [[readEvolved]].
+    */
+  def conformTo(df: DataFrame, canonical: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types._
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType | ShortType | IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType | LongType | FloatType, DoubleType) => true
+      case _ => false
+    }
+    val cols = canonical.fields.map { f =>
+      df.schema.fields.find(_.name == f.name) match {
+        case Some(cur) if cur.dataType == f.dataType => col(f.name)
+        case Some(cur) if widens(cur.dataType, f.dataType) =>
+          col(f.name).cast(f.dataType).as(f.name)
+        case Some(cur) => throw new IllegalArgumentException(
+          s"cannot conform column ${f.name}: ${cur.dataType} -> ${f.dataType} is not a lossless widening")
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Read a corpus whose generations were written with DRIFTED schemas —
+    * added columns, int→long / float→double widenings — as ONE frame in
+    * the canonical schema. Spark's own mergeSchema handles added columns
+    * but FAILS on widened primitives ("Failed to merge incompatible data
+    * types"); this reads each generation with its own schema, conforms it
+    * (nulls + widening casts, loud on anything lossy), and unions — at
+    * 100 TB this is how five years of crawl generations stay one logical
+    * table without a petabyte rewrite.
+    */
+  def readEvolved(spark: SparkSession, paths: Seq[String],
+                  canonical: StructType): DataFrame =
+    paths.map(p => conformTo(spark.read.parquet(p), canonical))
+      .reduce(_.unionByName(_))
+
   /** Copy-on-write upsert into a `writeRangePartitioned` layout: merge
     * `updates` (full rows, same schema as the corpus, `keyCols` as row
     * identity) into `basePath`, rewriting ONLY the partition directories

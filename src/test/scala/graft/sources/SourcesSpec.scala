@@ -184,6 +184,33 @@ class SourcesSpec extends SparkTestBase {
       spark.read.parquet(out).select("doc_id", "text", "lang", "source", "n_chars"))
   }
 
+  test("conformTo/readEvolved: null back-fill, widening casts, loud narrowing reject") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val canonical = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("tag", StringType)))
+    val g1 = Seq((1, 2.5f)).toDF("id", "v") // int id, float v, no tag
+    val out = Sources.conformTo(g1, canonical)
+    assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      canonical.fields.map(f => (f.name, f.dataType)).toSeq)
+    val r = out.head()
+    assert(r.getLong(0) == 1L && math.abs(r.getDouble(1) - 2.5) < 1e-9 && r.isNullAt(2))
+    // narrowing (long → int) rejects loudly
+    val bad = StructType(Seq(StructField("id", IntegerType)))
+    val e = intercept[IllegalArgumentException] {
+      Sources.conformTo(Seq(1L).toDF("id"), bad)
+    }
+    assert(e.getMessage.contains("lossless widening"))
+    // union across drifted generations restores every row
+    val d1 = java.nio.file.Files.createTempDirectory("graft_ev1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_ev2").toString
+    Seq((1, 2.5f)).toDF("id", "v").write.mode("overwrite").parquet(d1)
+    Seq((2L, 3.5, "x")).toDF("id", "v", "tag").write.mode("overwrite").parquet(d2)
+    val u = Sources.readEvolved(spark, Seq(d1, d2), canonical).orderBy("id").collect()
+    assert(u.length == 2 && u(0).isNullAt(2) && u(1).getString(2) == "x")
+  }
+
   test("z-ordered layout is row-lossless and skips files on BOTH box dimensions") {
     import org.apache.spark.sql.functions._
     Tables.register(spark, sfDir)
