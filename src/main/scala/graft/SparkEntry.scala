@@ -976,6 +976,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), dsum4(col("value")).as("total_value"))
         .orderBy("hour", "event_type"))),
 
+    // behavior-sequence training windows: per-user event-type stream
+    // sliced into overlapping len-8/stride-4 windows — the sequence-model
+    // training-example builder, one groupBy shuffle + streamed generator
+    "e05_behavior_sequences" -> ((s, dir) => rt(s,
+      streaming.EventStream.behaviorSequences(
+          t(s, dir, "events").withColumn("ts", col("ts").cast("timestamp_ntz")))
+        .orderBy("user_id", "win_idx"))),
+
     // streaming exact dedup, batch twin: at-least-once redelivery (every
     // event arrives twice) restored to exactly-once. idCols = the full
     // event identity, so the Deduplicate rides the wire as the
@@ -2404,6 +2412,16 @@ object SparkEntry {
         |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e05_behavior_sequences" ->
+      """WITH s AS (SELECT user_id,
+        |    list(event_type ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT user_id, i AS win_idx,
+        |    array_to_string(seq[i * 4 + 1 : i * 4 + 8], '|') AS seq,
+        |    len(seq[i * 4 + 1 : i * 4 + 8]) AS n
+        |  FROM s, unnest(range(0, CAST(ceil(len(seq) / 4.0) AS INT))) AS t(i))
+        |SELECT user_id, CAST(win_idx AS INT) AS win_idx, seq, CAST(n AS INT) AS n
+        |FROM w ORDER BY user_id, win_idx""".stripMargin,
     "j03_interval_join" ->
       """WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
         |           WHERE event_type = 'purchase'),

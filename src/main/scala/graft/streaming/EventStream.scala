@@ -193,4 +193,31 @@ object EventStream {
         sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("total_value"))
       .drop("session_no")
   }
+
+  /** Behavior-sequence training windows: each user's event-type stream,
+    * ordered by (ts, event_id), sliced into overlapping windows of
+    * `len` events at `stride` — the sequence-model training-example
+    * builder (next-action prediction, session embeddings). One groupBy
+    * shuffle per user; windows stream out of a generator, partial tail
+    * windows included (the final context a model still trains on).
+    * Output: (user_id, win_idx, seq "a|b|…", n).
+    */
+  def behaviorSequences(events: DataFrame, len: Int = 8,
+                        stride: Int = 4): DataFrame = {
+    require(len > 0 && stride > 0, "len and stride must be positive")
+    events
+      .groupBy("user_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))),
+        x => x.getField("event_type")).as("seq"))
+      .select(col("user_id"),
+        explode(transform(
+          sequence(lit(0),
+            ceil(size(col("seq")).cast("double") / stride).cast("int") - 1),
+          i => struct(i.as("win_idx"),
+            concat_ws("|", slice(col("seq"), i * stride + 1, lit(len))).as("seq"),
+            size(slice(col("seq"), i * stride + 1, lit(len))).as("n")))).as("w"))
+      .select(col("user_id"), col("w.win_idx"), col("w.seq"), col("w.n"))
+  }
 }

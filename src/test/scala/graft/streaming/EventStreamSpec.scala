@@ -244,6 +244,28 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("behaviorSequences: hand-computed window geometry and ordering") {
+    import spark.implicits._
+    val ts = (i: Int) => new java.sql.Timestamp(1000L * i)
+    // 10 events for user 1, types a..j in time order
+    val ev = (0 until 10).map(i =>
+      (i.toLong, ts(i), 1L, ('a' + i).toChar.toString)).toDF(
+      "event_id", "ts", "user_id", "event_type")
+    val w = graft.streaming.EventStream.behaviorSequences(ev, len = 4, stride = 2)
+      .orderBy("win_idx").collect()
+    // ceil(10/2) = 5 windows; starts 0,2,4,6,8
+    assert(w.length == 5)
+    assert(w(0).getAs[String]("seq") == "a|b|c|d")
+    assert(w(1).getAs[String]("seq") == "c|d|e|f")
+    assert(w(4).getAs[String]("seq") == "i|j" && w(4).getAs[Int]("n") == 2)
+    // ordering by (ts, event_id): a tie in ts breaks on event_id
+    val tie = Seq((2L, ts(0), 7L, "second"), (1L, ts(0), 7L, "first"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val tw = graft.streaming.EventStream.behaviorSequences(tie, len = 4, stride = 4)
+      .head().getAs[String]("seq")
+    assert(tw == "first|second")
+  }
+
   test("classifier + DSIR scoring run unchanged on a stream == batch") {
     // literal-map scoring ops are narrow zero-shuffle projections —
     // continuous-ingest quality filtering needs no separate code path
