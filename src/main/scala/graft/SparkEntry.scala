@@ -893,6 +893,30 @@ object SparkEntry {
           octet_length(col("frame")).cast("int").as("frame_bytes"))
         .orderBy("doc_id", "frame_idx"))),
 
+    // clip-level pooling over sampled frames: per-frame features (byte-
+    // class ratio over the m02 frame geometry) mean-pooled per clip with
+    // decimal-exact accumulation — the frame→clip aggregation layer of a
+    // video pipeline; frames never leave their partition before the one
+    // grouping exchange
+    "m03_clip_pooling" -> ((s, dir) => rt(s, {
+      val frames = ops.Multimodal.frameSample(
+        ops.Multimodal.asMediaTable(t(s, dir, "documents")),
+        frameLen = 256, stride = 192)
+      frames.select(col("doc_id"), col("media_type"),
+          octet_length(col("frame")).cast("long").as("fb"),
+          regexp_count(decode(col("frame"), "UTF-8"), lit("[\\x60-\\x6f]"))
+            .cast("long").as("c6"))
+        .groupBy("doc_id", "media_type")
+        .agg(count(lit(1)).as("n_frames"),
+          round(sum(col("fb").cast("double").cast(DecimalType(27, 15)))
+            .cast("double") / count(lit(1)), 6).as("avg_frame_bytes"),
+          round(sum((col("c6").cast("double") /
+              greatest(col("fb"), lit(1L)).cast("double"))
+            .cast(DecimalType(27, 15))).cast("double") / count(lit(1)), 6)
+            .as("clip_b6"))
+        .orderBy("doc_id")
+    })),
+
     // as-of join: each click enriched with the user's most recent preceding
     // purchase (union + running-max window: one shuffle, no join explosion)
     "j01_asof_join" -> ((s, dir) => {
@@ -2270,6 +2294,26 @@ object SparkEntry {
         |  ROUND(CAST(len(regexp_extract_all(text, '[\x00-\x0F]')) AS DOUBLE)
         |    / GREATEST(strlen(text), 1), 6) AS bin0
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m03_clip_pooling" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS b FROM documents),
+        |f AS (SELECT doc_id, text, b,
+        |    unnest(range(greatest(CAST(ceil(b / 192.0) AS BIGINT), 1))) AS k
+        |  FROM d),
+        |fr AS (SELECT doc_id,
+        |    CAST(least(256, b - k * 192) AS BIGINT) AS fb,
+        |    CAST(len(regexp_extract_all(
+        |      substring(text, CAST(k * 192 + 1 AS INT), 256), '[\x60-\x6f]'))
+        |      AS BIGINT) AS c6
+        |  FROM f)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  count(*) AS n_frames,
+        |  ROUND(CAST(sum(CAST(CAST(fb AS DOUBLE) AS DECIMAL(27,15))) AS DOUBLE)
+        |    / count(*), 6) AS avg_frame_bytes,
+        |  ROUND(CAST(sum(CAST(CAST(c6 AS DOUBLE) / GREATEST(fb, 1)
+        |    AS DECIMAL(27,15))) AS DOUBLE) / count(*), 6) AS clip_b6
+        |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "m02_frame_stats" ->
       """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS b FROM documents),
         |f AS (SELECT doc_id, b,
