@@ -40,7 +40,10 @@ object PlansDoc {
     "j03_interval_join" -> "interval-overlap join: both sides bin-replicate through streamed generators into ONE equi-join; the ownership-bin filter emits each pair exactly once with no dedup shuffle",
     "d12_prefix_jaccard" -> "exact unblocked all-pairs jaccard: rarest-first prefix candidates join on 8-byte grams, id-pair dedup, shingle arrays re-join only for the exact kernel verify",
     "s08_knn_pq" -> "PQ ANN: codegen'd pq_encode compresses the corpus 16x below the join; per-query ADC tables broadcast; exact rerank touches only the shortlist via broadcast hash joins",
-    "t22_dsir_score" -> "DSIR scoring: the fitted 256-bucket log-ratio model rides as a literal map — the scoring pass is narrow, zero joins, zero hash shuffles")
+    "t22_dsir_score" -> "DSIR scoring: the fitted 256-bucket log-ratio model rides as a literal map — the scoring pass is narrow, zero joins, zero hash shuffles",
+    "s11_knn_ivfpq" -> "IVF-PQ probe: literal cell PartitionFilters prune the saved code layout; pq_adc shortlists inside codegen; raw vectors appear only in the broadcast rerank",
+    "t24_bm25_search" -> "BM25: one tf shuffle; df and query sides broadcast; N/avgdl are one-row scalar subqueries; ranking runs on exact integer scores",
+    "p16_cdc_snapshot" -> "CDC snapshot: WindowGroupLimit keeps per-key winners BEFORE the exchange — the shuffle carries ~|keys| rows, not the log")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
