@@ -154,6 +154,20 @@ object SparkEntry {
       ops.Dedup.connectedComponents(pairs, stepThroughWire = true).orderBy("node")
     }),
 
+    // incremental near-dup clustering: yesterday's cluster labels (from
+    // the even-doc corpus) fold star-edges + today's new-batch pairs into
+    // the SAME labels a from-scratch run over all pairs produces — the
+    // daily-ingest cluster maintenance path, cost ∝ batch not history
+    "d13_incremental_clusters" -> ((s, dir) => {
+      val pairs = ops.Dedup.prefixFilterJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.5)
+      val oldPairs = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
+      val newBatch = pairs.filter(!(col("id_a") % 2 === 0 && col("id_b") % 2 === 0))
+      val oldLabels = ops.Dedup.connectedComponents(oldPairs)
+      ops.Dedup.incrementalConnectedComponents(oldLabels, newBatch,
+        stepThroughWire = true).orderBy("node")
+    }),
+
     // streaming-shaped incremental dedup as its batch twin: the new batch
     // anti-joins a static kept-digest table, then dedups in-batch — the
     // EXACT call EventStreamSpec runs on a readStream frame (stream-static
@@ -1617,6 +1631,23 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id),
         |e AS (SELECT id_a AS u, id_b AS v FROM p WHERE j >= 0.1
         |      UNION SELECT id_b, id_a FROM p WHERE j >= 0.1),
+        |r AS (SELECT u, u AS x FROM (SELECT DISTINCT u FROM e)
+        |      UNION SELECT r.u, e.v FROM r JOIN e ON r.x = e.u)
+        |SELECT u AS node, min(x) AS cluster_id FROM r GROUP BY u ORDER BY node""".stripMargin,
+    // d13: reachability ground truth over d12's UNBLOCKED 0.5-threshold
+    // pair set — the incremental path must equal the from-scratch answer
+    "d13_incremental_clusters" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS g
+        |  FROM s),
+        |sh2 AS (SELECT * FROM sh WHERE len(g) > 0),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.g, b.g))
+        |    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
+        |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p WHERE j >= 0.5
+        |      UNION SELECT id_b, id_a FROM p WHERE j >= 0.5),
         |r AS (SELECT u, u AS x FROM (SELECT DISTINCT u FROM e)
         |      UNION SELECT r.u, e.v FROM r JOIN e ON r.x = e.u)
         |SELECT u AS node, min(x) AS cluster_id FROM r GROUP BY u ORDER BY node""".stripMargin,

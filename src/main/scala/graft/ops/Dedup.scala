@@ -755,6 +755,29 @@ object Dedup {
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 
+  /** Incremental connected components: fold a NEW batch of near-dup edges
+    * into EXISTING cluster labels without revisiting historical edges.
+    * Old clusters collapse losslessly to star edges (node → its label):
+    * a star is reachability-equivalent to the original cluster, and since
+    * labels are min-ids, the merged min-label result is IDENTICAL to
+    * recomputing from scratch over old∪new edges (certified by the d13
+    * oracle and the algebraic spec). Work per ingest: |nodes| + |batch|
+    * edges, not |historical edges| — and stars have depth 1, so the
+    * pointer-doubling loop converges in fewer rounds than a cold run.
+    */
+  def incrementalConnectedComponents(oldLabels: DataFrame, newPairs: DataFrame,
+                                     aCol: String = "id_a", bCol: String = "id_b",
+                                     maxIter: Int = 25,
+                                     checkpointDir: Option[String] = None,
+                                     stepThroughWire: Boolean = false): DataFrame = {
+    val stars = oldLabels.select(col("node").cast("long").as(aCol),
+      col("cluster_id").cast("long").as(bCol))
+    connectedComponents(
+      stars.unionByName(newPairs.select(col(aCol).cast("long").as(aCol),
+        col(bCol).cast("long").as(bCol))),
+      aCol, bCol, maxIter, checkpointDir, stepThroughWire)
+  }
+
   /** Cluster-dedup composite: drop every document whose near-dup cluster
     * contains a smaller id (the canonical keeper). Documents in no pair are
     * kept untouched — the anti-join only ships (id, cluster) pairs. */

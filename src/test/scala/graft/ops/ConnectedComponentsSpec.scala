@@ -52,6 +52,30 @@ class ConnectedComponentsSpec extends SparkTestBase {
     check(edges, "random-120")
   }
 
+  test("incremental CC == from-scratch CC under arbitrary old/new edge splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(250)((rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val scratch = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (splitAt <- Seq(0.2, 0.5, 0.9)) {
+      val n = (edges.size * splitAt).toInt
+      val (oldE, newE) = edges.splitAt(n)
+      val oldLabels = Dedup.connectedComponents(oldE.toDF("id_a", "id_b"))
+      val inc = Dedup.incrementalConnectedComponents(oldLabels,
+          newE.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc == scratch, s"split $splitAt diverged from from-scratch")
+    }
+    // empty new batch: incremental over stars reproduces the old labels
+    val oldLabels = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+    val idem = Dedup.incrementalConnectedComponents(oldLabels,
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idem == scratch, "empty ingest must be a fixpoint")
+  }
+
   test("reliable checkpoint path (checkpointDir) converges identically") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
