@@ -159,8 +159,11 @@ object SparkEntry {
     // the SAME labels a from-scratch run over all pairs produces — the
     // daily-ingest cluster maintenance path, cost ∝ batch not history
     "d13_incremental_clusters" -> ((s, dir) => {
+      // the pair pipeline is referenced by both CC runs and both splits —
+      // localCheckpoint computes it once (a production ingest would read
+      // yesterday's labels and today's pairs from tables anyway)
       val pairs = ops.Dedup.prefixFilterJaccardPairs(t(s, dir, "documents"),
-        "doc_id", "text", threshold = 0.5)
+        "doc_id", "text", threshold = 0.5).localCheckpoint(true)
       val oldPairs = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
       val newBatch = pairs.filter(!(col("id_a") % 2 === 0 && col("id_b") % 2 === 0))
       val oldLabels = ops.Dedup.connectedComponents(oldPairs)
