@@ -432,6 +432,21 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("pq_adc"), s"ADC kernel missing:\n$p")
   }
 
+  test("round-6 second batch: no cartesian products or nested-loop joins") {
+    for (q <- Seq("p14_cow_upsert", "p15_feature_drift", "p16_cdc_snapshot",
+      "p17_schema_evolution", "t23_winsorized_stats", "t24_bm25_search",
+      "t25_curriculum_order", "q43_json_ops", "e05_behavior_sequences",
+      "m03_clip_pooling", "s09_centroid_classify")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+    }
+    // s10 evaluates two bruteForceKnn rankings — its broadcast cross of
+    // the tiny query side is the documented s01 contract, so only the
+    // unbroadcast shape is forbidden
+    assert(!plan("s10_ann_metrics").contains("CartesianProduct"))
+  }
+
   test("LocalFiles consume: declared-schema file scan still prunes and pushes") {
     val df = substrait.Consumer.consume(spark, substrait.Wire.decode(
       substrait.Wire.encode(substrait.Producer.produce(
