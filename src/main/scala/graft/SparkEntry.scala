@@ -456,6 +456,15 @@ object SparkEntry {
         .select("doc_id", "lang", "n_features", "score_num")
         .orderBy("doc_id"))),
 
+    // per-stratum weighted PPS sample: ≈25 docs per language, probability
+    // ∝ n_chars — the balanced-mixture sampler; per-stratum totals are a
+    // 5-row broadcast, the keep rule the same portable-md5 filter as t20
+    "t26_stratified_pps" -> ((s, dir) => rt(s,
+      ops.Pipeline.stratifiedWeightedSample(t(s, dir, "documents"),
+          "n_chars", "lang", expectedKPerStratum = 25.0)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id"))),
+
     // curriculum interleave: md5 rank within language; ORDER BY
     // (rank, lang) is a round-robin mixture — every |strata|-window
     // touches each stratum once, with no global window anywhere
@@ -2034,6 +2043,15 @@ object SparkEntry {
         |  CAST(round(q * ln(q / p) * 1e12) AS BIGINT) AS t_qp,
         |  CAST(round((p / 2 * ln(p / m) + q / 2 * ln(q / m)) * 1e12) AS BIGINT) AS t_js
         |FROM z ORDER BY b""".stripMargin,
+    "t26_stratified_pps" ->
+      """WITH w AS (SELECT lang, sum(CAST(n_chars AS DOUBLE)) AS wtot
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id, d.lang, n_chars
+        |FROM documents d JOIN w ON d.lang = w.lang
+        |WHERE (('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+        |       / 4503599627370496.0) * w.wtot
+        |      < CAST(n_chars AS DOUBLE) * 25.0
+        |ORDER BY doc_id""".stripMargin,
     "t25_curriculum_order" ->
       """SELECT doc_id, lang,
         |  row_number() OVER (PARTITION BY lang

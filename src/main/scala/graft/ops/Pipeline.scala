@@ -361,6 +361,28 @@ object Pipeline {
     df.filter(draw * tot.scalar() < col(weightCol).cast("double") * expectedK)
   }
 
+  /** Per-stratum weighted PPS sampling: [[weightedSample]]'s u·W < k·w
+    * keep rule applied INSIDE each stratum — "≈k docs per language,
+    * probability ∝ length", the balanced-mixture variant. The per-stratum
+    * weight totals are a |strata|-row aggregate broadcast back; everything
+    * else stays the zero-shuffle portable-md5 filter, so any engine
+    * replays the exact member set.
+    */
+  def stratifiedWeightedSample(df: DataFrame, weightCol: String,
+                               strataCol: String, expectedKPerStratum: Double,
+                               seed: Long = 42L,
+                               idCol: String = "doc_id"): DataFrame = {
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(col(weightCol).cast("double")).as("__wtot"))
+    val draw = conv(substring(
+        md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 13),
+      16, 10).cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+    df.join(broadcast(totals), strataCol)
+      .filter(draw * col("__wtot") <
+        col(weightCol).cast("double") * expectedKPerStratum)
+      .drop("__wtot")
+  }
+
   /** Runtime-filter (semi-join-reduction) join: a Bloom filter built over
     * the dim side's join keys prefilters the FACT side before it reaches the
     * join's shuffle. The 100 TB case: dim is selective but too large to

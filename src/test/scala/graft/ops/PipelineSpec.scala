@@ -339,6 +339,36 @@ class PipelineSpec extends SparkTestBase {
     } finally pairs.unpersist()
   }
 
+  test("stratifiedWeightedSample: per-stratum sizes, weight-proportional, deterministic") {
+    Tables.register(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    val docs = spark.table("documents")
+    val k = 20.0
+    val got = Pipeline.stratifiedWeightedSample(docs, "n_chars", "lang", k)
+    // deterministic membership
+    val ids1 = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Pipeline.stratifiedWeightedSample(docs, "n_chars", "lang", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // every stratum lands within 4 sigma of k
+    val counts = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    langs.foreach { l =>
+      val c = counts.getOrElse(l, 0L).toDouble
+      assert(math.abs(c - k) <= 4 * math.sqrt(k), s"$l drew $c for k=$k")
+    }
+    // longer docs are kept at a higher rate (weight-proportionality):
+    // compare keep rates of the top and bottom length halves within en
+    val en = docs.filter(col("lang") === "en")
+    val med = en.stat.approxQuantile("n_chars", Array(0.5), 0.0).head
+    val topRate = got.filter(col("lang") === "en" && col("n_chars") > med).count().toDouble /
+      math.max(en.filter(col("n_chars") > med).count(), 1)
+    val botRate = got.filter(col("lang") === "en" && col("n_chars") <= med).count().toDouble /
+      math.max(en.filter(col("n_chars") <= med).count(), 1)
+    assert(topRate > botRate, s"PPS must favor heavier rows ($topRate vs $botRate)")
+  }
+
   test("curriculumOrder: round-robin interleave property + determinism") {
     Tables.register(spark, sfDir)
     import org.apache.spark.sql.functions._
