@@ -1026,6 +1026,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), dsum4(col("value")).as("total_value"))
         .orderBy("hour", "event_type"))),
 
+    // hourly resample + forward-fill: each user's sparse event stream
+    // densified over its own hour range (per-key sequence generator, no
+    // driver calendar), gaps marked, value forward-filled by an IGNORE
+    // NULLS running last — the series shape time-series models assume
+    "e06_resample_ff" -> ((s, dir) => rt(s,
+      streaming.EventStream.resampleHourlyFF(
+          t(s, dir, "events").withColumn("ts", col("ts").cast("timestamp_ntz")))
+        .orderBy("user_id", "h"))),
+
     // behavior-sequence training windows: per-user event-type stream
     // sliced into overlapping len-8/stride-4 windows — the sequence-model
     // training-example builder, one groupBy shuffle + streamed generator
@@ -2508,6 +2517,20 @@ object SparkEntry {
         |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e06_resample_ff" ->
+      """WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+        |j AS (SELECT g.user_id, g.h, hourly.v, COALESCE(hourly.n, 0) AS n
+        |  FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id
+        |    AND g.h = hourly.h)
+        |SELECT user_id, h, CAST(n AS BIGINT) AS n_events,
+        |  ROUND(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_ff
+        |FROM j ORDER BY user_id, h""".stripMargin,
     "e05_behavior_sequences" ->
       """WITH s AS (SELECT user_id,
         |    list(event_type ORDER BY ts, event_id) AS seq

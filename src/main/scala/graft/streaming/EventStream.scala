@@ -194,6 +194,34 @@ object EventStream {
       .drop("session_no")
   }
 
+  /** Hourly resample with forward-fill: each key's event stream becomes a
+    * DENSE hourly series over its own [first, last] hour — missing hours
+    * materialize from a per-key `sequence` generator (no driver-side
+    * calendar), `n_events` 0 marks the gaps, and the value forward-fills
+    * with an IGNORE NULLS running last (one window over the same key
+    * shuffle the grid join used). Hour sums accumulate as DECIMAL so the
+    * series is summation-order-independent. The gap-fill/resample step
+    * every downstream time-series model assumes already happened.
+    */
+  def resampleHourlyFF(events: DataFrame, keyCol: String = "user_id",
+                       tsCol: String = "ts",
+                       valCol: String = "value"): DataFrame = {
+    val hourly = events
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("h"))
+      .agg(sum(col(valCol).cast(DecimalType(18, 4))).cast(DoubleType).as("v"),
+        count(lit(1)).as("n_events"))
+    val grid = hourly.groupBy(col(keyCol))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col(keyCol),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy(keyCol).orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq(keyCol, "h"), "left")
+      .select(col(keyCol), col("h"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        round(last(col("v"), ignoreNulls = true).over(w), 4).as("v_ff"))
+  }
+
   /** Behavior-sequence training windows: each user's event-type stream,
     * ordered by (ts, event_id), sliced into overlapping windows of
     * `len` events at `stride` — the sequence-model training-example

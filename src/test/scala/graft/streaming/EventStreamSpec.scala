@@ -244,6 +244,26 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("resampleHourlyFF: gaps densify, forward-fill carries the last value") {
+    import spark.implicits._
+    val ts = (h: Int, m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1: events at 00:xx (two, sum 3.0), 03:xx (one, 7.0) — hours 1,2 gap
+    val ev = Seq(
+      (1L, ts(0, 10), 1L, "a", 1.0), (2L, ts(0, 50), 1L, "a", 2.0),
+      (3L, ts(3, 5), 1L, "a", 7.0),
+      (4L, ts(5, 0), 2L, "a", 4.0) // user 2: single hour, no grid expansion
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.streaming.EventStream.resampleHourlyFF(ev)
+      .orderBy("user_id", "h").collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.length == 4, "hours 0..3 inclusive")
+    assert(u1.map(_.getLong(2)).toSeq == Seq(2L, 0L, 0L, 1L), "gap hours have 0 events")
+    assert(u1.map(_.getDouble(3)).toSeq == Seq(3.0, 3.0, 3.0, 7.0),
+      "forward-fill carries 3.0 across the gap")
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && u2.head.getDouble(3) == 4.0)
+  }
+
   test("behaviorSequences: hand-computed window geometry and ordering") {
     import spark.implicits._
     val ts = (i: Int) => new java.sql.Timestamp(1000L * i)
