@@ -744,6 +744,11 @@ object SparkEntry {
         .orderBy("doc_id"))
     }),
 
+    // one-call corpus card: the dataset-release summary row from one full
+    // scan + a tiny top-language aggregate, every number exact
+    "p18_corpus_card" -> ((s, dir) => rt(s,
+      ops.Pipeline.corpusCard(t(s, dir, "documents")))),
+
     // CDC log → snapshot: latest state per user from the event log, error
     // events acting as delete markers — one window pass, WindowGroupLimit
     // keeps per-key winners before the exchange
@@ -2013,6 +2018,18 @@ object SparkEntry {
         |  CAST(COALESCE(sc.n_features, 0) AS BIGINT) AS n_features,
         |  CAST(COALESCE(sc.score_num, 0) AS BIGINT) AS score_num
         |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "p18_corpus_card" ->
+      """WITH top AS (SELECT lang AS top_lang, count(*) AS top_lang_docs
+        |  FROM documents GROUP BY 1
+        |  ORDER BY top_lang_docs DESC, top_lang ASC LIMIT 1)
+        |SELECT count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_distinct_docs,
+        |  sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS total_tokens,
+        |  quantile_cont(n_chars, 0.5) AS median_chars,
+        |  count(DISTINCT lang) AS n_langs,
+        |  top.top_lang, top.top_lang_docs
+        |FROM documents CROSS JOIN top
+        |GROUP BY top.top_lang, top.top_lang_docs""".stripMargin,
     "p17_schema_evolution" ->
       """SELECT doc_id, lang,
         |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END AS source,

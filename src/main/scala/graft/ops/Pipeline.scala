@@ -361,6 +361,27 @@ object Pipeline {
     df.filter(draw * tot.scalar() < col(weightCol).cast("double") * expectedK)
   }
 
+  /** One-call corpus card: the headline dataset-documentation numbers
+    * (size, exact distinct content, token volume, median length, language
+    * spread, dominant language) as a single row from ONE full scan + one
+    * tiny top-language aggregate — the summary every corpus release ships
+    * with, kept exact so two engines agree on the card itself.
+    */
+  def corpusCard(df: DataFrame, textCol: String = "text",
+                 langCol: String = "lang",
+                 lenCol: String = "n_chars"): DataFrame = {
+    val top = df.groupBy(col(langCol)).agg(count(lit(1)).as("top_lang_docs"))
+      .orderBy(col("top_lang_docs").desc, col(langCol).asc).limit(1)
+      .select(col(langCol).as("top_lang"), col("top_lang_docs"))
+    df.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col(textCol))).as("n_distinct_docs"),
+        sum(TextOps.tokenCount(col(textCol)).cast("long")).as("total_tokens"),
+        percentile(col(lenCol), lit(0.5)).as("median_chars"),
+        countDistinct(col(langCol)).as("n_langs"))
+      .crossJoin(broadcast(top))
+  }
+
   /** Per-stratum weighted PPS sampling: [[weightedSample]]'s u·W < k·w
     * keep rule applied INSIDE each stratum — "≈k docs per language,
     * probability ∝ length", the balanced-mixture variant. The per-stratum
