@@ -961,6 +961,21 @@ object SparkEntry {
         .orderBy("event_id"))
     }),
 
+    // as-of join with a staleness bound (feature-store read): enrichment
+    // older than 2 hours nulls out — consumers can never see an expired
+    // feature value; same join-free single-shuffle plan as j01
+    "j04_asof_within" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts", col("ts").cast("timestamp_ntz"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      rt(s, ops.AsOfJoin.asofJoinWithin(clicks, purchases, Seq("user_id"),
+          "ts", "ts", payload = Seq("event_id", "value"),
+          maxAgeSeconds = 7200L, prefix = "p_")
+        .orderBy("event_id"))
+    }),
+
     // binned range join: clicks within the hour before each error event
     // (equi-join on (user, time-bin) + residual filter — never nested-loop)
     "j02_range_join" -> ((s, dir) => {
@@ -2513,6 +2528,17 @@ object SparkEntry {
     "j01_asof_join" ->
       """SELECT c.event_id, c.user_id, c.ts,
         |  p.ts AS p_ts, p.event_id AS p_event_id, p.value AS p_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events
+        |                WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "j04_asof_within" ->
+      """SELECT c.event_id, c.user_id, c.ts,
+        |  CASE WHEN p.ts >= c.ts - INTERVAL 2 HOUR THEN p.ts END AS p_ts,
+        |  CASE WHEN p.ts >= c.ts - INTERVAL 2 HOUR THEN p.event_id END AS p_event_id,
+        |  CASE WHEN p.ts >= c.ts - INTERVAL 2 HOUR THEN p.value END AS p_value
         |FROM (SELECT event_id, user_id, ts FROM events
         |      WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events

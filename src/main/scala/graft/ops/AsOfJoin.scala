@@ -61,4 +61,32 @@ object AsOfJoin {
         (rightTs +: payload).map(name =>
           col("__m").getField(name).as(prefix + name)): _*)
   }
+
+  /** As-of join with a staleness bound — the feature-store read: a match
+    * older than `maxAgeSeconds` is treated as ABSENT and every attached
+    * column nulls out, so consumers can never train on an expired feature
+    * value. Timestamp columns age via unix_micros (the wire-portable
+    * idiom — raw timestamp subtraction has no substrait form); numeric
+    * time columns compare in their own units. Same single-shuffle
+    * join-free plan as [[asofJoin]]; the staleness check is a narrow
+    * projection on top.
+    */
+  def asofJoinWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTs: String, rightTs: String, payload: Seq[String],
+                     maxAgeSeconds: Long, prefix: String = "r_"): DataFrame = {
+    val joined = asofJoin(left, right, keys, leftTs, rightTs, payload, prefix)
+    val isTs = left.schema(leftTs).dataType.typeName.startsWith("timestamp")
+    val (age, bound) =
+      if (isTs)
+        (unix_micros(col(leftTs).cast("timestamp_ltz")) -
+          unix_micros(col(prefix + rightTs).cast("timestamp_ltz")),
+          lit(maxAgeSeconds * 1000000L))
+      else (col(leftTs).cast("long") - col(prefix + rightTs).cast("long"),
+        lit(maxAgeSeconds))
+    val fresh = col(prefix + rightTs).isNotNull && age <= bound
+    joined.select(
+      left.columns.toSeq.map(col) ++
+        (rightTs +: payload).map(n =>
+          when(fresh, col(prefix + n)).as(prefix + n)): _*)
+  }
 }

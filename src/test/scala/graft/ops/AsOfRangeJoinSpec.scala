@@ -93,6 +93,20 @@ class AsOfRangeJoinSpec extends SparkTestBase {
     assert(got == Set((-5L, "a"), (-1L, "b"), (0L, "b"), (3L, "b")))
   }
 
+  test("asofJoinWithin: stale matches null out, fresh ones survive (numeric times)") {
+    import spark.implicits._
+    val l = Seq((1L, 100L), (1L, 200L)).toDF("k", "t")
+    val r = Seq((1L, 95L, "fresh_for_100"), (1L, 90L, "older")).toDF("k", "t", "tag")
+    val out = AsOfJoin.asofJoinWithin(l, r, Seq("k"), "t", "t", Seq("tag"),
+      maxAgeSeconds = 10L).orderBy("t").collect()
+    // t=100 matches t=95 (age 5 ≤ 10); t=200's best match (95) is 105 old → nulled
+    assert(out(0).getAs[String]("r_tag") == "fresh_for_100")
+    assert(out(1).isNullAt(out(1).fieldIndex("r_tag")) &&
+      out(1).isNullAt(out(1).fieldIndex("r_t")))
+    // rows are never dropped — left-outer semantics survive the bound
+    assert(out.length == 2)
+  }
+
   test("intervalOverlapJoin == plain inequality join, across bin widths") {
     val us = (c: org.apache.spark.sql.Column) =>
       unix_micros(c.cast("timestamp_ltz"))
