@@ -43,7 +43,9 @@ object PlansDoc {
     "t22_dsir_score" -> "DSIR scoring: the fitted 256-bucket log-ratio model rides as a literal map — the scoring pass is narrow, zero joins, zero hash shuffles",
     "s11_knn_ivfpq" -> "IVF-PQ probe: literal cell PartitionFilters prune the saved code layout; pq_adc shortlists inside codegen; raw vectors appear only in the broadcast rerank",
     "t24_bm25_search" -> "BM25: one tf shuffle; df and query sides broadcast; N/avgdl are one-row scalar subqueries; ranking runs on exact integer scores",
-    "p16_cdc_snapshot" -> "CDC snapshot: WindowGroupLimit keeps per-key winners BEFORE the exchange — the shuffle carries ~|keys| rows, not the log")
+    "p16_cdc_snapshot" -> "CDC snapshot: WindowGroupLimit keeps per-key winners BEFORE the exchange — the shuffle carries ~|keys| rows, not the log",
+    "e06_resample_ff" -> "hourly resample: the dense grid streams from a per-key sequence generator and the IGNORE NULLS forward-fill window rides the grid join's key shuffle",
+    "j04_asof_within" -> "staleness-bounded as-of join: still zero physical joins — the freshness check is a narrow projection above the single running-max window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
