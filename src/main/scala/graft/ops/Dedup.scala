@@ -746,7 +746,7 @@ object Dedup {
         } else step(edges)(step(edges)(labels))
       labels = materialize(next)
       val s = labels.agg(sum(col("label").cast("decimal(38,0)")))
-        .head.getDecimal(0)
+        .head().getDecimal(0)
       done = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1

@@ -134,7 +134,7 @@ object Ivf {
         .as("cell"))
       .distinct().collect().map(_.getInt(0)).sorted
     val pruned = index.copy(assigned =
-      index.assigned.filter(col("cell").isin(probed.map(Integer.valueOf): _*)))
+      index.assigned.filter(col("cell").isin(probed.toIndexedSeq.map(Integer.valueOf): _*)))
     search(pruned, queries, k, nprobe, idCol, vecCol)
   }
 

@@ -165,7 +165,7 @@ object IvfPq {
         index.centroids, nprobe)).as("cell"))
       .distinct().collect().map(_.getInt(0)).sorted
     val pruned = index.copy(encoded =
-      index.encoded.filter(col("cell").isin(probed.map(Integer.valueOf): _*)))
+      index.encoded.filter(col("cell").isin(probed.toIndexedSeq.map(Integer.valueOf): _*)))
     search(pruned, corpus, queries, k, nprobe, shortlist, idCol, vecCol)
   }
 }

@@ -197,7 +197,7 @@ object Sources {
     // only the affected directories are ever read
     val survivors = base.filter(col(bucketCol).isInCollection(affected))
       .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val merged = survivors.unionByName(updates.select(base.columns.map(col): _*))
+    val merged = survivors.unionByName(updates.select(base.columns.toIndexedSeq.map(col): _*))
     val sorted =
       if (sortCols.isEmpty) merged
       else merged.sortWithinPartitions(sortCols.map(col): _*)

@@ -74,8 +74,8 @@ object D03Probe {
 
     // candidate volume the salted join must produce: sum bn^2 per (chunk,val)
     val bs = chunked.groupBy("chunk_idx", "chunk_val").agg(count(lit(1)).as("bn"))
-    timed("sum_bn2")(bs.agg(sum(col("bn") * col("bn"))).head.getLong(0))
-    timed("max_bn")(bs.agg(max("bn")).head.getLong(0))
+    timed("sum_bn2")(bs.agg(sum(col("bn") * col("bn"))).head().getLong(0))
+    timed("max_bn")(bs.agg(max("bn")).head().getLong(0))
     timed("n_kept_buckets")(bs.filter(col("bn") >= 2 && col("bn") <= 10000).count())
 
     // with a size-bucket refinement: sum over (chunk,val,szb) of n*(n+guests)
@@ -84,7 +84,7 @@ object D03Probe {
       floor(log(greatest(col("it.sz"), lit(1)).cast("double")) / lnBase).cast("int"))
     val bs2 = szb.groupBy("chunk_idx", "chunk_val", "szb").agg(count(lit(1)).as("bn"))
     timed("n_size_buckets")(bs2.count())
-    timed("sum_bn2_size_refined")(bs2.agg(sum(col("bn") * col("bn"))).head.getLong(0))
+    timed("sum_bn2_size_refined")(bs2.agg(sum(col("bn") * col("bn"))).head().getLong(0))
 
     val bucketSizes = bs.filter(col("bn") >= 2 && col("bn") <= 10000)
     val inBuckets = chunked.join(broadcast(bucketSizes.select("chunk_idx", "chunk_val")),

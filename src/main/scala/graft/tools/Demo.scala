@@ -146,7 +146,7 @@ object Demo {
       Serializer.roundtrip(spark, spark.sql(
         """WITH t AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey)
           |SELECT count(*) FROM t t1 JOIN t t2 ON t1.l_partkey = t2.l_partkey""".stripMargin))
-        .head.getLong(0) + " joined rows")
+        .head().getLong(0) + " joined rows")
     println("== PIVOT (pivotfirst -> per-value first measures) through the wire: " +
       Serializer.roundtrip(spark, spark.sql(
         """SELECT * FROM (SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem)

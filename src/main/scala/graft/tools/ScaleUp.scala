@@ -67,7 +67,7 @@ object ScaleUp {
     // (an EMPTY table's max is null — contributes 0, not an NPE)
     val famMax = scala.collection.mutable.Map.empty[String, Long]
     for ((_, df) <- frames; c <- df.columns; fam <- keyFamily.get(c)) {
-      val row = df.agg(max(col(c).cast("long"))).head
+      val row = df.agg(max(col(c).cast("long"))).head()
       val m = if (row.isNullAt(0)) 0L else row.getLong(0)
       famMax(fam) = math.max(famMax.getOrElse(fam, 0L), m)
     }
