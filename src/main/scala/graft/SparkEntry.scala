@@ -1987,9 +1987,9 @@ object SparkEntry {
     // default datasketches seed
     "p12_theta_overlap" ->
       """SELECT
-        |  sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS exact_a,
-        |  sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS exact_b,
-        |  sum(CASE WHEN doc_id % 3 <> 0 AND doc_id % 2 = 0 THEN 1 ELSE 0 END) AS exact_common,
+        |  CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS exact_a,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS exact_b,
+        |  CAST(sum(CASE WHEN doc_id % 3 <> 0 AND doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS exact_common,
         |  TRUE AS a_ok, TRUE AS b_ok, TRUE AS common_ok, TRUE AS removed_ok
         |FROM documents""".stripMargin,
     // p11: the bloom-prefiltered join must equal the PLAIN inner join —
@@ -2039,7 +2039,7 @@ object SparkEntry {
         |  ORDER BY top_lang_docs DESC, top_lang ASC LIMIT 1)
         |SELECT count(*) AS n_docs,
         |  count(DISTINCT md5(text)) AS n_distinct_docs,
-        |  sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS total_tokens,
+        |  CAST(sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS BIGINT) AS total_tokens,
         |  quantile_cont(n_chars, 0.5) AS median_chars,
         |  count(DISTINCT lang) AS n_langs,
         |  top.top_lang, top.top_lang_docs
@@ -2308,9 +2308,9 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (SELECT doc_id, lang, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY lang
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM tk)
         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens - n_tokens < CASE lang WHEN 'en' THEN 3000
@@ -2556,7 +2556,7 @@ object SparkEntry {
         |GROUP BY 1, 2, 3 ORDER BY e.e_id""".stripMargin,
     "q43_json_ops" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
