@@ -469,8 +469,10 @@ object Pipeline {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy((col(seqCol).desc +: tieCols.map(col(_).desc)): _*)
+    // coalesce: a NULL delete predicate (e.g. null event_type) must KEEP
+    // the key — three-valued !NULL would silently tombstone it
     log.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && !deleteWhen)
+      .filter(col("__rn") === 1 && coalesce(!deleteWhen, lit(true)))
       .drop("__rn")
   }
 }

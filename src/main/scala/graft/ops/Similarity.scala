@@ -234,15 +234,20 @@ object Similarity {
   def retrievalMetrics(predicted: DataFrame, truth: DataFrame): DataFrame = {
     val t = truth.select(col("q_id"), col("n_id"), lit(1).as("__rel"))
     val tn = truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
-    predicted.select("q_id", "n_id", "rank")
+    val perQuery = predicted.select("q_id", "n_id", "rank")
       .join(t, Seq("q_id", "n_id"), "left")
       .groupBy("q_id")
       .agg(
         sum(when(col("__rel").isNotNull, 1L).otherwise(0L)).as("hits"),
         min(when(col("__rel").isNotNull, col("rank"))).as("first_rel_rank"))
-      .join(tn, "q_id")
-      .select(col("q_id"), col("n_truth"), col("hits"),
-        round(col("hits").cast("double") / col("n_truth"), 6).as("recall_k"),
+    // truth is the anchor side: a query the ANN retrieved NOTHING for must
+    // still appear with recall 0 / rr 0 — an inner join here would drop it
+    // and silently inflate every averaged metric
+    tn.join(perQuery, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_truth"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("n_truth"), 6)
+          .as("recall_k"),
         col("first_rel_rank"),
         when(col("first_rel_rank").isNotNull,
           round(lit(1.0) / col("first_rel_rank"), 6)).otherwise(0.0).as("rr"))

@@ -252,15 +252,25 @@ object TextOps {
     import spark.implicits._
     val toks = docs.select(col(idCol).as("doc_id"),
       filter(split(lower(col(textCol)), " "), t => length(t) > 0).as("toks"))
+    // The query-term set is driver-known, so everything downstream of the
+    // tokenizer is pre-filtered to it: the tf shuffle carries only
+    // query-term occurrences and the df table is ≤|query terms| rows —
+    // never the corpus vocabulary (which at 100 TB exceeds any broadcast).
+    val qTermSet = queries.flatMap(_._2).distinct
     val exploded = toks.select(col("doc_id"), size(col("toks")).as("dl"),
       explode(col("toks")).as("term"))
+      .filter(col("term").isInCollection(qTermSet))
     val tf = exploded.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val dfTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).cast("double")).scalar()
     val avgdl = toks.agg(sum(size(col("toks"))).cast("double") /
       count(lit(1))).scalar()
+    // explicit query-term tf: a term repeated in one query weights its
+    // contribution by qtf (same numbers the old duplicated-row join gave,
+    // but as one row per (query, term) — no accidental-looking fanout)
     val q = queries.toDF("query_id", "terms")
       .select(col("query_id"), explode(col("terms")).as("term"))
+      .groupBy("query_id", "term").agg(count(lit(1)).as("qtf"))
     val idf = log((nDocs - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
     val tsc = idf * (col("tf") * lit(k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
@@ -268,7 +278,7 @@ object TextOps {
       .orderBy(col("score_num").desc, col("doc_id").asc)
     tf.join(broadcast(q), "term")
       .join(broadcast(dfTerm), "term")
-      .withColumn("__s", round(tsc * lit(1e9)).cast("long"))
+      .withColumn("__s", col("qtf") * round(tsc * lit(1e9)).cast("long"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("__s")).as("score_num"))
       .withColumn("rank", row_number().over(w))

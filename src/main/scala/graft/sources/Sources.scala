@@ -203,21 +203,35 @@ object Sources {
       else merged.sortWithinPartitions(sortCols.map(col): _*)
     val staging = s"$basePath.upsert-staging"
     sorted.write.mode("overwrite").partitionBy(bucketCol).parquet(staging)
-    val fs = new org.apache.hadoop.fs.Path(basePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    affected.foreach { v =>
-      val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .getPartitionPathString(bucketCol, v.toString)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // The swap iterates the directories the staging write ACTUALLY produced
+    // (never a name derived from value.toString — Spark's partition-path
+    // rendering of timestamps/decimals differs from toString, and a wrong
+    // name here would delete a live directory with nothing to replace it).
+    // Every affected band re-materializes (survivors ∪ updates both land
+    // there), so staging children == affected bands; asserted below.
+    val prefix = s"$bucketCol="
+    val produced = fs.listStatus(stagingPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+    require(produced.length == affected.length,
+      s"staging produced ${produced.length} band dirs for ${affected.length} " +
+        s"affected bands — partition rendering or bucket contract violated; " +
+        s"live data untouched")
+    produced.foreach { st =>
+      val dir = st.getPath.getName
       val dst = new org.apache.hadoop.fs.Path(basePath, dir)
-      val src = new org.apache.hadoop.fs.Path(staging, dir)
-      fs.delete(dst, true)
-      // a batch may delete every row of a band (all its keys replaced into
-      // other output... not possible under the bucket-of-key contract, but
-      // an all-update band still always re-materializes) — rename only what
-      // the staging write produced
-      if (fs.exists(src)) fs.rename(src, dst)
+      val backup = new org.apache.hadoop.fs.Path(basePath, dir + ".upsert-backup")
+      fs.delete(backup, true) // stale leftover from a prior crashed swap
+      // backup-rename instead of delete-then-rename: a crash between the
+      // two renames leaves the old band recoverable at *.upsert-backup
+      // instead of destroyed. Renames are metadata ops on HDFS-like stores.
+      val hadOld = fs.exists(dst)
+      if (hadOld) require(fs.rename(dst, backup), s"backup rename failed: $dst")
+      require(fs.rename(st.getPath, dst), s"swap rename failed: $dst")
+      if (hadOld) fs.delete(backup, true)
     }
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    fs.delete(stagingPath, true)
     affected.toSeq
   }
 

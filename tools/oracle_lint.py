@@ -28,11 +28,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "partsupp",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 # DuckDB DESCRIBE type -> equivalence class shared with Spark parquet types.
+# Calibrated against observed driver behavior: the compare normalizes int
+# widths (Spark INT row_number vs DuckDB BIGINT hash-matched in r06), so all
+# signed ints <=64 bits are one class and all floats are one class; what
+# CANNOT be reconciled is int128/unsigned (r05/r06 failures) and
+# decimal-vs-float divergence.
 DUCK_TO_CLASS = {
-    "TINYINT": "i8", "SMALLINT": "i16", "INTEGER": "i32", "BIGINT": "i64",
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
     "HUGEINT": "i128", "UHUGEINT": "u128",
     "UTINYINT": "u8", "USMALLINT": "u16", "UINTEGER": "u32", "UBIGINT": "u64",
-    "FLOAT": "f32", "DOUBLE": "f64", "VARCHAR": "str", "BOOLEAN": "bool",
+    "FLOAT": "float", "DOUBLE": "float", "VARCHAR": "str", "BOOLEAN": "bool",
     "DATE": "date", "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
     "BLOB": "bin",
 }
@@ -47,12 +52,8 @@ def duck_class(t):
 
 def arrow_class(t):
     import pyarrow as pa
-    if pa.types.is_int8(t): return "i8"
-    if pa.types.is_int16(t): return "i16"
-    if pa.types.is_int32(t): return "i32"
-    if pa.types.is_int64(t): return "i64"
-    if pa.types.is_float32(t): return "f32"
-    if pa.types.is_float64(t): return "f64"
+    if pa.types.is_integer(t): return "int"
+    if pa.types.is_floating(t): return "float"
     if pa.types.is_string(t) or pa.types.is_large_string(t): return "str"
     if pa.types.is_boolean(t): return "bool"
     if pa.types.is_date(t): return "date"
