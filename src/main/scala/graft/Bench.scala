@@ -12,7 +12,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: a single WindowExec warning line costs ~140 chars of
+    // the driver's 2000-char stdout tail that the metric line must survive in
+    spark.sparkContext.setLogLevel("ERROR")
     // optional args = run only those queries (single-query scale debugging)
     val only = args.toSet
     val unknown = only -- SparkEntry.queries.keySet
@@ -66,7 +68,10 @@ object Bench {
     // head). stdout therefore gets a line guaranteed ≤ BUDGET: 3-decimal
     // values, and if still too long, the slowest queries that fit plus an
     // "omitted" rollup of the fast tail. The file keeps the full map.
-    val budget = 1800
+    // 900, not 1800: the line is emitted on BOTH streams (below); if the
+    // driver tails a combined stream, two complete copies must fit in its
+    // 2000-char window
+    val budget = 900
     val rounded = results.toSeq.map { case (k, v) => k -> f3(v) }
     val roundedLine = mkLine(rounded, total)
     val stdoutLine =
@@ -85,7 +90,6 @@ object Bench {
         mkLine(kept ++ Seq("omitted_n" -> omitted.toString,
           "omitted_sec" -> f3(total - keptSec)), total)
       }
-    println(stdoutLine)
     // stdout gets truncated/interleaved by harnesses; the file is the durable
     // full-precision copy. Subset (single-query debug) runs write to a
     // -partial file so they never clobber the last full-run record.
@@ -93,6 +97,13 @@ object Bench {
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
     java.nio.file.Files.write(outPath, (fullLine + "\n").getBytes("UTF-8"))
+    // metric line goes out LAST, after spark.stop(), so no shutdown log can
+    // land between it and process exit; both streams carry it in case the
+    // driver tails only one of them
     spark.stop()
+    println(stdoutLine)
+    System.out.flush()
+    System.err.println(stdoutLine)
+    System.err.flush()
   }
 }
