@@ -20,7 +20,28 @@ import org.apache.spark.sql.functions._
   *   every vector gains N−1 exact clones, modeling a duplicate-heavy
   *   web-scale embedding corpus.
   *
-  * Usage: runMain graft.tools.ScaleUp <inDir> <outDir> [reps=10]
+  * Usage: runMain graft.tools.ScaleUp <inDir> <outDir> [reps=10] [mode]
+  *
+  * `mode` (default `replicate`) selects what the extra copies LOOK like:
+  * - `replicate` — the scheme above: cross-replica texts are near-dups and
+  *   vectors are exact clones, so TRUE pair density grows ~quadratically.
+  *   Measures clone-heavy corpora (and stresses dedup recall), but its
+  *   wall-clock ratios for pairwise-similarity queries track the planted
+  *   979× pair growth, not corpus growth.
+  * - `fresh` — every replica gets DISTINCT content with the SAME internal
+  *   distributions, so true pair density grows LINEARLY (N× the replicas'
+  *   internal pairs, zero cross-replica pairs) — the deduplicated-corpus
+  *   rehearsal that certifies output-proportional scaling directly:
+  *   - documents: every token is salted with a per-replica suffix
+  *     (` x·r3`), so token counts/length distribution are preserved, the
+  *     within-replica near-dup structure is EXACTLY the original corpus's,
+  *     and cross-replica shingle overlap is zero by construction;
+  *   - embeddings: each replica applies a deterministic orthogonal
+  *     transform — circular component shift by 7r plus hash(i,r) sign
+  *     flips. Within a replica all inner products/norms are preserved
+  *     (same permutation+signs on both sides), so kNN/near-dup structure
+  *     is the original corpus's; across replicas the composed transforms
+  *     decorrelate vectors (expected cosine ~0).
   */
 object ScaleUp {
 
@@ -46,9 +67,14 @@ object ScaleUp {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleUp <inDir> <outDir> [reps=10]")
+    require(args.length >= 2,
+      "usage: ScaleUp <inDir> <outDir> [reps=10] [replicate|fresh]")
     val (inDir, outDir) = (args(0), args(1))
     val reps = if (args.length > 2) args(2).toInt else 10
+    val fresh = args.length > 3 && {
+      require(Set("replicate", "fresh")(args(3)), s"unknown mode ${args(3)}")
+      args(3) == "fresh"
+    }
     // reuse a live session (specs call main() in-process); stop only our own
     val ownSession = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession).isEmpty
@@ -102,10 +128,29 @@ object ScaleUp {
         if (name == "documents") {
           val tagged =
             if (r == 0) keyed
+            else if (fresh)
+              // salt EVERY token: same token count / shifted-by-a-constant
+              // length distribution, within-replica near-dup structure
+              // preserved exactly, zero cross-replica shingle overlap
+              keyed.withColumn("text", array_join(transform(
+                split(col("text"), " "), w => concat(w, lit(s"·r$r"))), " "))
             else keyed.withColumn("text", concat(col("text"), lit(s" rep$r")))
           if (tagged.columns.contains("n_chars"))
             tagged.withColumn("n_chars", length(col("text")).cast("long"))
           else tagged
+        } else if (name == "embeddings" && fresh && r > 0) {
+          // deterministic orthogonal transform per replica: circular shift
+          // by 7r, then hash(i, r)-keyed sign flips — inner products and
+          // norms inside the replica are untouched (same permutation+signs
+          // on both operands), cross-replica cosines decorrelate to ~0
+          val e = col("embedding")
+          val shift = pmod(lit(7 * r), size(e))
+          val rotated = concat(
+            slice(e, shift + lit(1), size(e) - shift), slice(e, lit(1), shift))
+          keyed.withColumn("embedding", zip_with(
+            rotated, sequence(lit(0), size(e) - 1),
+            (v, i) => when(pmod(hash(i, lit(r)), lit(2)) === 0, v).otherwise(-v)
+              .cast("float")))
         } else keyed
       }
       val out = (0 until reps).map(replica).reduce(_ unionByName _)
