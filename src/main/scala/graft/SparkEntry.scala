@@ -63,31 +63,22 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b"))),
 
-    // SimHash candidates + exact-jaccard verify at simhash's production
-    // niche: NEAR-IDENTICAL detection (jaccard ≥ 0.9). 8-bit chunks keep
-    // buckets informative; the hamming cut 15 covers the measured worst
-    // qualifying pair (13 at sf0.1, 8 at sf0.01), and every qualifying pair
-    // measurably shares a chunk (0 missed at both SFs) — so the output is
-    // EXACTLY the all-pairs jaccard ≥ 0.9 ground truth, DuckDB-certified.
-    // (Moderate-threshold near-dup belongs to MinHash banding — d02.)
-    "d03_simhash_neardup" -> ((s, dir) => rt(s,
-      ops.Dedup.simhashVerifiedNearDups(t(s, dir, "documents"),
-          threshold = 0.9, numChunks = 8, maxHamming = 15)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("id_a", "id_b"))),
-
-    // the PRODUCTION simhash config — 16-bit chunks (numChunks=4), radius
-    // 3 = numChunks−1 — where the pigeonhole guarantee is EXACT: every pair
-    // at hamming ≤ 3 is guaranteed to surface, no measurement needed.
+    // THE simhash driver query, at the PRODUCTION config — 16-bit chunks
+    // (numChunks=4), radius 3 = numChunks−1 — where the pigeonhole
+    // guarantee is EXACT: every pair at hamming ≤ 3 is guaranteed to
+    // surface, no measurement needed.
     // Certified on a fixture whose qualifying pairs are exact text copies
     // (hamming 0, provably covered): each doc's tokens interleave with a
     // doc-unique salt token, so every shingle contains the salt and
     // cross-doc jaccard is 0; the planted twin (id+100000) copies the
     // salted text verbatim → jaccard 1. Output = exactly the planted pairs,
     // certified by the DuckDB all-pairs oracle and complete BY CONSTRUCTION.
-    // Unlike d03's radius 15 (fixture-measured coverage), this is the knob
-    // setting that scales: 65,536 bucket values per chunk keep in-bucket
-    // pair counts sub-quadratic as the corpus grows.
+    // This is the knob setting that scales: 65,536 bucket values per chunk
+    // keep in-bucket pair counts sub-quadratic as the corpus grows
+    // (4.75× wall at 10× fresh-fixture data). The retired radius-15/8-bit
+    // FIXTURE config (256 buckets → 29.8× at 10×; coverage was a per-
+    // fixture measurement, not a guarantee) lives on as a spec-level
+    // equality check against the exact AllPairs op — BloomDedupSpec.
     "d03b_simhash_prod" -> ((s, dir) => rt(s, {
       val salted = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"),
@@ -595,6 +586,14 @@ object SparkEntry {
         .orderBy("lang", "bin_id")
     })),
 
+    // CCNet-style perplexity bucketing: corpus char-LM fit splits every
+    // language into head/middle/tail thirds (ntile — integer-exact,
+    // engine-replayable); keep-head+middle is the standard pre-training
+    // curation gate. Scoring is t14's shuffle-free literal-model fold.
+    "t27_ppl_buckets" -> ((s, dir) => rt(s,
+      ops.TextOps.perplexityBuckets(t(s, dir, "documents"))
+        .orderBy("doc_id"))),
+
     // corpus version diff by content digest (dataset-versioning audit)
     "p03_corpus_diff" -> ((s, dir) => rt(s, {
       val docs = t(s, dir, "documents")
@@ -690,6 +689,17 @@ object SparkEntry {
         .filter(col("doc_id").between(100, 300) && col("n_chars").between(150, 350))
         .select("doc_id", "lang", "n_chars").orderBy("doc_id"))
     }),
+
+    // skipping-effectiveness report: per-band min/max envelope of the
+    // banded layout plus what a stats-pruning reader would scan for a
+    // range predicate — the quantitative "is this layout worth it" check
+    // before a 100 TB rewrite. One map-side-combining aggregate.
+    "p19_skipping_report" -> ((s, dir) => rt(s,
+      sources.Sources.skippingReport(
+        t(s, dir, "documents").withColumn("len_band",
+          floor(col("n_chars") / 100).cast("int")),
+        bandCol = "len_band", valueCol = "n_chars", lo = 250, hi = 449)
+        .orderBy("band"))),
 
     // CMS inner-product join-size estimation (Cormode-Muthukrishnan §4.3):
     // the size of lineitem ⨝ orders and the l_suppkey self-join size (the
@@ -1554,21 +1564,6 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p
         |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
-    // the simhash path certifies against the same exact all-pairs technique
-    // as d02, at its own threshold (0.9, near-identical): the hamming cut
-    // covers the measured worst qualifying pair and chunk-sharing is
-    // measured complete, so the hash-based output equals this set exactly
-    "d03_simhash_neardup" ->
-      """WITH s AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) END AS g
-        |  FROM s),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  len(list_intersect(a.g, b.g))
-        |    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p
-        |WHERE j >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     // exact all-pairs cosine over the base ∪ perturbed-twin union: the only
     // pairs ≥ 0.8 are the planted twins, and the perturbation arithmetic
     // (double widening + per-element scale) is bit-identical in both engines
@@ -1961,6 +1956,17 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id BETWEEN 100 AND 300 AND n_chars BETWEEN 150 AND 350
         |ORDER BY doc_id""".stripMargin,
+    "p19_skipping_report" ->
+      """WITH b AS (SELECT CAST(floor(n_chars / 100) AS INTEGER) AS band,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(min(n_chars) AS DOUBLE) AS vmin,
+        |    CAST(max(n_chars) AS DOUBLE) AS vmax
+        |  FROM documents GROUP BY 1)
+        |SELECT band, n_rows, vmin, vmax,
+        |  (vmax < 250 OR vmin > 449) AS pruned,
+        |  CASE WHEN vmax < 250 OR vmin > 449 THEN 0 ELSE n_rows END
+        |    AS rows_scanned
+        |FROM b ORDER BY band""".stripMargin,
     // p13: exact join sizes DuckDB-checked; the inner-product estimates are
     // certified in-query against the formal CMS bound
     "p14_cow_upsert" ->
@@ -2259,6 +2265,29 @@ object SparkEntry {
         |          / 1e9 / count(*), 6) AS avg_logp
         |       FROM g2 JOIN model USING (g) GROUP BY 1)
         |SELECT doc_id, n_bigrams, avg_logp FROM sc ORDER BY doc_id""".stripMargin,
+    // t27: t14's char-LM model replayed, then per-lang thirds by ntile over
+    // (avg_logp DESC, doc_id) — integer-exact bucket assignment
+    "t27_ppl_buckets" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS tx FROM documents
+        |           WHERE length(text) >= 2),
+        |gi AS (SELECT doc_id, unnest(generate_series(1, len(tx) - 1)) AS i, tx FROM t),
+        |g2 AS (SELECT doc_id, substr(tx, CAST(i AS INTEGER), 2) AS g FROM gi),
+        |bc AS (SELECT g, count(*) AS bc FROM g2 GROUP BY 1),
+        |pc AS (SELECT substr(g, 1, 1) AS c1, sum(bc) AS pc FROM bc GROUP BY 1),
+        |model AS (SELECT g, bc / CAST(pc AS DOUBLE) AS p
+        |          FROM bc JOIN pc ON substr(bc.g, 1, 1) = pc.c1),
+        |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+        |        ROUND(CAST(sum(CAST(round(ln(p) * 1e9) AS BIGINT)) AS DOUBLE)
+        |          / 1e9 / count(*), 6) AS avg_logp
+        |       FROM g2 JOIN model USING (g) GROUP BY 1),
+        |nt AS (SELECT sc.doc_id, n_bigrams, avg_logp, d.lang,
+        |        ntile(3) OVER (PARTITION BY d.lang
+        |          ORDER BY avg_logp DESC, sc.doc_id) AS bucket
+        |       FROM sc JOIN documents d ON sc.doc_id = d.doc_id)
+        |SELECT doc_id, n_bigrams, avg_logp, lang, bucket,
+        |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
+        |    ELSE 'middle' END AS bucket_label
+        |FROM nt ORDER BY doc_id""".stripMargin,
     "t12_profile" ->
       """WITH p AS (
         |  SELECT 'doc_id' AS col_name, count(*) AS n_rows,

@@ -399,6 +399,36 @@ object TextOps {
             / 1e9 / count(lit(1)), 6).as("avg_logp"))
   }
 
+  /** CCNet-style perplexity bucketing: score every document with the
+    * corpus char-LM ([[charLmScore]]) and split each language into
+    * `nBuckets` equal-size bands by model fit — bucket 1 ("head") is the
+    * best-scoring third, "tail" the worst — the standard pre-training
+    * curation step that keeps head+middle and drops (or down-weights) the
+    * tail. Assignment is ntile over (avg_logp DESC, doc_id) — integer-
+    * exact and engine-replayable, no FP threshold comparisons at bucket
+    * boundaries.
+    *
+    * Scale shape: scoring is charLmScore's shuffle-free literal-model fold;
+    * the lang join is one doc-keyed hash join; the ntile window shuffles
+    * once on lang. ntile needs each language's scores in one partition —
+    * exact-rank semantics, certified here; at 100 TB per-language volumes,
+    * swap the window for per-lang score THRESHOLDS from a bounded sample
+    * (the CCNet production recipe) and label by comparison, keeping this
+    * exact variant as the calibration oracle on samples.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", langCol: String = "lang",
+                        nBuckets: Int = 3): DataFrame = {
+    val scores = charLmScore(df, idCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(langCol).orderBy(col("avg_logp").desc, col(idCol))
+    scores.join(df.select(col(idCol), col(langCol)), idCol)
+      .withColumn("bucket", ntile(nBuckets).over(w))
+      .withColumn("bucket_label",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === nBuckets, "tail").otherwise("middle"))
+  }
+
   /** Longest run of adjacent equal elements in the array SQL expression
     * `arr` (array&lt;string&gt;) — over a sorted array this is the max element
     * frequency; over the raw token stream it is the longest consecutive

@@ -294,4 +294,28 @@ object Sources {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Skipping-effectiveness report: for a banded layout (range or z-order),
+    * the per-band min/max envelope of `valueCol` and whether a `[lo, hi]`
+    * range predicate could PRUNE the band on that envelope alone — the
+    * quantitative "is this layout worth it" answer before committing a
+    * 100 TB rewrite. `rows_scanned` is what a min/max-pruning reader
+    * (parquet row-group stats, partition pruning) would actually read for
+    * the predicate; Σ rows_scanned / Σ n_rows over the report is the
+    * layout's scan-fraction for that workload.
+    *
+    * One scan, one map-side-combining aggregate to ≤|bands| rows — the
+    * report never shuffles row data, only band envelopes.
+    */
+  def skippingReport(df: DataFrame, bandCol: String, valueCol: String,
+                     lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.groupBy(col(bandCol).as("band"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol).cast("double")).as("vmin"),
+        max(col(valueCol).cast("double")).as("vmax"))
+      .withColumn("pruned", col("vmax") < lo || col("vmin") > hi)
+      .withColumn("rows_scanned",
+        when(col("pruned"), 0L).otherwise(col("n_rows")))
+  }
 }

@@ -128,7 +128,7 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("no cartesian products in the round-3 wire-certified queries") {
-    for (q <- Seq("d02_minhash_pairs", "d03_simhash_neardup",
+    for (q <- Seq("d02_minhash_pairs", "d03b_simhash_prod",
       "d05_embedding_neardup", "s02_knn_lsh", "t04_top_terms",
       "m02_frame_stats", "q36_map_ops")) {
       val p = plan(q)
@@ -164,9 +164,9 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("PushedFilters: [IsNotNull(c_acctbal), LessThan(c_acctbal,0.0)]"), p)
   }
 
-  test("d03: salted simhash pair join — no payload arrays cross the pair shuffle") {
+  test("d03b: salted simhash pair join — no payload arrays cross the pair shuffle") {
     Tables.register(spark, sfDir)
-    val df: DataFrame = SparkEntry.queries("d03_simhash_neardup")(spark, sfDir)
+    val df: DataFrame = SparkEntry.queries("d03b_simhash_prod")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     // the candidate self-join keys on (chunk_idx, chunk_val, salt): every

@@ -46,4 +46,19 @@ class BloomDedupSpec extends SparkTestBase {
     assertRoundtrip(
       Dedup.bloomIncrementalDedup(newB, kept).orderBy("digest"), ordered = true)
   }
+
+  // the retired d03 driver query's contract, preserved at spec level: the
+  // radius-15/8-bit simhash FIXTURE config recovers the exact all-pairs
+  // jaccard ≥ 0.9 ground truth on this corpus (coverage is a per-fixture
+  // measurement — 256 buckets don't scale, which is why the driver suite
+  // carries only the production 16-bit/radius-3 knob, d03b)
+  test("radius-15 simhash == exact AllPairs ground truth at jaccard 0.9") {
+    assertSameRows(
+      Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text", threshold = 0.9)
+        .withColumnRenamed("jaccard", "j")
+        .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard")),
+      Dedup.simhashVerifiedNearDups(docs,
+          threshold = 0.9, numChunks = 8, maxHamming = 15)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")))
+  }
 }
