@@ -277,6 +277,27 @@ object SparkEntry {
         .orderBy("q_id", "rank"))
     }),
 
+    // incremental IVF index ingest: build on half the corpus, save, APPEND
+    // the second half against the SAVED quantizer (no retraining, no
+    // re-assignment — old cell files untouched, ingest cost ∝ batch), then
+    // answer queries from the grown index. Certified against the exact
+    // brute-force kNN oracle over the FULL corpus at nprobe = nlist (all
+    // cells — exact by construction at any SF), so any row the ingest
+    // dropped or duplicated breaks the oracle; partition-PRUNED probing is
+    // s06's contract, ingest completeness is this one's.
+    "s13_ivf_incremental_ingest" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = ops.Ivf.build(e.filter(col("vec_id") % 2 === 0),
+        nlist = 16, trainSampleFraction = 0.5)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivfgrow-${math.abs(dir.hashCode)}"
+      ops.Ivf.save(idx, path)
+      idx.assigned.unpersist()
+      val grown = ops.Ivf.appendToSaved(s, path, e.filter(col("vec_id") % 2 === 1))
+      rt(s, ops.Ivf.searchPruned(grown, e.filter(col("vec_id") < 8),
+          k = 5, nprobe = 16)
+        .orderBy("q_id", "rank"))
+    }),
+
     // ANN top-k via product quantization + exact rerank: the corpus scans
     // as m=16 codes per vector (16x fewer bytes than raw floats — the
     // bandwidth knob of the ANN family, composable with IVF's cell
@@ -1773,6 +1794,20 @@ object SparkEntry {
     // s01/s03: the saved+loaded index probes the same 12/16 cells (measured
     // recall 1.0), so approximate output == exact output, row for row
     "s06_knn_ivf_saved" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |s AS (SELECT q_id, e.vec_id AS n_id,
+        |  list_dot_product(qv, e.v)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim0
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, sim0,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim0 DESC, n_id ASC) AS rank
+        |  FROM s)
+        |SELECT q_id, n_id, rank, ROUND(sim0, 6) AS sim FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // s13: the grown (half-built, half-appended) index must answer exactly
+    // like brute force over the FULL corpus — ingest loses nothing
+    "s13_ivf_incremental_ingest" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
         |s AS (SELECT q_id, e.vec_id AS n_id,
