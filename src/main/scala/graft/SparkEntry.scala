@@ -277,6 +277,18 @@ object SparkEntry {
         .orderBy("q_id", "rank"))
     }),
 
+    // MMR diversity rerank: greedy λ·rel − (1−λ)·max-sim-to-selected over
+    // each query's exact top-16 shortlist — the redundancy-suppressing
+    // rerank for RAG-style retrieval. Scaled-long integer scoring → the
+    // greedy trace is deterministic and the oracle replays it step by step
+    // (unrolled in SQL). The sequential loop runs as ONE per-query
+    // aggregate-HOF over ≤16-element arrays; queries parallelize freely.
+    "s12_mmr_rerank" -> ((s, dir) => rt(s,
+      ops.Similarity.mmrRerank(t(s, dir, "embeddings"),
+          t(s, dir, "embeddings").filter(col("vec_id") < 4),
+          shortlistK = 16, k = 6)
+        .orderBy("q_id", "mmr_rank"))),
+
     // incremental IVF index ingest: build on half the corpus, save, APPEND
     // the second half against the SAVED quantizer (no retraining, no
     // re-assignment — old cell files untouched, ingest cost ∝ batch), then
@@ -1805,6 +1817,51 @@ object SparkEntry {
         |  FROM s)
         |SELECT q_id, n_id, rank, ROUND(sim0, 6) AS sim FROM r
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // s12: the greedy MMR trace replayed step by step — an UNROLLED loop of
+    // (candidates = shortlist ∖ selected) → (score = 7·rel − 3·max-sim-to-
+    // selected, all scaled-long ints) → argmax, one CTE block per step;
+    // integer scoring makes every pick order-deterministic in both engines
+    "s12_mmr_rerank" -> {
+      val base =
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 4),
+          |s0 AS (SELECT q_id, e.vec_id AS n_id,
+          |  list_dot_product(qv, e.v)
+          |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim0
+          |  FROM q CROSS JOIN e WHERE e.vec_id <> q_id),
+          |top AS (SELECT q_id, n_id, ROUND(sim0, 6) AS sim,
+          |    CAST(round(ROUND(sim0, 6) * 1e6) AS BIGINT) AS rel
+          |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+          |          ORDER BY sim0 DESC, n_id ASC) AS rk FROM s0)
+          |  WHERE rk <= 16),
+          |ps AS (SELECT a.q_id, a.n_id AS ia, b.n_id AS ib,
+          |    CAST(round(ROUND(list_dot_product(ea.v, eb.v)
+          |      / (sqrt(list_dot_product(ea.v, ea.v))
+          |         * sqrt(list_dot_product(eb.v, eb.v))), 6) * 1e6) AS BIGINT) AS s9
+          |  FROM top a JOIN top b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+          |  JOIN e ea ON ea.vec_id = a.n_id JOIN e eb ON eb.vec_id = b.n_id),
+          |sel1 AS (SELECT q_id, n_id, 1 AS mmr_rank FROM top
+          |  QUALIFY row_number() OVER (PARTITION BY q_id
+          |    ORDER BY rel DESC, n_id ASC) = 1)""".stripMargin
+      val steps = (2 to 6).map { i =>
+        val prev = s"sel${i - 1}"
+        s"""cand$i AS (SELECT t.* FROM top t LEFT JOIN $prev s
+           |  ON t.q_id = s.q_id AND t.n_id = s.n_id WHERE s.n_id IS NULL),
+           |sc$i AS (SELECT c.q_id, c.n_id, 7 * c.rel - 3 * max(p.s9) AS sc
+           |  FROM cand$i c JOIN ps p ON p.q_id = c.q_id AND p.ia = c.n_id
+           |  JOIN $prev s ON s.q_id = p.q_id AND s.n_id = p.ib
+           |  GROUP BY c.q_id, c.n_id, c.rel),
+           |sel$i AS (SELECT * FROM $prev UNION ALL
+           |  SELECT q_id, n_id, $i FROM sc$i
+           |  QUALIFY row_number() OVER (PARTITION BY q_id
+           |    ORDER BY sc DESC, n_id ASC) = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$steps
+         |SELECT s.q_id, s.n_id, s.mmr_rank, t.sim
+         |FROM sel6 s JOIN top t ON s.q_id = t.q_id AND s.n_id = t.n_id
+         |ORDER BY s.q_id, s.mmr_rank""".stripMargin
+    },
     // s13: the grown (half-built, half-appended) index must answer exactly
     // like brute force over the FULL corpus — ingest loses nothing
     "s13_ivf_incremental_ingest" ->

@@ -252,4 +252,75 @@ object Similarity {
         when(col("first_rel_rank").isNotNull,
           round(lit(1.0) / col("first_rel_rank"), 6)).otherwise(0.0).as("rr"))
   }
+
+  /** MMR (maximal-marginal-relevance) diversity rerank: from each query's
+    * exact top-`shortlistK` cosine shortlist, greedily select `k` items
+    * maximizing `λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s)` — the standard
+    * redundancy-suppressing rerank for retrieval-augmented pipelines
+    * (don't hand the model 6 near-identical passages). λ is passed in
+    * tenths and ALL scoring is scaled-long integer arithmetic
+    * (`round(sim,6)·1e6`), so selection is order-deterministic (ties →
+    * lowest id) and engine-replayable bit for bit.
+    *
+    * Scale shape: the greedy loop — inherently sequential — runs per-query
+    * over arrays bounded by `shortlistK` (≤ tens), as ONE codegen-friendly
+    * `aggregate` HOF over collected per-query state: no driver loop, no
+    * iteration-count shuffles; queries parallelize embarrassingly. The
+    * quadratic piece (pairwise sims) is shortlistK² per query, computed
+    * relationally before the collect. Swap the brute-force shortlist for
+    * any ANN shortlist (IVF/PQ/LSH) at corpus scale — the rerank is
+    * agnostic to how the shortlist was produced.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, shortlistK: Int = 16,
+                k: Int = 6, lambdaTenths: Int = 7,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(k <= shortlistK && lambdaTenths >= 0 && lambdaTenths <= 10)
+    val top = bruteForceKnn(corpus, queries, shortlistK, idCol, vecCol)
+      .withColumn("rel", round(col("sim") * 1e6).cast("long"))
+    val ids = top.select(col("q_id"), col("n_id"), col("rel"), col("sim"))
+    val vecs = corpus.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("vv"))
+    // pairwise sims inside each shortlist, both directions (map lookup
+    // stays a single concat key) — ≤ shortlistK² tiny rows per query
+    val pairs = ids.select(col("q_id"), col("n_id").as("ia"))
+      .join(ids.select(col("q_id"), col("n_id").as("ib")), "q_id")
+      .filter(col("ia") =!= col("ib"))
+      .join(vecs.withColumnRenamed("vid", "ia").withColumnRenamed("vv", "va"), "ia")
+      .join(vecs.withColumnRenamed("vid", "ib").withColumnRenamed("vv", "vb"), "ib")
+      .select(col("q_id"),
+        concat(col("ia").cast("string"), lit("_"), col("ib").cast("string")).as("pk"),
+        round(round(cosine(col("va"), col("vb")), 6) * 1e6).cast("long").as("s9"))
+    val cands = ids.groupBy("q_id")
+      .agg(sort_array(collect_list(struct(col("n_id"), col("rel")))).as("cands"))
+    val simMaps = pairs.groupBy("q_id")
+      .agg(map_from_entries(collect_list(struct(col("pk"), col("s9")))).as("m"))
+    val keep = lit(lambdaTenths)
+    val pen = lit(10 - lambdaTenths)
+    val init = struct(
+      typedLit(Seq.empty[Long]).as("sel"),
+      col("cands").as("rem"))
+    val stepped = cands.join(simMaps, "q_id")
+      .withColumn("st", aggregate(sequence(lit(1), lit(k)), init, (st, _) => {
+        val scored = transform(st.getField("rem"), c =>
+          struct(
+            (keep * c.getField("rel") - pen * coalesce(
+              array_max(transform(st.getField("sel"), s =>
+                element_at(col("m"), concat(c.getField("n_id").cast("string"),
+                  lit("_"), s.cast("string"))))),
+              lit(0L))).as("sc"),
+            (-c.getField("n_id")).as("nid")))
+        val best = array_max(scored)
+        val bestId = -best.getField("nid")
+        struct(
+          concat(st.getField("sel"), array(bestId)).as("sel"),
+          filter(st.getField("rem"),
+            c => c.getField("n_id") =!= bestId).as("rem"))
+      }))
+      .select(col("q_id"), posexplode(col("st").getField("sel"))
+        .as(Seq("pos", "n_id")))
+      .select(col("q_id"), col("n_id"), (col("pos") + 1).as("mmr_rank"))
+    stepped.join(ids.select(col("q_id"), col("n_id"), col("sim")),
+      Seq("q_id", "n_id"))
+  }
 }

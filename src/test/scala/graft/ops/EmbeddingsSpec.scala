@@ -90,4 +90,26 @@ class EmbeddingsSpec extends SparkTestBase {
       .select("pred").collect().map(_.getInt(0)).toSet
     assert(preds == Set(0))
   }
+
+  test("mmr: rank-1 is pure relevance; λ=10 degenerates to top-k; diversity kicks in") {
+    graft.Tables.register(spark, sfDir)
+    val e = spark.table("embeddings")
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 2)
+    val brute = Similarity.bruteForceKnn(e, q, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // λ=10 → zero diversity penalty → MMR IS relevance order
+    val pure = Similarity.mmrRerank(e, q, shortlistK = 8, k = 4, lambdaTenths = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+      .map(t => (t._1, t._2, t._3.toInt)).toSet
+    assert(pure == brute, s"λ=1.0 MMR must equal exact top-k\n$pure\n$brute")
+    // default λ: first pick is still the most relevant neighbor per query
+    val mmr = Similarity.mmrRerank(e, q, shortlistK = 8, k = 4)
+    val first = mmr.filter(org.apache.spark.sql.functions.col("mmr_rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteFirst = brute.filter(_._3 == 1).map(t => (t._1, t._2))
+    assert(first == bruteFirst)
+    // selections are distinct per query and come from the shortlist
+    val rows = mmr.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.distinct.length == rows.length)
+  }
 }
