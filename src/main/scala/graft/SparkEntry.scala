@@ -162,6 +162,21 @@ object SparkEntry {
         stepThroughWire = true).orderBy("node")
     }),
 
+    // quality-aware cluster dedup: each near-dup cluster keeps its LONGEST
+    // member (ties → smallest id) instead of an arbitrary min-id keeper —
+    // the curation rule real pipelines want. One struct-max aggregate
+    // picks winners; only ids ride the anti-join.
+    // (like d08, not rt-wrapped at the top level: CC materializes rounds —
+    // stepThroughWire instead round-trips every pointer-doubling hop)
+    "d14_keep_best_per_cluster" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = ops.Dedup.prefixFilterJaccardPairs(d, "doc_id", "text",
+        threshold = 0.5)
+      ops.Dedup.keepBestPerCluster(d, pairs, col("n_chars"),
+          stepThroughWire = true)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+
     // streaming-shaped incremental dedup as its batch twin: the new batch
     // anti-joins a static kept-digest table, then dedups in-batch — the
     // EXACT call EventStreamSpec runs on a readStream frame (stream-static
@@ -1720,6 +1735,33 @@ object SparkEntry {
         |r AS (SELECT u, u AS x FROM (SELECT DISTINCT u FROM e)
         |      UNION SELECT r.u, e.v FROM r JOIN e ON r.x = e.u)
         |SELECT u AS node, min(x) AS cluster_id FROM r GROUP BY u ORDER BY node""".stripMargin,
+    // d14: d13's exact pair set + reachability clusters, then keep the
+    // argmax-(n_chars, −doc_id) member per cluster; unpaired docs survive
+    "d14_keep_best_per_cluster" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS g
+        |  FROM s),
+        |sh2 AS (SELECT * FROM sh WHERE len(g) > 0),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.g, b.g))
+        |    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
+        |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p WHERE j >= 0.5
+        |      UNION SELECT id_b, id_a FROM p WHERE j >= 0.5),
+        |r AS (SELECT u, u AS x FROM (SELECT DISTINCT u FROM e)
+        |      UNION SELECT r.u, e.v FROM r JOIN e ON r.x = e.u),
+        |cl AS (SELECT u AS node, min(x) AS cluster_id FROM r GROUP BY u),
+        |m AS (SELECT cl.cluster_id, d.doc_id, d.n_chars
+        |      FROM cl JOIN documents d ON d.doc_id = cl.node),
+        |w AS (SELECT cluster_id, doc_id FROM m
+        |      QUALIFY row_number() OVER (PARTITION BY cluster_id
+        |        ORDER BY n_chars DESC, doc_id ASC) = 1),
+        |losers AS (SELECT doc_id FROM m
+        |           WHERE doc_id NOT IN (SELECT doc_id FROM w))
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
     "d06_prepare_corpus" ->
       """WITH m AS (SELECT doc_id, text, lang,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,

@@ -789,4 +789,31 @@ object Dedup {
       .select(col("node").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Quality-aware cluster dedup: keep the HIGHEST-`quality` member of each
+    * near-dup cluster (ties → smallest id) instead of [[dedupByClusters]]'
+    * arbitrary min-id keeper — "keep the longest / highest-scoring copy",
+    * the selection rule real curation pipelines want. Documents in no pair
+    * survive untouched.
+    *
+    * Scale shape: clustering is pointer-doubling CC over the pair set; the
+    * winner per cluster is ONE struct-max aggregate (quality, −id) — no
+    * window, no per-cluster sort; only (id, cluster, quality) triples ride
+    * the shuffles and the final anti-join ships bare ids.
+    */
+  def keepBestPerCluster(df: DataFrame, pairs: DataFrame,
+                         quality: org.apache.spark.sql.Column,
+                         idCol: String = "doc_id",
+                         aCol: String = "id_a", bCol: String = "id_b",
+                         stepThroughWire: Boolean = false): DataFrame = {
+    val member = connectedComponents(pairs, aCol, bCol,
+        stepThroughWire = stepThroughWire)
+      .join(df.select(col(idCol).cast("long").as("node"), quality.as("__q")),
+        "node")
+    val winners = member.groupBy("cluster_id")
+      .agg(max(struct(col("__q").as("q"), (-col("node")).as("negid"))).as("w"))
+      .select((-col("w.negid")).as("node"))
+    val losers = member.select("node").join(winners, Seq("node"), "left_anti")
+    df.join(losers.withColumnRenamed("node", idCol), Seq(idCol), "left_anti")
+  }
 }
