@@ -45,7 +45,12 @@ object PlansDoc {
     "t24_bm25_search" -> "BM25: one tf shuffle; df and query sides broadcast; N/avgdl are one-row scalar subqueries; ranking runs on exact integer scores",
     "p16_cdc_snapshot" -> "CDC snapshot: WindowGroupLimit keeps per-key winners BEFORE the exchange — the shuffle carries ~|keys| rows, not the log",
     "e06_resample_ff" -> "hourly resample: the dense grid streams from a per-key sequence generator and the IGNORE NULLS forward-fill window rides the grid join's key shuffle",
-    "j04_asof_within" -> "staleness-bounded as-of join: still zero physical joins — the freshness check is a narrow projection above the single running-max window")
+    "j04_asof_within" -> "staleness-bounded as-of join: still zero physical joins — the freshness check is a narrow projection above the single running-max window",
+    "p19_skipping_report" -> "skipping report: ONE map-side-combined aggregate to band envelopes; prune flags are narrow projections — row data never shuffles",
+    "t27_ppl_buckets" -> "perplexity buckets: the char-LM scoring pass is shuffle-free (literal model map); one doc-keyed join, one lang-keyed window for the exact ntile",
+    "s12_mmr_rerank" -> "MMR rerank: shortlist + pairwise sims reduce to per-query arrays/maps; the greedy loop is a single codegen-stage aggregate HOF — no driver loop, no per-iteration shuffles",
+    "s13_ivf_incremental_ingest" -> "incremental IVF ingest: the appended batch assigns against literal saved centroids in a narrow stage; the probe scans the grown cell-partitioned layout",
+    "d14_keep_best_per_cluster" -> "quality-aware cluster dedup: winners via ONE struct-max aggregate over (quality, −id); bare-id anti-join — text never rides a shuffle after pair generation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -22,6 +22,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "partsupp",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 def norm_cell(v):
+    if not isinstance(v, (list, tuple)):
+        try:
+            if pd.isna(v):   # NaN/NaT/None all compare unequal to themselves
+                return "<null>"
+        except (TypeError, ValueError):
+            pass
     if isinstance(v, float):
         return round(v, 9)
     if isinstance(v, (list, tuple)):
