@@ -1133,6 +1133,28 @@ object SparkEntry {
         Seq("event_id", "user_id", "event_type", "value"))
         .orderBy("event_id")
     })),
+
+    // stream-static dimension enrichment: events left-join the customer
+    // dim (unmatched → 'unknown'), totals per (segment, type) accumulate
+    // as scaled longs — order-independent, so streaming == batch == oracle
+    // (EventStreamSpec drives the same op through readStream)
+    "e07_stream_enrich" -> ((s, dir) => rt(s, {
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      streaming.EventStream.enrichedTypeTotals(t(s, dir, "events"), dim)
+        .orderBy("segment", "event_type")
+    })),
+
+    // per-doc contamination fraction vs the pseudo eval set — d09's any-hit
+    // rule generalized to the thresholdable report (zero-hit docs at 0.0)
+    "t28_contamination_score" -> ((s, dir) => rt(s, {
+      val d = t(s, dir, "documents")
+      ops.TextOps.contaminationScore(
+        d.filter(col("doc_id") % 7 =!= 0), d.filter(col("doc_id") % 7 === 0),
+        n = 5)
+        .orderBy("doc_id")
+    })),
   )
 
   private def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1695,6 +1717,26 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
         |SELECT new_id, kept_id, ROUND(j, 6) AS jaccard FROM p
         |WHERE j >= 0.5 ORDER BY new_id, kept_id""".stripMargin,
+    "e07_stream_enrich" ->
+      """SELECT coalesce(c.c_mktsegment, 'unknown') AS segment, e.event_type,
+        |  count(*) AS n_events,
+        |  ROUND(CAST(CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+        |    AS DOUBLE) / 100, 2) AS total_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t28_contamination_score" ->
+      """WITH g AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |ng AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |  ELSE [array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks)-3)] END) AS grams FROM g),
+        |bench AS (SELECT DISTINCT unnest(grams) AS gr FROM ng WHERE doc_id % 7 = 0),
+        |corp AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  unnest(grams) AS gr FROM ng WHERE doc_id % 7 <> 0),
+        |h AS (SELECT c.doc_id, c.n_grams,
+        |  CAST(sum(CASE WHEN b.gr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        |  FROM corp c LEFT JOIN bench b ON c.gr = b.gr GROUP BY 1, 2)
+        |SELECT doc_id, n_grams, n_hits,
+        |  ROUND(CAST(n_hits AS DOUBLE) / n_grams, 6) AS contamination
+        |FROM h ORDER BY doc_id""".stripMargin,
     "d09_decontaminate" ->
       """WITH g AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
         |ng AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]

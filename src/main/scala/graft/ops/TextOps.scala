@@ -138,6 +138,31 @@ object TextOps {
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Per-document contamination REPORT: every corpus doc with its distinct
+    * n-gram count, benchmark-overlap count, and overlap fraction — zero-hit
+    * docs included at 0.0 (a left join keeps them), so thresholding this
+    * frame IS the decontamination policy knob ("drop ≥ 20% overlap" rather
+    * than [[decontaminate]]'s any-hit rule). Same scale shape as
+    * `contaminationHits`: the eval side's distinct hashed grams broadcast,
+    * corpus grams stream 8 bytes each, text never shuffles.
+    */
+  def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         n: Int = 8): DataFrame = {
+    val bench = benchmark.select(
+      explode(transform(wordNgrams(col(textCol), n), g => xxhash64(g))).as("gh"))
+      .distinct().withColumn("__hit", lit(1))
+    corpus.select(col(idCol), wordNgrams(col(textCol), n).as("gs"))
+      .select(col(idCol), size(col("gs")).cast("long").as("n_grams"),
+        explode(transform(col("gs"), g => xxhash64(g))).as("gh"))
+      .join(broadcast(bench), Seq("gh"), "left")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .select(col(idCol), col("n_grams"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_grams"), 6)
+          .as("contamination"))
+  }
+
   /** Corpus minus every document flagged by `contaminationHits`. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",

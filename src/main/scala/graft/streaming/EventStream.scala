@@ -36,6 +36,28 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Stream-static dimension enrichment + per-(attribute, type) totals: the
+    * classic streaming-ETL shape — each event left-joins its dimension row
+    * (unmatched keys keep flowing as 'unknown'), then value totals
+    * accumulate per (dim attribute, event type). In a streaming query the
+    * STATIC side re-resolves every micro-batch, so dimension updates are
+    * picked up without restarting the stream; in batch the same plan
+    * broadcasts the dim. Totals accumulate as scaled longs (cents) —
+    * summation-order-independent, so streaming == batch == oracle exactly.
+    * Works identically on batch and streaming frames.
+    */
+  def enrichedTypeTotals(events: DataFrame, dim: DataFrame,
+                         dimKey: String = "user_id",
+                         attrCol: String = "segment"): DataFrame =
+    events
+      .join(broadcast(dim.select(col(dimKey), col(attrCol))), Seq(dimKey), "left")
+      .groupBy(coalesce(col(attrCol), lit("unknown")).as(attrCol),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col(attrCol), col("event_type"), col("n_events"),
+        round(col("cents").cast("double") / 100, 2).as("total_value"))
+
   /** Streaming exact dedup: drop events whose id re-appears within the
     * watermark horizon (exactly-once-per-id within the late-data window).
     * State is bounded: ids older than the watermark are evicted. This is the

@@ -39,6 +39,21 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: streaming (complete mode) == batch") {
+    val dim = spark.table("customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val q = EventStream.enrichedTypeTotals(streamingEvents, dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+      val batch = EventStream.enrichedTypeTotals(spark.table("events"), dim)
+      assertSameRows(batch, streamed)
+      assert(streamed.count() > 0)
+    } finally q.stop()
+  }
+
   test("sessionization: streaming sessions match batch sessions for closed sessions") {
     val q = EventStream.sessionize(spark, streamingEvents, gapMinutes = 120)
       .writeStream.format("memory").queryName("sess_out")
