@@ -447,6 +447,42 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan("s10_ann_metrics").contains("CartesianProduct"))
   }
 
+  test("round-7 batch: no cartesian products or nested-loop joins") {
+    // s12's brute-force shortlist broadcasts its 4-query side (the s01
+    // contract); like s10, only the unbroadcast cartesian is forbidden
+    for (q <- Seq("p19_skipping_report", "t27_ppl_buckets", "s12_mmr_rerank",
+      "s13_ivf_incremental_ingest", "d14_keep_best_per_cluster",
+      "e07_stream_enrich", "t28_contamination_score")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+    }
+  }
+
+  test("p19: the skipping report is ONE map-side-combined aggregate, no row-data shuffle") {
+    val p = plan("p19_skipping_report")
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      s"map-side combine expected:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"exactly one exchange expected:\n$p")
+    // only the band key and the value column are read
+    assert(p.contains("ReadSchema: struct<n_chars:bigint>"), p)
+  }
+
+  test("e07: the dimension broadcasts; events never shuffle before the aggregate") {
+    val p = plan("e07_stream_enrich")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dim join must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"map-side combine expected:\n$p")
+  }
+
+  test("t28: eval grams broadcast hashed; corpus text never shuffles") {
+    val p = plan("t28_contamination_score")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"gram join must broadcast:\n$p")
+    assert(p.contains("xxhash64"), s"grams must travel hashed:\n$p")
+  }
+
   test("LocalFiles consume: declared-schema file scan still prunes and pushes") {
     val df = substrait.Consumer.consume(spark, substrait.Wire.decode(
       substrait.Wire.encode(substrait.Producer.produce(
