@@ -34,4 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the bench/verify host has 128 GiB; 8g starved local[32] shuffles into
   // GC stalls under concurrent machine load
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 131 queries × (warmup + run) compile ~260 codegen'd stages in one JVM;
+  // the 240m default code cache flushes mid-suite and deoptimized late
+  // queries ran 2-6× slower (same-session A/B: full suite 108.5 s → 96.0 s
+  // with 1g)
+  "-XX:ReservedCodeCacheSize=1g",
 )
