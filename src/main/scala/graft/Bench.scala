@@ -11,6 +11,10 @@ object Bench {
       // must mean the same instants the DuckDB oracle sees
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the suite compiles ~260 distinct codegen stages (warmup + run); the
+      // 100-entry default class cache evicts every warmed stage before its
+      // measured run, so the measurement re-pays Janino compilation
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     // ERROR, not WARN: a single WindowExec warning line costs ~140 chars of
     // the driver's 2000-char stdout tail that the metric line must survive in

@@ -43,6 +43,7 @@ object GraftExtensions {
         s"minhash_sig numHashes must be an integer literal, got $other")
     })),
     "sorted_jaccard_ge" -> (es => SortedJaccardGe(es(0), es(1), es(2))),
+    "sorted_containment_ge" -> (es => SortedContainmentGe(es(0), es(1), es(2))),
     "pq_encode" -> (es => PqEncode(es(0), es(1))),
     "pq_adc" -> (es => PqAdc(es(0), es(1))),
     "bloom_filter_agg" -> (es =>

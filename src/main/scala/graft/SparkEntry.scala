@@ -162,6 +162,22 @@ object SparkEntry {
         stepThroughWire = true).orderBy("node")
     }),
 
+    // exact directed shingle-containment pairs (|A∩B|/|A| ≥ 0.9): the
+    // near-SUPERSET detector jaccard misses (B = A + extra content).
+    // Fixture plants supersets: every 7th doc gets an id+200000 twin with
+    // an appended tail, so original→twin containment is exactly 1.0; the
+    // DuckDB all-ordered-pairs oracle certifies precision AND recall.
+    "d15_containment_pairs" -> ((s, dir) => rt(s, {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ext = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"),
+            lit(" zq xv extension tail tokens appended here")).as("text"))
+      ops.Dedup.containmentPairs(base.unionAll(ext), "doc_id", "text",
+          threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    })),
+
     // quality-aware cluster dedup: each near-dup cluster keeps its LONGEST
     // member (ties → smallest id) instead of an arbitrary min-id keeper —
     // the curation rule real pipelines want. One struct-max aggregate
@@ -1777,6 +1793,24 @@ object SparkEntry {
         |r AS (SELECT u, u AS x FROM (SELECT DISTINCT u FROM e)
         |      UNION SELECT r.u, e.v FROM r JOIN e ON r.x = e.u)
         |SELECT u AS node, min(x) AS cluster_id FROM r GROUP BY u ORDER BY node""".stripMargin,
+    // d15: exact all-ordered-pairs containment over the base ∪ extended-
+    // twin union — same 3-token-shingle convention as d13, asymmetric
+    // denominator len(a.g)
+    "d15_containment_pairs" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000,
+        |    text || ' zq xv extension tail tokens appended here'
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |s AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM u),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) END AS g
+        |  FROM s),
+        |sh2 AS (SELECT * FROM sh WHERE len(g) > 0),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.g, b.g)) / CAST(len(a.g) AS DOUBLE) AS c
+        |  FROM sh2 a JOIN sh2 b ON a.doc_id <> b.doc_id)
+        |SELECT id_a, id_b, ROUND(c, 6) AS containment FROM p
+        |WHERE c >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     // d14: d13's exact pair set + reachability clusters, then keep the
     // argmax-(n_chars, −doc_id) member per cluster; unpaired docs survive
     "d14_keep_best_per_cluster" ->

@@ -88,6 +88,75 @@ case class SortedJaccardGe(first: Expression, second: Expression,
     copy(first = f, second = s, third = t)
 }
 
+/** Exact CONTAINMENT |A∩B| / |A| of two sorted distinct long arrays,
+  * thresholded, early-terminating — [[SortedJaccardGe]]'s asymmetric
+  * sibling for near-SUPERSET detection ("doc B is doc A plus extra
+  * paragraphs"), which symmetric jaccard misses once the extension is
+  * large. Same merge-scan; the bail-out bound is
+  * `inter + min(remA, remB) >= t·|A|` (monotone, so NULL is exact).
+  */
+case class SortedContainmentGe(first: Expression, second: Expression,
+                               third: Expression) extends TernaryExpression {
+  override def prettyName: String = "sorted_containment_ge"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, t) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<BIGINT>, ARRAY<BIGINT>, DOUBLE), got ($a, $b, $t)")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any, t: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val thr = t.asInstanceOf[Double]
+    val na = x.numElements(); val nb = y.numElements()
+    if (na == 0) return null
+    val need = thr * na - 1e-7
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb &&
+        inter + math.min(na - i, nb - j) >= need) {
+      val xa = x.getLong(i); val xb = y.getLong(j)
+      if (xa == xb) { inter += 1; i += 1; j += 1 }
+      else if (xa < xb) i += 1
+      else j += 1
+    }
+    val c = inter.toDouble / na
+    if (c >= thr) c else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, t) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val inter = ctx.freshName("inter"); val need = ctx.freshName("need")
+      val xa = ctx.freshName("xa"); val xb = ctx.freshName("xb")
+      val c = ctx.freshName("c")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |if ($na == 0) { ${ev.isNull} = true; } else {
+         |double $need = $t * $na - 1e-7;
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $na && $j < $nb &&
+         |    $inter + java.lang.Math.min($na - $i, $nb - $j) >= $need) {
+         |  long $xa = $a.getLong($i); long $xb = $b.getLong($j);
+         |  if ($xa == $xb) { $inter++; $i++; $j++; }
+         |  else if ($xa < $xb) $i++; else $j++;
+         |}
+         |double $c = (double) $inter / $na;
+         |if ($c >= $t) { ${ev.value} = $c; } else { ${ev.isNull} = true; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 object JaccardFunctions {
   private val registered = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
@@ -105,12 +174,21 @@ object JaccardFunctions {
     if (registered.add(key)) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "sorted_jaccard_ge", es => SortedJaccardGe(es(0), es(1), es(2)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "sorted_containment_ge",
+        es => SortedContainmentGe(es(0), es(1), es(2)), "scala_udf")
     }
   }
 
   def sortedJaccardGe(a: Column, b: Column, threshold: Double): Column = {
     ensureRegistered()
     call_function("sorted_jaccard_ge", a, b,
+      org.apache.spark.sql.functions.lit(threshold))
+  }
+
+  def sortedContainmentGe(a: Column, b: Column, threshold: Double): Column = {
+    ensureRegistered()
+    call_function("sorted_containment_ge", a, b,
       org.apache.spark.sql.functions.lit(threshold))
   }
 }

@@ -472,6 +472,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** EXACT all-pairs shingle CONTAINMENT |A∩B|/|A| ≥ t — near-SUPERSET
+    * detection: "doc B is doc A plus extra content", which symmetric
+    * jaccard misses as soon as the extension outweighs the shared core
+    * (jaccard(A, A∪X) = |A|/|A∪X| → 0 while containment stays 1). The
+    * quote/boilerplate/version-extension case of the dedup family.
+    * Output rows are DIRECTED: (id_a, id_b, containment) = how much of
+    * A lives inside B.
+    *
+    * Prefix filter (AllPairs adapted to containment): if |A∩B| ≥ t·|A|,
+    * at most (1−t)·|A| of A's grams miss B, so A's rarest-first prefix of
+    * ⌊(1−t)·|A|⌋+1 grams must share a gram with B — candidates join A's
+    * PREFIX against B's FULL gram set (the probe index; at corpus scale an
+    * inverted index keyed by gram). The size filter |B| ≥ t·|A| prunes
+    * impossible pairs before the verify. Wide shuffles carry 8-byte grams
+    * and bare ids; shingle arrays re-join only for surviving candidates,
+    * verified by the early-terminating [[graft.functions.SortedContainmentGe]]
+    * kernel.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3,
+                       threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0,1]")
+    val docs = df.select(col(idCol).as("jid"), col(textCol).as("jtext"))
+      .withColumn("sh", sortedHashedShingles("jtext", shingleSize))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+    val freq = docs.select(explode(col("sh")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("freq"))
+    // A-side prefix: ⌊(1−t)·sz⌋ + 1 rarest grams (1e-9 slack so a float
+    // floor never rounds DOWN past the exact value — one gram short loses
+    // completeness, one long is a few extra candidates)
+    val prefLen = (floor(lit(1.0 - threshold) * col("sz") + lit(1e-9))
+      .cast("int") + 1)
+    val pref = docs.select(col("jid"), col("sz"), explode(col("sh")).as("gram"))
+      .join(freq, "gram")
+      .groupBy("jid", "sz")
+      .agg(array_sort(collect_list(struct(col("freq"), col("gram")))).as("ord"))
+      .select(col("jid"), col("sz"),
+        explode(slice(transform(col("ord"), s => s.getField("gram")),
+          lit(1), prefLen)).as("gram"))
+    val allGrams = docs.select(col("jid").as("id_b"), col("sz").as("sz_b"),
+      explode(col("sh")).as("gram"))
+    val cand = pref.select(col("gram"), col("jid").as("id_a"), col("sz").as("sz_a"))
+      .join(allGrams, "gram")
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("sz_b").cast("double") >= lit(threshold) * col("sz_a"))
+      .select("id_a", "id_b").distinct()
+    val g = docs.select(col("jid"), col("sh"))
+    cand
+      .join(g.select(col("jid").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(g.select(col("jid").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.JaccardFunctions
+          .sortedContainmentGe(col("sh_a"), col("sh_b"), threshold).as("c"))
+      .filter(col("c").isNotNull)
+      .select(col("id_a"), col("id_b"), round(col("c"), 6).as("containment"))
+  }
+
   /** 64-bit SimHash fingerprint via the codegen'd single-pass kernel
     * (graft.functions.SimHash64): per token, hash bits vote +1/−1 per
     * position; fingerprint bit b is set when the vote is positive.

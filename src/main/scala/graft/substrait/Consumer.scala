@@ -736,7 +736,7 @@ object Consumer {
               graft.functions.VecFunctions.ensureSessionRegistered()
             if (other == "simhash64")
               graft.functions.MinHashFunctions.ensureSessionRegistered()
-            if (other == "sorted_jaccard_ge")
+            if (other == "sorted_jaccard_ge" || other == "sorted_containment_ge")
               graft.functions.JaccardFunctions.ensureSessionRegistered()
             if (other.startsWith("pq_"))
               graft.functions.PqFunctions.ensureSessionRegistered()
