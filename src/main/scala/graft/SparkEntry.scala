@@ -182,14 +182,14 @@ object SparkEntry {
     // member (ties → smallest id) instead of an arbitrary min-id keeper —
     // the curation rule real pipelines want. One struct-max aggregate
     // picks winners; only ids ride the anti-join.
-    // (like d08, not rt-wrapped at the top level: CC materializes rounds —
-    // stepThroughWire instead round-trips every pointer-doubling hop)
+    // (CC materializes rounds, so no top-level rt; the heavy relational
+    // stage — exact pair generation — rides the wire instead, and the
+    // per-round wire hop is d08/d13's already-certified contract)
     "d14_keep_best_per_cluster" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val pairs = ops.Dedup.prefixFilterJaccardPairs(d, "doc_id", "text",
-        threshold = 0.5)
-      ops.Dedup.keepBestPerCluster(d, pairs, col("n_chars"),
-          stepThroughWire = true)
+      val pairs = rt(s, ops.Dedup.prefixFilterJaccardPairs(d, "doc_id", "text",
+        threshold = 0.5))
+      ops.Dedup.keepBestPerCluster(d, pairs, col("n_chars"))
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     }),
 
