@@ -59,6 +59,56 @@ object Ivf {
     Pq.lloyd(rows, nlist, iters = 5).map(_.toSeq).toSeq
   }
 
+  /** Two-level quantizer for LARGE nlist: flat assignment is O(n·nlist·d)
+    * with a per-row literal scan over every centroid, which turns the
+    * self-sizing nlist ∝ n contract into O(n²) total work — measured 288×
+    * wall at a 30× rehearsal (s07, nlist 938). Hierarchical cells make it
+    * O(n·(√nlist + nlist/√nlist)·d) = O(n^1.5/√128):
+    * k1 = ⌈√nlist⌉ coarse cells trained as usual; each coarse cell gets
+    * fine centroids ∝ its sample share (Σ ≈ nlist), trained driver-side
+    * from the SAME one bounded sample pull — no extra Spark jobs.
+    * Returns (coarse centroids, fine table rows (fineId, coarseCell,
+    * centroid)); fine ids are globally unique.
+    */
+  private[ops] def trainHierarchical(base: DataFrame, nlist: Int,
+                                     trainSampleFraction: Double, seed: Long,
+                                     vecField: String)
+      : (Seq[Seq[Double]], Seq[(Int, Int, Seq[Double])]) = {
+    val idCol = base.columns.head
+    val sampled = (if (trainSampleFraction < 1.0)
+      base.sample(withReplacement = false, trainSampleFraction, seed) else base)
+      .orderBy(col(idCol)).limit(16384)
+    val rows = sampled.select(col(vecField)).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "empty training sample")
+    val k1 = math.min(64, math.max(8, math.ceil(math.sqrt(nlist.toDouble)).toInt))
+    val coarse = Pq.lloyd(rows, k1, iters = 5)
+    def nearest(p: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < coarse.length) {
+        var dist = 0.0; var i = 0; val cent = coarse(c)
+        while (i < p.length) { val t = p(i) - cent(i); dist += t * t; i += 1 }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      best
+    }
+    val byCoarse = rows.groupBy(nearest)
+    var fid = 0
+    val fine = (0 until coarse.length).flatMap { c =>
+      byCoarse.get(c) match {
+        case None => Nil
+        case Some(pts) =>
+          val k2 = math.max(1,
+            math.round(nlist.toDouble * pts.length / rows.length).toInt)
+          Pq.lloyd(pts, k2, iters = 5).map { cent =>
+            val row = (fid, c, cent.toSeq); fid += 1; row
+          }.toSeq
+      }
+    }
+    (coarse.map(_.toSeq).toSeq, fine)
+  }
+
   def build(corpus: DataFrame, nlist: Int, idCol: String = "vec_id",
             vecCol: String = "embedding",
             trainSampleFraction: Double = 1.0, seed: Long = 42L): IvfIndex = {

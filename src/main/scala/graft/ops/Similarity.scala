@@ -204,9 +204,41 @@ object Similarity {
       }
     val vecs = df.select(col(idCol).as("nd_id"), asDouble(col(vecCol)).as("nd_vec"))
       .repartition(col("nd_id"))
-    val centroids = Ivf.trainCentroids(vecs, cells, trainSampleFraction, seed, "nd_vec")
-    val bucketed = vecs.select(col("nd_id"),
-      explode(Ivf.nearestCells(col("nd_vec"), centroids, probeCells)).as("cell"))
+    // Assignment path splits on nlist: the flat literal-centroid scan is
+    // the fastest shape while the per-row constant stays small, but it is
+    // O(nlist) PER ROW — with the self-sizing nlist ∝ n that's O(n²)
+    // total (measured 288× wall at a 30× rehearsal). Above 64 cells the
+    // two-level quantizer takes over: a ⌈√nlist⌉-literal coarse probe,
+    // then fine centroids arrive by BROADCAST JOIN keyed on the coarse
+    // cell (fanout ≈ √nlist rows/vector), and the per-vector top-probe
+    // fine cells fall out of one window over skinny (id, cell, dist)
+    // triples — vectors never ride that shuffle.
+    val bucketed =
+      if (cells <= 64) {
+        val centroids = Ivf.trainCentroids(vecs, cells, trainSampleFraction,
+          seed, "nd_vec")
+        vecs.select(col("nd_id"),
+          explode(Ivf.nearestCells(col("nd_vec"), centroids, probeCells))
+            .as("cell"))
+      } else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val (coarse, fine) = Ivf.trainHierarchical(vecs, cells,
+          trainSampleFraction, seed, "nd_vec")
+        val fineDf = fine.toDF("cell", "ccell", "fcent")
+        val probed = vecs.select(col("nd_id"), col("nd_vec"),
+          explode(Ivf.nearestCells(col("nd_vec"), coarse, probeCells))
+            .as("ccell"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("nd_id").orderBy(col("d"), col("cell"))
+        probed.join(broadcast(fineDf), "ccell")
+          .select(col("nd_id"), col("cell"),
+            graft.functions.VecFunctions
+              .vecL2Sq(col("nd_vec"), col("fcent")).as("d"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= probeCells)
+          .select("nd_id", "cell")
+      }
     val candidates = bucketed
       .groupBy("cell")
       .agg(sort_array(collect_list(col("nd_id"))).as("ids"))

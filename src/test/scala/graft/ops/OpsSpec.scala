@@ -122,6 +122,29 @@ class OpsSpec extends SparkTestBase {
     assert(got == exact, s"missed ${exact -- got}, extra ${got -- exact}")
   }
 
+  test("two-level quantizer path (nlist > 64) finds the same planted twins") {
+    // forces the hierarchical assignment: 1000 vectors, nlist 128 → coarse
+    // √128≈12-cell literal probe + broadcast fine assignment. Output must
+    // still equal the exact all-pairs ground truth (recall through BOTH
+    // levels, precision from the exact-cosine verify).
+    val e = embs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val twin = e.select((col("vec_id") + 100000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> x * (1.0D + 0.002D * ((i % 5) - 2)))")
+        .as("embedding"))
+    val u = e.unionAll(twin)
+    val a = u.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = u.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.semanticNearDups(u, threshold = 0.8, nlist = 128,
+        probeCells = 2, seed = 42L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact, s"missed ${exact -- got}, extra ${got -- exact}")
+  }
+
   test("semanticNearDups multi-probe covers a pair split at probeCells=1") {
     // two clearly separated clusters plus a twin pair halfway between them:
     // with probeCells=2 the twins meet in a shared cell no matter which side
