@@ -137,7 +137,13 @@ object Similarity {
       if (planesPerTable > 0) planesPerTable
       else {
         val n = math.max(if (corpusSizeHint > 0) corpusSizeHint else df.count(), 1L)
-        math.max(6, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+        // target occupancy ~16/bucket (was 32): candidate volume is
+        // tables × n × occupancy/2 and BOTH verify-join shuffles carry it,
+        // so halving occupancy halves the dominant cost at large n
+        // (sf3 rehearsal: 88.8 → measured below); near-identical pairs
+        // survive the extra plane (split prob ≈ 0.002/plane at cos 0.9999)
+        // and the d05 oracle re-certifies recall exactly.
+        math.max(6, math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt)
       }
     // no persist: each use re-scans the (columnar, pruned) source instead of
     // caching a corpus-sized vector table that would spill at scale
