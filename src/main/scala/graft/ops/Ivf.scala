@@ -69,6 +69,10 @@ object Ivf {
     * from the SAME one bounded sample pull — no extra Spark jobs.
     * Returns (coarse centroids, fine table rows (fineId, coarseCell,
     * centroid)); fine ids are globally unique.
+    *
+    * Bound: the fine table broadcasts (nlist × dim doubles) — ~0.5 GB at
+    * nlist 10⁶/dim 64. Past that, raise the per-cell occupancy target or
+    * add a third level; the construction recurses naturally.
     */
   private[ops] def trainHierarchical(base: DataFrame, nlist: Int,
                                      trainSampleFraction: Double, seed: Long,
