@@ -1113,6 +1113,18 @@ object SparkEntry {
         t(s, dir, "events").withColumn("ts", col("ts").cast("timestamp_ntz")),
         gapMinutes = 120)
         .orderBy("user_id", "session_start"))),
+    // native session_window sessionization (built-in-first twin of e01's
+    // custom-state path): input rides the wire, the session aggregate runs
+    // on the consumed frame (session merging hangs off attribute metadata
+    // the wire can't carry — see EventStream.sessionWindowAgg)
+    "e08_session_window" -> ((s, dir) => {
+      val ev = rt(s, t(s, dir, "events")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .select("event_id", "ts", "user_id", "value"))
+      streaming.EventStream.sessionWindowAgg(ev)
+        .orderBy("user_id", "session_start")
+    }),
+
     "e02_windowed_counts" -> ((s, dir) => rt(s,
       t(s, dir, "events")
         .withColumn("ts", col("ts").cast("timestamp_ntz"))
@@ -2833,6 +2845,28 @@ object SparkEntry {
         |  AND p.p_ts - INTERVAL 30 MINUTE <= e.e_ts
         |  AND e.e_ts - INTERVAL 45 MINUTE <= p.p_ts
         |ORDER BY p.p_id, e.e_id""".stripMargin,
+    // e08: session_window semantics replayed — new session when the
+    // microsecond gap to the previous event reaches the 2h gap (Spark
+    // compares at microsecond precision; >= because window-start ==
+    // previous window-end does NOT overlap), end = last event + gap
+    "e08_session_window" ->
+      """WITH l AS (SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev_ts) >= 7200000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM l),
+        |g AS (SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sno
+        |  FROM f)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 2 HOUR AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sno
+        |ORDER BY user_id, session_start""".stripMargin,
     "e01_sessions" ->
       """WITH l AS (SELECT user_id, ts, event_id, value,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

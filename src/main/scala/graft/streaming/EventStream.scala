@@ -36,6 +36,33 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Gap-based sessionization via Spark's NATIVE `session_window` — the
+    * built-in-first counterpart to [[sessionize]]'s custom
+    * flatMapGroupsWithState: same session semantics (new session when the
+    * gap to the previous event reaches `gap`; window end = last event +
+    * gap), but declared, so Catalyst owns the merge (UpdatingSessions in
+    * batch, the session state store in streaming) and the watermark evicts
+    * state. Works identically on batch and streaming frames (watermark is
+    * a no-op on batch). Totals accumulate as DECIMAL — order-independent.
+    *
+    * NOT wire-round-trippable as a whole: the analyzer rewrites
+    * session_window into internal expressions (PreciseTimestampConversion)
+    * and hangs the merge behavior off attribute METADATA — a consumer
+    * without that metadata would silently stop merging sessions. The e08
+    * driver query therefore round-trips its INPUT through the wire and
+    * applies the session aggregate on the consumed frame.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "120 minutes",
+                       watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+
   /** Stream-static dimension enrichment + per-(attribute, type) totals: the
     * classic streaming-ETL shape — each event left-joins its dimension row
     * (unmatched keys keep flowing as 'unknown'), then value totals

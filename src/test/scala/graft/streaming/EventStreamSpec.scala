@@ -39,6 +39,26 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("native session_window: streamed closed sessions ⊆ batch sessions") {
+    val q = EventStream.sessionWindowAgg(streamingEvents)
+      .writeStream.format("memory").queryName("swin_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def norm(df: DataFrame): Set[String] = df
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("total_value"), 4).as("tv"))
+        .collect().map(_.toString).toSet
+      val streamed = norm(spark.table("swin_out"))
+      val batch = norm(EventStream.sessionWindowAgg(spark.table("events")))
+      // append mode emits only watermark-closed sessions; each must match a
+      // batch session exactly
+      assert(streamed.nonEmpty, "some sessions must close under the watermark")
+      val missing = streamed -- batch
+      assert(missing.isEmpty, s"streamed-only sessions: ${missing.take(3)}")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: streaming (complete mode) == batch") {
     val dim = spark.table("customer")
       .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
