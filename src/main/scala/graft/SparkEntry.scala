@@ -988,6 +988,24 @@ object SparkEntry {
       ops.Multimodal.mediaFeatureSummary(s, t(s, dir, "documents"))
         .orderBy("doc_id"))),
 
+    // GPU-inference batch packing: media rows pack into per-modality
+    // batches under a byte budget (t09's greedy streaming pack over binary
+    // payload sizes) — the batch-boundary layer between a media corpus and
+    // accelerator inference; one window pass per modality, payloads never
+    // shuffle (only their sizes do)
+    "m04_media_batches" -> ((s, dir) => rt(s, {
+      val media = ops.Multimodal.asMediaTable(t(s, dir, "documents"))
+        .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      ops.Pipeline.packSequences(media, "n_bytes", "doc_id",
+          budget = 4096, byCols = Seq("media_type"))
+        .groupBy("media_type", "bin_id")
+        .agg(count(lit(1)).as("n_items"),
+          sum("n_bytes").cast("long").as("total_bytes"))
+        .withColumn("fill_frac",
+          round(least(col("total_bytes").cast("double"), lit(4096.0)) / 4096.0, 6))
+        .orderBy("media_type", "bin_id")
+    })),
+
     // video-style frame sampling over binary payloads: the oracle checks the
     // exact frame geometry (index + byte count) the slicer must produce
     "m02_frame_stats" -> ((s, dir) => rt(s,
@@ -2658,6 +2676,24 @@ object SparkEntry {
         |  ROUND(CAST(sum(CAST(CAST(c6 AS DOUBLE) / GREATEST(fb, 1)
         |    AS DECIMAL(27,15))) AS DOUBLE) / count(*), 6) AS clip_b6
         |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // m04: the greedy streaming pack replayed over UTF-8 byte sizes per
+    // modality (strlen = bytes; payloads are the text's UTF-8 encoding)
+    "m04_media_batches" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS media_type,
+        |    CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents),
+        |p AS (SELECT *, COALESCE(CAST(sum(n_bytes) OVER (
+        |      PARTITION BY media_type ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |    0) AS strm FROM m),
+        |b AS (SELECT media_type,
+        |    CAST(floor(strm / 4096.0) AS BIGINT) AS bin_id, n_bytes FROM p)
+        |SELECT media_type, bin_id, count(*) AS n_items,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  ROUND(LEAST(CAST(CAST(sum(n_bytes) AS BIGINT) AS DOUBLE), 4096.0)
+        |    / 4096.0, 6) AS fill_frac
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "m02_frame_stats" ->
       """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS b FROM documents),
         |f AS (SELECT doc_id, b,
