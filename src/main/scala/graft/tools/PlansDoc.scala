@@ -50,7 +50,10 @@ object PlansDoc {
     "t27_ppl_buckets" -> "perplexity buckets: the char-LM scoring pass is shuffle-free (literal model map); one doc-keyed join, one lang-keyed window for the exact ntile",
     "s12_mmr_rerank" -> "MMR rerank: shortlist + pairwise sims reduce to per-query arrays/maps; the greedy loop is a single codegen-stage aggregate HOF — no driver loop, no per-iteration shuffles",
     "s13_ivf_incremental_ingest" -> "incremental IVF ingest: the appended batch assigns against literal saved centroids in a narrow stage; the probe scans the grown cell-partitioned layout",
-    "d14_keep_best_per_cluster" -> "quality-aware cluster dedup: winners via ONE struct-max aggregate over (quality, −id); bare-id anti-join — text never rides a shuffle after pair generation")
+    "d14_keep_best_per_cluster" -> "quality-aware cluster dedup: winners via ONE struct-max aggregate over (quality, −id); bare-id anti-join — text never rides a shuffle after pair generation",
+    "d15_containment_pairs" -> "directed containment: A-side rarest-first prefix joins the full gram index on 8-byte grams; shingle arrays re-join only for the early-terminating sorted_containment_ge verify",
+    "e08_session_window" -> "native session_window sessions: wire-fed input, Catalyst-owned session merge (UpdatingSessions) riding ONE user-keyed exchange",
+    "m04_media_batches" -> "media batch packing: per-modality window pass over payload SIZES — binary payloads never shuffle; batch boundaries from one running sum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
