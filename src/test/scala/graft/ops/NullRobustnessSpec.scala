@@ -57,6 +57,31 @@ class NullRobustnessSpec extends SparkTestBase {
     assert(out.filter(col("text_deduped").isNull).count() == 0)
   }
 
+  test("brute-force kNN: a null embedding neither throws nor enters any top-k") {
+    val base = spark.table("embeddings").limit(50)
+    val e = base.unionByName(
+      Seq((999901L, null.asInstanceOf[Seq[Float]], 0))
+        .toDF("vec_id", "embedding", "label"))
+    val out = Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 4), k = 3)
+    assert(out.filter(col("n_id") === 999901L).count() == 0,
+      "a null vector must never rank")
+    val clean = Similarity.bruteForceKnn(base, base.filter(col("vec_id") < 4), k = 3)
+    assert(out.collect().map(_.toString).sorted.sameElements(
+      clean.collect().map(_.toString).sorted))
+  }
+
+  test("LSH near-dups: a null embedding drops cleanly, pairs unchanged") {
+    val base = spark.table("embeddings").limit(50)
+    val e = base.unionByName(
+      Seq((999901L, null.asInstanceOf[Seq[Float]], 0))
+        .toDF("vec_id", "embedding", "label"))
+    val withNull = Similarity.lshNearDups(e, "vec_id", "embedding",
+      threshold = 0.3).select("id_a", "id_b").collect().map(_.toString).toSet
+    val without = Similarity.lshNearDups(base, "vec_id", "embedding",
+      threshold = 0.3).select("id_a", "id_b").collect().map(_.toString).toSet
+    assert(withNull == without)
+  }
+
   test("prepareCorpus composite survives a null text end to end") {
     val out = Pipeline.prepareCorpus(docs)
     assert(out.count() >= 1)
