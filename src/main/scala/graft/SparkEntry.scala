@@ -178,6 +178,26 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     })),
 
+    // exact duplicate-SPAN pairs (Lee et al. 2022 exact-substring signal):
+    // docs sharing any contiguous 20-token substring, with the count of
+    // distinct shared spans. Fixture plants quoters: every 11th doc gets an
+    // id+300000 twin whose text = the original's first 25 tokens + a salted
+    // tail → exactly 6 stride-1 spans shared per planted pair (when the
+    // source has ≥25 tokens); jaccard at these lengths is far below any
+    // near-dup threshold — the span detector is the only op that sees it.
+    "d16_shared_spans" -> ((s, dir) => rt(s, {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val quoters = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(
+            expr("array_join(slice(split(text, ' '), 1, 25), ' ')"),
+            lit(" qz"), col("doc_id").cast("string"),
+            lit(" unrelated salted tail content follows here")).as("text"))
+      ops.Dedup.sharedSpanPairs(base.unionAll(quoters), "doc_id", "text",
+          spanTokens = 20)
+        .orderBy("id_a", "id_b")
+    })),
+
     // quality-aware cluster dedup: each near-dup cluster keeps its LONGEST
     // member (ties → smallest id) instead of an arbitrary min-id keeper —
     // the curation rule real pipelines want. One struct-max aggregate
@@ -1823,6 +1843,27 @@ object SparkEntry {
         |r AS (SELECT u, u AS x FROM (SELECT DISTINCT u FROM e)
         |      UNION SELECT r.u, e.v FROM r JOIN e ON r.x = e.u)
         |SELECT u AS node, min(x) AS cluster_id FROM r GROUP BY u ORDER BY node""".stripMargin,
+    // d16: exact shared-span replay — stride-1 20-token windows as STRINGS
+    // (engine uses xxhash64 digests; counts agree because per-doc windows
+    // are distinct and a cross-side 64-bit collision is ~1e-13-improbable,
+    // the certified contaminationHits convention)
+    "d16_shared_spans" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 300000,
+        |    array_to_string(string_split(text, ' ')[1:25], ' ')
+        |      || ' qz' || CAST(doc_id AS VARCHAR)
+        |      || ' unrelated salted tail content follows here'
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |s AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM u),
+        |w AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 20 THEN [array_to_string(toks, ' ')]
+        |    ELSE [array_to_string(toks[i:i+19], ' ')
+        |          for i in range(1, len(toks) - 18)] END) AS spans FROM s),
+        |e AS (SELECT doc_id, unnest(spans) AS sp FROM w),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM e a JOIN e b ON a.sp = b.sp AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, count(*) AS n_shared_spans FROM p
+        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
     // d15: exact all-ordered-pairs containment over the base ∪ extended-
     // twin union — same 3-token-shingle convention as d13, asymmetric
     // denominator len(a.g)

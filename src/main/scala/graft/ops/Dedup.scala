@@ -530,6 +530,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("c"), 6).as("containment"))
   }
 
+  /** Exact duplicate-SPAN detection (the Lee et al. 2022 "Deduplicating
+    * Training Data" operator): two documents are flagged when they share
+    * any exact, contiguous `spanTokens`-token substring — the
+    * boilerplate/quotation/mirror-page signal that SET-based similarity
+    * (jaccard over shingles) dilutes away once the shared span is a small
+    * fraction of both documents. Returns (id_a, id_b, n_shared_spans):
+    * the number of distinct span values the pair shares.
+    *
+    * Overlapping stride-1 token windows hash to 8-byte digests
+    * (per-doc-distinct); docs sharing a digest pair up through one
+    * bucket-grouped shuffle of bare (digest, id) rows — text never
+    * shuffles, candidate volume ∝ true shared-span density, and a hot
+    * boilerplate span is capped by `maxBucket` like every other bucketed
+    * pair generator here.
+    */
+  def sharedSpanPairs(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", spanTokens: Int = 20,
+                      maxBucket: Int = 10000): DataFrame = {
+    val spans = df.select(col(idCol).as("sid"), explode(array_distinct(expr(
+      s"""element_at(transform(array(split(lower($textCol), ' ')), ws ->
+         |  CASE WHEN size(ws) < $spanTokens
+         |       THEN array(xxhash64(array_join(ws, ' ')))
+         |       ELSE transform(sequence(0, size(ws) - $spanTokens),
+         |              i -> xxhash64(array_join(slice(ws, i + 1, $spanTokens), ' ')))
+         |  END), 1)""".stripMargin))).as("wh"))
+    spans.groupBy("wh")
+      .agg(sort_array(collect_list(col("sid"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(explode(sortedPairs("ids")).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared_spans"))
+  }
+
   /** 64-bit SimHash fingerprint via the codegen'd single-pass kernel
     * (graft.functions.SimHash64): per token, hash bits vote +1/−1 per
     * position; fingerprint bit b is set when the vote is positive.
