@@ -453,7 +453,8 @@ class PlanQualitySpec extends SparkTestBase {
     for (q <- Seq("p19_skipping_report", "t27_ppl_buckets", "s12_mmr_rerank",
       "s13_ivf_incremental_ingest", "d14_keep_best_per_cluster",
       "e07_stream_enrich", "t28_contamination_score",
-      "d15_containment_pairs", "e08_session_window", "m04_media_batches")) {
+      "d15_containment_pairs", "e08_session_window", "m04_media_batches",
+      "d16_shared_spans")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
     }
