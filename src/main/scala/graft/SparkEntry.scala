@@ -1112,6 +1112,22 @@ object SparkEntry {
         .orderBy("e_id"))
     }),
 
+    // time-INTERVAL RANGE window frame (trailing 1-hour per-user totals —
+    // THE sliding-metric shape): the bound has no i64 substrait form, so
+    // the producer re-keys the spec on unix_micros(ts) (monotone bijection;
+    // identical partitions/order/range sets) and ships microsecond offsets
+    "q45_time_range_window" -> ((s, dir) => rt(s,
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          expr("""count(*) OVER (PARTITION BY user_id ORDER BY ts
+                 |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+            .stripMargin).as("n_1h"),
+          expr("""sum(cast(round(value * 100) AS BIGINT)) OVER (
+                 |  PARTITION BY user_id ORDER BY ts
+                 |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+            .stripMargin).as("cents_1h"))
+        .orderBy("user_id", "ts", "event_id"))),
+
     // semi-structured JSON payloads: extract + aggregate over the events
     // props column — get_json_object rides the wire as a named scalar fn
     "q43_json_ops" -> ((s, dir) => rt(s,
@@ -2882,6 +2898,15 @@ object SparkEntry {
         |FROM e LEFT JOIN c ON e.user_id = c.user_id
         |  AND c.c_ts BETWEEN e.e_ts - INTERVAL 1 HOUR AND e.e_ts
         |GROUP BY 1, 2, 3 ORDER BY e.e_id""".stripMargin,
+    "q45_time_range_window" ->
+      """SELECT event_id, user_id, ts,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+        |    AS cents_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     "q43_json_ops" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

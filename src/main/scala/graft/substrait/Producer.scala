@@ -1237,12 +1237,53 @@ object Producer {
             ("nth_value", Seq(n.input, n.offset, Literal(n.ignoreNulls)))
           case other => notImplemented(s"window function ${other.prettyName}")
         }
-        val sorts = spec.orderSpec.map(so => sortField(so, rec))
-        val (lower, upper, rowFrame) = spec.frameSpecification match {
+        // Time-INTERVAL range bounds have no substrait offset form (bounds
+        // are i64), and Spark's Column API cannot rebuild them on consume.
+        // Rewrite the SPEC instead: order by unix_micros(ts) — a strictly
+        // monotone bijection, so partitions/order/range sets are identical —
+        // and carry the bound as plain microseconds. NTZ order columns cast
+        // to TimestampType first (session TZ is pinned UTC; no ambiguity).
+        def intervalMicros(e: Expression): Option[Long] = e match {
+          case Cast(inner, _, _, _) => intervalMicros(inner)
+          case UnaryMinus(inner, _) => intervalMicros(inner).map(m => -m)
+          case Literal(v: Long, _: DayTimeIntervalType) => Some(v)
+          case Literal(ci: org.apache.spark.unsafe.types.CalendarInterval, _)
+              if ci.months == 0 =>
+            Some(ci.days * 86400000000L + ci.microseconds)
+          case Literal(_, _: YearMonthIntervalType) => notImplemented(
+            "year-month interval RANGE bound (variable length; no i64 offset)")
+          case _ => None
+        }
+        def microBound(n: Long): WBound =
+          if (n == 0) WBound.CurrentRow
+          else if (n < 0) WBound.Preceding(-n) else WBound.Following(n)
+        val (sorts, (lower, upper, rowFrame)) = spec.frameSpecification match {
+          case SpecifiedWindowFrame(RangeFrame, lo, hi)
+              if intervalMicros(lo).isDefined || intervalMicros(hi).isDefined =>
+            val orderExpr = spec.orderSpec match {
+              case Seq(so) => so
+              case _ => notImplemented(
+                "interval RANGE frame requires exactly one order column")
+            }
+            val micros = orderExpr.child.dataType match {
+              case TimestampType => UnixMicros(orderExpr.child)
+              case TimestampNTZType =>
+                UnixMicros(Cast(orderExpr.child, TimestampType))
+              case other => notImplemented(
+                s"interval RANGE frame over ${other.simpleString(40)} order column")
+            }
+            def b(e: Expression): WBound = intervalMicros(e) match {
+              case Some(n) => microBound(n)
+              case None => windowBound(e)
+            }
+            (Seq(sortField(orderExpr.copy(child = micros), rec)),
+              (b(lo), b(hi), false))
           case SpecifiedWindowFrame(ft, lo, hi) =>
-            (windowBound(lo), windowBound(hi), ft == RowFrame)
+            (spec.orderSpec.map(so => sortField(so, rec)),
+              (windowBound(lo), windowBound(hi), ft == RowFrame))
           case UnspecifiedFrame =>
-            (WBound.Unbounded, WBound.CurrentRow, false)
+            (spec.orderSpec.map(so => sortField(so, rec)),
+              (WBound.Unbounded, WBound.CurrentRow, false))
           case other => notImplemented(s"window frame $other")
         }
         SExpr.WindowFn(anchor(name.toLowerCase), args.map(rec),

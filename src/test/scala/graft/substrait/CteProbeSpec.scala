@@ -101,6 +101,25 @@ class CteProbeSpec extends SparkTestBase {
         |FROM cte_data""".stripMargin))
   }
 
+  test("time-INTERVAL RANGE window frame rides the wire (unix_micros rewrite)") {
+    // the bound has no i64 substrait form; the producer re-keys the spec on
+    // unix_micros(ts) (monotone bijection — identical partitions/order/range
+    // sets) and carries microsecond offsets. Works for LTZ and NTZ order
+    // columns (NTZ casts under the pinned-UTC session first).
+    graft.Tables.register(spark, sfDir)
+    assertRoundtrip(spark.sql(
+      """SELECT event_id, user_id, sum(cast(round(value * 100) AS BIGINT)) OVER (
+        |  PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS c1h
+        |FROM events WHERE user_id < 5""".stripMargin))
+    assertRoundtrip(spark.sql(
+      """SELECT event_id, user_id, count(*) OVER (
+        |  PARTITION BY user_id ORDER BY cast(ts AS timestamp_ntz)
+        |  RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+        |            AND INTERVAL 30 MINUTE FOLLOWING) AS n1h
+        |FROM events WHERE user_id < 5""".stripMargin))
+  }
+
   test("aggregate directly over UNPIVOT rides the wire (not the grouping-sets path)") {
     fixture
     assertRoundtrip(spark.sql(
