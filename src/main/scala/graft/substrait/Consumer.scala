@@ -410,6 +410,19 @@ object Consumer {
         case "covariance_pop" | "covar_pop" => covar_pop(args.head, args(1))
         case "correlation" | "corr" => corr(args.head, args(1))
         case "grouping" => grouping(one)
+        case "collect_set" => collect_set(one)
+        // exact discrete percentile; the ASC-only contract is enforced by
+        // the producer (the DESC flag has no wire form). The SQL registry's
+        // builder takes only the percentage (WITHIN GROUP supplies the sort
+        // child via the parser), so consume through a direct constructor.
+        case "percentile_disc" =>
+          org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
+            .createOrReplaceTempFunction("graft_percentile_disc",
+              es => new org.apache.spark.sql.catalyst.expressions.aggregate
+                .PercentileDisc(es(0), es(1), reverse = false)
+                .toAggregateExpression(),
+              "scala_udf")
+          call_function("graft_percentile_disc", args: _*)
         case "first" => first(one)
         case "last" => last(one)
         case "first_ignore_nulls" => first(one, ignoreNulls = true)

@@ -941,6 +941,11 @@ object Producer {
               if f.ignoreNulls => "first_ignore_nulls"
           case l: org.apache.spark.sql.catalyst.expressions.aggregate.Last
               if l.ignoreNulls => "last_ignore_nulls"
+          // the DESC-within-group flag is a constructor param, not a child —
+          // emitting plain children would silently flip it to ASC on consume
+          case p: org.apache.spark.sql.catalyst.expressions.aggregate.PercentileDisc
+              if p.reverse => notImplemented(
+            "percentile_disc WITHIN GROUP (ORDER BY … DESC); use ASC with 1-p")
           case f => dataFusionAggName(f.prettyName)
         }
         val args = ae.aggregateFunction.children.map(c => toSExpr(c, inAttrs))

@@ -120,6 +120,24 @@ class CteProbeSpec extends SparkTestBase {
         |FROM events WHERE user_id < 5""".stripMargin))
   }
 
+  test("collect_set and percentile_disc aggregates ride the wire") {
+    graft.Tables.register(spark, sfDir)
+    assertRoundtrip(spark.sql(
+      """SELECT l_returnflag, sort_array(collect_set(l_linestatus)) AS s
+        |FROM lineitem GROUP BY 1""".stripMargin))
+    assertRoundtrip(spark.sql(
+      """SELECT lang, percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS m
+        |FROM documents GROUP BY 1""".stripMargin))
+    // the DESC-within-group flag has no wire form — must reject LOUDLY
+    // (silently flipping to ASC would corrupt results on a foreign consumer)
+    val e = intercept[Exception] {
+      graft.substrait.Serializer.roundtrip(spark, spark.sql(
+        """SELECT lang, percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars DESC) AS m
+          |FROM documents GROUP BY 1""".stripMargin)).collect()
+    }
+    assert(e.getMessage.contains("percentile_disc"), e.getMessage)
+  }
+
   test("aggregate directly over UNPIVOT rides the wire (not the grouping-sets path)") {
     fixture
     assertRoundtrip(spark.sql(
