@@ -1112,6 +1112,23 @@ object SparkEntry {
         .orderBy("e_id"))
     }),
 
+    // argmin/argmax + boolean/bit folds + regression aggregates through the
+    // wire (the composite key makes max_by/min_by tie-free → deterministic;
+    // skewness/kurtosis stay out of the ORACLE — DuckDB uses bias-corrected
+    // sample estimators where Spark uses population moments)
+    "q46_agg_extras" -> ((s, dir) => rt(s,
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          expr("max_by(doc_id, n_chars * 10000000 + doc_id)").as("longest_doc"),
+          expr("min_by(doc_id, n_chars * 10000000 + doc_id)").as("shortest_doc"),
+          expr("bool_and(n_chars > 10)").as("all_nontrivial"),
+          expr("bool_or(n_chars > 900)").as("any_huge"),
+          expr("count_if(n_chars > 300)").as("n_long"),
+          expr("bit_xor(doc_id)").as("xor_ids"),
+          round(expr("regr_slope(n_chars, doc_id)"), 6).as("slope"))
+        .orderBy("lang"))),
+
     // time-INTERVAL RANGE window frame (trailing 1-hour per-user totals —
     // THE sliding-metric shape): the bound has no i64 substrait form, so
     // the producer re-keys the spec on unix_micros(ts) (monotone bijection;
@@ -2898,6 +2915,16 @@ object SparkEntry {
         |FROM e LEFT JOIN c ON e.user_id = c.user_id
         |  AND c.c_ts BETWEEN e.e_ts - INTERVAL 1 HOUR AND e.e_ts
         |GROUP BY 1, 2, 3 ORDER BY e.e_id""".stripMargin,
+    "q46_agg_extras" ->
+      """SELECT lang,
+        |  max_by(doc_id, n_chars * 10000000 + doc_id) AS longest_doc,
+        |  min_by(doc_id, n_chars * 10000000 + doc_id) AS shortest_doc,
+        |  bool_and(n_chars > 10) AS all_nontrivial,
+        |  bool_or(n_chars > 900) AS any_huge,
+        |  CAST(count_if(n_chars > 300) AS BIGINT) AS n_long,
+        |  CAST(bit_xor(doc_id) AS BIGINT) AS xor_ids,
+        |  ROUND(regr_slope(n_chars, doc_id), 6) AS slope
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q45_time_range_window" ->
       """SELECT event_id, user_id, ts,
         |  count(*) OVER w AS n_1h,

@@ -383,6 +383,9 @@ object Consumer {
         case "sum" => sum_distinct(one)
         case "min" => min(one) // DISTINCT is a no-op for min/max
         case "max" => max(one)
+        // array_agg(DISTINCT x) = the distinct value set in unspecified
+        // order — exactly collect_set's contract
+        case "array_agg" => collect_set(one)
         case other => notImplemented(s"DISTINCT aggregate $other")
       } else fname match {
         case "count" => count(one)
@@ -411,6 +414,17 @@ object Consumer {
         case "correlation" | "corr" => corr(args.head, args(1))
         case "grouping" => grouping(one)
         case "collect_set" => collect_set(one)
+        // plain-children aggregates whose SQL-registry builders take exactly
+        // the wire arguments (argmin/argmax, boolean/bit folds, robust
+        // moments, linear-regression family) — no hidden flags (the producer
+        // guards the two that have them: mode's within-group ordering and
+        // percentile_disc DESC)
+        case n @ ("max_by" | "min_by" | "bool_and" | "bool_or" | "count_if" |
+                  "bit_and" | "bit_or" | "bit_xor" | "skewness" | "kurtosis" |
+                  "mode" | "regr_slope" | "regr_intercept" | "regr_r2" |
+                  "regr_avgx" | "regr_avgy" | "regr_count" | "every" | "any" |
+                  "some") =>
+          call_function(n, args: _*)
         // exact discrete percentile; the ASC-only contract is enforced by
         // the producer (the DESC flag has no wire form). The SQL registry's
         // builder takes only the percentage (WITHIN GROUP supplies the sort

@@ -946,6 +946,13 @@ object Producer {
           case p: org.apache.spark.sql.catalyst.expressions.aggregate.PercentileDisc
               if p.reverse => notImplemented(
             "percentile_disc WITHIN GROUP (ORDER BY … DESC); use ASC with 1-p")
+          case m: org.apache.spark.sql.catalyst.expressions.aggregate.Mode
+              if m.reverseOpt.isDefined => notImplemented(
+            "mode() WITHIN GROUP ordering flag has no wire form")
+          // any_value IS first modulo the (already unspecified) pick — the
+          // ignoreNulls flag is a constructor param, carried by name
+          case a: org.apache.spark.sql.catalyst.expressions.aggregate.AnyValue =>
+            if (a.ignoreNulls) "first_ignore_nulls" else "first"
           case f => dataFusionAggName(f.prettyName)
         }
         val args = ae.aggregateFunction.children.map(c => toSExpr(c, inAttrs))

@@ -138,6 +138,26 @@ class CteProbeSpec extends SparkTestBase {
     assert(e.getMessage.contains("percentile_disc"), e.getMessage)
   }
 
+  test("argmin/argmax, boolean/bit folds, moments, regression aggregates ride the wire") {
+    graft.Tables.register(spark, sfDir)
+    assertRoundtrip(spark.sql(
+      """SELECT lang, max_by(doc_id, n_chars * 10000000 + doc_id) AS longest,
+        |  min_by(doc_id, n_chars * 10000000 + doc_id) AS shortest,
+        |  bool_and(n_chars > 10) AS a, bool_or(n_chars > 900) AS o,
+        |  count_if(n_chars > 300) AS n,
+        |  bit_and(doc_id) AS ba, bit_or(doc_id) AS bo, bit_xor(doc_id) AS bx,
+        |  round(skewness(n_chars), 6) AS sk, round(kurtosis(n_chars), 6) AS ku,
+        |  round(regr_slope(n_chars, doc_id), 6) AS rs,
+        |  round(regr_r2(n_chars, doc_id), 6) AS r2,
+        |  any_value(source) AS av
+        |FROM documents GROUP BY lang""".stripMargin))
+    assertRoundtrip(spark.sql(
+      "SELECT lang, sort_array(collect_list(DISTINCT source)) AS s " +
+        "FROM documents GROUP BY lang"))
+    assertRoundtrip(spark.sql(
+      "SELECT lang, mode(source) AS m FROM documents GROUP BY lang"))
+  }
+
   test("aggregate directly over UNPIVOT rides the wire (not the grouping-sets path)") {
     fixture
     assertRoundtrip(spark.sql(
