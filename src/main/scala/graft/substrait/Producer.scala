@@ -79,13 +79,28 @@ object Producer {
       case a: logical.SubqueryAlias =>
         a.child match {
           case _: logical.View | _: LogicalRelation | _: DataSourceV2Relation |
-               _: logical.LocalRelation |
                // a checkpointed frame registered as a temp view: the RDD leaf
                // is opaque, but the VIEW NAME is a valid named read (the
                // consumer resolves it against the same session catalog) —
                // what lets iterative operators wire their per-round plans
                _: org.apache.spark.sql.execution.LogicalRDD =>
             Some((a.identifier.qualifier :+ a.identifier.name, p.output))
+          case lr: logical.LocalRelation =>
+            // the alias is a NAMED read only when a temp view of this exact
+            // frame exists — `VALUES ... AS t(x, y)` also arrives as
+            // SubqueryAlias(t, LocalRelation), and emitting NamedTable("t")
+            // for it would make the consumer look up a table that isn't
+            // there; unmatched aliases fall through to VirtualTable (the
+            // rows travel in the plan, correct under any name)
+            val matchesTempView = try {
+              org.apache.spark.sql.SparkSession.active.sessionState.catalog
+                .getTempView(a.identifier.name)
+                .map { case v: logical.View => v.child; case other => other }
+                .exists(_.canonicalized == lr.canonicalized)
+            } catch { case _: Throwable => false }
+            if (matchesTempView)
+              Some((a.identifier.qualifier :+ a.identifier.name, p.output))
+            else None
           case _ => None
         }
       case _ => None
@@ -145,6 +160,12 @@ object Producer {
           }
         }
         Produced(Rel.Read(schema, Nil, None, None, Some(rows)), l.output)
+
+      // SELECT without FROM (literal/expression evaluation): a one-row,
+      // zero-column VirtualTable — the projection above supplies every column
+      case _: logical.OneRowRelation =>
+        Produced(Rel.Read(NamedStruct(Nil, Nil), Nil, None, None,
+          Some(Seq(Nil))), Nil)
 
       // attribute-only projection over a leaf → ReadRel projection mask
       // (mirrors producer.rs:74-116 carrying the scan's projection)
