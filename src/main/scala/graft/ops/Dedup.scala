@@ -547,7 +547,10 @@ object Dedup {
     */
   def sharedSpanPairs(df: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", spanTokens: Int = 20,
-                      maxBucket: Int = 10000): DataFrame = {
+                      maxBucket: Int = 10000,
+                      onOverflow: String = "drop"): DataFrame = {
+    require(onOverflow == "drop" || onOverflow == "fail",
+      s"onOverflow must be 'drop' or 'fail', got '$onOverflow'")
     val spans = df.select(col(idCol).as("sid"), explode(array_distinct(expr(
       s"""element_at(transform(array(split(lower($textCol), ' ')), ws ->
          |  CASE WHEN size(ws) < $spanTokens
@@ -555,9 +558,22 @@ object Dedup {
          |       ELSE transform(sequence(0, size(ws) - $spanTokens),
          |              i -> xxhash64(array_join(slice(ws, i + 1, $spanTokens), ' ')))
          |  END), 1)""".stripMargin))).as("wh"))
-    spans.groupBy("wh")
+    val grouped = spans.groupBy("wh")
       .agg(sort_array(collect_list(col("sid"))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .filter(size(col("ids")) >= 2)
+    // 'drop' (prod): a hot boilerplate span above the cap is discarded
+    // before pair explosion — the quadratic-blowup guard every bucketed
+    // pair generator here shares. 'fail' (certification): the same
+    // condition raises instead, proving the cap-free oracle and the
+    // capped engine computed over identical buckets.
+    val capped =
+      if (onOverflow == "fail")
+        grouped.withColumn("ids",
+          when(size(col("ids")) > maxBucket, raise_error(concat(
+            lit(s"sharedSpanPairs: span bucket > maxBucket=$maxBucket at digest "),
+            col("wh").cast("string")))).otherwise(col("ids")))
+      else grouped.filter(size(col("ids")) <= maxBucket)
+    capped
       .select(explode(sortedPairs("ids")).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .groupBy("id_a", "id_b")
@@ -892,6 +908,17 @@ object Dedup {
     * winner per cluster is ONE struct-max aggregate (quality, −id) — no
     * window, no per-cluster sort; only (id, cluster, quality) triples ride
     * the shuffles and the final anti-join ships bare ids.
+    *
+    * Plan note (measured, round 8): this runs as SortAggregate, and that is
+    * the RIGHT plan. The obvious "fix" — `max_by(node, struct(q, -node))` —
+    * also plans as SortAggregate (the struct ordering sits in the aggregate
+    * buffer, and HashAggregateExec requires every buffer field to be an
+    * UnsafeRow-mutable scalar; MaxBy is declarative so ObjectHashAggregate
+    * doesn't apply either). The hash-agg alternative (max(q) per cluster +
+    * join-back + min(node)) re-shuffles the FULL member set for the join,
+    * while the partial SortAggregate here ships one row per cluster per map
+    * partition — strictly less network at scale for a map-local sort of
+    * 24-byte triples.
     */
   def keepBestPerCluster(df: DataFrame, pairs: DataFrame,
                          quality: org.apache.spark.sql.Column,

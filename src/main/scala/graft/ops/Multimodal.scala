@@ -71,6 +71,133 @@ object Multimodal {
       .mapPartitions(mediaFeaturesFn)
   }
 
+  // ------------------------------------------------------------------ REAL
+  // image decode (round 8): PNG via JDK javax.imageio — an actual codec, no
+  // external deps. The fixture has no image bytes, so payloads are
+  // SYNTHESIZED deterministically per doc_id (real PNG encode, also
+  // ImageIO), then decoded back through the full codec path; the DuckDB
+  // oracle computes the expected geometry + luma from the generation rule,
+  // so a decoder that mis-parses IHDR/IDAT fails certification. Audio/video
+  // decode stays stubbed (no codecs in this container — see decodeStub).
+
+  final case class IdRow(doc_id: Long)
+  final case class ImgRow(doc_id: Long, payload: Array[Byte])
+  final case class ImgFeature(doc_id: Long, width: Int, height: Int,
+                              channels: Int, mean_luma: Double)
+  final case class ImgLine(doc_id: Long, y: Int, line_bytes: Int,
+                           line_luma: Double)
+
+  /** Deterministic synthetic image parameters: w ∈ 1..13, h ∈ 1..13,
+    * gray value of pixel k (row-major) = (doc_id·31 + k) mod 256. The
+    * oracle replays exactly this rule.
+    */
+  private def imgWidth(id: Long): Int = (1 + (id % 7) * 2).toInt
+  private def imgHeight(id: Long): Int = (1 + (id % 5) * 3).toInt
+  private def imgGray(id: Long, k: Long): Int = ((id * 31 + k) % 256).toInt
+
+  /** THE encode stage instance (wire name graft.png_encode_v1): doc_id →
+    * real PNG bytes via ImageIO.write (TYPE_3BYTE_BGR, r=g=b=gray).
+    */
+  val pngEncodeFn: Iterator[IdRow] => Iterator[ImgRow] =
+    rows => rows.map { r =>
+      val (w, h) = (imgWidth(r.doc_id), imgHeight(r.doc_id))
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var k = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = imgGray(r.doc_id, k)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1; k += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      if (!javax.imageio.ImageIO.write(img, "png", bos))
+        throw new IllegalStateException("no PNG writer available")
+      ImgRow(r.doc_id, bos.toByteArray)
+    }
+
+  /** THE decode stage instance (wire name graft.image_decode_v1): PNG bytes
+    * → (width, height, channels, mean luma) via a REAL ImageIO.read — the
+    * codec parses IHDR for geometry and inflates IDAT for pixels; mean luma
+    * averages (r+g+b)/3 over the decoded raster.
+    */
+  val imageDecodeFn: Iterator[ImgRow] => Iterator[ImgFeature] =
+    rows => rows.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"undecodable image payload for doc ${r.doc_id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+          x += 1
+        }
+        y += 1
+      }
+      ImgFeature(r.doc_id, w, h, img.getRaster.getNumBands,
+        sum / math.max(w * h, 1))
+    }
+
+  /** THE scanline stage instance (wire name graft.image_scanlines_v1): one
+    * output row per decoded image ROW — geometry (bytes per line from the
+    * raster band count) and per-line mean luma. The decoded counterpart of
+    * byte-level frame sampling.
+    */
+  val imageScanlinesFn: Iterator[ImgRow] => Iterator[ImgLine] =
+    rows => rows.flatMap { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"undecodable image payload for doc ${r.doc_id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val bands = img.getRaster.getNumBands
+      (0 until h).iterator.map { y =>
+        var sum = 0.0
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+          x += 1
+        }
+        ImgLine(r.doc_id, y, w * bands, sum / math.max(w, 1))
+      }
+    }
+
+  /** Synthetic-PNG media table: real PNG payloads, one per doc. */
+  def asImageTable(spark: SparkSession, df: DataFrame,
+                   idCol: String = "doc_id"): Dataset[ImgRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id")).as[IdRow]
+      .mapPartitions(pngEncodeFn)
+  }
+
+  /** Decoded image features over real PNG payloads (m01). */
+  def imageFeatures(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    asImageTable(spark, df).mapPartitions(imageDecodeFn).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        round(col("mean_luma"), 6).as("mean_luma"))
+  }
+
+  /** Decoded per-scanline stats over real PNG payloads (m02). */
+  def imageScanlines(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    asImageTable(spark, df).mapPartitions(imageScanlinesFn).toDF()
+      .select(col("doc_id"), col("y"), col("line_bytes"),
+        round(col("line_luma"), 6).as("line_luma"))
+  }
+
   /** Flattened, oracle-friendly projection: id, modality, byte count and the
     * first histogram bin (deterministic scalar from the stub decode).
     */

@@ -84,16 +84,63 @@ object Similarity {
 
   /** ANN top-k: candidates share any table-bucket with the query; exact
     * cosine ranks the distinct candidates. Output: (q_id, n_id, rank, sim).
+    *
+    * Sizing (round 8 — the d05 occupancy contract applied to the kNN path):
+    * with `planesPerTable = 0` the index derives its own shape from the
+    * corpus size and a DECLARED similarity floor for the neighbors worth
+    * recalling:
+    *  - planes = log2(n / occupancy) keeps expected bucket occupancy flat
+    *    as n grows (the d05 rule — a fixed plane count is a scale trap);
+    *  - tables = ln(targetMiss) / ln(1 − (1−θ/π)^planes) makes the
+    *    per-neighbor candidate-miss probability ≤ targetMiss at the floor
+    *    cosine (θ = acos(minNeighborCos)) — planes sharpen buckets, tables
+    *    buy the recall back.
+    * The math also says when sign-LSH CANNOT win: if the derived shape's
+    * candidate volume (tables · n / 2^planes per query) reaches n — which
+    * happens exactly when the similarity floor is low (θ/π large, e.g.
+    * kNN over unclustered vectors) — every LSH configuration does at least
+    * a scan's work plus explode/distinct overhead, so the builder FALLS
+    * BACK to [[bruteForceKnn]]: strictly cheaper, recall exactly 1. This
+    * is the honest scale contract: LSH-kNN pays off only above a
+    * similarity floor; below it the exact scan (or IVF, which exploits
+    * cluster structure instead of random planes) is the right plan.
     */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, tables: Int = 4,
              planesPerTable: Int = 4, dim: Int = 64, idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
+             vecCol: String = "embedding", corpusSizeHint: Long = 0L,
+             occupancy: Int = 32, minNeighborCos: Double = 0.5,
+             targetMiss: Double = 0.01, maxTables: Int = 64): DataFrame = {
+    require(minNeighborCos > -1.0 && minNeighborCos < 1.0,
+      s"minNeighborCos must be in (-1, 1), got $minNeighborCos")
+    require(targetMiss > 0.0 && targetMiss < 1.0,
+      s"targetMiss must be in (0, 1), got $targetMiss")
+    val (nTables, nPlanes) =
+      if (planesPerTable > 0) (tables, planesPerTable)
+      else {
+        val n = math.max(
+          if (corpusSizeHint > 0) corpusSizeHint else corpus.count(), 1L)
+        val planes = math.max(1,
+          math.ceil(math.log(n.toDouble / occupancy) / math.log(2.0)).toInt)
+        val p = math.acos(minNeighborCos) / math.Pi
+        val hit = math.pow(1.0 - p, planes)
+        val t =
+          if (hit >= 1.0) 1
+          else math.ceil(math.log(targetMiss) / math.log(1.0 - hit)).toLong
+        // candidate slots per query ≈ t · n / 2^planes; ≥ n means the
+        // declared floor is too low for LSH to beat an exact scan
+        val slotsPerQuery =
+          if (planes >= 63) 0.0
+          else t.toDouble * n.toDouble / (1L << planes).toDouble
+        if (t > maxTables || slotsPerQuery >= n.toDouble)
+          return bruteForceKnn(corpus, queries, k, idCol, vecCol)
+        (t.toInt, planes)
+      }
     val cv = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
     val qv = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
     val c = cv.select(col("n_id"),
-      explode(lshBucketArray(col("n_vec"), tables, planesPerTable, dim)).as("bucket"))
+      explode(lshBucketArray(col("n_vec"), nTables, nPlanes, dim)).as("bucket"))
     val q = qv.select(col("q_id"),
-      explode(lshBucketArray(col("q_vec"), tables, planesPerTable, dim)).as("bucket"))
+      explode(lshBucketArray(col("q_vec"), nTables, nPlanes, dim)).as("bucket"))
     // the query side is small by contract (like bruteForceKnn) — broadcast
     // it explicitly so the corpus side streams through a hash join with no
     // shuffle and no sort-merge fallback under stale stats

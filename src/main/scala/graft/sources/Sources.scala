@@ -221,10 +221,22 @@ object Sources {
     produced.foreach { st =>
       val dir = st.getPath.getName
       val dst = new org.apache.hadoop.fs.Path(basePath, dir)
-      val backup = new org.apache.hadoop.fs.Path(basePath, dir + ".upsert-backup")
-      fs.delete(backup, true) // stale leftover from a prior crashed swap
+      // Dot-prefixed so Spark/Hadoop partition discovery ignores it: a
+      // concurrent reader during the swap window never sees the band twice,
+      // and a backup left by a crash can't pollute subsequent reads of
+      // basePath (including the next upsert's own read).
+      val backup = new org.apache.hadoop.fs.Path(basePath, s".$dir.upsert-backup")
+      if (fs.exists(backup)) {
+        // Leftover from a prior crashed swap. If the live band is missing the
+        // crash hit between the two renames → RESTORE the backup (the old
+        // band is the only copy). If the live band exists the dst rename
+        // completed → the backup is stale, drop it.
+        if (!fs.exists(dst)) require(fs.rename(backup, dst),
+          s"crash-recovery restore failed: $backup -> $dst")
+        else fs.delete(backup, true)
+      }
       // backup-rename instead of delete-then-rename: a crash between the
-      // two renames leaves the old band recoverable at *.upsert-backup
+      // two renames leaves the old band recoverable at .*.upsert-backup
       // instead of destroyed. Renames are metadata ops on HDFS-like stores.
       val hadOld = fs.exists(dst)
       if (hadOld) require(fs.rename(dst, backup), s"backup rename failed: $dst")

@@ -45,12 +45,14 @@ object EventStream {
     * state. Works identically on batch and streaming frames (watermark is
     * a no-op on batch). Totals accumulate as DECIMAL — order-independent.
     *
-    * NOT wire-round-trippable as a whole: the analyzer rewrites
-    * session_window into internal expressions (PreciseTimestampConversion)
-    * and hangs the merge behavior off attribute METADATA — a consumer
-    * without that metadata would silently stop merging sessions. The e08
-    * driver query therefore round-trips its INPUT through the wire and
-    * applies the session aggregate on the consumed frame.
+    * Wire-round-trippable since round 8: the producer recognizes the
+    * SessionWindowing-rewritten aggregate (session attribute marked with
+    * SessionWindow.marker metadata over the struct-projection shape) and
+    * ships the sessionization as `ExtSessionWindow` below a plain
+    * AggregateRel; the consumer rebuilds the projection with
+    * `session_window()`, which re-fires the same analysis and restores the
+    * merge semantics (MergingSessions verified in the consumed plan). The
+    * e08 driver query round-trips this WHOLE aggregate.
     */
   def sessionWindowAgg(events: DataFrame, gap: String = "120 minutes",
                        watermark: String = "1 hour"): DataFrame =

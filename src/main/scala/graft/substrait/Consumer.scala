@@ -243,6 +243,22 @@ object Consumer {
         // name would be dropped with Spark's own analyzer warning
         Built(in.df.hint(hint))
 
+      case Rel.ExtSessionWindow(input, tsField, gapMicros) =>
+        val in = build(input)
+        if (tsField < 0 || tsField >= in.df.columns.length)
+          internalErr(s"session ts field $tsField out of range")
+        if (gapMicros <= 0L)
+          internalErr(s"non-positive session gap $gapMicros")
+        // rebuilding the projection with session_window() re-fires Spark's
+        // SessionWindowing analysis: the projected attribute carries the
+        // session marker metadata, so an AggregateRel grouping on it above
+        // plans the session-merging aggregate (MergingSessions) — verified
+        // equal to the direct groupBy(session_window(..)) form
+        val tsCol = col(in.df.columns(tsField))
+        Built(in.df.select(col("*"),
+          session_window(tsCol, s"$gapMicros microseconds")
+            .as(freshNames(1).head)))
+
       case Rel.ExtStage(input, stage) =>
         val in = build(input)
         val st = Stages.registry.getOrElse(stage,
@@ -708,6 +724,7 @@ object Consumer {
           case "is_not_null" => a0.isNotNull
           case "negate" => -a0
           case "coalesce" => coalesce(all: _*)
+          case "raise_error" => raise_error(a0)
           case "array" => array(all: _*)
           case "map" => map(all: _*)
           case "get_map_value" => a0.getItem(a1)

@@ -586,7 +586,89 @@ object Producer {
         return produceAggregate(
           logical.Aggregate(agg.groupingExpressions, newExprs, agg.child))
       }
-      val in = toRel(agg.child)
+      // Session-window aggregate: the SessionWindowing analyzer rule rewrote
+      //   groupBy(keys, session_window(ts, gap))
+      // into Aggregate(groupings incl. session attr marked with
+      // SessionWindow.marker metadata) over Filter(isnotnull(ts)) over
+      // Project(session struct alias +: passthrough attrs). Recognize that
+      // exact shape and ship the sessionization as ExtSessionWindow below a
+      // PLAIN AggregateRel; the isnotnull filter is NOT encoded — the
+      // consumer's rebuilt session_window() re-derives it through the same
+      // analyzer rule. Anything session-marked that doesn't match (dynamic
+      // gap expressions, rewritten projections) stays loudly notImplemented.
+      // The session computation may sit DIRECTLY below the aggregate
+      // (SQL / direct-groupBy form) or below further pass-through Projects
+      // (each wire replay of a consumed session plan adds one — the rule
+      // wraps the consumer's Project rather than the Aggregate). Peel
+      // Projects recursively: a layer whose session entry aliases an inner
+      // attribute re-encodes as a plain Rel.Project over the sessionized
+      // input; the terminal Filter/struct-Project layer becomes
+      // ExtSessionWindow.
+      def sessionize(plan: LogicalPlan, sessId: ExprId): Produced = plan match {
+        case logical.Filter(IsNotNull(_), p: logical.Project)
+            if p.projectList.exists {
+              case al: Alias => al.exprId == sessId &&
+                !al.child.isInstanceOf[AttributeReference]
+              case _ => false
+            } =>
+          val sessionAlias = p.projectList.collectFirst {
+            case al: Alias if al.exprId == sessId => al
+          }.get
+          val passthrough = p.projectList.filter {
+            case al: Alias => al.exprId != sessId
+            case _ => true
+          }
+          if (!(passthrough.forall(_.isInstanceOf[AttributeReference]) &&
+              passthrough.map(_.exprId) == p.child.output.map(_.exprId)))
+            notImplemented("session-window projection with rewritten columns")
+          // struct = named_struct(start, ptc(ptc(ts,..)), end,
+          // knownnullable(ptc(ptc(ts + INTERVAL gap, ..)))): the ts is the
+          // one attribute inside, the gap the one interval constant
+          val tsAttr = sessionAlias.child.collectFirst {
+            case a: AttributeReference => a
+          }.getOrElse(notImplemented("session window without a timestamp column"))
+          // the gap arrives as Cast('120 minutes' AS INTERVAL) — a foldable
+          // interval expression, not a bare literal; fold it here (a truly
+          // dynamic per-row gap is a non-foldable child → loud)
+          val gap = sessionAlias.child.collectFirst {
+            case e if e.dataType == CalendarIntervalType && e.foldable &&
+                e.eval(null) != null =>
+              e.eval(null)
+                .asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
+          }.getOrElse(notImplemented(
+            "session window with a non-literal (dynamic) gap"))
+          if (gap.months != 0)
+            notImplemented("session gap with a month component " +
+              "(no fixed microsecond length)")
+          val gapMicros = gap.days * 86400000000L + gap.microseconds
+          val child = toRel(p.child)
+          val tsOrd = child.attrs.indexWhere(_.exprId == tsAttr.exprId)
+          if (tsOrd < 0) internalErr("session ts column not in child output")
+          Produced(Rel.ExtSessionWindow(child.rel, tsOrd, gapMicros),
+            child.attrs :+ sessionAlias.toAttribute)
+        case p: logical.Project =>
+          val innerSess = p.projectList.collectFirst {
+            case al: Alias if al.exprId == sessId => al.child
+            case a: AttributeReference if a.exprId == sessId => a
+          } match {
+            case Some(a: AttributeReference) => a
+            case _ => notImplemented("session-window aggregate without the " +
+              "SessionWindowing filter/project shape")
+          }
+          val inner = sessionize(p.child, innerSess.exprId)
+          Produced(
+            Rel.Project(inner.rel, p.projectList.map(toSExpr(_, inner.attrs))),
+            p.projectList.map(_.toAttribute))
+        case _ =>
+          notImplemented("session-window aggregate without the " +
+            "SessionWindowing filter/project shape")
+      }
+      val in: Produced = agg.groupingExpressions.collectFirst {
+        case a: AttributeReference if a.metadata.contains(SessionWindow.marker) => a
+      } match {
+        case Some(sessionAttr) => sessionize(agg.child, sessionAttr.exprId)
+        case None => toRel(agg.child)
+      }
       val groups = agg.groupingExpressions
       val groupExprs = groups.map(g => toSExpr(g, in.attrs))
 
@@ -1236,6 +1318,17 @@ object Producer {
       case Not(c) => fn("not", rec(c))
       case UnaryMinus(c, _) => fn("negate", rec(c))
       case Coalesce(cs) => SExpr.ScalarFn(anchor("coalesce"), cs.map(rec))
+      // loud-error contract on the wire: SQL raise_error(msg) desugars to
+      // RaiseError(USER_RAISED_EXCEPTION, map(errorMessage -> msg)); only
+      // that user shape rides (as raise_error with the bare message arg) —
+      // internal error classes have no portable meaning and stay loud here
+      case r: RaiseError => (r.errorClass, r.errorParms) match {
+        case (Literal(ec, _), CreateMap(Seq(Literal(k, _), msg), _))
+            if ec != null && ec.toString == "USER_RAISED_EXCEPTION" &&
+              k != null && k.toString == "errorMessage" =>
+          fn("raise_error", rec(msg))
+        case _ => notImplemented(s"RaiseError with error class ${r.errorClass}")
+      }
       case In(v, list) if list.forall(_.foldable) =>
         // x IN (a, b, …) ≡ x=a OR x=b OR … (same three-valued logic)
         list.map(i => fn("equal", rec(v), rec(i)))

@@ -27,7 +27,33 @@ object Stages {
     // (doc_id, media_type, n_bytes, feature) via the partition-wise decode
     "graft.media_features_v1" -> Stage(
       Seq("doc_id", "media_type", "payload"), 4,
-      (spark, in) => graft.ops.Multimodal.extractFeatures(spark, in).toDF()))
+      (spark, in) => graft.ops.Multimodal.extractFeatures(spark, in).toDF()),
+    // Multimodal.pngEncodeFn: doc_id → real PNG payload (ImageIO.write)
+    "graft.png_encode_v1" -> Stage(
+      Seq("doc_id"), 2,
+      (spark, in) => {
+        import spark.implicits._
+        in.as[graft.ops.Multimodal.IdRow]
+          .mapPartitions(graft.ops.Multimodal.pngEncodeFn).toDF()
+      }),
+    // Multimodal.imageDecodeFn: (doc_id, payload) → decoded
+    // (doc_id, width, height, channels, mean_luma) via ImageIO.read
+    "graft.image_decode_v1" -> Stage(
+      Seq("doc_id", "payload"), 5,
+      (spark, in) => {
+        import spark.implicits._
+        in.as[graft.ops.Multimodal.ImgRow]
+          .mapPartitions(graft.ops.Multimodal.imageDecodeFn).toDF()
+      }),
+    // Multimodal.imageScanlinesFn: (doc_id, payload) → one row per decoded
+    // image row (doc_id, y, line_bytes, line_luma)
+    "graft.image_scanlines_v1" -> Stage(
+      Seq("doc_id", "payload"), 4,
+      (spark, in) => {
+        import spark.implicits._
+        in.as[graft.ops.Multimodal.ImgRow]
+          .mapPartitions(graft.ops.Multimodal.imageScanlinesFn).toDF()
+      }))
 
   /** Producer-side reverse lookup by EXACT closure identity: each wire name
     * binds to one registered function instance, so a second mapPartitions
@@ -37,7 +63,10 @@ object Stages {
     * wrong-result hazard: the consumer rebuilds whatever the NAME says.)
     */
   private lazy val byClosureInstance: Seq[(AnyRef, String)] = Seq(
-    graft.ops.Multimodal.mediaFeaturesFn -> "graft.media_features_v1")
+    graft.ops.Multimodal.mediaFeaturesFn -> "graft.media_features_v1",
+    graft.ops.Multimodal.pngEncodeFn -> "graft.png_encode_v1",
+    graft.ops.Multimodal.imageDecodeFn -> "graft.image_decode_v1",
+    graft.ops.Multimodal.imageScanlinesFn -> "graft.image_scanlines_v1")
 
   def nameOf(func: AnyRef): Option[String] =
     byClosureInstance.collectFirst { case (f, n) if f eq func => n }

@@ -144,6 +144,15 @@ object Validator {
           issues += Issue(path, s"unknown join-strategy hint '$hint'")
         w
 
+      case Rel.ExtSessionWindow(input, tsField, gapMicros) =>
+        val w = walkRel(input, s"$path/session_window")
+        if (w >= 0 && (tsField < 0 || tsField >= w))
+          issues += Issue(path,
+            s"session ts field $tsField out of range for arity $w")
+        if (gapMicros <= 0L)
+          issues += Issue(path, s"non-positive session gap $gapMicros")
+        if (w < 0) -1 else w + 1
+
       case Rel.ExtStage(input, stage) =>
         val w = walkRel(input, s"$path/stage")
         Stages.registry.get(stage) match {

@@ -795,6 +795,18 @@ object Wire {
             any.bytes(2, dw.out.toByteArray)
           })
         })
+      case Rel.ExtSessionWindow(in, tsField, gapMicros) =>
+        // value = SessionWindowRelDetail{ts_field=1 int32, gap_micros=2 int64}
+        rw.msg(9, ew => {
+          writeRel(ew, 2, in)
+          ew.msg(3, any => {
+            any.str(1, sessionWindowDetailUrl)
+            val dw = new W
+            dw.int32(1, tsField)
+            dw.int64(2, gapMicros)
+            any.bytes(2, dw.out.toByteArray)
+          })
+        })
       case Rel.ExtHint(in, hint) =>
         // value = HintRelDetail{hint=1 string}; semantically a no-op for
         // foreign consumers (placement advice only)
@@ -820,6 +832,9 @@ object Wire {
 
   /** Any.type_url for graft's join-strategy-hint extension rel detail. */
   val hintDetailUrl = "graft.dev/HintRelDetail"
+
+  /** Any.type_url for graft's session-window extension rel detail. */
+  val sessionWindowDetailUrl = "graft.dev/SessionWindowRelDetail"
 
   /** Output arity of a decoded rel — needed to resolve RelCommon.emit on a
     * ProjectRel, whose mapping indexes the concatenated (input ++
@@ -851,6 +866,8 @@ object Wire {
     case Rel.ExtHint(in, _) => relArity(in)
     case Rel.ExtStage(_, stage) =>
       Stages.registry.get(stage).map(_.outputArity).getOrElse(-1)
+    case Rel.ExtSessionWindow(in, _, _) =>
+      val a = relArity(in); if (a < 0) -1 else a + 1
   }
 
   /** RelCommon{emit=2{repeated int32 output_mapping=1}} → the mapping.
@@ -1146,6 +1163,15 @@ object Wire {
                   case _ => false
                 }}
                 Rel.ExtStage(in, stage)
+              case `sessionWindowDetailUrl` =>
+                val dr = new R(detail, 0, detail.length)
+                var tsField = -1; var gapMicros = 0L
+                dr.fields { (df, dwt) => (df, dwt) match {
+                  case (1, 0) => tsField = dr.varint().toInt; true
+                  case (2, 0) => gapMicros = dr.varint(); true
+                  case _ => false
+                }}
+                Rel.ExtSessionWindow(in, tsField, gapMicros)
               case `hintDetailUrl` =>
                 val dr = new R(detail, 0, detail.length)
                 var hint = ""

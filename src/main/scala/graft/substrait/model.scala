@@ -221,6 +221,21 @@ object model {
       * pipeline, and an unknown name fails loudly. detail =
       * StageRelDetail{stage=1 string}. */
     final case class ExtStage(input: Rel, stage: String) extends Rel
+    /** Gap-based session windowing (Spark's `session_window`) as
+      * ExtensionSingleRel with Any type_url
+      * `graft.dev/SessionWindowRelDetail`, detail =
+      * SessionWindowRelDetail{ts_field=1 int32, gap_micros=2 int64}.
+      * Output schema = input columns ++ one session struct column
+      * (start, end timestamps of the session the row belongs to, i.e.
+      * [ts, ts + gap) before merging). The AGGREGATE that merges
+      * overlapping sessions rides ABOVE this rel as a plain AggregateRel
+      * grouping on the session column — Spark's SessionWindowing analysis
+      * re-attaches the merge semantics when the consumer rebuilds the
+      * projection with `session_window()` (verified: MergingSessions
+      * appears in the rebuilt physical plan). A foreign consumer without
+      * session support rejects the type_url loudly. */
+    final case class ExtSessionWindow(input: Rel, tsField: Int,
+                                      gapMicros: Long) extends Rel
     /** A join-strategy hint (Spark logical.ResolvedHint) as
       * ExtensionSingleRel with Any type_url `graft.dev/HintRelDetail`,
       * detail = HintRelDetail{hint=1 string}. hint is a canonical Spark

@@ -184,6 +184,38 @@ class CteProbeSpec extends SparkTestBase {
     assert(e2.getMessage.contains("NULL-on-empty"), e2.getMessage)
   }
 
+  test("session_window aggregate rides the wire with merge semantics intact") {
+    import spark.implicits._
+    val ev = Seq((1L, "2024-01-01 00:00:00", 1.0), (1L, "2024-01-01 00:30:00", 2.0),
+        (1L, "2024-01-01 05:00:00", 4.0), (2L, "2024-01-01 00:10:00", 8.0))
+      .toDF("user_id", "s", "v")
+      .select(col("user_id"), col("s").cast("timestamp_ntz").as("ts"), col("v"))
+    ev.createOrReplaceTempView("sess_ev")
+    val df = spark.sql(
+      """SELECT user_id, session_window(ts, '120 minutes').start AS session_start,
+        |  session_window(ts, '120 minutes').end AS session_end,
+        |  count(*) AS n, sum(v) AS sv
+        |FROM sess_ev
+        |GROUP BY user_id, session_window(ts, '120 minutes')""".stripMargin)
+    val got = Serializer.roundtrip(spark, df)
+    assertSameRows(df, got)
+    // the merge itself: 00:00 and 00:30 must be ONE session (gap 2h) — a
+    // consumer that lost the session metadata would return 4 unmerged rows
+    assert(got.count() == 3L, "sessions did not merge after consumption")
+    assert(got.queryExecution.executedPlan.toString.contains("MergingSessions"),
+      "consumed plan lost the session-merging aggregate")
+    // DataFrame-API form with struct projection (the e08 shape)
+    val api = ev.groupBy(col("user_id"),
+        session_window(col("ts"), "120 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n"), col("sv"))
+    assertRoundtrip(api)
+    // double round-trip: the consumed plan re-produces
+    val twice = Serializer.roundtrip(spark, Serializer.roundtrip(spark, api))
+    assertSameRows(api, twice)
+  }
+
   test("new shapes double round-trip: consumed plans re-produce") {
     fixture
     for (q <- Seq(

@@ -6,7 +6,11 @@ the <sfDir> parquet tables, load the Spark parquet result, then compare
   - row count
   - column-name set
   - values: columns sorted by name, rows sorted by all columns, floats
-    compared to 1e-9 relative tolerance, everything else exactly.
+    normalized by ABSOLUTE 9-decimal rounding (round(v, 9) — deliberately
+    the driver's hash normalization, NOT a relative tolerance: large-
+    magnitude doubles must already agree to 1e-9 absolute, so oracles for
+    big sums/counts should ROUND() in both engines), everything else
+    exactly.
 
 Usage:
   python3 tools/local_compare.py <sfDir> <verifyOutDir> [query ...]

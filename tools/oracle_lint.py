@@ -112,7 +112,7 @@ def main():
                                 f"mismatch even if values agree")
         # softer heuristic: DOUBLE oracle columns not visibly ROUND/CAST'd
         for col, cls in duck_types.items():
-            if cls == "f64":
+            if cls == "float":  # duck_class maps DOUBLE/FLOAT -> "float"
                 low = sql.lower()
                 if f"as {col.lower()}" in low and \
                    not any(k in low for k in ("round(", "cast(", "::double",
