@@ -225,6 +225,33 @@ class ConsumerCompatSpec extends SparkTestBase {
     assert(back.columns.toSeq == df.columns.toSeq)
   }
 
+  test("foreign multi-grouping aggregate with a nested-IfThen measure executes") {
+    fixture
+    // GROUPING SETS ((id), ()) over
+    //   sum(CASE WHEN id > 1 THEN 10 ELSE 1 END)
+    // — a hand-built layout no Spark analyzer run produced
+    val measure = Measure(
+      AggFunction(1, Seq(SExpr.IfThen(
+        Seq(IfClause(
+          SExpr.ScalarFn(0, Seq(SExpr.FieldRef(0), SExpr.Lit(LitVal.LI64(1)))),
+          Some(SExpr.Lit(LitVal.LI64(10))))),
+        Some(SExpr.Lit(LitVal.LI64(1))))), 1),
+      None)
+    val agg = Rel.Aggregate(scan,
+      Seq(Seq(SExpr.FieldRef(0)), Seq()), Seq(measure))
+    val plan = Plan(
+      Seq(ExtensionFunction(0xffffffffL, 0, "gt"),
+        ExtensionFunction(0xffffffffL, 1, "sum")),
+      Seq(PlanRel.Root(Rel.Project(agg,
+        Seq(SExpr.FieldRef(0), SExpr.FieldRef(1))), Seq("id", "s"))))
+    // through BYTES, not just the model — the full foreign path
+    val got = Consumer.consume(spark, Wire.decode(Wire.encode(plan)))
+      .collect().map(r =>
+        (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toSet
+    // per-id sums: 1→1, 2→10, 3→10; grand total 21 (null id row)
+    assert(got == Set((1L, 1L), (2L, 10L), (3L, 10L), (-1L, 21L)))
+  }
+
   test("foreign VirtualTable read executes without any catalog") {
     val plan = Plan(Nil, Seq(PlanRel.Root(
       Rel.Read(

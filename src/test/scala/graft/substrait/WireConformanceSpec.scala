@@ -171,6 +171,97 @@ class WireConformanceSpec extends AnyFunSuite {
     }
   }
 
+  test("foreign RelCommon.emit on a JoinRel maps the left++right concat space") {
+    // 2-col left ⋈ 1-col right, inner, condition true, emit=[2, 0] →
+    // (right.c, left.a) — the mapping indexes the CONCATENATED join output
+    val w = new PW
+    w.msg(3, pr => pr.msg(1, rel => rel.msg(6, jn => {
+      jn.msg(1, c => c.msg(2, e => { e.int(1, 2); e.int(1, 0) }))
+      jn.msg(2, in => in.msg(1, rd => {
+        rd.msg(2, ns => {
+          ns.str(1, "a"); ns.str(1, "b")
+          ns.msg(2, st => { i32Type(st, 1); i32Type(st, 1) })
+        })
+        rd.msg(7, nt => nt.str(1, "l"))
+      }))
+      jn.msg(3, in => in.msg(1, rd => {
+        rd.msg(2, ns => { ns.str(1, "c"); ns.msg(2, st => i32Type(st, 1)) })
+        rd.msg(7, nt => nt.str(1, "r"))
+      }))
+      jn.msg(4, ex => ex.msg(1, lit => lit.int(1, 1))) // condition: true
+      jn.int(6, 1) // JOIN_TYPE_INNER
+    })))
+    val plan = Wire.decode(w.bytes)
+    plan.relations.head.asInstanceOf[PlanRel.RelOnly].rel match {
+      case Rel.Project(j: Rel.Join, exprs) =>
+        assert(j.joinType == 1)
+        assert(exprs == Seq(SExpr.FieldRef(2), SExpr.FieldRef(0)))
+      case other => fail(s"expected Project(Join, ...), got $other")
+    }
+  }
+
+  /** Shared 1-bool-column scan fixture for the aggregate tests below. */
+  private def boolScan(rd: PW): Unit = {
+    rd.msg(2, ns => { ns.str(1, "x")
+      ns.msg(2, st => st.msg(1, t => t.msg(1, k => k.int(2, 1)))) }) // bool
+    rd.msg(7, nt => nt.str(1, "t"))
+  }
+
+  test("foreign AggregateRel: nested IfThen inside a measure + measure FILTER decode") {
+    // sum(CASE WHEN x THEN 1 ELSE 0 END) FILTER (WHERE x), global grouping —
+    // the layout prost emits for a conditional measure
+    val w = new PW
+    w.msg(2, dw => dw.msg(3, fw => { fw.int(1, 1); fw.int(2, 0); fw.str(3, "sum") }))
+    w.msg(3, pr => pr.msg(1, rel => rel.msg(4, ag => {
+      ag.msg(2, in => in.msg(1, boolScan))
+      ag.msg(3, _ => ()) // one empty grouping = global aggregate
+      ag.msg(4, ms => {
+        ms.msg(1, fn => {
+          fn.int(1, 0) // function_reference → "sum"
+          fn.msg(2, ex => ex.msg(6, it => {
+            it.msg(1, cl => {
+              cl.msg(1, c => c.msg(2, fr => fr.msg(1, seg =>
+                seg.msg(2, sf => sf.int(1, 0))))) // cond: field 0
+              cl.msg(2, t => t.msg(1, lit => lit.int(5, 1))) // then: i32 1
+            })
+            it.msg(2, e => e.msg(1, lit => lit.int(5, 0))) // else: i32 0
+          }))
+          fn.int(6, 1) // AGGREGATION_INVOCATION_ALL
+        })
+        ms.msg(2, flt => flt.msg(2, fr => fr.msg(1, seg =>
+          seg.msg(2, sf => sf.int(1, 0))))) // FILTER (WHERE x)
+      })
+    })))
+    val plan = Wire.decode(w.bytes)
+    assert(plan.extensions == Seq(ExtensionFunction(1L, 0, "sum")))
+    val agg = plan.relations.head.asInstanceOf[PlanRel.RelOnly].rel
+      .asInstanceOf[Rel.Aggregate]
+    assert(agg.groupings == Seq(Seq()))
+    val expectedMeasure = Measure(
+      AggFunction(0, Seq(SExpr.IfThen(
+        Seq(IfClause(SExpr.FieldRef(0), Some(SExpr.Lit(LitVal.LI32(1))))),
+        Some(SExpr.Lit(LitVal.LI32(0))))), 1),
+      Some(SExpr.FieldRef(0)))
+    assert(agg.measures == Seq(expectedMeasure))
+  }
+
+  test("foreign multi-grouping AggregateRel decodes as grouping sets in order") {
+    // groupings = [[field 0], []] (ROLLUP layout) + one count measure
+    val w = new PW
+    w.msg(2, dw => dw.msg(3, fw => { fw.int(1, 1); fw.int(2, 0); fw.str(3, "count") }))
+    w.msg(3, pr => pr.msg(1, rel => rel.msg(4, ag => {
+      ag.msg(2, in => in.msg(1, boolScan))
+      ag.msg(3, g => g.msg(1, ex => ex.msg(2, fr => fr.msg(1, seg =>
+        seg.msg(2, sf => sf.int(1, 0))))))
+      ag.msg(3, _ => ())
+      ag.msg(4, ms => ms.msg(1, fn => { fn.int(1, 0); fn.int(6, 1) }))
+    })))
+    val agg = Wire.decode(w.bytes).relations.head
+      .asInstanceOf[PlanRel.RelOnly].rel.asInstanceOf[Rel.Aggregate]
+    assert(agg.groupings == Seq(Seq(SExpr.FieldRef(0)), Seq()))
+    assert(agg.measures == Seq(Measure(AggFunction(0, Nil, 1), None)))
+  }
+
   test("foreign ReadRel.best_effort_filter (field 11) is applied as the scan filter") {
     def readBytes(bothFilters: Boolean): Array[Byte] = {
       val w = new PW
