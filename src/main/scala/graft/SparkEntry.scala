@@ -1033,10 +1033,19 @@ object SparkEntry {
       ops.Multimodal.imageFeatures(s, t(s, dir, "documents"))
         .orderBy("doc_id"))),
 
-    // the byte-class stub surface (audio/video stand-in — no codecs in
-    // this container) stays certified: schema, batching, ExtStage naming
+    // the byte-class stub surface (video stand-in — no ffmpeg in this
+    // container) stays certified: schema, batching, ExtStage naming
     "m05_media_stub_features" -> ((s, dir) => rt(s,
       ops.Multimodal.mediaFeatureSummary(s, t(s, dir, "documents"))
+        .orderBy("doc_id"))),
+
+    // REAL audio decode (round 8): deterministic synthetic PCM signals
+    // encoded as actual RIFF/WAVE (AudioSystem.write) and decoded back
+    // through the actual container parser — sample rate/channels from the
+    // fmt chunk, sample count + mean |amplitude| from the PCM frames; both
+    // stages wire-named (graft.wav_encode_v1 → graft.audio_decode_v1)
+    "m06_audio_features" -> ((s, dir) => rt(s,
+      ops.Multimodal.audioFeatures(s, t(s, dir, "documents"))
         .orderBy("doc_id"))),
 
     // GPU-inference batch packing: media rows pack into per-modality
@@ -1693,6 +1702,62 @@ object SparkEntry {
           |                    AND l3.l_suppkey <> l1.l_suppkey
           |                    AND l3.l_returnflag = 'R')
           |GROUP BY s.s_name ORDER BY numwait DESC, s_name""".stripMargin))
+    }),
+
+    // TPC-H Q20 shape: IN-subquery whose HAVING holds a scalar subquery
+    // CORRELATED ON A GROUPING KEY (the excess-stock pattern) nested inside
+    // another IN — decorrelation must thread the correlation through the
+    // group-by
+    "q50_tpch_q20_excess" -> ((s, dir) => {
+      t(s, dir, "supplier"); t(s, dir, "lineitem"); t(s, dir, "part")
+      rt(s, s.sql(
+        """SELECT s_name, s_acctbal FROM supplier
+          |WHERE s_suppkey IN (
+          |  SELECT l1.l_suppkey FROM lineitem l1
+          |  WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+          |                         WHERE p_type = 'PROMO')
+          |  GROUP BY l1.l_suppkey, l1.l_partkey
+          |  HAVING sum(l1.l_quantity) >
+          |    (SELECT 4.0 * avg(l2.l_quantity) FROM lineitem l2
+          |     WHERE l2.l_partkey = l1.l_partkey))
+          |ORDER BY s_name""".stripMargin))
+    }),
+
+    // TPC-H Q11 shape: HAVING compares each group's aggregate against a
+    // scalar subquery running the SAME join+aggregate globally
+    "q51_tpch_q11_value" -> ((s, dir) => {
+      t(s, dir, "lineitem"); t(s, dir, "supplier"); t(s, dir, "nation")
+      rt(s, s.sql(
+        """SELECT l_partkey,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |WHERE n_name = 'NATION_3'
+          |GROUP BY l_partkey
+          |HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))) >
+          |  (SELECT 2.5 * sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+          |     / count(DISTINCT l_partkey)
+          |   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |     JOIN nation ON s_nationkey = n_nationkey
+          |   WHERE n_name = 'NATION_3')
+          |ORDER BY value DESC, l_partkey""".stripMargin))
+    }),
+
+    // TPC-H Q15 shape: multi-reference CTE + scalar MAX over it (top
+    // revenue supplier); decimal-exact revenue so ties are exact
+    "q52_tpch_q15_topsupp" -> ((s, dir) => {
+      t(s, dir, "supplier"); t(s, dir, "lineitem")
+      rt(s, s.sql(
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+          |      AS total
+          |  FROM lineitem GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+          |FROM supplier, revenue
+          |WHERE s_suppkey = supplier_no
+          |  AND total = (SELECT max(total) FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin))
     }),
 
     // TPC-H Q22 shape: substring bucketing + uncorrelated scalar AVG
@@ -2849,6 +2914,17 @@ object SparkEntry {
         |SELECT doc_id, width, height, CAST(3 AS INTEGER) AS channels,
         |  ROUND(avg(CAST((doc_id * 31 + k) % 256 AS DOUBLE)), 6) AS mean_luma
         |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
+    // m06: replay of the synthetic-signal rule — the Spark side reads these
+    // values back out of a REAL WAV encode+decode round-trip
+    "m06_audio_features" ->
+      """WITH g AS (SELECT doc_id,
+        |    CAST(64 + doc_id % 129 AS INTEGER) AS n_samples FROM documents),
+        |sm AS (SELECT doc_id, n_samples, unnest(range(n_samples)) AS k FROM g)
+        |SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels, n_samples,
+        |  ROUND(avg(CAST(abs((doc_id * 7 + k * 13) % 2048 - 1024) AS DOUBLE)), 6)
+        |    AS mean_abs
+        |FROM sm GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
     "m05_media_stub_features" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -3370,6 +3446,42 @@ object SparkEntry {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY s.s_name ORDER BY numwait DESC, s_name""".stripMargin,
+    "q50_tpch_q20_excess" ->
+      """SELECT s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l1.l_suppkey FROM lineitem l1
+        |  WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+        |                         WHERE p_type = 'PROMO')
+        |  GROUP BY l1.l_suppkey, l1.l_partkey
+        |  HAVING sum(l1.l_quantity) >
+        |    (SELECT 4.0 * avg(l2.l_quantity) FROM lineitem l2
+        |     WHERE l2.l_partkey = l1.l_partkey))
+        |ORDER BY s_name""".stripMargin,
+    "q51_tpch_q11_value" ->
+      """SELECT l_partkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |GROUP BY l_partkey
+        |HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))) >
+        |  (SELECT 2.5 * sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |     / count(DISTINCT l_partkey)
+        |   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |     JOIN nation ON s_nationkey = n_nationkey
+        |   WHERE n_name = 'NATION_3')
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q52_tpch_q15_topsupp" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |      AS total
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total = (SELECT max(total) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
     "q49_tpch_q22_global" ->
       """SELECT cntrycode, count(*) AS numcust,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal

@@ -174,6 +174,81 @@ object Multimodal {
       }
     }
 
+  // Audio: WAV/PCM via JDK javax.sound.sampled — a real container codec
+  // (RIFF/fmt/data chunk parsing), same certification pattern as PNG:
+  // deterministic synthetic signals, real encode, real decode, closed-form
+  // oracle. Video decode remains the one stub (no ffmpeg in this container).
+
+  final case class WavFeature(doc_id: Long, sample_rate: Int, channels: Int,
+                              n_samples: Int, mean_abs: Double)
+
+  /** Deterministic synthetic signal: n ∈ 64..192 samples, 16-bit PCM value
+    * of sample k = ((doc_id·7 + k·13) mod 2048) − 1024.
+    */
+  private def wavSamples(id: Long): Int = (64 + id % 129).toInt
+  private def wavSample(id: Long, k: Int): Int =
+    ((id * 7 + k.toLong * 13) % 2048).toInt - 1024
+
+  /** THE WAV encode stage instance (wire name graft.wav_encode_v1): doc_id →
+    * real RIFF/WAVE bytes via AudioSystem.write (mono 16-bit LE PCM @8kHz).
+    */
+  val wavEncodeFn: Iterator[IdRow] => Iterator[ImgRow] =
+    rows => rows.map { r =>
+      val n = wavSamples(r.doc_id)
+      val pcm = new Array[Byte](n * 2)
+      var k = 0
+      while (k < n) {
+        val v = wavSample(r.doc_id, k)
+        pcm(2 * k) = (v & 0xff).toByte
+        pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
+        k += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      ImgRow(r.doc_id, bos.toByteArray)
+    }
+
+  /** THE audio decode stage instance (wire name graft.audio_decode_v1):
+    * WAV bytes → (sample_rate, channels, n_samples, mean |amplitude|) via a
+    * REAL AudioSystem.getAudioInputStream parse of the RIFF container; the
+    * PCM frames are read back and 16-bit LE-decoded.
+    */
+  val audioDecodeFn: Iterator[ImgRow] => Iterator[WavFeature] =
+    rows => rows.map { r =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian)
+        throw new IllegalArgumentException(
+          s"unsupported WAV layout for doc ${r.doc_id}: $fmt")
+      val pcm = ais.readAllBytes()
+      val n = pcm.length / (2 * fmt.getChannels)
+      var sum = 0.0
+      var k = 0
+      while (k < pcm.length) {
+        val v = ((pcm(k) & 0xff) | (pcm(k + 1) << 8)).toShort.toInt
+        sum += math.abs(v)
+        k += 2
+      }
+      WavFeature(r.doc_id, fmt.getSampleRate.toInt, fmt.getChannels, n,
+        sum / math.max(n * fmt.getChannels, 1))
+    }
+
+  /** Decoded audio features over real WAV payloads (m06). */
+  def audioFeatures(spark: SparkSession, df: DataFrame,
+                    idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id")).as[IdRow]
+      .mapPartitions(wavEncodeFn)
+      .mapPartitions(audioDecodeFn).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        col("n_samples"), round(col("mean_abs"), 6).as("mean_abs"))
+  }
+
   /** Synthetic-PNG media table: real PNG payloads, one per doc. */
   def asImageTable(spark: SparkSession, df: DataFrame,
                    idCol: String = "doc_id"): Dataset[ImgRow] = {

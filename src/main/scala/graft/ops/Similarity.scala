@@ -126,12 +126,21 @@ object Similarity {
         val t =
           if (hit >= 1.0) 1
           else math.ceil(math.log(targetMiss) / math.log(1.0 - hit)).toLong
-        // candidate slots per query ≈ t · n / 2^planes; ≥ n means the
-        // declared floor is too low for LSH to beat an exact scan
+        // Two break-evens, both required for LSH to win:
+        //  - candidate volume: slots per query ≈ t·n/2^planes must stay
+        //    well under n (else the verify stage does a scan's work);
+        //  - bucketing amortization: hashing costs t·planes plane-dot-
+        //    products per CORPUS row, while the exact scan costs |queries|
+        //    dot products per corpus row — with few queries the scan is
+        //    cheaper before LSH generates a single candidate (measured:
+        //    the 51×6 derived shape ran 33× slower than brute on the
+        //    8-query fixture).
+        val qCount = queries.count() // small by contract (like brute's broadcast)
         val slotsPerQuery =
           if (planes >= 63) 0.0
           else t.toDouble * n.toDouble / (1L << planes).toDouble
-        if (t > maxTables || slotsPerQuery >= n.toDouble)
+        if (t > maxTables || slotsPerQuery >= n.toDouble / 2 ||
+            t * planes >= qCount)
           return bruteForceKnn(corpus, queries, k, idCol, vecCol)
         (t.toInt, planes)
       }

@@ -53,6 +53,23 @@ object Stages {
         import spark.implicits._
         in.as[graft.ops.Multimodal.ImgRow]
           .mapPartitions(graft.ops.Multimodal.imageScanlinesFn).toDF()
+      }),
+    // Multimodal.wavEncodeFn: doc_id → real RIFF/WAVE payload
+    "graft.wav_encode_v1" -> Stage(
+      Seq("doc_id"), 2,
+      (spark, in) => {
+        import spark.implicits._
+        in.as[graft.ops.Multimodal.IdRow]
+          .mapPartitions(graft.ops.Multimodal.wavEncodeFn).toDF()
+      }),
+    // Multimodal.audioDecodeFn: (doc_id, payload) → decoded
+    // (doc_id, sample_rate, channels, n_samples, mean_abs)
+    "graft.audio_decode_v1" -> Stage(
+      Seq("doc_id", "payload"), 5,
+      (spark, in) => {
+        import spark.implicits._
+        in.as[graft.ops.Multimodal.ImgRow]
+          .mapPartitions(graft.ops.Multimodal.audioDecodeFn).toDF()
       }))
 
   /** Producer-side reverse lookup by EXACT closure identity: each wire name
@@ -66,7 +83,9 @@ object Stages {
     graft.ops.Multimodal.mediaFeaturesFn -> "graft.media_features_v1",
     graft.ops.Multimodal.pngEncodeFn -> "graft.png_encode_v1",
     graft.ops.Multimodal.imageDecodeFn -> "graft.image_decode_v1",
-    graft.ops.Multimodal.imageScanlinesFn -> "graft.image_scanlines_v1")
+    graft.ops.Multimodal.imageScanlinesFn -> "graft.image_scanlines_v1",
+    graft.ops.Multimodal.wavEncodeFn -> "graft.wav_encode_v1",
+    graft.ops.Multimodal.audioDecodeFn -> "graft.audio_decode_v1")
 
   def nameOf(func: AnyRef): Option[String] =
     byClosureInstance.collectFirst { case (f, n) if f eq func => n }

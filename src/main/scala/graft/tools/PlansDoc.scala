@@ -52,8 +52,11 @@ object PlansDoc {
     "s13_ivf_incremental_ingest" -> "incremental IVF ingest: the appended batch assigns against literal saved centroids in a narrow stage; the probe scans the grown cell-partitioned layout",
     "d14_keep_best_per_cluster" -> "quality-aware cluster dedup: winners via ONE struct-max aggregate over (quality, −id); bare-id anti-join — text never rides a shuffle after pair generation",
     "d15_containment_pairs" -> "directed containment: A-side rarest-first prefix joins the full gram index on 8-byte grams; shingle arrays re-join only for the early-terminating sorted_containment_ge verify",
-    "e08_session_window" -> "native session_window sessions: wire-fed input, Catalyst-owned session merge (UpdatingSessions) riding ONE user-keyed exchange",
-    "m04_media_batches" -> "media batch packing: per-modality window pass over payload SIZES — binary payloads never shuffle; batch boundaries from one running sum")
+    "e08_session_window" -> "native session_window sessions ON the wire (ExtSessionWindow + plain AggregateRel): the consumed plan re-derives Catalyst's session merge (MergingSessions) riding ONE user-keyed exchange",
+    "m04_media_batches" -> "media batch packing: per-modality window pass over payload SIZES — binary payloads never shuffle; batch boundaries from one running sum",
+    "m01_media_features" -> "REAL PNG decode: both codec stages ride as named typed stages (png_encode → image_decode); payloads stay in their input partition — zero shuffles before the output sort",
+    "q47_tpch_q2_mincost" -> "TPC-H Q2 shape: the correlated min decorrelates to a grouped aggregate re-joined on (partkey, price); dimension sides broadcast",
+    "q50_tpch_q20_excess" -> "TPC-H Q20 shape: grouping-key-correlated HAVING scalar decorrelates into an aggregate-to-aggregate join; both IN levels become semi joins")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

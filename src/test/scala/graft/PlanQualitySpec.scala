@@ -48,12 +48,15 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("no accidental cartesian products in join-bearing queries") {
-    // s01_knn_brute intentionally cross-joins a broadcast query side; every
+    // s01_knn_brute intentionally cross-joins a broadcast query side — and
+    // since round 8 s02's derived sizing takes the SAME certified brute
+    // path on this fixture (the similarity floor is below LSH's break-even,
+    // see Similarity.lshKnn), so s14 now pins the explicit LSH plan; every
     // other join-bearing query must stay hash/sort-merge joined
     for (q <- Seq("q07_join_inner", "q08_join_left", "q09_join_right",
       "q10_join_full", "q11_join_semi", "q12_join_anti", "q13_revenue_by_segment",
       "d02_minhash_pairs", "d04_ngram_jaccard", "d05_embedding_neardup",
-      "d06_prepare_corpus", "s02_knn_lsh", "e01_sessions")) {
+      "d06_prepare_corpus", "s14_knn_lsh_explicit", "e01_sessions")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
@@ -101,11 +104,25 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected exactly the groupBy(blk) shuffle:\n$p")
   }
 
-  test("t07/m02: generator queries prune the ReadSchema to the used columns") {
+  test("t07/m03: generator queries prune the ReadSchema to the used columns") {
     val t7 = plan("t07_chunking")
     assert(t7.contains("ReadSchema: struct<doc_id:bigint,text:string>"), t7)
-    val m2 = plan("m02_frame_stats")
-    assert(m2.contains("ReadSchema: struct<doc_id:bigint,text:string>"), m2)
+    // m03 carries the byte-slicer generator since m02 became the decoded-
+    // scanline pipeline (round 8)
+    val m3 = plan("m03_clip_pooling")
+    assert(m3.contains("ReadSchema: struct<doc_id:bigint,text:string>"), m3)
+  }
+
+  test("m01/m02/m06: real-decode pipelines scan ONLY the id column") {
+    // the codec stages synthesize payloads from doc_id; a scan that still
+    // reads text would ship the corpus for nothing
+    for (q <- Seq("m01_media_features", "m02_frame_stats", "m06_audio_features")) {
+      val p = plan(q)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+        s"$q should read only doc_id:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q decode must not shuffle payloads:\n$p")
+    }
   }
 
   test("q36: the wire-round-tripped filter still pushes to the parquet scan") {
@@ -129,7 +146,7 @@ class PlanQualitySpec extends SparkTestBase {
 
   test("no cartesian products in the round-3 wire-certified queries") {
     for (q <- Seq("d02_minhash_pairs", "d03b_simhash_prod",
-      "d05_embedding_neardup", "s02_knn_lsh", "t04_top_terms",
+      "d05_embedding_neardup", "s14_knn_lsh_explicit", "t04_top_terms",
       "m02_frame_stats", "q36_map_ops")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
