@@ -445,14 +445,26 @@ object Consumer {
         // the producer (the DESC flag has no wire form). The SQL registry's
         // builder takes only the percentage (WITHIN GROUP supplies the sort
         // child via the parser), so consume through a direct constructor.
-        case "percentile_disc" =>
+        case n @ ("percentile_disc" | "percentile_disc_desc") =>
+          val rev = n == "percentile_disc_desc"
+          val fname = s"graft_$n"
           org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
-            .createOrReplaceTempFunction("graft_percentile_disc",
+            .createOrReplaceTempFunction(fname,
               es => new org.apache.spark.sql.catalyst.expressions.aggregate
-                .PercentileDisc(es(0), es(1), reverse = false)
+                .PercentileDisc(es(0), es(1), reverse = rev)
                 .toAggregateExpression(),
               "scala_udf")
-          call_function("graft_percentile_disc", args: _*)
+          call_function(fname, args: _*)
+        // mode's within-group tie ordering, carried in the name (round 8)
+        case n @ ("mode_asc" | "mode_desc") =>
+          val rev = n == "mode_desc"
+          val fname = s"graft_$n"
+          org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
+            .createOrReplaceTempFunction(fname,
+              es => new org.apache.spark.sql.catalyst.expressions.aggregate
+                .Mode(es(0), 0, 0, Some(rev)).toAggregateExpression(),
+              "scala_udf")
+          call_function(fname, args: _*)
         case "first" => first(one)
         case "last" => last(one)
         case "first_ignore_nulls" => first(one, ignoreNulls = true)

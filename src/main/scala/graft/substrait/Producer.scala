@@ -1045,13 +1045,14 @@ object Producer {
           case l: org.apache.spark.sql.catalyst.expressions.aggregate.Last
               if l.ignoreNulls => "last_ignore_nulls"
           // the DESC-within-group flag is a constructor param, not a child —
-          // emitting plain children would silently flip it to ASC on consume
+          // emitting plain children would silently flip it to ASC on consume;
+          // since round 8 the flag rides in the NAME (the first_ignore_nulls
+          // convention), so both orderings cross the wire explicitly
           case p: org.apache.spark.sql.catalyst.expressions.aggregate.PercentileDisc
-              if p.reverse => notImplemented(
-            "percentile_disc WITHIN GROUP (ORDER BY … DESC); use ASC with 1-p")
+              if p.reverse => "percentile_disc_desc"
           case m: org.apache.spark.sql.catalyst.expressions.aggregate.Mode
-              if m.reverseOpt.isDefined => notImplemented(
-            "mode() WITHIN GROUP ordering flag has no wire form")
+              if m.reverseOpt.isDefined =>
+            if (m.reverseOpt.get) "mode_desc" else "mode_asc"
           // any_value IS first modulo the (already unspecified) pick — the
           // ignoreNulls flag is a constructor param, carried by name
           case a: org.apache.spark.sql.catalyst.expressions.aggregate.AnyValue =>

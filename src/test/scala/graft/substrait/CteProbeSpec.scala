@@ -128,14 +128,12 @@ class CteProbeSpec extends SparkTestBase {
     assertRoundtrip(spark.sql(
       """SELECT lang, percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS m
         |FROM documents GROUP BY 1""".stripMargin))
-    // the DESC-within-group flag has no wire form — must reject LOUDLY
-    // (silently flipping to ASC would corrupt results on a foreign consumer)
-    val e = intercept[Exception] {
-      graft.substrait.Serializer.roundtrip(spark, spark.sql(
-        """SELECT lang, percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars DESC) AS m
-          |FROM documents GROUP BY 1""".stripMargin)).collect()
-    }
-    assert(e.getMessage.contains("percentile_disc"), e.getMessage)
+    // the DESC-within-group flag rides in the name since round 8
+    // (percentile_disc_desc) — silently flipping to ASC would corrupt
+    // results; the ordering-flag probe test covers the value check
+    assertRoundtrip(spark.sql(
+      """SELECT lang, percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars DESC) AS m
+        |FROM documents GROUP BY 1""".stripMargin))
   }
 
   test("argmin/argmax, boolean/bit folds, moments, regression aggregates ride the wire") {
@@ -182,6 +180,27 @@ class CteProbeSpec extends SparkTestBase {
         |LATERAL (SELECT collect_list(b) AS vs FROM cte_data i
         |         WHERE i.a = c.a) l""".stripMargin)))
     assert(e2.getMessage.contains("NULL-on-empty"), e2.getMessage)
+  }
+
+  test("within-group ordering flags ride in the name: percentile_disc DESC, mode ties") {
+    fixture
+    // DESC percentile and mode tie-ordering are constructor flags, not
+    // children — round 8 carries them as distinct wire names
+    // (percentile_disc_desc / mode_asc / mode_desc); plain-children
+    // encoding would silently flip them to ASC
+    assertRoundtrip(spark.sql(
+      """SELECT a,
+        |  percentile_disc(0.3) WITHIN GROUP (ORDER BY b DESC) AS p30_desc,
+        |  percentile_disc(0.3) WITHIN GROUP (ORDER BY b) AS p30_asc,
+        |  mode() WITHIN GROUP (ORDER BY b DESC) AS mode_hi,
+        |  mode() WITHIN GROUP (ORDER BY b) AS mode_lo
+        |FROM cte_data GROUP BY a""".stripMargin))
+    // the two orderings must actually DIFFER on the a=3 group (b ∈ {4.5, 1.5})
+    val got = Serializer.roundtrip(spark, spark.sql(
+      """SELECT percentile_disc(0.3) WITHIN GROUP (ORDER BY b DESC) AS d,
+        |       percentile_disc(0.3) WITHIN GROUP (ORDER BY b) AS a2
+        |FROM cte_data WHERE a = 3""".stripMargin)).collect()(0)
+    assert(got.getDouble(0) == 4.5 && got.getDouble(1) == 1.5, got.toString)
   }
 
   test("session_window aggregate rides the wire with merge semantics intact") {
