@@ -185,6 +185,33 @@ object Sources {
     * (else a key that changed band would leave its stale row in the old
     * directory), and bucket values must be non-null.
     */
+  /** Crash recovery for [[upsertRangePartitioned]]'s rename swap: a
+    * `.bandDir.upsert-backup` whose live band is MISSING marks a swap that
+    * died between its two renames — the backup holds the only copy, so
+    * RESTORE it; one whose live band exists is stale (the swap completed
+    * past the dst rename) and is dropped. Runs automatically at the start
+    * of every upsert; callers can also invoke it directly after a crash.
+    */
+  def recoverUpsertBackups(spark: SparkSession, basePath: String,
+                           bucketCol: String): Unit = {
+    val baseP = new org.apache.hadoop.fs.Path(basePath)
+    val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(baseP)) return
+    val suffix = ".upsert-backup"
+    val prefix = s".$bucketCol="
+    fs.listStatus(baseP)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix) &&
+        st.getPath.getName.endsWith(suffix))
+      .foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(basePath,
+          st.getPath.getName.stripPrefix(".").stripSuffix(suffix))
+        if (!fs.exists(live))
+          require(fs.rename(st.getPath, live),
+            s"crash-recovery restore failed: ${st.getPath} -> $live")
+        else fs.delete(st.getPath, true)
+      }
+  }
+
   def upsertRangePartitioned(spark: SparkSession, basePath: String,
                              updates: DataFrame, bucketCol: String,
                              keyCols: Seq[String],
@@ -192,6 +219,12 @@ object Sources {
     import org.apache.spark.sql.functions.col
     val affected = updates.select(bucketCol).distinct().collect().map(_.get(0))
     require(!affected.contains(null), s"null $bucketCol in update batch")
+    // Crash recovery MUST run before the base read: a backup whose live
+    // band is missing means a prior swap died between its two renames, and
+    // reading basePath without restoring it would compute this upsert's
+    // survivors from an empty band — making the loss permanent when the
+    // merge overwrites the directory.
+    recoverUpsertBackups(spark, basePath, bucketCol)
     val base = spark.read.parquet(basePath)
     // isInCollection over the driver-side band list → PartitionFilters:
     // only the affected directories are ever read
@@ -224,17 +257,9 @@ object Sources {
       // Dot-prefixed so Spark/Hadoop partition discovery ignores it: a
       // concurrent reader during the swap window never sees the band twice,
       // and a backup left by a crash can't pollute subsequent reads of
-      // basePath (including the next upsert's own read).
+      // basePath (including the next upsert's own read). Any leftover was
+      // already handled by recoverUpsertBackups above.
       val backup = new org.apache.hadoop.fs.Path(basePath, s".$dir.upsert-backup")
-      if (fs.exists(backup)) {
-        // Leftover from a prior crashed swap. If the live band is missing the
-        // crash hit between the two renames → RESTORE the backup (the old
-        // band is the only copy). If the live band exists the dst rename
-        // completed → the backup is stale, drop it.
-        if (!fs.exists(dst)) require(fs.rename(backup, dst),
-          s"crash-recovery restore failed: $backup -> $dst")
-        else fs.delete(backup, true)
-      }
       // backup-rename instead of delete-then-rename: a crash between the
       // two renames leaves the old band recoverable at .*.upsert-backup
       // instead of destroyed. Renames are metadata ops on HDFS-like stores.

@@ -184,6 +184,57 @@ class SourcesSpec extends SparkTestBase {
       spark.read.parquet(out).select("doc_id", "text", "lang", "source", "n_chars"))
   }
 
+  test("upsert crash recovery: dot-prefixed backup is invisible and restores") {
+    Tables.register(spark, sfDir)
+    val out = java.nio.file.Files.createTempDirectory("graft_upsert_cr").toString
+    val docs = spark.table("documents").withColumn("len_band",
+      floor(col("n_chars") / 100).cast("int"))
+    Sources.writeRangePartitioned(docs, "len_band", out, sortCols = Seq("doc_id"))
+    val band2 = docs.filter(col("len_band") === 2)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val nBand2 = band2.count()
+    assert(nBand2 > 0, "fixture needs band 2 rows")
+
+    // crash window A: swap died BETWEEN its two renames — live band gone,
+    // only the dot-prefixed backup remains
+    val live = new java.io.File(s"$out/len_band=2")
+    val backup = new java.io.File(s"$out/.len_band=2.upsert-backup")
+    assert(live.renameTo(backup))
+    // partition discovery must NOT see the backup: the read succeeds and
+    // simply lacks band 2 (a non-dot name here would double-count or break)
+    assert(spark.read.parquet(out).filter(col("len_band") === 2).count() == 0)
+
+    // the next upsert (touching band 2) restores the backup BEFORE reading
+    // base — survivors come from the restored band, not an empty one
+    val mod = band2.orderBy("doc_id").limit(1)
+      .withColumn("text", upper(col("text")))
+      .withColumn("len_band", lit(2).cast("int"))
+    Sources.upsertRangePartitioned(spark, out, mod,
+      "len_band", Seq("doc_id"), sortCols = Seq("doc_id"))
+    assert(!backup.exists, "backup should be consumed by recovery")
+    val after = spark.read.parquet(out).filter(col("len_band") === 2)
+    assert(after.count() == nBand2, "restored band lost rows")
+    val expected = band2.join(mod.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(mod.select("doc_id", "text", "lang", "source", "n_chars"))
+    assertSameRows(expected,
+      after.select("doc_id", "text", "lang", "source", "n_chars"))
+
+    // crash window B: swap completed past the dst rename but died before
+    // dropping the backup — both exist; a reader sees each row exactly ONCE
+    // and recovery drops the stale backup
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(live.toString),
+      fs, new org.apache.hadoop.fs.Path(backup.toString),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(spark.read.parquet(out).filter(col("len_band") === 2).count()
+      == nBand2, "stale backup leaked into partition discovery")
+    Sources.recoverUpsertBackups(spark, out, "len_band")
+    assert(!backup.exists, "stale backup should be dropped")
+    assert(spark.read.parquet(out).filter(col("len_band") === 2).count() == nBand2)
+  }
+
   test("conformTo/readEvolved: null back-fill, widening casts, loud narrowing reject") {
     import spark.implicits._
     import org.apache.spark.sql.types._
