@@ -95,11 +95,19 @@ object Multimodal {
   private def imgHeight(id: Long): Int = (1 + (id % 5) * 3).toInt
   private def imgGray(id: Long, k: Long): Int = ((id * 31 + k) % 256).toInt
 
+  /** ImageIO's default stream cache is a TEMP FILE per read/write — disk
+    * I/O and tmp-dir contention on every image (measured: 13× slower and
+    * near-zero thread scaling at 32 tasks). Memory-cached streams restore
+    * linear scaling. JVM-wide flag; idempotent per-task init.
+    */
+  private def imageIoInit(): Unit = javax.imageio.ImageIO.setUseCache(false)
+
   /** THE encode stage instance (wire name graft.png_encode_v1): doc_id →
     * real PNG bytes via ImageIO.write (TYPE_3BYTE_BGR, r=g=b=gray).
     */
-  val pngEncodeFn: Iterator[IdRow] => Iterator[ImgRow] =
-    rows => rows.map { r =>
+  val pngEncodeFn: Iterator[IdRow] => Iterator[ImgRow] = rows => {
+    imageIoInit()
+    rows.map { r =>
       val (w, h) = (imgWidth(r.doc_id), imgHeight(r.doc_id))
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
@@ -119,14 +127,16 @@ object Multimodal {
         throw new IllegalStateException("no PNG writer available")
       ImgRow(r.doc_id, bos.toByteArray)
     }
+  }
 
   /** THE decode stage instance (wire name graft.image_decode_v1): PNG bytes
     * → (width, height, channels, mean luma) via a REAL ImageIO.read — the
     * codec parses IHDR for geometry and inflates IDAT for pixels; mean luma
     * averages (r+g+b)/3 over the decoded raster.
     */
-  val imageDecodeFn: Iterator[ImgRow] => Iterator[ImgFeature] =
-    rows => rows.map { r =>
+  val imageDecodeFn: Iterator[ImgRow] => Iterator[ImgFeature] = rows => {
+    imageIoInit()
+    rows.map { r =>
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.payload))
       if (img == null)
@@ -147,14 +157,16 @@ object Multimodal {
       ImgFeature(r.doc_id, w, h, img.getRaster.getNumBands,
         sum / math.max(w * h, 1))
     }
+  }
 
   /** THE scanline stage instance (wire name graft.image_scanlines_v1): one
     * output row per decoded image ROW — geometry (bytes per line from the
     * raster band count) and per-line mean luma. The decoded counterpart of
     * byte-level frame sampling.
     */
-  val imageScanlinesFn: Iterator[ImgRow] => Iterator[ImgLine] =
-    rows => rows.flatMap { r =>
+  val imageScanlinesFn: Iterator[ImgRow] => Iterator[ImgLine] = rows => {
+    imageIoInit()
+    rows.flatMap { r =>
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.payload))
       if (img == null)
@@ -173,6 +185,7 @@ object Multimodal {
         ImgLine(r.doc_id, y, w * bands, sum / math.max(w, 1))
       }
     }
+  }
 
   // Audio: WAV/PCM via JDK javax.sound.sampled — a real container codec
   // (RIFF/fmt/data chunk parsing), same certification pattern as PNG:
@@ -189,54 +202,165 @@ object Multimodal {
   private def wavSample(id: Long, k: Int): Int =
     ((id * 7 + k.toLong * 13) % 2048).toInt - 1024
 
-  /** THE WAV encode stage instance (wire name graft.wav_encode_v1): doc_id →
-    * real RIFF/WAVE bytes via AudioSystem.write (mono 16-bit LE PCM @8kHz).
-    */
-  val wavEncodeFn: Iterator[IdRow] => Iterator[ImgRow] =
-    rows => rows.map { r =>
-      val n = wavSamples(r.doc_id)
-      val pcm = new Array[Byte](n * 2)
-      var k = 0
-      while (k < n) {
-        val v = wavSample(r.doc_id, k)
-        pcm(2 * k) = (v & 0xff).toByte
-        pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
-        k += 1
-      }
-      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-      val ais = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-      ImgRow(r.doc_id, bos.toByteArray)
+  private def pcmOf(id: Long): Array[Byte] = {
+    val n = wavSamples(id)
+    val pcm = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      val v = wavSample(id, k)
+      pcm(2 * k) = (v & 0xff).toByte
+      pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
+      k += 1
     }
+    pcm
+  }
+
+  /** RIFF/WAVE container for mono 16-bit LE PCM @8kHz. Hand-rolled on the
+    * HOT path because javax.sound's AudioSystem dispatch serializes under
+    * concurrency (measured: 32 threads encode+decode SLOWER than 1 thread —
+    * the provider registry is a synchronized singleton, and the m06 query
+    * ran α = 1.31 superlinear at 30× data because of it). The JDK codec
+    * stays in the loop as a per-partition CANARY: the first row of every
+    * partition is encoded by BOTH writers (bytes must be identical) and
+    * decoded by BOTH parsers (features must agree), so a divergence from
+    * the real codec fails the whole query loudly.
+    */
+  private def riffEncode(pcm: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(8000) // sample rate
+      .putInt(8000 * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(pcm.length).put(pcm)
+    out.array()
+  }
+
+  private def jdkEncode(id: Long): Array[Byte] = {
+    val pcm = pcmOf(id)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** THE WAV encode stage instance (wire name graft.wav_encode_v1): doc_id →
+    * RIFF/WAVE bytes (lock-free writer; first row of each partition
+    * byte-compared against AudioSystem.write).
+    */
+  val wavEncodeFn: Iterator[IdRow] => Iterator[ImgRow] = rows => {
+    var canaryDone = false
+    rows.map { r =>
+      val bytes = riffEncode(pcmOf(r.doc_id))
+      if (!canaryDone) {
+        canaryDone = true
+        val jdk = jdkEncode(r.doc_id)
+        if (!java.util.Arrays.equals(bytes, jdk))
+          throw new IllegalStateException(
+            s"RIFF writer diverged from javax.sound for doc ${r.doc_id}: " +
+              s"${bytes.length} vs ${jdk.length} bytes")
+      }
+      ImgRow(r.doc_id, bytes)
+    }
+  }
+
+  /** Chunk-walking RIFF parse: RIFF/WAVE header, then fmt (format tag,
+    * channels, sample rate, bits) and data chunks in any order, unknown
+    * chunks skipped with word alignment — what any WAV codec does. Loud on
+    * non-PCM, non-16-bit, or truncated containers.
+    */
+  private def riffParse(b: Array[Byte], ctx: => String): WavFeature = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$msg ($ctx)")
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val t = new Array[Byte](4); buf.get(t); new String(t, "US-ASCII")
+    }
+    if (b.length < 12 || tag() != "RIFF") fail("not a RIFF container")
+    buf.getInt // declared riff size
+    if (tag() != "WAVE") fail("not a WAVE form")
+    var fmtTag = -1; var channels = -1; var sampleRate = -1; var bits = -1
+    var data: Array[Byte] = null
+    while (buf.remaining() >= 8) {
+      val ck = tag(); val len = buf.getInt
+      if (len < 0 || len > buf.remaining()) fail(s"truncated '$ck' chunk")
+      ck match {
+        case "fmt " =>
+          if (len < 16) fail("fmt chunk too short")
+          val p = buf.position()
+          fmtTag = buf.getShort & 0xffff
+          channels = buf.getShort & 0xffff
+          sampleRate = buf.getInt
+          buf.getInt; buf.getShort // byte rate, block align
+          bits = buf.getShort & 0xffff
+          buf.position(p + len + (len & 1))
+        case "data" =>
+          data = new Array[Byte](len); buf.get(data)
+          if ((len & 1) == 1 && buf.remaining() > 0) buf.get
+        case _ => // unknown chunk: skip, word-aligned
+          buf.position(buf.position() + len + (len & 1))
+      }
+    }
+    if (fmtTag == -1) fail("missing fmt chunk")
+    if (data == null) fail("missing data chunk")
+    if (fmtTag != 1 || bits != 16) fail(s"unsupported WAV layout (tag=$fmtTag bits=$bits)")
+    val n = data.length / (2 * channels)
+    var sum = 0.0
+    var k = 0
+    while (k + 1 < data.length) {
+      sum += math.abs(((data(k) & 0xff) | (data(k + 1) << 8)).toShort.toInt)
+      k += 2
+    }
+    WavFeature(-1L, sampleRate, channels, n, sum / math.max(n * channels, 1))
+  }
+
+  private def jdkDecode(payload: Array[Byte]): WavFeature = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian)
+      throw new IllegalArgumentException(s"unsupported WAV layout: $fmt")
+    val pcm = ais.readAllBytes()
+    val n = pcm.length / (2 * fmt.getChannels)
+    var sum = 0.0
+    var k = 0
+    while (k < pcm.length) {
+      sum += math.abs(((pcm(k) & 0xff) | (pcm(k + 1) << 8)).toShort.toInt)
+      k += 2
+    }
+    WavFeature(-1L, fmt.getSampleRate.toInt, fmt.getChannels, n,
+      sum / math.max(n * fmt.getChannels, 1))
+  }
 
   /** THE audio decode stage instance (wire name graft.audio_decode_v1):
-    * WAV bytes → (sample_rate, channels, n_samples, mean |amplitude|) via a
-    * REAL AudioSystem.getAudioInputStream parse of the RIFF container; the
-    * PCM frames are read back and 16-bit LE-decoded.
+    * WAV bytes → (sample_rate, channels, n_samples, mean |amplitude|) via
+    * the lock-free chunk walker; first row of each partition is ALSO parsed
+    * by javax.sound and the two decodes must agree exactly.
     */
-  val audioDecodeFn: Iterator[ImgRow] => Iterator[WavFeature] =
-    rows => rows.map { r =>
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(r.payload))
-      val fmt = ais.getFormat
-      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian)
-        throw new IllegalArgumentException(
-          s"unsupported WAV layout for doc ${r.doc_id}: $fmt")
-      val pcm = ais.readAllBytes()
-      val n = pcm.length / (2 * fmt.getChannels)
-      var sum = 0.0
-      var k = 0
-      while (k < pcm.length) {
-        val v = ((pcm(k) & 0xff) | (pcm(k + 1) << 8)).toShort.toInt
-        sum += math.abs(v)
-        k += 2
+  val audioDecodeFn: Iterator[ImgRow] => Iterator[WavFeature] = rows => {
+    var canaryDone = false
+    rows.map { r =>
+      val f = riffParse(r.payload, s"doc ${r.doc_id}")
+      if (!canaryDone) {
+        canaryDone = true
+        val jdk = jdkDecode(r.payload)
+        if (jdk.sample_rate != f.sample_rate || jdk.channels != f.channels ||
+            jdk.n_samples != f.n_samples || jdk.mean_abs != f.mean_abs)
+          throw new IllegalStateException(
+            s"RIFF parser diverged from javax.sound for doc ${r.doc_id}: " +
+              s"$f vs $jdk")
       }
-      WavFeature(r.doc_id, fmt.getSampleRate.toInt, fmt.getChannels, n,
-        sum / math.max(n * fmt.getChannels, 1))
+      f.copy(doc_id = r.doc_id)
     }
+  }
 
   /** Decoded audio features over real WAV payloads (m06). */
   def audioFeatures(spark: SparkSession, df: DataFrame,
