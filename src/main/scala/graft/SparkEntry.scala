@@ -221,6 +221,29 @@ object SparkEntry {
     // anti-joins a static kept-digest table, then dedups in-batch — the
     // EXACT call EventStreamSpec runs on a readStream frame (stream-static
     // left_anti). Output = the novel digest set (deterministic either way).
+    // streaming upsert sink, batch twin: the foreachBatch per-wave merges
+    // (bootstrap write, then a rewrite+insert wave) replayed sequentially —
+    // last writer wins per key; EventStreamSpec proves the ACTUAL
+    // readStream + Sinks.upsertSink path (incl. checkpoint restart) lands
+    // the identical final state
+    "e09_stream_upsert_sink" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-upsink-${math.abs(dir.hashCode)}"
+      val docs = t(s, dir, "documents")
+        .withColumn("len_band", floor(col("n_chars") / 100).cast("int"))
+        .select("doc_id", "text", "lang", "len_band")
+      sources.Sources.writeRangePartitioned(docs, "len_band", out,
+        sortCols = Seq("doc_id")) // wave 1 = the sink's bootstrap write
+      val wave2 = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("text", upper(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 97 === 5)
+          .withColumn("doc_id", col("doc_id") + 5000000L))
+      sources.Sources.upsertRangePartitioned(s, out, wave2,
+        "len_band", Seq("doc_id"), sortCols = Seq("doc_id"))
+      rt(s, s.read.parquet(out)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id"))
+    }),
+
     "e04_stream_incremental_dedup" -> ((s, dir) => rt(s, {
       val d = t(s, dir, "documents")
       streaming.EventStream.streamingIncrementalDedup(
@@ -1760,6 +1783,21 @@ object SparkEntry {
           |ORDER BY s_suppkey""".stripMargin))
     }),
 
+    // TPC-H Q13 shape: aggregate OF an aggregate (customer order-count
+    // distribution) over a LEFT JOIN whose ON clause carries a residual
+    // non-key predicate on the right side — the predicate must stay IN the
+    // join (filtering before/after changes left-join semantics)
+    "q53_tpch_q13_custdist" -> ((s, dir) => {
+      t(s, dir, "customer"); t(s, dir, "orders")
+      rt(s, s.sql(
+        """SELECT c_count, count(*) AS custdist FROM (
+          |  SELECT c_custkey, count(o_orderkey) AS c_count
+          |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          |    AND o_orderpriority <> '1-URGENT'
+          |  GROUP BY c_custkey) cc
+          |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin))
+    }),
+
     // TPC-H Q22 shape: substring bucketing + uncorrelated scalar AVG
     // subquery + correlated NOT EXISTS, then a global group-aggregate.
     // c_name digits stand in for the phone country code; the urgent-order
@@ -2463,6 +2501,21 @@ object SparkEntry {
         |FROM b ORDER BY band""".stripMargin,
     // p13: exact join sizes DuckDB-checked; the inner-product estimates are
     // certified in-query against the formal CMS bound
+    // e09: last-writer-wins replay of the two ingest waves
+    "e09_stream_upsert_sink" ->
+      """WITH w2 AS (
+        |  SELECT doc_id, upper(text) AS text, lang FROM documents
+        |  WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, text, lang FROM documents
+        |  WHERE doc_id % 97 = 5),
+        |merged AS (
+        |  SELECT doc_id, text, lang FROM w2
+        |  UNION ALL
+        |  SELECT doc_id, text, lang FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM w2))
+        |SELECT doc_id, lang, md5(text) AS text_md5 FROM merged
+        |ORDER BY doc_id""".stripMargin,
     "p14_cow_upsert" ->
       """WITH mods AS (SELECT doc_id, upper(text) AS text, lang, n_chars
         |              FROM documents WHERE doc_id % 13 = 3),
@@ -3482,6 +3535,13 @@ object SparkEntry {
         |WHERE s_suppkey = supplier_no
         |  AND total = (SELECT max(total) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
+    "q53_tpch_q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) cc
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q49_tpch_q22_global" ->
       """SELECT cntrycode, count(*) AS numcust,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal

@@ -32,6 +32,50 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).start()
   }
 
+  /** Streaming copy-on-write UPSERT sink: each micro-batch merges into a
+    * range-partitioned corpus via
+    * [[graft.sources.Sources.upsertRangePartitioned]] (foreachBatch — the
+    * sanctioned custom-sink hook). Last writer wins per key, so the final
+    * table state equals the batch-twin sequence of upserts over the same
+    * batches — the continuous-ingest path of a managed corpus.
+    *
+    * Delivery contract: foreachBatch is at-least-once ACROSS RESTARTS (the
+    * checkpoint dedups source offsets, but a batch that committed its merge
+    * and crashed before the offset commit REPLAYS). The upsert itself is
+    * idempotent for identical batch content (replace-by-key), so replays
+    * converge — the standard idempotent-sink argument. Within one run each
+    * batch merges exactly once, sequentially (Spark serializes foreachBatch
+    * invocations).
+    *
+    * Scale shape: each micro-batch touches only its own bands (driver-side
+    * band list → PartitionFilters), so ingest cost ∝ batch, not corpus —
+    * the same contract as the batch upsert it delegates to.
+    */
+  def upsertSink(df: DataFrame, basePath: String, checkpoint: String,
+                 bucketCol: String, keyCols: Seq[String],
+                 sortCols: Seq[String] = Nil,
+                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val p = new org.apache.hadoop.fs.Path(basePath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(p))
+            // bootstrap: the very first batch creates the partitioned layout
+            graft.sources.Sources.writeRangePartitioned(
+              batch, bucketCol, basePath, sortCols = sortCols)
+          else
+            graft.sources.Sources.upsertRangePartitioned(
+              spark, basePath, batch, bucketCol, keyCols, sortCols)
+        }
+        ()
+      }
+      .start()
+
   /** Append-mode CSV sink (same checkpoint/manifest contract). */
   def csvSink(df: DataFrame, path: String, checkpoint: String,
               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =

@@ -183,6 +183,43 @@ class EventStreamSpec extends SparkTestBase {
       expected.filter(col("event_type") === "click").count())
   }
 
+  test("streaming upsert sink: micro-batched ingest == one-shot final state") {
+    val srcDir = Files.createTempDirectory("graft_upsink_src").toString
+    val tblDir = Files.createTempDirectory("graft_upsink_tbl").toString + "/t"
+    val ckDir = Files.createTempDirectory("graft_upsink_ck").toString
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents")
+      .withColumn("len_band", floor(col("n_chars") / 100).cast("int"))
+      .select("doc_id", "text", "lang", "len_band")
+    // wave 1 bootstraps; wave 2 rewrites a third of the SAME keys (upper-
+    // cased text — last writer must win) and inserts new ones
+    val wave1 = docs
+    val wave2 = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("text", upper(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 97 === 5)
+        .withColumn("doc_id", col("doc_id") + 5000000L))
+
+    val schema = wave1.schema
+    def drain(): Unit = {
+      val q = Sinks.upsertSink(
+        spark.readStream.schema(schema).parquet(srcDir),
+        tblDir, ckDir, "len_band", Seq("doc_id"), sortCols = Seq("doc_id"))
+      q.awaitTermination()
+    }
+    wave1.coalesce(1).write.mode("append").parquet(srcDir)
+    drain()
+    assert(spark.read.parquet(tblDir).count() == wave1.count())
+    wave2.coalesce(1).write.mode("append").parquet(srcDir)
+    drain() // restart with the same checkpoint: only wave 2 merges
+
+    val expected = wave1
+      .join(wave2.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(wave2)
+    assertSameRows(
+      expected.select("doc_id", "text", "lang", "len_band"),
+      spark.read.parquet(tblDir).select("doc_id", "text", "lang", "len_band"))
+  }
+
   test("batch sessionization: sessions partition the events") {
     Tables.register(spark, sfDir)
     val events = spark.table("events")
