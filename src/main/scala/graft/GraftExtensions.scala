@@ -36,6 +36,15 @@ object GraftExtensions {
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "vec_cosine" -> (es => VecCosine(es(0), es(1))),
     "vec_l2sq" -> (es => VecL2Sq(es(0), es(1))),
+    "lsh_buckets" -> (es => {
+      def i(e: Expression, what: String): Int = e match {
+        case Literal(n: Int, _) => n
+        case other => throw new IllegalArgumentException(
+          s"lsh_buckets $what must be an integer literal, got $other")
+      }
+      LshBuckets(es(0), i(es(1), "tables"), i(es(2), "planesPerTable"),
+        i(es(3), "dim"))
+    }),
     "simhash64" -> (es => SimHash64(es(0))),
     "minhash_sig" -> (es => MinHashSig(es(0), es(1) match {
       case Literal(n: Int, _) => n

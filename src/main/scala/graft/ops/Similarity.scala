@@ -70,7 +70,21 @@ object Similarity {
     * for precision. Returns an ARRAY<BIGINT> of length `tables`.
     */
   def lshBucketArray(vec: Column, tables: Int, planesPerTable: Int,
-                     dim: Int): Column = {
+                     dim: Int): Column =
+    // single codegen'd kernel (graft.functions.LshBuckets): identical
+    // buckets to lshBucketArrayComposed below, but ONE JIT-compiled loop —
+    // the composed when/vec_dot form inlines tables×planes separate dot
+    // loops into one generated method, which exceeds HotSpot's JIT size
+    // limit and runs interpreted (measured: d05's bucket stage 40.6 s of a
+    // 47 s query at 30×; kernel: ~1 s)
+    graft.functions.VecFunctions.lshBuckets(vec, tables, planesPerTable, dim)
+
+  /** The composed-expression reference implementation of [[lshBucketArray]]
+    * (the original formulation): kept as the spec oracle proving the kernel
+    * computes bit-identical buckets.
+    */
+  def lshBucketArrayComposed(vec: Column, tables: Int, planesPerTable: Int,
+                             dim: Int): Column = {
     val hp = hyperplanes(tables * planesPerTable, dim)
     val buckets = (0 until tables).map { t =>
       val bits = (0 until planesPerTable).map { p =>
@@ -254,15 +268,19 @@ object Similarity {
                        corpusSizeHint: Long = 0L): DataFrame = {
     // nlist=0 → derive from corpus size so cell occupancy (and with it the
     // quadratic in-cell pair count) stays bounded as the corpus grows —
-    // the same self-sizing contract as lshNearDups' plane count. ~128
-    // vectors/cell keeps candidate volume ∝ n, and near-dup pairs (cosine
-    // ≈ 1) still co-cluster under any occupancy; the second probe cell
-    // covers boundary straddles.
+    // the same self-sizing contract as lshNearDups' plane count. ~32
+    // vectors/cell (was 128: candidate volume is ∝ n·occupancy, and the
+    // 30× rehearsal generated 14.7M candidates for 60k true pairs — the
+    // occupancy constant, not the output, dominated; 32 quarters it while
+    // near-dup pairs (cosine ≈ 1) still co-cluster under any occupancy —
+    // the second probe cell covers boundary straddles, certified by the
+    // exact-completeness oracles at both gated SFs and the planted-twin
+    // spec on the two-level path).
     val cells =
       if (nlist > 0) nlist
       else {
         val n = math.max(if (corpusSizeHint > 0) corpusSizeHint else df.count(), 1L)
-        math.max(16, math.ceil(n / 128.0).toInt)
+        math.max(16, math.ceil(n / 32.0).toInt)
       }
     val vecs = df.select(col(idCol).as("nd_id"), asDouble(col(vecCol)).as("nd_vec"))
       .repartition(col("nd_id"))
@@ -287,16 +305,30 @@ object Similarity {
         import spark.implicits._
         val (coarse, fine) = Ivf.trainHierarchical(vecs, cells,
           trainSampleFraction, seed, "nd_vec")
+        // per-coarse-cell fine centroids as PARALLEL ARRAYS (cell-sorted):
+        // the assignment joins ONE broadcast row per (vector, coarse cell)
+        // and the vec_top_cells kernel scans the matrix in a single codegen
+        // pass. The previous shape exploded one row per (vector, fine
+        // centroid) — replicating the 520-byte vector √nlist× and feeding a
+        // corpus×√nlist-row window (7.4M rows at 30×; now corpus×probe².
+        // Same result: the global top-probe set is a subset of the union
+        // of per-coarse-cell top-probe sets, same (d, cell) tie order.
         val fineDf = fine.toDF("cell", "ccell", "fcent")
+          .groupBy("ccell")
+          .agg(array_sort(collect_list(struct(col("cell"), col("fcent"))))
+            .as("fc"))
+          .select(col("ccell"), col("fc.cell").as("cells"),
+            col("fc.fcent").as("cents"))
         val probed = vecs.select(col("nd_id"), col("nd_vec"),
           explode(Ivf.nearestCells(col("nd_vec"), coarse, probeCells))
             .as("ccell"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("nd_id").orderBy(col("d"), col("cell"))
         probed.join(broadcast(fineDf), "ccell")
-          .select(col("nd_id"), col("cell"),
-            graft.functions.VecFunctions
-              .vecL2Sq(col("nd_vec"), col("fcent")).as("d"))
+          .select(col("nd_id"), explode(graft.functions.VecFunctions
+            .vecTopCells(col("nd_vec"), col("cents"), col("cells").cast("array<long>"),
+              probeCells)).as("tc"))
+          .select(col("nd_id"), col("tc.cell").as("cell"), col("tc.d").as("d"))
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= probeCells)
           .select("nd_id", "cell")

@@ -784,6 +784,16 @@ object Consumer {
           case "minhash_sig" =>
             graft.functions.MinHashFunctions.ensureSessionRegistered()
             call_function("minhash_sig", a0, lit(litInt(args(1))))
+          // graft's sign-LSH bucket kernel: (tables, planes, dim) literals
+          case "lsh_buckets" =>
+            graft.functions.VecFunctions.ensureSessionRegistered()
+            call_function("lsh_buckets", a0, lit(litInt(args(1))),
+              lit(litInt(args(2))), lit(litInt(args(3))))
+          // graft's top-k-nearest-centroid kernel: k rides as a literal
+          case "vec_top_cells" =>
+            graft.functions.VecFunctions.ensureSessionRegistered()
+            call_function("vec_top_cells", a0, a1,
+              toColumnRec(args(2), cols), lit(litInt(args(3))))
           // named scalar functions (Producer.namedScalarFns) resolve through
           // the session function registry; graft's vector kernels register
           // themselves on first use so foreign plans naming them resolve too

@@ -1552,6 +1552,19 @@ object Producer {
         SExpr.ScalarFn(anchor("minhash_sig"),
           Seq(rec(m.child), SExpr.Lit(LitVal.LI32(m.numHashes))))
 
+      // lsh_buckets likewise re-attaches its (tables, planes, dim) shape
+      case l: graft.functions.LshBuckets =>
+        SExpr.ScalarFn(anchor("lsh_buckets"),
+          Seq(rec(l.child), SExpr.Lit(LitVal.LI32(l.tables)),
+            SExpr.Lit(LitVal.LI32(l.planesPerTable)),
+            SExpr.Lit(LitVal.LI32(l.dim))))
+
+      // vec_top_cells re-attaches k
+      case v: graft.functions.VecTopCells =>
+        SExpr.ScalarFn(anchor("vec_top_cells"),
+          Seq(rec(v.first), rec(v.second), rec(v.third),
+            SExpr.Lit(LitVal.LI32(v.k))))
+
       // UnaryMathExpression prettyNames are upper-case ("ASIN"); the wire
       // name is always the lower-case SQL-registry name
       case e if e.deterministic && e.children.nonEmpty &&

@@ -35,6 +35,30 @@ class VecExpressionsSpec extends SparkTestBase {
     assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("lsh_buckets kernel is bit-identical to the composed when/vec_dot form") {
+    // the composed reference inlines tables×planes dot loops (the shape the
+    // kernel replaced for JIT-size reasons) — every bucket must agree on
+    // several (tables, planes) shapes incl. d05's production 6×13
+    for ((t, p) <- Seq((6, 6), (6, 13), (16, 3))) {
+      val cmp = embs.select(
+        Similarity.lshBucketArray(col("v"), t, p, 64).as("kernel"),
+        Similarity.lshBucketArrayComposed(col("v"), t, p, 64).as("composed"))
+      val bad = cmp.filter(col("kernel") =!= col("composed")).count()
+      assert(bad == 0, s"kernel diverged from composed form at tables=$t planes=$p")
+    }
+    // codegen + wire: the kernel round-trips by name with its literal shape
+    val df = embs.limit(20).select(col("vec_id"),
+      Similarity.lshBucketArray(col("v"), 4, 5, 64).as("b"))
+    assert(df.queryExecution.executedPlan.toString.contains("lsh_buckets"))
+    assertRoundtrip(df)
+    // non-literal shape rejects loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT lsh_buckets(array(1.0d), 2, CAST(rand()*2 AS INT), 4)")
+        .collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("null and length-mismatch behavior") {
     import spark.implicits._
     val df = Seq(
