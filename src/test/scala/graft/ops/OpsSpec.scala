@@ -497,6 +497,48 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("real codecs: decoded features match the generation rule; corrupt bytes loud") {
+    import spark.implicits._
+    // PNG: decode one known image and check its closed-form geometry/luma
+    val img = Multimodal.imageFeatures(spark, Seq(10L).toDF("doc_id")).head()
+    assert(img.getInt(1) == 1 + (10 % 7) * 2 && img.getInt(2) == 1 + (10 % 5) * 3)
+    assert(img.getInt(3) == 3)
+    val w = 1 + (10 % 7) * 2; val h = 1 + (10 % 5) * 3
+    val exp = (0 until w * h).map(k => (10L * 31 + k) % 256).sum.toDouble / (w * h)
+    assert(math.abs(img.getDouble(4) - exp) < 1e-6)
+    // WAV: same for the audio rule
+    val wav = Multimodal.audioFeatures(spark, Seq(10L).toDF("doc_id")).head()
+    assert(wav.getInt(1) == 8000 && wav.getInt(2) == 1)
+    assert(wav.getInt(3) == (64 + 10 % 129))
+    // corrupt payloads fail LOUDLY, never decode to garbage
+    val badWav = Seq((1L, Array[Byte](1, 2, 3, 4))).toDF("doc_id", "payload")
+    val e1 = intercept[Exception] {
+      badWav.as[Multimodal.ImgRow].mapPartitions(Multimodal.audioDecodeFn).count()
+    }
+    assert(e1.getMessage.contains("RIFF") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("RIFF"),
+      e1.getMessage)
+    val truncated = {
+      val good = Seq(7L).toDF("doc_id").as[Multimodal.IdRow]
+        .mapPartitions(Multimodal.wavEncodeFn).head().payload
+      good.take(30) // cuts inside the fmt chunk
+    }
+    val e2 = intercept[Exception] {
+      Seq((7L, truncated)).toDF("doc_id", "payload")
+        .as[Multimodal.ImgRow].mapPartitions(Multimodal.audioDecodeFn).count()
+    }
+    assert(e2.getMessage.contains("truncated") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("truncated"),
+      e2.getMessage)
+    val badPng = Seq((1L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")
+    val e3 = intercept[Exception] {
+      badPng.as[Multimodal.ImgRow].mapPartitions(Multimodal.imageDecodeFn).count()
+    }
+    assert(e3.getMessage.contains("undecodable") ||
+      e3.getCause != null && e3.getCause.getMessage.contains("undecodable"),
+      e3.getMessage)
+  }
+
   test("frame sampling: byte-exact slices at the stride") {
     import spark.implicits._
     val payload = (0 until 100).map(_.toByte).toArray
