@@ -56,7 +56,9 @@ object PlansDoc {
     "m04_media_batches" -> "media batch packing: per-modality window pass over payload SIZES — binary payloads never shuffle; batch boundaries from one running sum",
     "m01_media_features" -> "REAL PNG decode: both codec stages ride as named typed stages (png_encode → image_decode); payloads stay in their input partition — zero shuffles before the output sort",
     "q47_tpch_q2_mincost" -> "TPC-H Q2 shape: the correlated min decorrelates to a grouped aggregate re-joined on (partkey, price); dimension sides broadcast",
-    "q50_tpch_q20_excess" -> "TPC-H Q20 shape: grouping-key-correlated HAVING scalar decorrelates into an aggregate-to-aggregate join; both IN levels become semi joins")
+    "q50_tpch_q20_excess" -> "TPC-H Q20 shape: grouping-key-correlated HAVING scalar decorrelates into an aggregate-to-aggregate join; both IN levels become semi joins",
+    "d05_embedding_neardup" -> "embedding near-dup: ONE codegen'd lsh_buckets kernel computes all table buckets (the composed per-plane form ran interpreted past the JIT size limit); candidate ids shuffle bare, vectors re-join only for the exact-cosine verify",
+    "e09_stream_upsert_sink" -> "streaming upsert sink batch twin: the band-pruned merge reads ONLY affected partitions (PartitionFilters from the driver-side band list) and the final state scans the swapped layout")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
