@@ -1056,11 +1056,26 @@ object SparkEntry {
       ops.Multimodal.imageFeatures(s, t(s, dir, "documents"))
         .orderBy("doc_id"))),
 
-    // the byte-class stub surface (video stand-in — no ffmpeg in this
-    // container) stays certified: schema, batching, ExtStage naming
-    "m05_media_stub_features" -> ((s, dir) => rt(s,
-      ops.Multimodal.mediaFeatureSummary(s, t(s, dir, "documents"))
+    // REAL video decode (round 9, re-pointed from the byte-class stub):
+    // clip-level pooling over DECODED animated-GIF frames — frame count
+    // from the container's image descriptors, clip luma over real inflated
+    // LZW rasters; stages wire-named graft.gif_encode_v1 →
+    // graft.gif_frames_v1. The stub stage surface stays certified by the
+    // wire conformance specs (graft.media_features_v1 remains decodable).
+    "m05_video_clip_features" -> ((s, dir) => rt(s,
+      ops.Multimodal.videoClipFeatures(s, t(s, dir, "documents"))
         .orderBy("doc_id"))),
+
+    // REAL multi-frame video decode (round 9): deterministic synthetic
+    // animated GIFs (actual JDK GIF ImageWriter sequence API — one LZW
+    // raster per frame) decoded back frame-by-frame through the actual
+    // multi-frame ImageReader (getNumImages walks image descriptors,
+    // read(f) inflates frame f); per-frame geometry + mean luma. The
+    // oracle replays the closed-form generation rule, so a codec that
+    // mis-parses descriptors, palettes, or LZW fails certification.
+    "m07_video_frames" -> ((s, dir) => rt(s,
+      ops.Multimodal.videoFrameFeatures(s, t(s, dir, "documents"))
+        .orderBy("doc_id", "frame_idx"))),
 
     // REAL audio decode (round 8): deterministic synthetic PCM signals
     // encoded as actual RIFF/WAVE (AudioSystem.write) and decoded back
@@ -2978,14 +2993,36 @@ object SparkEntry {
         |  ROUND(avg(CAST(abs((doc_id * 7 + k * 13) % 2048 - 1024) AS DOUBLE)), 6)
         |    AS mean_abs
         |FROM sm GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
-    "m05_media_stub_features" ->
-      """SELECT doc_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  CAST(strlen(text) AS INTEGER) AS n_bytes,
-        |  ROUND(CAST(len(regexp_extract_all(text, '[\x00-\x0F]')) AS DOUBLE)
-        |    / GREATEST(strlen(text), 1), 6) AS bin0
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    // m05/m07: replay of the deterministic clip-generation rule — the Spark
+    // side reads these values back out of a REAL animated-GIF encode +
+    // multi-frame decode round-trip
+    "m05_video_clip_features" ->
+      """WITH g AS (SELECT doc_id,
+        |    CAST(2 + doc_id % 4 AS INTEGER) AS nf,
+        |    CAST(2 + (doc_id % 5) * 2 AS INTEGER) AS width,
+        |    CAST(2 + (doc_id % 3) * 3 AS INTEGER) AS height
+        |  FROM documents),
+        |fr AS (SELECT doc_id, nf, width, height, unnest(range(nf)) AS f FROM g),
+        |px AS (SELECT doc_id, nf, width, height, f,
+        |    unnest(range(CAST(width AS BIGINT) * height)) AS k FROM fr)
+        |SELECT doc_id, nf AS n_frames, width, height,
+        |  ROUND(avg(CAST((doc_id * 17 + f * 101 + k * 3) % 256 AS DOUBLE)), 6)
+        |    AS clip_luma
+        |FROM px GROUP BY doc_id, nf, width, height ORDER BY doc_id""".stripMargin,
+    "m07_video_frames" ->
+      """WITH g AS (SELECT doc_id,
+        |    CAST(2 + doc_id % 4 AS INTEGER) AS nf,
+        |    CAST(2 + (doc_id % 5) * 2 AS INTEGER) AS width,
+        |    CAST(2 + (doc_id % 3) * 3 AS INTEGER) AS height
+        |  FROM documents),
+        |fr AS (SELECT doc_id, width, height, unnest(range(nf)) AS f FROM g),
+        |px AS (SELECT doc_id, width, height, f,
+        |    unnest(range(CAST(width AS BIGINT) * height)) AS k FROM fr)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, width, height,
+        |  ROUND(avg(CAST((doc_id * 17 + f * 101 + k * 3) % 256 AS DOUBLE)), 6)
+        |    AS mean_luma
+        |FROM px GROUP BY doc_id, f, width, height
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "m03_clip_pooling" ->
       """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS b FROM documents),
         |f AS (SELECT doc_id, text, b,

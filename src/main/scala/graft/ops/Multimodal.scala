@@ -4,14 +4,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque BINARY payloads
-  * with typed metadata, and a partition-wise feature-extraction stage.
+  * with typed metadata, and partition-wise decode stages.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic STUB (`decodeStub`): it "decodes" the payload
-  * into a 16-bin byte histogram. Everything around it — binary schema,
-  * per-partition batch iteration, feature array output shape, partitioning
-  * preservation — is the real Spark plumbing a libjpeg/ffmpeg-backed
-  * implementation would drop into.
+  * All three modalities now run REAL JDK codecs: PNG via javax.imageio
+  * (m01/m02), WAV/RIFF via javax.sound + a lock-free chunk walker (m06),
+  * and multi-frame animated GIF via the imageio GIF reader/writer
+  * (m05/m07). The original byte-histogram STUB (`decodeStub`) is retained
+  * only as the generic-binary stage surface (graft.media_features_v1) so
+  * old wire plans stay decodable.
   *
   * Scale notes: mapPartitions keeps the decode batched per task with no
   * shuffle; payloads never leave their input partition. Feature arrays are
@@ -77,8 +77,7 @@ object Multimodal {
   // SYNTHESIZED deterministically per doc_id (real PNG encode, also
   // ImageIO), then decoded back through the full codec path; the DuckDB
   // oracle computes the expected geometry + luma from the generation rule,
-  // so a decoder that mis-parses IHDR/IDAT fails certification. Audio/video
-  // decode stays stubbed (no codecs in this container — see decodeStub).
+  // so a decoder that mis-parses IHDR/IDAT fails certification.
 
   final case class IdRow(doc_id: Long)
   final case class ImgRow(doc_id: Long, payload: Array[Byte])
@@ -190,7 +189,7 @@ object Multimodal {
   // Audio: WAV/PCM via JDK javax.sound.sampled — a real container codec
   // (RIFF/fmt/data chunk parsing), same certification pattern as PNG:
   // deterministic synthetic signals, real encode, real decode, closed-form
-  // oracle. Video decode remains the one stub (no ffmpeg in this container).
+  // oracle.
 
   final case class WavFeature(doc_id: Long, sample_rate: Int, channels: Int,
                               n_samples: Int, mean_abs: Double)
@@ -405,6 +404,165 @@ object Multimodal {
     feats.toDF().select(
       col("doc_id"), col("media_type"), col("n_bytes"),
       round(element_at(col("feature"), 1).cast("double"), 6).as("bin0"))
+  }
+
+  // Video (round 9): multi-frame GIF via the JDK javax.imageio GIF codec —
+  // a REAL animated-container round-trip (LZW-compressed frames, local color
+  // tables, image descriptors), closing the last stub modality. Same
+  // certification pattern as PNG/WAV: deterministic synthetic clips, real
+  // encode, real multi-frame decode (ImageReader.read(frameIndex)),
+  // closed-form oracle over the generation rule. Frames use an explicit
+  // 256-entry grayscale IndexColorModel so the palette round-trips pixel
+  // values losslessly through GIF's 8-bit indexed raster.
+
+  /** luma_sum is the EXACT integer sum of decoded gray values (integers sum
+    * exactly in a double), so downstream means divide once at the end —
+    * no FP-accumulation-order nondeterminism across partitions.
+    */
+  final case class FrameFeature(doc_id: Long, frame_idx: Int, width: Int,
+                                height: Int, luma_sum: Double)
+
+  /** Deterministic synthetic clip parameters: 2..5 frames, w ∈ {2,4,6,8,10},
+    * h ∈ {2,5,8}; gray value of pixel k (row-major) in frame f =
+    * (doc_id·17 + f·101 + k·3) mod 256. The oracle replays exactly this rule.
+    */
+  private def vidFrames(id: Long): Int = (2 + id % 4).toInt
+  private def vidWidth(id: Long): Int = (2 + (id % 5) * 2).toInt
+  private def vidHeight(id: Long): Int = (2 + (id % 3) * 3).toInt
+  private def vidGray(id: Long, f: Int, k: Int): Int =
+    ((id * 17 + f.toLong * 101 + k.toLong * 3) % 256).toInt
+
+  /** Exact 256-gray palette: index i ↔ rgb(i,i,i), so encode(setSample(v)) →
+    * decode(getRGB) returns v in every channel with zero quantization.
+    */
+  private lazy val grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** THE video encode stage instance (wire name graft.gif_encode_v1):
+    * doc_id → real animated-GIF bytes via the JDK GIF ImageWriter sequence
+    * API (prepareWriteSequence / writeToSequence / endWriteSequence — one
+    * image descriptor + LZW raster per frame). Writer allocated once per
+    * partition; ImageIO stream caching forced off (see imageIoInit).
+    */
+  val gifEncodeFn: Iterator[IdRow] => Iterator[ImgRow] = rows => {
+    imageIoInit()
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    if (!writers.hasNext) throw new IllegalStateException("no GIF writer available")
+    val writer = writers.next()
+    // The JDK writer defaults to INTERLACED output, and its interlaced
+    // raster round-trips corrupted for small frame heights (measured: h=2
+    // frames decode with the second row zeroed; h≥5 survive). Progressive
+    // mode off = interlaceFlag FALSE = sequential scanlines, lossless.
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    rows.map { r =>
+      val (w, h, nf) = (vidWidth(r.doc_id), vidHeight(r.doc_id), vidFrames(r.doc_id))
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nf) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var k = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, vidGray(r.doc_id, f, k))
+            x += 1; k += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+      ios.close()
+      ImgRow(r.doc_id, bos.toByteArray)
+    }
+  }
+
+  /** THE video decode stage instance (wire name graft.gif_frames_v1): GIF
+    * bytes → one row per DECODED frame via a real multi-frame ImageReader
+    * (`getNumImages(true)` walks the image descriptors; `read(f)` inflates
+    * frame f's LZW raster). Mean luma averages (r+g+b)/3 over decoded
+    * pixels — the gray palette makes that the original sample value. Loud
+    * on undecodable payloads and zero-frame containers.
+    */
+  val gifFramesFn: Iterator[ImgRow] => Iterator[FrameFeature] = rows => {
+    imageIoInit()
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) throw new IllegalStateException("no GIF reader available")
+    val reader = readers.next()
+    rows.flatMap { r =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      reader.setInput(iis, false, true)
+      val nf = reader.getNumImages(true)
+      if (nf <= 0)
+        throw new IllegalArgumentException(
+          s"undecodable GIF payload for doc ${r.doc_id}")
+      val out = (0 until nf).map { f =>
+        val img = reader.read(f)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            // gray palette ⇒ r = g = b = original sample value
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        FrameFeature(r.doc_id, f, w, h, sum.toDouble)
+      }
+      iis.close()
+      out
+    }
+  }
+
+  /** Synthetic-GIF media table: real animated-GIF payloads, one per doc. */
+  def asVideoTable(spark: SparkSession, df: DataFrame,
+                   idCol: String = "doc_id"): Dataset[ImgRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id")).as[IdRow]
+      .mapPartitions(gifEncodeFn)
+  }
+
+  /** Decoded per-frame video features over real GIF payloads (m07). */
+  def videoFrameFeatures(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    asVideoTable(spark, df).mapPartitions(gifFramesFn).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        round(col("luma_sum") / (col("width") * col("height")), 6)
+          .as("mean_luma"))
+  }
+
+  /** Clip-level pooling over DECODED frames (re-pointed m05): frame count
+    * from the container's image descriptors, clip luma = mean gray over all
+    * decoded pixels of all frames — the frame→clip layer of a video pipeline
+    * running on real codec output instead of byte slices. One grouping
+    * exchange; payloads never shuffle (only per-frame scalars do). The
+    * exact integer luma sums divide once after the aggregation, so the
+    * result is bit-identical regardless of partial-agg merge order.
+    */
+  def videoClipFeatures(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    asVideoTable(spark, df).mapPartitions(gifFramesFn).toDF()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_frames"),
+        max("width").as("width"), max("height").as("height"),
+        round(sum(col("luma_sum")) /
+          sum((col("width") * col("height")).cast("double")), 6)
+          .as("clip_luma"))
   }
 
   /** Frame sampling: fixed-length binary frames cut at a fixed stride —

@@ -70,6 +70,23 @@ object Stages {
         import spark.implicits._
         in.as[graft.ops.Multimodal.ImgRow]
           .mapPartitions(graft.ops.Multimodal.audioDecodeFn).toDF()
+      }),
+    // Multimodal.gifEncodeFn: doc_id → real animated-GIF payload
+    "graft.gif_encode_v1" -> Stage(
+      Seq("doc_id"), 2,
+      (spark, in) => {
+        import spark.implicits._
+        in.as[graft.ops.Multimodal.IdRow]
+          .mapPartitions(graft.ops.Multimodal.gifEncodeFn).toDF()
+      }),
+    // Multimodal.gifFramesFn: (doc_id, payload) → one row per decoded frame
+    // (doc_id, frame_idx, width, height, mean_luma)
+    "graft.gif_frames_v1" -> Stage(
+      Seq("doc_id", "payload"), 5,
+      (spark, in) => {
+        import spark.implicits._
+        in.as[graft.ops.Multimodal.ImgRow]
+          .mapPartitions(graft.ops.Multimodal.gifFramesFn).toDF()
       }))
 
   /** Producer-side reverse lookup by EXACT closure identity: each wire name
@@ -85,7 +102,9 @@ object Stages {
     graft.ops.Multimodal.imageDecodeFn -> "graft.image_decode_v1",
     graft.ops.Multimodal.imageScanlinesFn -> "graft.image_scanlines_v1",
     graft.ops.Multimodal.wavEncodeFn -> "graft.wav_encode_v1",
-    graft.ops.Multimodal.audioDecodeFn -> "graft.audio_decode_v1")
+    graft.ops.Multimodal.audioDecodeFn -> "graft.audio_decode_v1",
+    graft.ops.Multimodal.gifEncodeFn -> "graft.gif_encode_v1",
+    graft.ops.Multimodal.gifFramesFn -> "graft.gif_frames_v1")
 
   def nameOf(func: AnyRef): Option[String] =
     byClosureInstance.collectFirst { case (f, n) if f eq func => n }

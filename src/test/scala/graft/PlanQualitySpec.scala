@@ -113,16 +113,29 @@ class PlanQualitySpec extends SparkTestBase {
     assert(m3.contains("ReadSchema: struct<doc_id:bigint,text:string>"), m3)
   }
 
-  test("m01/m02/m06: real-decode pipelines scan ONLY the id column") {
+  test("m01/m02/m06/m07: real-decode pipelines scan ONLY the id column") {
     // the codec stages synthesize payloads from doc_id; a scan that still
     // reads text would ship the corpus for nothing
-    for (q <- Seq("m01_media_features", "m02_frame_stats", "m06_audio_features")) {
+    for (q <- Seq("m01_media_features", "m02_frame_stats", "m06_audio_features",
+      "m07_video_frames")) {
       val p = plan(q)
       assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
         s"$q should read only doc_id:\n$p")
       assert(!p.contains("Exchange hashpartitioning"),
         s"$q decode must not shuffle payloads:\n$p")
     }
+  }
+
+  test("m05: clip pooling shuffles per-frame scalars, never GIF payloads") {
+    val p = plan("m05_video_clip_features")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"m05 should read only doc_id:\n$p")
+    // exactly the one clip-grouping exchange, placed AFTER the decode stage
+    // (the exchanged row is (doc_id, frame scalars), not the payload)
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"expected exactly the clip-group shuffle:\n$p")
+    assert(!p.contains("payload"), s"payload column must not reach a shuffle:\n$p")
   }
 
   test("q36: the wire-round-tripped filter still pushes to the parquet scan") {

@@ -539,6 +539,39 @@ class OpsSpec extends SparkTestBase {
       e3.getMessage)
   }
 
+  test("real GIF video: multi-frame decode matches the clip rule; corrupt bytes loud") {
+    import spark.implicits._
+    // doc 10: 2 + 10%4 = 4 frames, w = 2 + (10%5)*2 = 2, h = 2 + (10%3)*3 = 5
+    val frames = Multimodal.videoFrameFeatures(spark, Seq(10L).toDF("doc_id"))
+      .orderBy("frame_idx").collect()
+    assert(frames.length == 4)
+    frames.zipWithIndex.foreach { case (r, f) =>
+      assert(r.getInt(1) == f && r.getInt(2) == 2 && r.getInt(3) == 5)
+      val exp = (0 until 10).map(k => (10L * 17 + f * 101 + k * 3) % 256).sum / 10.0
+      assert(math.abs(r.getDouble(4) - exp) < 1e-6, s"frame $f luma")
+    }
+    // clip pooling = mean over ALL pixels of all frames
+    val clip = Multimodal.videoClipFeatures(spark, Seq(10L).toDF("doc_id")).head()
+    assert(clip.getInt(1) == 4 && clip.getInt(2) == 2 && clip.getInt(3) == 5)
+    val expClip = (for (f <- 0 until 4; k <- 0 until 10)
+      yield (10L * 17 + f * 101 + k * 3) % 256).sum / 40.0
+    assert(math.abs(clip.getDouble(4) - expClip) < 1e-6)
+    // payload really is an animated GIF container: header + >1 image separator
+    val payload = Multimodal.asVideoTable(spark, Seq(10L).toDF("doc_id")).head().payload
+    assert(new String(payload.take(6), "US-ASCII") == "GIF89a")
+    // corrupt payloads fail LOUDLY
+    val e = intercept[Exception] {
+      Seq((1L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")
+        .as[Multimodal.ImgRow].mapPartitions(Multimodal.gifFramesFn).count()
+    }
+    assert(e.getMessage.contains("undecodable") ||
+      e.getCause != null && e.getCause.getMessage.contains("undecodable") ||
+      e.getMessage.contains("GIF") ||
+      e.getCause != null && e.getCause.getMessage != null &&
+        e.getCause.getMessage.contains("GIF"),
+      e.getMessage)
+  }
+
   test("frame sampling: byte-exact slices at the stride") {
     import spark.implicits._
     val payload = (0 until 100).map(_.toByte).toArray
