@@ -1833,6 +1833,48 @@ object SparkEntry {
           |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin))
     }),
 
+    // TPC-H Q18 shape: semi join against a grouped-HAVING subquery (large
+    // IN over aggregated keys) feeding a second aggregation over the
+    // 3-table join — the IN-subquery decorrelates to a semi join on the
+    // grouped orderkeys, and the big join stays key-partitioned
+    "q54_tpch_q18_bigorders" -> ((s, dir) => {
+      t(s, dir, "customer"); t(s, dir, "orders"); t(s, dir, "lineitem")
+      rt(s, s.sql(
+        """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+          |  o.o_totalprice, sum(l.l_quantity) AS total_qty
+          |FROM customer c, orders o, lineitem l
+          |WHERE o.o_orderkey IN (
+          |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+          |    HAVING sum(l_quantity) > 250)
+          |  AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+          |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+          |  o.o_totalprice
+          |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+          |LIMIT 100""".stripMargin))
+    }),
+
+    // TPC-H Q19 shape: disjunctive OR-of-ANDs join predicate — each
+    // disjunct repeats the p_partkey = l_partkey equi conjunct, which the
+    // optimizer must factor out (CNF extraction) so the join plans as an
+    // EQUI join carrying the OR as a residual condition, never a
+    // cartesian/nested-loop; the whole condition rides the wire inside
+    // JoinRel. Brand/size/quantity bands stand in for TPC-H's
+    // container+shipmode bands this schema doesn't carry.
+    "q55_tpch_q19_disjunct" -> ((s, dir) => {
+      t(s, dir, "lineitem"); t(s, dir, "part")
+      rt(s, s.sql(
+        """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+          |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_lines
+          |FROM lineitem l, part p
+          |WHERE (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#12'
+          |       AND l.l_quantity BETWEEN 1 AND 25 AND p.p_size BETWEEN 1 AND 25)
+          |   OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+          |       AND l.l_quantity BETWEEN 10 AND 35 AND p.p_size BETWEEN 1 AND 35)
+          |   OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#7'
+          |       AND l.l_quantity BETWEEN 20 AND 50 AND p.p_size BETWEEN 1 AND 50)""".stripMargin))
+    }),
+
     // uncorrelated scalar subquery → cross-joined single-row AggregateRel
     "q33_scalar_subquery" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -3629,6 +3671,29 @@ object SparkEntry {
         |  (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |     / count(*) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "q54_tpch_q18_bigorders" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice, sum(l.l_quantity) AS total_qty
+        |FROM customer c, orders o, lineitem l
+        |WHERE o.o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |    HAVING sum(l_quantity) > 250)
+        |  AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice
+        |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q55_tpch_q19_disjunct" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l, part p
+        |WHERE (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#12'
+        |       AND l.l_quantity BETWEEN 1 AND 25 AND p.p_size BETWEEN 1 AND 25)
+        |   OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+        |       AND l.l_quantity BETWEEN 10 AND 35 AND p.p_size BETWEEN 1 AND 35)
+        |   OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#7'
+        |       AND l.l_quantity BETWEEN 20 AND 50 AND p.p_size BETWEEN 1 AND 50)""".stripMargin,
     "q32_in_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer

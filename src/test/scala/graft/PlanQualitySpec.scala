@@ -138,6 +138,28 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("payload"), s"payload column must not reach a shuffle:\n$p")
   }
 
+  test("q55: disjunctive OR-of-ANDs join stays an EQUI join with pushed CNF filters") {
+    val p = plan("q55_tpch_q19_disjunct")
+    assert(p.contains("BroadcastHashJoin"), s"q19 shape must hash-join on the factored partkey:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the OR predicate fell out of the join:\n$p")
+    // the OR residual rides INSIDE the hash join condition
+    assert(p.contains("Brand#12") && p.contains("Brand#23"), p)
+    // CNF-derived per-side disjunctions reach BOTH parquet scans
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      s"lineitem quantity bands must push down:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(p_size), GreaterThanOrEqual(p_size,1), IsNotNull(p_partkey), Or(Or(And(EqualTo(p_brand"),
+      s"part brand/size bands must push down:\n$p")
+  }
+
+  test("q54: grouped-HAVING IN plans as a semi join; LIMIT fuses with the sort") {
+    val p = plan("q54_tpch_q18_bigorders")
+    assert(p.contains("LeftSemi"), s"the IN over aggregated keys must be a semi join:\n$p")
+    assert(p.contains("TakeOrderedAndProject(limit=100"),
+      s"ORDER BY + LIMIT must fuse (no global sort):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q36: the wire-round-tripped filter still pushes to the parquet scan") {
     val p = plan("q36_map_ops")
     assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThanOrEqual(l_orderkey,200)]"), p)
