@@ -1205,6 +1205,27 @@ object SparkEntry {
           round(expr("regr_slope(n_chars, doc_id)"), 6).as("slope"))
         .orderBy("lang"))),
 
+    // q46-family: percentile_disc with BOTH within-group directions on the
+    // wire (ASC is the plain name; DESC rides as percentile_disc_desc —
+    // the first_ignore_nulls convention; a silent ASC flip would corrupt a
+    // consumer, so the direction is explicit). Oracle replays both via the
+    // cume_dist definition, so the wire decode is value-certified.
+    "q56_percentile_disc" -> ((s, dir) => rt(s,
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)")
+            .as("p25_asc"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars DESC)")
+            .as("p25_desc"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+            .as("p50_asc"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars DESC)")
+            .as("p50_desc"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars DESC)")
+            .as("p90_desc"))
+        .orderBy("lang"))),
+
     // time-INTERVAL RANGE window frame (trailing 1-hour per-user totals —
     // THE sliding-metric shape): the bound has no i64 substrait form, so
     // the producer re-keys the spec on unix_micros(ts) (monotone bijection;
@@ -3671,6 +3692,21 @@ object SparkEntry {
         |  (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |     / count(*) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    // percentile_disc replayed from its definition: the first value in
+    // within-group order whose cumulative distribution reaches p (ties
+    // share a cume_dist, so min_by is deterministic in value)
+    "q56_percentile_disc" ->
+      """WITH a AS (SELECT lang, n_chars,
+        |    cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS cda,
+        |    cume_dist() OVER (PARTITION BY lang ORDER BY n_chars DESC) AS cdd
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(min_by(n_chars, CASE WHEN cda >= 0.25 THEN cda END) AS DOUBLE) AS p25_asc,
+        |  CAST(min_by(n_chars, CASE WHEN cdd >= 0.25 THEN cdd END) AS DOUBLE) AS p25_desc,
+        |  CAST(min_by(n_chars, CASE WHEN cda >= 0.5 THEN cda END) AS DOUBLE) AS p50_asc,
+        |  CAST(min_by(n_chars, CASE WHEN cdd >= 0.5 THEN cdd END) AS DOUBLE) AS p50_desc,
+        |  CAST(min_by(n_chars, CASE WHEN cdd >= 0.9 THEN cdd END) AS DOUBLE) AS p90_desc
+        |FROM a GROUP BY lang ORDER BY lang""".stripMargin,
     "q54_tpch_q18_bigorders" ->
       """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
         |  o.o_totalprice, sum(l.l_quantity) AS total_qty
