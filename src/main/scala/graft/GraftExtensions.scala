@@ -46,6 +46,7 @@ object GraftExtensions {
         i(es(3), "dim"))
     }),
     "simhash64" -> (es => SimHash64(es(0))),
+    "bpe_count" -> (es => BpeCount(es(0))),
     "minhash_sig" -> (es => MinHashSig(es(0), es(1) match {
       case Literal(n: Int, _) => n
       case other => throw new IllegalArgumentException(

@@ -517,6 +517,22 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     })),
 
+    // Subword (BPE) tokenization (round 9): deterministic greedy merges
+    // over the compiled-in v1 table via the codegen'd bpe_count kernel
+    // (riding the wire as a named scalar fn), feeding packSequences so
+    // packing budgets count SUBWORDS, not whitespace tokens. The oracle
+    // replays the merge table as a recursive join-loop over the (bounded)
+    // distinct-word set — an independent SQL implementation of the same
+    // public algorithm.
+    "t29_bpe_tokens" -> ((s, dir) => rt(s, {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        graft.functions.BpeFunctions.bpeCount(col("text")).as("n_bpe"))
+      ops.Pipeline.packSequences(d, "n_bpe", "doc_id",
+          budget = 2048, byCols = Seq("lang"))
+        .select("lang", "doc_id", "n_bpe", "bin_id")
+        .orderBy("lang", "doc_id")
+    })),
+
     // Gopher-style repetition filters: zero-shuffle narrow fold per document
     "t10_repetition" -> ((s, dir) => rt(s,
       ops.TextOps.repetitionStats(t(s, dir, "documents"))
@@ -2482,6 +2498,53 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, lang, n_tokens, stream_offset,
         |  CAST(FLOOR(stream_offset / 1024.0) AS BIGINT) AS bin_id
+        |FROM p ORDER BY lang, doc_id""".stripMargin,
+    // t29: independent SQL replay of greedy BPE — the v1 merge table rides
+    // as a literal MAP and each recursion step merges the leftmost
+    // occurrence of the lowest-rank pair (equivalent to the kernel's batch
+    // merge under the table's construction invariant; BpeSpec property-
+    // checks that). Terminal count per word = min symbol-list length.
+    "t29_bpe_tokens" ->
+      """WITH RECURSIVE
+        |w(word) AS (SELECT DISTINCT unnest(regexp_extract_all(text, '\S+'))
+        |            FROM documents),
+        |bpe(word, syms) AS (
+        |  SELECT word, regexp_extract_all(word, '.') FROM w
+        |  UNION ALL
+        |  SELECT word,
+        |    list_slice(syms, 1, best.pos - 1)
+        |      || [syms[best.pos] || syms[best.pos + 1]]
+        |      || list_slice(syms, best.pos + 2, len(syms))
+        |  FROM (
+        |    SELECT word, syms,
+        |      list_sort(list_filter(list_transform(range(1, len(syms)),
+        |        i -> struct_pack(rk := map_extract(
+        |               MAP(['t h','th e','e r','a n','i n','o w','a r','s t',
+        |                    'a l','b l','bl e','u e','d a','t a','k e','in e',
+        |                    'j o','h a','s c','sc an','ar k','er y','g g',
+        |                    'r t','o m','r e','o r','g e'],
+        |                   [0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,
+        |                    19,20,21,22,23,24,25,26,27]),
+        |               syms[i] || ' ' || syms[i+1])[1],
+        |             pos := i)),
+        |        x -> x.rk IS NOT NULL))[1] AS best
+        |    FROM bpe) b
+        |  WHERE best IS NOT NULL),
+        |cnt AS (SELECT word, CAST(min(len(syms)) AS INTEGER) AS nt
+        |        FROM bpe GROUP BY word),
+        |docw AS (SELECT doc_id, lang,
+        |           unnest(regexp_extract_all(text, '\S+')) AS word
+        |         FROM documents),
+        |d AS (SELECT doc_id, any_value(lang) AS lang,
+        |        CAST(sum(nt) AS INTEGER) AS n_bpe
+        |      FROM docw JOIN cnt USING (word) GROUP BY doc_id),
+        |p AS (SELECT lang, doc_id, n_bpe,
+        |        CAST(COALESCE(SUM(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS strm
+        |      FROM d)
+        |SELECT lang, doc_id, n_bpe,
+        |  CAST(FLOOR(strm / 2048.0) AS BIGINT) AS bin_id
         |FROM p ORDER BY lang, doc_id""".stripMargin,
     "s05_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

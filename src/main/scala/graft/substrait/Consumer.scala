@@ -804,6 +804,8 @@ object Consumer {
               graft.functions.MinHashFunctions.ensureSessionRegistered()
             if (other == "sorted_jaccard_ge" || other == "sorted_containment_ge")
               graft.functions.JaccardFunctions.ensureSessionRegistered()
+            if (other == "bpe_count")
+              graft.functions.BpeFunctions.ensureSessionRegistered()
             if (other.startsWith("pq_"))
               graft.functions.PqFunctions.ensureSessionRegistered()
             if (other == "might_contain")

@@ -1683,7 +1683,7 @@ object Producer {
     // graft's own codegen'd vector kernels — session-registered functions,
     // carried as substrait extension functions by name
     "vec_dot", "vec_cosine", "vec_l2sq", "simhash64", "sorted_jaccard_ge",
-    "sorted_containment_ge",
+    "sorted_containment_ge", "bpe_count",
     "pq_encode", "pq_adc",
     "might_contain", "cms_estimate_long", "cms_inner_product",
     "theta_estimate", "theta_intersect_estimate", "theta_anotb_estimate",
