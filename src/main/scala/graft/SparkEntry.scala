@@ -1360,6 +1360,24 @@ object SparkEntry {
         .orderBy("segment", "event_type")
     })),
 
+    // bounded-state LEFT OUTER interval join (round 9): "errors with no
+    // click within the preceding hour" — the streaming twin emits the null
+    // rows on watermark expiry (EventStreamSpec drives it with a sentinel
+    // advance); this batch twin rides the wire as a left JoinRel whose
+    // condition carries the equality AND both time bounds
+    "e10_outer_interval_join" -> ((s, dir) => rt(s, {
+      val ev = t(s, dir, "events")
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("event_id").as("e_id"),
+          col("ts").as("e_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+          col("ts").as("c_ts"))
+      streaming.EventStream.intervalJoinOuter(e, c, "e_user", "c_user",
+          "e_ts", "c_ts", horizonSeconds = 3600)
+        .select("e_id", "c_id").orderBy("e_id", "c_id")
+    })),
+
     // per-doc contamination fraction vs the pseudo eval set — d09's any-hit
     // rule generalized to the thresholdable report (zero-hit docs at 0.0)
     "t28_contamination_score" -> ((s, dir) => rt(s, {
@@ -3448,6 +3466,13 @@ object SparkEntry {
       """SELECT DISTINCT event_id, ts, user_id, event_type, value
         |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
         |ORDER BY event_id""".stripMargin,
+    "e10_outer_interval_join" ->
+      """SELECT e.event_id AS e_id, c.event_id AS c_id
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = e.user_id
+        |  AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
+        |ORDER BY e_id, c_id""".stripMargin,
   )
 
   private def parityOracles: Map[String, String] = Map(

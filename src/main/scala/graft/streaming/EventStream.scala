@@ -152,6 +152,28 @@ object EventStream {
            |$rightTs >= $leftTs - INTERVAL $horizonSeconds SECONDS AND
            |$rightTs <= $leftTs""".stripMargin))
 
+  /** LEFT OUTER stream-stream interval join — the production shape for
+    * "events with no match within the window": a left row that the
+    * watermark proves can no longer match (event time + horizon below the
+    * watermark) is emitted with nulls on the right. Same bounded-state
+    * contract as [[intervalJoin]]: the watermark + time-range condition let
+    * both sides' state expire, so state is O(horizon · rate), never the
+    * stream. In a batch frame the same call is a plain left outer join, so
+    * specs assert streaming == batch (the null rows only FLUSH once the
+    * watermark advances past a left row's match window — a finite test
+    * source needs one later event to push it).
+    */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame,
+                        leftKey: String, rightKey: String,
+                        leftTs: String, rightTs: String,
+                        horizonSeconds: Long,
+                        watermark: String = "2 hours"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark), expr(
+        s"""$leftKey = $rightKey AND
+           |$rightTs >= $leftTs - INTERVAL $horizonSeconds SECONDS AND
+           |$rightTs <= $leftTs""".stripMargin), "left_outer")
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, session_start: Timestamp,

@@ -146,6 +146,53 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: null emission on watermark expiry == batch") {
+    import java.sql.Timestamp
+    def sides(df: DataFrame): (DataFrame, DataFrame) = (
+      df.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("event_id").as("e_id"),
+          col("ts").as("e_ts")),
+      df.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+          col("ts").as("c_ts")))
+    // private source dir: a sentinel file is appended later to advance the
+    // watermark (outer-join null rows only flush when the watermark passes
+    // a left row's match window — finite sources never get there alone)
+    val srcDir = Files.createTempDirectory("graft_oij").toString
+    Tables.register(spark, sfDir)
+    val ev = spark.table("events")
+    ev.coalesce(2).write.mode("overwrite").parquet(srcDir)
+    val schema = ev.schema
+    val (se, sc) = sides(spark.readStream.schema(schema).parquet(srcDir))
+    val q = EventStream.intervalJoinOuter(se, sc, "e_user", "c_user",
+        "e_ts", "c_ts", horizonSeconds = 3600, watermark = "10 minutes")
+      .select("e_id", "c_id")
+      .writeStream.format("memory").queryName("oij_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // sentinel: one far-future error+click pair (excluded from compare by
+      // id) pushes the watermark past every real row's window on BOTH sides
+      val far = new Timestamp(
+        ev.agg(max(col("ts"))).head().getTimestamp(0).getTime + 7L * 86400000L)
+      import spark.implicits._
+      Seq((-1L, far, -1L, "error", 0.0), (-2L, far, -1L, "click", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+
+      val streamed = spark.table("oij_out").filter(col("e_id") >= 0)
+      val (be, bc) = sides(ev)
+      val batch = EventStream.intervalJoinOuter(be, bc, "e_user", "c_user",
+        "e_ts", "c_ts", horizonSeconds = 3600).select("e_id", "c_id")
+      assert(batch.filter(col("c_id").isNull).count() > 0,
+        "unmatched-left rows must be non-vacuous")
+      assert(batch.filter(col("c_id").isNotNull).count() > 0,
+        "matched rows must be non-vacuous")
+      assertSameRows(batch, streamed)
+    } finally q.stop()
+  }
+
   test("parquet streaming sink: exactly-once across a restart with new data") {
     val srcDir = Files.createTempDirectory("graft_sink_src").toString
     val outDir = Files.createTempDirectory("graft_sink_out").toString
