@@ -58,7 +58,15 @@ object Bench {
     // real cost (both runs execute the full plan — nothing is cached across
     // count() calls except the already-warm codegen classes, which is the
     // steady state a cluster runs in anyway)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // malformed env values fall back to the default instead of aborting
+    // the whole bench run with a NumberFormatException
+    def envInt(name: String, default: Int): Int =
+      scala.util.Try(sys.env.getOrElse(name, default.toString).trim.toInt)
+        .getOrElse {
+          System.err.println(s"Bench: ignoring malformed $name, using $default")
+          default
+        }
+    val reps = envInt("SPARK_GRAFT_BENCH_REPS", 2).max(1)
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -67,15 +75,35 @@ object Bench {
       }
       name -> times.min
     }
+    // Automated solo-refute (ambient contention on this box is bursty and
+    // in-suite readings for heavy queries can read 2–4× their real cost):
+    // the N slowest queries re-run once AFTER the suite — a time-decorrelated
+    // sample — and the file report carries {in_suite, solo=min} per query so
+    // scale claims never rest on a contention artifact. The stdout metric
+    // line and its total keep the in-suite semantics (comparable across
+    // rounds); "solo" is the refutation evidence.
+    val soloN = envInt("SPARK_GRAFT_BENCH_SOLO", 10).max(0)
+    val solo: Seq[(String, Double)] =
+      results.toSeq.sortBy(-_._2).take(soloN).map { case (name, inSuite) =>
+        val t0 = System.nanoTime()
+        try { selected(name)(spark, sfDir).count() } catch { case _: Throwable => () }
+        name -> math.min(inSuite, (System.nanoTime() - t0) / 1e9)
+      }
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def mkLine(qmap: Seq[(String, String)], total: Double): String = {
+    def mkLine(qmap: Seq[(String, String)], total: Double,
+               extra: String = ""): String = {
       val qs = qmap.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val fullLine = mkLine(results.toSeq.map { case (k, v) => k -> v.toString }, total)
+    val soloJson =
+      if (solo.isEmpty) ""
+      else solo.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","solo":{""", ",", "}")
+    val fullLine = mkLine(
+      results.toSeq.map { case (k, v) => k -> v.toString }, total, soloJson)
     // The driver keeps only the LAST ~2000 chars of stdout and json-parses
     // the metric line out of that tail (BENCH_r04/r05 were "parsed": null
     // because the full-precision 85-query line was ~2.6k chars and lost its

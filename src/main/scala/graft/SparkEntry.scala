@@ -227,7 +227,14 @@ object SparkEntry {
     // readStream + Sinks.upsertSink path (incl. checkpoint restart) lands
     // the identical final state
     "e09_stream_upsert_sink" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft-upsink-${math.abs(dir.hashCode)}"
+      // hex hashCode (abs(Int.MinValue) stays negative) + pid so concurrent
+      // JVMs over the same sfDir (bench alongside correctness) never share
+      // a table dir; delete-at-start so stale state cannot interleave
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-upsink-" +
+        s"${Integer.toHexString(dir.hashCode)}-p${ProcessHandle.current().pid()}"
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      val outFs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (outFs.exists(outPath)) outFs.delete(outPath, true)
       val docs = t(s, dir, "documents")
         .withColumn("len_band", floor(col("n_chars") / 100).cast("int"))
         .select("doc_id", "text", "lang", "len_band")

@@ -123,7 +123,8 @@ object Similarity {
              planesPerTable: Int = 4, dim: Int = 64, idCol: String = "vec_id",
              vecCol: String = "embedding", corpusSizeHint: Long = 0L,
              occupancy: Int = 32, minNeighborCos: Double = 0.5,
-             targetMiss: Double = 0.01, maxTables: Int = 64): DataFrame = {
+             targetMiss: Double = 0.01, maxTables: Int = 64,
+             queryCountHint: Long = 0L): DataFrame = {
     require(minNeighborCos > -1.0 && minNeighborCos < 1.0,
       s"minNeighborCos must be in (-1, 1), got $minNeighborCos")
     require(targetMiss > 0.0 && targetMiss < 1.0,
@@ -131,6 +132,12 @@ object Similarity {
     val (nTables, nPlanes) =
       if (planesPerTable > 0) (tables, planesPerTable)
       else {
+        // NOTE: without hints the derived branch EXECUTES corpus.count()
+        // and queries.count() at plan-build time (the frames recompute in
+        // the kNN job itself) — pass corpusSizeHint/queryCountHint (or
+        // persist the frames first) when either input is expensive, both
+        // to avoid the double work and to pin the brute-vs-LSH decision
+        // against drifting runtime cardinalities.
         val n = math.max(
           if (corpusSizeHint > 0) corpusSizeHint else corpus.count(), 1L)
         val planes = math.max(1,
@@ -149,7 +156,8 @@ object Similarity {
         //    cheaper before LSH generates a single candidate (measured:
         //    the 51×6 derived shape ran 33× slower than brute on the
         //    8-query fixture).
-        val qCount = queries.count() // small by contract (like brute's broadcast)
+        val qCount = // small by contract (like brute's broadcast)
+          if (queryCountHint > 0) queryCountHint else queries.count()
         val slotsPerQuery =
           if (planes >= 63) 0.0
           else t.toDouble * n.toDouble / (1L << planes).toDouble

@@ -199,9 +199,15 @@ object Sources {
     if (!fs.exists(baseP)) return
     val suffix = ".upsert-backup"
     val prefix = s".$bucketCol="
+    // also sweep LEGACY non-dot-prefixed backups (`<bucketCol>=*.upsert-backup`,
+    // the pre-round-8 naming): left behind by a crash under the old scheme
+    // they are visible to partition discovery and corrupt every read of
+    // basePath with a bogus partition value — restore-or-delete identically
+    val legacyPrefix = s"$bucketCol="
     fs.listStatus(baseP)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix) &&
-        st.getPath.getName.endsWith(suffix))
+      .filter(st => st.isDirectory && st.getPath.getName.endsWith(suffix) &&
+        (st.getPath.getName.startsWith(prefix) ||
+          st.getPath.getName.startsWith(legacyPrefix)))
       .foreach { st =>
         val live = new org.apache.hadoop.fs.Path(basePath,
           st.getPath.getName.stripPrefix(".").stripSuffix(suffix))
