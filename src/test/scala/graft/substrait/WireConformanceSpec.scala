@@ -262,6 +262,141 @@ class WireConformanceSpec extends AnyFunSuite {
     assert(agg.measures == Seq(Measure(AggFunction(0, Nil, 1), None)))
   }
 
+  /** Truncation fuzz (the WireSpec property applied per fixture): every
+    * strict prefix must either throw or decode to something OTHER than the
+    * full-bytes plan — a prefix may legitimately be a self-consistent
+    * smaller message (protobuf last-field drop), but silently decoding to
+    * the SAME plan would mean trailing bytes were ignored, and mis-parses
+    * are the bug class this spec exists for.
+    */
+  private def truncationFuzz(bytes: Array[Byte]): Unit = {
+    val full = Wire.decode(bytes)
+    var parsed = 0
+    for (cut <- 1 until bytes.length) {
+      val t = java.util.Arrays.copyOfRange(bytes, 0, cut)
+      try {
+        val p = Wire.decode(t)
+        parsed += 1
+        assert(p != full, s"cut=$cut decoded IDENTICAL to the full plan")
+      } catch { case _: Exception => () }
+    }
+    assert(parsed < bytes.length - 1,
+      "every truncation decoded cleanly — the fixture exercises nothing")
+  }
+
+  test("foreign SetRel: repeated inputs + op decode; truncations never mis-parse") {
+    // three 1-col scans, UNION_ALL — the layout a foreign producer emits
+    // for a flattened n-ary union (repeated field 2, op enum field 3)
+    val w = new PW
+    w.msg(3, pr => pr.msg(1, rel => rel.msg(8, st => {
+      for (t <- Seq("t1", "t2", "t3"))
+        st.msg(2, in => in.msg(1, rd => {
+          rd.msg(2, ns => { ns.str(1, "x"); ns.msg(2, s => i32Type(s, 1)) })
+          rd.msg(7, nt => nt.str(1, t))
+        }))
+      st.int(3, 6) // SET_OP_UNION_ALL
+    })))
+    val rel = Wire.decode(w.bytes).relations.head
+      .asInstanceOf[PlanRel.RelOnly].rel
+    rel match {
+      case Rel.Set(inputs, op) =>
+        assert(inputs.size == 3 && op == SetOp.UnionAll)
+        assert(inputs.map(_.asInstanceOf[Rel.Read].tableNames) ==
+          Seq(Seq("t1"), Seq("t2"), Seq("t3")))
+      case other => fail(s"expected Set, got $other")
+    }
+    truncationFuzz(w.bytes)
+  }
+
+  test("foreign FetchRel with count ABSENT decodes as the count-0 'no fetch' quirk") {
+    // proto3 zero-elision: a foreign fetch=None arrives with NO count field;
+    // the reference's convention (producer.rs:147-150) makes that count=0 =
+    // no limit, and offset-only still applies
+    val w = new PW
+    w.msg(3, pr => pr.msg(1, rel => rel.msg(3, f => {
+      f.msg(2, in => in.msg(1, rd => {
+        rd.msg(2, ns => { ns.str(1, "x"); ns.msg(2, s => i32Type(s, 1)) })
+        rd.msg(7, nt => nt.str(1, "t"))
+      }))
+      f.int(3, 4) // offset=4, count absent
+    })))
+    val rel = Wire.decode(w.bytes).relations.head
+      .asInstanceOf[PlanRel.RelOnly].rel
+    rel match {
+      case Rel.Fetch(_: Rel.Read, off, cnt) => assert(off == 4 && cnt == 0)
+      case other => fail(s"expected Fetch, got $other")
+    }
+    truncationFuzz(w.bytes)
+  }
+
+  test("foreign measure with FILTER and DISTINCT combined decodes both flags") {
+    // sum(DISTINCT x) FILTER (WHERE x) — invocation enum 2 (DISTINCT) at
+    // AggregateFunction field 6 PLUS the measure-level filter at field 2
+    val w = new PW
+    w.msg(2, dw => dw.msg(3, fw => { fw.int(1, 1); fw.int(2, 0); fw.str(3, "sum") }))
+    w.msg(3, pr => pr.msg(1, rel => rel.msg(4, ag => {
+      ag.msg(2, in => in.msg(1, boolScan))
+      ag.msg(3, _ => ()) // global grouping
+      ag.msg(4, ms => {
+        ms.msg(1, fn => {
+          fn.int(1, 0)
+          fn.msg(2, ex => ex.msg(2, fr => fr.msg(1, seg =>
+            seg.msg(2, sf => sf.int(1, 0))))) // arg: field 0
+          fn.int(6, 2) // AGGREGATION_INVOCATION_DISTINCT
+        })
+        ms.msg(2, flt => flt.msg(2, fr => fr.msg(1, seg =>
+          seg.msg(2, sf => sf.int(1, 0))))) // FILTER (WHERE x)
+      })
+    })))
+    val agg = Wire.decode(w.bytes).relations.head
+      .asInstanceOf[PlanRel.RelOnly].rel.asInstanceOf[Rel.Aggregate]
+    assert(agg.measures == Seq(Measure(
+      AggFunction(0, Seq(SExpr.FieldRef(0)), AggInvocation.Distinct),
+      Some(SExpr.FieldRef(0)))))
+    truncationFuzz(w.bytes)
+  }
+
+  test("foreign RelCommon.emit on AggregateRel and FetchRel maps/wraps outputs") {
+    // AggregateRel emit=[1, 0] over (group, count) → (count, group): the
+    // emit space is groupings ++ measures
+    val wa = new PW
+    wa.msg(2, dw => dw.msg(3, fw => { fw.int(1, 1); fw.int(2, 0); fw.str(3, "count") }))
+    wa.msg(3, pr => pr.msg(1, rel => rel.msg(4, ag => {
+      ag.msg(1, c => c.msg(2, e => { e.int(1, 1); e.int(1, 0) }))
+      ag.msg(2, in => in.msg(1, boolScan))
+      ag.msg(3, g => g.msg(1, ex => ex.msg(2, fr => fr.msg(1, seg =>
+        seg.msg(2, sf => sf.int(1, 0))))))
+      ag.msg(4, ms => ms.msg(1, fn => { fn.int(1, 0); fn.int(6, 1) }))
+    })))
+    Wire.decode(wa.bytes).relations.head.asInstanceOf[PlanRel.RelOnly].rel match {
+      case Rel.Project(_: Rel.Aggregate, exprs) =>
+        assert(exprs == Seq(SExpr.FieldRef(1), SExpr.FieldRef(0)))
+      case other => fail(s"expected Project(Aggregate, ...), got $other")
+    }
+    truncationFuzz(wa.bytes)
+
+    // FetchRel emit=[1, 0] over a 2-col scan → reordered passthrough
+    val wf = new PW
+    wf.msg(3, pr => pr.msg(1, rel => rel.msg(3, f => {
+      f.msg(1, c => c.msg(2, e => { e.int(1, 1); e.int(1, 0) }))
+      f.msg(2, in => in.msg(1, rd => {
+        rd.msg(2, ns => {
+          ns.str(1, "a"); ns.str(1, "b")
+          ns.msg(2, st => { i32Type(st, 1); i32Type(st, 1) })
+        })
+        rd.msg(7, nt => nt.str(1, "t"))
+      }))
+      f.int(3, 1); f.int(4, 5) // OFFSET 1 LIMIT 5
+    })))
+    Wire.decode(wf.bytes).relations.head.asInstanceOf[PlanRel.RelOnly].rel match {
+      case Rel.Project(ft: Rel.Fetch, exprs) =>
+        assert(ft.offset == 1 && ft.count == 5)
+        assert(exprs == Seq(SExpr.FieldRef(1), SExpr.FieldRef(0)))
+      case other => fail(s"expected Project(Fetch, ...), got $other")
+    }
+    truncationFuzz(wf.bytes)
+  }
+
   test("foreign ReadRel.best_effort_filter (field 11) is applied as the scan filter") {
     def readBytes(bothFilters: Boolean): Array[Byte] = {
       val w = new PW
