@@ -1367,6 +1367,27 @@ object SparkEntry {
         .orderBy("segment", "event_type")
     })),
 
+    // DATA-DEPENDENT session gap (round 9): session_window(ts, gapCol) —
+    // clicks close after 4h, high-value events after 12h, the rest after
+    // 2h. The per-row gap rides the wire as a string-typed expression in
+    // the ExtSessionWindow detail (Spark's own gap contract); the oracle
+    // replays interval-overlap merging as gaps-and-islands with a running
+    // max of window ends.
+    "e11_dynamic_gap_sessions" -> ((s, dir) => rt(s, {
+      val ev = t(s, dir, "events")
+      ev.groupBy(col("user_id"),
+          session_window(col("ts"), expr(
+            """CASE WHEN event_type = 'click' THEN '4 hours'
+              |WHEN value >= 100 THEN '12 hours'
+              |ELSE '2 hours' END""".stripMargin)).as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast(DecimalType(18, 4))).cast("double"), 6)
+            .as("total_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start")
+    })),
+
     // bounded-state LEFT OUTER interval join (round 9): "errors with no
     // click within the preceding hour" — the streaming twin emits the null
     // rows on watermark expiry (EventStreamSpec drives it with a sentinel
@@ -3473,6 +3494,29 @@ object SparkEntry {
       """SELECT DISTINCT event_id, ts, user_id, event_type, value
         |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
         |ORDER BY event_id""".stripMargin,
+    // e11: Spark merges sessions whose [ts, ts + gap(row)) intervals
+    // overlap-chain; the replay orders each user's events and opens a new
+    // session exactly when ts reaches the running max of previous ends
+    "e11_dynamic_gap_sessions" ->
+      """WITH x AS (SELECT user_id, ts, event_id, value,
+        |    ts + to_seconds(CASE WHEN event_type = 'click' THEN 14400
+        |                         WHEN value >= 100 THEN 43200
+        |                         ELSE 7200 END) AS e
+        |  FROM events),
+        |y AS (SELECT *, max(e) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mpe
+        |      FROM x),
+        |z AS (SELECT *, CASE WHEN mpe IS NULL OR ts >= mpe THEN 1 ELSE 0 END
+        |        AS nw FROM y),
+        |s AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM z)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  ROUND(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6)
+        |    AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "e10_outer_interval_join" ->
       """SELECT e.event_id AS e_id, c.event_id AS c_id
         |FROM (SELECT * FROM events WHERE event_type = 'error') e

@@ -243,21 +243,30 @@ object Consumer {
         // name would be dropped with Spark's own analyzer warning
         Built(in.df.hint(hint))
 
-      case Rel.ExtSessionWindow(input, tsField, gapMicros) =>
+      case Rel.ExtSessionWindow(input, tsField, gapMicros, gapExpr) =>
         val in = build(input)
         if (tsField < 0 || tsField >= in.df.columns.length)
           internalErr(s"session ts field $tsField out of range")
-        if (gapMicros <= 0L)
+        if (gapExpr.isEmpty && gapMicros <= 0L)
           internalErr(s"non-positive session gap $gapMicros")
+        if (gapExpr.isDefined && gapMicros != 0L)
+          internalErr("session gap carries both literal and dynamic forms")
         // rebuilding the projection with session_window() re-fires Spark's
         // SessionWindowing analysis: the projected attribute carries the
         // session marker metadata, so an AggregateRel grouping on it above
         // plans the session-merging aggregate (MergingSessions) — verified
-        // equal to the direct groupBy(session_window(..)) form
+        // equal to the direct groupBy(session_window(..)) form. A dynamic
+        // gap rebuilds as session_window(ts, CAST(strExpr AS INTERVAL)) —
+        // the same CalendarIntervalType Spark's analyzer derives from the
+        // user's string gap column, which also re-adds the end > start
+        // guard for non-positive per-row gaps.
         val tsCol = col(in.df.columns(tsField))
-        Built(in.df.select(col("*"),
-          session_window(tsCol, s"$gapMicros microseconds")
-            .as(freshNames(1).head)))
+        val sess = gapExpr match {
+          case Some(ge) =>
+            session_window(tsCol, toColumn(ge, in.df).cast("interval"))
+          case None => session_window(tsCol, s"$gapMicros microseconds")
+        }
+        Built(in.df.select(col("*"), sess.as(freshNames(1).head)))
 
       case Rel.ExtStage(input, stage) =>
         val in = build(input)

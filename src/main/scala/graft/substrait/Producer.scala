@@ -604,9 +604,18 @@ object Producer {
       // attribute re-encodes as a plain Rel.Project over the sessionized
       // input; the terminal Filter/struct-Project layer becomes
       // ExtSessionWindow.
+      // the SessionWindowing rule's generated filter: IsNotNull(ts) for a
+      // literal gap; And(IsNotNull(ts), sess.end > sess.start) for a
+      // DYNAMIC gap (the guard drops rows whose per-row gap is ≤ 0)
+      def isSessionFilter(cond: Expression): Boolean = cond match {
+        case IsNotNull(_) => true
+        case And(IsNotNull(_),
+          GreaterThan(_: GetStructField, _: GetStructField)) => true
+        case _ => false
+      }
       def sessionize(plan: LogicalPlan, sessId: ExprId): Produced = plan match {
-        case logical.Filter(IsNotNull(_), p: logical.Project)
-            if p.projectList.exists {
+        case logical.Filter(cond, p: logical.Project)
+            if isSessionFilter(cond) && p.projectList.exists {
               case al: Alias => al.exprId == sessId &&
                 !al.child.isInstanceOf[AttributeReference]
               case _ => false
@@ -628,24 +637,37 @@ object Producer {
             case a: AttributeReference => a
           }.getOrElse(notImplemented("session window without a timestamp column"))
           // the gap arrives as Cast('120 minutes' AS INTERVAL) — a foldable
-          // interval expression, not a bare literal; fold it here (a truly
-          // dynamic per-row gap is a non-foldable child → loud)
-          val gap = sessionAlias.child.collectFirst {
+          // interval expression, not a bare literal; fold it here. A
+          // DYNAMIC per-row gap (session_window(ts, gapCol)) arrives as a
+          // NON-foldable Cast(stringExpr AS INTERVAL) — ship the string
+          // expression itself (Spark's own gap contract) as gapExpr.
+          val gapLit = sessionAlias.child.collectFirst {
             case e if e.dataType == CalendarIntervalType && e.foldable &&
                 e.eval(null) != null =>
               e.eval(null)
                 .asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
-          }.getOrElse(notImplemented(
-            "session window with a non-literal (dynamic) gap"))
-          if (gap.months != 0)
-            notImplemented("session gap with a month component " +
-              "(no fixed microsecond length)")
-          val gapMicros = gap.days * 86400000000L + gap.microseconds
+          }
           val child = toRel(p.child)
           val tsOrd = child.attrs.indexWhere(_.exprId == tsAttr.exprId)
           if (tsOrd < 0) internalErr("session ts column not in child output")
-          Produced(Rel.ExtSessionWindow(child.rel, tsOrd, gapMicros),
-            child.attrs :+ sessionAlias.toAttribute)
+          val sessionRel = gapLit match {
+            case Some(gap) =>
+              if (gap.months != 0)
+                notImplemented("session gap with a month component " +
+                  "(no fixed microsecond length)")
+              val gapMicros = gap.days * 86400000000L + gap.microseconds
+              Rel.ExtSessionWindow(child.rel, tsOrd, gapMicros)
+            case None =>
+              val dynGap = sessionAlias.child.collectFirst {
+                case c @ Cast(g, CalendarIntervalType, _, _)
+                    if !c.foldable && g.dataType == StringType => g
+              }.getOrElse(notImplemented(
+                "session window with a dynamic gap that is not a " +
+                  "string-typed expression"))
+              Rel.ExtSessionWindow(child.rel, tsOrd, 0L,
+                Some(toSExpr(dynGap, child.attrs)))
+          }
+          Produced(sessionRel, child.attrs :+ sessionAlias.toAttribute)
         case p: logical.Project =>
           val innerSess = p.projectList.collectFirst {
             case al: Alias if al.exprId == sessId => al.child

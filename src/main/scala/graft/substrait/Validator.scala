@@ -144,13 +144,17 @@ object Validator {
           issues += Issue(path, s"unknown join-strategy hint '$hint'")
         w
 
-      case Rel.ExtSessionWindow(input, tsField, gapMicros) =>
+      case Rel.ExtSessionWindow(input, tsField, gapMicros, gapExpr) =>
         val w = walkRel(input, s"$path/session_window")
         if (w >= 0 && (tsField < 0 || tsField >= w))
           issues += Issue(path,
             s"session ts field $tsField out of range for arity $w")
-        if (gapMicros <= 0L)
+        // exactly one gap form: a literal micros gap XOR a per-row expression
+        if (gapExpr.isEmpty && gapMicros <= 0L)
           issues += Issue(path, s"non-positive session gap $gapMicros")
+        if (gapExpr.isDefined && gapMicros != 0L)
+          issues += Issue(path,
+            s"session gap has both literal ($gapMicros) and dynamic forms")
         if (w < 0) -1 else w + 1
 
       case Rel.ExtStage(input, stage) =>

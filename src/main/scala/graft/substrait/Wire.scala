@@ -795,8 +795,9 @@ object Wire {
             any.bytes(2, dw.out.toByteArray)
           })
         })
-      case Rel.ExtSessionWindow(in, tsField, gapMicros) =>
-        // value = SessionWindowRelDetail{ts_field=1 int32, gap_micros=2 int64}
+      case Rel.ExtSessionWindow(in, tsField, gapMicros, gapExpr) =>
+        // value = SessionWindowRelDetail{ts_field=1 int32, gap_micros=2
+        // int64, gap_expr=3 Expression (dynamic per-row gap, string-typed)}
         rw.msg(9, ew => {
           writeRel(ew, 2, in)
           ew.msg(3, any => {
@@ -804,6 +805,7 @@ object Wire {
             val dw = new W
             dw.int32(1, tsField)
             dw.int64(2, gapMicros)
+            gapExpr.foreach(writeExpr(dw, 3, _))
             any.bytes(2, dw.out.toByteArray)
           })
         })
@@ -866,7 +868,7 @@ object Wire {
     case Rel.ExtHint(in, _) => relArity(in)
     case Rel.ExtStage(_, stage) =>
       Stages.registry.get(stage).map(_.outputArity).getOrElse(-1)
-    case Rel.ExtSessionWindow(in, _, _) =>
+    case Rel.ExtSessionWindow(in, _, _, _) =>
       val a = relArity(in); if (a < 0) -1 else a + 1
   }
 
@@ -1166,12 +1168,14 @@ object Wire {
               case `sessionWindowDetailUrl` =>
                 val dr = new R(detail, 0, detail.length)
                 var tsField = -1; var gapMicros = 0L
+                var gapExpr: Option[SExpr] = None
                 dr.fields { (df, dwt) => (df, dwt) match {
                   case (1, 0) => tsField = dr.varint().toInt; true
                   case (2, 0) => gapMicros = dr.varint(); true
+                  case (3, 2) => gapExpr = Some(readExpr(dr.lenDelim())); true
                   case _ => false
                 }}
-                Rel.ExtSessionWindow(in, tsField, gapMicros)
+                Rel.ExtSessionWindow(in, tsField, gapMicros, gapExpr)
               case `hintDetailUrl` =>
                 val dr = new R(detail, 0, detail.length)
                 var hint = ""

@@ -233,9 +233,17 @@ object model {
       * re-attaches the merge semantics when the consumer rebuilds the
       * projection with `session_window()` (verified: MergingSessions
       * appears in the rebuilt physical plan). A foreign consumer without
-      * session support rejects the type_url loudly. */
+      * session support rejects the type_url loudly.
+      *
+      * A data-dependent gap (Spark's `session_window(ts, gapCol)`) rides as
+      * `gapExpr` (detail field 3): a STRING-typed expression over the input
+      * (Spark's own contract — the analyzer casts it to CalendarIntervalType
+      * and adds the end > start guard for non-positive per-row gaps);
+      * gapMicros is 0 in that form. Exactly one of (gapMicros > 0, gapExpr)
+      * is set. */
     final case class ExtSessionWindow(input: Rel, tsField: Int,
-                                      gapMicros: Long) extends Rel
+                                      gapMicros: Long,
+                                      gapExpr: Option[SExpr] = None) extends Rel
     /** A join-strategy hint (Spark logical.ResolvedHint) as
       * ExtensionSingleRel with Any type_url `graft.dev/HintRelDetail`,
       * detail = HintRelDetail{hint=1 string}. hint is a canonical Spark

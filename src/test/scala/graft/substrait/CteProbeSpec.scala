@@ -235,6 +235,43 @@ class CteProbeSpec extends SparkTestBase {
     assertSameRows(api, twice)
   }
 
+  test("dynamic-gap session_window (per-row gap column) rides the wire") {
+    import spark.implicits._
+    // clicks sessionize at 30 min, errors at 240 min: user 1's 01:00 event
+    // is a new session for a click-gap but the same session for an
+    // error-gap — a consumer that flattened the gap to any literal gets a
+    // different session count
+    val ev = Seq(
+        (1L, "2024-01-01 00:00:00", "click", 1.0),
+        (1L, "2024-01-01 01:00:00", "click", 2.0),
+        (1L, "2024-01-01 00:05:00", "error", 4.0),
+        (1L, "2024-01-01 02:00:00", "error", 8.0),
+        (2L, "2024-01-01 00:00:00", "click", 16.0))
+      .toDF("user_id", "s", "event_type", "v")
+      .select(col("user_id"), col("s").cast("timestamp_ntz").as("ts"),
+        col("event_type"), col("v"))
+    ev.createOrReplaceTempView("dyn_sess_ev")
+    val df = spark.sql(
+      """SELECT user_id, event_type,
+        |  session_window(ts, CASE WHEN event_type = 'click'
+        |    THEN '30 minutes' ELSE '240 minutes' END).start AS session_start,
+        |  count(*) AS n, sum(v) AS sv
+        |FROM dyn_sess_ev
+        |GROUP BY user_id, event_type, session_window(ts,
+        |  CASE WHEN event_type = 'click' THEN '30 minutes'
+        |       ELSE '240 minutes' END)""".stripMargin)
+    val got = Serializer.roundtrip(spark, df)
+    assertSameRows(df, got)
+    // per-type gaps actually applied: 2 click sessions + 1 merged error
+    // session for user 1, 1 click session for user 2
+    assert(got.count() == 4L, "dynamic gaps were not applied per row")
+    assert(got.queryExecution.executedPlan.toString.contains("MergingSessions"),
+      "consumed plan lost the session-merging aggregate")
+    // double round-trip: the consumed plan re-produces
+    val twice = Serializer.roundtrip(spark, Serializer.roundtrip(spark, df))
+    assertSameRows(df, twice)
+  }
+
   test("new shapes double round-trip: consumed plans re-produce") {
     fixture
     for (q <- Seq(
