@@ -1109,6 +1109,15 @@ object SparkEntry {
       ops.Multimodal.audioFeatures(s, t(s, dir, "documents"))
         .orderBy("doc_id"))),
 
+    // REAL image resize (round 9): synth PNG → decode → stride-2 resample
+    // → re-encode as PNG → decode AGAIN; three wire-named codec stages
+    // (graft.png_encode_v1 → graft.image_resize_v1 → graft.image_decode_v1).
+    // The oracle replays the sampling rule (out(x,y) = in(2x,2y)) over the
+    // generation rule, so mis-indexed rasters or lossy re-encodes fail.
+    "m08_image_resize" -> ((s, dir) => rt(s,
+      ops.Multimodal.resizedImageFeatures(s, t(s, dir, "documents"))
+        .orderBy("doc_id"))),
+
     // GPU-inference batch packing: media rows pack into per-modality
     // batches under a byte budget (t09's greedy streaming pack over binary
     // payload sizes) — the batch-boundary layer between a media corpus and
@@ -3165,6 +3174,22 @@ object SparkEntry {
         |  ROUND(avg(CAST(abs((doc_id * 7 + k * 13) % 2048 - 1024) AS DOUBLE)), 6)
         |    AS mean_abs
         |FROM sm GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
+    // m08: the stride-2 sampling rule replayed over the image-generation
+    // rule — resized pixel k (row-major in the rw×rh output) samples
+    // original pixel (2·(k/rw))·w + 2·(k%rw)
+    "m08_image_resize" ->
+      """WITH g AS (SELECT doc_id,
+        |    CAST(1 + (doc_id % 7) * 2 AS BIGINT) AS w,
+        |    CAST(1 + (doc_id % 5) * 3 AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, w, (w + 1) // 2 AS rw, (h + 1) // 2 AS rh FROM g),
+        |px AS (SELECT doc_id, w, rw, rh, unnest(range(rw * rh)) AS k FROM r)
+        |SELECT doc_id, CAST(rw AS INTEGER) AS width,
+        |  CAST(rh AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels,
+        |  ROUND(avg(CAST((doc_id * 31 +
+        |    ((k // rw) * 2 * w + (k % rw) * 2)) % 256 AS DOUBLE)), 6)
+        |    AS mean_luma
+        |FROM px GROUP BY doc_id, rw, rh ORDER BY doc_id""".stripMargin,
     // m05/m07: replay of the deterministic clip-generation rule — the Spark
     // side reads these values back out of a REAL animated-GIF encode +
     // multi-frame decode round-trip

@@ -529,6 +529,54 @@ object Multimodal {
     }
   }
 
+  /** THE image resize stage instance (wire name graft.image_resize_v1):
+    * PNG bytes → PNG bytes at half resolution via a REAL decode →
+    * stride-2 resample → re-encode round-trip. Output pixel (x, y) =
+    * input pixel (2x, 2y); rw = ⌈w/2⌉, rh = ⌈h/2⌉ — the closed-form
+    * sampling rule the oracle replays, so a resizer that mis-indexes the
+    * raster or re-encodes lossily fails certification downstream (the
+    * resized payload is decoded AGAIN by graft.image_decode_v1).
+    */
+  val imageResizeFn: Iterator[ImgRow] => Iterator[ImgRow] = rows => {
+    imageIoInit()
+    rows.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"undecodable image payload for doc ${r.doc_id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val (rw, rh) = ((w + 1) / 2, (h + 1) / 2)
+      val out = new java.awt.image.BufferedImage(
+        rw, rh, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < rh) {
+        var x = 0
+        while (x < rw) {
+          out.setRGB(x, y, img.getRGB(2 * x, 2 * y))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      if (!javax.imageio.ImageIO.write(out, "png", bos))
+        throw new IllegalStateException("no PNG writer available")
+      ImgRow(r.doc_id, bos.toByteArray)
+    }
+  }
+
+  /** Decoded features of REALLY-resized images (m08): synth PNG → decode →
+    * stride-2 resample → re-encode → decode again. Supersedes the
+    * byte-slice `resized` stub as the image-resize path.
+    */
+  def resizedImageFeatures(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    asImageTable(spark, df).mapPartitions(imageResizeFn)
+      .mapPartitions(imageDecodeFn).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        round(col("mean_luma"), 6).as("mean_luma"))
+  }
+
   /** Synthetic-GIF media table: real animated-GIF payloads, one per doc. */
   def asVideoTable(spark: SparkSession, df: DataFrame,
                    idCol: String = "doc_id"): Dataset[ImgRow] = {

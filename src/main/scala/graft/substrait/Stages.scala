@@ -71,6 +71,15 @@ object Stages {
         in.as[graft.ops.Multimodal.ImgRow]
           .mapPartitions(graft.ops.Multimodal.audioDecodeFn).toDF()
       }),
+    // Multimodal.imageResizeFn: (doc_id, payload) → (doc_id, payload) at
+    // half resolution via real decode → stride-2 resample → re-encode
+    "graft.image_resize_v1" -> Stage(
+      Seq("doc_id", "payload"), 2,
+      (spark, in) => {
+        import spark.implicits._
+        in.as[graft.ops.Multimodal.ImgRow]
+          .mapPartitions(graft.ops.Multimodal.imageResizeFn).toDF()
+      }),
     // Multimodal.gifEncodeFn: doc_id → real animated-GIF payload
     "graft.gif_encode_v1" -> Stage(
       Seq("doc_id"), 2,
@@ -103,6 +112,7 @@ object Stages {
     graft.ops.Multimodal.imageScanlinesFn -> "graft.image_scanlines_v1",
     graft.ops.Multimodal.wavEncodeFn -> "graft.wav_encode_v1",
     graft.ops.Multimodal.audioDecodeFn -> "graft.audio_decode_v1",
+    graft.ops.Multimodal.imageResizeFn -> "graft.image_resize_v1",
     graft.ops.Multimodal.gifEncodeFn -> "graft.gif_encode_v1",
     graft.ops.Multimodal.gifFramesFn -> "graft.gif_frames_v1")
 

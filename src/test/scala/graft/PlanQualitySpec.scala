@@ -117,7 +117,7 @@ class PlanQualitySpec extends SparkTestBase {
     // the codec stages synthesize payloads from doc_id; a scan that still
     // reads text would ship the corpus for nothing
     for (q <- Seq("m01_media_features", "m02_frame_stats", "m06_audio_features",
-      "m07_video_frames")) {
+      "m07_video_frames", "m08_image_resize")) {
       val p = plan(q)
       assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
         s"$q should read only doc_id:\n$p")

@@ -539,6 +539,24 @@ class OpsSpec extends SparkTestBase {
       e3.getMessage)
   }
 
+  test("real image resize: stride-2 resample through the codec matches the rule") {
+    import spark.implicits._
+    // doc 10: w = 1 + (10%7)*2 = 7, h = 1 + (10%5)*3 = 1 → resized 4×1
+    val r = Multimodal.resizedImageFeatures(spark, Seq(10L).toDF("doc_id")).head()
+    assert(r.getInt(1) == 4 && r.getInt(2) == 1 && r.getInt(3) == 3)
+    // resized pixels sample orig (2x, 2y): k0 ∈ {0, 2, 4, 6} of the 7×1 image
+    val exp = Seq(0, 2, 4, 6).map(k0 => (10L * 31 + k0) % 256).sum / 4.0
+    assert(math.abs(r.getDouble(4) - exp) < 1e-6)
+    // corrupt payloads fail LOUDLY in the resize stage too
+    val e = intercept[Exception] {
+      Seq((1L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")
+        .as[Multimodal.ImgRow].mapPartitions(Multimodal.imageResizeFn).count()
+    }
+    assert(e.getMessage.contains("undecodable") ||
+      e.getCause != null && e.getCause.getMessage.contains("undecodable"),
+      e.getMessage)
+  }
+
   test("real GIF video: multi-frame decode matches the clip rule; corrupt bytes loud") {
     import spark.implicits._
     // doc 10: 2 + 10%4 = 4 frames, w = 2 + (10%5)*2 = 2, h = 2 + (10%3)*3 = 5
