@@ -540,6 +540,17 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     })),
 
+    // temperature-based domain rebalance (round 9): per-language keep
+    // rates DERIVED from the corpus (∝ √n_d, τ = 0.5 Pile/DoReMi style,
+    // scaled to a 50% target) — the cut column certifies the rate
+    // derivation itself, the kept set certifies the md5-draw decision
+    "t30_temperature_mix" -> ((s, dir) => rt(s,
+      ops.Pipeline.temperatureMix(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "lang", targetFraction = 0.5)
+        .select("lang", "doc_id", "cut")
+        .orderBy("lang", "doc_id"))),
+
     // Gopher-style repetition filters: zero-shuffle narrow fold per document
     "t10_repetition" -> ((s, dir) => rt(s,
       ops.TextOps.repetitionStats(t(s, dir, "documents"))
@@ -2554,6 +2565,25 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, stream_offset,
         |  CAST(FLOOR(stream_offset / 1024.0) AS BIGINT) AS bin_id
         |FROM p ORDER BY lang, doc_id""".stripMargin,
+    // t30: the √n reweighting replayed step for step — the quantized
+    // integer weights make the normalizing sum exact in any order, and
+    // every later step is one correctly-rounded IEEE op in both engines
+    "t30_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576) AS BIGINT) AS wq
+        |      FROM c),
+        |t AS (SELECT sum(wq) AS norm_q, sum(n) AS n_total FROM w),
+        |k AS (SELECT lang, CAST(floor(LEAST(1.0,
+        |        (0.5 * CAST(n_total AS DOUBLE)) * CAST(wq AS DOUBLE)
+        |          / (CAST(norm_q AS DOUBLE) * CAST(n AS DOUBLE))) * 65536)
+        |        AS INTEGER) AS cut
+        |      FROM w, t)
+        |SELECT d.lang, d.doc_id, k.cut
+        |FROM documents d JOIN k USING (lang)
+        |WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+        |    ::UBIGINT AS INTEGER) < k.cut
+        |ORDER BY lang, doc_id""".stripMargin,
     // t29: independent SQL replay of greedy BPE — the v1 merge table rides
     // as a literal MAP and each recursion step merges the leftmost
     // occurrence of the lowest-rank pair (equivalent to the kernel's batch

@@ -129,6 +129,44 @@ object Pipeline {
     df.filter(decision)
   }
 
+  /** Temperature-based mixture rebalancing (the Pile/DoReMi-style domain
+    * reweighting at τ = 0.5): per-domain keep rates are DERIVED from the
+    * data — sampling weight ∝ √n_d (up-weights small domains, flattens
+    * head domains), scaled so the expected kept total ≈ `targetFraction`
+    * of the corpus, capped at 1. The per-id draw and cut convention are
+    * [[mixtureSample]]'s (first 4 md5 hex chars vs a 16-bit cut), so the
+    * decision is engine-portable bit for bit and membership-monotone.
+    *
+    * Determinism across engines is engineered, not hoped for: √n_d is
+    * quantized to an integer (⌊√n·2^20⌋) BEFORE the normalizing sum, so
+    * the sum is exact and independent of aggregation order (a direct sum
+    * of irrational doubles would differ in the last ULP across merge
+    * orders); every later step is a single correctly-rounded IEEE op.
+    *
+    * Scale shape: one tiny aggregation (|domains| rows) broadcast-joined
+    * back — the corpus never shuffles; the filter is a narrow map.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+                     targetFraction: Double = 0.5): DataFrame = {
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0, 1], got $targetFraction")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_d"))
+      .withColumn("w_q", floor(sqrt(col("n_d").cast("double")) * 1048576L)
+        .cast("long"))
+    val totals = counts.agg(sum(col("w_q")).as("norm_q"),
+      sum(col("n_d")).as("n_total"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("rate", least(lit(1.0),
+        (lit(targetFraction) * col("n_total").cast("double")) *
+          col("w_q").cast("double") /
+          (col("norm_q").cast("double") * col("n_d").cast("double"))))
+      .withColumn("cut", floor(col("rate") * 65536).cast("int"))
+      .select(col(strataCol), col("cut"))
+    val slot = conv(substring(md5(col(idCol).cast("string")), 1, 4),
+      16, 10).cast("int")
+    df.join(broadcast(rates), strataCol).filter(slot < col("cut"))
+  }
+
   /** Deterministic token-budget sampling: keep each stratum's md5-ordered
     * document prefix until the stratum's TOKEN budget fills — "build an
     * N-token mixture at these per-language budgets", the curation step when

@@ -317,6 +317,41 @@ class PipelineSpec extends SparkTestBase {
     assert(ids1.subsetOf(raised), "raising rates must never drop a member")
   }
 
+  test("temperatureMix: sqrt reweighting favors small domains, hits the target, deterministic") {
+    import spark.implicits._
+    // skewed corpus: 900 'en', 90 'de', 10 'zh'
+    val d = ((0 until 900).map(i => (i.toLong, "en")) ++
+      (900 until 990).map(i => (i.toLong, "de")) ++
+      (990 until 1000).map(i => (i.toLong, "zh"))).toDF("doc_id", "lang")
+    val kept = Pipeline.temperatureMix(d, "doc_id", "lang", targetFraction = 0.5)
+    val cuts = kept.select("lang", "cut").distinct()
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // expected rates: w ∝ √n → en 30, de ~9.49, zh ~3.16 (norm ~42.65);
+    // rate_d = 0.5·1000·w_d/(norm·n_d) → en ~0.352, de ~1 (capped), zh 1
+    assert(cuts("zh") == 65536 && cuts("de") == 65536,
+      s"small domains must keep everything: $cuts")
+    assert(cuts("en") < 30000 && cuts("en") > 20000,
+      s"head domain must downsample to ~0.35: $cuts")
+    // replay the exact arithmetic
+    val wEn = math.floor(math.sqrt(900.0) * 1048576).toLong
+    val wDe = math.floor(math.sqrt(90.0) * 1048576).toLong
+    val wZh = math.floor(math.sqrt(10.0) * 1048576).toLong
+    val norm = (wEn + wDe + wZh).toDouble
+    val expEn = math.floor(math.min(1.0,
+      0.5 * 1000.0 * wEn / (norm * 900.0)) * 65536).toInt
+    assert(cuts("en") == expEn, s"cut must equal the quantized rate: $cuts vs $expEn")
+    // deterministic + membership-monotone in the target
+    val again = Pipeline.temperatureMix(d, "doc_id", "lang", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == again)
+    val larger = Pipeline.temperatureMix(d, "doc_id", "lang", 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(larger), "raising the target must never drop a member")
+    // kept size near the target overall
+    assert(math.abs(ids.size - 500.0) < 120, s"kept ${ids.size} of 1000")
+  }
+
   test("negative sampling: deterministic, self-free, covering, spread") {
     Tables.register(spark, sfDir)
     val docs = spark.table("documents")
