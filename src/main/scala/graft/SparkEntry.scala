@@ -1387,6 +1387,21 @@ object SparkEntry {
         .orderBy("segment", "event_type")
     })),
 
+    // within-watermark dedup, batch twin (round 9): the at-least-once →
+    // exactly-once shape tolerant of replays with jittered timestamps —
+    // state keys on the id ONLY (EventStreamSpec proves the streaming path
+    // drops +5-minute-skewed duplicates that ts-keyed dedup keeps); Spark
+    // forbids the within-watermark form on batch frames, so the twin
+    // dispatches to plain dropDuplicates(ids), riding the wire through the
+    // Deduplicate encoding
+    "e12_dedup_within_watermark" -> ((s, dir) => rt(s, {
+      val ev = t(s, dir, "events")
+      val doubled = ev.unionByName(
+        ev.withColumn("ts", col("ts") + expr("INTERVAL 5 MINUTES")))
+      streaming.EventStream.streamingDedupWithinWatermark(doubled, Seq("event_id"))
+        .select("event_id").orderBy("event_id")
+    })),
+
     // DATA-DEPENDENT session gap (round 9): session_window(ts, gapCol) —
     // clicks close after 4h, high-value events after 12h, the rest after
     // 2h. The per-row gap rides the wire as a string-typed expression in
@@ -1976,6 +1991,25 @@ object SparkEntry {
           |       AND l.l_quantity BETWEEN 10 AND 35 AND p.p_size BETWEEN 1 AND 35)
           |   OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#7'
           |       AND l.l_quantity BETWEEN 20 AND 50 AND p.p_size BETWEEN 1 AND 50)""".stripMargin))
+    }),
+
+    // TPC-H Q16 shape: COUNT(DISTINCT) per multi-column group over a join
+    // whose probe side carries a NOT IN subquery (null-aware anti join on
+    // the non-null key) plus NOT-LIKE and IN-list part predicates
+    "q57_tpch_q16_suppcnt" -> ((s, dir) => {
+      t(s, dir, "lineitem"); t(s, dir, "part"); t(s, dir, "supplier")
+      rt(s, s.sql(
+        """SELECT p.p_brand, p.p_type, p.p_size,
+          |  count(DISTINCT l.l_suppkey) AS supplier_cnt
+          |FROM lineitem l, part p
+          |WHERE p.p_partkey = l.l_partkey
+          |  AND p.p_brand <> 'Brand#5'
+          |  AND p.p_type NOT LIKE 'MEDIUM%'
+          |  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+          |                          WHERE s_acctbal < 0.0)
+          |GROUP BY p.p_brand, p.p_type, p.p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin))
     }),
 
     // uncorrelated scalar subquery → cross-joined single-row AggregateRel
@@ -3549,6 +3583,11 @@ object SparkEntry {
       """SELECT DISTINCT event_id, ts, user_id, event_type, value
         |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
         |ORDER BY event_id""".stripMargin,
+    "e12_dedup_within_watermark" ->
+      """SELECT DISTINCT event_id FROM (
+        |  SELECT event_id FROM events
+        |  UNION ALL SELECT event_id FROM events)
+        |ORDER BY event_id""".stripMargin,
     // e11: Spark merges sessions whose [ts, ts + gap(row)) intervals
     // overlap-chain; the replay orders each user's events and opens a new
     // session exactly when ts reaches the running max of previous ends
@@ -3901,6 +3940,18 @@ object SparkEntry {
         |  CAST(min_by(n_chars, CASE WHEN cdd >= 0.5 THEN cdd END) AS DOUBLE) AS p50_desc,
         |  CAST(min_by(n_chars, CASE WHEN cdd >= 0.9 THEN cdd END) AS DOUBLE) AS p90_desc
         |FROM a GROUP BY lang ORDER BY lang""".stripMargin,
+    "q57_tpch_q16_suppcnt" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l, part p
+        |WHERE p.p_partkey = l.l_partkey
+        |  AND p.p_brand <> 'Brand#5'
+        |  AND p.p_type NOT LIKE 'MEDIUM%'
+        |  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                          WHERE s_acctbal < 0.0)
+        |GROUP BY p.p_brand, p.p_type, p.p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q54_tpch_q18_bigorders" ->
       """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
         |  o.o_totalprice, sum(l.l_quantity) AS total_qty

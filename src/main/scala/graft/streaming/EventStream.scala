@@ -97,6 +97,24 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicates(idCols :+ "ts")
 
+  /** Streaming dedup tolerant of LATE duplicates at DIFFERENT event times:
+    * `dropDuplicatesWithinWatermark` keys state on the id columns ONLY (no
+    * ts in the key, unlike [[streamingDedup]]), so a duplicate id arriving
+    * with a skewed timestamp within the watermark delay still drops, while
+    * state for ids older than the watermark is evicted — the production
+    * at-least-once-source → exactly-once shape when replays carry jittered
+    * timestamps. Spark rejects `dropDuplicatesWithinWatermark` on batch
+    * frames outright, so the batch twin dispatches to the semantically
+    * equal plain `dropDuplicates(ids)` (specs assert streaming == batch on
+    * the key set).
+    */
+  def streamingDedupWithinWatermark(events: DataFrame, idCols: Seq[String],
+                                    watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(idCols)
+    else events.dropDuplicates(idCols)
+
   /** Streaming incremental dedup against a STATIC kept corpus: the ingest
     * shape — documents arrive as a stream, each batch drops rows whose
     * content digest already exists in the kept table (stream-static

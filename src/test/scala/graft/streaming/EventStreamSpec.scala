@@ -146,6 +146,41 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: late dups at jittered timestamps still drop") {
+    // duplicate every event with its ts shifted +5 minutes (an
+    // at-least-once replay with clock jitter): id-only keyed state must
+    // drop the replica; the ts-keyed streamingDedup would KEEP it
+    val dupDir = java.nio.file.Files.createTempDirectory("graft_wmdup").toString
+    Tables.register(spark, sfDir)
+    val ev = spark.table("events")
+    ev.write.mode("overwrite").parquet(dupDir)
+    ev.withColumn("ts", col("ts") + expr("INTERVAL 5 MINUTES"))
+      .write.mode("append").parquet(dupDir)
+    val schema = ev.schema
+    val stream = spark.readStream.schema(schema).parquet(dupDir)
+    val q = EventStream.streamingDedupWithinWatermark(stream, Seq("event_id"))
+      .writeStream.format("memory").queryName("wmdedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("wmdedup_out")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      val expected = ev.select("event_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == expected,
+        s"late jittered duplicates must drop: ${streamed.size} vs ${expected.size}")
+      // the ts-keyed variant would NOT drop these (distinct (id, ts) pairs)
+      val tsKeyed = EventStream.streamingDedup(
+        spark.read.parquet(dupDir), Seq("event_id")).count()
+      assert(tsKeyed == 2 * expected.size,
+        "fixture must actually present distinct (id, ts) duplicates")
+      // batch twin on the same duplicated frame: identical key set
+      val batch = EventStream.streamingDedupWithinWatermark(
+        spark.read.parquet(dupDir), Seq("event_id"))
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(batch == expected)
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER interval join: null emission on watermark expiry == batch") {
     import java.sql.Timestamp
     def sides(df: DataFrame): (DataFrame, DataFrame) = (
