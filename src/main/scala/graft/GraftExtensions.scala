@@ -61,6 +61,14 @@ object GraftExtensions {
     "might_contain" -> (es => BloomMightContain(es(0), es(1))),
     "cms_merge_agg" -> (es =>
       CmsFunctions.CmsMergeAgg(es(0)).toAggregateExpression()),
+    "freq_sketch_agg_long" -> (es =>
+      FreqFunctions.FreqSketchAggLong(es(0), es(1)).toAggregateExpression()),
+    "freq_merge_agg" -> (es =>
+      FreqFunctions.FreqMergeAgg(es(0)).toAggregateExpression()),
+    "freq_estimate_long" -> (es => FreqFunctions.FreqProbeLong(es(0), es(1), "estimate")),
+    "freq_lower_bound_long" -> (es => FreqFunctions.FreqProbeLong(es(0), es(1), "lower_bound")),
+    "freq_upper_bound_long" -> (es => FreqFunctions.FreqProbeLong(es(0), es(1), "upper_bound")),
+    "freq_max_error" -> (es => FreqFunctions.FreqMaxError(es(0))),
     "cms_estimate_long" -> (es => CmsFunctions.CmsEstimateLong(es(0), es(1))),
     "cms_inner_product" -> (es => CmsFunctions.CmsInnerProduct(es(0), es(1))),
     "theta_sketch_agg_long" -> (es => ThetaFunctions.ThetaSketchAggLong(es(0),

@@ -1020,6 +1020,31 @@ object SparkEntry {
     // the refresh-without-rescan companion to p02's exact skew report.
     // exact_n is DuckDB-verified; est_ok certifies the CMS guarantee
     // exact ≤ est ≤ exact + ε·N in-query (deterministic given the seed).
+    // frequent-items sketch (round 9): DataSketches LongsSketch — the
+    // Misra-Gries member of the mergeable family; unlike p07's CMS it
+    // returns the heavy-hitter list itself (no probe universe). Per-shard
+    // sketches merge via freq_merge_agg; certification checks the
+    // deterministic contract on the exact top-20: lb ≤ exact ≤ ub and
+    // ub − lb ≤ the sketch's declared maximum error (the 64-counter map
+    // genuinely overflows on ~200 suppliers, so the bounds are non-trivial)
+    "p20_freq_items" -> ((s, dir) => rt(s, {
+      val li = t(s, dir, "lineitem")
+      val merged = ops.Sketches.freqMerge(ops.Sketches.freqShards(
+        li, "l_suppkey", col("l_orderkey") % 16, maxMapSize = 64))
+      val top = li.groupBy("l_suppkey").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("l_suppkey").asc).limit(20)
+      top.select(col("l_suppkey"), col("exact_n"),
+          graft.functions.FreqFunctions.freqLowerBoundLong(
+            merged.scalar(), col("l_suppkey")).as("lb"),
+          graft.functions.FreqFunctions.freqUpperBoundLong(
+            merged.scalar(), col("l_suppkey")).as("ub"),
+          graft.functions.FreqFunctions.freqMaxError(merged.scalar()).as("me"))
+        .select(col("l_suppkey"), col("exact_n"),
+          (col("lb") <= col("exact_n") && col("exact_n") <= col("ub") &&
+            col("ub") - col("lb") <= col("me")).as("est_ok"))
+        .orderBy(col("exact_n").desc, col("l_suppkey").asc)
+    })),
+
     "p07_cms_heavy_hitters" -> ((s, dir) => rt(s, {
       val li = t(s, dir, "lineitem")
       val merged = ops.Sketches.cmsMerge(ops.Sketches.cmsShards(
@@ -2733,6 +2758,11 @@ object SparkEntry {
     "p06_sketch_quantiles" ->
       "SELECT count(*) AS n, TRUE AS p50_ok, TRUE AS p95_ok FROM documents",
     "p07_cms_heavy_hitters" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS exact_n
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_suppkey, exact_n, TRUE AS est_ok FROM c
+        |ORDER BY exact_n DESC, l_suppkey ASC LIMIT 20""".stripMargin,
+    "p20_freq_items" ->
       """WITH c AS (SELECT l_suppkey, count(*) AS exact_n
         |           FROM lineitem GROUP BY 1)
         |SELECT l_suppkey, exact_n, TRUE AS est_ok FROM c

@@ -81,6 +81,21 @@ object Sketches {
     else shards.groupBy(groupCols.map(col): _*).agg(m)
   }
 
+  /** Frequent-items shards: per-shard DataSketches LongsSketch over a long
+    * key — unlike CMS this returns the heavy-hitter LIST itself (no probe
+    * universe needed), with the Misra-Gries contract: lb ≤ true ≤ ub,
+    * ub − lb ≤ maxError, and no item with true count > maxError is missed.
+    */
+  def freqShards(df: DataFrame, keyCol: String, shardCol: Column,
+                 maxMapSize: Int = 256): DataFrame =
+    df.groupBy(shardCol.as("shard"))
+      .agg(graft.functions.FreqFunctions.freqSketchAggLong(
+        col(keyCol).cast("long"), maxMapSize).as("freq"))
+
+  /** Merge frequent-items shard sketches into one corpus-wide sketch. */
+  def freqMerge(shards: DataFrame): DataFrame =
+    shards.agg(graft.functions.FreqFunctions.freqMergeAgg(col("freq")).as("freq"))
+
   /** Join-size estimate between two key columns WITHOUT executing the join
     * (Cormode-Muthukrishnan inner product): one CMS per side, est =
     * cms_inner_product of the two sketches. Self-join size (a == b, the F₂

@@ -496,6 +496,9 @@ object Consumer {
         case n @ ("theta_sketch_agg_long" | "theta_union_agg") =>
           graft.functions.ThetaFunctions.ensureSessionRegistered()
           call_function(n, args: _*)
+        case n @ ("freq_sketch_agg_long" | "freq_merge_agg") =>
+          graft.functions.FreqFunctions.ensureSessionRegistered()
+          call_function(n, args: _*)
         case other => notImplemented(s"aggregate function $other")
       }
     }
@@ -815,6 +818,8 @@ object Consumer {
               graft.functions.JaccardFunctions.ensureSessionRegistered()
             if (other == "bpe_count")
               graft.functions.BpeFunctions.ensureSessionRegistered()
+            if (other.startsWith("freq_"))
+              graft.functions.FreqFunctions.ensureSessionRegistered()
             if (other.startsWith("pq_"))
               graft.functions.PqFunctions.ensureSessionRegistered()
             if (other == "might_contain")

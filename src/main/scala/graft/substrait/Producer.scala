@@ -1708,6 +1708,8 @@ object Producer {
     "sorted_containment_ge", "bpe_count",
     "pq_encode", "pq_adc",
     "might_contain", "cms_estimate_long", "cms_inner_product",
+    "freq_estimate_long", "freq_lower_bound_long", "freq_upper_bound_long",
+    "freq_max_error",
     "theta_estimate", "theta_intersect_estimate", "theta_anotb_estimate",
     // datasketches scalar companions of the mergeable-sketch aggregates
     // (ops.Sketches): estimate/merge/read over binary sketch columns

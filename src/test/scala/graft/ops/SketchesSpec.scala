@@ -143,4 +143,43 @@ class SketchesSpec extends SparkTestBase {
       .select(round(thetaEstimate(col("theta"))).as("est"))
     assertSameRows(q, graft.substrait.Serializer.roundtrip(spark, q))
   }
+
+  test("FreqItems: bounds bracket exact counts for every key; merge == one-shot contract") {
+    import graft.functions.FreqFunctions._
+    import spark.implicits._
+    // skewed stream: key k appears 2^(10-k) times for k = 0..9 (1024..2 +
+    // noise keys), through a 16-counter map that must overflow
+    val rows = (0 until 10).flatMap(k => Seq.fill(1 << (10 - k))(k.toLong)) ++
+      (100L until 160L)
+    val df = rows.toDF("k")
+    val merged = Sketches.freqMerge(
+      Sketches.freqShards(df, "k", col("k") % 7, maxMapSize = 16))
+    val exact = rows.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val probe = exact.keys.toSeq.sorted.toDF("k")
+      .crossJoin(broadcast(merged))
+      .select(col("k"), freqLowerBoundLong(col("freq"), col("k")).as("lb"),
+        freqUpperBoundLong(col("freq"), col("k")).as("ub"),
+        freqEstimateLong(col("freq"), col("k")).as("est"),
+        freqMaxError(col("freq")).as("me"))
+      .collect()
+    probe.foreach { r =>
+      val (k, lb, ub, est, me) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      val ex = exact(k)
+      assert(lb <= ex && ex <= ub, s"k=$k exact=$ex outside [$lb, $ub]")
+      assert(est >= lb && est <= ub, s"k=$k estimate outside its own bounds")
+      assert(ub - lb <= me, s"k=$k bound width ${ub - lb} exceeds maxError $me")
+    }
+    val me = probe.head.getLong(4)
+    assert(me > 0, "16-counter map over 70 keys must overflow (else vacuous)")
+    // no false negatives: every key with exact > maxError is bracketed with
+    // a nonzero lower bound (the sketch still tracks it)
+    exact.filter(_._2 > me).keys.foreach { k =>
+      val r = probe.find(_.getLong(0) == k).get
+      assert(r.getLong(1) > 0, s"heavy key $k lost by the sketch")
+    }
+    // probes ride the wire
+    val q = merged.select(freqMaxError(col("freq")).as("me"))
+    assertSameRows(q, graft.substrait.Serializer.roundtrip(spark, q))
+  }
 }
