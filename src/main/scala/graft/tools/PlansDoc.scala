@@ -58,7 +58,13 @@ object PlansDoc {
     "q47_tpch_q2_mincost" -> "TPC-H Q2 shape: the correlated min decorrelates to a grouped aggregate re-joined on (partkey, price); dimension sides broadcast",
     "q50_tpch_q20_excess" -> "TPC-H Q20 shape: grouping-key-correlated HAVING scalar decorrelates into an aggregate-to-aggregate join; both IN levels become semi joins",
     "d05_embedding_neardup" -> "embedding near-dup: ONE codegen'd lsh_buckets kernel computes all table buckets (the composed per-plane form ran interpreted past the JIT size limit); candidate ids shuffle bare, vectors re-join only for the exact-cosine verify",
-    "e09_stream_upsert_sink" -> "streaming upsert sink batch twin: the band-pruned merge reads ONLY affected partitions (PartitionFilters from the driver-side band list) and the final state scans the swapped layout")
+    "e09_stream_upsert_sink" -> "streaming upsert sink batch twin: the band-pruned merge reads ONLY affected partitions (PartitionFilters from the driver-side band list) and the final state scans the swapped layout",
+    "q55_tpch_q19_disjunct" -> "TPC-H Q19 shape: the OR-of-ANDs predicate's repeated equi conjunct factors out — an EQUI hash join carries the OR as residual, and CNF-derived per-side disjunctions push to BOTH parquet scans",
+    "q54_tpch_q18_bigorders" -> "TPC-H Q18 shape: the IN over aggregated keys plans as a LeftSemi against the grouped-HAVING side; ORDER BY + LIMIT fuse into TakeOrderedAndProject",
+    "m07_video_frames" -> "REAL multi-frame GIF decode: gif_encode → gif_frames as named typed stages; one output row per decoded frame, payloads never leave their partition",
+    "e11_dynamic_gap_sessions" -> "DYNAMIC per-row session gaps on the wire: the consumed plan re-derives MergingSessions from the string gap expression (CAST AS INTERVAL) riding the ExtSessionWindow detail",
+    "t30_temperature_mix" -> "temperature mixture rebalance: the |domains|-row derived-rate side broadcasts back; the corpus pass is a narrow md5-draw filter — no corpus shuffle",
+    "p20_freq_items" -> "frequent-items sketch: per-shard LongsSketch rows merge through one tiny exchange; the certification probes run on the top-k side only")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
