@@ -150,7 +150,13 @@ object Pipeline {
                      targetFraction: Double = 0.5): DataFrame = {
     require(targetFraction > 0 && targetFraction <= 1,
       s"targetFraction must be in (0, 1], got $targetFraction")
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_d"))
+    // null domains form their own stratum: the rate join keys on a
+    // null-coalesced shadow column (a bare equi join on the domain would
+    // silently DROP every null-domain row — null never equals null)
+    val joinKey = "__graft_mix_stratum"
+    val keyed = df.withColumn(joinKey,
+      coalesce(col(strataCol).cast("string"), lit("\u0000null")))
+    val counts = keyed.groupBy(col(joinKey)).agg(count(lit(1)).as("n_d"))
       .withColumn("w_q", floor(sqrt(col("n_d").cast("double")) * 1048576L)
         .cast("long"))
     val totals = counts.agg(sum(col("w_q")).as("norm_q"),
@@ -161,10 +167,11 @@ object Pipeline {
           col("w_q").cast("double") /
           (col("norm_q").cast("double") * col("n_d").cast("double"))))
       .withColumn("cut", floor(col("rate") * 65536).cast("int"))
-      .select(col(strataCol), col("cut"))
+      .select(col(joinKey), col("cut"))
     val slot = conv(substring(md5(col(idCol).cast("string")), 1, 4),
       16, 10).cast("int")
-    df.join(broadcast(rates), strataCol).filter(slot < col("cut"))
+    keyed.join(broadcast(rates), joinKey).filter(slot < col("cut"))
+      .drop(joinKey)
   }
 
   /** Deterministic token-budget sampling: keep each stratum's md5-ordered

@@ -185,12 +185,16 @@ object EventStream {
                         leftKey: String, rightKey: String,
                         leftTs: String, rightTs: String,
                         horizonSeconds: Long,
-                        watermark: String = "2 hours"): DataFrame =
+                        watermark: String = "2 hours",
+                        joinType: String = "left_outer"): DataFrame = {
+    require(Set("left_outer", "right_outer", "full_outer").contains(joinType),
+      s"joinType must be an outer type, got '$joinType' (use intervalJoin for inner)")
     left.withWatermark(leftTs, watermark)
       .join(right.withWatermark(rightTs, watermark), expr(
         s"""$leftKey = $rightKey AND
            |$rightTs >= $leftTs - INTERVAL $horizonSeconds SECONDS AND
-           |$rightTs <= $leftTs""".stripMargin), "left_outer")
+           |$rightTs <= $leftTs""".stripMargin), joinType)
+  }
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)

@@ -350,6 +350,14 @@ class PipelineSpec extends SparkTestBase {
     assert(ids.subsetOf(larger), "raising the target must never drop a member")
     // kept size near the target overall
     assert(math.abs(ids.size - 500.0) < 120, s"kept ${ids.size} of 1000")
+    // null domains form their own stratum — never silently dropped
+    val withNull = d.withColumn("lang",
+      when(col("doc_id") % 10 === 0, lit(null)).otherwise(col("lang")))
+    val keptNull = Pipeline.temperatureMix(withNull, "doc_id", "lang", 0.5)
+    assert(keptNull.filter(col("lang").isNull).count() > 0,
+      "null-domain rows must participate in the mix")
+    assert(keptNull.columns.toSeq == withNull.columns.toSeq :+ "cut",
+      "no helper columns may leak")
   }
 
   test("negative sampling: deterministic, self-free, covering, spread") {

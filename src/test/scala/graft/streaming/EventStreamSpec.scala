@@ -226,6 +226,28 @@ class EventStreamSpec extends SparkTestBase {
         "matched rows must be non-vacuous")
       assertSameRows(batch, streamed)
     } finally q.stop()
+
+    // FULL outer: unmatched rows from BOTH sides emit with nulls
+    val (se2, sc2) = sides(spark.readStream.schema(schema).parquet(srcDir))
+    val q2 = EventStream.intervalJoinOuter(se2, sc2, "e_user", "c_user",
+        "e_ts", "c_ts", horizonSeconds = 3600, watermark = "10 minutes",
+        joinType = "full_outer")
+      .select("e_id", "c_id")
+      .writeStream.format("memory").queryName("foij_out")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val streamed = spark.table("foij_out")
+        .filter(coalesce(col("e_id"), lit(0L)) >= 0 &&
+          coalesce(col("c_id"), lit(0L)) >= 0)
+      val (be, bc) = sides(spark.table("events"))
+      val batch = EventStream.intervalJoinOuter(be, bc, "e_user", "c_user",
+        "e_ts", "c_ts", horizonSeconds = 3600, joinType = "full_outer")
+        .select("e_id", "c_id")
+      assert(batch.filter(col("e_id").isNull).count() > 0,
+        "unmatched-right rows must be non-vacuous")
+      assertSameRows(batch, streamed)
+    } finally q2.stop()
   }
 
   test("parquet streaming sink: exactly-once across a restart with new data") {
