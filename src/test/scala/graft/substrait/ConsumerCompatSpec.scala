@@ -252,6 +252,42 @@ class ConsumerCompatSpec extends SparkTestBase {
     assert(got == Set((1L, 1L), (2L, 10L), (3L, 10L), (-1L, 21L)))
   }
 
+  test("foreign plan naming bpe_count resolves through the consume hook and executes") {
+    fixture
+    val plan = Plan(
+      Seq(ExtensionFunction(0xffffffffL, 0, "bpe_count")),
+      Seq(PlanRel.Root(
+        Rel.Project(scan, Seq(SExpr.FieldRef(1),
+          SExpr.ScalarFn(0, Seq(SExpr.FieldRef(1))))),
+        Seq("name", "n_bpe"))))
+    // through BYTES — exercises FreqFunctions-style lazy registration on a
+    // session that never called the Column API first
+    val got = Consumer.consume(spark, Wire.decode(Wire.encode(plan)))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    // v1 table walks: alpha → (al)(p)(ha); Beta → (B)(e)(ta); gamma → 5 chars
+    assert(got == Set(("alpha", 3), ("Beta", 3), ("gamma", 5)))
+  }
+
+  test("foreign freq-items sketch aggregate + probes execute through bytes") {
+    fixture
+    val measure = Measure(
+      AggFunction(0, Seq(SExpr.FieldRef(0), SExpr.Lit(LitVal.LI32(64))), 1),
+      None)
+    val agg = Rel.Aggregate(scan, Seq(Seq()), Seq(measure))
+    val plan = Plan(
+      Seq(ExtensionFunction(0xffffffffL, 0, "freq_sketch_agg_long"),
+        ExtensionFunction(0xffffffffL, 1, "freq_estimate_long"),
+        ExtensionFunction(0xffffffffL, 2, "freq_max_error")),
+      Seq(PlanRel.Root(Rel.Project(agg, Seq(
+        SExpr.ScalarFn(1, Seq(SExpr.FieldRef(0), SExpr.Lit(LitVal.LI64(2)))),
+        SExpr.ScalarFn(2, Seq(SExpr.FieldRef(0))))),
+        Seq("est_2", "max_err"))))
+    val got = Consumer.consume(spark, Wire.decode(Wire.encode(plan)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 3 distinct ids in a 64-counter map: exact (maxError 0), id 2 once
+    assert(got.toSeq == Seq((1L, 0L)))
+  }
+
   test("foreign VirtualTable read executes without any catalog") {
     val plan = Plan(Nil, Seq(PlanRel.Root(
       Rel.Read(
