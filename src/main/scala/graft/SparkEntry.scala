@@ -2037,6 +2037,180 @@ object SparkEntry {
           |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin))
     }),
 
+    // TPC-H Q14 shape: promo revenue share — two conditional SUMs over the
+    // same join feed a scalar ratio (single-row result). Per-row DECIMAL
+    // cast before the sums keeps both engines' totals bit-exact; the ratio
+    // is then two correctly-rounded IEEE ops over equal inputs. The date
+    // band must reach the scan as PushedFilters on l_shipdate.
+    "q58_tpch_q14_promo" -> ((s, dir) => {
+      t(s, dir, "lineitem"); t(s, dir, "part")
+      rt(s, s.sql(
+        """SELECT CAST(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+          |      THEN CAST(l.l_extendedprice * (1.0 - l.l_discount)
+          |        AS DECIMAL(18,4))
+          |      ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE)
+          |    / CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+          |        AS DECIMAL(18,4))) AS DOUBLE)
+          |  AS DOUBLE) AS promo_revenue,
+          |  count(*) AS n_lines
+          |FROM lineitem l, part p
+          |WHERE l.l_partkey = p.p_partkey
+          |  AND l.l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
+          |  AND l.l_shipdate <  TIMESTAMP '1995-06-01 00:00:00'""".stripMargin))
+    }),
+
+    // TPC-H Q3 shape: shipping-priority top-k — segment-filtered 3-table
+    // join, grouped revenue, ORDER BY ... LIMIT fuses to
+    // TakeOrderedAndProject (no global sort at scale)
+    "q59_tpch_q3_shipping" -> ((s, dir) => {
+      t(s, dir, "customer"); t(s, dir, "orders"); t(s, dir, "lineitem")
+      rt(s, s.sql(
+        """SELECT l.l_orderkey,
+          |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+          |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          |  o.o_orderdate
+          |FROM customer c, orders o, lineitem l
+          |WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey
+          |  AND l.l_orderkey = o.o_orderkey
+          |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY l.l_orderkey, o.o_orderdate
+          |ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+          |LIMIT 10""".stripMargin))
+    }),
+
+    // TPC-H Q5 shape: local-supplier volume — six-table snowflake join
+    // with the customer-nation = supplier-nation co-location constraint;
+    // region/nation dims must broadcast, never shuffle the fact
+    "q60_tpch_q5_localsupp" -> ((s, dir) => {
+      t(s, dir, "customer"); t(s, dir, "orders"); t(s, dir, "lineitem")
+      t(s, dir, "supplier"); t(s, dir, "nation"); t(s, dir, "region")
+      rt(s, s.sql(
+        """SELECT n.n_name,
+          |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+          |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+          |FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+          |WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+          |  AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+          |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+          |  AND r.r_name = 'ASIA'
+          |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          |GROUP BY n.n_name ORDER BY revenue DESC, n_name""".stripMargin))
+    }),
+
+    // TPC-H Q9 shape: product-type profit by nation and year — LIKE-
+    // filtered part dim joined into the fact, year() bucketing on the
+    // order date (no partsupp table in this schema; profit = revenue)
+    "q61_tpch_q9_profit" -> ((s, dir) => {
+      t(s, dir, "part"); t(s, dir, "supplier"); t(s, dir, "lineitem")
+      t(s, dir, "orders"); t(s, dir, "nation")
+      rt(s, s.sql(
+        """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+          |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+          |    AS DECIMAL(18,4))) AS DOUBLE) AS profit
+          |FROM part p, supplier s, lineitem l, orders o, nation n
+          |WHERE s.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey
+          |  AND o.o_orderkey = l.l_orderkey AND s.s_nationkey = n.n_nationkey
+          |  AND p.p_name LIKE '%red%'
+          |GROUP BY n.n_name, year(o.o_orderdate)
+          |ORDER BY nation, o_year DESC""".stripMargin))
+    }),
+
+    // TPC-H Q10 shape: returned-item ranking — returnflag-filtered fact,
+    // date band on orders, top-20 customers by lost revenue
+    "q62_tpch_q10_returns" -> ((s, dir) => {
+      t(s, dir, "customer"); t(s, dir, "orders"); t(s, dir, "lineitem")
+      t(s, dir, "nation")
+      rt(s, s.sql(
+        """SELECT c.c_custkey, c.c_name,
+          |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+          |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          |  c.c_acctbal, n.n_name
+          |FROM customer c, orders o, lineitem l, nation n
+          |WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+          |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          |  AND l.l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey
+          |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
+    }),
+
+    // TPC-H Q12 shape: priority class counts via conditional SUMs over an
+    // order/lineitem join with a ship-date band (o_orderpriority classes
+    // stand in for l_shipmode, which this schema doesn't carry)
+    "q63_tpch_q12_priority" -> ((s, dir) => {
+      t(s, dir, "orders"); t(s, dir, "lineitem")
+      rt(s, s.sql(
+        """SELECT l.l_linestatus,
+          |  sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+          |        OR o.o_orderpriority = '2-HIGH'
+          |      THEN 1 ELSE 0 END) AS high_line_count,
+          |  sum(CASE WHEN o.o_orderpriority <> '1-URGENT'
+          |        AND o.o_orderpriority <> '2-HIGH'
+          |      THEN 1 ELSE 0 END) AS low_line_count
+          |FROM orders o, lineitem l
+          |WHERE o.o_orderkey = l.l_orderkey
+          |  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY l.l_linestatus ORDER BY l_linestatus""".stripMargin))
+    }),
+
+    // TPC-H Q7 shape: volume shipping between two nations, both
+    // directions — the nation dim joins TWICE (supplier side and customer
+    // side) under an OR-of-nation-pairs predicate; the consumer's
+    // fresh-name scheme must keep the two nation scans distinct
+    "q64_tpch_q7_volume" -> ((s, dir) => {
+      t(s, dir, "supplier"); t(s, dir, "lineitem"); t(s, dir, "orders")
+      t(s, dir, "customer"); t(s, dir, "nation")
+      rt(s, s.sql(
+        """SELECT supp_nation, cust_nation, l_year,
+          |  CAST(sum(volume_dec) AS DOUBLE) AS revenue
+          |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |        CAST(year(l.l_shipdate) AS INT) AS l_year,
+          |        CAST(l.l_extendedprice * (1.0 - l.l_discount)
+          |          AS DECIMAL(18,4)) AS volume_dec
+          |      FROM supplier s, lineitem l, orders o, customer c,
+          |        nation n1, nation n2
+          |      WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+          |        AND c.c_custkey = o.o_custkey
+          |        AND s.s_nationkey = n1.n_nationkey
+          |        AND c.c_nationkey = n2.n_nationkey
+          |        AND ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_17')
+          |          OR (n1.n_name = 'NATION_17' AND n2.n_name = 'NATION_7'))
+          |        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+          |GROUP BY supp_nation, cust_nation, l_year
+          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin))
+    }),
+
+    // TPC-H Q8 shape: national market share — eight-table join (nation
+    // twice: customer-region gate and supplier-nation tag) feeding a
+    // conditional-share ratio per year; all dims must broadcast
+    "q65_tpch_q8_mktshare" -> ((s, dir) => {
+      t(s, dir, "part"); t(s, dir, "supplier"); t(s, dir, "lineitem")
+      t(s, dir, "orders"); t(s, dir, "customer"); t(s, dir, "nation")
+      t(s, dir, "region")
+      rt(s, s.sql(
+        """SELECT o_year,
+          |  CAST(CAST(sum(CASE WHEN nation = 'NATION_7' THEN volume
+          |      ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE)
+          |    / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+          |FROM (SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+          |        CAST(l.l_extendedprice * (1.0 - l.l_discount)
+          |          AS DECIMAL(18,4)) AS volume,
+          |        n2.n_name AS nation
+          |      FROM part p, supplier s, lineitem l, orders o, customer c,
+          |        nation n1, nation n2, region r
+          |      WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+          |        AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+          |        AND c.c_nationkey = n1.n_nationkey
+          |        AND n1.n_regionkey = r.r_regionkey
+          |        AND r.r_name = 'ASIA' AND s.s_nationkey = n2.n_nationkey
+          |        AND p.p_type = 'PROMO') all_nations
+          |GROUP BY o_year ORDER BY o_year""".stripMargin))
+    }),
+
     // uncorrelated scalar subquery → cross-joined single-row AggregateRel
     "q33_scalar_subquery" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -4005,6 +4179,116 @@ object SparkEntry {
         |       AND l.l_quantity BETWEEN 10 AND 35 AND p.p_size BETWEEN 1 AND 35)
         |   OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#7'
         |       AND l.l_quantity BETWEEN 20 AND 50 AND p.p_size BETWEEN 1 AND 50)""".stripMargin,
+    "q58_tpch_q14_promo" ->
+      """SELECT CAST(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        |      THEN CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |        AS DECIMAL(18,4))
+        |      ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |        AS DECIMAL(18,4))) AS DOUBLE)
+        |  AS DOUBLE) AS promo_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l, part p
+        |WHERE l.l_partkey = p.p_partkey
+        |  AND l.l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
+        |  AND l.l_shipdate <  TIMESTAMP '1995-06-01 00:00:00'""".stripMargin,
+    "q59_tpch_q3_shipping" ->
+      """SELECT l.l_orderkey,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  o.o_orderdate
+        |FROM customer c, orders o, lineitem l
+        |WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey
+        |  AND l.l_orderkey = o.o_orderkey
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l.l_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q60_tpch_q5_localsupp" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+        |WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+        |  AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n.n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q61_tpch_q9_profit" ->
+      """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS profit
+        |FROM part p, supplier s, lineitem l, orders o, nation n
+        |WHERE s.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey
+        |  AND o.o_orderkey = l.l_orderkey AND s.s_nationkey = n.n_nationkey
+        |  AND p.p_name LIKE '%red%'
+        |GROUP BY n.n_name, year(o.o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q62_tpch_q10_returns" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  c.c_acctbal, n.n_name
+        |FROM customer c, orders o, lineitem l, nation n
+        |WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND l.l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q63_tpch_q12_priority" ->
+      """SELECT l.l_linestatus,
+        |  CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+        |        OR o.o_orderpriority = '2-HIGH'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority <> '1-URGENT'
+        |        AND o.o_orderpriority <> '2-HIGH'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders o, lineitem l
+        |WHERE o.o_orderkey = l.l_orderkey
+        |  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l.l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q64_tpch_q7_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(volume_dec) AS DOUBLE) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |        CAST(year(l.l_shipdate) AS INT) AS l_year,
+        |        CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |          AS DECIMAL(18,4)) AS volume_dec
+        |      FROM supplier s, lineitem l, orders o, customer c,
+        |        nation n1, nation n2
+        |      WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+        |        AND c.c_custkey = o.o_custkey
+        |        AND s.s_nationkey = n1.n_nationkey
+        |        AND c.c_nationkey = n2.n_nationkey
+        |        AND ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_17')
+        |          OR (n1.n_name = 'NATION_17' AND n2.n_name = 'NATION_7'))
+        |        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q65_tpch_q8_mktshare" ->
+      """SELECT o_year,
+        |  CAST(CAST(sum(CASE WHEN nation = 'NATION_7' THEN volume
+        |      ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+        |FROM (SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |        CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |          AS DECIMAL(18,4)) AS volume,
+        |        n2.n_name AS nation
+        |      FROM part p, supplier s, lineitem l, orders o, customer c,
+        |        nation n1, nation n2, region r
+        |      WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+        |        AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+        |        AND c.c_nationkey = n1.n_nationkey
+        |        AND n1.n_regionkey = r.r_regionkey
+        |        AND r.r_name = 'ASIA' AND s.s_nationkey = n2.n_nationkey
+        |        AND p.p_type = 'PROMO') all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q32_in_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer
