@@ -202,6 +202,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     })),
 
+    // damped centrality (exact fixed-point power iteration) over the
+    // supplier–part incidence graph — a naturally degree-skewed bipartite
+    // graph (suppliers touch many parts, parts few suppliers), so ranks
+    // genuinely separate hubs from periphery (the d08 near-dup graph is
+    // 2 regular nodes at this SF — vacuous for a rank test). The oracle
+    // unrolls the 3 rounds as plain SQL over the same edge list and
+    // matches bit-for-bit; every round's plan rides the wire (incl. the
+    // DIV operator). Same op over d08's pairs = content-farm scoring.
+    "d17_graph_rank" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("id_a"),
+          (col("l_partkey").cast("long") + 1000000L).as("id_b"))
+        .distinct()
+      ops.Dedup.graphRank(pairs, stepThroughWire = true).orderBy("node")
+    }),
+
     // quality-aware cluster dedup: each near-dup cluster keeps its LONGEST
     // member (ties → smallest id) instead of an arbitrary min-id keeper —
     // the curation rule real pipelines want. One struct-max aggregate
@@ -2476,7 +2492,31 @@ object SparkEntry {
     // d16: exact shared-span replay — stride-1 20-token windows as STRINGS
     // (engine uses xxhash64 digests; counts agree because per-doc windows
     // are distinct and a cross-side 64-bit collision is ~1e-13-improbable,
-    // the certified contaminationHits convention)
+    // d17: supplier–part incidence edges, then 3 unrolled fixed-point
+    // power-iteration rounds — all-BIGINT arithmetic (// is floor
+    // division; operands are positive, so it equals Spark's truncating
+    // DIV), so the rank units match Spark exactly; the double view is one
+    // IEEE division
+    "d17_graph_rank" ->
+      """WITH pr AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS id_a,
+        |    CAST(l_partkey AS BIGINT) + 1000000 AS id_b FROM lineitem),
+        |e AS (SELECT id_a AS u, id_b AS v FROM pr
+        |      UNION SELECT id_b, id_a FROM pr),
+        |dg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
+        |ed AS (SELECT e.u, e.v, dg.deg FROM e JOIN dg ON e.u = dg.u),
+        |r0 AS (SELECT u AS node, CAST(1048576 AS BIGINT) AS ru FROM dg),
+        |r1 AS (SELECT ed.v AS node,
+        |    157286 + (85 * CAST(sum(r0.ru // ed.deg) AS BIGINT)) // 100 AS ru
+        |  FROM ed JOIN r0 ON r0.node = ed.u GROUP BY ed.v),
+        |r2 AS (SELECT ed.v AS node,
+        |    157286 + (85 * CAST(sum(r1.ru // ed.deg) AS BIGINT)) // 100 AS ru
+        |  FROM ed JOIN r1 ON r1.node = ed.u GROUP BY ed.v),
+        |r3 AS (SELECT ed.v AS node,
+        |    157286 + (85 * CAST(sum(r2.ru // ed.deg) AS BIGINT)) // 100 AS ru
+        |  FROM ed JOIN r2 ON r2.node = ed.u GROUP BY ed.v)
+        |SELECT node, ru AS rank_units,
+        |  CAST(ru AS DOUBLE) / 1048576.0 AS rank
+        |FROM r3 ORDER BY node""".stripMargin,
     "d16_shared_spans" ->
       """WITH u AS (SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 300000,

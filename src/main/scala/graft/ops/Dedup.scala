@@ -863,6 +863,77 @@ object Dedup {
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 
+  /** Rank units per 1.0 of rank: all graphRank arithmetic is fixed-point
+    * integers so any engine replays it bit-identically (same trick as the
+    * t30 integer mixture weights — double summation is merge-order-
+    * dependent in the last ULP; integer sums are exact).
+    */
+  val RankUnit: Long = 1L << 20
+  /** floor(0.15 × 2^20): the damped-centrality teleport term in units. */
+  val RankBase: Long = (15L * RankUnit) / 100L
+
+  /** Damped centrality (PageRank-style power iteration, Page et al. 1999)
+    * over an undirected pair graph — the template/content-farm detector:
+    * documents central in the near-duplicate graph are boilerplate hubs,
+    * peripheral ones are organic. Complements [[connectedComponents]]
+    * (membership) with a per-node intensity score.
+    *
+    * EXACT integer arithmetic throughout, so a fixed iteration count needs
+    * no convergence epsilon and the oracle is an unrolled SQL expression:
+    *   contrib(u) = rank(u) DIV deg(u)
+    *   rank'(v)   = 157286 + (85 × Σ contrib) DIV 100      -- all BIGINT
+    * starting from rank = 2^20. The undirected edge list means every node
+    * with an edge receives contributions (in-neighbors = out-neighbors),
+    * so a plain inner join + sum covers the whole node set.
+    *
+    * Scale: each round is one shuffle keyed by node id carrying 16-byte
+    * (id, long) rows; deg rides ON the edge list (joined once, then the
+    * checkpointed (u, v, deg) frame is reused every round) — no per-round
+    * dimension join. Fixed `iters` (default 3) bounds total work; the
+    * driver loop is host-side like [[connectedComponents]] (substrait has
+    * no iteration), with each round's plan wire-stepped on request.
+    */
+  def graphRank(pairs: DataFrame, aCol: String = "id_a",
+                bCol: String = "id_b", iters: Int = 3,
+                stepThroughWire: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"graphRank iters out of range: $iters")
+    val spark = pairs.sparkSession
+    val fwd = pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"))
+    val edges0 = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    val deg = edges0.groupBy("u").agg(count(lit(1)).as("deg"))
+    // (u, v, deg): reused every round — checkpoint makes it a leaf read in
+    // the wire-stepped plans instead of re-deriving pairs per round
+    val edges = edges0.join(deg, "u").localCheckpoint(true)
+    var ranks = edges.select(col("u").as("node")).distinct()
+      .select(col("node"), lit(RankUnit).as("rank_units"))
+      .localCheckpoint(true)
+    if (stepThroughWire) edges.createOrReplaceTempView("graft_rank_edges")
+    def step(ed: DataFrame)(r: DataFrame): DataFrame =
+      ed.join(r.select(col("node").as("u"), col("rank_units")), "u")
+        .select(col("v"), expr("rank_units DIV deg").as("contrib"))
+        .groupBy("v").agg(sum(col("contrib")).as("csum"))
+        .select(col("v").as("node"),
+          (lit(RankBase) + expr("(85 * csum) DIV 100")).as("rank_units"))
+    for (_ <- 1 to iters) {
+      val next =
+        if (stepThroughWire) {
+          ranks.createOrReplaceTempView("graft_rank_state")
+          val roundPlan = step(spark.table("graft_rank_edges"))(
+            spark.table("graft_rank_state"))
+          graft.substrait.Consumer.consume(spark,
+            graft.substrait.Wire.decode(graft.substrait.Wire.encode(
+              graft.substrait.Producer.produce(roundPlan))))
+        } else step(edges)(ranks)
+      ranks = next.localCheckpoint(true)
+    }
+    // the double view is exact: units < 2^53, and /2^20 is one correctly-
+    // rounded IEEE op in any engine
+    ranks.select(col("node"), col("rank_units"),
+      (col("rank_units").cast("double") / lit(RankUnit.toDouble)).as("rank"))
+  }
+
   /** Incremental connected components: fold a NEW batch of near-dup edges
     * into EXISTING cluster labels without revisiting historical edges.
     * Old clusters collapse losslessly to star edges (node → its label):

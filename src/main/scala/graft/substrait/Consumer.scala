@@ -723,6 +723,9 @@ object Consumer {
           case "subtract" | "substract" => a0 - a1
           case "multiply" => a0 * a1
           case "divide" => a0 / a1
+          // integer division — registry-resolved so operand types drive the
+          // IntegralDivide node exactly as SQL `a DIV b` would
+          case "div" => call_function("div", a0, a1)
           case "mod" | "modulo" => a0 % a1
           case "and" => a0 && a1
           case "or" => a0 || a1

@@ -1319,6 +1319,12 @@ object Producer {
       case d: DateAddInterval => fn("add", rec(d.start), rec(d.interval))
       case Multiply(l, r, _) => fn("multiply", rec(l), rec(r))
       case Divide(l, r, _) => fn("divide", rec(l), rec(r))
+      // integer division (SQL DIV) — its own name: folding it into "divide"
+      // would silently turn exact integer arithmetic into float division on
+      // a foreign consumer. TRY mode has no SQL-callable spelling → loud.
+      case e: IntegralDivide if e.evalMode == EvalMode.TRY =>
+        notImplemented("TRY-mode integral divide has no wire form")
+      case e: IntegralDivide => fn("div", rec(e.left), rec(e.right))
       case Remainder(l, r, _) => fn("mod", rec(l), rec(r))
       case And(l, r) => fn("and", rec(l), rec(r))
       case Or(l, r) => fn("or", rec(l), rec(r))

@@ -21,6 +21,14 @@ class CteProbeSpec extends SparkTestBase {
       "WITH t AS (SELECT a, b FROM cte_data WHERE d) SELECT a, b FROM t WHERE a > 1"))
   }
 
+  test("integer division (DIV) rides the wire as its own operator") {
+    fixture
+    // DIV must stay integral on the wire — folding it into float "divide"
+    // would corrupt exact integer arithmetic (graphRank's contract)
+    assertRoundtrip(spark.sql(
+      "SELECT a, (a * 7) DIV 2 AS q, a DIV a AS one FROM cte_data"))
+  }
+
   test("multi-reference CTE (self-join through the CTE) rides the wire") {
     fixture
     assertRoundtrip(spark.sql(
