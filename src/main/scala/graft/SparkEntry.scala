@@ -1443,6 +1443,37 @@ object SparkEntry {
         .select("event_id").orderBy("event_id")
     })),
 
+    // streaming windowed heavy-hitters (batch twin): one Misra–Gries
+    // sketch per hour window (bounded state: ≤64 counters per window
+    // regardless of user cardinality), certified like p20 — the top-5
+    // exact users per window must land inside the sketch's [lb, ub] with
+    // ub−lb ≤ maxError (the oracle pins est_ok ≡ true; sketch bytes are
+    // merge-order-dependent, bounds are the contract). EventStreamSpec
+    // drives the same sketch through readStream and re-certifies.
+    "e13_stream_heavy_hitters" -> ((s, dir) => rt(s, {
+      val ev = t(s, dir, "events")
+      val sk = streaming.EventStream.windowedHeavyHitters(ev)
+      val exact = ev.groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("exact_n"))
+        .select(col("window.start").as("window_start"), col("user_id"),
+          col("exact_n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("window_start")
+        .orderBy(col("exact_n").desc, col("user_id"))
+      val top = exact.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).drop("rn")
+      val F = graft.functions.FreqFunctions
+      val item = col("user_id").cast("long")
+      top.join(sk, "window_start")
+        .select(col("window_start"), col("user_id"), col("exact_n"),
+          (F.freqLowerBoundLong(col("sketch"), item) <= col("exact_n") &&
+            col("exact_n") <= F.freqUpperBoundLong(col("sketch"), item) &&
+            F.freqUpperBoundLong(col("sketch"), item) -
+              F.freqLowerBoundLong(col("sketch"), item) <=
+              F.freqMaxError(col("sketch"))).as("est_ok"))
+        .orderBy("window_start", "user_id")
+    })),
+
     // DATA-DEPENDENT session gap (round 9): session_window(ts, gapCol) —
     // clicks close after 4h, high-value events after 12h, the rest after
     // 2h. The per-row gap rides the wire as a string-typed expression in
@@ -3827,6 +3858,16 @@ object SparkEntry {
       """SELECT DISTINCT event_id, ts, user_id, event_type, value
         |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
         |ORDER BY event_id""".stripMargin,
+    // e13: exact replay of the top-5-per-window side; est_ok pinned true —
+    // the driver compare then certifies every Misra–Gries bound probe
+    "e13_stream_heavy_hitters" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS window_start, user_id,
+        |    count(*) AS exact_n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT c.*, row_number() OVER (PARTITION BY window_start
+        |    ORDER BY exact_n DESC, user_id) AS rn FROM c)
+        |SELECT window_start, user_id, exact_n, true AS est_ok
+        |FROM r WHERE rn <= 5 ORDER BY window_start, user_id""".stripMargin,
     "e12_dedup_within_watermark" ->
       """SELECT DISTINCT event_id FROM (
         |  SELECT event_id FROM events

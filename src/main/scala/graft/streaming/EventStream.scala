@@ -36,6 +36,29 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming windowed heavy-hitters: ONE Misra–Gries frequent-items
+    * sketch per event-time tumbling window — state is ≤ maxMapSize
+    * counters per open window REGARDLESS of key cardinality, the
+    * bounded-state "trending keys" query over an unbounded key space
+    * (p20's mergeable sketch family, streamed). Works identically on batch
+    * and streaming frames (the watermark no-ops on batch); in streaming
+    * the sketch buffer lives in the state store and merges across
+    * micro-batches. Downstream readers probe the sketch with
+    * [[graft.functions.FreqFunctions]] bound accessors under the
+    * Misra–Gries contract: lb ≤ true ≤ ub, ub − lb ≤ maxError, and no key
+    * with true count > maxError is missed. (The sketch BYTES are merge-
+    * order-dependent — the contract certifies bounds, never bit equality.)
+    */
+  def windowedHeavyHitters(events: DataFrame, keyCol: String = "user_id",
+                           watermark: String = "1 hour",
+                           windowLen: String = "1 hour",
+                           maxMapSize: Int = 64): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(graft.functions.FreqFunctions.freqSketchAggLong(
+        col(keyCol).cast("long"), maxMapSize).as("sketch"))
+      .select(col("window.start").as("window_start"), col("sketch"))
+
   /** Gap-based sessionization via Spark's NATIVE `session_window` — the
     * built-in-first counterpart to [[sessionize]]'s custom
     * flatMapGroupsWithState: same session semantics (new session when the

@@ -1317,6 +1317,18 @@ object Producer {
       // the wire they are plain add (the consumer's Column + re-derives them)
       case t: TimestampAddInterval => fn("add", rec(t.start), rec(t.interval))
       case d: DateAddInterval => fn("add", rec(d.start), rec(d.interval))
+      // Catalyst's internal exact timestamp ↔ i64-µs conversion — planted
+      // by the analyzer when it rewrites window()/session_window bucket
+      // arithmetic. On the wire it IS unix_micros / timestamp_micros.
+      case p: PreciseTimestampConversion => p.dataType match {
+        case LongType => fn("unix_micros", rec(p.child))
+        case TimestampType => fn("timestamp_micros", rec(p.child))
+        case other => notImplemented(s"precise timestamp conversion to $other")
+      }
+      // nullability hints are not value operations — produce through them
+      // (the consumer's re-analysis re-derives nullability from the plan)
+      case KnownNullable(c) => rec(c)
+      case KnownNotNull(c) => rec(c)
       case Multiply(l, r, _) => fn("multiply", rec(l), rec(r))
       case Divide(l, r, _) => fn("divide", rec(l), rec(r))
       // integer division (SQL DIV) — its own name: folding it into "divide"

@@ -39,6 +39,36 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming windowed heavy-hitters: bounds hold on streamed sketches") {
+    val q = EventStream.windowedHeavyHitters(streamingEvents)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hh_out")
+      val batch = EventStream.windowedHeavyHitters(spark.table("events"))
+      assert(streamed.select("window_start").collect().map(_.get(0)).toSet ==
+        batch.select("window_start").collect().map(_.get(0)).toSet,
+        "window sets drifted")
+      // the Misra–Gries contract on the STREAMED sketches for EVERY
+      // (window, user): lb ≤ true ≤ ub. Sketch bytes are merge-order-
+      // dependent (micro-batch merges ≠ batch partial merges) — bounds,
+      // never bit equality, are the certified property.
+      val exact = spark.table("events")
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("exact_n"))
+        .select(col("window.start").as("window_start"),
+          col("user_id").cast("long").as("uid"), col("exact_n"))
+      val F = graft.functions.FreqFunctions
+      val bad = exact.join(streamed, "window_start")
+        .filter(!(F.freqLowerBoundLong(col("sketch"), col("uid")) <= col("exact_n") &&
+          col("exact_n") <= F.freqUpperBoundLong(col("sketch"), col("uid"))))
+        .count()
+      assert(bad == 0, s"$bad Misra–Gries bound violations in streamed sketches")
+      assert(streamed.count() > 0)
+    } finally q.stop()
+  }
+
   test("native session_window: streamed closed sessions ⊆ batch sessions") {
     val q = EventStream.sessionWindowAgg(streamingEvents)
       .writeStream.format("memory").queryName("swin_out")

@@ -21,6 +21,21 @@ class CteProbeSpec extends SparkTestBase {
       "WITH t AS (SELECT a, b FROM cte_data WHERE d) SELECT a, b FROM t WHERE a > 1"))
   }
 
+  test("tumbling window() aggregate rides the wire") {
+    import spark.implicits._
+    // the analyzer rewrites window() into KnownNullable-wrapped
+    // PreciseTimestampConversion bucket arithmetic — produced through as
+    // unix_micros/timestamp_micros (e13's sketch-per-window shape)
+    val df = Seq(("2024-01-01 00:10:00", 1.0), ("2024-01-01 00:50:00", 2.5),
+        ("2024-01-01 01:05:00", 4.0), ("2024-01-01 03:59:59", 8.0))
+      .toDF("s", "v")
+      .select(to_timestamp(col("s")).as("ts"), col("v"))
+    assertRoundtrip(df.groupBy(window(col("ts"), "1 hour"))
+      .agg(sum(col("v")).as("total"), count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("total"), col("n")))
+  }
+
   test("integer division (DIV) rides the wire as its own operator") {
     fixture
     // DIV must stay integral on the wire — folding it into float "divide"
