@@ -1152,6 +1152,14 @@ object SparkEntry {
       ops.Multimodal.videoFrameFeatures(s, t(s, dir, "documents"))
         .orderBy("doc_id", "frame_idx"))),
 
+    // scene-change detection over DECODED frames: per-clip luma-delta lag
+    // (one window pass; only per-frame scalars shuffle) — frame 0 opens a
+    // scene, later frames cut when the mean luma jumps ≥ 90; the oracle
+    // replays the closed-form pixel rule and the lag
+    "m09_scene_cuts" -> ((s, dir) => rt(s,
+      ops.Multimodal.videoSceneCuts(s, t(s, dir, "documents"))
+        .orderBy("doc_id", "frame_idx"))),
+
     // REAL audio decode (round 8): deterministic synthetic PCM signals
     // encoded as actual RIFF/WAVE (AudioSystem.write) and decoded back
     // through the actual container parser — sample rate/channels from the
@@ -3545,6 +3553,27 @@ object SparkEntry {
         |  ROUND(avg(CAST((doc_id * 17 + f * 101 + k * 3) % 256 AS DOUBLE)), 6)
         |    AS clip_luma
         |FROM px GROUP BY doc_id, nf, width, height ORDER BY doc_id""".stripMargin,
+    // m09: m07's per-frame mean-luma replay + the same lag/threshold rule
+    "m09_scene_cuts" ->
+      """WITH g AS (SELECT doc_id,
+        |    CAST(2 + doc_id % 4 AS INTEGER) AS nf,
+        |    CAST(2 + (doc_id % 5) * 2 AS INTEGER) AS width,
+        |    CAST(2 + (doc_id % 3) * 3 AS INTEGER) AS height
+        |  FROM documents),
+        |fr AS (SELECT doc_id, width, height, unnest(range(nf)) AS f FROM g),
+        |px AS (SELECT doc_id, width, height, f,
+        |    unnest(range(CAST(width AS BIGINT) * height)) AS k FROM fr),
+        |fl AS (SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |    ROUND(avg(CAST((doc_id * 17 + f * 101 + k * 3) % 256 AS DOUBLE)), 6)
+        |      AS mean_luma
+        |  FROM px GROUP BY doc_id, f),
+        |lg AS (SELECT doc_id, frame_idx, mean_luma,
+        |    lag(mean_luma) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        |  FROM fl)
+        |SELECT doc_id, frame_idx, mean_luma,
+        |  ROUND(abs(mean_luma - prev), 6) AS luma_delta,
+        |  (prev IS NULL OR abs(mean_luma - prev) >= 90.0) AS is_cut
+        |FROM lg ORDER BY doc_id, frame_idx""".stripMargin,
     "m07_video_frames" ->
       """WITH g AS (SELECT doc_id,
         |    CAST(2 + doc_id % 4 AS INTEGER) AS nf,

@@ -613,6 +613,33 @@ object Multimodal {
           .as("clip_luma"))
   }
 
+  /** Scene-change (shot-boundary) detection over DECODED frames (m09):
+    * a frame is a cut when its mean luma shifts from the previous frame
+    * by ≥ threshold — the classic histogram/intensity-delta detector, run
+    * on real codec output. Frame 0 always opens a scene (`luma_delta`
+    * NULL). The per-frame lag is one window pass partitioned by doc —
+    * frames of a clip co-locate after the decode stage, and only
+    * per-frame scalars shuffle, never payloads. Deltas derive from the
+    * ROUNDED mean luma (itself one division over exact integer sums), so
+    * any engine replaying the rule reproduces the cuts bit-identically.
+    */
+  def videoSceneCuts(spark: SparkSession, df: DataFrame,
+                     threshold: Double = 90.0): DataFrame = {
+    import spark.implicits._
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    asVideoTable(spark, df).mapPartitions(gifFramesFn).toDF()
+      .select(col("doc_id"), col("frame_idx"),
+        round(col("luma_sum") / (col("width") * col("height")), 6)
+          .as("mean_luma"))
+      .withColumn("prev", lag(col("mean_luma"), 1).over(w))
+      .select(col("doc_id"), col("frame_idx"), col("mean_luma"),
+        round(abs(col("mean_luma") - col("prev")), 6).as("luma_delta"),
+        (col("prev").isNull ||
+          abs(col("mean_luma") - col("prev")) >= threshold).as("is_cut"))
+  }
+
   /** Frame sampling: fixed-length binary frames cut at a fixed stride —
     * the video-ingestion plumbing (a real implementation swaps the byte
     * slice for an ffmpeg keyframe grab; the explode shape, per-frame rows

@@ -590,6 +590,26 @@ class OpsSpec extends SparkTestBase {
       e.getMessage)
   }
 
+  test("scene cuts: frame 0 opens, deltas match the clip-rule walk") {
+    import spark.implicits._
+    // doc 10: 4 frames of 2×5; per-frame mean luma from the pixel rule
+    val means = (0 until 4).map(f =>
+      (0 until 10).map(k => (10L * 17 + f * 101 + k * 3) % 256).sum / 10.0)
+    val got = Multimodal.videoSceneCuts(spark, Seq(10L).toDF("doc_id"))
+      .orderBy("frame_idx").collect()
+    assert(got.length == 4)
+    assert(got(0).isNullAt(3) && got(0).getBoolean(4), "frame 0 opens a scene")
+    (1 until 4).foreach { f =>
+      val d = math.abs(means(f) - means(f - 1))
+      assert(math.abs(got(f).getDouble(3) - d) < 1e-6, s"delta frame $f")
+      assert(got(f).getBoolean(4) == (d >= 90.0), s"cut flag frame $f")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.videoSceneCuts(spark, Seq(1L).toDF("doc_id"), threshold = 0)
+    }
+    assert(e.getMessage.contains("threshold"))
+  }
+
   test("frame sampling: byte-exact slices at the stride") {
     import spark.implicits._
     val payload = (0 until 100).map(_.toByte).toArray
