@@ -1451,6 +1451,14 @@ object SparkEntry {
         .select("event_id").orderBy("event_id")
     })),
 
+    // SLIDING windowed counts (batch twin): 2-hour windows sliding hourly —
+    // each event lands in 2 windows via Catalyst's Expand rewrite, which
+    // rides the wire as a union-of-projects SetRel; the oracle replays the
+    // two window starts per event with unnest
+    "e14_sliding_counts" -> ((s, dir) => rt(s,
+      streaming.EventStream.slidingTypeCounts(t(s, dir, "events"))
+        .orderBy("window_start", "event_type"))),
+
     // streaming windowed heavy-hitters (batch twin): one Misra–Gries
     // sketch per hour window (bounded state: ≤64 counters per window
     // regardless of user cardinality), certified like p20 — the top-5
@@ -3887,6 +3895,15 @@ object SparkEntry {
       """SELECT DISTINCT event_id, ts, user_id, event_type, value
         |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
         |ORDER BY event_id""".stripMargin,
+    // e14: each event replays into its two sliding-window starts
+    "e14_sliding_counts" ->
+      """WITH w AS (SELECT event_type, value,
+        |    unnest([date_trunc('hour', ts),
+        |            date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start
+        |  FROM events)
+        |SELECT window_start, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     // e13: exact replay of the top-5-per-window side; est_ok pinned true —
     // the driver compare then certifies every Misra–Gries bound probe
     "e13_stream_heavy_hitters" ->

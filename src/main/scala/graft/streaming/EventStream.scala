@@ -36,6 +36,24 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** SLIDING-window per-type aggregation: each event lands in
+    * windowLen/slide overlapping windows (Catalyst's Expand rewrite — the
+    * expansion happens below the aggregate, so the exchange carries
+    * partially-combined per-window rows, not replicated events). Works
+    * identically on batch and streaming frames; on the wire the Expand
+    * rides as a union-of-projects SetRel.
+    */
+  def slidingTypeCounts(events: DataFrame, watermark: String = "1 hour",
+                        windowLen: String = "2 hours",
+                        slide: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Streaming windowed heavy-hitters: ONE Misra–Gries frequent-items
     * sketch per event-time tumbling window — state is ≤ maxMapSize
     * counters per open window REGARDLESS of key cardinality, the

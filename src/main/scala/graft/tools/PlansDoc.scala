@@ -64,7 +64,12 @@ object PlansDoc {
     "m07_video_frames" -> "REAL multi-frame GIF decode: gif_encode → gif_frames as named typed stages; one output row per decoded frame, payloads never leave their partition",
     "e11_dynamic_gap_sessions" -> "DYNAMIC per-row session gaps on the wire: the consumed plan re-derives MergingSessions from the string gap expression (CAST AS INTERVAL) riding the ExtSessionWindow detail",
     "t30_temperature_mix" -> "temperature mixture rebalance: the |domains|-row derived-rate side broadcasts back; the corpus pass is a narrow md5-draw filter — no corpus shuffle",
-    "p20_freq_items" -> "frequent-items sketch: per-shard LongsSketch rows merge through one tiny exchange; the certification probes run on the top-k side only")
+    "p20_freq_items" -> "frequent-items sketch: per-shard LongsSketch rows merge through one tiny exchange; the certification probes run on the top-k side only",
+    "q65_tpch_q8_mktshare" -> "TPC-H Q8 shape: eight-table market share — every dimension (incl. nation twice) broadcasts; the fact side never shuffles before the year aggregate",
+    "q60_tpch_q5_localsupp" -> "TPC-H Q5 shape: six-table snowflake with the customer-nation = supplier-nation constraint — all five joins broadcast, zero sort-merge at certification SF",
+    "d17_graph_rank" -> "damped-centrality rank round: one node-keyed exchange of (id, long) contributions per iteration; deg rides ON the checkpointed edge list (no per-round dim join); all arithmetic integral (DIV)",
+    "e13_stream_heavy_hitters" -> "windowed heavy-hitters batch twin: ONE sketch row per hour window merges map-side; the top-5 probe side joins the tiny sketch frame — raw events never shuffle twice",
+    "m09_scene_cuts" -> "scene-change detection: real GIF decode stages feed one doc-keyed window pass for the luma-delta lag; only per-frame scalars shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

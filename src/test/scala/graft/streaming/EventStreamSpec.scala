@@ -39,6 +39,19 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sliding windowed counts: streaming (complete mode) == batch") {
+    val q = EventStream.slidingTypeCounts(streamingEvents)
+      .writeStream.format("memory").queryName("slide_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("slide_out")
+      val batch = EventStream.slidingTypeCounts(spark.table("events"))
+      assertSameRows(batch, streamed)
+      assert(streamed.count() > 0)
+    } finally q.stop()
+  }
+
   test("streaming windowed heavy-hitters: bounds hold on streamed sketches") {
     val q = EventStream.windowedHeavyHitters(streamingEvents)
       .writeStream.format("memory").queryName("hh_out")

@@ -36,6 +36,21 @@ class CteProbeSpec extends SparkTestBase {
         col("window.end").as("win_end"), col("total"), col("n")))
   }
 
+  test("SLIDING window() aggregate rides the wire (Expand → union-of-projects)") {
+    import spark.implicits._
+    // the sliding rewrite is Aggregate(Filter(Expand(...))) — the Expand
+    // produces as SetRel UnionAll (standalone-Expand path) and the bucket
+    // arithmetic as unix_micros/timestamp_micros; each event lands in
+    // overlap = len/slide windows
+    val df = Seq(("2024-01-01 00:10:00", 1.0), ("2024-01-01 00:50:00", 2.5),
+        ("2024-01-01 01:05:00", 4.0), ("2024-01-01 02:59:00", 8.0))
+      .toDF("s", "v")
+      .select(to_timestamp(col("s")).as("ts"), col("v"))
+    assertRoundtrip(df.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(sum(col("v")).as("total"), count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("total"), col("n")))
+  }
+
   test("integer division (DIV) rides the wire as its own operator") {
     fixture
     // DIV must stay integral on the wire — folding it into float "divide"
