@@ -2274,6 +2274,59 @@ object SparkEntry {
           |GROUP BY o_year ORDER BY o_year""".stripMargin))
     }),
 
+    // TPC-H Q4 shape: order-priority checking — quarter-banded orders with
+    // an EXISTS semi-join against late lineitems (this schema has no
+    // l_commitdate/l_receiptdate, so "late" = shipped >60 days after the
+    // order date; timestamp + INTERVAL arithmetic rides the wire inside
+    // the decorrelated semi-join condition)
+    "q66_tpch_q4_late" -> ((s, dir) => {
+      t(s, dir, "orders"); t(s, dir, "lineitem")
+      rt(s, s.sql(
+        """SELECT o.o_orderpriority, count(*) AS order_count
+          |FROM orders o
+          |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM lineitem l
+          |              WHERE l.l_orderkey = o.o_orderkey
+          |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+          |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin))
+    }),
+
+    // TPC-H Q6 shape: forecasting revenue change — pure scan-filter-agg,
+    // every predicate must reach the parquet scan as PushedFilters; the
+    // discount band compares exact integers (round(d*100)) so the double
+    // column never meets a decimal literal at a representability edge
+    "q67_tpch_q6_forecast" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+      rt(s, s.sql(
+        """SELECT CAST(sum(CAST(l_extendedprice * l_discount
+          |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_lines
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          |  AND CAST(round(l_discount * 100) AS INT) BETWEEN 5 AND 7
+          |  AND l_quantity < 24""".stripMargin))
+    }),
+
+    // TPC-H Q17 shape: small-quantity-order revenue — correlated scalar
+    // AVG subquery per part (decorrelates to an aggregate + join); the
+    // threshold 0.2*avg is deterministic cross-engine because quantities
+    // are integral doubles (exact sums within 2^53, correctly-rounded
+    // divide), and the revenue sum crosses engines as exact DECIMAL
+    "q68_tpch_q17_smallqty" -> ((s, dir) => {
+      t(s, dir, "lineitem"); t(s, dir, "part")
+      rt(s, s.sql(
+        """SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+          |    AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+          |  count(*) AS n_lines
+          |FROM lineitem l, part p
+          |WHERE p.p_partkey = l.l_partkey AND p.p_type = 'MEDIUM'
+          |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+          |                      FROM lineitem l2
+          |                      WHERE l2.l_partkey = p.p_partkey)""".stripMargin))
+    }),
+
     // uncorrelated scalar subquery → cross-joined single-row AggregateRel
     "q33_scalar_subquery" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -4416,6 +4469,33 @@ object SparkEntry {
         |        AND r.r_name = 'ASIA' AND s.s_nationkey = n2.n_nationkey
         |        AND p.p_type = 'PROMO') all_nations
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q66_tpch_q4_late" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+    "q67_tpch_q6_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND CAST(round(l_discount * 100) AS INT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+    "q68_tpch_q17_smallqty" ->
+      """SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+        |    AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem l, part p
+        |WHERE p.p_partkey = l.l_partkey AND p.p_type = 'MEDIUM'
+        |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                      FROM lineitem l2
+        |                      WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
     "q32_in_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer

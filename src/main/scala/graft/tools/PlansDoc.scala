@@ -88,7 +88,12 @@ object PlansDoc {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.count() // let AQE finalize
       sb.append(s"\n## $name\n\n$note\n\n```\n")
-      sb.append(df.queryExecution.executedPlan.toString.take(4000))
+      // plan strings can carry raw control chars from string LITERALS in
+      // the plan (t30's NUL null-stratum sentinel) — escape them so the
+      // file stays text, not "binary", to grep and diff
+      sb.append(df.queryExecution.executedPlan.toString.take(4000)
+        .flatMap(c => if (c != '\n' && c != '\t' && c < ' ')
+          f"\\u${c.toInt}%04x" else c.toString))
       sb.append("\n```\n")
     }
     Files.write(Paths.get("PLANS.md"),
