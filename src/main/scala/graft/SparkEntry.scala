@@ -2047,7 +2047,7 @@ object SparkEntry {
       t(s, dir, "customer"); t(s, dir, "orders"); t(s, dir, "lineitem")
       rt(s, s.sql(
         """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
-          |  o.o_totalprice, sum(l.l_quantity) AS total_qty
+          |  o.o_totalprice, CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
           |FROM customer c, orders o, lineitem l
           |WHERE o.o_orderkey IN (
           |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
@@ -4338,7 +4338,7 @@ object SparkEntry {
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q54_tpch_q18_bigorders" ->
       """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
-        |  o.o_totalprice, sum(l.l_quantity) AS total_qty
+        |  o.o_totalprice, CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
         |FROM customer c, orders o, lineitem l
         |WHERE o.o_orderkey IN (
         |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
