@@ -69,7 +69,10 @@ object PlansDoc {
     "q60_tpch_q5_localsupp" -> "TPC-H Q5 shape: six-table snowflake with the customer-nation = supplier-nation constraint — all five joins broadcast, zero sort-merge at certification SF",
     "d17_graph_rank" -> "damped-centrality rank round: one node-keyed exchange of (id, long) contributions per iteration; deg rides ON the checkpointed edge list (no per-round dim join); all arithmetic integral (DIV)",
     "e13_stream_heavy_hitters" -> "windowed heavy-hitters batch twin: ONE sketch row per hour window merges map-side; the top-5 probe side joins the tiny sketch frame — raw events never shuffle twice",
-    "m09_scene_cuts" -> "scene-change detection: real GIF decode stages feed one doc-keyed window pass for the luma-delta lag; only per-frame scalars shuffle")
+    "m09_scene_cuts" -> "scene-change detection: real GIF decode stages feed one doc-keyed window pass for the luma-delta lag; only per-frame scalars shuffle",
+    "q66_tpch_q4_late" -> "TPC-H Q4 shape: the EXISTS over late lineitems plans as a LeftSemi carrying the timestamp + INTERVAL comparison as the join residual; both scans prune to the compared columns",
+    "q67_tpch_q6_forecast" -> "TPC-H Q6 shape: pure scan-filter-agg — every predicate reaches the lineitem scan as PushedFilters, no exchange before the single-row partial/final aggregate",
+    "q68_tpch_q17_smallqty" -> "TPC-H Q17 shape: the correlated scalar AVG decorrelates to a partkey-grouped aggregate joined back; the part dim broadcasts and lineitem shuffles once on partkey")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
