@@ -83,11 +83,17 @@ object Bench {
     // line and its total keep the in-suite semantics (comparable across
     // rounds); "solo" is the refutation evidence.
     val soloN = envInt("SPARK_GRAFT_BENCH_SOLO", 10).max(0)
+    // a failed solo re-run must NOT contribute a time-to-failure reading
+    // (that would understate real cost in the very evidence meant to refute
+    // contention artifacts) — keep the in-suite reading and mark the failure
+    var soloErrs = Vector.empty[String]
     val solo: Seq[(String, Double)] =
       results.toSeq.sortBy(-_._2).take(soloN).map { case (name, inSuite) =>
         val t0 = System.nanoTime()
-        try { selected(name)(spark, sfDir).count() } catch { case _: Throwable => () }
-        name -> math.min(inSuite, (System.nanoTime() - t0) / 1e9)
+        val ok = try { selected(name)(spark, sfDir).count(); true }
+          catch { case _: Throwable => soloErrs :+= name; false }
+        name -> (if (ok) math.min(inSuite, (System.nanoTime() - t0) / 1e9)
+                 else inSuite)
       }
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -98,10 +104,17 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val soloJson =
-      if (solo.isEmpty) ""
-      else solo.map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString(""","solo":{""", ",", "}")
+    val soloJson = {
+      val base =
+        if (solo.isEmpty) ""
+        else solo.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString(""","solo":{""", ",", "}")
+      val errs =
+        if (soloErrs.isEmpty) ""
+        else soloErrs.map("\"" + _ + "\"")
+          .mkString(""","solo_err":[""", ",", "]")
+      base + errs
+    }
     val fullLine = mkLine(
       results.toSeq.map { case (k, v) => k -> v.toString }, total, soloJson)
     // The driver keeps only the LAST ~2000 chars of stdout and json-parses

@@ -556,6 +556,19 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     })),
 
+    // t29b: BPE counting at a PRODUCTION vocabulary (50,000 merges) — the
+    // table is deterministically generated (so the oracle regenerates the
+    // identical table in SQL), honors the same construction invariant as
+    // v1, and ships to executors as a Spark BROADCAST read by the
+    // codegen'd kernel — the side-channel pattern a real trained tokenizer
+    // needs at 1000 executors. Zero shuffle; the 50k-entry rank map
+    // exercises real hash-lookup behavior a 28-entry table never does.
+    "t29b_bpe_tokens_prod" -> ((s, dir) => rt(s,
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.BpeFunctions.bpeCountV2(col("text")).as("n_bpe2"))
+        .orderBy("doc_id"))),
+
     // temperature-based domain rebalance (round 9): per-language keep
     // rates DERIVED from the corpus (∝ √n_d, τ = 0.5 Pile/DoReMi style,
     // scaled to a 50% target) — the cut column certifies the rate
@@ -1900,6 +1913,23 @@ object SparkEntry {
           |ORDER BY l1.l_orderkey, l1.l_linenumber""".stripMargin))
     }),
 
+    // correlated COUNT inside a WIDER scalar expression (the r9-rejected
+    // shape): the count decorrelates to a grouped LEFT join whose miss rows
+    // coalesce to 0 at the AGGREGATE level, then the enclosing ×2 evaluates
+    // outside the join — parts with zero qualifying lines see 0, not NULL,
+    // so `p_size < 0` correctly drops them instead of NULL-filtering by
+    // accident. One hash aggregate + one equi left join; both scans pruned.
+    "q69_corr_count_expr" -> ((s, dir) => {
+      t(s, dir, "part"); t(s, dir, "lineitem")
+      rt(s, s.sql(
+        """SELECT p.p_partkey, p.p_size
+          |FROM part p
+          |WHERE p.p_size < (SELECT count(*) * 2 FROM lineitem l
+          |                  WHERE l.l_partkey = p.p_partkey
+          |                    AND l.l_quantity > 45)
+          |ORDER BY p.p_partkey""".stripMargin))
+    }),
+
     // TPC-H Q2 shape: multi-level correlated MIN — the scalar subquery joins
     // four tables and correlates on the outer part key; decorrelates into a
     // grouped min over the same join tree, then an equi-join back on
@@ -2942,21 +2972,73 @@ object SparkEntry {
     // integer weights make the normalizing sum exact in any order, and
     // every later step is one correctly-rounded IEEE op in both engines
     "t30_temperature_mix" ->
-      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-        |w AS (SELECT lang, n,
+      // the join key mirrors the engine's null-stratum sentinel
+      // (Pipeline.temperatureMix coalesces null domains to chr(0)||'null'
+      // so they form their own stratum instead of being dropped by the
+      // null-never-equals-null equi join)
+      """WITH c AS (SELECT COALESCE(lang, chr(0) || 'null') AS sk,
+        |             count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT sk, n,
         |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576) AS BIGINT) AS wq
         |      FROM c),
         |t AS (SELECT sum(wq) AS norm_q, sum(n) AS n_total FROM w),
-        |k AS (SELECT lang, CAST(floor(LEAST(1.0,
+        |k AS (SELECT sk, CAST(floor(LEAST(1.0,
         |        (0.5 * CAST(n_total AS DOUBLE)) * CAST(wq AS DOUBLE)
         |          / (CAST(norm_q AS DOUBLE) * CAST(n AS DOUBLE))) * 65536)
         |        AS INTEGER) AS cut
         |      FROM w, t)
         |SELECT d.lang, d.doc_id, k.cut
-        |FROM documents d JOIN k USING (lang)
+        |FROM documents d JOIN k ON COALESCE(d.lang, chr(0) || 'null') = k.sk
         |WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
         |    ::UBIGINT AS INTEGER) < k.cut
         |ORDER BY lang, doc_id""".stripMargin,
+    // t29b: the production-vocab replay — the oracle REGENERATES the 50k
+    // merge table from the same two-level construction rule (all 26×26
+    // bigrams rank i1·26+i2, then (bigram,bigram) pairs rank
+    // 676 + idx1·676 + idx2 capped at 50000), folds it into one MAP, and
+    // runs the same leftmost-lowest-rank recursion as t29. LEFT join +
+    // coalesce so a wordless document counts 0, matching the kernel.
+    "t29b_bpe_tokens_prod" ->
+      """WITH RECURSIVE
+        |letters AS (SELECT chr(97 + CAST(i AS INTEGER)) AS c,
+        |                   CAST(i AS INTEGER) AS i FROM range(26) t(i)),
+        |big AS (SELECT l1.c || l2.c AS sym, l1.i*26 + l2.i AS idx
+        |        FROM letters l1, letters l2),
+        |merges AS (
+        |  SELECT l1.c AS lhs, l2.c AS rhs, l1.i*26 + l2.i AS rk
+        |  FROM letters l1, letters l2
+        |  UNION ALL
+        |  SELECT b1.sym, b2.sym, 676 + b1.idx*676 + b2.idx
+        |  FROM big b1, big b2 WHERE 676 + b1.idx*676 + b2.idx < 50000),
+        |mm AS (SELECT MAP(list(lhs || ' ' || rhs ORDER BY rk),
+        |                  list(rk ORDER BY rk)) AS m FROM merges),
+        |w(word) AS (SELECT DISTINCT unnest(regexp_extract_all(text, '\S+'))
+        |            FROM documents),
+        |bpe(word, syms) AS (
+        |  SELECT word, regexp_extract_all(word, '.') FROM w
+        |  UNION ALL
+        |  SELECT word,
+        |    list_slice(syms, 1, best.pos - 1)
+        |      || [syms[best.pos] || syms[best.pos + 1]]
+        |      || list_slice(syms, best.pos + 2, len(syms))
+        |  FROM (
+        |    SELECT word, syms,
+        |      list_sort(list_filter(list_transform(range(1, len(syms)),
+        |        i -> struct_pack(
+        |               rk := map_extract(mm.m, syms[i] || ' ' || syms[i+1])[1],
+        |               pos := i)),
+        |        x -> x.rk IS NOT NULL))[1] AS best
+        |    FROM bpe, mm) b
+        |  WHERE best IS NOT NULL),
+        |cnt AS (SELECT word, CAST(min(len(syms)) AS INTEGER) AS nt
+        |        FROM bpe GROUP BY word),
+        |docw AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+        |         FROM documents),
+        |dsum AS (SELECT doc_id, CAST(sum(nt) AS INTEGER) AS s
+        |         FROM docw JOIN cnt USING (word) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(dsum.s, 0) AS n_bpe2
+        |FROM documents d LEFT JOIN dsum USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // t29: independent SQL replay of greedy BPE — the v1 merge table rides
     // as a literal MAP and each recursion step merges the leftmost
     // occurrence of the lowest-rank pair (equivalent to the kernel's batch
@@ -4187,6 +4269,13 @@ object SparkEntry {
         |                             FROM lineitem l2
         |                             WHERE l2.l_partkey = l1.l_partkey)
         |ORDER BY l1.l_orderkey, l1.l_linenumber""".stripMargin,
+    "q69_corr_count_expr" ->
+      """SELECT p.p_partkey, p.p_size
+        |FROM part p
+        |WHERE p.p_size < (SELECT count(*) * 2 FROM lineitem l
+        |                  WHERE l.l_partkey = p.p_partkey
+        |                    AND l.l_quantity > 45)
+        |ORDER BY p.p_partkey""".stripMargin,
     "q47_tpch_q2_mincost" ->
       """SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
         |  l.l_extendedprice AS min_price

@@ -909,24 +909,35 @@ object Dedup {
     var ranks = edges.select(col("u").as("node")).distinct()
       .select(col("node"), lit(RankUnit).as("rank_units"))
       .localCheckpoint(true)
-    if (stepThroughWire) edges.createOrReplaceTempView("graft_rank_edges")
+    // per-call unique view names: session-global temp views would clobber
+    // each other under concurrent/interleaved calls on the same session —
+    // and both are dropped on exit so nothing leaks into the catalog
+    val tok = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val (edgesView, stateView) =
+      (s"graft_rank_edges_$tok", s"graft_rank_state_$tok")
+    if (stepThroughWire) edges.createOrReplaceTempView(edgesView)
     def step(ed: DataFrame)(r: DataFrame): DataFrame =
       ed.join(r.select(col("node").as("u"), col("rank_units")), "u")
         .select(col("v"), expr("rank_units DIV deg").as("contrib"))
         .groupBy("v").agg(sum(col("contrib")).as("csum"))
         .select(col("v").as("node"),
           (lit(RankBase) + expr("(85 * csum) DIV 100")).as("rank_units"))
-    for (_ <- 1 to iters) {
-      val next =
-        if (stepThroughWire) {
-          ranks.createOrReplaceTempView("graft_rank_state")
-          val roundPlan = step(spark.table("graft_rank_edges"))(
-            spark.table("graft_rank_state"))
-          graft.substrait.Consumer.consume(spark,
-            graft.substrait.Wire.decode(graft.substrait.Wire.encode(
-              graft.substrait.Producer.produce(roundPlan))))
-        } else step(edges)(ranks)
-      ranks = next.localCheckpoint(true)
+    try {
+      for (_ <- 1 to iters) {
+        val next =
+          if (stepThroughWire) {
+            ranks.createOrReplaceTempView(stateView)
+            val roundPlan = step(spark.table(edgesView))(
+              spark.table(stateView))
+            graft.substrait.Consumer.consume(spark,
+              graft.substrait.Wire.decode(graft.substrait.Wire.encode(
+                graft.substrait.Producer.produce(roundPlan))))
+          } else step(edges)(ranks)
+        ranks = next.localCheckpoint(true)
+      }
+    } finally if (stepThroughWire) {
+      spark.catalog.dropTempView(edgesView)
+      spark.catalog.dropTempView(stateView)
     }
     // the double view is exact: units < 2^53, and /2^20 is one correctly-
     // rounded IEEE op in any engine

@@ -457,34 +457,37 @@ object Multimodal {
     // mode off = interlaceFlag FALSE = sequential scanlines, lossless.
     val param = writer.getDefaultWriteParam
     param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    // per-row stream closed in finally (failure paths included); the lazy
+    // ++ tail disposes the per-partition writer once the iterator drains
     rows.map { r =>
       val (w, h, nf) = (vidWidth(r.doc_id), vidHeight(r.doc_id), vidFrames(r.doc_id))
       val bos = new java.io.ByteArrayOutputStream()
       val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      writer.setOutput(ios)
-      writer.prepareWriteSequence(null)
-      var f = 0
-      while (f < nf) {
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
-        val raster = img.getRaster
-        var k = 0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            raster.setSample(x, y, 0, vidGray(r.doc_id, f, k))
-            x += 1; k += 1
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nf) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+          val raster = img.getRaster
+          var k = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, vidGray(r.doc_id, f, k))
+              x += 1; k += 1
+            }
+            y += 1
           }
-          y += 1
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+          f += 1
         }
-        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
-        f += 1
-      }
-      writer.endWriteSequence()
-      ios.close()
+        writer.endWriteSequence()
+      } finally ios.close()
       ImgRow(r.doc_id, bos.toByteArray)
-    }
+    } ++ { writer.dispose(); Iterator.empty }
   }
 
   /** THE video decode stage instance (wire name graft.gif_frames_v1): GIF
@@ -499,34 +502,38 @@ object Multimodal {
     val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
     if (!readers.hasNext) throw new IllegalStateException("no GIF reader available")
     val reader = readers.next()
+    // try/finally per row: the loud-failure paths (zero frames, read(f)
+    // exception) must still close the stream — a leaked ImageInputStream
+    // per failed row is a native-resource leak on long-running executors;
+    // the lazy ++ tail disposes the per-partition reader on exhaustion
     rows.flatMap { r =>
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(r.payload))
-      reader.setInput(iis, false, true)
-      val nf = reader.getNumImages(true)
-      if (nf <= 0)
-        throw new IllegalArgumentException(
-          s"undecodable GIF payload for doc ${r.doc_id}")
-      val out = (0 until nf).map { f =>
-        val img = reader.read(f)
-        val (w, h) = (img.getWidth, img.getHeight)
-        var sum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            // gray palette ⇒ r = g = b = original sample value
-            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-            x += 1
+      try {
+        reader.setInput(iis, false, true)
+        val nf = reader.getNumImages(true)
+        if (nf <= 0)
+          throw new IllegalArgumentException(
+            s"undecodable GIF payload for doc ${r.doc_id}")
+        (0 until nf).map { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              // gray palette ⇒ r = g = b = original sample value
+              sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          FrameFeature(r.doc_id, f, w, h, sum.toDouble)
         }
-        FrameFeature(r.doc_id, f, w, h, sum.toDouble)
-      }
-      iis.close()
-      out
-    }
+      } finally iis.close()
+    } ++ { reader.dispose(); Iterator.empty }
   }
 
   /** THE image resize stage instance (wire name graft.image_resize_v1):

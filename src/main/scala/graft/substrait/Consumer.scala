@@ -819,7 +819,7 @@ object Consumer {
               graft.functions.MinHashFunctions.ensureSessionRegistered()
             if (other == "sorted_jaccard_ge" || other == "sorted_containment_ge")
               graft.functions.JaccardFunctions.ensureSessionRegistered()
-            if (other == "bpe_count")
+            if (other.startsWith("bpe_count"))
               graft.functions.BpeFunctions.ensureSessionRegistered()
             if (other.startsWith("freq_"))
               graft.functions.FreqFunctions.ensureSessionRegistered()

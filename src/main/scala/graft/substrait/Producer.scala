@@ -790,37 +790,49 @@ object Producer {
           case agg: logical.Aggregate
               if agg.groupingExpressions.isEmpty &&
                 agg.aggregateExpressions.size == 1 =>
-            // COUNT of an empty group is 0, but a left-join miss yields NULL:
-            // when the output is EXACTLY the count (the common case), wrap
-            // the replacement in coalesce(…, 0); count buried inside a wider
-            // expression (where NULL would propagate before the fix-up) is
-            // rejected.
-            val topIsBareCount = agg.aggregateExpressions.head match {
-              case Alias(ae: AggregateExpression, _) =>
-                ae.aggregateFunction.prettyName.startsWith("count")
-              case ae: AggregateExpression =>
-                ae.aggregateFunction.prettyName.startsWith("count")
-              case _ => false
+            // COUNT of an empty group is 0, but a left-join miss yields
+            // NULL. The fix-up must happen at the AGGREGATE level, not the
+            // expression top: each embedded AggregateExpression becomes its
+            // own inner output column, count-rooted columns coalesce to 0
+            // after the join, and the wider scalar expression (if any) is
+            // rebuilt OUTSIDE the join over the fixed-up columns — so
+            // `(SELECT count(*) … WHERE corr) > n` and
+            // `(SELECT count(*) + 1 …)` both get empty-group semantics
+            // right (NULL-propagating aggs like sum/avg stay NULL on a
+            // miss, exactly SQL's empty-set value for them).
+            val headExpr = agg.aggregateExpressions.head match {
+              case Alias(e, _) => e
+              case e => e
             }
-            val usesCount = agg.aggregateExpressions.head.exists {
-              case ae: AggregateExpression =>
-                ae.aggregateFunction.prettyName.startsWith("count")
-              case _ => false
+            val aggParts = mutable.ArrayBuffer.empty[AggregateExpression]
+            headExpr.foreach {
+              case ae: AggregateExpression
+                  if !aggParts.exists(_.resultId == ae.resultId) =>
+                aggParts += ae
+              case _ => ()
             }
-            if (usesCount && !topIsBareCount) notImplemented(
-              "correlated COUNT inside a wider scalar expression")
+            if (aggParts.isEmpty) notImplemented(
+              "correlated scalar subquery without an aggregate function")
             val (core, _, corr, _) = decorrelateRaw(agg.child, s.outerAttrs)
             val keyPairs = correlationKeyPairs(corr, s.outerAttrs, "scalar subquery")
             if (keyPairs.isEmpty) notImplemented(
               "correlated scalar subquery without equality keys")
             val innerKeys = keyPairs.map(_._2).distinctBy(_.exprId)
+            val aliased: Seq[NamedExpression] = aggParts.toSeq.zipWithIndex
+              .map { case (ae, i) => Alias(ae, s"__graft_agg_$i")() }
             val newAgg = logical.Aggregate(innerKeys,
-              (innerKeys: Seq[NamedExpression]) ++ agg.aggregateExpressions, core)
+              (innerKeys: Seq[NamedExpression]) ++ aliased, core)
             val sub = toRel(newAgg)
-            replacement(s.exprId) =
-              if (topIsBareCount)
-                Coalesce(Seq(sub.attrs.last, Literal(0L, LongType)))
-              else sub.attrs.last
+            val aggAttrs = sub.attrs.takeRight(aggParts.size)
+            val fixed = aggParts.toSeq.zip(aggAttrs).map { case (ae, attr) =>
+              ae.resultId ->
+                (if (ae.aggregateFunction.prettyName.startsWith("count"))
+                   Coalesce(Seq(attr, Literal(0L, LongType)))
+                 else attr)
+            }.toMap
+            replacement(s.exprId) = headExpr.transform {
+              case ae: AggregateExpression => fixed(ae.resultId)
+            }
             val both = cur.attrs ++ sub.attrs
             val cond = keyPairs.map { case (o, i) =>
               SExpr.ScalarFn(anchor("equal"),
@@ -1723,7 +1735,7 @@ object Producer {
     // graft's own codegen'd vector kernels — session-registered functions,
     // carried as substrait extension functions by name
     "vec_dot", "vec_cosine", "vec_l2sq", "simhash64", "sorted_jaccard_ge",
-    "sorted_containment_ge", "bpe_count",
+    "sorted_containment_ge", "bpe_count", "bpe_count_v2",
     "pq_encode", "pq_adc",
     "might_contain", "cms_estimate_long", "cms_inner_product",
     "freq_estimate_long", "freq_lower_bound_long", "freq_upper_bound_long",

@@ -310,6 +310,27 @@ class CteProbeSpec extends SparkTestBase {
     assertSameRows(df, twice)
   }
 
+  test("correlated COUNT forms: bare >0, =0, and wider-expression all ride") {
+    fixture
+    import spark.implicits._
+    Seq((1L, 1.0, true), (1L, 2.0, false), (3L, 9.0, true))
+      .toDF("a", "b", "d").createOrReplaceTempView("cte_data2")
+    // bare count compared > 0 — the EXISTS-equivalent a real user writes
+    assertRoundtrip(spark.sql(
+      """SELECT a FROM cte_data c1
+        |WHERE (SELECT count(*) FROM cte_data2 c2 WHERE c2.a = c1.a AND c2.d) > 0""".stripMargin))
+    // = 0 form: ONLY rows whose group is empty survive — a NULL-for-0 bug
+    // would return zero rows here
+    assertRoundtrip(spark.sql(
+      """SELECT a FROM cte_data c1
+        |WHERE (SELECT count(*) FROM cte_data2 c2 WHERE c2.a = c1.a AND c2.d) = 0""".stripMargin))
+    // count inside a wider scalar expression (r9-rejected shape)
+    assertRoundtrip(spark.sql(
+      """SELECT a, b FROM cte_data c1
+        |WHERE c1.b <= (SELECT count(*) * 2 + 1 FROM cte_data2 c2
+        |               WHERE c2.a = c1.a)""".stripMargin))
+  }
+
   test("new shapes double round-trip: consumed plans re-produce") {
     fixture
     for (q <- Seq(

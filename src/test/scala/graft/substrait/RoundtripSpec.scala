@@ -355,13 +355,26 @@ class RoundtripSpec extends SparkTestBase {
         |              WHERE d2.a = d1.a AND d2.d)""".stripMargin))
   }
 
-  test("correlated COUNT inside a wider expression is loudly rejected") {
+  test("correlated COUNT inside a wider expression: coalesce at the agg level") {
     fixture
-    val df = spark.sql(
+    // the count is fixed up to 0 BEFORE the enclosing ×2 / +1 expression
+    // evaluates, so empty groups see 0*2=0 and 0+1=1, never NULL — the
+    // r9-rejected shape, now decorrelated by decomposing the scalar head
+    // into per-aggregate columns joined LEFT and rebuilt outside the join
+    assertRoundtrip(spark.sql(
       """SELECT d1.a FROM data d1
-        |WHERE d1.a < (SELECT count(*) * 2 FROM data2 d2 WHERE d2.a = d1.a)""".stripMargin)
-    val e = intercept[model.SubstraitException](Producer.produce(df))
-    assert(e.getMessage.contains("NotImplemented"), e.getMessage)
+        |WHERE d1.a < (SELECT count(*) * 2 FROM data2 d2 WHERE d2.a = d1.a)""".stripMargin))
+    assertRoundtrip(spark.sql(
+      """SELECT d1.a FROM data d1
+        |WHERE d1.a >= (SELECT count(*) + 1 FROM data2 d2
+        |               WHERE d2.a = d1.a AND d2.d)""".stripMargin))
+    // mixed count + sum in one head: count coalesces to 0, sum stays NULL
+    // on a miss (NULL propagates through the +, filtering the row — SQL's
+    // empty-set value for sum)
+    assertRoundtrip(spark.sql(
+      """SELECT d1.a FROM data d1
+        |WHERE d1.a < (SELECT count(*) + sum(d2.b) FROM data2 d2
+        |              WHERE d2.a = d1.a)""".stripMargin))
   }
 
   test("HAVING with a subquery: semi join sits above the aggregate") {
