@@ -1191,6 +1191,17 @@ object SparkEntry {
       ops.Multimodal.resizedImageFeatures(s, t(s, dir, "documents"))
         .orderBy("doc_id"))),
 
+    // FIRST LOSSY codec (round 10): real baseline JPEG at pinned quality
+    // 0.85 (graft.jpeg_encode_v1 → graft.image_decode_v1). Bit-exact
+    // replay is impossible BY DESIGN for a lossy codec, so certification
+    // is tolerance-based: geometry/channels exact, decoded mean luma
+    // within ±2.0 of the closed-form gradient mean as an in-plan boolean
+    // (the oracle emits TRUE; decode drift flips the hash) — the oracle
+    // methodology real JPEG/MP3/H.264 corpora need at 100 TB.
+    "m10_jpeg_lossy" -> ((s, dir) => rt(s,
+      ops.Multimodal.jpegImageFeatures(s, t(s, dir, "documents"))
+        .orderBy("doc_id"))),
+
     // GPU-inference batch packing: media rows pack into per-modality
     // batches under a byte budget (t09's greedy streaming pack over binary
     // payload sizes) — the batch-boundary layer between a media corpus and
@@ -3769,6 +3780,20 @@ object SparkEntry {
         |  ROUND(LEAST(CAST(CAST(sum(n_bytes) AS BIGINT) AS DOUBLE), 4096.0)
         |    / 4096.0, 6) AS fill_frac
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // m10: the LOSSY-codec oracle — geometry and channel count replay
+    // closed-form (exact), but the decoded mean luma is certified as an
+    // error-bound BOOLEAN (|decoded − (base + (w−1)/2 + (h−1)/2)| ≤ 2.0),
+    // computed in-plan on the Spark side; the oracle emits TRUE. A decode
+    // that drifts past the JPEG quantization budget flips the column and
+    // fails the hash — tolerance-based certification, the only kind a
+    // lossy codec admits.
+    "m10_jpeg_lossy" ->
+      """SELECT doc_id,
+        |  CAST(16 + (doc_id % 3) * 8 AS INTEGER) AS width,
+        |  CAST(8 + (doc_id % 4) * 8 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  TRUE AS luma_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // m02: per-scanline replay of the image rule (line y of a w×h image:
     // pixels k = y·w .. y·w+w−1); line_bytes = w · 3 bands
     "m02_frame_stats" ->

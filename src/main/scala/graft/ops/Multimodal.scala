@@ -584,6 +584,88 @@ object Multimodal {
         round(col("mean_luma"), 6).as("mean_luma"))
   }
 
+  // ------------------------------------------------------------------ JPEG
+
+  /** Deterministic synthetic JPEG parameters (m10): w ∈ {16,24,32},
+    * h ∈ {8,16,24,32}, gray value v(x,y) = base + x + y with
+    * base = 32 + (doc_id mod 8)·16 ∈ [32,144] (max sample 144+31+31 = 206,
+    * no clipping) — a smooth luma gradient whose TRUE mean is closed-form:
+    * base + (w−1)/2 + (h−1)/2. JPEG is the first LOSSY codec in the m
+    * family, so its oracle is tolerance-based, not bit-exact: the decoded
+    * mean must sit within [[JpegLumaTol]] of the closed-form mean — the
+    * certification methodology a 100-TB multimodal corpus actually needs
+    * (real archives are JPEG/MP3/H.264; bit-exact replay is impossible
+    * there by design).
+    */
+  private def jpgWidth(id: Long): Int = (16 + (id % 3) * 8).toInt
+  private def jpgHeight(id: Long): Int = (8 + (id % 4) * 8).toInt
+  private def jpgBase(id: Long): Int = (32 + (id % 8) * 16).toInt
+
+  /** Error budget on MEAN luma: at quality 0.85 the luminance DC quant
+    * step is ≤ 5, so per-block DC error ≤ 2.5 and the image mean (average
+    * of block DCs) stays well inside ±2; gradients this smooth measure
+    * ≤ ~0.5 in practice (MultimodalSpec pins the measured bound).
+    */
+  val JpegLumaTol: Double = 2.0
+
+  /** THE JPEG encode stage instance (wire name graft.jpeg_encode_v1):
+    * doc_id → real baseline-JPEG bytes via the JDK JPEG ImageWriter at an
+    * EXPLICIT quality (0.85) — pinned so certification doesn't float with
+    * JDK default-quality changes. r=g=b gradient: chroma is neutral, so
+    * 4:2:0 subsampling can't move the luma mean. Decode reuses
+    * graft.image_decode_v1 (ImageIO.read is container-agnostic).
+    */
+  val jpegEncodeFn: Iterator[IdRow] => Iterator[ImgRow] = rows => {
+    imageIoInit()
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
+    if (!writers.hasNext) throw new IllegalStateException("no JPEG writer available")
+    val writer = writers.next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.85f)
+    rows.map { r =>
+      val (w, h) = (jpgWidth(r.doc_id), jpgHeight(r.doc_id))
+      val base = jpgBase(r.doc_id)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = base + x + y
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      } finally ios.close()
+      ImgRow(r.doc_id, bos.toByteArray)
+    } ++ { writer.dispose(); Iterator.empty }
+  }
+
+  /** Decoded features of real JPEG payloads (m10) with the tolerance
+    * verdict computed in-plan: geometry and channel count certify EXACTLY;
+    * mean luma certifies as |decoded − closed-form| ≤ [[JpegLumaTol]]
+    * (a boolean column — the lossy-codec analogue of the bit-exact m01
+    * replay; the oracle emits TRUE and any decode drift flips the hash).
+    */
+  def jpegImageFeatures(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    val expected = (lit(32.0) + (col("doc_id") % 8).cast("double") * 16.0
+      + (col("width").cast("double") - 1.0) / 2.0
+      + (col("height").cast("double") - 1.0) / 2.0)
+    df.select(col("doc_id").cast("long").as("doc_id")).as[IdRow]
+      .mapPartitions(jpegEncodeFn)
+      .mapPartitions(imageDecodeFn).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        (abs(col("mean_luma") - expected) <= lit(JpegLumaTol)).as("luma_ok"))
+  }
+
   /** Synthetic-GIF media table: real animated-GIF payloads, one per doc. */
   def asVideoTable(spark: SparkSession, df: DataFrame,
                    idCol: String = "doc_id"): Dataset[ImgRow] = {

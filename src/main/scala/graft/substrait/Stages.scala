@@ -96,6 +96,16 @@ object Stages {
         import spark.implicits._
         in.as[graft.ops.Multimodal.ImgRow]
           .mapPartitions(graft.ops.Multimodal.gifFramesFn).toDF()
+      }),
+    // Multimodal.jpegEncodeFn: doc_id → real baseline-JPEG payload at
+    // pinned quality 0.85 (the first LOSSY stage; decode reuses
+    // graft.image_decode_v1)
+    "graft.jpeg_encode_v1" -> Stage(
+      Seq("doc_id"), 2,
+      (spark, in) => {
+        import spark.implicits._
+        in.as[graft.ops.Multimodal.IdRow]
+          .mapPartitions(graft.ops.Multimodal.jpegEncodeFn).toDF()
       }))
 
   /** Producer-side reverse lookup by EXACT closure identity: each wire name
@@ -114,7 +124,8 @@ object Stages {
     graft.ops.Multimodal.audioDecodeFn -> "graft.audio_decode_v1",
     graft.ops.Multimodal.imageResizeFn -> "graft.image_resize_v1",
     graft.ops.Multimodal.gifEncodeFn -> "graft.gif_encode_v1",
-    graft.ops.Multimodal.gifFramesFn -> "graft.gif_frames_v1")
+    graft.ops.Multimodal.gifFramesFn -> "graft.gif_frames_v1",
+    graft.ops.Multimodal.jpegEncodeFn -> "graft.jpeg_encode_v1")
 
   def nameOf(func: AnyRef): Option[String] =
     byClosureInstance.collectFirst { case (f, n) if f eq func => n }

@@ -546,16 +546,24 @@ object Wire {
     // descends one struct level (spec-conformant nested references — the
     // reference rejects the child chain at consumer.rs:451-454)
     val chain = Seq.newBuilder[Int]
-    var depth = 0
     def readSegment(sr: R): Unit =
       sr.fields { (f, wt) => (f, wt) match {
         case (2, 2) => // struct_field
+          // proto3 conformance: a canonical encoder (prost/protobuf-java)
+          // OMITS zero-valued scalar fields, so StructField{field: 0} —
+          // a reference to column 0 — arrives as an EMPTY message. The
+          // index defaults to 0 and the child is appended AFTER this
+          // level's index regardless of field order inside the message.
           val fr = sr.lenDelim()
+          var idx = 0
+          var child: Option[R] = None
           fr.fields { (ff, fwt) => (ff, fwt) match {
-            case (1, 0) => chain += fr.varint().toInt; depth += 1; true
-            case (2, 2) => readSegment(fr.lenDelim()); true // child
+            case (1, 0) => idx = fr.varint().toInt; true
+            case (2, 2) => child = Some(fr.lenDelim()); true
             case _ => false
           }}
+          chain += idx
+          child.foreach(readSegment)
           true
         case _ => notImplemented(s"reference segment kind $f")
       }}
@@ -581,7 +589,7 @@ object Wire {
           case 1 => res = SExpr.Lit(readLiteral(er)); true
           case 2 => res = readFieldRef(er); true
           case 5 =>
-            var ref = -1
+            var ref = 0 // anchor 0 is omitted by proto3-canonical encoders
             val parts = Seq.newBuilder[SExpr]; val sorts = Seq.newBuilder[SortField]
             val args = Seq.newBuilder[SExpr]
             var upper: WBound = WBound.Unbounded; var lower: WBound = WBound.Unbounded
@@ -599,7 +607,10 @@ object Wire {
             res = SExpr.WindowFn(ref, args.result(), parts.result(), sorts.result(),
               lower, upper, rowFrame); true
           case 3 =>
-            var ref = -1; val args = Seq.newBuilder[SExpr]
+            // function_reference defaults to 0, not -1: anchors are dense
+            // from 0 and a proto3-canonical encoder omits the field for
+            // anchor 0 entirely
+            var ref = 0; val args = Seq.newBuilder[SExpr]
             er.fields { (sf, swt) => (sf, swt) match {
               case (1, 0) => ref = er.varint().toInt; true
               case (2, 2) => args += readExpr(er.lenDelim()); true
@@ -662,7 +673,8 @@ object Wire {
     })
 
   private def readAggFunction(r: R): AggFunction = {
-    var ref = -1; val args = Seq.newBuilder[SExpr]; var inv = 0
+    // ref defaults 0 (anchor 0 is omitted by proto3-canonical encoders)
+    var ref = 0; val args = Seq.newBuilder[SExpr]; var inv = 0
     r.fields { (f, wt) => (f, wt) match {
       case (1, 0) => ref = r.varint().toInt; true
       case (2, 2) => args += readExpr(r.lenDelim()); true
@@ -936,11 +948,17 @@ object Wire {
                     val sel = mr.lenDelim()
                     sel.fields { (sf, swt) => (sf, swt) match {
                       case (1, 2) =>
+                        // each StructItem contributes EXACTLY one index;
+                        // proto3-canonical encoders omit field=0, so an
+                        // empty item means "column 0" — dropping it would
+                        // silently shift the whole projection
                         val item = sel.lenDelim()
+                        var ix = 0
                         item.fields { (itf, itwt) => (itf, itwt) match {
-                          case (1, 0) => idxs += item.varint().toInt; true
+                          case (1, 0) => ix = item.varint().toInt; true
                           case _ => false
                         }}
+                        idxs += ix
                         true
                       case _ => false
                     }}
@@ -1167,7 +1185,9 @@ object Wire {
                 Rel.ExtStage(in, stage)
               case `sessionWindowDetailUrl` =>
                 val dr = new R(detail, 0, detail.length)
-                var tsField = -1; var gapMicros = 0L
+                // ts_field defaults 0 (column 0 is a legal ts position and
+                // proto3-canonical encoders omit zero-valued fields)
+                var tsField = 0; var gapMicros = 0L
                 var gapExpr: Option[SExpr] = None
                 dr.fields { (df, dwt) => (df, dwt) match {
                   case (1, 0) => tsField = dr.varint().toInt; true

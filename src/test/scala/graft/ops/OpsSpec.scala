@@ -590,6 +590,43 @@ class OpsSpec extends SparkTestBase {
       e.getMessage)
   }
 
+  test("real JPEG (lossy): decode error inside the quantization budget") {
+    import spark.implicits._
+    val ids = (0L until 24L).toDF("doc_id")
+    // payload really is a JFIF/JPEG container
+    val payload = ids.limit(1).select(col("doc_id")).as[Multimodal.IdRow]
+      .mapPartitions(Multimodal.jpegEncodeFn).head().payload
+    assert((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8,
+      "JPEG SOI marker")
+    val rows = Multimodal.jpegImageFeatures(spark, ids).orderBy("doc_id").collect()
+    assert(rows.length == 24)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 16 + (id % 3) * 8 && r.getInt(2) == 8 + (id % 4) * 8)
+      assert(r.getInt(3) == 3)
+      assert(r.getBoolean(4), s"doc $id mean luma outside ±${Multimodal.JpegLumaTol}")
+    }
+    // the REAL measured error is well inside the certified budget: re-decode
+    // and compare against the closed-form mean directly (margin ≥ 2×)
+    val feats = ids.select(col("doc_id")).as[Multimodal.IdRow]
+      .mapPartitions(Multimodal.jpegEncodeFn)
+      .mapPartitions(Multimodal.imageDecodeFn).collect()
+    feats.foreach { f =>
+      val base = 32 + (f.doc_id % 8) * 16
+      val exp = base + (f.width - 1) / 2.0 + (f.height - 1) / 2.0
+      assert(math.abs(f.mean_luma - exp) < 1.0,
+        s"doc ${f.doc_id}: |${f.mean_luma} - $exp| >= 1.0")
+    }
+    // corrupt payloads fail LOUDLY through the shared decode stage
+    val e = intercept[Exception] {
+      Seq((1L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")
+        .as[Multimodal.ImgRow].mapPartitions(Multimodal.imageDecodeFn).count()
+    }
+    assert(e.getMessage.contains("undecodable") ||
+      e.getCause != null && e.getCause.getMessage.contains("undecodable"),
+      e.getMessage)
+  }
+
   test("scene cuts: frame 0 opens, deltas match the clip-rule walk") {
     import spark.implicits._
     // doc 10: 4 frames of 2×5; per-frame mean luma from the pixel rule
