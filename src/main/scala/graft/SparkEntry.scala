@@ -133,10 +133,11 @@ object SparkEntry {
 
     // near-dup clustering: connected components (pointer-doubling label
     // propagation) over lang-blocked jaccard pairs — the "keep one per
-    // cluster" primitive. The iterative DRIVER LOOP stays host-side
-    // (substrait has no iteration construct), but stepThroughWire sends
-    // every double-hop round's plan produce→encode→decode→consume before
-    // executing: the per-round plan is fully interchangeable.
+    // cluster" primitive. Round 10: the WHOLE fixpoint rides as ONE wire
+    // artifact (Rel.ExtIteration — init labels, double-hop body plan,
+    // round bound, multiset-fixpoint early exit all in the plan); the
+    // consumer runs the loop. substrait 0.3 itself has no iteration, so
+    // foreign consumers loud-reject the type_url — the extension contract.
     "d08_neardup_clusters" -> ((s, dir) => {
       // lang+source blocks keep pair generation bounded per block (the
       // blocking contract) — lang-only blocks go quadratic at 10x the data

@@ -826,7 +826,6 @@ object Dedup {
     // than the checkpoint job does
     var labels = materialize(edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node")))
-    if (stepThroughWire) edges.createOrReplaceTempView("graft_cc_edges")
     def step(ed: DataFrame)(lbl: DataFrame): DataFrame = {
       val ptr = lbl.select(col("node").as("u"), col("label").as("v"))
       ed.union(ptr)
@@ -835,29 +834,45 @@ object Dedup {
         .groupBy("u").agg(min(col("label")).as("label"))
         .select(col("u").as("node"), col("label"))
     }
-    var prevSum: java.math.BigDecimal = null
-    var iter = 0
-    var done = false
-    while (!done && iter < maxIter) {
-      // two propagation hops per materialization round: halves the fixed
-      // checkpoint/action cost and still detects the exact fixpoint (labels
-      // are monotone, so a stable sum across a double-hop is a fixpoint)
-      val next =
-        if (stepThroughWire) {
-          labels.createOrReplaceTempView("graft_cc_labels")
-          val e = spark.table("graft_cc_edges")
-          val l = spark.table("graft_cc_labels")
-          val roundPlan = step(e)(step(e)(l))
-          graft.substrait.Consumer.consume(spark,
-            graft.substrait.Wire.decode(graft.substrait.Wire.encode(
-              graft.substrait.Producer.produce(roundPlan))))
-        } else step(edges)(step(edges)(labels))
-      labels = materialize(next)
-      val s = labels.agg(sum(col("label").cast("decimal(38,0)")))
-        .head().getDecimal(0)
-      done = prevSum != null && s.compareTo(prevSum) == 0
-      prevSum = s
-      iter += 1
+    if (stepThroughWire) {
+      // ONE wire artifact (round 10): the pointer-doubling fixpoint ships
+      // as a single Rel.ExtIteration — double-hop body (halves the fixed
+      // per-round materialization cost), bounded rounds, and the consumer's
+      // exact multiset fixpoint check standing in for the host loop's
+      // monotone-sum convergence test. Unique edges view, dropped in
+      // finally, so concurrent calls can't clobber each other.
+      val edgesView = "graft_cc_edges_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      edges.createOrReplaceTempView(edgesView)
+      try {
+        // init derives from the SAME named read so the whole artifact —
+        // initial labels included — is plan, not host state
+        val init = spark.table(edgesView).select(col("u").as("node"))
+          .distinct().withColumn("label", col("node"))
+        val plan = graft.substrait.Producer.produceIteration(
+          init,
+          l => { val e = spark.table(edgesView); step(e)(step(e)(l)) },
+          maxIters = maxIter, checkFixpoint = true)
+        labels = graft.substrait.Consumer.consume(spark,
+            graft.substrait.Wire.decode(graft.substrait.Wire.encode(plan)))
+          .toDF("node", "label")
+      } finally spark.catalog.dropTempView(edgesView)
+    } else {
+      var prevSum: java.math.BigDecimal = null
+      var iter = 0
+      var done = false
+      while (!done && iter < maxIter) {
+        // two propagation hops per materialization round: halves the fixed
+        // checkpoint/action cost and still detects the exact fixpoint
+        // (labels are monotone, so a stable sum across a double-hop is a
+        // fixpoint)
+        labels = materialize(step(edges)(step(edges)(labels)))
+        val s = labels.agg(sum(col("label").cast("decimal(38,0)")))
+          .head().getDecimal(0)
+        done = prevSum != null && s.compareTo(prevSum) == 0
+        prevSum = s
+        iter += 1
+      }
     }
     if (!(stepThroughWire || checkpointDir.isDefined)) edges.unpersist()
     labels.select(col("node"), col("label").as("cluster_id"))
@@ -889,9 +904,11 @@ object Dedup {
     * Scale: each round is one shuffle keyed by node id carrying 16-byte
     * (id, long) rows; deg rides ON the edge list (joined once, then the
     * checkpointed (u, v, deg) frame is reused every round) — no per-round
-    * dimension join. Fixed `iters` (default 3) bounds total work; the
-    * driver loop is host-side like [[connectedComponents]] (substrait has
-    * no iteration), with each round's plan wire-stepped on request.
+    * dimension join. Fixed `iters` (default 3) bounds total work;
+    * `stepThroughWire` ships the WHOLE fixpoint — init state, per-round
+    * plan, round count — as ONE `Rel.ExtIteration` artifact the consumer
+    * loops (round 10; substrait 0.3 itself has no iteration, so foreign
+    * consumers loud-reject the type_url).
     */
   def graphRank(pairs: DataFrame, aCol: String = "id_a",
                 bCol: String = "id_b", iters: Int = 3,
@@ -909,35 +926,38 @@ object Dedup {
     var ranks = edges.select(col("u").as("node")).distinct()
       .select(col("node"), lit(RankUnit).as("rank_units"))
       .localCheckpoint(true)
-    // per-call unique view names: session-global temp views would clobber
-    // each other under concurrent/interleaved calls on the same session —
-    // and both are dropped on exit so nothing leaks into the catalog
-    val tok = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-    val (edgesView, stateView) =
-      (s"graft_rank_edges_$tok", s"graft_rank_state_$tok")
-    if (stepThroughWire) edges.createOrReplaceTempView(edgesView)
     def step(ed: DataFrame)(r: DataFrame): DataFrame =
       ed.join(r.select(col("node").as("u"), col("rank_units")), "u")
         .select(col("v"), expr("rank_units DIV deg").as("contrib"))
         .groupBy("v").agg(sum(col("contrib")).as("csum"))
         .select(col("v").as("node"),
           (lit(RankBase) + expr("(85 * csum) DIV 100")).as("rank_units"))
-    try {
-      for (_ <- 1 to iters) {
-        val next =
-          if (stepThroughWire) {
-            ranks.createOrReplaceTempView(stateView)
-            val roundPlan = step(spark.table(edgesView))(
-              spark.table(stateView))
-            graft.substrait.Consumer.consume(spark,
-              graft.substrait.Wire.decode(graft.substrait.Wire.encode(
-                graft.substrait.Producer.produce(roundPlan))))
-          } else step(edges)(ranks)
-        ranks = next.localCheckpoint(true)
-      }
-    } finally if (stepThroughWire) {
-      spark.catalog.dropTempView(edgesView)
-      spark.catalog.dropTempView(stateView)
+    if (stepThroughWire) {
+      // ONE wire artifact (round 10): the whole fixpoint — init state, the
+      // per-round plan, and the round count — rides as a single
+      // Rel.ExtIteration; the consumer runs the loop. (Previously each
+      // ROUND's plan was wire-stepped but the loop itself was host-side.)
+      // The edges leaf stays a named read: per-call unique view name,
+      // dropped in finally, so concurrent calls can't clobber each other.
+      val edgesView = "graft_rank_edges_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      edges.createOrReplaceTempView(edgesView)
+      try {
+        // init derives from the SAME named read so the whole artifact —
+        // initial state included — is plan, not host state (the
+        // checkpointed `ranks` frame is a LogicalRDD, unproducible by design)
+        val init = spark.table(edgesView).select(col("u").as("node"))
+          .distinct().select(col("node"), lit(RankUnit).as("rank_units"))
+        val plan = graft.substrait.Producer.produceIteration(
+          init, st => step(spark.table(edgesView))(st),
+          maxIters = iters, checkFixpoint = false)
+        val decoded = graft.substrait.Wire.decode(
+          graft.substrait.Wire.encode(plan))
+        ranks = graft.substrait.Consumer.consume(spark, decoded)
+          .toDF("node", "rank_units")
+      } finally spark.catalog.dropTempView(edgesView)
+    } else {
+      for (_ <- 1 to iters) ranks = step(edges)(ranks).localCheckpoint(true)
     }
     // the double view is exact: units < 2^53, and /2^20 is one correctly-
     // rounded IEEE op in any engine

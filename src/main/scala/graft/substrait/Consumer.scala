@@ -25,13 +25,25 @@ import model._
   */
 object Consumer {
 
-  def consume(spark: SparkSession, plan: Plan): DataFrame = {
-    Validator.validateOrThrow(plan) // structural pre-flight: full issue report
+  /** Reserved NamedTable name inside an [[model.Rel.ExtIteration]] body
+    * plan: the leaf that denotes "the current iteration state". The
+    * consumer binds it to the iterating DataFrame; outside an iteration it
+    * resolves like any table name (and fails loudly if absent). */
+  val IterationStateTable = "graft_iteration_state"
+
+  def consume(spark: SparkSession, plan: Plan): DataFrame =
+    consumeInternal(spark, plan, binding = None, validate = true)
+
+  private def consumeInternal(spark: SparkSession, plan: Plan,
+                              binding: Option[DataFrame],
+                              validate: Boolean): DataFrame = {
+    if (validate)
+      Validator.validateOrThrow(plan) // structural pre-flight: full issue report
     val extMap: Map[Int, String] =
       plan.extensions.map(e => e.functionAnchor -> e.name).toMap
     if (plan.relations.size != 1)
       internalErr(s"expected exactly one relation tree, got ${plan.relations.size}")
-    val ctx = new Ctx(spark, extMap)
+    val ctx = new Ctx(spark, extMap, binding)
     plan.relations.head match {
       case PlanRel.Root(input, names) =>
         val b = ctx.build(input)
@@ -49,7 +61,8 @@ object Consumer {
   /** df whose columns (all uniquely named) are the rel's flattened output. */
   private final case class Built(df: DataFrame)
 
-  private final class Ctx(spark: SparkSession, extMap: Map[Int, String]) {
+  private final class Ctx(spark: SparkSession, extMap: Map[Int, String],
+                          stateBinding: Option[DataFrame] = None) {
     private def fresh(): String = s"_s${freshCounter.incrementAndGet()}"
     private def freshNames(n: Int): Seq[String] = Seq.fill(n)(fresh())
     private def name(ref: Int): String =
@@ -93,7 +106,13 @@ object Consumer {
                   .csv(paths: _*)
               case other => notImplemented(s"LocalFiles format $other")
             }
-          case (None, None) => spark.table(tableNames.mkString("."))
+          case (None, None) =>
+            // the reserved iteration-state leaf binds to the current loop
+            // state when consumed inside an ExtIteration; anywhere else it
+            // resolves like any named table (loud if absent)
+            if (tableNames == Seq(IterationStateTable) && stateBinding.isDefined)
+              stateBinding.get
+            else spark.table(tableNames.mkString("."))
         }
         if (schema != null && schema.names.nonEmpty &&
             schema.names.size != df0.columns.length)
@@ -267,6 +286,47 @@ object Consumer {
           case None => session_window(tsCol, s"$gapMicros microseconds")
         }
         Built(in.df.select(col("*"), sess.as(freshNames(1).head)))
+
+      case Rel.ExtIteration(input, bodyPlan, maxIters, checkFixpoint) =>
+        // The one EAGER rel: iteration must materialize each generation
+        // (every round's plan references the previous round's OUTPUT, and
+        // leaving rounds lazy would stack an exponentially re-evaluated
+        // lineage). localCheckpoint per round — exactly the discipline the
+        // host-side fixpoint loops use. The body plan validates ONCE here,
+        // then re-consumes per round with the state leaf bound.
+        if (maxIters < 1 || maxIters > 1000)
+          internalErr(s"iteration maxIters out of range: $maxIters")
+        Validator.validateOrThrow(bodyPlan)
+        val init = build(input)
+        val width = init.df.columns.length
+        var state = init.df.localCheckpoint(true)
+        var k = 0
+        var done = false
+        while (k < maxIters && !done) {
+          val next0 = consumeInternal(spark, bodyPlan,
+            binding = Some(state), validate = false)
+          if (next0.columns.length != width)
+            internalErr(s"iteration body arity ${next0.columns.length} != " +
+              s"state arity $width (the body must be schema-preserving)")
+          val next = next0.localCheckpoint(true)
+          if (checkFixpoint) {
+            // exact multiset fixpoint in ONE job: union with +1/−1 weights,
+            // group on the full row — any group with a nonzero weight sum is
+            // a difference in either direction (two exceptAll passes would
+            // pay two shuffles per round for the same answer)
+            val cols = next.columns.toIndexedSeq
+            val prev = state.toDF(cols: _*)
+            done = next.withColumn("__w", lit(1L))
+              .unionAll(prev.withColumn("__w", lit(-1L)))
+              .groupBy(cols.map(col): _*)
+              .agg(sum(col("__w")).as("__d"))
+              .filter(col("__d") =!= 0L)
+              .isEmpty
+          }
+          state = next
+          k += 1
+        }
+        Built(state.toDF(freshNames(width): _*))
 
       case Rel.ExtStage(input, stage) =>
         val in = build(input)

@@ -35,6 +35,40 @@ object Producer {
     Plan(ctx.extensions, Seq(PlanRel.Root(rel.rel, plan.output.map(_.name))))
   }
 
+  /** Build a bounded-iteration plan (Rel.ExtIteration): `init`'s rows are
+    * state₀; `body` is built by the caller over a schema-only placeholder
+    * view registered under [[Consumer.IterationStateTable]], so its state
+    * leaf naturally produces as the RESERVED NamedTable the consumer binds
+    * per round. The body rides as a COMPLETE nested plan — its function
+    * anchors stay scoped to it, so no cross-plan re-anchoring is needed.
+    * This is how the iterative fixpoints (graph rank d17, connected
+    * components d08/d13) ship as ONE wire artifact: loop control — round
+    * count and optional multiset-fixpoint early exit — is IN the plan, not
+    * host-side.
+    */
+  def produceIteration(init: DataFrame, body: DataFrame => DataFrame,
+                       maxIters: Int, checkFixpoint: Boolean): Plan = {
+    require(maxIters >= 1 && maxIters <= 1000,
+      s"iteration maxIters out of range: $maxIters")
+    val spark = init.sparkSession
+    val initPlan = produce(init)
+    val (initRel, rootNames) = initPlan.relations.head match {
+      case PlanRel.Root(r, names) => (r, names)
+      case PlanRel.RelOnly(r) => (r, Nil)
+    }
+    // schema-only placeholder: resolves the body's analysis; the consumer
+    // never reads it (the reserved name binds to the loop state first)
+    val placeholder = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), init.schema)
+    placeholder.createOrReplaceTempView(Consumer.IterationStateTable)
+    val bodyPlan =
+      try produce(body(spark.table(Consumer.IterationStateTable)))
+      finally spark.catalog.dropTempView(Consumer.IterationStateTable)
+    Plan(initPlan.extensions, Seq(PlanRel.Root(
+      Rel.ExtIteration(initRel, bodyPlan, maxIters, checkFixpoint),
+      rootNames)))
+  }
+
   /** A produced relation plus the attribute list its FieldRef ordinals index. */
   private final case class Produced(rel: Rel, attrs: Seq[Attribute])
 

@@ -169,6 +169,16 @@ object Validator {
                 s"${st.inputCols.size} inputs, plan provides $w")
             st.outputArity
         }
+
+      case Rel.ExtIteration(input, bodyPlan, maxIters, _) =>
+        val w = walkRel(input, s"$path/iteration")
+        if (maxIters < 1 || maxIters > 1000)
+          issues += Issue(path, s"iteration maxIters $maxIters out of [1, 1000]")
+        // the body is a complete nested plan with its own anchors — validate
+        // it in its own scope and surface its issues under this path
+        validate(bodyPlan).foreach(i =>
+          issues += Issue(s"$path/iteration-body/${i.path}", i.msg))
+        w // schema-preserving over the state
     }
 
     def walkExpr(e: SExpr, width: Int, path: String): Unit = e match {

@@ -833,6 +833,21 @@ object Wire {
             any.bytes(2, dw.out.toByteArray)
           })
         })
+      case Rel.ExtIteration(in, bodyPlan, maxIters, checkFixpoint) =>
+        // value = IterationRelDetail{body_plan=1 bytes (a COMPLETE nested
+        // Plan, self-describing with its own extension anchors),
+        // max_iters=2 int32, check_fixpoint=3 bool}
+        rw.msg(9, ew => {
+          writeRel(ew, 2, in)
+          ew.msg(3, any => {
+            any.str(1, iterationDetailUrl)
+            val dw = new W
+            dw.bytes(1, encode(bodyPlan))
+            dw.int32(2, maxIters)
+            dw.bool(3, checkFixpoint)
+            any.bytes(2, dw.out.toByteArray)
+          })
+        })
     })
 
   /** Any.type_url for graft's Generate extension rel detail. */
@@ -849,6 +864,9 @@ object Wire {
 
   /** Any.type_url for graft's session-window extension rel detail. */
   val sessionWindowDetailUrl = "graft.dev/SessionWindowRelDetail"
+
+  /** Any.type_url for graft's bounded-iteration extension rel detail. */
+  val iterationDetailUrl = "graft.dev/IterationRelDetail"
 
   /** Output arity of a decoded rel — needed to resolve RelCommon.emit on a
     * ProjectRel, whose mapping indexes the concatenated (input ++
@@ -882,6 +900,7 @@ object Wire {
       Stages.registry.get(stage).map(_.outputArity).getOrElse(-1)
     case Rel.ExtSessionWindow(in, _, _, _) =>
       val a = relArity(in); if (a < 0) -1 else a + 1
+    case Rel.ExtIteration(in, _, _, _) => relArity(in) // schema-preserving
   }
 
   /** RelCommon{emit=2{repeated int32 output_mapping=1}} → the mapping.
@@ -1183,6 +1202,19 @@ object Wire {
                   case _ => false
                 }}
                 Rel.ExtStage(in, stage)
+              case `iterationDetailUrl` =>
+                val dr = new R(detail, 0, detail.length)
+                var bodyPlan: Plan = null; var maxIters = 0
+                var checkFixpoint = false
+                dr.fields { (df, dwt) => (df, dwt) match {
+                  case (1, 2) => bodyPlan = decode(dr.rawBytes()); true
+                  case (2, 0) => maxIters = dr.varint().toInt; true
+                  case (3, 0) => checkFixpoint = dr.varint() == 1L; true
+                  case _ => false
+                }}
+                if (bodyPlan == null)
+                  notImplemented("IterationRelDetail without a body plan")
+                Rel.ExtIteration(in, bodyPlan, maxIters, checkFixpoint)
               case `sessionWindowDetailUrl` =>
                 val dr = new R(detail, 0, detail.length)
                 // ts_field defaults 0 (column 0 is a legal ts position and

@@ -244,6 +244,24 @@ object model {
     final case class ExtSessionWindow(input: Rel, tsField: Int,
                                       gapMicros: Long,
                                       gapExpr: Option[SExpr] = None) extends Rel
+    /** Bounded iteration ON the wire — closes the last orchestration gap
+      * (d08/d13/d17 previously wire-stepped each ROUND's plan but kept the
+      * loop — round count, convergence check — host-side). Carried as
+      * ExtensionSingleRel with Any type_url `graft.dev/IterationRelDetail`,
+      * detail = IterationRelDetail{body_plan=1 bytes, max_iters=2 int32,
+      * check_fixpoint=3 bool}.
+      *
+      * Semantics: state₀ = input's rows. For k = 1..maxIters:
+      * stateₖ = bodyPlan evaluated with the reserved leaf
+      * NamedTable(`graft_iteration_state`) bound to stateₖ₋₁; if
+      * checkFixpoint and stateₖ equals stateₖ₋₁ as a multiset, stop early.
+      * Output = the final state. The body is a COMPLETE nested Plan (own
+      * extension registry — anchors stay scoped, no cross-plan re-anchoring)
+      * and must be schema-preserving over the state. A foreign consumer
+      * without iteration support rejects the type_url loudly — the intended
+      * extension contract. */
+    final case class ExtIteration(input: Rel, bodyPlan: Plan, maxIters: Int,
+                                  checkFixpoint: Boolean) extends Rel
     /** A join-strategy hint (Spark logical.ResolvedHint) as
       * ExtensionSingleRel with Any type_url `graft.dev/HintRelDetail`,
       * detail = HintRelDetail{hint=1 string}. hint is a canonical Spark

@@ -331,6 +331,36 @@ class CteProbeSpec extends SparkTestBase {
         |               WHERE c2.a = c1.a)""".stripMargin))
   }
 
+  test("iteration rides the wire: fixed rounds and multiset fixpoint") {
+    import spark.implicits._
+    Seq(0L, 10L).toDF("x").createOrReplaceTempView("iter_in")
+    // fixed 3 rounds: x + 3
+    val fixedPlan = Producer.produceIteration(
+      spark.table("iter_in"), st => st.select((col("x") + 1).as("x")),
+      maxIters = 3, checkFixpoint = false)
+    val fixed = Consumer.consume(spark,
+      Wire.decode(Wire.encode(fixedPlan)))
+    assert(fixed.columns.toSeq == Seq("x"))
+    assert(fixed.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 13L))
+    // fixpoint: least(x+1, 5) converges to 5 well before the round bound
+    val fpPlan = Producer.produceIteration(
+      spark.table("iter_in"),
+      st => st.select(least(col("x") + 1, lit(5L)).as("x")),
+      maxIters = 100, checkFixpoint = true)
+    val fp = Consumer.consume(spark, Wire.decode(Wire.encode(fpPlan)))
+    assert(fp.collect().map(_.getLong(0)).toSeq == Seq(5L, 5L))
+    // the artifact is self-contained: double wire round-trip is identity
+    val once = Wire.decode(Wire.encode(fpPlan))
+    assert(Wire.decode(Wire.encode(once)) == once)
+    // a body that breaks the schema-preservation contract fails loudly
+    val bad = Producer.produceIteration(
+      spark.table("iter_in"), st => st.select(col("x"), (col("x") * 2).as("y")),
+      maxIters = 2, checkFixpoint = false)
+    val e = intercept[model.SubstraitException](
+      Consumer.consume(spark, Wire.decode(Wire.encode(bad))))
+    assert(e.getMessage.contains("schema-preserving"), e.getMessage)
+  }
+
   test("new shapes double round-trip: consumed plans re-produce") {
     fixture
     for (q <- Seq(

@@ -132,4 +132,22 @@ class IndependentEncoderSpec extends SparkTestBase {
     assertAgree(Plan(Nil, Seq(PlanRel.RelOnly(
       Rel.ExtSessionWindow(read, tsField = 0, gapMicros = 60000000L)))))
   }
+
+  test("hand-built: iteration rel with a nested body plan agrees across encoders") {
+    val stateSchema = NamedStruct(Seq("node", "label"),
+      Seq((SType.SI64, false), (SType.SI64, false)))
+    val stateRead = Rel.Read(stateSchema, Seq(Consumer.IterationStateTable), None)
+    // body: a (schema-preserving) project over the reserved state leaf,
+    // with its OWN extension registry (anchor 0 — omitted on the wire by
+    // the canonical encoder)
+    val bodyPlan = Plan(
+      Seq(ExtensionFunction(0xffffffffL, 0, "add")),
+      Seq(PlanRel.RelOnly(Rel.Project(stateRead, Seq(
+        SExpr.FieldRef(0),
+        SExpr.ScalarFn(0, Seq(SExpr.FieldRef(1), SExpr.Lit(LitVal.LI64(1)))))))))
+    val init = Rel.Read(stateSchema, Seq("some_table"), None)
+    assertAgree(Plan(Nil, Seq(PlanRel.Root(
+      Rel.ExtIteration(init, bodyPlan, maxIters = 7, checkFixpoint = true),
+      Seq("node", "label")))))
+  }
 }

@@ -368,6 +368,13 @@ object IndependentWire {
         extSingle(in, Wire.sessionWindowDetailUrl, cat(
           vfOpt(1, tsField.toLong), vfOpt(2, gapMicros),
           gapExpr.map(expr(3, _)).getOrElse(empty)))
+      case Rel.ExtIteration(in, bodyPlan, maxIters, checkFixpoint) =>
+        // IterationRelDetail{body_plan=1 bytes (nested Plan — encoded by
+        // THIS encoder, keeping the cross-check independent all the way
+        // down), max_iters=2, check_fixpoint=3}
+        extSingle(in, Wire.iterationDetailUrl, cat(
+          lenf(1, encode(bodyPlan)),
+          vfOpt(2, maxIters.toLong), boolOpt(3, checkFixpoint)))
     }
     lenf(f, body)
   }
