@@ -72,7 +72,10 @@ object PlansDoc {
     "m09_scene_cuts" -> "scene-change detection: real GIF decode stages feed one doc-keyed window pass for the luma-delta lag; only per-frame scalars shuffle",
     "q66_tpch_q4_late" -> "TPC-H Q4 shape: the EXISTS over late lineitems plans as a LeftSemi carrying the timestamp + INTERVAL comparison as the join residual; both scans prune to the compared columns",
     "q67_tpch_q6_forecast" -> "TPC-H Q6 shape: pure scan-filter-agg — every predicate reaches the lineitem scan as PushedFilters, no exchange before the single-row partial/final aggregate",
-    "q68_tpch_q17_smallqty" -> "TPC-H Q17 shape: the correlated scalar AVG decorrelates to a partkey-grouped aggregate joined back; the part dim broadcasts and lineitem shuffles once on partkey")
+    "q68_tpch_q17_smallqty" -> "TPC-H Q17 shape: the correlated scalar AVG decorrelates to a partkey-grouped aggregate joined back; the part dim broadcasts and lineitem shuffles once on partkey",
+    "q69_corr_count_expr" -> "correlated COUNT inside a wider expression: count coalesces to 0 at the AGGREGATE level, the ×2 evaluates outside a broadcast LEFT join; both scans pruned with PushedFilters, partial count map-side",
+    "t29b_bpe_tokens_prod" -> "50k-merge broadcast BPE kernel: zero shuffle before the output sort — the codegen'd bpe_count_v2 reads the broadcast table; the scan carries only (doc_id, text)",
+    "m10_jpeg_lossy" -> "the lossy-codec pipeline scans ONLY doc_id (payloads are synthesized then decoded in-partition, never shuffled); the tolerance boolean is a narrow projection over the decode stage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

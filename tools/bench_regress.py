@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""Per-query bench regression gate (VERDICT r9 item 7).
+
+Runs the full Bench suite at the given SF, diffs per-query seconds against
+the last committed snapshot, and SOLO-CONFIRMS movers before failing: any
+shared query whose in-suite time grew more than RATIO x (and by more than
+ABS_FLOOR seconds — tiny queries jitter) is re-run in a subset Bench
+invocation (time-decorrelated, effectively solo); only movers that are
+STILL >RATIO x solo fail the gate. This encodes the judge's r8/r9 diff
+protocol: in-suite readings on a shared box fold in ambient contention,
+so a regression call must survive a solo A/B first.
+
+Usage: bench_regress.py --baseline bench-sf01-rX.json
+                        [--sf /root/testdata/sf0.1] [--out /tmp/dir]
+                        [--new /path/bench.json   # skip the run, use file]
+Exit codes: 0 = no solo-confirmed regressions, 1 = regression, 2 = usage.
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import glob
+
+RATIO = 1.5
+ABS_FLOOR = 0.3   # seconds of growth; below this, ratio flags are noise
+MIN_SOLO = 1.0    # a solo-confirmed time must exceed this to matter: the
+                  # in-suite baseline amortizes FS caches/session overheads a
+                  # solo re-run pays cold, so sub-second queries read 2-4x
+                  # their in-suite number solo without any code change
+                  # (measured: t21 0.15s in-suite, 0.39s solo, same build)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def classpath():
+    jars = ":".join(sorted(glob.glob("/opt/spark/jars/*.jar")))
+    return f"{REPO}/target/scala-2.13/classes:{jars}"
+
+
+def add_opens():
+    out = []
+    with open(os.path.join(REPO, "build.sbt")) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith('"--add-opens='):
+                out.append(line.strip('",'))
+    return out
+
+
+def run_bench(sf_dir, out_file, queries=None, reps=2):
+    cmd = (["java", "-XX:ReservedCodeCacheSize=1g"] + add_opens() +
+           ["-cp", classpath(), "-Xmx24g", "graft.Bench"] + (queries or []))
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_BENCH_OUT=out_file,
+               SPARK_GRAFT_BENCH_REPS=str(reps))
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    if r.returncode != 0:
+        sys.stderr.write(r.stdout[-2000:] + "\n" + r.stderr[-2000:] + "\n")
+        raise SystemExit(f"bench run failed (exit {r.returncode})")
+    with open(out_file) as f:
+        return json.load(f)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--baseline", required=True)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp")
+    ap.add_argument("--new", default=None,
+                    help="existing bench json to gate instead of running")
+    args = ap.parse_args()
+
+    with open(args.baseline) as f:
+        base = json.load(f)
+    base_q = {k: float(v) for k, v in base["queries"].items()}
+
+    if args.new:
+        with open(args.new) as f:
+            fresh = json.load(f)
+    else:
+        fresh = run_bench(args.sf, os.path.join(args.out, "bench-gate.json"))
+    fresh_q = {k: float(v) for k, v in fresh["queries"].items()}
+    solo_map = {k: float(v) for k, v in fresh.get("solo", {}).items()}
+
+    shared = sorted(set(base_q) & set(fresh_q))
+    print(f"bench_regress: {len(shared)} shared queries "
+          f"(baseline {len(base_q)}, fresh {len(fresh_q)})")
+
+    suspects = []
+    for q in shared:
+        old, new = base_q[q], fresh_q[q]
+        if new > old * RATIO and new - old > ABS_FLOOR:
+            # the in-run solo map may already refute it
+            solo = solo_map.get(q)
+            if solo is not None and not (solo > old * RATIO and
+                                         solo - old > ABS_FLOOR and
+                                         solo > MIN_SOLO):
+                print(f"  refuted by in-run solo: {q} "
+                      f"in-suite {new:.2f}s solo {solo:.2f}s vs base {old:.2f}s")
+            else:
+                suspects.append((q, old, new))
+
+    if not suspects:
+        print("bench_regress: no suspects above "
+              f"{RATIO}x + {ABS_FLOOR}s — gate green")
+        return 0
+
+    print(f"bench_regress: {len(suspects)} suspect(s), solo re-running: "
+          + ", ".join(q for q, _, _ in suspects))
+    solo_out = os.path.join(args.out, "bench-gate-solo.json")
+    solo = run_bench(args.sf, solo_out,
+                     queries=[q for q, _, _ in suspects], reps=3)
+    solo_q = {k: float(v) for k, v in solo["queries"].items()}
+
+    failures = []
+    for q, old, new in suspects:
+        s = solo_q.get(q, new)
+        if s > old * RATIO and s - old > ABS_FLOOR and s > MIN_SOLO:
+            failures.append((q, old, new, s))
+            print(f"  REGRESSION {q}: base {old:.2f}s -> in-suite {new:.2f}s, "
+                  f"solo-CONFIRMED {s:.2f}s ({s / old:.2f}x)")
+        else:
+            print(f"  refuted solo: {q} in-suite {new:.2f}s but solo {s:.2f}s "
+                  f"vs base {old:.2f}s (contention artifact)")
+
+    if failures:
+        print(f"bench_regress: {len(failures)} solo-confirmed regression(s)")
+        return 1
+    print("bench_regress: all suspects refuted solo — gate green")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

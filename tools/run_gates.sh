@@ -22,11 +22,22 @@ python3 tools/local_compare.py "$SF" "$OUT" | tail -1
 echo "== 4/5 oracle type lint"
 python3 tools/oracle_lint.py "$SF" "$OUT" | tail -1
 
-echo "== 5/5 bench smoke (2 queries, metric line must be bare JSON)"
+echo "== 5/6 bench smoke (2 queries, metric line must be bare JSON)"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_CPUS=8 \
   SPARK_GRAFT_BENCH_OUT="$OUT/bench-smoke.json" \
   java -XX:ReservedCodeCacheSize=1g -cp "$CP" -Xmx8g \
   graft.Bench q01_scan_project q04_pricing_summary 2>/dev/null | tail -1 \
   | python3 -c "import json,sys; json.loads(sys.stdin.read()); print('metric line parses')"
+
+echo "== 6/6 per-query regression gate (full sf0.1 bench vs last committed snapshot)"
+# skippable for fast iteration loops: GRAFT_SKIP_BENCH_GATE=1 tools/run_gates.sh
+if [ "${GRAFT_SKIP_BENCH_GATE:-0}" = "1" ]; then
+  echo "bench regression gate SKIPPED (GRAFT_SKIP_BENCH_GATE=1)"
+else
+  BASELINE=$(ls bench-sf01-r*.json | sort -V | tail -1)
+  echo "baseline: $BASELINE"
+  python3 tools/bench_regress.py --baseline "$BASELINE" \
+    --sf /root/testdata/sf0.1 --out "$OUT" | tail -12
+fi
 
 echo "ALL GATES GREEN ($OUT)"
