@@ -1203,6 +1203,18 @@ object SparkEntry {
       ops.Multimodal.jpegImageFeatures(s, t(s, dir, "documents"))
         .orderBy("doc_id"))),
 
+    // SECOND lossy codec (round 10): G.711 μ-law telephony audio
+    // (graft.ulaw_encode_v1 → graft.ulaw_decode_v1, RIFF fmt tag 7 with a
+    // fact chunk). Unlike JPEG, companding is a FIXED piecewise mapping,
+    // so the oracle replays encode∘decode closed-form and certification is
+    // EXACT — together m10/m11 cover both lossy-oracle methodologies.
+    // Probe found a real JDK defect (|pcm| ≥ 32636 overflows the bias add:
+    // full-scale samples encode as SILENCE) — the encode stage loud-rejects
+    // that region; the JDK codec canaries every partition in-range.
+    "m11_ulaw_audio" -> ((s, dir) => rt(s,
+      ops.Multimodal.ulawAudioFeatures(s, t(s, dir, "documents"))
+        .orderBy("doc_id"))),
+
     // GPU-inference batch packing: media rows pack into per-modality
     // batches under a byte budget (t09's greedy streaming pack over binary
     // payload sizes) — the batch-boundary layer between a media corpus and
@@ -3795,6 +3807,30 @@ object SparkEntry {
         |  CAST(3 AS INTEGER) AS channels,
         |  TRUE AS luma_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // m11: EXACT replay of G.711 companding over the signal rule — encode
+    // (clip 32635, bias 132, segment exponent, 4-bit mantissa) then decode
+    // (((mant·8 + 132) << e) − 132), both in integer arithmetic; the mean
+    // divides one exact BIGINT sum, so both engines round the same double
+    "m11_ulaw_audio" ->
+      """WITH g AS (SELECT doc_id,
+        |    CAST(64 + doc_id % 129 AS INTEGER) AS n_samples FROM documents),
+        |sm AS (SELECT doc_id, n_samples, unnest(range(n_samples)) AS k FROM g),
+        |p AS (SELECT doc_id, n_samples,
+        |        CAST((doc_id * 7 + k * 13) % 2048 - 1024 AS INTEGER) AS s
+        |      FROM sm),
+        |seg AS (SELECT doc_id, n_samples,
+        |          LEAST(abs(s), 32635) + 132 AS m FROM p),
+        |e AS (SELECT doc_id, n_samples, m,
+        |  CASE WHEN m >= 16384 THEN 7 WHEN m >= 8192 THEN 6
+        |       WHEN m >= 4096 THEN 5 WHEN m >= 2048 THEN 4
+        |       WHEN m >= 1024 THEN 3 WHEN m >= 512 THEN 2
+        |       WHEN m >= 256 THEN 1 ELSE 0 END AS ex FROM seg),
+        |dec AS (SELECT doc_id, n_samples,
+        |  CAST(((((m >> (ex + 3)) & 15) * 8 + 132) << ex) - 132 AS BIGINT)
+        |    AS mag FROM e)
+        |SELECT doc_id, n_samples,
+        |  ROUND(CAST(sum(mag) AS DOUBLE) / count(*), 6) AS mean_abs_q
+        |FROM dec GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
     // m02: per-scanline replay of the image rule (line y of a w×h image:
     // pixels k = y·w .. y·w+w−1); line_bytes = w · 3 bands
     "m02_frame_stats" ->

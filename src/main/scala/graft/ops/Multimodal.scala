@@ -584,6 +584,184 @@ object Multimodal {
         round(col("mean_luma"), 6).as("mean_luma"))
   }
 
+  // ----------------------------------------------------------------- μ-law
+
+  final case class UlawFeature(doc_id: Long, n_samples: Int,
+                               mean_abs_q: Double)
+
+  /** Canonical CCITT G.711 μ-law encode (Sun ulaw.c closed form): clip to
+    * 32635, add bias 132, segment exponent from the high bits, 4-bit
+    * mantissa, ones-complement. The JDK's own UlawCodec agrees on ALL
+    * inputs with |pcm| ≤ 32635 and on all 256 codes in decode — but for
+    * |pcm| ≥ 32636 it OVERFLOWS the bias add instead of clipping (probe:
+    * +32636 → 0xFF, which DECODES TO SILENCE; +32700 → 247 — non-monotone
+    * garbage, mirrored for negatives). A full-scale sample becoming
+    * silence is a real JDK defect (same class as the GIF interlace
+    * corruption found in round 9), so [[ulawEncodeFn]] loud-rejects that
+    * region rather than replicate it, and the per-partition canary runs
+    * the JDK codec on in-range data where the two agree exactly.
+    */
+  def linear2ulaw(pcm: Int): Int = {
+    val sign = if (pcm < 0) 0x80 else 0
+    var mag = if (pcm < 0) -pcm else pcm
+    if (mag > 32635) mag = 32635
+    mag += 132
+    var exponent = 0
+    var v = mag >> 7
+    while (v > 1) { v >>= 1; exponent += 1 }
+    val mant = (mag >> (exponent + 3)) & 0x0f
+    ~(sign | (exponent << 4) | mant) & 0xff
+  }
+
+  /** Canonical G.711 μ-law decode — bit-identical to the JDK codec on all
+    * 256 codes (probe-verified): magnitude = ((mant·8 + 132) << exp) − 132.
+    */
+  def ulaw2linear(u: Int): Int = {
+    val uu = (~u) & 0xff
+    val mag = ((((uu & 0x0f) << 3) + 132) << ((uu >> 4) & 7)) - 132
+    if ((uu & 0x80) != 0) -mag else mag
+  }
+
+  /** THE lossy-audio encode stage instance (wire name graft.ulaw_encode_v1):
+    * doc_id → RIFF/WAVE with format tag 7 (μ-law), 8 bits/sample — the
+    * telephony container. Hot path is the closed form (javax.sound's
+    * provider registry serializes under concurrency — the m06 α=1.31
+    * lesson); the JDK codec canaries the first row of every partition at
+    * SAMPLE level (byte-identical μ-law codes for in-range PCM).
+    */
+  val ulawEncodeFn: Iterator[IdRow] => Iterator[ImgRow] = rows => {
+    var canaryDone = false
+    rows.map { r =>
+      val pcm = pcmOf(r.doc_id)
+      val n = pcm.length / 2
+      val codes = new Array[Byte](n)
+      var k = 0
+      while (k < n) {
+        val s = ((pcm(2 * k) & 0xff) | (pcm(2 * k + 1) << 8)).toShort.toInt
+        if (s >= 32636 || s <= -32636)
+          throw new IllegalArgumentException(
+            s"sample $s in the JDK μ-law overflow region (|pcm| ≥ 32636 " +
+              s"encodes as garbage/silence) for doc ${r.doc_id}")
+        codes(k) = linear2ulaw(s).toByte
+        k += 1
+      }
+      if (!canaryDone) {
+        canaryDone = true
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val uFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+        val jdk = javax.sound.sampled.AudioSystem.getAudioInputStream(uFmt,
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)).readAllBytes()
+        if (!java.util.Arrays.equals(codes, jdk))
+          throw new IllegalStateException(
+            s"closed-form μ-law diverged from the JDK codec for doc ${r.doc_id}")
+      }
+      // RIFF with fmt tag 7: compressed formats also carry a fact chunk
+      // (sample count) per the RIFF spec
+      val out = java.nio.ByteBuffer.allocate(58 + n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(50 + n)
+        .put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(18)
+        .putShort(7)            // WAVE_FORMAT_MULAW
+        .putShort(1)            // mono
+        .putInt(8000)           // sample rate
+        .putInt(8000)           // byte rate (1 byte/sample)
+        .putShort(1)            // block align
+        .putShort(8)            // bits per sample
+        .putShort(0)            // cbSize (no extra format bytes)
+      out.put("fact".getBytes("US-ASCII")).putInt(4).putInt(n)
+      out.put("data".getBytes("US-ASCII")).putInt(n).put(codes)
+      ImgRow(r.doc_id, out.array())
+    }
+  }
+
+  /** THE lossy-audio decode stage instance (wire name graft.ulaw_decode_v1):
+    * μ-law WAV bytes → (n_samples, mean |decoded amplitude|) through a real
+    * chunk walk + the G.711 expansion; the JDK decoder canaries the first
+    * row of every partition (its ULAW→PCM conversion is bit-identical on
+    * all 256 codes). Loud on non-μ-law or truncated containers.
+    */
+  val ulawDecodeFn: Iterator[ImgRow] => Iterator[UlawFeature] = rows => {
+    var canaryDone = false
+    rows.map { r =>
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"$msg (doc ${r.doc_id})")
+      val buf = java.nio.ByteBuffer.wrap(r.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val t = new Array[Byte](4); buf.get(t); new String(t, "US-ASCII")
+      }
+      if (r.payload.length < 12 || tag() != "RIFF") fail("not a RIFF container")
+      buf.getInt
+      if (tag() != "WAVE") fail("not a WAVE form")
+      var fmtTag = -1; var bits = -1
+      var data: Array[Byte] = null
+      while (buf.remaining() >= 8) {
+        val ck = tag(); val len = buf.getInt
+        if (len < 0 || len > buf.remaining()) fail(s"truncated '$ck' chunk")
+        ck match {
+          case "fmt " =>
+            if (len < 16) fail("fmt chunk too short")
+            val p = buf.position()
+            fmtTag = buf.getShort & 0xffff
+            buf.getShort; buf.getInt; buf.getInt; buf.getShort
+            bits = buf.getShort & 0xffff
+            buf.position(p + len + (len & 1))
+          case "data" =>
+            data = new Array[Byte](len); buf.get(data)
+            if ((len & 1) == 1 && buf.remaining() > 0) buf.get
+          case _ => buf.position(buf.position() + len + (len & 1))
+        }
+      }
+      if (fmtTag != 7 || bits != 8) fail(s"not μ-law WAV (tag=$fmtTag bits=$bits)")
+      if (data == null) fail("missing data chunk")
+      var sum = 0L
+      var k = 0
+      while (k < data.length) {
+        sum += math.abs(ulaw2linear(data(k) & 0xff)); k += 1
+      }
+      if (!canaryDone) {
+        canaryDone = true
+        val uFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+        val pFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(pFmt,
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), uFmt, data.length.toLong))
+          .readAllBytes()
+        var jsum = 0L
+        var j = 0
+        while (j + 1 < dec.length) {
+          jsum += math.abs(((dec(j) & 0xff) | (dec(j + 1) << 8)).toShort.toInt)
+          j += 2
+        }
+        if (jsum != sum)
+          throw new IllegalStateException(
+            s"closed-form μ-law decode diverged from the JDK codec for doc ${r.doc_id}")
+      }
+      // exact integer sum divides once — no FP-order nondeterminism
+      UlawFeature(r.doc_id, data.length,
+        sum.toDouble / math.max(data.length, 1))
+    }
+  }
+
+  /** Decoded features of μ-law round-tripped audio (m11): the SECOND lossy
+    * codec — but unlike JPEG (m10), G.711 companding is a fixed piecewise
+    * mapping, so the oracle replays encode∘decode closed-form and the
+    * certification is EXACT, not tolerance-based. Together the two show
+    * both lossy-oracle methodologies a real multimodal corpus needs.
+    */
+  def ulawAudioFeatures(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long").as("doc_id")).as[IdRow]
+      .mapPartitions(ulawEncodeFn)
+      .mapPartitions(ulawDecodeFn).toDF()
+      .select(col("doc_id"), col("n_samples"),
+        round(col("mean_abs_q"), 6).as("mean_abs_q"))
+  }
+
   // ------------------------------------------------------------------ JPEG
 
   /** Deterministic synthetic JPEG parameters (m10): w ∈ {16,24,32},

@@ -106,6 +106,24 @@ object Stages {
         import spark.implicits._
         in.as[graft.ops.Multimodal.IdRow]
           .mapPartitions(graft.ops.Multimodal.jpegEncodeFn).toDF()
+      }),
+    // Multimodal.ulawEncodeFn: doc_id → μ-law (G.711) WAV payload, fmt
+    // tag 7 — lossy companding with an EXACT closed-form replay
+    "graft.ulaw_encode_v1" -> Stage(
+      Seq("doc_id"), 2,
+      (spark, in) => {
+        import spark.implicits._
+        in.as[graft.ops.Multimodal.IdRow]
+          .mapPartitions(graft.ops.Multimodal.ulawEncodeFn).toDF()
+      }),
+    // Multimodal.ulawDecodeFn: (doc_id, payload) → decoded
+    // (doc_id, n_samples, mean_abs_q)
+    "graft.ulaw_decode_v1" -> Stage(
+      Seq("doc_id", "payload"), 3,
+      (spark, in) => {
+        import spark.implicits._
+        in.as[graft.ops.Multimodal.ImgRow]
+          .mapPartitions(graft.ops.Multimodal.ulawDecodeFn).toDF()
       }))
 
   /** Producer-side reverse lookup by EXACT closure identity: each wire name
@@ -125,7 +143,9 @@ object Stages {
     graft.ops.Multimodal.imageResizeFn -> "graft.image_resize_v1",
     graft.ops.Multimodal.gifEncodeFn -> "graft.gif_encode_v1",
     graft.ops.Multimodal.gifFramesFn -> "graft.gif_frames_v1",
-    graft.ops.Multimodal.jpegEncodeFn -> "graft.jpeg_encode_v1")
+    graft.ops.Multimodal.jpegEncodeFn -> "graft.jpeg_encode_v1",
+    graft.ops.Multimodal.ulawEncodeFn -> "graft.ulaw_encode_v1",
+    graft.ops.Multimodal.ulawDecodeFn -> "graft.ulaw_decode_v1")
 
   def nameOf(func: AnyRef): Option[String] =
     byClosureInstance.collectFirst { case (f, n) if f eq func => n }

@@ -627,6 +627,61 @@ class OpsSpec extends SparkTestBase {
       e.getMessage)
   }
 
+  test("real μ-law (G.711): closed form == JDK codec in-range; overflow quirk pinned") {
+    import spark.implicits._
+    // decode: bit-identical to the JDK on ALL 256 codes
+    val uFmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val pFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val allCodes = Array.tabulate[Byte](256)(_.toByte)
+    val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(pFmt,
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(allCodes), uFmt, 256L)).readAllBytes()
+    (0 until 256).foreach { u =>
+      val jdk = ((dec(2 * u) & 0xff) | (dec(2 * u + 1) << 8)).toShort.toInt
+      assert(Multimodal.ulaw2linear(u) == jdk, s"decode code $u")
+    }
+    // encode: bit-identical to the JDK for the whole SAFE domain; the JDK
+    // OVERFLOWS for |pcm| >= 32636 (probe: +32636 -> 0xFF = silence,
+    // +32700 -> 247 non-monotone) — the closed form clips per G.711 there,
+    // and the pipeline loud-rejects that region instead of shipping either
+    val n = 65536
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val s = (i - 32768).toShort
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val enc = javax.sound.sampled.AudioSystem.getAudioInputStream(uFmt,
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), pFmt, n.toLong)).readAllBytes()
+    (0 until n).foreach { i =>
+      val s = i - 32768
+      if (s > -32636 && s < 32636)
+        assert(Multimodal.linear2ulaw(s) == (enc(i) & 0xff), s"encode pcm $s")
+    }
+    assert((enc(32636 + 32768) & 0xff) == 255, "JDK quirk: +32636 -> silence code")
+    // pipeline end-to-end: features match a direct per-sample replay
+    val rows = Multimodal.ulawAudioFeatures(spark, (0L until 16L).toDF("doc_id"))
+      .orderBy("doc_id").collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val ns = (64 + id % 129).toInt
+      assert(r.getInt(1) == ns, s"doc $id n_samples")
+      val exp = (0 until ns).map { k =>
+        val s = ((id * 7 + k * 13) % 2048 - 1024).toInt
+        math.abs(Multimodal.ulaw2linear(Multimodal.linear2ulaw(s)))
+      }.map(_.toLong).sum.toDouble / ns
+      assert(math.abs(r.getDouble(2) - exp) < 1e-6, s"doc $id mean_abs_q")
+    }
+    // corrupt payloads fail LOUDLY
+    val e = intercept[Exception] {
+      Seq((1L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")
+        .as[Multimodal.ImgRow].mapPartitions(Multimodal.ulawDecodeFn).count()
+    }
+    assert(e.getMessage.contains("RIFF") ||
+      e.getCause != null && e.getCause.getMessage.contains("RIFF"), e.getMessage)
+  }
+
   test("scene cuts: frame 0 opens, deltas match the clip-rule walk") {
     import spark.implicits._
     // doc 10: 4 frames of 2×5; per-frame mean luma from the pixel rule
