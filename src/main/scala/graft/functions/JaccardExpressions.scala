@@ -177,7 +177,18 @@ object JaccardFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "sorted_containment_ge",
         es => SortedContainmentGe(es(0), es(1), es(2)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bucket_jaccard_pairs",
+        es => BucketJaccardPairs(es(0), es(1)), "scala_udf")
     }
+  }
+
+  /** per-(block, size-bucket) inline prefix-filtered qualifying pairs
+    * (see BucketJaccardPairs) */
+  def bucketJaccardPairs(items: Column, threshold: Double): Column = {
+    ensureRegistered()
+    call_function("bucket_jaccard_pairs", items,
+      org.apache.spark.sql.functions.lit(threshold))
   }
 
   def sortedJaccardGe(a: Column, b: Column, threshold: Double): Column = {

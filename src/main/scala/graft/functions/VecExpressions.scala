@@ -344,7 +344,17 @@ object VecFunctions {
         }
         VecTopCells(es(0), es(1), es(2), k)
       }, "scala_udf")
+      reg.createOrReplaceTempFunction("cell_pairs",
+        es => CellPairs(es(0), es(1), es(2), es(3)), "scala_udf")
     }
+  }
+
+  /** per-quantizer-cell inline-verified qualifying pairs (see CellPairs) */
+  def cellPairs(items: Column, threshold: Double, targetOcc: Int,
+                probeCells: Int): Column = {
+    ensureRegistered()
+    call_function("cell_pairs", items, lit(threshold), lit(targetOcc),
+      lit(probeCells))
   }
 
   def vecTopCells(vec: Column, cents: Column, ids: Column, k: Int): Column = {

@@ -385,27 +385,19 @@ object Dedup {
       .groupBy("blk", "szb")
       // sort by id (the struct's first field) so pairs come out id_a < id_b
       .agg(sort_array(collect_list(col("it"))).as("items"))
-      // two chained generators stream the pairs through whole-stage codegen —
-      // no all-pairs array (with shingle payloads) is ever materialized
-      .select(col("blk"), col("items"), posexplode(col("items")).as(Seq("i", "x")))
-      .select(col("blk"), col("x"),
-        explode(expr("slice(items, i + 2, size(items))")).as("y"))
-      // the exactly-once emission rule for the size buckets (see above)
-      .filter(!(col("x.guest") && col("y.guest")))
-      // size-ratio prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
-      // failing the ratio can never reach the threshold — the expensive
-      // intersect runs only on survivors (output provably unchanged)
-      .filter(least(col("x.sz"), col("y.sz")).cast("double") /
-        greatest(col("x.sz"), col("y.sz")) >= threshold)
-      // per-pair check = the early-terminating sorted merge-scan kernel
-      // (functions.SortedJaccardGe) over the per-doc sorted hashed shingles:
-      // zero allocation, bails once the jaccard bound falls below threshold
-      .select(col("blk"), col("x.jid").as("id_a"), col("y.jid").as("id_b"),
-        graft.functions.JaccardFunctions
-          .sortedJaccardGe(col("x.sh"), col("y.sh"), threshold).as("jac"))
-      .filter(col("jac").isNotNull)
-      .select(col("blk"), col("id_a"), col("id_b"),
-        round(col("jac"), 6).as("jaccard"))
+      // each bucket emits its qualifying pairs from ONE codegen'd kernel
+      // call (functions.BucketJaccardPairs): guest/guest exclusion,
+      // size-ratio prefilter and the early-terminating merge-scan verify
+      // exactly as before, but candidate generation switches from the
+      // m²/2 in-bucket combination stream to an IN-TASK rarest-first
+      // prefix-filter index once a bucket passes 64 members — the former
+      // tail's quadratic term is what turned linear growth inside a fixed
+      // (lang, source, size-bucket) key into segment α ≈ 1.6–2.0 at the
+      // 100× rehearsal
+      .select(col("blk"), explode(graft.functions.JaccardFunctions
+        .bucketJaccardPairs(col("items"), threshold)).as("p"))
+      .select(col("blk"), col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        round(col("p.jaccard"), 6).as("jaccard"))
   }
 
   /** EXACT all-pairs Jaccard join via prefix filtering (Chaudhuri/Bayardo

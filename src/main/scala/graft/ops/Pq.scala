@@ -68,34 +68,10 @@ object Pq {
   /** Deterministic Lloyd's: evenly-spaced initial centroids over the
     * id-sorted sample; a cluster that empties keeps its previous centroid.
     */
-  private[ops] def lloyd(pts: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
-    val n = pts.length
-    val d = pts(0).length
-    var cents = Array.tabulate(math.min(k, n))(i => pts((i.toLong * n / k).toInt % n).clone())
-    if (cents.length < k) cents ++= Array.fill(k - cents.length)(cents(0).clone())
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(k)(new Array[Double](d))
-      val counts = new Array[Long](k)
-      pts.foreach { p =>
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < k) {
-          var dist = 0.0; var i = 0
-          val cent = cents(c)
-          while (i < d) { val t = p(i) - cent(i); dist += t * t; i += 1 }
-          if (dist < bestD) { bestD = dist; best = c }
-          c += 1
-        }
-        val s = sums(best); var i = 0
-        while (i < d) { s(i) += p(i); i += 1 }
-        counts(best) += 1
-      }
-      cents = Array.tabulate(k)(c =>
-        if (counts(c) == 0) cents(c)
-        else sums(c).map(_ / counts(c)))
-    }
-    cents
-  }
+  // canonical kernel moved to functions.KmeansKernel so the per-cell
+  // sub-quantizer (functions.CellPairsKernel) can run it inside a task
+  private[ops] def lloyd(pts: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] =
+    graft.functions.KmeansKernel.lloyd(pts, k, iters)
 
   /** squared L2 between two array<double> columns via HOF fold (used under
     * lambda binders, where the codegen'd kernel's Column API can't reach) */

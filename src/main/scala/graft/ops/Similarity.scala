@@ -264,16 +264,22 @@ object Similarity {
     * pair blowup. Output: (id_a, id_b, sim) with id_a < id_b.
     *
     * Shuffle budget: centroid training reads a sample; assignment is one
-    * narrow map (centroids are literals); one wide shuffle groups 8-byte ids
-    * by cell (vectors never ride it); the verify joins' build side is the
-    * candidate pair list, which AQE broadcasts.
+    * narrow map (centroids are literals / a broadcast fine table); ONE wide
+    * shuffle groups (id, vec) members by cell — corpus × probeCells vector
+    * bytes, the only time vectors move — and each cell verifies its pairs
+    * inline in the codegen'd cell_pairs kernel, so no unverified candidate
+    * ever rides a shuffle. Cells above 8× the occupancy target are split
+    * in-task by a recursive local sub-quantizer trained on the cell's own
+    * members (no driver sample cap), keeping in-cell candidate volume
+    * ∝ occ·targetOcc under any skew the top-level quantizer missed.
     */
   def semanticNearDups(df: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        threshold: Double = 0.8, nlist: Int = 0,
                        probeCells: Int = 2, trainSampleFraction: Double = 1.0,
                        seed: Long = 42L, maxBucket: Int = 10000,
-                       corpusSizeHint: Long = 0L): DataFrame = {
+                       corpusSizeHint: Long = 0L,
+                       targetOcc: Int = 32): DataFrame = {
     // nlist=0 → derive from corpus size so cell occupancy (and with it the
     // quadratic in-cell pair count) stays bounded as the corpus grows —
     // the same self-sizing contract as lshNearDups' plane count. ~32
@@ -284,11 +290,21 @@ object Similarity {
     // the second probe cell covers boundary straddles, certified by the
     // exact-completeness oracles at both gated SFs and the planted-twin
     // spec on the two-level path).
+    //
+    // CAPPED at 4096: the quantizer trains on a ≤16,384-row driver-side
+    // sample, and minting nlist ≈ sample-size centroids starves every cell
+    // of training points — the 100× rehearsal measured maxOcc 3199 against
+    // avg 35 from exactly that starvation (12,500 cells from 16,384
+    // samples). Past the cap, occupancy grows with the corpus and the
+    // in-task recursive sub-quantizer in the cell_pairs kernel (trained on
+    // each cell's OWN members, no sample cap) keeps the in-cell candidate
+    // volume ∝ occ·targetOcc — the knob that scales is now per-cell and
+    // distributed, not the driver sample.
     val cells =
       if (nlist > 0) nlist
       else {
         val n = math.max(if (corpusSizeHint > 0) corpusSizeHint else df.count(), 1L)
-        math.max(16, math.ceil(n / 32.0).toInt)
+        math.min(4096, math.max(16, math.ceil(n / targetOcc.toDouble).toInt))
       }
     val vecs = df.select(col(idCol).as("nd_id"), asDouble(col(vecCol)).as("nd_vec"))
       .repartition(col("nd_id"))
@@ -341,18 +357,40 @@ object Similarity {
           .filter(col("__rn") <= probeCells)
           .select("nd_id", "cell")
       }
-    val candidates = bucketed
+    // env-gated rehearsal instrumentation (GRAFT_S07_DEBUG): occupancy and
+    // candidate-volume stats, the numbers scale diagnoses need
+    if (sys.env.contains("GRAFT_S07_DEBUG")) {
+      val t0 = System.nanoTime()
+      val occ = bucketed.groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("cells"), avg(col("n")).as("avg"),
+          max(col("n")).as("max"),
+          sum(col("n") * (col("n") - 1) / 2).as("pairsUB")).head()
+      println(s"[s07debug] cellsRequested=$cells cellsUsed=${occ.get(0)} " +
+        s"avgOcc=${occ.get(1)} maxOcc=${occ.get(2)} inCellPairsUB=${occ.get(3)} " +
+        f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+    }
+    // Inline verify: members ride the ONE cell shuffle with their vectors
+    // and each cell emits its qualifying pairs directly from the codegen'd
+    // cell_pairs kernel (recursive in-task sub-quantization above
+    // 8×targetOcc occupancy — see CellPairsKernel). The former shape
+    // materialized the candidate PAIR list and joined it back to vectors
+    // twice; the second join shuffled (pair, vec_a) rows — ~70 M × 1 KB at
+    // the 100× rehearsal, 300 s of shuffle for 9 GFLOP of actual cosine
+    // work. Now vector bytes move once (corpus × probeCells), pairs never
+    // ride a shuffle unverified, and the final distinct only sees
+    // qualifying output (multi-probe duplicates collapse there — the same
+    // pair verified in two cells yields bit-identical sim).
+    bucketed
+      .join(vecs, "nd_id")
+      .select(col("cell"), struct(col("nd_id"), col("nd_vec")).as("it"))
       .groupBy("cell")
-      .agg(sort_array(collect_list(col("nd_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-      .select(explode(Dedup.sortedPairs("ids")).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .agg(sort_array(collect_list(col("it"))).as("items"))
+      .filter(size(col("items")) >= 2 && size(col("items")) <= maxBucket)
+      .select(explode(graft.functions.VecFunctions
+        .cellPairs(col("items"), threshold, targetOcc, probeCells)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sim").as("sim"))
       .distinct()
-    candidates
-      .join(vecs.select(col("nd_id").as("id_a"), col("nd_vec").as("vec_a")), "id_a")
-      .join(vecs.select(col("nd_id").as("id_b"), col("nd_vec").as("vec_b")), "id_b")
-      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
-      .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 

@@ -873,11 +873,12 @@ object Consumer {
           // the session function registry; graft's vector kernels register
           // themselves on first use so foreign plans naming them resolve too
           case other if Producer.namedScalarFns.contains(other) =>
-            if (other.startsWith("vec_"))
+            if (other.startsWith("vec_") || other == "cell_pairs")
               graft.functions.VecFunctions.ensureSessionRegistered()
             if (other == "simhash64")
               graft.functions.MinHashFunctions.ensureSessionRegistered()
-            if (other == "sorted_jaccard_ge" || other == "sorted_containment_ge")
+            if (other == "sorted_jaccard_ge" || other == "sorted_containment_ge" ||
+                other == "bucket_jaccard_pairs")
               graft.functions.JaccardFunctions.ensureSessionRegistered()
             if (other.startsWith("bpe_count"))
               graft.functions.BpeFunctions.ensureSessionRegistered()

@@ -1768,8 +1768,9 @@ object Producer {
     "try_add", "try_subtract", "try_multiply", "try_divide", "try_mod",
     // graft's own codegen'd vector kernels — session-registered functions,
     // carried as substrait extension functions by name
-    "vec_dot", "vec_cosine", "vec_l2sq", "simhash64", "sorted_jaccard_ge",
-    "sorted_containment_ge", "bpe_count", "bpe_count_v2",
+    "vec_dot", "vec_cosine", "vec_l2sq", "cell_pairs", "simhash64",
+    "sorted_jaccard_ge",
+    "sorted_containment_ge", "bucket_jaccard_pairs", "bpe_count", "bpe_count_v2",
     "pq_encode", "pq_adc",
     "might_contain", "cms_estimate_long", "cms_inner_product",
     "freq_estimate_long", "freq_lower_bound_long", "freq_upper_bound_long",

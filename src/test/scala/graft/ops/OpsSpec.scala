@@ -83,6 +83,38 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("prefix-filter branch (bucket > 64 members) equals exact all-pairs") {
+    // 300 same-length-class docs in ONE (lang, size-bucket) — far above the
+    // kernel's 64-member cut, so candidates MUST come from the in-task
+    // rarest-first prefix index (the 100×-rehearsal scale path), not the
+    // all-pairs loop. Output must equal the exact crossJoin ground truth.
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    def doc(): String =
+      Seq.fill(24 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 150).map(i => (i.toLong, doc()))
+    // plant near-dups: a twin with one token appended
+    val rows = base ++ base.take(60).map { case (i, t) => (i + 1000L, t + " omega") }
+    import spark.implicits._
+    val df = rows.toDF("doc_id", "text").withColumn("lang", lit("x"))
+    for (t <- Seq(0.12, 0.4, 0.75)) {
+      val sh = df.select(col("doc_id"), Dedup.shingles("text", 3).as("g"))
+      val a = sh.select(col("doc_id").as("id_a"), col("g").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("g").as("sh_b"))
+      val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("j", Dedup.jaccardCol("sh_a", "sh_b"))
+        .filter(col("j") >= t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+          blockCols = Seq("lang"), threshold = t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == exact, s"t=$t: missed ${exact -- got}, extra ${got -- exact}")
+    }
+  }
+
   test("size-bucketed pairs are emitted exactly once (no dup from the guest copies)") {
     val rows = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       blockCols = Seq("lang"), threshold = 0.1)
@@ -140,6 +172,31 @@ class OpsSpec extends SparkTestBase {
       .filter(col("sim") >= 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = Similarity.semanticNearDups(u, threshold = 0.8, nlist = 128,
+        probeCells = 2, seed = 42L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact, s"missed ${exact -- got}, extra ${got -- exact}")
+  }
+
+  test("hot-cell sub-quantizer path stays exact (nlist=1 forces a 640-member cell)") {
+    // nlist=1 throws EVERY vector into one cell — 640 members, far above
+    // the 8×32 split bound, so the cell_pairs kernel MUST run its recursive
+    // in-task sub-quantizer (the 100×-rehearsal scale path: a skewed or
+    // sample-starved top level handing the kernel a hot cell). Output must
+    // still equal exact all-pairs: twins meet through level-2 multi-probe.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(320)(Seq.fill(16)(rnd.nextGaussian()))
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      base.zipWithIndex.map { case (v, i) => (i.toLong + 1000L, v.map(_ * 1.0001)) }
+    val df = rows.toDF("vec_id", "embedding")
+    val a = df.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = df.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 320, "fixture must plant at least the twin pairs")
+    val got = Similarity.semanticNearDups(df, threshold = 0.99, nlist = 1,
         probeCells = 2, seed = 42L)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == exact, s"missed ${exact -- got}, extra ${got -- exact}")
