@@ -70,7 +70,10 @@ object SparkEntry {
     // Certified on a fixture whose qualifying pairs are exact text copies
     // (hamming 0, provably covered): each doc's tokens interleave with a
     // doc-unique salt token, so every shingle contains the salt and
-    // cross-doc jaccard is 0; the planted twin (id+100000) copies the
+    // cross-doc jaccard is 0; the planted twin (id+100000000 — offset safely
+    // above any doc_id at EVERY rehearsal scale; +100000 collided with base
+    // ids once the 100x fixture passed 100k docs and the "pair" counts were
+    // junk) copies the
     // salted text verbatim → jaccard 1. Output = exactly the planted pairs,
     // certified by the DuckDB all-pairs oracle and complete BY CONSTRUCTION.
     // This is the knob setting that scales: 65,536 bucket values per chunk
@@ -84,7 +87,7 @@ object SparkEntry {
         .select(col("doc_id"),
           expr("array_join(flatten(transform(split(lower(text), ' '), " +
             "w -> array(w, concat('s', cast(doc_id AS STRING))))), ' ')").as("text"))
-      val twins = salted.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val twins = salted.select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
       ops.Dedup.simhashVerifiedNearDups(salted.unionAll(twins),
           threshold = 0.9, numChunks = 4, maxHamming = 3)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -307,13 +310,13 @@ object SparkEntry {
     // each vector gets a deterministically perturbed twin (per-element scale
     // 1 + 0.002·((i mod 5) − 2), identical double arithmetic in DuckDB), at
     // cosine ≈ 0.99998 to its source. At threshold 0.8 the LSH output is
-    // exactly the 500 planted (id, id+100000) pairs — certified against the
+    // exactly the 500 planted (id, id+100000000) pairs — certified against the
     // exact all-pairs oracle; miss probability per pair ≈ 3e-12 with 6×6
     // sign-LSH, and the seeded hyperplanes make the result deterministic.
     "d05_embedding_neardup" -> ((s, dir) => rt(s, {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val twin = e.select((col("vec_id") + 100000L).as("vec_id"),
+      val twin = e.select((col("vec_id") + 100000000L).as("vec_id"),
         expr("transform(embedding, (x, i) -> x * (1.0D + 0.002D * ((i % 5) - 2)))")
           .as("embedding"))
       // the plane-count sizing hint is a cheap COUNT(*) over the RAW parquet
@@ -459,7 +462,7 @@ object SparkEntry {
     "s07_semantic_dedup" -> ((s, dir) => rt(s, {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val twin = e.select((col("vec_id") + 100000L).as("vec_id"),
+      val twin = e.select((col("vec_id") + 100000000L).as("vec_id"),
         expr("transform(embedding, (x, i) -> x * (1.0D + 0.002D * ((i % 5) - 2)))")
           .as("embedding"))
       // corpus-derived nlist (~128 vectors/cell): the hint is a cheap
@@ -2503,7 +2506,7 @@ object SparkEntry {
     // (double widening + per-element scale) is bit-identical in both engines
     "d05_embedding_neardup" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |twin AS (SELECT vec_id + 100000 AS vec_id,
+        |twin AS (SELECT vec_id + 100000000 AS vec_id,
         |  [v[i] * (1.0 + 0.002 * (((i - 1) % 5) - 2)) for i in range(1, len(v) + 1)] AS v
         |  FROM base),
         |u AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
@@ -2524,7 +2527,7 @@ object SparkEntry {
         |sal AS (SELECT doc_id, flatten([[toks[i], 's' || CAST(doc_id AS VARCHAR)]
         |  for i in range(1, len(toks) + 1)]) AS tk FROM s0),
         |u AS (SELECT doc_id, tk FROM sal
-        |  UNION ALL SELECT doc_id + 100000 AS doc_id, tk FROM sal),
+        |  UNION ALL SELECT doc_id + 100000000 AS doc_id, tk FROM sal),
         |sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
         |  ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) END AS g
         |  FROM u),
@@ -2924,7 +2927,7 @@ object SparkEntry {
     // precision and the twins' co-clustering (multi-probe 2) pins recall
     "s07_semantic_dedup" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |twin AS (SELECT vec_id + 100000 AS vec_id,
+        |twin AS (SELECT vec_id + 100000000 AS vec_id,
         |  [v[i] * (1.0 + 0.002 * (((i - 1) % 5) - 2)) for i in range(1, len(v) + 1)] AS v
         |  FROM base),
         |u AS (SELECT * FROM base UNION ALL SELECT * FROM twin),

@@ -23,7 +23,7 @@ object GateCheck {
     // ---- s07 vs exact all-pairs cosine over the planted-twin corpus ----
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val twin = e.select((col("vec_id") + 100000L).as("vec_id"),
+    val twin = e.select((col("vec_id") + 100000000L).as("vec_id"),
       expr("transform(embedding, (x, i) -> x * (1.0D + 0.002D * ((i % 5) - 2)))")
         .as("embedding"))
     val u = e.unionAll(twin)
