@@ -168,13 +168,13 @@ object SparkEntry {
 
     // exact directed shingle-containment pairs (|A∩B|/|A| ≥ 0.9): the
     // near-SUPERSET detector jaccard misses (B = A + extra content).
-    // Fixture plants supersets: every 7th doc gets an id+200000 twin with
+    // Fixture plants supersets: every 7th doc gets an id+200000000 twin with
     // an appended tail, so original→twin containment is exactly 1.0; the
     // DuckDB all-ordered-pairs oracle certifies precision AND recall.
     "d15_containment_pairs" -> ((s, dir) => rt(s, {
       val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val ext = base.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 200000L).as("doc_id"),
+        .select((col("doc_id") + 200000000L).as("doc_id"),
           concat(col("text"),
             lit(" zq xv extension tail tokens appended here")).as("text"))
       ops.Dedup.containmentPairs(base.unionAll(ext), "doc_id", "text",
@@ -217,7 +217,7 @@ object SparkEntry {
     "d17_graph_rank" -> ((s, dir) => {
       val pairs = t(s, dir, "lineitem")
         .select(col("l_suppkey").cast("long").as("id_a"),
-          (col("l_partkey").cast("long") + 1000000L).as("id_b"))
+          (col("l_partkey").cast("long") + 1000000000L).as("id_b"))
         .distinct()
       ops.Dedup.graphRank(pairs, stepThroughWire = true).orderBy("node")
     }),
@@ -2656,7 +2656,7 @@ object SparkEntry {
     // IEEE division
     "d17_graph_rank" ->
       """WITH pr AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS id_a,
-        |    CAST(l_partkey AS BIGINT) + 1000000 AS id_b FROM lineitem),
+        |    CAST(l_partkey AS BIGINT) + 1000000000 AS id_b FROM lineitem),
         |e AS (SELECT id_a AS u, id_b AS v FROM pr
         |      UNION SELECT id_b, id_a FROM pr),
         |dg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
@@ -2696,7 +2696,7 @@ object SparkEntry {
     // denominator len(a.g)
     "d15_containment_pairs" ->
       """WITH u AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 200000,
+        |  UNION ALL SELECT doc_id + 200000000,
         |    text || ' zq xv extension tail tokens appended here'
         |  FROM documents WHERE doc_id % 7 = 0),
         |s AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM u),

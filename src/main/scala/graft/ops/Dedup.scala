@@ -337,10 +337,20 @@ object Dedup {
     * distribution as the corpus grows, and the per-task memory of the
     * collect_list group drops to O(bucket), not O(block).
     */
+  /** `bigBucket`: buckets above this member count leave the collect_list
+    * kernel path — whose per-task memory is O(bucket) — for a SHUFFLE-based
+    * per-bucket prefix join with O(1) per-task state (the d12 machinery
+    * keyed by (blk, szb, gram)). At the default 65,536 a group tops out
+    * around ~35 MB of hashed shingles; beyond that a single aggregation
+    * buffer would become the job's memory cliff at extreme corpus scale.
+    * Output is identical on either path (same prefix-completeness theorem,
+    * same emission rules, same verify kernel).
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], shingleSize: Int = 3,
                         threshold: Double = 0.1,
-                        sizeBucketing: Boolean = true): DataFrame = {
+                        sizeBucketing: Boolean = true,
+                        bigBucket: Int = 65536): DataFrame = {
     val blk = concat_ws("|", blockCols.map(col): _*)
     // One shuffle total: each block collects its (id, shingles) members and
     // emits its own ordered pairs — the same in-bucket explosion the LSH
@@ -379,7 +389,25 @@ object Dedup {
           .select(col("blk"), col("bg.szb").as("szb"),
             col("jid"), col("sh"), col("sz"), col("bg.guest").as("guest"))
       } else s.withColumn("szb", lit(0)).withColumn("guest", lit(false))
-    bucketed
+    // Route OVERSIZED user blocks away from the collect_list kernel BEFORE
+    // building the plan: a one-job, column-pruned count over the block key
+    // (no text read, no shingling) finds blocks that could overflow the
+    // kernel's O(bucket) aggregation buffer — a single group's buffer never
+    // spills, so an extreme block is a hard OOM cliff, not a slowdown. The
+    // common case (every block under the cut) keeps EXACTLY the single
+    // kernel-path plan: the first cut of this routing used an in-plan
+    // window over (blk, szb) + union, and the consumed wire plan re-derived
+    // the whole shingle pipeline 4–6× (no exchange reuse across rebuilt
+    // branches) — 3× the operator cost at gated scales for a path that
+    // only matters at extreme ones. A block count is an upper bound spread
+    // over its size-buckets (home+guest ≤ 2× membership), hence the /2.
+    // Plan-build-time count precedent: d05's corpusSizeHint.
+    val bigBlks: Seq[String] =
+      if (!(sizeBucketing && threshold > 0.0 && threshold < 1.0)) Nil
+      else df.select(blk.as("blk")).groupBy("blk").agg(count(lit(1)).as("m"))
+        .filter(col("m") > bigBucket / 2)
+        .collect().map(_.getString(0)).toSeq
+    def kernelPairs(in: DataFrame): DataFrame = in
       .select(col("blk"), col("szb"),
         struct(col("jid"), col("sh"), col("sz"), col("guest")).as("it"))
       .groupBy("blk", "szb")
@@ -388,16 +416,69 @@ object Dedup {
       // each bucket emits its qualifying pairs from ONE codegen'd kernel
       // call (functions.BucketJaccardPairs): guest/guest exclusion,
       // size-ratio prefilter and the early-terminating merge-scan verify
-      // exactly as before, but candidate generation switches from the
-      // m²/2 in-bucket combination stream to an IN-TASK rarest-first
-      // prefix-filter index once a bucket passes 64 members — the former
-      // tail's quadratic term is what turned linear growth inside a fixed
+      // exactly as the former SQL tail, but candidate generation switches
+      // from the m²/2 in-bucket combination stream to an IN-TASK
+      // rarest-first prefix-filter index once a bucket passes 64 members —
+      // the quadratic term that turned linear growth inside a fixed
       // (lang, source, size-bucket) key into segment α ≈ 1.6–2.0 at the
       // 100× rehearsal
       .select(col("blk"), explode(graft.functions.JaccardFunctions
         .bucketJaccardPairs(col("items"), threshold)).as("p"))
       .select(col("blk"), col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         round(col("p.jaccard"), 6).as("jaccard"))
+    if (bigBlks.isEmpty) kernelPairs(bucketed)
+    else {
+      // Shuffle path for the oversized blocks: the SAME prefix-filter
+      // construction expressed relationally — per-bucket gram frequencies,
+      // rarest-first per-doc prefixes, candidates from a
+      // (blk, szb, gram)-keyed self-join, the identical emission rules,
+      // and the verify joining each doc's sorted shingles back onto
+      // surviving candidates. Wide shuffles carry 8-byte grams and bare id
+      // pairs; O(1) per-task state. A qualifying pair still surfaces in
+      // exactly ONE bucket (the home/guest exactly-once rule is
+      // bucket-local), so no cross-path dedup is needed beyond the
+      // per-block candidate distinct.
+      val big = bucketed.filter(col("blk").isin(bigBlks: _*))
+      val ex = big.select(col("blk"), col("szb"), col("jid"), col("sz"),
+        col("guest"), explode(col("sh")).as("gram"))
+      val freq = ex.groupBy("blk", "szb", "gram")
+        .agg(count(lit(1)).as("freq"))
+      // per-doc prefix: sz − ⌈t·sz⌉ + 1 rarest grams in the bucket's own
+      // (freq, gram) total order — the same formula and slack as the
+      // kernel and prefixFilterJaccardPairs
+      val prefLen = (col("sz") -
+        ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
+      val pref = ex.join(freq, Seq("blk", "szb", "gram"))
+        .groupBy("blk", "szb", "jid", "sz", "guest")
+        .agg(array_sort(collect_list(struct(col("freq"), col("gram"))))
+          .as("ord"))
+        .select(col("blk"), col("szb"), col("jid"), col("sz"), col("guest"),
+          explode(slice(transform(col("ord"), x => x.getField("gram")),
+            lit(1), prefLen)).as("gram"))
+      val cand = pref.select(col("blk"), col("szb"), col("gram"),
+          col("jid").as("id_a"), col("sz").as("sz_a"), col("guest").as("g_a"))
+        .join(pref.select(col("blk"), col("szb"), col("gram"),
+          col("jid").as("id_b"), col("sz").as("sz_b"), col("guest").as("g_b")),
+          Seq("blk", "szb", "gram"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(!(col("g_a") && col("g_b")))
+        .filter(least(col("sz_a"), col("sz_b")).cast("double") /
+          greatest(col("sz_a"), col("sz_b")) >= threshold)
+        .select("blk", "id_a", "id_b").distinct()
+      val g = s.filter(col("blk").isin(bigBlks: _*))
+        .select(col("jid"), col("sh"))
+      val bigPairs = cand
+        .join(g.select(col("jid").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(g.select(col("jid").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("blk"), col("id_a"), col("id_b"),
+          graft.functions.JaccardFunctions
+            .sortedJaccardGe(col("sh_a"), col("sh_b"), threshold).as("jac"))
+        .filter(col("jac").isNotNull)
+        .select(col("blk"), col("id_a"), col("id_b"),
+          round(col("jac"), 6).as("jaccard"))
+      kernelPairs(bucketed.filter(!col("blk").isin(bigBlks: _*)))
+        .unionAll(bigPairs)
+    }
   }
 
   /** EXACT all-pairs Jaccard join via prefix filtering (Chaudhuri/Bayardo

@@ -223,28 +223,30 @@ object Similarity {
         // and the d05 oracle re-certifies recall exactly.
         math.max(6, math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt)
       }
-    // no persist: each use re-scans the (columnar, pruned) source instead of
-    // caching a corpus-sized vector table that would spill at scale
+    // single-reference now (inline verify): no repartition — the old shape
+    // pre-partitioned by id for the two verify joins this path no longer has
     val vecs = df.select(col(idCol).as("nd_id"), asDouble(col(vecCol)).as("nd_vec"))
-      .repartition(col("nd_id"))
-    val bucketed = vecs.select(col("nd_id"),
-      explode(lshBucketArray(col("nd_vec"), tables, planes, dim)).as("bucket"))
-    // one shuffle: each bucket collects its member ids and emits its own
-    // ordered pairs (candidate generation shuffles 8-byte ids, never vectors);
-    // distinct dedups the union over tables, then the fixed-width vectors
-    // re-join only for the exact-cosine verify of surviving pairs.
-    val candidates = bucketed
+    // one shuffle: members ride the table-bucket group WITH their vectors
+    // and each bucket verifies its pairs inline in the cell_pairs kernel
+    // (targetOcc = maxBucket ⇒ the kernel's sub-quantizer never engages —
+    // LSH occupancy is already controlled by the derived plane count); the
+    // distinct dedups the union over tables on QUALIFYING output only. The
+    // former shape materialized tables × n × occ/2 candidate pairs and
+    // joined them back to vectors twice — the second join shuffled
+    // (pair, vec_a) rows, the same disease the 100× rehearsal exposed in
+    // semanticNearDups (s07 983.8 → 32.7 s solo); here the moved bytes
+    // drop from ~candidates × 1 KB to corpus × tables × 1 KB.
+    vecs.select(
+        explode(lshBucketArray(col("nd_vec"), tables, planes, dim)).as("bucket"),
+        struct(col("nd_id"), col("nd_vec")).as("it"))
       .groupBy("bucket")
-      .agg(sort_array(collect_list(col("nd_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-      .select(explode(Dedup.sortedPairs("ids")).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .agg(sort_array(collect_list(col("it"))).as("items"))
+      .filter(size(col("items")) >= 2 && size(col("items")) <= maxBucket)
+      .select(explode(graft.functions.VecFunctions
+        .cellPairs(col("items"), threshold, maxBucket, 1)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sim").as("sim"))
       .distinct()
-    candidates
-      .join(vecs.select(col("nd_id").as("id_a"), col("nd_vec").as("vec_a")), "id_a")
-      .join(vecs.select(col("nd_id").as("id_b"), col("nd_vec").as("vec_b")), "id_b")
-      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
-      .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 

@@ -115,6 +115,27 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("big-bucket shuffle path (bigBucket cut) equals the kernel path") {
+    // bigBucket=10 forces EVERY real bucket through the shuffle-based
+    // prefix join (the extreme-scale escape from O(bucket) collect_list
+    // memory); output must be identical to the default kernel path at
+    // thresholds spanning coarse and fine size-buckets
+    for (t <- Seq(0.1, 0.3, 0.7)) {
+      def run(cut: Int) =
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+            blockCols = Seq("lang"), threshold = t, bigBucket = cut)
+          .select("blk", "id_a", "id_b", "jaccard").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val kernel = run(Int.MaxValue)
+      val shuffle = run(10)
+      assert(kernel.length == kernel.distinct.length, "kernel path emitted dups")
+      assert(shuffle.length == shuffle.distinct.length, "shuffle path emitted dups")
+      assert(kernel.toSet == shuffle.toSet,
+        s"t=$t: shuffle path lost ${kernel.toSet -- shuffle.toSet}, " +
+          s"invented ${shuffle.toSet -- kernel.toSet}")
+    }
+  }
+
   test("size-bucketed pairs are emitted exactly once (no dup from the guest copies)") {
     val rows = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       blockCols = Seq("lang"), threshold = 0.1)

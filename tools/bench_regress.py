@@ -89,9 +89,25 @@ def main():
     print(f"bench_regress: {len(shared)} shared queries "
           f"(baseline {len(base_q)}, fresh {len(fresh_q)})")
 
+    # Whole-box drift normalizer: when the BOX is uniformly slower than it
+    # was at snapshot time, every query's ratio inflates together and the
+    # solo re-run CONFIRMS the drift instead of refuting it (measured
+    # 2026-08-15: untouched reference queries read 1.2-1.9x their morning
+    # baselines in the same afternoon run; a provably code-identical query
+    # was "solo-confirmed" at 1.64x). The median per-query ratio over ALL
+    # shared queries estimates the drift; a genuine single-query regression
+    # cannot move the median of ~180 rows. Suspects are judged on their
+    # drift-NORMALIZED ratio.
+    ratios = sorted(fresh_q[q] / base_q[q] for q in shared if base_q[q] > 0)
+    drift = ratios[len(ratios) // 2] if ratios else 1.0
+    drift = max(drift, 1.0)  # a faster box never excuses a slow query
+    if drift > 1.1:
+        print(f"bench_regress: box drift detected — median shared-query "
+              f"ratio {drift:.2f}x; thresholds scaled accordingly")
+
     suspects = []
     for q in shared:
-        old, new = base_q[q], fresh_q[q]
+        old, new = base_q[q] * drift, fresh_q[q]
         if new > old * RATIO and new - old > ABS_FLOOR:
             # the in-run solo map may already refute it
             solo = solo_map.get(q)
