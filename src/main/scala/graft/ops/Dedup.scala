@@ -308,6 +308,16 @@ object Dedup {
     * deterministic — certified by the exact string-shingle oracles.
     */
   private[ops] def sortedHashedShingles(textCol: String, k: Int): org.apache.spark.sql.Column =
+    // fused single-pass kernel (functions.ShingleKernel) — array-identical
+    // to the five-expression SQL formulation it replaces (the spec asserts
+    // it), which re-materialized string arrays on every reference and was
+    // 26 s/pass × up to 4 passes of d15's 95 s at the 100× rehearsal
+    graft.functions.ShingleFunctions.shingleHashes(col(textCol), k)
+
+  /** the SQL-composition reference implementation of
+    * [[sortedHashedShingles]] — kept as the spec oracle proving the fused
+    * kernel computes array-identical output */
+  private[ops] def sortedHashedShinglesComposed(textCol: String, k: Int): org.apache.spark.sql.Column =
     array_sort(transform(shingles(textCol, k), x => xxhash64(x)))
 
   /** exact Jaccard over two distinct-element array columns */

@@ -880,6 +880,8 @@ object Consumer {
             if (other == "sorted_jaccard_ge" || other == "sorted_containment_ge" ||
                 other == "bucket_jaccard_pairs")
               graft.functions.JaccardFunctions.ensureSessionRegistered()
+            if (other == "shingle_hashes")
+              graft.functions.ShingleFunctions.ensureSessionRegistered()
             if (other.startsWith("bpe_count"))
               graft.functions.BpeFunctions.ensureSessionRegistered()
             if (other.startsWith("freq_"))

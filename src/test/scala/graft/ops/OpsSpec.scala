@@ -83,6 +83,31 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("fused shingle_hashes kernel == the SQL composition, byte for byte") {
+    // the kernel hashes gram byte-ranges of lower(text) in place; it must
+    // reproduce array_sort(transform(shingles(text,k), xxhash64)) EXACTLY —
+    // including split's limit=-1 semantics (trailing/consecutive-space
+    // empty tokens), the size<k whole-string gram, unicode, and empty text
+    import spark.implicits._
+    val adversarial = Seq(
+      "", " ", "  ", "a", "a ", " a", "a  b", "a b ", " a b",
+      "the the the the", "ONE Two thrEE four FIVE six",
+      "tab\there newline\nthere", "héllo wörld ünïcode tèxt mixed",
+      "exact duplicate window exact duplicate window exact",
+      "a b c", "a b c d", "x " * 50 + "tail")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val advDf = adversarial.toDF("doc_id", "text")
+    for ((df, what) <- Seq((docs.select("doc_id", "text"), "documents fixture"),
+                           (advDf, "adversarial")); k <- Seq(1, 2, 3, 5)) {
+      val mismatches = df.select(
+          Dedup.sortedHashedShingles("text", k).as("kernel"),
+          Dedup.sortedHashedShinglesComposed("text", k).as("sql"))
+        .filter(col("kernel") =!= col("sql"))
+        .count()
+      assert(mismatches == 0, s"$what k=$k: $mismatches rows differ")
+    }
+  }
+
   test("prefix-filter branch (bucket > 64 members) equals exact all-pairs") {
     // 300 same-length-class docs in ONE (lang, size-bucket) — far above the
     // kernel's 64-member cut, so candidates MUST come from the in-task
