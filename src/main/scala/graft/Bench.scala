@@ -1,8 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // 1-min loadavg: sampled BEFORE the session starts (ambient — other
+  // processes on the box) and after the run (mostly us). Two rounds running,
+  // the driver's headline number was contention noise needing manual
+  // adjudication against builder snapshots; carrying the load in the metric
+  // line makes the artifact self-adjudicating.
+  private def loadAvg: Double = {
+    val v = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    if (v.isNaN) -1.0 else v
+  }
+  // PSI io "some avg10" — fraction of the last 10s some task stalled on IO.
+  // Returns -1 where /proc/pressure is absent (non-Linux, old kernel).
+  private def ioPressure: Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/pressure/io")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("some") =>
+          l.split("\\s+").collectFirst {
+            case kv if kv.startsWith("avg10=") => kv.drop(6).toDouble
+          }.getOrElse(-1.0)
+      }.getOrElse(-1.0)
+      finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadAvg
+    val ioStart = ioPressure
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -104,10 +130,18 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val soloJson = {
+    val loadEnd = loadAvg
+    val ioEnd = ioPressure
+    // "start" is ambient load (sampled before the Spark session existed);
+    // "end" is mostly our own run. A reader adjudicates: high start = the
+    // totals are upper bounds measured under contention.
+    val loadJson =
+      s""","load":{"start":${f3(loadStart)},"end":${f3(loadEnd)},""" +
+        s""""io_start":${f3(ioStart)},"io_end":${f3(ioEnd)}}"""
+    def soloJsonOf(fmt: Double => String) = {
       val base =
         if (solo.isEmpty) ""
-        else solo.map { case (k, v) => "\"" + k + "\":" + v }
+        else solo.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
           .mkString(""","solo":{""", ",", "}")
       val errs =
         if (soloErrs.isEmpty) ""
@@ -116,7 +150,8 @@ object Bench {
       base + errs
     }
     val fullLine = mkLine(
-      results.toSeq.map { case (k, v) => k -> v.toString }, total, soloJson)
+      results.toSeq.map { case (k, v) => k -> v.toString }, total,
+      soloJsonOf(_.toString) + loadJson)
     // The driver keeps only the LAST ~2000 chars of stdout and json-parses
     // the metric line out of that tail (BENCH_r04/r05 were "parsed": null
     // because the full-precision 85-query line was ~2.6k chars and lost its
@@ -126,9 +161,14 @@ object Bench {
     // 900, not 1800: the line is emitted on BOTH streams (below); if the
     // driver tails a combined stream, two complete copies must fit in its
     // 2000-char window
-    val budget = 900
+    val budget = 1300
+    // the stdout (= driver-artifact) line carries load + the solo map as
+    // FIXED overhead — the whole point is a self-adjudicating artifact, so
+    // the adjudication evidence must survive into BENCH_rN.json, not just
+    // the local file copy. Queries yield space to it in the greedy path.
+    val stdoutExtra = soloJsonOf(f3) + loadJson
     val rounded = results.toSeq.map { case (k, v) => k -> f3(v) }
-    val roundedLine = mkLine(rounded, total)
+    val roundedLine = mkLine(rounded, total, stdoutExtra)
     val stdoutLine =
       if (roundedLine.length <= budget) roundedLine
       else {
@@ -136,14 +176,15 @@ object Bench {
         // greedy: keep the slowest queries while the line stays under budget
         var kept = Vector.empty[(String, String)]
         var keptSec = 0.0
-        var len = mkLine(Seq("omitted_n" -> "00", "omitted_sec" -> "000.000"), total).length
+        var len = mkLine(Seq("omitted_n" -> "00", "omitted_sec" -> "000.000"),
+          total, stdoutExtra).length
         for ((k, v) <- bySlow) {
           val add = k.length + f3(v).length + 4
           if (len + add <= budget) { kept :+= (k -> f3(v)); keptSec += v; len += add }
         }
         val omitted = results.size - kept.size
         mkLine(kept ++ Seq("omitted_n" -> omitted.toString,
-          "omitted_sec" -> f3(total - keptSec)), total)
+          "omitted_sec" -> f3(total - keptSec)), total, stdoutExtra)
       }
     // stdout gets truncated/interleaved by harnesses; the file is the durable
     // full-precision copy. Subset (single-query debug) runs write to a

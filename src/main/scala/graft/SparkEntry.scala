@@ -2384,6 +2384,87 @@ object SparkEntry {
           |                      WHERE l2.l_partkey = p.p_partkey)""".stripMargin))
     }),
 
+    // TPC-DS q36/q67 shape (round-11 verdict task 8): CTE aggregate, then
+    // TWO window functions over different frames of the same partition —
+    // revenue share within manufacturer and rank of brand within
+    // manufacturer — with a rank predicate on top. One shuffle for the CTE
+    // aggregate, ONE window sort per partition key (both windows share the
+    // PARTITION BY p_type exchange); share arithmetic stays exact (decimal
+    // window sum, one double division at the end)
+    "q70_ds_category_share" -> ((s, dir) => {
+      t(s, dir, "lineitem"); t(s, dir, "part")
+      rt(s, s.sql(
+        """WITH rev AS (
+          |  SELECT p_type, p_brand,
+          |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+          |        AS DECIMAL(18,4))) AS rev0
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  GROUP BY p_type, p_brand)
+          |SELECT p_type, p_brand, brand_rev, type_share, rnk FROM (
+          |  SELECT p_type, p_brand,
+          |    CAST(rev0 AS DOUBLE) AS brand_rev,
+          |    CAST(CAST(rev0 AS DOUBLE) /
+          |      CAST(sum(rev0) OVER (PARTITION BY p_type) AS DOUBLE)
+          |      AS DOUBLE) AS type_share,
+          |    rank() OVER (PARTITION BY p_type
+          |                 ORDER BY rev0 DESC, p_brand) AS rnk
+          |  FROM rev) r
+          |WHERE rnk <= 3
+          |ORDER BY p_type, rnk, p_brand""".stripMargin))
+    }),
+
+    // TPC-DS q36 shape: ROLLUP gross-total hierarchy + rank within parent —
+    // the window PARTITION BY is an expression over grouping() outputs
+    // (detail rows rank within their status; subtotal rows rank against
+    // each other). One Expand-fed aggregate, one window sort
+    "q71_ds_rollup_window" -> ((s, dir) => {
+      t(s, dir, "orders")
+      rt(s, s.sql(
+        """SELECT status, prio, total, lochierarchy,
+          |  rank() OVER (
+          |    PARTITION BY lochierarchy,
+          |      CASE WHEN lochierarchy = 0 THEN status END
+          |    ORDER BY total DESC, coalesce(prio, '')) AS rank_within_parent
+          |FROM (
+          |  SELECT o_orderstatus AS status, o_orderpriority AS prio,
+          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |      AS total,
+          |    CAST(grouping(o_orderstatus) + grouping(o_orderpriority)
+          |      AS BIGINT) AS lochierarchy
+          |  FROM orders
+          |  GROUP BY ROLLUP(o_orderstatus, o_orderpriority)) x
+          |ORDER BY lochierarchy DESC, status, rank_within_parent""".stripMargin))
+    }),
+
+    // TPC-DS q2 shape: UNION ALL of two per-channel aggregates, then
+    // offset + sliding-frame windows over the union — month-over-month and
+    // trailing-3-month spend per channel. The frame sum stays decimal
+    // (exact) until the final cast
+    "q72_ds_union_window" -> ((s, dir) => {
+      t(s, dir, "orders")
+      rt(s, s.sql(
+        """WITH sales AS (
+          |  SELECT substring(CAST(o_orderdate AS STRING), 1, 7) AS ym,
+          |    'hi' AS channel,
+          |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS amt0
+          |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |  GROUP BY 1
+          |  UNION ALL
+          |  SELECT substring(CAST(o_orderdate AS STRING), 1, 7) AS ym,
+          |    'lo' AS channel,
+          |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS amt0
+          |  FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          |  GROUP BY 1)
+          |SELECT ym, channel, CAST(amt0 AS DOUBLE) AS amt,
+          |  CAST(lag(amt0) OVER (PARTITION BY channel ORDER BY ym)
+          |    AS DOUBLE) AS prev_amt,
+          |  CAST(sum(amt0) OVER (PARTITION BY channel ORDER BY ym
+          |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+          |    AS DOUBLE) AS amt_3m
+          |FROM sales
+          |ORDER BY channel, ym""".stripMargin))
+    }),
+
     // uncorrelated scalar subquery → cross-joined single-row AggregateRel
     "q33_scalar_subquery" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -4661,5 +4742,59 @@ object SparkEntry {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus NULLS FIRST,
         |  o_orderpriority NULLS FIRST""".stripMargin,
+    "q70_ds_category_share" ->
+      """WITH rev AS (
+        |  SELECT p_type, p_brand,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(18,4))) AS rev0
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_type, p_brand)
+        |SELECT p_type, p_brand, brand_rev, type_share, rnk FROM (
+        |  SELECT p_type, p_brand,
+        |    CAST(rev0 AS DOUBLE) AS brand_rev,
+        |    CAST(CAST(rev0 AS DOUBLE) /
+        |      CAST(sum(rev0) OVER (PARTITION BY p_type) AS DOUBLE)
+        |      AS DOUBLE) AS type_share,
+        |    rank() OVER (PARTITION BY p_type
+        |                 ORDER BY rev0 DESC, p_brand) AS rnk
+        |  FROM rev) r
+        |WHERE rnk <= 3
+        |ORDER BY p_type, rnk, p_brand""".stripMargin,
+    "q71_ds_rollup_window" ->
+      """SELECT status, prio, total, lochierarchy,
+        |  rank() OVER (
+        |    PARTITION BY lochierarchy,
+        |      CASE WHEN lochierarchy = 0 THEN status END
+        |    ORDER BY total DESC, coalesce(prio, '')) AS rank_within_parent
+        |FROM (
+        |  SELECT o_orderstatus AS status, o_orderpriority AS prio,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total,
+        |    CAST(grouping(o_orderstatus) + grouping(o_orderpriority)
+        |      AS BIGINT) AS lochierarchy
+        |  FROM orders
+        |  GROUP BY ROLLUP(o_orderstatus, o_orderpriority)) x
+        |ORDER BY lochierarchy DESC, status, rank_within_parent""".stripMargin,
+    "q72_ds_union_window" ->
+      """WITH sales AS (
+        |  SELECT substring(CAST(o_orderdate AS STRING), 1, 7) AS ym,
+        |    'hi' AS channel,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS amt0
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  GROUP BY 1
+        |  UNION ALL
+        |  SELECT substring(CAST(o_orderdate AS STRING), 1, 7) AS ym,
+        |    'lo' AS channel,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS amt0
+        |  FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |  GROUP BY 1)
+        |SELECT ym, channel, CAST(amt0 AS DOUBLE) AS amt,
+        |  CAST(lag(amt0) OVER (PARTITION BY channel ORDER BY ym)
+        |    AS DOUBLE) AS prev_amt,
+        |  CAST(sum(amt0) OVER (PARTITION BY channel ORDER BY ym
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS amt_3m
+        |FROM sales
+        |ORDER BY channel, ym""".stripMargin,
   )
 }

@@ -102,10 +102,21 @@ object BucketJaccardKernel {
     // the first cut of this kernel used HashMap/tuple sorts and spent more
     // on allocation than the m²/2 loop it replaced spent on compute) ----
 
-    // distinct grams + in-bucket df via one sorted multiset pass
-    var total = 0
+    // distinct grams + in-bucket df via one sorted multiset pass.
+    // total accumulates in a LONG: a bucket near the 65,536-member routing
+    // cap with tens-of-thousands-shingle documents overflows an Int, and a
+    // negative array size would crash exactly the extreme-scale path this
+    // kernel protects. Past 1<<30 grams the flat index itself is the memory
+    // hazard — route those through the plain m²/2 loop (which allocates
+    // nothing bucket-wide) rather than allocating a multi-GB scratch array.
+    var totalL = 0L
     i = 0
-    while (i < n) { total += shs(i).length; i += 1 }
+    while (i < n) { totalL += shs(i).length; i += 1 }
+    if (totalL > (1L << 30)) {
+      allPairsLoop()
+      return new GenericArrayData(out.toArray[Any])
+    }
+    val total = totalL.toInt
     val all = new Array[Long](total)
     var w = 0
     i = 0

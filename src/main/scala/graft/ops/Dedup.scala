@@ -354,7 +354,19 @@ object Dedup {
     * around ~35 MB of hashed shingles; beyond that a single aggregation
     * buffer would become the job's memory cliff at extreme corpus scale.
     * Output is identical on either path (same prefix-completeness theorem,
-    * same emission rules, same verify kernel).
+    * same emission rules, same verify kernel). Pass `bigBucket <= 0` to
+    * disable the routing probe entirely (kernel path for every block).
+    *
+    * EAGER-ACTION + SNAPSHOT semantics: when the probe is enabled, this
+    * builder runs ONE column-pruned count job over the block keys at plan
+    * BUILD time (not at execution), and the big-block routing decision is
+    * frozen into the returned plan. Re-executing the returned DataFrame
+    * after the source data changed reuses the stale routing — correctness
+    * is unaffected (both paths emit identical pairs; routing is purely a
+    * memory-shape choice), but a block that GREW past the cap since build
+    * time executes on the kernel path sized for its build-time count.
+    * Rebuild the plan after bulk ingests, or disable the probe and route
+    * manually.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], shingleSize: Int = 3,
@@ -413,7 +425,8 @@ object Dedup {
     // over its size-buckets (home+guest ≤ 2× membership), hence the /2.
     // Plan-build-time count precedent: d05's corpusSizeHint.
     val bigBlks: Seq[String] =
-      if (!(sizeBucketing && threshold > 0.0 && threshold < 1.0)) Nil
+      if (bigBucket <= 0 ||
+          !(sizeBucketing && threshold > 0.0 && threshold < 1.0)) Nil
       else df.select(blk.as("blk")).groupBy("blk").agg(count(lit(1)).as("m"))
         .filter(col("m") > bigBucket / 2)
         .collect().map(_.getString(0)).toSeq
@@ -878,12 +891,14 @@ object Dedup {
     * lost executor kills the lineage-truncated frame mid-iteration; a
     * reliable checkpoint survives executor loss.
     *
-    * `stepThroughWire`: when set, every double-hop round's plan is
-    * produce→encode→decode→consume'd through the substrait wire before
-    * executing — the iterative DRIVER LOOP stays host-side (substrait has no
-    * iteration construct), but each round's plan is interchangeable: the
-    * checkpointed edges/labels register as temp views, so the step plan's
-    * leaves are named reads any conformant consumer could resolve.
+    * `stepThroughWire`: when set, the WHOLE fixpoint — init labels,
+    * double-hop body plan, round bound, multiset-fixpoint early exit —
+    * ships as ONE `Rel.ExtIteration` wire artifact and the consumer runs
+    * the loop (round 10). Composes with `checkpointDir`: setting it
+    * configures the context's checkpoint dir, which the consumer's
+    * iteration loop honors by materializing rounds with RELIABLE
+    * `checkpoint` instead of `localCheckpoint` (round 11 — previously the
+    * wire path silently downgraded reliability).
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b",

@@ -287,19 +287,26 @@ object Consumer {
         }
         Built(in.df.select(col("*"), sess.as(freshNames(1).head)))
 
-      case Rel.ExtIteration(input, bodyPlan, maxIters, checkFixpoint) =>
+      case Rel.ExtIteration(input, bodyPlan, maxIters, checkFixpoint,
+                            requireFixpoint) =>
         // The one EAGER rel: iteration must materialize each generation
         // (every round's plan references the previous round's OUTPUT, and
         // leaving rounds lazy would stack an exponentially re-evaluated
-        // lineage). localCheckpoint per round — exactly the discipline the
-        // host-side fixpoint loops use. The body plan validates ONCE here,
-        // then re-consumes per round with the state leaf bound.
+        // lineage). Materialization honors the session's reliability knob:
+        // when a checkpoint dir is CONFIGURED on the context (the standard
+        // Spark contract for fault-tolerant truncation — what
+        // Dedup.connectedComponents(checkpointDir=…) sets), rounds use
+        // reliable `checkpoint` and survive executor loss; otherwise
+        // `localCheckpoint`, the fast path for converge-in-seconds loops.
         if (maxIters < 1 || maxIters > 1000)
           internalErr(s"iteration maxIters out of range: $maxIters")
         Validator.validateOrThrow(bodyPlan)
+        val reliable = spark.sparkContext.getCheckpointDir.isDefined
+        def materialize(df: org.apache.spark.sql.DataFrame) =
+          if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
         val init = build(input)
         val width = init.df.columns.length
-        var state = init.df.localCheckpoint(true)
+        var state = materialize(init.df)
         var k = 0
         var done = false
         while (k < maxIters && !done) {
@@ -308,7 +315,7 @@ object Consumer {
           if (next0.columns.length != width)
             internalErr(s"iteration body arity ${next0.columns.length} != " +
               s"state arity $width (the body must be schema-preserving)")
-          val next = next0.localCheckpoint(true)
+          val next = materialize(next0)
           if (checkFixpoint) {
             // exact multiset fixpoint in ONE job: union with +1/−1 weights,
             // group on the full row — any group with a nonzero weight sum is
@@ -326,6 +333,12 @@ object Consumer {
           state = next
           k += 1
         }
+        // divergence guard: a foreign body plan's algebra may not converge —
+        // with requireFixpoint the plan asked for the fixpoint, so handing
+        // back a non-converged last state would be a silent wrong answer
+        if (requireFixpoint && checkFixpoint && !done)
+          internalErr(s"iteration exhausted maxIters=$maxIters without " +
+            "reaching the requested fixpoint (require_fixpoint is set)")
         Built(state.toDF(freshNames(width): _*))
 
       case Rel.ExtStage(input, stage) =>

@@ -47,7 +47,10 @@ object Producer {
     * host-side.
     */
   def produceIteration(init: DataFrame, body: DataFrame => DataFrame,
-                       maxIters: Int, checkFixpoint: Boolean): Plan = {
+                       maxIters: Int, checkFixpoint: Boolean,
+                       requireFixpoint: Boolean = false): Plan = {
+    require(!requireFixpoint || checkFixpoint,
+      "requireFixpoint needs checkFixpoint (there is no fixpoint to require otherwise)")
     require(maxIters >= 1 && maxIters <= 1000,
       s"iteration maxIters out of range: $maxIters")
     val spark = init.sparkSession
@@ -56,17 +59,67 @@ object Producer {
       case PlanRel.Root(r, names) => (r, names)
       case PlanRel.RelOnly(r) => (r, Nil)
     }
-    // schema-only placeholder: resolves the body's analysis; the consumer
-    // never reads it (the reserved name binds to the loop state first)
+    // Schema-only placeholder: resolves the body's analysis; the consumer
+    // never reads it (the reserved name binds to the loop state first).
+    // Registered under a PER-CALL unique name, then renamed to the reserved
+    // name in the produced rel tree: registering the reserved name directly
+    // would silently replace (and, via the finally, destroy) a pre-existing
+    // user view called graft_iteration_state, and two concurrent
+    // produceIteration calls in one session would race on the shared
+    // placeholder (one call's drop unbinding the other's mid-build).
+    val scratch = Consumer.IterationStateTable + "_build_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
     val placeholder = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), init.schema)
-    placeholder.createOrReplaceTempView(Consumer.IterationStateTable)
+    placeholder.createOrReplaceTempView(scratch)
     val bodyPlan =
-      try produce(body(spark.table(Consumer.IterationStateTable)))
-      finally spark.catalog.dropTempView(Consumer.IterationStateTable)
+      try produce(body(spark.table(scratch)))
+      finally spark.catalog.dropTempView(scratch)
     Plan(initPlan.extensions, Seq(PlanRel.Root(
-      Rel.ExtIteration(initRel, bodyPlan, maxIters, checkFixpoint),
+      Rel.ExtIteration(initRel,
+        renameTable(bodyPlan, scratch, Consumer.IterationStateTable),
+        maxIters, checkFixpoint, requireFixpoint),
       rootNames)))
+  }
+
+  /** Rewrite every ReadRel/NamedTable of `from` (matched on the final name
+    * segment, case-insensitively — Spark lowercases temp-view identifiers)
+    * to the single-segment reserved name `to`, across the whole plan
+    * including nested iteration bodies. Exhaustive over the sealed Rel ADT
+    * so a new rel case fails compilation here instead of silently keeping
+    * the scratch name on the wire. */
+  private def renameTable(plan: Plan, from: String, to: String): Plan =
+    Plan(plan.extensions, plan.relations.map {
+      case PlanRel.Root(r, names) => PlanRel.Root(renameTable(r, from, to), names)
+      case PlanRel.RelOnly(r) => PlanRel.RelOnly(renameTable(r, from, to))
+    })
+
+  private def renameTable(rel: Rel, from: String, to: String): Rel = {
+    def go(r: Rel): Rel = renameTable(r, from, to)
+    rel match {
+      case r: Rel.Read
+        if r.tableNames.nonEmpty &&
+           r.tableNames.last.equalsIgnoreCase(from) =>
+        r.copy(tableNames = Seq(to))
+      case r: Rel.Read => r
+      case r: Rel.Project => r.copy(input = go(r.input))
+      case r: Rel.Filter => r.copy(input = go(r.input))
+      case r: Rel.Fetch => r.copy(input = go(r.input))
+      case r: Rel.Sort => r.copy(input = go(r.input))
+      case r: Rel.Aggregate => r.copy(input = go(r.input))
+      case r: Rel.Join => r.copy(left = go(r.left), right = go(r.right))
+      case r: Rel.Cross => r.copy(left = go(r.left), right = go(r.right))
+      case r: Rel.Set => r.copy(inputs = r.inputs.map(go))
+      case r: Rel.ExtGenerate => r.copy(input = go(r.input))
+      case r: Rel.ExtExchange => r.copy(input = go(r.input))
+      case r: Rel.ExtSample => r.copy(input = go(r.input))
+      case r: Rel.ExtStage => r.copy(input = go(r.input))
+      case r: Rel.ExtSessionWindow => r.copy(input = go(r.input))
+      case r: Rel.ExtIteration =>
+        r.copy(input = go(r.input),
+          bodyPlan = renameTable(r.bodyPlan, from, to))
+      case r: Rel.ExtHint => r.copy(input = go(r.input))
+    }
   }
 
   /** A produced relation plus the attribute list its FieldRef ordinals index. */

@@ -170,10 +170,25 @@ object Validator {
             st.outputArity
         }
 
-      case Rel.ExtIteration(input, bodyPlan, maxIters, _) =>
+      case Rel.ExtIteration(input, bodyPlan, maxIters, checkFp, requireFp) =>
         val w = walkRel(input, s"$path/iteration")
         if (maxIters < 1 || maxIters > 1000)
           issues += Issue(path, s"iteration maxIters $maxIters out of [1, 1000]")
+        if (requireFp && !checkFp)
+          issues += Issue(path,
+            "require_fixpoint without check_fixpoint: no fixpoint is ever " +
+              "checked, so the requirement could never be satisfied")
+        // an ExtIteration nested inside a BODY plan is inherently ambiguous:
+        // the consumer binds ONE reserved state name (graft_iteration_state),
+        // so an inner body's state read meant for the OUTER loop would
+        // silently resolve to the inner state. Loud until scoped state names
+        // exist. (Iteration in the INPUT is fine — inputs are consumed
+        // before any binding is live.)
+        if (containsIteration(bodyPlan))
+          issues += Issue(path,
+            "ExtIteration nested inside an iteration body: the single " +
+              "reserved state table name makes the inner/outer state " +
+              "binding ambiguous")
         // the body is a complete nested plan with its own anchors — validate
         // it in its own scope and surface its issues under this path
         validate(bodyPlan).foreach(i =>
@@ -218,6 +233,33 @@ object Validator {
       case PlanRel.RelOnly(rel) => walkRel(rel, "rel")
     }
     issues.result()
+  }
+
+  /** Does any rel anywhere in the plan (including nested iteration bodies)
+    * contain an ExtIteration? Used to reject iteration-in-body. */
+  private def containsIteration(plan: Plan): Boolean =
+    plan.relations.exists {
+      case PlanRel.Root(r, _) => containsIteration(r)
+      case PlanRel.RelOnly(r) => containsIteration(r)
+    }
+
+  private def containsIteration(rel: Rel): Boolean = rel match {
+    case _: Rel.ExtIteration => true
+    case r: Rel.Project => containsIteration(r.input)
+    case r: Rel.Filter => containsIteration(r.input)
+    case r: Rel.Fetch => containsIteration(r.input)
+    case r: Rel.Sort => containsIteration(r.input)
+    case r: Rel.Aggregate => containsIteration(r.input)
+    case r: Rel.Join => containsIteration(r.left) || containsIteration(r.right)
+    case r: Rel.Cross => containsIteration(r.left) || containsIteration(r.right)
+    case r: Rel.Set => r.inputs.exists(containsIteration)
+    case r: Rel.ExtGenerate => containsIteration(r.input)
+    case r: Rel.ExtExchange => containsIteration(r.input)
+    case r: Rel.ExtSample => containsIteration(r.input)
+    case r: Rel.ExtStage => containsIteration(r.input)
+    case r: Rel.ExtSessionWindow => containsIteration(r.input)
+    case r: Rel.ExtHint => containsIteration(r.input)
+    case _: Rel.Read => false
   }
 
   /** throw on the first report (convenience for consume-time gating) */

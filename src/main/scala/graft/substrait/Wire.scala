@@ -833,10 +833,10 @@ object Wire {
             any.bytes(2, dw.out.toByteArray)
           })
         })
-      case Rel.ExtIteration(in, bodyPlan, maxIters, checkFixpoint) =>
+      case Rel.ExtIteration(in, bodyPlan, maxIters, checkFixpoint, requireFp) =>
         // value = IterationRelDetail{body_plan=1 bytes (a COMPLETE nested
         // Plan, self-describing with its own extension anchors),
-        // max_iters=2 int32, check_fixpoint=3 bool}
+        // max_iters=2 int32, check_fixpoint=3 bool, require_fixpoint=4 bool}
         rw.msg(9, ew => {
           writeRel(ew, 2, in)
           ew.msg(3, any => {
@@ -845,6 +845,10 @@ object Wire {
             dw.bytes(1, encode(bodyPlan))
             dw.int32(2, maxIters)
             dw.bool(3, checkFixpoint)
+            // proto3 canonical: a false bool is omitted (decode default is
+            // false, so a proto3-strict peer that never writes the field
+            // still roundtrips — the r10 default-omission bug class)
+            if (requireFp) dw.bool(4, requireFp)
             any.bytes(2, dw.out.toByteArray)
           })
         })
@@ -900,7 +904,7 @@ object Wire {
       Stages.registry.get(stage).map(_.outputArity).getOrElse(-1)
     case Rel.ExtSessionWindow(in, _, _, _) =>
       val a = relArity(in); if (a < 0) -1 else a + 1
-    case Rel.ExtIteration(in, _, _, _) => relArity(in) // schema-preserving
+    case Rel.ExtIteration(in, _, _, _, _) => relArity(in) // schema-preserving
   }
 
   /** RelCommon{emit=2{repeated int32 output_mapping=1}} → the mapping.
@@ -1205,16 +1209,18 @@ object Wire {
               case `iterationDetailUrl` =>
                 val dr = new R(detail, 0, detail.length)
                 var bodyPlan: Plan = null; var maxIters = 0
-                var checkFixpoint = false
+                var checkFixpoint = false; var requireFp = false
                 dr.fields { (df, dwt) => (df, dwt) match {
                   case (1, 2) => bodyPlan = decode(dr.rawBytes()); true
                   case (2, 0) => maxIters = dr.varint().toInt; true
                   case (3, 0) => checkFixpoint = dr.varint() == 1L; true
+                  case (4, 0) => requireFp = dr.varint() == 1L; true
                   case _ => false
                 }}
                 if (bodyPlan == null)
                   notImplemented("IterationRelDetail without a body plan")
-                Rel.ExtIteration(in, bodyPlan, maxIters, checkFixpoint)
+                Rel.ExtIteration(in, bodyPlan, maxIters, checkFixpoint,
+                  requireFp)
               case `sessionWindowDetailUrl` =>
                 val dr = new R(detail, 0, detail.length)
                 // ts_field defaults 0 (column 0 is a legal ts position and

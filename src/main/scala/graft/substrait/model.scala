@@ -259,9 +259,18 @@ object model {
       * extension registry — anchors stay scoped, no cross-plan re-anchoring)
       * and must be schema-preserving over the state. A foreign consumer
       * without iteration support rejects the type_url loudly — the intended
-      * extension contract. */
+      * extension contract.
+      *
+      * `requireFixpoint` (detail field 4, bool): when set (with
+      * checkFixpoint), exhausting maxIters WITHOUT reaching the fixpoint is
+      * a loud error instead of silently returning the last state — the
+      * divergence guard for foreign body plans whose algebra is not known
+      * to converge (graft's own d08/d13/d17 converge by construction).
+      * Bodies may not nest another ExtIteration (the single reserved state
+      * name would make the binding ambiguous; the Validator rejects it). */
     final case class ExtIteration(input: Rel, bodyPlan: Plan, maxIters: Int,
-                                  checkFixpoint: Boolean) extends Rel
+                                  checkFixpoint: Boolean,
+                                  requireFixpoint: Boolean = false) extends Rel
     /** A join-strategy hint (Spark logical.ResolvedHint) as
       * ExtensionSingleRel with Any type_url `graft.dev/HintRelDetail`,
       * detail = HintRelDetail{hint=1 string}. hint is a canonical Spark

@@ -1,303 +1,127 @@
 package graft.substrait
 
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
 import graft.SparkTestBase
 
-import model._
-
-/** Consumer-only compatibility paths: wire shapes the reference's producer
-  * (or a foreign producer) can emit but Spark's analyzer never generates —
-  * hand-built plans, consumed and EXECUTED.
+/** Foreign-bytes conformance (round-11 verdict task 4): the five golden
+  * plans in FOREIGN_BYTES.md, hand-derived byte-by-byte from the PUBLIC
+  * substrait v0.3 .proto definitions — independent of BOTH of this repo's
+  * encoders (Wire and the test-only IndependentWire) — executed against the
+  * reference's own CSV fixture schema (reference/tests/roundtrip.rs:284-299:
+  * data(a BIGINT, b DECIMAL(5,2), c DATE, d BOOLEAN), two rows) and checked
+  * against DuckDB's results for the same queries (recorded in the doc).
+  *
+  * The bytes use proto3-CANONICAL emission (zero-valued fields absent — the
+  * policy prost, the reference's serializer, actually uses), so they also
+  * regression-pin the round-10 default-omission decode fixes: column-0
+  * field refs, anchor-0 functions, mask item 0.
+  *
+  * If one of these fails after a Wire change, the WIRE drifted from the
+  * public spec — fix Wire, never the fixture (the derivation in
+  * FOREIGN_BYTES.md is the authority, and it regenerates these hexes).
   */
 class ConsumerCompatSpec extends SparkTestBase {
 
+  private def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // the reference's create_context() fixture: tests/testdata/data.csv with
+  // the explicit schema from roundtrip.rs:286-293
   private lazy val fixture: Unit = {
-    import spark.implicits._
-    Seq((1L, "alpha"), (2L, "Beta"), (3L, "gamma"))
-      .toDF("id", "name").createOrReplaceTempView("compat_data")
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", DecimalType(5, 2)),
+      StructField("c", DateType), StructField("d", BooleanType)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, new java.math.BigDecimal("2.00"),
+        java.sql.Date.valueOf("2020-01-01"), false),
+      Row(3L, new java.math.BigDecimal("4.50"),
+        java.sql.Date.valueOf("2020-01-01"), true))
+    spark.createDataFrame(rows, schema).createOrReplaceTempView("data")
   }
 
-  private def scan: Rel = Rel.Read(
-    NamedStruct(Seq("id", "name"), Seq((SType.SI64, true), (SType.SStr, true))),
-    Seq("compat_data"), None)
-
-  private def consume(plan: Plan) = Consumer.consume(spark, plan)
-
-  test("base-expression CASE (first clause with then=None, consumer.rs:474-489)") {
+  private def runGolden(hexFile: String): Seq[String] = {
     fixture
-    // CASE id WHEN 1 THEN 'one' WHEN 2 THEN 'two' ELSE 'many' END
-    val caseExpr = SExpr.IfThen(
-      Seq(
-        IfClause(SExpr.FieldRef(0), None), // base expression
-        IfClause(SExpr.Lit(LitVal.LI64(1)), Some(SExpr.Lit(LitVal.LStr("one")))),
-        IfClause(SExpr.Lit(LitVal.LI64(2)), Some(SExpr.Lit(LitVal.LStr("two"))))),
-      Some(SExpr.Lit(LitVal.LStr("many"))))
-    val plan = Plan(Nil, Seq(PlanRel.Root(
-      Rel.Project(scan, Seq(SExpr.FieldRef(0), caseExpr)), Seq("id", "label"))))
-    val got = consume(plan).collect().map(r => (r.getLong(0), r.getString(1))).toMap
-    assert(got == Map(1L -> "one", 2L -> "two", 3L -> "many"))
+    val plan = Wire.decode(unhex(hexFile))
+    assert(Validator.validate(plan).isEmpty,
+      Validator.validate(plan).mkString("; "))
+    Consumer.consume(spark, plan).collect().map(_.toString).toSeq.sorted
   }
 
-  test("the reference's 'substract' spelling is accepted (producer.rs:297 bug)") {
-    fixture
-    val plan = Plan(
-      Seq(ExtensionFunction(0xffffffffL, 0, "substract")),
-      Seq(PlanRel.Root(
-        Rel.Project(scan, Seq(
-          SExpr.ScalarFn(0, Seq(SExpr.FieldRef(0), SExpr.Lit(LitVal.LI64(1)))))),
-        Seq("minus_one"))))
-    val got = consume(plan).collect().map(_.getLong(0)).sorted
-    assert(got.toSeq == Seq(0L, 1L, 2L))
+  // FOREIGN_BYTES.md §G1 — SELECT a, b FROM data (ReadRel + canonical mask
+  // with the field-0 StructItem encoded as an EMPTY message)
+  private val g1 =
+    "1a4c124a0a420a40122c0a01610a01620a01630a0164121e0a043a0210010a09c2010608" +
+    "02100520010a0582010210010a040a02100122080a060a000a0208013a060a0464617461" +
+    "120161120162"
+
+  // FOREIGN_BYTES.md §G2 — SELECT a, b FROM data WHERE a > 1 (FilterRel;
+  // anchor-0 "gt" function whose function_reference field is ABSENT)
+  private val g2 =
+    "120c1a0a08ffffffff0f1a0267741a6212600a58125612420a40122c0a01610a01620a01" +
+    "630a0164121e0a043a0210010a09c201060802100520010a0582010210010a040a021001" +
+    "22080a060a000a0208013a060a04646174611a101a0e120612040a02120012040a023801" +
+    "120161120162"
+
+  // FOREIGN_BYTES.md §G3 — SELECT a FROM data ORDER BY a DESC LIMIT 1
+  // (SortRel direction DESC_NULLS_FIRST=3 + FetchRel count=1, offset absent)
+  private val g3 =
+    "1a5b12590a541a52124e2a4c123e0a3c122c0a01610a01620a01630a0164121e0a043a02" +
+    "10010a09c201060802100520010a0582010210010a040a02100122040a020a003a060a04" +
+    "646174611a0a0a0612040a02120010032001120161"
+
+  // FOREIGN_BYTES.md §G4 — SELECT d, sum(b) AS s FROM data GROUP BY d
+  // (AggregateRel; mask REORDERS columns to (d,b); INVOCATION_ALL=1)
+  private val g4 =
+    "120d1a0b08ffffffff0f1a0373756d1a6c126a0a62226012440a42122c0a01610a01620a" +
+    "01630a0164121e0a043a0210010a09c201060802100520010a0582010210010a040a0210" +
+    "01220a0a080a0208030a0208013a060a04646174611a080a0612040a021200220e0a0c12" +
+    "0812060a04120208013001120164120173"
+
+  // FOREIGN_BYTES.md §G5 — SELECT a FROM data WHERE b > 2.50
+  // AND c = DATE '2020-01-01' (ProjectRel over FilterRel; 16-byte LE decimal
+  // literal, date literal as epoch days, three-entry extension registry)
+  private val g5 =
+    "120d1a0b08ffffffff0f1a03616e64120e1a0c08ffffffff0f10011a02677412111a0f08" +
+    "ffffffff0f10021a05657175616c1a9e01129b010a95013a92011287011284011238" +
+    "0a36122c0a01610a01620a01630a0164121e0a043a0210010a09c20106080210052001" +
+    "0a0582010210010a040a0210013a060a04646174611a481a46122b1a29080112081206" +
+    "0a0412020801121b0a19c201160a10fa000000000000000000000000000000100518" +
+    "0212171a150802120812060a041202080212070a058001d68e011a0612040a021200" +
+    "120161"
+
+  test("G1: read + canonical mask (column-0 item is an empty message)") {
+    // DuckDB: [(1, 2.00), (3, 4.50)]
+    assert(runGolden(g1) == Seq("[1,2.00]", "[3,4.50]"))
   }
 
-  test("regex_imatch / regex_not_imatch (case-insensitive via (?i) prefix)") {
-    fixture
-    val plan = Plan(
-      Seq(ExtensionFunction(0xffffffffL, 0, "regex_imatch"),
-        ExtensionFunction(0xffffffffL, 1, "regex_not_imatch")),
-      Seq(PlanRel.Root(
-        Rel.Project(scan, Seq(
-          SExpr.FieldRef(1),
-          SExpr.ScalarFn(0, Seq(SExpr.FieldRef(1), SExpr.Lit(LitVal.LStr("^beta")))),
-          SExpr.ScalarFn(1, Seq(SExpr.FieldRef(1), SExpr.Lit(LitVal.LStr("^beta")))))),
-        Seq("name", "m", "nm"))))
-    val got = consume(plan).collect()
-      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2))).toSet
-    assert(got == Set(("alpha", false, true), ("Beta", true, false),
-      ("gamma", false, true)))
+  test("G2: filter with an anchor-0 extension function") {
+    // DuckDB: [(3, 4.50)]
+    assert(runGolden(g2) == Seq("[3,4.50]"))
   }
 
-  test("offset-only fetch (count=0 'no fetch' quirk, producer.rs:147-150)") {
-    fixture
-    val plan = Plan(Nil, Seq(PlanRel.Root(
-      Rel.Fetch(
-        Rel.Sort(scan, Seq(SortField(SExpr.FieldRef(0), SortDirection.AscNullsFirst))),
-        offset = 1, count = 0),
-      Seq("id", "name"))))
-    assert(consume(plan).collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  test("G3: sort DESC_NULLS_FIRST + fetch count=1 with offset absent") {
+    // DuckDB: [(3,)]
+    assert(runGolden(g3) == Seq("[3]"))
   }
 
-  test("typed-null literals of every §1.2 kind evaluate to null") {
-    fixture
-    val kinds: Seq[(String, SType)] = Seq(
-      "i8" -> SType.SI8, "i16" -> SType.SI16, "i32" -> SType.SI32,
-      "i64" -> SType.SI64, "dec" -> SType.SDecimal(5, 2), "str" -> SType.SStr,
-      "date" -> SType.SDate, "ts" -> SType.STimestamp)
-    val plan = Plan(Nil, Seq(PlanRel.Root(
-      Rel.Fetch(Rel.Project(scan,
-        kinds.map { case (_, t) => SExpr.Lit(LitVal.LNull(t)) }), 0, 1),
-      kinds.map(_._1))))
-    val row = consume(plan).collect().head
-    kinds.indices.foreach(i => assert(row.isNullAt(i), s"column $i must be null"))
+  test("G4: aggregate over a column-REORDERING mask") {
+    // DuckDB: [(false, 2.00), (true, 4.50)] — sum(decimal(5,2)) widens the
+    // scale-preserved precision (Spark: decimal(15,2)); values must agree
+    assert(runGolden(g4) == Seq("[false,2.00]", "[true,4.50]"))
   }
 
-  test("decimal literal round-trips negative values (16-byte LE sign extension)") {
-    fixture
-    // -123.45 as decimal(5,2): unscaled -12345, little-endian two's complement
-    val unscaled = java.math.BigInteger.valueOf(-12345L)
-    val be = unscaled.toByteArray
-    val le = new Array[Byte](16)
-    java.util.Arrays.fill(le, -1.toByte) // sign extension
-    be.reverse.zipWithIndex.foreach { case (b, i) => le(i) = b }
-    val plan = Plan(Nil, Seq(PlanRel.Root(
-      Rel.Fetch(Rel.Project(scan,
-        Seq(SExpr.Lit(LitVal.LDecimal(le, 5, 2)))), 0, 1),
-      Seq("d"))))
-    val v = consume(plan).collect().head.getDecimal(0)
-    assert(v.toString == "-123.45")
+  test("G5: decimal + date literals under and/gt/equal, project over filter") {
+    // DuckDB: [(3,)]
+    assert(runGolden(g5) == Seq("[3]"))
   }
 
-  test("foreign ReadRel with a scan filter over the base schema + mask") {
-    fixture
-    // SELECT name FROM compat_data WHERE id > 1 — filter refs index the BASE
-    // schema even though the mask projects only column 1
-    val plan = Plan(
-      Seq(ExtensionFunction(0xffffffffL, 0, "gt")),
-      Seq(PlanRel.Root(
-        Rel.Read(
-          NamedStruct(Seq("id", "name"), Seq((SType.SI64, true), (SType.SStr, true))),
-          Seq("compat_data"), Some(Seq(1)),
-          Some(SExpr.ScalarFn(0, Seq(SExpr.FieldRef(0), SExpr.Lit(LitVal.LI64(1)))))),
-        Seq("name"))))
-    val got = consume(plan).collect().map(_.getString(0)).sorted
-    assert(got.toSeq == Seq("Beta", "gamma"))
-  }
-
-  test("foreign multi-grouping AggregateRel executes as one grouping-sets pass") {
-    fixture
-    // GROUP BY GROUPING SETS ((name), ()) with count(*): wire output =
-    // union group exprs ++ measures ++ trailing set index
-    val plan = Plan(
-      Seq(ExtensionFunction(0xffffffffL, 0, "count")),
-      Seq(PlanRel.Root(
-        Rel.Aggregate(scan,
-          Seq(Seq(SExpr.FieldRef(1)), Seq()),
-          Seq(Measure(AggFunction(0, Nil, AggInvocation.All), None))),
-        Seq("name", "n", "set_idx"))))
-    val got = consume(plan).collect()
-      .map(r => (Option(r.getString(0)), r.getLong(1), r.getInt(2))).toSet
-    assert(got == Set(
-      (Some("alpha"), 1L, 0), (Some("Beta"), 1L, 0), (Some("gamma"), 1L, 0),
-      (None, 3L, 1)))
-  }
-
-  test("foreign LocalFiles read executes without any catalog: parquet + mask + filter") {
-    // region.parquet: (r_regionkey i64, r_name str, r_comment str);
-    // mask to r_name with a filter r_regionkey > 1 over the BASE schema
-    val plan = Plan(
-      Seq(ExtensionFunction(0xffffffffL, 0, "gt")),
-      Seq(PlanRel.Root(
-        Rel.Read(
-          NamedStruct(Seq("r_regionkey", "r_name", "r_comment"),
-            Seq((SType.SI64, true), (SType.SStr, true), (SType.SStr, true))),
-          Nil, Some(Seq(1)),
-          Some(SExpr.ScalarFn(0, Seq(SExpr.FieldRef(0), SExpr.Lit(LitVal.LI64(1))))),
-          None,
-          Some(Seq(FileItem(s"$sfDir/region.parquet", 3, "parquet")))),
-        Seq("r_name"))))
-    val got = consume(plan).collect().map(_.getString(0)).sorted.toSeq
-    val want = spark.read.parquet(s"$sfDir/region.parquet")
-      .filter(col("r_regionkey") > 1).select("r_name")
-      .collect().map(_.getString(0)).sorted.toSeq
-    assert(got == want && got.nonEmpty)
-  }
-
-  test("bare spark.read.parquet produces ReadRel/LocalFiles and round-trips") {
-    val df = spark.read.parquet(s"$sfDir/nation.parquet")
-      .filter(col("n_regionkey") > 0)
-      .select(col("n_name"), col("n_regionkey"))
-    val plan = Producer.produce(df)
-    def findRead(r: Rel): Option[Rel.Read] = r match {
-      case rd: Rel.Read => Some(rd)
-      case Rel.Filter(in, _) => findRead(in)
-      case Rel.Project(in, _) => findRead(in)
-      case _ => None
+  test("golden bytes survive a graft re-encode round-trip") {
+    // consuming foreign bytes is half the contract; the other half is that
+    // graft's own encoding of the decoded plan decodes back unchanged
+    for (g <- Seq(g1, g2, g3, g4, g5)) {
+      val plan = Wire.decode(unhex(g))
+      assert(Wire.decode(Wire.encode(plan)) == plan)
     }
-    val read = findRead(plan.relations.head match {
-      case PlanRel.Root(rel, _) => rel
-      case PlanRel.RelOnly(rel) => rel
-    }).getOrElse(fail("no ReadRel in produced plan"))
-    assert(read.localFiles.exists(_.forall(_.format == "parquet")),
-      s"expected LocalFiles scan, got $read")
-    val got = Consumer.consume(spark, Wire.decode(Wire.encode(plan)))
-    assert(got.collect().map(_.toString).sorted.toSeq ==
-      df.collect().map(_.toString).sorted.toSeq)
-    assert(got.columns.toSeq == df.columns.toSeq)
-  }
-
-  test("foreign nested struct references execute: ordinal chains resolve by name") {
-    import org.apache.spark.sql.functions.struct
-    spark.range(1, 4).toDF("a")
-      .select(struct(col("a"), struct((col("a") * 10).as("b10"),
-        (col("a") + 0.5).as("c")).as("inner")).as("s"))
-      .createOrReplaceTempView("nested_compat")
-    // SELECT s.a, s.inner.c FROM nested_compat — pure child-chain refs
-    val plan = Plan(Nil, Seq(PlanRel.Root(
-      Rel.Project(
-        Rel.Read(
-          NamedStruct(Seq("s"), Seq((SType.SStruct(Seq("a", "inner"), Seq(
-            (SType.SI64, false),
-            (SType.SStruct(Seq("b10", "c"),
-              Seq((SType.SI64, false), (SType.SFp64, false))), false))), false))),
-          Seq("nested_compat"), None),
-        Seq(SExpr.NestedRef(0, Seq(0)), SExpr.NestedRef(0, Seq(1, 1)))),
-      Seq("a", "c"))))
-    val got = consume(plan).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
-    assert(got == Set((1L, 1.5), (2L, 2.5), (3L, 3.5)))
-  }
-
-  test("struct field access over a scan produces NestedRef (no get_field ext) and round-trips") {
-    import org.apache.spark.sql.functions.struct
-    import spark.implicits._
-    Seq((1L, "x", 2.5), (2L, "y", 3.5)).toDF("a", "b", "c")
-      .select(struct(col("a"), struct(col("b"), col("c")).as("inner")).as("s"))
-      .createOrReplaceTempView("structed")
-    val df = spark.table("structed")
-      .select(col("s").getField("a").as("sa"),
-        col("s").getField("inner").getField("c").as("sc"))
-      .filter(col("s").getField("a") > 0L)
-    val plan = Producer.produce(df)
-    assert(!plan.extensions.exists(_.name == "get_field"),
-      s"expected NestedRef, got get_field in ${plan.extensions}")
-    val back = Consumer.consume(spark, Wire.decode(Wire.encode(plan)))
-    assert(back.collect().map(_.toString).sorted.toSeq ==
-      df.collect().map(_.toString).sorted.toSeq)
-    assert(back.columns.toSeq == df.columns.toSeq)
-  }
-
-  test("foreign multi-grouping aggregate with a nested-IfThen measure executes") {
-    fixture
-    // GROUPING SETS ((id), ()) over
-    //   sum(CASE WHEN id > 1 THEN 10 ELSE 1 END)
-    // — a hand-built layout no Spark analyzer run produced
-    val measure = Measure(
-      AggFunction(1, Seq(SExpr.IfThen(
-        Seq(IfClause(
-          SExpr.ScalarFn(0, Seq(SExpr.FieldRef(0), SExpr.Lit(LitVal.LI64(1)))),
-          Some(SExpr.Lit(LitVal.LI64(10))))),
-        Some(SExpr.Lit(LitVal.LI64(1))))), 1),
-      None)
-    val agg = Rel.Aggregate(scan,
-      Seq(Seq(SExpr.FieldRef(0)), Seq()), Seq(measure))
-    val plan = Plan(
-      Seq(ExtensionFunction(0xffffffffL, 0, "gt"),
-        ExtensionFunction(0xffffffffL, 1, "sum")),
-      Seq(PlanRel.Root(Rel.Project(agg,
-        Seq(SExpr.FieldRef(0), SExpr.FieldRef(1))), Seq("id", "s"))))
-    // through BYTES, not just the model — the full foreign path
-    val got = Consumer.consume(spark, Wire.decode(Wire.encode(plan)))
-      .collect().map(r =>
-        (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toSet
-    // per-id sums: 1→1, 2→10, 3→10; grand total 21 (null id row)
-    assert(got == Set((1L, 1L), (2L, 10L), (3L, 10L), (-1L, 21L)))
-  }
-
-  test("foreign plan naming bpe_count resolves through the consume hook and executes") {
-    fixture
-    val plan = Plan(
-      Seq(ExtensionFunction(0xffffffffL, 0, "bpe_count")),
-      Seq(PlanRel.Root(
-        Rel.Project(scan, Seq(SExpr.FieldRef(1),
-          SExpr.ScalarFn(0, Seq(SExpr.FieldRef(1))))),
-        Seq("name", "n_bpe"))))
-    // through BYTES — exercises FreqFunctions-style lazy registration on a
-    // session that never called the Column API first
-    val got = Consumer.consume(spark, Wire.decode(Wire.encode(plan)))
-      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
-    // v1 table walks: alpha → (al)(p)(ha); Beta → (B)(e)(ta); gamma → 5 chars
-    assert(got == Set(("alpha", 3), ("Beta", 3), ("gamma", 5)))
-  }
-
-  test("foreign freq-items sketch aggregate + probes execute through bytes") {
-    fixture
-    val measure = Measure(
-      AggFunction(0, Seq(SExpr.FieldRef(0), SExpr.Lit(LitVal.LI32(64))), 1),
-      None)
-    val agg = Rel.Aggregate(scan, Seq(Seq()), Seq(measure))
-    val plan = Plan(
-      Seq(ExtensionFunction(0xffffffffL, 0, "freq_sketch_agg_long"),
-        ExtensionFunction(0xffffffffL, 1, "freq_estimate_long"),
-        ExtensionFunction(0xffffffffL, 2, "freq_max_error")),
-      Seq(PlanRel.Root(Rel.Project(agg, Seq(
-        SExpr.ScalarFn(1, Seq(SExpr.FieldRef(0), SExpr.Lit(LitVal.LI64(2)))),
-        SExpr.ScalarFn(2, Seq(SExpr.FieldRef(0))))),
-        Seq("est_2", "max_err"))))
-    val got = Consumer.consume(spark, Wire.decode(Wire.encode(plan)))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    // 3 distinct ids in a 64-counter map: exact (maxError 0), id 2 once
-    assert(got.toSeq == Seq((1L, 0L)))
-  }
-
-  test("foreign VirtualTable read executes without any catalog") {
-    val plan = Plan(Nil, Seq(PlanRel.Root(
-      Rel.Read(
-        NamedStruct(Seq("k", "v"), Seq((SType.SI64, false), (SType.SStr, true))),
-        Nil, None, None,
-        Some(Seq(
-          Seq(LitVal.LI64(10), LitVal.LStr("x")),
-          Seq(LitVal.LI64(20), LitVal.LNull(SType.SStr))))),
-      Seq("k", "v"))))
-    val got = consume(plan).collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
-    assert(got == Set((10L, Some("x")), (20L, None)))
   }
 }

@@ -361,6 +361,133 @@ class CteProbeSpec extends SparkTestBase {
     assert(e.getMessage.contains("schema-preserving"), e.getMessage)
   }
 
+  test("iteration hardening: view safety, sibling iterations, divergence guard") {
+    import spark.implicits._
+    import model._
+    Seq(0L, 10L).toDF("x").createOrReplaceTempView("iter_in")
+
+    // (1) a pre-existing USER view named graft_iteration_state survives
+    // produceIteration intact (r11: the builder used to replace-then-drop it)
+    Seq(42L).toDF("x").createOrReplaceTempView(Consumer.IterationStateTable)
+    val p1 = Producer.produceIteration(
+      spark.table("iter_in"), st => st.select((col("x") + 1).as("x")),
+      maxIters = 2, checkFixpoint = false)
+    assert(spark.table(Consumer.IterationStateTable)
+      .collect().map(_.getLong(0)).toSeq == Seq(42L),
+      "user view clobbered by produceIteration")
+    // ... and the produced body still reads the RESERVED name (renamed from
+    // the per-call scratch view), so the consumer binds the loop state
+    assert(Consumer.consume(spark, Wire.decode(Wire.encode(p1)))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 12L))
+    spark.catalog.dropTempView(Consumer.IterationStateTable)
+
+    // (2) TWO independent sibling ExtIterations composed in ONE plan:
+    // each consumes with its OWN state binding (fresh Ctx per body round)
+    val p2 = Producer.produceIteration(
+      spark.table("iter_in"),
+      st => st.select(least(col("x") + 1, lit(5L)).as("x")),
+      maxIters = 50, checkFixpoint = true)
+    def rootRel(p: Plan): Rel = p.relations.head match {
+      case PlanRel.Root(r, _) => r
+      case PlanRel.RelOnly(r) => r
+    }
+    val combined = Plan(p1.extensions ++ p2.extensions.map(e =>
+        e.copy(functionAnchor = e.functionAnchor + p1.extensions.size)),
+      Seq(PlanRel.Root(
+        Rel.Set(Seq(rootRel(p1), reanchor(rootRel(p2), p1.extensions.size)),
+          SetOp.UnionAll), Seq("x"))))
+    val sib = Consumer.consume(spark, Wire.decode(Wire.encode(combined)))
+    assert(sib.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 5L, 5L, 12L))
+
+    // (3) iteration nested inside a BODY plan rejects loudly (single
+    // reserved state name = ambiguous inner/outer binding)
+    val stateSchema = NamedStruct(Seq("x"), Seq((SType.SI64, false)))
+    val stateRead = Rel.Read(stateSchema, Seq(Consumer.IterationStateTable), None)
+    val innerBody = Plan(Nil, Seq(PlanRel.RelOnly(stateRead)))
+    val nestedBody = Plan(Nil, Seq(PlanRel.RelOnly(
+      Rel.ExtIteration(stateRead, innerBody, 2, checkFixpoint = false))))
+    val nested = Plan(Nil, Seq(PlanRel.Root(
+      Rel.ExtIteration(Rel.Read(stateSchema, Seq("iter_in"), None),
+        nestedBody, 2, checkFixpoint = false), Seq("x"))))
+    val issues = Validator.validate(nested)
+    assert(issues.exists(_.msg.contains("nested inside an iteration body")),
+      issues.mkString("; "))
+    val eNested = intercept[SubstraitException](Consumer.consume(spark, nested))
+    assert(eNested.getMessage.contains("nested"), eNested.getMessage)
+
+    // (4) require_fixpoint: exhausting maxIters without convergence is LOUD
+    val diverge = Producer.produceIteration(
+      spark.table("iter_in"), st => st.select((col("x") + 1).as("x")),
+      maxIters = 3, checkFixpoint = true, requireFixpoint = true)
+    val eDiv = intercept[SubstraitException](
+      Consumer.consume(spark, Wire.decode(Wire.encode(diverge))))
+    assert(eDiv.getMessage.contains("require_fixpoint"), eDiv.getMessage)
+    // converging body with the same flag: no error, fixpoint returned
+    val conv = Producer.produceIteration(
+      spark.table("iter_in"),
+      st => st.select(least(col("x") + 1, lit(5L)).as("x")),
+      maxIters = 50, checkFixpoint = true, requireFixpoint = true)
+    assert(Consumer.consume(spark, Wire.decode(Wire.encode(conv)))
+      .collect().map(_.getLong(0)).toSeq == Seq(5L, 5L))
+    // require without check is rejected at build and by the validator
+    intercept[IllegalArgumentException](Producer.produceIteration(
+      spark.table("iter_in"), st => st, 3,
+      checkFixpoint = false, requireFixpoint = true))
+    val badFlags = Plan(Nil, Seq(PlanRel.Root(
+      Rel.ExtIteration(Rel.Read(stateSchema, Seq("iter_in"), None),
+        innerBody, 2, checkFixpoint = false, requireFixpoint = true),
+      Seq("x"))))
+    assert(Validator.validate(badFlags)
+      .exists(_.msg.contains("require_fixpoint without check_fixpoint")))
+  }
+
+  /** shift every function anchor in a rel tree by `k` — test-only helper for
+    * hand-composing two independently-produced plans into one registry */
+  private def reanchor(rel: model.Rel, k: Int): model.Rel = {
+    import model._
+    def goE(e: SExpr): SExpr = e match {
+      case SExpr.ScalarFn(r, args) => SExpr.ScalarFn(r + k, args.map(goE))
+      case SExpr.IfThen(cs, els) => SExpr.IfThen(
+        cs.map(c => IfClause(goE(c.cond), c.thenExpr.map(goE))), els.map(goE))
+      case SExpr.Cast(t, n, in) => SExpr.Cast(t, n, goE(in))
+      case w: SExpr.WindowFn => w.copy(functionReference = w.functionReference + k,
+        args = w.args.map(goE), partitions = w.partitions.map(goE),
+        sorts = w.sorts.map(s => s.copy(expr = goE(s.expr))))
+      case other => other
+    }
+    def go(r: Rel): Rel = r match {
+      case x: Rel.Read => x.copy(filter = x.filter.map(goE))
+      case x: Rel.Project => x.copy(input = go(x.input),
+        expressions = x.expressions.map(goE))
+      case x: Rel.Filter => x.copy(input = go(x.input), condition = goE(x.condition))
+      case x: Rel.Fetch => x.copy(input = go(x.input))
+      case x: Rel.Sort => x.copy(input = go(x.input),
+        sorts = x.sorts.map(s => s.copy(expr = goE(s.expr))))
+      case x: Rel.Aggregate => x.copy(input = go(x.input),
+        groupings = x.groupings.map(_.map(goE)),
+        measures = x.measures.map(m => m.copy(
+          function = m.function.copy(
+            functionReference = m.function.functionReference + k,
+            args = m.function.args.map(goE)),
+          filter = m.filter.map(goE))))
+      case x: Rel.Join => x.copy(left = go(x.left), right = go(x.right),
+        expression = goE(x.expression))
+      case x: Rel.Cross => x.copy(left = go(x.left), right = go(x.right))
+      case x: Rel.Set => x.copy(inputs = x.inputs.map(go))
+      case x: Rel.ExtGenerate => x.copy(input = go(x.input), arg = goE(x.arg))
+      case x: Rel.ExtExchange => x.copy(input = go(x.input),
+        exprs = x.exprs.map(goE))
+      case x: Rel.ExtSample => x.copy(input = go(x.input))
+      case x: Rel.ExtStage => x.copy(input = go(x.input))
+      case x: Rel.ExtSessionWindow => x.copy(input = go(x.input),
+        gapExpr = x.gapExpr.map(goE))
+      // nested body plans carry their OWN registry — anchors stay scoped
+      case x: Rel.ExtIteration => x.copy(input = go(x.input))
+      case x: Rel.ExtHint => x.copy(input = go(x.input))
+    }
+    go(rel)
+  }
+
   test("new shapes double round-trip: consumed plans re-produce") {
     fixture
     for (q <- Seq(

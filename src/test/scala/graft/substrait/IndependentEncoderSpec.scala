@@ -149,5 +149,21 @@ class IndependentEncoderSpec extends SparkTestBase {
     assertAgree(Plan(Nil, Seq(PlanRel.Root(
       Rel.ExtIteration(init, bodyPlan, maxIters = 7, checkFixpoint = true),
       Seq("node", "label")))))
+    // require_fixpoint (detail field 4) in both set and DEFAULT (false,
+    // proto3-omitted — the r10 bug class) forms
+    assertAgree(Plan(Nil, Seq(PlanRel.Root(
+      Rel.ExtIteration(init, bodyPlan, maxIters = 7, checkFixpoint = true,
+        requireFixpoint = true),
+      Seq("node", "label")))))
+    val viaIndependent = Wire.decode(IndependentWire.encode(
+      Plan(Nil, Seq(PlanRel.RelOnly(
+        Rel.ExtIteration(init, bodyPlan, 7, checkFixpoint = true,
+          requireFixpoint = false))))))
+    viaIndependent.relations.head match {
+      case PlanRel.RelOnly(it: Rel.ExtIteration) =>
+        assert(!it.requireFixpoint,
+          "omitted require_fixpoint must decode as false")
+      case other => fail(s"unexpected relation $other")
+    }
   }
 }

@@ -368,13 +368,14 @@ object IndependentWire {
         extSingle(in, Wire.sessionWindowDetailUrl, cat(
           vfOpt(1, tsField.toLong), vfOpt(2, gapMicros),
           gapExpr.map(expr(3, _)).getOrElse(empty)))
-      case Rel.ExtIteration(in, bodyPlan, maxIters, checkFixpoint) =>
+      case Rel.ExtIteration(in, bodyPlan, maxIters, checkFixpoint, reqFp) =>
         // IterationRelDetail{body_plan=1 bytes (nested Plan — encoded by
         // THIS encoder, keeping the cross-check independent all the way
-        // down), max_iters=2, check_fixpoint=3}
+        // down), max_iters=2, check_fixpoint=3, require_fixpoint=4}
         extSingle(in, Wire.iterationDetailUrl, cat(
           lenf(1, encode(bodyPlan)),
-          vfOpt(2, maxIters.toLong), boolOpt(3, checkFixpoint)))
+          vfOpt(2, maxIters.toLong), boolOpt(3, checkFixpoint),
+          boolOpt(4, reqFp)))
     }
     lenf(f, body)
   }

@@ -24,6 +24,8 @@ import glob
 
 RATIO = 1.5
 ABS_FLOOR = 0.3   # seconds of growth; below this, ratio flags are noise
+LOAD_GUARD = 4.0  # ambient 1-min loadavg above this at bench START means
+                  # the box was already contended before we ran a query
 MIN_SOLO = 1.0    # a solo-confirmed time must exceed this to matter: the
                   # in-suite baseline amortizes FS caches/session overheads a
                   # solo re-run pays cold, so sub-second queries read 2-4x
@@ -84,6 +86,23 @@ def main():
         fresh = run_bench(args.sf, os.path.join(args.out, "bench-gate.json"))
     fresh_q = {k: float(v) for k, v in fresh["queries"].items()}
     solo_map = {k: float(v) for k, v in fresh.get("solo", {}).items()}
+
+    # Load guard (VERDICT r10 task 2): Bench now records ambient 1-min
+    # loadavg (sampled before the Spark session existed) and PSI io avg10
+    # in the metric line. High ambient start-load means the totals are
+    # upper bounds measured under contention — say so up front instead of
+    # requiring a manual adjudication against builder snapshots.
+    load = fresh.get("load") or {}
+    if load:
+        ls, le = float(load.get("start", -1)), float(load.get("end", -1))
+        print(f"bench_regress: load start={ls:.2f} end={le:.2f} "
+              f"io_start={float(load.get('io_start', -1)):.2f} "
+              f"io_end={float(load.get('io_end', -1)):.2f}")
+        if ls > LOAD_GUARD:
+            print(f"bench_regress: WARNING — ambient start load {ls:.2f} > "
+                  f"{LOAD_GUARD}: run measured under external contention; "
+                  "totals are upper bounds (drift normalizer + in-run solo "
+                  "map adjudicate per-query calls below)")
 
     shared = sorted(set(base_q) & set(fresh_q))
     print(f"bench_regress: {len(shared)} shared queries "
