@@ -30,9 +30,16 @@ object Bench {
     val loadStart = loadAvg
     val ioStart = ioPressure
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle width defaults to the thread count (right at the gated SFs);
+    // scale rehearsals override it — at 100× data a fixed 32-way shuffle
+    // puts ~500 MB through each reducer in the array-verify joins and the
+    // spill, not the algorithm, dominates the tail (a real cluster sizes
+    // partitions to data; this knob is that sizing for the rehearsal)
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       // same timezone pin as Verify: the events view's NTZ->LTZ ts cast
       // must mean the same instants the DuckDB oracle sees
       .config("spark.sql.session.timeZone", "UTC")

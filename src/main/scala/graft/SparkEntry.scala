@@ -2465,6 +2465,33 @@ object SparkEntry {
           |ORDER BY channel, ym""".stripMargin))
     }),
 
+    // TPC-DS q4 shape: MULTI-REFERENCE CTE self-joined across adjacent
+    // years — year-over-year growth with a cross-reference predicate.
+    // Substrait 0.3 has no common-subplan sharing, so each CTE reference
+    // re-produces the definition's subtree on the wire; the consumer's
+    // rebuilt self-join must keep the two references distinct (the E1/E2
+    // fresh-name scheme) while ReuseExchange de-duplicates the physical
+    // aggregate underneath
+    "q73_ds_cte_yoy" -> ((s, dir) => {
+      t(s, dir, "orders")
+      rt(s, s.sql(
+        """WITH yearly AS (
+          |  SELECT o_custkey,
+          |    CAST(substring(CAST(o_orderdate AS STRING), 1, 4) AS INT)
+          |      AS yr,
+          |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot0
+          |  FROM orders GROUP BY 1, 2)
+          |SELECT a.o_custkey, a.yr AS yr_prev,
+          |  CAST(a.tot0 AS DOUBLE) AS spend_prev,
+          |  CAST(b.tot0 AS DOUBLE) AS spend_next,
+          |  CAST(CAST(b.tot0 AS DOUBLE) / CAST(a.tot0 AS DOUBLE) AS DOUBLE)
+          |    AS growth
+          |FROM yearly a JOIN yearly b
+          |  ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+          |WHERE b.tot0 > a.tot0 * 2
+          |ORDER BY a.o_custkey, yr_prev""".stripMargin))
+    }),
+
     // uncorrelated scalar subquery → cross-joined single-row AggregateRel
     "q33_scalar_subquery" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -4775,6 +4802,22 @@ object SparkEntry {
         |  FROM orders
         |  GROUP BY ROLLUP(o_orderstatus, o_orderpriority)) x
         |ORDER BY lochierarchy DESC, status, rank_within_parent""".stripMargin,
+    "q73_ds_cte_yoy" ->
+      """WITH yearly AS (
+        |  SELECT o_custkey,
+        |    CAST(substring(CAST(o_orderdate AS STRING), 1, 4) AS INT)
+        |      AS yr,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot0
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT a.o_custkey, a.yr AS yr_prev,
+        |  CAST(a.tot0 AS DOUBLE) AS spend_prev,
+        |  CAST(b.tot0 AS DOUBLE) AS spend_next,
+        |  CAST(CAST(b.tot0 AS DOUBLE) / CAST(a.tot0 AS DOUBLE) AS DOUBLE)
+        |    AS growth
+        |FROM yearly a JOIN yearly b
+        |  ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+        |WHERE b.tot0 > a.tot0 * 2
+        |ORDER BY a.o_custkey, yr_prev""".stripMargin,
     "q72_ds_union_window" ->
       """WITH sales AS (
         |  SELECT substring(CAST(o_orderdate AS STRING), 1, 7) AS ym,

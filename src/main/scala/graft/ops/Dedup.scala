@@ -350,12 +350,21 @@ object Dedup {
   /** `bigBucket`: buckets above this member count leave the collect_list
     * kernel path — whose per-task memory is O(bucket) — for a SHUFFLE-based
     * per-bucket prefix join with O(1) per-task state (the d12 machinery
-    * keyed by (blk, szb, gram)). At the default 65,536 a group tops out
-    * around ~35 MB of hashed shingles; beyond that a single aggregation
-    * buffer would become the job's memory cliff at extreme corpus scale.
-    * Output is identical on either path (same prefix-completeness theorem,
-    * same emission rules, same verify kernel). Pass `bigBucket <= 0` to
-    * disable the routing probe entirely (kernel path for every block).
+    * keyed by (blk, szb, gram)). Output is identical on either path (same
+    * prefix-completeness theorem, same emission rules, same verify kernel —
+    * BigBlockGate `ab` mode re-certifies set-identity at rehearsal scale).
+    *
+    * Default 1,048,576, set by MEASUREMENT (r11 constrained-heap rehearsal,
+    * tools/BigBlockGate): a 1,000,000-member single block COMPLETES on the
+    * kernel path under an 8 GiB/8-thread JVM (363 s, planted-twin recall
+    * 500k/500k) — the collect_list buffer of its dominant size-bucket
+    * (~0.6–1 GB of hashed shingles) streams one group per task and spills
+    * between groups. The routed path at the same scale is ~7× slower
+    * (prefix-join shuffle constants), so routing below the measured cliff
+    * trades real speed for protection that is not needed; above ~1M members
+    * a single group's buffer approaches per-task memory and the hatch is
+    * the difference between a routed plan and an OOM. Pass `bigBucket <= 0`
+    * to disable the routing probe entirely (kernel path for every block).
     *
     * EAGER-ACTION + SNAPSHOT semantics: when the probe is enabled, this
     * builder runs ONE column-pruned count job over the block keys at plan
@@ -372,7 +381,7 @@ object Dedup {
                         blockCols: Seq[String], shingleSize: Int = 3,
                         threshold: Double = 0.1,
                         sizeBucketing: Boolean = true,
-                        bigBucket: Int = 65536): DataFrame = {
+                        bigBucket: Int = 1048576): DataFrame = {
     val blk = concat_ws("|", blockCols.map(col): _*)
     // One shuffle total: each block collects its (id, shingles) members and
     // emits its own ordered pairs — the same in-bucket explosion the LSH
@@ -539,7 +548,12 @@ object Dedup {
     // per-doc prefix: grams in (freq, gram) order, first sz − ⌈t·sz⌉ + 1.
     // The 1e-9 slack keeps a float ⌈t·sz⌉ from rounding UP past the exact
     // value (a too-short prefix loses the completeness guarantee; one gram
-    // longer is merely a few extra candidates)
+    // longer is merely a few extra candidates).
+    // Shape note (r11): the window-count freq that won d15 a 2× at 100×
+    // was MEASURED SLOWER here (97 → 113 s) — this operator's candidate
+    // join is a SELF-join of the prefix subtree, which Spark already
+    // de-duplicates via ReuseExchange, so the window only added its
+    // gram-partition sort without removing a derivation
     val prefLen = (col("sz") -
       ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
     val pref = docs.select(col("jid"), col("sz"), explode(col("sh")).as("gram"))
@@ -594,22 +608,24 @@ object Dedup {
       .withColumn("sh", sortedHashedShingles("jtext", shingleSize))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
-    val freq = docs.select(explode(col("sh")).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("freq"))
     // A-side prefix: ⌊(1−t)·sz⌋ + 1 rarest grams (1e-9 slack so a float
     // floor never rounds DOWN past the exact value — one gram short loses
     // completeness, one long is a few extra candidates)
     val prefLen = (floor(lit(1.0 - threshold) * col("sz") + lit(1e-9))
       .cast("int") + 1)
-    val pref = docs.select(col("jid"), col("sz"), explode(col("sh")).as("gram"))
-      .join(freq, "gram")
+    // window-count document frequency on the single gram explosion (see
+    // prefixFilterJaccardPairs — same wire-plan re-derivation economics)
+    val grams = docs.select(col("jid"), col("sz"), explode(col("sh")).as("gram"))
+    val gramsF = grams.withColumn("freq", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("gram")))
+    val pref = gramsF
       .groupBy("jid", "sz")
       .agg(array_sort(collect_list(struct(col("freq"), col("gram")))).as("ord"))
       .select(col("jid"), col("sz"),
         explode(slice(transform(col("ord"), s => s.getField("gram")),
           lit(1), prefLen)).as("gram"))
-    val allGrams = docs.select(col("jid").as("id_b"), col("sz").as("sz_b"),
-      explode(col("sh")).as("gram"))
+    val allGrams = grams.select(col("jid").as("id_b"), col("sz").as("sz_b"),
+      col("gram"))
     val cand = pref.select(col("gram"), col("jid").as("id_a"), col("sz").as("sz_a"))
       .join(allGrams, "gram")
       .filter(col("id_a") =!= col("id_b"))

@@ -32,10 +32,13 @@ object D15Probe {
         concat(col("text"),
           lit(" zq xv extension tail tokens appended here")).as("text"))
     val df = base.unionAll(ext)
-    // replicate containmentPairs stages with timers
+    // replicate containmentPairs stages with timers — r11: via the FUSED
+    // shingle_hashes kernel (what the operator actually runs since r10),
+    // so the stage budget reflects the current plan, not the retired
+    // five-expression composition
     val docs = df.select(col("doc_id").as("jid"), col("text").as("jtext"))
-      .withColumn("sh", array_sort(transform(
-        graft.ops.Dedup.shingles("jtext", 3), x => xxhash64(x))))
+      .withColumn("sh", graft.functions.ShingleFunctions
+        .shingleHashes(col("jtext"), 3))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
     timed("docs+shingles count")(docs.count())

@@ -537,6 +537,43 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("xxhash64"), s"grams must travel hashed:\n$p")
   }
 
+  test("q71: rollup feeds ONE Expand into ONE aggregate over ONE scan") {
+    val p = plan("q71_ds_rollup_window")
+    assert(p.sliding("Expand".length).count(_ == "Expand") == 1, p)
+    // the single orders scan is 3-column pruned (status, price, priority)
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") == 1, p)
+    assert(p.contains("ReadSchema: struct<o_orderstatus:string," +
+      "o_totalprice:double,o_orderpriority:string>"), p)
+  }
+
+  test("q70: both windows share one partition exchange; rank limit pushes down") {
+    val p = plan("q70_ds_category_share")
+    // share + rank are computed in TWO window nodes over the SAME p_type
+    // partitioning: no exchange (and no extra sort pass) may sit between
+    // them — they ride one shuffle. (Column names are wire-fresh _sNNNN,
+    // so the gate checks structure, not names.)
+    val winIdxs = "Window \\[".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(winIdxs.size == 2, s"expected 2 window nodes, plan:\n$p")
+    val between = p.substring(winIdxs.head, winIdxs.last)
+    assert(!between.contains("Exchange"),
+      s"exchange between the two windows — they no longer share one " +
+        s"shuffle:\n$p")
+    // Spark's WindowGroupLimit must absorb the rnk <= 3 filter so each
+    // partition keeps top-3 BEFORE the full window sort output materializes
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("q72/q73: union + self-join DS shapes keep equi-joins and pruned scans") {
+    for (n <- Seq("q72_ds_union_window", "q73_ds_cte_yoy")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$n: $p")
+      // orders scans prune to the 3 referenced columns
+      assert(p.contains("o_totalprice") && !p.contains("o_comment"), s"$n: $p")
+    }
+  }
+
   test("LocalFiles consume: declared-schema file scan still prunes and pushes") {
     val df = substrait.Consumer.consume(spark, substrait.Wire.decode(
       substrait.Wire.encode(substrait.Producer.produce(
