@@ -556,6 +556,13 @@ object Dedup {
     // gram-partition sort without removing a derivation
     val prefLen = (col("sz") -
       ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
+    // prefix construction stays collect_list+slice (hash agg): the
+    // row_number-window alternative was A/B'd at 100× in r11 — faster at
+    // 32 threads (60.9 vs 84.7 s) but SLOWER at 8 threads (72.8 vs
+    // 53.8 s), and 8-thread-per-heap is the production executor shape the
+    // constrained-heap rehearsal certifies; the window's jid-partition
+    // sort pays more than the array build saves when per-thread memory is
+    // real
     val pref = docs.select(col("jid"), col("sz"), explode(col("sh")).as("gram"))
       .join(freq, "gram")
       .groupBy("jid", "sz")
@@ -966,7 +973,12 @@ object Dedup {
         val plan = graft.substrait.Producer.produceIteration(
           init,
           l => { val e = spark.table(edgesView); step(e)(step(e)(l)) },
-          maxIters = maxIter, checkFixpoint = true)
+          maxIters = maxIter, checkFixpoint = true,
+          // pointer-doubling label propagation converges within the bound
+          // by construction, so requiring the fixpoint costs nothing and
+          // turns a silently-wrong truncated run (e.g. a caller passing a
+          // too-small maxIter for a pathological diameter) into a loud one
+          requireFixpoint = true)
         labels = graft.substrait.Consumer.consume(spark,
             graft.substrait.Wire.decode(graft.substrait.Wire.encode(plan)))
           .toDF("node", "label")

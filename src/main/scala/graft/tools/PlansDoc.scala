@@ -51,7 +51,10 @@ object PlansDoc {
     "s12_mmr_rerank" -> "MMR rerank: shortlist + pairwise sims reduce to per-query arrays/maps; the greedy loop is a single codegen-stage aggregate HOF — no driver loop, no per-iteration shuffles",
     "s13_ivf_incremental_ingest" -> "incremental IVF ingest: the appended batch assigns against literal saved centroids in a narrow stage; the probe scans the grown cell-partitioned layout",
     "d14_keep_best_per_cluster" -> "quality-aware cluster dedup: winners via ONE struct-max aggregate over (quality, −id); bare-id anti-join — text never rides a shuffle after pair generation",
-    "d15_containment_pairs" -> "directed containment: A-side rarest-first prefix joins the full gram index on 8-byte grams; shingle arrays re-join only for the early-terminating sorted_containment_ge verify",
+    "d15_containment_pairs" -> "directed containment: document frequency is a WINDOW count on the single gram explosion (no separate freq branch — wire plans can't persist, so branches re-derive; r11 cut the 100× wall ~2×); A-side rarest-first prefix joins the reused gram index on 8-byte grams; shingle arrays re-join only for the early-terminating sorted_containment_ge verify",
+    "q70_ds_category_share" -> "TPC-DS category-share shape: share + rank windows stack on ONE p_type exchange; the rank<=3 predicate becomes WindowGroupLimit so partitions keep top-3 before the window output materializes",
+    "q71_ds_rollup_window" -> "TPC-DS rollup hierarchy: ONE 3-column-pruned scan feeds ONE Expand into ONE aggregate; rank-within-parent is a single window pass over the grouping-id partition",
+    "q73_ds_cte_yoy" -> "TPC-DS year-over-year: the multi-reference CTE re-produces its aggregate subtree per reference on the wire (substrait has no common-subplan sharing); each side partial-aggregates over a 3-column-pruned scan and the year-shifted self-join BROADCASTS one aggregated side with the growth predicate folded into the join",
     "e08_session_window" -> "native session_window sessions ON the wire (ExtSessionWindow + plain AggregateRel): the consumed plan re-derives Catalyst's session merge (MergingSessions) riding ONE user-keyed exchange",
     "m04_media_batches" -> "media batch packing: per-modality window pass over payload SIZES — binary payloads never shuffle; batch boundaries from one running sum",
     "m01_media_features" -> "REAL PNG decode: both codec stages ride as named typed stages (png_encode → image_decode); payloads stay in their input partition — zero shuffles before the output sort",

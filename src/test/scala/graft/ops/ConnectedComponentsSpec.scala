@@ -89,6 +89,25 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(files != null && files.nonEmpty, s"no checkpoint data under $dir")
   }
 
+  test("checkpointDir + stepThroughWire: the consumer's iteration rounds checkpoint reliably") {
+    // r11 (advice fix): the wire path used to silently downgrade a
+    // requested reliable checkpoint to localCheckpoint — the consumer's
+    // ExtIteration loop now honors the context's checkpoint dir. Gate:
+    // identical fixpoint AND rdd checkpoint data present in the directory.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-wire-ckpt")
+    val edges = (0L until 40L).map(i => (i, i + 1)) ++ Seq((300L, 301L))
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+        checkpointDir = Some(dir.toString), stepThroughWire = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(edges), "wire + reliable-checkpoint fixpoint")
+    def count(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(count).sum else 1
+    assert(count(dir.toFile) > 1,
+      s"no reliable checkpoint data under $dir — the consumer fell back " +
+        "to localCheckpoint")
+  }
+
   test("per-round plans ride the wire (stepThroughWire) with identical fixpoint") {
     import spark.implicits._
     val star = (1L to 20L).map(i => (600L + i, 600L))

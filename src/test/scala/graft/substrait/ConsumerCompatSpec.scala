@@ -90,6 +90,18 @@ class ConsumerCompatSpec extends SparkTestBase {
     "0212171a150802120812060a041202080212070a058001d68e011a0612040a021200" +
     "120161"
 
+  // FOREIGN_BYTES.md §G6 — SELECT d.a, d2.b FROM data d JOIN data d2
+  // ON d.a = d2.a (JoinRel: left=2/right=3/expression=4/type=6, INNER=1;
+  // the join condition's right-side FieldRef indexes the COMBINED 8-column
+  // row; project takes fields 0 and 5)
+  private val g6 =
+    "120f1a0d08ffffffff0f1a05657175616c1ab30112b0010aa7013aa401128f01328c01" +
+    "12380a36122c0a01610a01620a01630a0164121e0a043a0210010a09c2010608021005" +
+    "20010a0582010210010a040a0210013a060a04646174611a380a36122c0a01610a0162" +
+    "0a01630a0164121e0a043a0210010a09c201060802100520010a0582010210010a040a" +
+    "0210013a060a046461746122141a12120612040a0212001208" +
+    "12060a041202080430011a0612040a0212001a0812060a0412020805120161120162"
+
   test("G1: read + canonical mask (column-0 item is an empty message)") {
     // DuckDB: [(1, 2.00), (3, 4.50)]
     assert(runGolden(g1) == Seq("[1,2.00]", "[3,4.50]"))
@@ -116,10 +128,15 @@ class ConsumerCompatSpec extends SparkTestBase {
     assert(runGolden(g5) == Seq("[3]"))
   }
 
+  test("G6: inner self-join with combined-row field refs") {
+    // DuckDB: [(1, 2.00), (3, 4.50)]
+    assert(runGolden(g6) == Seq("[1,2.00]", "[3,4.50]"))
+  }
+
   test("golden bytes survive a graft re-encode round-trip") {
     // consuming foreign bytes is half the contract; the other half is that
     // graft's own encoding of the decoded plan decodes back unchanged
-    for (g <- Seq(g1, g2, g3, g4, g5)) {
+    for (g <- Seq(g1, g2, g3, g4, g5, g6)) {
       val plan = Wire.decode(unhex(g))
       assert(Wire.decode(Wire.encode(plan)) == plan)
     }
