@@ -128,6 +128,20 @@ class ConsumerCompatSpec extends SparkTestBase {
     assert(runGolden(g5) == Seq("[3]"))
   }
 
+  // FOREIGN_BYTES.md §G7 — SELECT a FROM data UNION ALL SELECT a FROM data
+  // (SetRel: inputs=2 repeated, op=3; SET_OP_UNION_ALL=6)
+  private val g7 =
+    "1a8e01128b010a8501428201123e0a3c122c0a01610a01620a01630a0164121e0a043a" +
+    "0210010a09c201060802100520010a0582010210010a040a02100122040a020a003a06" +
+    "0a0464617461123e0a3c122c0a01610a01620a01630a0164121e0a043a0210010a09c2" +
+    "01060802100520010a0582010210010a040a02100122040a020a003a060a0464617461" +
+    "1806120161"
+
+  test("G7: SetRel UNION ALL duplicates survive") {
+    // DuckDB: [(1,), (1,), (3,), (3,)]
+    assert(runGolden(g7) == Seq("[1]", "[1]", "[3]", "[3]"))
+  }
+
   test("G6: inner self-join with combined-row field refs") {
     // DuckDB: [(1, 2.00), (3, 4.50)]
     assert(runGolden(g6) == Seq("[1,2.00]", "[3,4.50]"))
@@ -136,7 +150,7 @@ class ConsumerCompatSpec extends SparkTestBase {
   test("golden bytes survive a graft re-encode round-trip") {
     // consuming foreign bytes is half the contract; the other half is that
     // graft's own encoding of the decoded plan decodes back unchanged
-    for (g <- Seq(g1, g2, g3, g4, g5, g6)) {
+    for (g <- Seq(g1, g2, g3, g4, g5, g6, g7)) {
       val plan = Wire.decode(unhex(g))
       assert(Wire.decode(Wire.encode(plan)) == plan)
     }
