@@ -137,6 +137,20 @@ class ConsumerCompatSpec extends SparkTestBase {
     "01060802100520010a0582010210010a040a02100122040a020a003a060a0464617461" +
     "1806120161"
 
+  // FOREIGN_BYTES.md §G8 — SELECT a FROM data ORDER BY a OFFSET 1 with
+  // FetchRel.count ABSENT: the reference encodes "no LIMIT" as count=0
+  // (producer.rs:147-150), which canonical proto3 omits entirely — a
+  // consumer that treats the absent count as LIMIT 0 returns zero rows
+  private val g8 =
+    "1a5b12590a541a52124e2a4c123e0a3c122c0a01610a01620a01630a0164121e0a043a" +
+    "0210010a09c201060802100520010a0582010210010a040a02100122040a020a003a06" +
+    "0a04646174611a0a0a0612040a02120010011801120161"
+
+  test("G8: absent FetchRel.count means NO limit (the reference's quirk), not LIMIT 0") {
+    // DuckDB: [(3,)] — offset 1 of the ascending 2-row table
+    assert(runGolden(g8) == Seq("[3]"))
+  }
+
   test("G7: SetRel UNION ALL duplicates survive") {
     // DuckDB: [(1,), (1,), (3,), (3,)]
     assert(runGolden(g7) == Seq("[1]", "[1]", "[3]", "[3]"))
@@ -150,7 +164,7 @@ class ConsumerCompatSpec extends SparkTestBase {
   test("golden bytes survive a graft re-encode round-trip") {
     // consuming foreign bytes is half the contract; the other half is that
     // graft's own encoding of the decoded plan decodes back unchanged
-    for (g <- Seq(g1, g2, g3, g4, g5, g6, g7)) {
+    for (g <- Seq(g1, g2, g3, g4, g5, g6, g7, g8)) {
       val plan = Wire.decode(unhex(g))
       assert(Wire.decode(Wire.encode(plan)) == plan)
     }
