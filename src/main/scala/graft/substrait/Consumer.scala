@@ -304,6 +304,23 @@ object Consumer {
         val reliable = spark.sparkContext.getCheckpointDir.isDefined
         def materialize(df: org.apache.spark.sql.DataFrame) =
           if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+        // a localCheckpoint pins MEMORY_AND_DISK blocks until the RDD is
+        // garbage-collected; over a long multi-query session (or under a
+        // small heap) the superseded generations of every consumed
+        // iteration accumulate — the measured source of single-JVM
+        // interference and of d17's constrained-heap surcharge. Each
+        // round's OLD state is provably dead once the next is materialized
+        // and the fixpoint check has read it (the final state is returned
+        // and never released here), so free its blocks eagerly.
+        def pinnedRdd(df: org.apache.spark.sql.DataFrame)
+            : Option[org.apache.spark.rdd.RDD[_]] =
+          df.queryExecution.analyzed match {
+            case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+            case _ => None
+          }
+        def release(df: org.apache.spark.sql.DataFrame): Unit =
+          if (!reliable) // reliable checkpoints live on disk, nothing pinned
+            pinnedRdd(df).foreach(_.unpersist(blocking = false))
         val init = build(input)
         val width = init.df.columns.length
         var state = materialize(init.df)
@@ -330,6 +347,7 @@ object Consumer {
               .filter(col("__d") =!= 0L)
               .isEmpty
           }
+          release(state) // superseded generation — last read by the check above
           state = next
           k += 1
         }
