@@ -979,9 +979,11 @@ object Dedup {
           // turns a silently-wrong truncated run (e.g. a caller passing a
           // too-small maxIter for a pathological diameter) into a loud one
           requireFixpoint = true)
+        val initialLabels = labels // superseded by the consumed fixpoint
         labels = graft.substrait.Consumer.consume(spark,
             graft.substrait.Wire.decode(graft.substrait.Wire.encode(plan)))
           .toDF("node", "label")
+        releaseLocalCheckpoint(initialLabels)
       } finally spark.catalog.dropTempView(edgesView)
     } else {
       var prevSum: java.math.BigDecimal = null
@@ -992,17 +994,37 @@ object Dedup {
         // checkpoint/action cost and still detects the exact fixpoint
         // (labels are monotone, so a stable sum across a double-hop is a
         // fixpoint)
+        val superseded = labels
         labels = materialize(step(edges)(step(edges)(labels)))
         val s = labels.agg(sum(col("label").cast("decimal(38,0)")))
           .head().getDecimal(0)
         done = prevSum != null && s.compareTo(prevSum) == 0
         prevSum = s
         iter += 1
+        // the old generation is dead once the new one is materialized —
+        // freeing its pinned blocks bounds the loop's executor-memory
+        // footprint to two generations (same discipline as the wire
+        // consumer's ExtIteration loop, r11)
+        releaseLocalCheckpoint(superseded)
       }
     }
     if (!(stepThroughWire || checkpointDir.isDefined)) edges.unpersist()
+    else if (stepThroughWire && checkpointDir.isEmpty)
+      releaseLocalCheckpoint(edges) // all rounds consumed; result is its own checkpoint
     labels.select(col("node"), col("label").as("cluster_id"))
   }
+
+  /** Free the MEMORY_AND_DISK blocks a localCheckpoint'd frame pins —
+    * no-op for reliable checkpoints (disk-backed) and non-LogicalRDD
+    * plans. Callers must prove the frame is superseded: unpersisting a
+    * lineage-truncated frame that is still referenced loses its data.
+    */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Rank units per 1.0 of rank: all graphRank arithmetic is fixed-point
     * integers so any engine replays it bit-identically (same trick as the
@@ -1079,11 +1101,18 @@ object Dedup {
           maxIters = iters, checkFixpoint = false)
         val decoded = graft.substrait.Wire.decode(
           graft.substrait.Wire.encode(plan))
+        val initialRanks = ranks // superseded by the consumed fixpoint
         ranks = graft.substrait.Consumer.consume(spark, decoded)
           .toDF("node", "rank_units")
+        releaseLocalCheckpoint(initialRanks)
+        releaseLocalCheckpoint(edges) // all rounds consumed eagerly above
       } finally spark.catalog.dropTempView(edgesView)
     } else {
-      for (_ <- 1 to iters) ranks = step(edges)(ranks).localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val superseded = ranks
+        ranks = step(edges)(ranks).localCheckpoint(true)
+        releaseLocalCheckpoint(superseded)
+      }
     }
     // the double view is exact: units < 2^53, and /2^20 is one correctly-
     // rounded IEEE op in any engine
