@@ -165,15 +165,47 @@ object Bench {
     // head). stdout therefore gets a line guaranteed ≤ BUDGET: 3-decimal
     // values, and if still too long, the slowest queries that fit plus an
     // "omitted" rollup of the fast tail. The file keeps the full map.
-    // 900, not 1800: the line is emitted on BOTH streams (below); if the
-    // driver tails a combined stream, two complete copies must fit in its
-    // 2000-char window
+    // 1300: sized for the driver's 2000-char stdout tail with ~700 chars of
+    // headroom for sbt's trailing "[success]" line and partial-line noise.
+    // The line is emitted on BOTH streams; if a harness ever tails a
+    // COMBINED stdout+stderr stream, the second copy may be clipped — the
+    // stdout copy is the load-bearing one and fits on its own. (r10's
+    // "two complete copies in one window" rationale for 900 is obsolete:
+    // the measured r11 driver capture tailed stdout alone.)
     val budget = 1300
     // the stdout (= driver-artifact) line carries load + the solo map as
     // FIXED overhead — the whole point is a self-adjudicating artifact, so
     // the adjudication evidence must survive into BENCH_rN.json, not just
     // the local file copy. Queries yield space to it in the greedy path.
-    val stdoutExtra = soloJsonOf(f3) + loadJson
+    // The overhead itself is CAPPED: solo entries are dropped fastest-first
+    // until base+extra provably fits (load ~90 chars + 10 solo entries
+    // ~330 chars is the normal case; this guards a pathological blow-up,
+    // e.g. very long query names, from starving the query map or busting
+    // the budget outright).
+    val extraCap = budget / 3
+    val errsJson =
+      if (soloErrs.isEmpty) ""
+      else soloErrs.map("\"" + _ + "\"")
+        .mkString(""","solo_err":[""", ",", "]")
+    val soloCapped = {
+      var s = solo.sortBy(-_._2)
+      def len(ss: Seq[(String, Double)]) = {
+        val j =
+          if (ss.isEmpty) ""
+          else ss.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+            .mkString(""","solo":{""", ",", "}")
+        (j + errsJson + loadJson).length
+      }
+      while (s.nonEmpty && len(s) > extraCap) s = s.dropRight(1)
+      s
+    }
+    val stdoutExtra = {
+      val j =
+        if (soloCapped.isEmpty) ""
+        else soloCapped.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+          .mkString(""","solo":{""", ",", "}")
+      j + errsJson + loadJson
+    }
     val rounded = results.toSeq.map { case (k, v) => k -> f3(v) }
     val roundedLine = mkLine(rounded, total, stdoutExtra)
     val stdoutLine =

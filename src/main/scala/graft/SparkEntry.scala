@@ -222,6 +222,28 @@ object SparkEntry {
       ops.Dedup.graphRank(pairs, stepThroughWire = true).orderBy("node")
     }),
 
+    // fuzzy near-dup by BOUNDED EDIT DISTANCE over a short keyed field
+    // (here: the 64-char lowercase prefix — the fuzzy-title/header dedup
+    // real pipelines run where token Jaccard is too coarse). Two planted
+    // perturbation families certify both verify AND blocking: a
+    // substitution twin (same length) and an append twin (length +1 —
+    // exercises the adjacent-length-bucket probe on every boundary
+    // straddle). The oracle brute-forces all in-block pairs with DuckDB's
+    // levenshtein — the op's length-bucket candidate set is provably
+    // complete, so the sets match exactly.
+    "d18_editdist_neardup" -> ((s, dir) => rt(s, {
+      val base = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("lang"),
+          expr("substring(lower(text), 1, 64)").as("k"))
+      val sub = base.select((col("doc_id") + 100000000L).as("doc_id"),
+        col("lang"), concat(lit("x"), expr("substring(k, 2)")).as("k"))
+      val app = base.select((col("doc_id") + 200000000L).as("doc_id"),
+        col("lang"), concat(col("k"), lit("z")).as("k"))
+      ops.Dedup.editDistanceNearDups(base.unionAll(sub).unionAll(app),
+          "doc_id", "k", blockCols = Seq("lang"), maxDist = 2)
+        .orderBy("id_a", "id_b")
+    })),
+
     // quality-aware cluster dedup: each near-dup cluster keeps its LONGEST
     // member (ties → smallest id) instead of an arbitrary min-id keeper —
     // the curation rule real pipelines want. One struct-max aggregate
@@ -2782,6 +2804,22 @@ object SparkEntry {
         |SELECT node, ru AS rank_units,
         |  CAST(ru AS DOUBLE) / 1048576.0 AS rank
         |FROM r3 ORDER BY node""".stripMargin,
+    // d18: brute-force all-pairs within each lang block — levenshtein is
+    // the same unit-cost edit distance in both engines; the engine's
+    // length-bucket candidate generation is provably complete (each edit
+    // moves length by ≤1), so filtering the brute-force set to dist ≤ 2
+    // is the exact ground truth
+    "d18_editdist_neardup" ->
+      """WITH b AS (SELECT doc_id, lang, substr(lower(text), 1, 64) AS k
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |u AS (SELECT doc_id, lang, k FROM b
+        |  UNION ALL SELECT doc_id + 100000000, lang, 'x' || substr(k, 2) FROM b
+        |  UNION ALL SELECT doc_id + 200000000, lang, k || 'z' FROM b),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(levenshtein(a.k, b.k) AS INTEGER) AS dist
+        |  FROM u a JOIN u b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, dist FROM p WHERE dist <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "d16_shared_spans" ->
       """WITH u AS (SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 300000,

@@ -113,6 +113,17 @@ object BucketJaccardKernel {
     i = 0
     while (i < n) { totalL += shs(i).length; i += 1 }
     if (totalL > (1L << 30)) {
+      // exactness-preserving escape hatch, but at 65k+ members × huge
+      // shingle arrays the m²/2 loop is ~10^13 merge ops in ONE task —
+      // effectively a hang, not an OOM. Log loudly (executor stderr) so an
+      // operator can find the offending block and route it through the
+      // bigBucket shuffle path instead of waiting on a silent task.
+      org.slf4j.LoggerFactory.getLogger(BucketJaccardKernel.getClass).warn(
+        s"bucket_jaccard_pairs: bucket with $n members / $totalL total " +
+          "grams exceeds the 2^30-gram prefix-index cap; falling back to " +
+          "the quadratic all-pairs loop IN ONE TASK. If this task runs too " +
+          "long, lower ngramJaccardPairs(bigBucket=...) so blocks this " +
+          "size route through the shuffle-based prefix join.")
       allPairsLoop()
       return new GenericArrayData(out.toArray[Any])
     }

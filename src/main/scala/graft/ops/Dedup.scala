@@ -366,6 +366,14 @@ object Dedup {
     * the difference between a routed plan and an OOM. Pass `bigBucket <= 0`
     * to disable the routing probe entirely (kernel path for every block).
     *
+    * **MEMORY ASSUMPTION of the default:** the 1M-member measurement holds
+    * at ≥1 GiB of heap per task slot (8 GiB / 8 threads). A deployment
+    * with smaller per-task memory (many cores over a small executor heap)
+    * must lower `bigBucket` proportionally — roughly
+    * `heapPerTaskSlotBytes / 1024` members — or the dominant size-bucket's
+    * collect_list buffer for one maximal block can exceed its task's share
+    * before the sort-based aggregate's between-group spilling can help.
+    *
     * EAGER-ACTION + SNAPSHOT semantics: when the probe is enabled, this
     * builder runs ONE column-pruned count job over the block keys at plan
     * BUILD time (not at execution), and the big-block routing decision is
@@ -882,6 +890,66 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Fuzzy near-duplicates by BOUNDED EDIT DISTANCE — the dedup modality
+    * for short keyed fields (titles, questions, URLs, headers) where token
+    * Jaccard is too coarse: `levenshtein(a, b) ≤ maxDist` is the match
+    * predicate, computed with Spark's built-in threshold-bounded
+    * levenshtein (O(maxDist·min(|a|,|b|)) per pair with early exit, not
+    * O(|a|·|b|)).
+    *
+    * Completeness without an all-pairs scan: a qualifying pair satisfies
+    * `||a|−|b|| ≤ maxDist` (each edit changes length by ≤ 1), so with
+    * length buckets of width w = maxDist+1 the two lengths fall in the
+    * same or ADJACENT buckets. Each row probes its own bucket and the next
+    * one; the join emits same-bucket pairs once (id order) and
+    * cross-bucket pairs once (shorter bucket on the probe side) — every
+    * qualifying pair surfaces EXACTLY once, no distinct pass, provably no
+    * misses (spec-checked against a brute-force model on boundary-
+    * straddling lengths).
+    *
+    * Scale: pair volume is Σ over (block, bucket) of n·(n_same + n_next) —
+    * bounded by the blocking key's selectivity like d04; rows carry only
+    * (id, key, len); one shuffle for the self-join, keyed on
+    * (blk, bucket). The cheap `abs(len_a−len_b) ≤ maxDist` prefilter runs
+    * before the levenshtein verify, and the verify itself is the
+    * threshold-bounded form that bails after maxDist+1 diagonal misses.
+    */
+  def editDistanceNearDups(df: DataFrame, idCol: String = "doc_id",
+                           strCol: String = "key",
+                           blockCols: Seq[String] = Seq("lang", "source"),
+                           maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 64,
+      s"editDistanceNearDups maxDist out of range: $maxDist")
+    val w = maxDist + 1
+    val blk = if (blockCols.isEmpty) lit("") else concat_ws("|", blockCols.map(col): _*)
+    val base = df.select(blk.as("eblk"), col(idCol).as("eid"),
+        col(strCol).as("ekey"))
+      .withColumn("elen", length(col("ekey")))
+      .withColumn("ebkt", floor(col("elen") / w))
+    // probe side visits its home bucket and the NEXT one; build side sits
+    // in its home bucket only. Same bucket → keep id_a < id_b; adjacent
+    // buckets → the pair arises only with the shorter-length bucket
+    // probing upward, so it is already unique.
+    val probe = base.select(col("eblk"), col("eid").as("id_l"),
+      col("ekey").as("key_l"), col("elen").as("len_l"),
+      col("ebkt").as("home_l"),
+      explode(array(col("ebkt"), col("ebkt") + 1)).as("jbkt"))
+    val build = base.select(col("eblk"), col("eid").as("id_r"),
+      col("ekey").as("key_r"), col("elen").as("len_r"),
+      col("ebkt").as("jbkt"))
+    probe.join(build, Seq("eblk", "jbkt"))
+      .filter((col("home_l") === col("jbkt") && col("id_l") < col("id_r")) ||
+        col("home_l") < col("jbkt"))
+      .filter(abs(col("len_l") - col("len_r")) <= maxDist)
+      // threshold-bounded levenshtein returns −1 when the distance exceeds
+      // maxDist: filter on the SIGN, never on `≤ maxDist` (−1 would pass)
+      .withColumn("dist",
+        expr(s"levenshtein(key_l, key_r, $maxDist)"))
+      .filter(col("dist") >= 0)
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"), col("dist"))
+  }
+
   /** Embedding-cosine near-duplicates via multi-table sign-LSH bucketing +
     * exact cosine verify; see Similarity.scala for the primitives.
     * `corpusSizeHint` sizes the LSH plane count without an extra corpus pass. */
@@ -965,6 +1033,7 @@ object Dedup {
       val edgesView = "graft_cc_edges_" +
         java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       edges.createOrReplaceTempView(edgesView)
+      val initialLabels = labels // superseded by the consumed fixpoint
       try {
         // init derives from the SAME named read so the whole artifact —
         // initial labels included — is plan, not host state
@@ -979,12 +1048,25 @@ object Dedup {
           // turns a silently-wrong truncated run (e.g. a caller passing a
           // too-small maxIter for a pathological diameter) into a loud one
           requireFixpoint = true)
-        val initialLabels = labels // superseded by the consumed fixpoint
+        // the reliability of the consumed rounds is THIS call's
+        // checkpointDir choice, scoped explicitly — not whatever dir an
+        // earlier caller left configured on the sticky context
         labels = graft.substrait.Consumer.consume(spark,
-            graft.substrait.Wire.decode(graft.substrait.Wire.encode(plan)))
+            graft.substrait.Wire.decode(graft.substrait.Wire.encode(plan)),
+            reliableIteration = Some(checkpointDir.isDefined))
           .toDF("node", "label")
+      } finally {
+        spark.catalog.dropTempView(edgesView)
+        // released in finally, not only on the success path: on success
+        // initialLabels is superseded by the consumed fixpoint; if consume
+        // throws (e.g. the require_fixpoint divergence guard) the method
+        // returns nothing, so the frame is dead either way and must not
+        // stay pinned for the session
         releaseLocalCheckpoint(initialLabels)
-      } finally spark.catalog.dropTempView(edgesView)
+        // all rounds consumed; the result is its own checkpoint (no-op for
+        // the reliable/disk-backed form when checkpointDir is set)
+        releaseLocalCheckpoint(edges)
+      }
     } else {
       var prevSum: java.math.BigDecimal = null
       var iter = 0
@@ -1009,8 +1091,7 @@ object Dedup {
       }
     }
     if (!(stepThroughWire || checkpointDir.isDefined)) edges.unpersist()
-    else if (stepThroughWire && checkpointDir.isEmpty)
-      releaseLocalCheckpoint(edges) // all rounds consumed; result is its own checkpoint
+    // (the wire path releases edges in its own finally block above)
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 
@@ -1090,6 +1171,7 @@ object Dedup {
       val edgesView = "graft_rank_edges_" +
         java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       edges.createOrReplaceTempView(edgesView)
+      val initialRanks = ranks // superseded by the consumed fixpoint
       try {
         // init derives from the SAME named read so the whole artifact —
         // initial state included — is plan, not host state (the
@@ -1101,12 +1183,23 @@ object Dedup {
           maxIters = iters, checkFixpoint = false)
         val decoded = graft.substrait.Wire.decode(
           graft.substrait.Wire.encode(plan))
-        val initialRanks = ranks // superseded by the consumed fixpoint
-        ranks = graft.substrait.Consumer.consume(spark, decoded)
+        // graphRank always materializes with localCheckpoint, so the
+        // consumed rounds are pinned the same way regardless of any
+        // checkpoint dir another caller left configured on the context
+        ranks = graft.substrait.Consumer.consume(spark, decoded,
+            reliableIteration = Some(false))
           .toDF("node", "rank_units")
+      } finally {
+        spark.catalog.dropTempView(edgesView)
+        // released in finally, not only on the success path: on success
+        // initialRanks is superseded by the consumed fixpoint and edges'
+        // rounds were all consumed eagerly (the result is its own
+        // checkpoint); if consume throws (e.g. a divergence guard) the
+        // method returns nothing, so both frames are dead either way and
+        // must not stay pinned for the session
         releaseLocalCheckpoint(initialRanks)
-        releaseLocalCheckpoint(edges) // all rounds consumed eagerly above
-      } finally spark.catalog.dropTempView(edgesView)
+        releaseLocalCheckpoint(edges)
+      }
     } else {
       for (_ <- 1 to iters) {
         val superseded = ranks

@@ -32,18 +32,35 @@ object Consumer {
   val IterationStateTable = "graft_iteration_state"
 
   def consume(spark: SparkSession, plan: Plan): DataFrame =
-    consumeInternal(spark, plan, binding = None, validate = true)
+    consumeInternal(spark, plan, binding = None, validate = true,
+      reliableIteration = None)
+
+  /** As [[consume]], but with the iteration-materialization reliability
+    * knob scoped to THIS call instead of inferred from the context.
+    * `SparkContext.setCheckpointDir` is sticky: after any caller configures
+    * a dir, every later consumed [[model.Rel.ExtIteration]] in the same
+    * context would silently switch to reliable disk checkpoints. Callers
+    * that know which durability they want pass it explicitly:
+    * `Some(false)` = fast localCheckpoint rounds even if a dir is set;
+    * `Some(true)` = reliable rounds (loud error if no checkpoint dir is
+    * configured); `None` = infer from the context (the plain-consume
+    * default, which is the standard Spark contract). */
+  def consume(spark: SparkSession, plan: Plan,
+              reliableIteration: Option[Boolean]): DataFrame =
+    consumeInternal(spark, plan, binding = None, validate = true,
+      reliableIteration = reliableIteration)
 
   private def consumeInternal(spark: SparkSession, plan: Plan,
                               binding: Option[DataFrame],
-                              validate: Boolean): DataFrame = {
+                              validate: Boolean,
+                              reliableIteration: Option[Boolean]): DataFrame = {
     if (validate)
       Validator.validateOrThrow(plan) // structural pre-flight: full issue report
     val extMap: Map[Int, String] =
       plan.extensions.map(e => e.functionAnchor -> e.name).toMap
     if (plan.relations.size != 1)
       internalErr(s"expected exactly one relation tree, got ${plan.relations.size}")
-    val ctx = new Ctx(spark, extMap, binding)
+    val ctx = new Ctx(spark, extMap, binding, reliableIteration)
     plan.relations.head match {
       case PlanRel.Root(input, names) =>
         val b = ctx.build(input)
@@ -62,7 +79,8 @@ object Consumer {
   private final case class Built(df: DataFrame)
 
   private final class Ctx(spark: SparkSession, extMap: Map[Int, String],
-                          stateBinding: Option[DataFrame] = None) {
+                          stateBinding: Option[DataFrame] = None,
+                          reliableIteration: Option[Boolean] = None) {
     private def fresh(): String = s"_s${freshCounter.incrementAndGet()}"
     private def freshNames(n: Int): Seq[String] = Seq.fill(n)(fresh())
     private def name(ref: Int): String =
@@ -301,17 +319,27 @@ object Consumer {
         if (maxIters < 1 || maxIters > 1000)
           internalErr(s"iteration maxIters out of range: $maxIters")
         Validator.validateOrThrow(bodyPlan)
-        val reliable = spark.sparkContext.getCheckpointDir.isDefined
+        // the knob is scoped per-consume when the caller passed one:
+        // setCheckpointDir is sticky on the context, so inferring from it
+        // alone would silently upgrade every later iteration in the same
+        // session to reliable disk rounds after ONE caller configures a dir
+        val reliable = reliableIteration.getOrElse(
+          spark.sparkContext.getCheckpointDir.isDefined)
+        if (reliable && spark.sparkContext.getCheckpointDir.isEmpty)
+          internalErr("reliable iteration checkpoints requested but no " +
+            "checkpoint dir is configured on the SparkContext")
         def materialize(df: org.apache.spark.sql.DataFrame) =
           if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
         // a localCheckpoint pins MEMORY_AND_DISK blocks until the RDD is
-        // garbage-collected; over a long multi-query session (or under a
-        // small heap) the superseded generations of every consumed
-        // iteration accumulate — the measured source of single-JVM
-        // interference and of d17's constrained-heap surcharge. Each
-        // round's OLD state is provably dead once the next is materialized
-        // and the fixpoint check has read it (the final state is returned
-        // and never released here), so free its blocks eagerly.
+        // garbage-collected, and a reliable checkpoint leaves rdd-N
+        // directories on disk until the context stops; over a long
+        // multi-query session (or under a small heap) the superseded
+        // generations of every consumed iteration accumulate — the measured
+        // source of single-JVM interference and of d17's constrained-heap
+        // surcharge. Each round's OLD state is provably dead once the next
+        // is materialized and the fixpoint check has read it (the final
+        // state is returned and never released here), so free its blocks —
+        // or delete its checkpoint files — eagerly.
         def pinnedRdd(df: org.apache.spark.sql.DataFrame)
             : Option[org.apache.spark.rdd.RDD[_]] =
           df.queryExecution.analyzed match {
@@ -319,8 +347,13 @@ object Consumer {
             case _ => None
           }
         def release(df: org.apache.spark.sql.DataFrame): Unit =
-          if (!reliable) // reliable checkpoints live on disk, nothing pinned
-            pinnedRdd(df).foreach(_.unpersist(blocking = false))
+          if (!reliable) pinnedRdd(df).foreach(_.unpersist(blocking = false))
+          else // superseded round: its rdd-N checkpoint dir is never re-read
+            for (r <- pinnedRdd(df); p <- r.getCheckpointFile) {
+              val path = new org.apache.hadoop.fs.Path(p)
+              path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .delete(path, true)
+            }
         val init = build(input)
         val width = init.df.columns.length
         var state = materialize(init.df)
@@ -328,7 +361,8 @@ object Consumer {
         var done = false
         while (k < maxIters && !done) {
           val next0 = consumeInternal(spark, bodyPlan,
-            binding = Some(state), validate = false)
+            binding = Some(state), validate = false,
+            reliableIteration = reliableIteration)
           if (next0.columns.length != width)
             internalErr(s"iteration body arity ${next0.columns.length} != " +
               s"state arity $width (the body must be schema-preserving)")

@@ -108,6 +108,53 @@ class ConnectedComponentsSpec extends SparkTestBase {
         "to localCheckpoint")
   }
 
+  test("superseded iteration rounds' reliable checkpoint files are deleted (r12)") {
+    // the ExtIteration consumer frees each superseded generation — for
+    // reliable rounds that means DELETING its rdd-N checkpoint dir, so a
+    // long-lived session doesn't accumulate one dir per round per query.
+    // A 40-chain needs ~6 double-hop rounds + the fixpoint round: without
+    // deletion this leaves 9+ rdd dirs; with it, only the never-superseded
+    // frames remain (edges leaf, the host's initial labels, final state).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt-gc")
+    val edges = (0L until 40L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+        checkpointDir = Some(dir.toString), stepThroughWire = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(edges), "fixpoint under checkpoint-gc")
+    def rddDirs(f: java.io.File): Seq[java.io.File] =
+      if (!f.isDirectory) Seq.empty
+      else f.listFiles().toSeq.flatMap(rddDirs) ++
+        f.listFiles().toSeq.filter(d => d.isDirectory && d.getName.startsWith("rdd-"))
+    val left = rddDirs(dir.toFile)
+    assert(left.nonEmpty, "expected the surviving frames' checkpoints on disk")
+    assert(left.size <= 5,
+      s"superseded rounds' checkpoint dirs were not deleted: ${left.size} " +
+        s"rdd-* dirs remain under $dir")
+  }
+
+  test("iteration reliability is scoped per-consume, not sticky (r12 advice)") {
+    // setCheckpointDir is sticky on the shared context (earlier tests in
+    // this suite set one). graphRank always wants fast localCheckpoint
+    // rounds and passes reliableIteration=Some(false) — so consuming its
+    // iteration must write NOTHING into whatever dir is configured.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rank-sticky")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val pairs = ((0L until 30L).map(i => (i, i + 1)) ++ Seq((100L, 101L)))
+      .toDF("id_a", "id_b")
+    val host = Dedup.graphRank(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wire = Dedup.graphRank(pairs, stepThroughWire = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wire == host, "wire rank == host rank under a sticky dir")
+    def anyRdd(f: java.io.File): Boolean =
+      f.isDirectory && (f.getName.startsWith("rdd-") ||
+        f.listFiles().exists(anyRdd))
+    assert(!anyRdd(dir.toFile),
+      s"graphRank's scoped Some(false) leaked reliable checkpoints into $dir")
+  }
+
   test("per-round plans ride the wire (stepThroughWire) with identical fixpoint") {
     import spark.implicits._
     val star = (1L to 20L).map(i => (600L + i, 600L))

@@ -334,6 +334,39 @@ class OpsSpec extends SparkTestBase {
     assert(got == expect, s"per-doc kept-segment counts diverge")
   }
 
+  test("editDistanceNearDups == brute-force model, incl. bucket straddles") {
+    import spark.implicits._
+    // classic DP levenshtein as the local ground truth
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // lengths 2..6 deliberately straddle the w=3 bucket boundary (len 2 →
+    // bucket 0, len 4 → bucket 1, len 5/6 → bucket 1): "ab"/"abcd" (dist 2,
+    // adjacent buckets) and "abcde"/"abc" (dist 2, same bucket) both must
+    // surface; "ab"/"abcdef" (len gap 4) must not even be a candidate
+    val rows = Seq(
+      (1L, "blk1", "ab"), (2L, "blk1", "abcd"), (3L, "blk1", "abc"),
+      (4L, "blk1", "abcde"), (5L, "blk1", "abcdef"), (6L, "blk1", "xyz"),
+      (7L, "blk2", "abcd"), // different block: never pairs with blk1
+      (8L, "blk1", "abce"), (9L, "blk1", "ab"))
+    val df = rows.toDF("id", "b", "s")
+    for (k <- Seq(0, 1, 2)) {
+      val got = Dedup.editDistanceNearDups(df, "id", "s", Seq("b"), maxDist = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      val want = (for {
+        (ia, ba, sa) <- rows; (ib, bb, sb) <- rows
+        if ia < ib && ba == bb && lev(sa, sb) <= k
+      } yield (ia, ib, lev(sa, sb))).sorted
+      assert(got.sorted == want, s"maxDist=$k")
+      assert(got.size == got.distinct.size, s"duplicate emission at maxDist=$k")
+    }
+  }
+
   test("exact dedup keeps one id per digest") {
     val d = Dedup.exactDedup(docs)
     assert(d.count() == d.select("digest").distinct().count())

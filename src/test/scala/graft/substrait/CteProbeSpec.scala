@@ -439,6 +439,20 @@ class CteProbeSpec extends SparkTestBase {
       Seq("x"))))
     assert(Validator.validate(badFlags)
       .exists(_.msg.contains("require_fixpoint without check_fixpoint")))
+
+    // (5) per-consume reliability scoping (r12 advice): Some(true) without
+    // a configured checkpoint dir is a LOUD error, never a silent
+    // localCheckpoint downgrade; Some(false) always consumes. (The shared
+    // context's checkpoint dir is sticky — another suite may have set one,
+    // in which case the error leg can't be exercised here and is skipped.)
+    assert(Consumer.consume(spark, Wire.decode(Wire.encode(p1)),
+        reliableIteration = Some(false))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 12L))
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val eRel = intercept[SubstraitException](Consumer.consume(spark,
+        Wire.decode(Wire.encode(p1)), reliableIteration = Some(true)))
+      assert(eRel.getMessage.contains("checkpoint dir"), eRel.getMessage)
+    }
   }
 
   /** shift every function anchor in a rel tree by `k` — test-only helper for
