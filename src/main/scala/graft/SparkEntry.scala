@@ -606,6 +606,18 @@ object SparkEntry {
         .select("lang", "doc_id", "cut")
         .orderBy("lang", "doc_id"))),
 
+    // deterministic leakage-free train/val/test split: assignment is a
+    // pure function of (id, text) content (md5 → 256 buckets → 80/10/10),
+    // replayable bit-identically on any engine/partitioning — the split
+    // rule itself is the operator, certified by per-(lang, split) counts
+    // and char totals (sum over ~256 buckets: any misassigned row moves a
+    // total). Per-row map work only: no shuffle, no stored seed.
+    "t31_split_assign" -> ((s, dir) => rt(s,
+      ops.TextOps.splitAssign(t(s, dir, "documents"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy("lang", "split"))),
+
     // Gopher-style repetition filters: zero-shuffle narrow fold per document
     "t10_repetition" -> ((s, dir) => rt(s,
       ops.TextOps.repetitionStats(t(s, dir, "documents"))
@@ -3165,6 +3177,20 @@ object SparkEntry {
         |WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
         |    ::UBIGINT AS INTEGER) < k.cut
         |ORDER BY lang, doc_id""".stripMargin,
+    // t31: same md5(id ':' text) rule verbatim; 2 lowercase hex chars
+    // compare identically as strings in both engines (fixed width, 0-9<a-f
+    // in ASCII); train < 'cd' = 205/256 buckets, val < 'e7' = 26, rest test
+    "t31_split_assign" ->
+      """WITH h AS (SELECT lang, n_chars,
+        |    substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 2) AS hh
+        |  FROM documents),
+        |s AS (SELECT lang, n_chars,
+        |    CASE WHEN hh < 'cd' THEN 'train'
+        |         WHEN hh < 'e7' THEN 'val' ELSE 'test' END AS split
+        |  FROM h)
+        |SELECT lang, split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     // t29b: the production-vocab replay — the oracle REGENERATES the 50k
     // merge table from the same two-level construction rule (all 26×26
     // bigrams rank i1·26+i2, then (bigram,bigram) pairs rank

@@ -119,6 +119,35 @@ object TextOps {
     * without ever shuffling text. Returns (idCol, n_hits) for contaminated
     * docs only — compose with an anti-join (`decontaminate`) to drop them.
     */
+  /** Deterministic, leakage-free train/val/test split assignment by
+    * CONTENT hash — the split a training pipeline must be able to replay
+    * bit-identically on any engine, any partitioning, any day: the
+    * assignment is a pure function of (id, text), never of row order,
+    * sampling state, or a seed column that has to be stored.
+    *
+    * Mechanics: md5 of `id ':' text`, first two hex chars = 256 buckets
+    * (md5 is uniform per byte, so bucket shares are within ±1/256 of the
+    * requested fractions); buckets `[0, trainBuckets)` → train,
+    * `[trainBuckets, trainBuckets+valBuckets)` → val, rest → test. All
+    * string ops — md5 + substring + comparison — are byte-identical across
+    * engines (the DuckDB oracle replays the rule verbatim). Per-row map
+    * work only: no shuffle, no state, embarrassingly parallel at any SF.
+    */
+  def splitAssign(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  trainBuckets: Int = 205, valBuckets: Int = 26): DataFrame = {
+    require(trainBuckets >= 1 && valBuckets >= 1 &&
+      trainBuckets + valBuckets < 256,
+      s"split buckets out of range: train=$trainBuckets val=$valBuckets")
+    def hex2(b: Int) = f"$b%02x"
+    val h = substring(md5(concat(col(idCol).cast("string"), lit(":"),
+      col(textCol))), 1, 2)
+    df.withColumn("split",
+      when(h < lit(hex2(trainBuckets)), "train")
+        .when(h < lit(hex2(trainBuckets + valBuckets)), "val")
+        .otherwise("test"))
+  }
+
   def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
                         idCol: String = "doc_id", textCol: String = "text",
                         n: Int = 8): DataFrame = {

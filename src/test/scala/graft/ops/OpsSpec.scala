@@ -367,6 +367,34 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("splitAssign: exact md5-rule replay, determinism, content sensitivity") {
+    import spark.implicits._
+    val rows = (1L to 400L).map(i => (i, s"document body $i ${"x" * (i % 7).toInt}"))
+    val df = rows.toDF("doc_id", "text")
+    val got = TextOps.splitAssign(df).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    // JVM-side exact replay of the rule: md5(id ':' text) → 2 hex chars
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def rule(id: Long, text: String): String = {
+      val h = md.digest(s"$id:$text".getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      if (h < "cd") "train" else if (h < "e7") "val" else "test"
+    }
+    rows.foreach { case (id, text) =>
+      assert(got(id) == rule(id, text), s"doc $id")
+    }
+    // deterministic: a second run assigns identically
+    val again = TextOps.splitAssign(df).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(again == got)
+    // content-addressed: same id with different text may move splits (the
+    // assignment hashes content, not position) — at least one of 400 does
+    val moved = TextOps.splitAssign(
+        rows.map { case (i, t) => (i, t + "!") }.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(rows.exists { case (id, _) => moved(id) != got(id) })
+  }
+
   test("exact dedup keeps one id per digest") {
     val d = Dedup.exactDedup(docs)
     assert(d.count() == d.select("digest").distinct().count())
