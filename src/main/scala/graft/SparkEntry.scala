@@ -618,6 +618,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
         .orderBy("lang", "split"))),
 
+    // CCNet-style boilerplate removal — the inverse of t17: 3-token segments
+    // whose corpus document-frequency reaches 5 are dropped from EVERY doc
+    // (cross-doc repetition = boilerplate); docs reassemble from survivors
+    // in order, keeping a row (empty text_clean) even when fully stripped.
+    // Exact two-level doc-freq agg + one digest-keyed flag join + one
+    // reassembly shuffle; the boilerplate set is tiny by construction.
+    "t32_boilerplate_removal" -> ((s, dir) => rt(s,
+      ops.TextOps.removeBoilerplate(t(s, dir, "documents"))
+        .orderBy("doc_id"))),
+
     // Gopher-style repetition filters: zero-shuffle narrow fold per document
     "t10_repetition" -> ((s, dir) => rt(s,
       ops.TextOps.repetitionStats(t(s, dir, "documents"))
@@ -1251,6 +1261,19 @@ object SparkEntry {
     "m11_ulaw_audio" -> ((s, dir) => rt(s,
       ops.Multimodal.ulawAudioFeatures(s, t(s, dir, "documents"))
         .orderBy("doc_id"))),
+
+    // corpus-level duplicate-FRAME detection (round 12): every doc carries
+    // a real GIF whose content is keyed doc_id % 256 (the re-upload model),
+    // frames are DECODED and fingerprinted (FNV-1a 64 over the raw raster),
+    // and (geometry, digest) groups with >= 2 members are the duplicate
+    // sets — d01 exact dedup, but over decoded video frames. Payloads never
+    // shuffle; only per-frame scalars ride the one grouping exchange. The
+    // oracle replays the closed-form pixel rule: content c = doc % 256,
+    // frames are pixel-identical iff (17c + 101f) mod 256 collides at the
+    // same geometry, so any decode/hash corruption breaks the match.
+    "m12_dup_frames" -> ((s, dir) => rt(s,
+      ops.Multimodal.videoDuplicateFrames(s, t(s, dir, "documents"))
+        .orderBy("width", "height", "first_doc", "first_frame"))),
 
     // GPU-inference batch packing: media rows pack into per-modality
     // batches under a byte budget (t09's greedy streaming pack over binary
@@ -2526,6 +2549,31 @@ object SparkEntry {
           |ORDER BY a.o_custkey, yr_prev""".stripMargin))
     }),
 
+    // UNPIVOT / melt (round 12): the DataFrame unpivot API resolves to a
+    // standalone Catalyst Expand, which the producer encodes as a SetRel
+    // UnionAll of one ProjectRel per measure branch (substrait 0.3 has no
+    // expand relation) — this is the first driver query to exercise that
+    // path. Exact decimal sums per the q04 convention; the consumed plan's
+    // per-branch scans prune to each branch's two columns.
+    "q74_unpivot" -> ((s, dir) => rt(s, {
+      import org.apache.spark.sql.types.DecimalType
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")),
+          "measure", "value")
+        .groupBy("measure")
+        .agg(
+          sum(col("value").cast(DecimalType(18, 4))).cast("double")
+            .as("total"),
+          count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("measure")
+    })),
+
     // uncorrelated scalar subquery → cross-joined single-row AggregateRel
     "q33_scalar_subquery" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -3191,6 +3239,30 @@ object SparkEntry {
         |SELECT lang, split, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    // t32: replays the 3-token segmentation (t17's rule at n=3), computes
+    // exact per-segment doc frequency, drops segments with df >= 5, and
+    // reassembles in order; COALESCE('') matches Spark's empty array_join
+    // for fully-stripped docs
+    "t32_boilerplate_removal" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |segl AS (SELECT doc_id,
+        |  [{'pos': k - 1, 'seg': array_to_string(w[(k-1)*3+1 : (k-1)*3+3], ' ')}
+        |   for k in range(1, GREATEST(CAST(ceil(len(w) / 3.0) AS INT), 1) + 1)] AS segs
+        |  FROM ws),
+        |seg AS (SELECT doc_id, u.pos AS pos, u.seg AS seg
+        |  FROM (SELECT doc_id, unnest(segs) AS u FROM segl)
+        |  WHERE len(u.seg) > 0),
+        |freq AS (SELECT md5(seg) AS digest, count(DISTINCT doc_id) AS dfd
+        |  FROM seg GROUP BY 1),
+        |flagged AS (SELECT s.doc_id, s.pos, s.seg,
+        |    (f.dfd < 5) AS keep
+        |  FROM seg s JOIN freq f ON md5(s.seg) = f.digest)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE keep), '')
+        |    AS text_clean,
+        |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // t29b: the production-vocab replay — the oracle REGENERATES the 50k
     // merge table from the same two-level construction rule (all 26×26
     // bigrams rank i1·26+i2, then (bigram,bigram) pairs rank
@@ -4006,6 +4078,29 @@ object SparkEntry {
         |SELECT doc_id, n_samples,
         |  ROUND(CAST(sum(mag) AS DOUBLE) / count(*), 6) AS mean_abs_q
         |FROM dec GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
+    // m12: closed-form replay of the re-upload rule — content c = doc % 256
+    // fixes geometry and the pixel offset (17c + 101f) mod 256; frames are
+    // pixel-identical iff (width, height, offset) match, so the oracle
+    // groups on that key while the engine groups on the decoded-raster
+    // digest (doc_id is unique within a group: same-doc frames can't
+    // collide since 101·Δf ≢ 0 mod 256 for Δf < 256, so arg_min is safe)
+    "m12_dup_frames" ->
+      """WITH g AS (SELECT doc_id, doc_id % 256 AS c FROM documents),
+        |p AS (SELECT doc_id, c,
+        |    CAST(2 + (c % 5) * 2 AS INTEGER) AS width,
+        |    CAST(2 + (c % 3) * 3 AS INTEGER) AS height,
+        |    CAST(2 + c % 4 AS INTEGER) AS nf FROM g),
+        |fr AS (SELECT doc_id, c, width, height,
+        |    CAST(unnest(range(nf)) AS INTEGER) AS f FROM p),
+        |k AS (SELECT doc_id, f, width, height,
+        |    (c * 17 + f * 101) % 256 AS off FROM fr),
+        |grp AS (SELECT width, height, off,
+        |    count(*) AS n_frames, min(doc_id) AS first_doc,
+        |    arg_min(f, doc_id) AS first_frame
+        |  FROM k GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+        |SELECT width, height, CAST(n_frames AS BIGINT) AS n_frames,
+        |  first_doc, CAST(first_frame AS INTEGER) AS first_frame
+        |FROM grp ORDER BY width, height, first_doc, first_frame""".stripMargin,
     // m02: per-scanline replay of the image rule (line y of a w×h image:
     // pixels k = y·w .. y·w+w−1); line_bytes = w · 3 bands
     "m02_frame_stats" ->
@@ -4882,6 +4977,23 @@ object SparkEntry {
         |  ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
         |WHERE b.tot0 > a.tot0 * 2
         |ORDER BY a.o_custkey, yr_prev""".stripMargin,
+    // q74: UNPIVOT replayed as the UNION ALL stack it desugars to; exact
+    // decimal sums cast to double per the q04 convention
+    "q74_unpivot" ->
+      """WITH u AS (
+        |  SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value
+        |    FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
+        |SELECT measure,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  count(*) AS n,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
     "q72_ds_union_window" ->
       """WITH sales AS (
         |  SELECT substring(CAST(o_orderdate AS STRING), 1, 7) AS ym,

@@ -446,21 +446,36 @@ object Multimodal {
     * image descriptor + LZW raster per frame). Writer allocated once per
     * partition; ImageIO stream caching forced off (see imageIoInit).
     */
-  val gifEncodeFn: Iterator[IdRow] => Iterator[ImgRow] = rows => {
+  // The JDK writer defaults to INTERLACED output, and its interlaced
+  // raster round-trips corrupted for small frame heights (measured: h=2
+  // frames decode with the second row zeroed; h≥5 survive). Progressive
+  // mode off = interlaceFlag FALSE = sequential scanlines, lossless.
+  // (Shared by gifEncodeFn and gifEncodeContentFn; per-row stream closed
+  // in finally, the lazy ++ tail disposes the per-partition writer.)
+  val gifEncodeFn: Iterator[IdRow] => Iterator[ImgRow] = rows =>
+    gifEncodeContentFn(rows.map(r => VidRow(r.doc_id, r.doc_id)))
+
+  final case class VidRow(doc_id: Long, content_id: Long)
+  final case class FrameHash(doc_id: Long, frame_idx: Int, width: Int,
+                             height: Int, raster_fnv: Long)
+
+  /** Content-keyed video encode (wire name graft.gif_encode_content_v1):
+    * identical pipeline to [[gifEncodeFn]] but every clip attribute
+    * (geometry, frame count, pixels) derives from `content_id` instead of
+    * the row id — the "re-upload" model: two docs sharing a content_id
+    * carry independently-encoded but pixel-identical videos, the ground
+    * truth corpus-level video dedup has to rediscover from DECODED bytes.
+    */
+  val gifEncodeContentFn: Iterator[VidRow] => Iterator[ImgRow] = rows => {
     imageIoInit()
     val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
     if (!writers.hasNext) throw new IllegalStateException("no GIF writer available")
     val writer = writers.next()
-    // The JDK writer defaults to INTERLACED output, and its interlaced
-    // raster round-trips corrupted for small frame heights (measured: h=2
-    // frames decode with the second row zeroed; h≥5 survive). Progressive
-    // mode off = interlaceFlag FALSE = sequential scanlines, lossless.
     val param = writer.getDefaultWriteParam
     param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
-    // per-row stream closed in finally (failure paths included); the lazy
-    // ++ tail disposes the per-partition writer once the iterator drains
     rows.map { r =>
-      val (w, h, nf) = (vidWidth(r.doc_id), vidHeight(r.doc_id), vidFrames(r.doc_id))
+      val c = r.content_id
+      val (w, h, nf) = (vidWidth(c), vidHeight(c), vidFrames(c))
       val bos = new java.io.ByteArrayOutputStream()
       val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
       try {
@@ -476,7 +491,7 @@ object Multimodal {
           while (y < h) {
             var x = 0
             while (x < w) {
-              raster.setSample(x, y, 0, vidGray(r.doc_id, f, k))
+              raster.setSample(x, y, 0, vidGray(c, f, k))
               x += 1; k += 1
             }
             y += 1
@@ -488,6 +503,83 @@ object Multimodal {
       } finally ios.close()
       ImgRow(r.doc_id, bos.toByteArray)
     } ++ { writer.dispose(); Iterator.empty }
+  }
+
+  /** Frame fingerprinting decode (wire name graft.gif_frame_hash_v1): GIF
+    * bytes → one row per DECODED frame carrying an FNV-1a 64 digest of the
+    * raw gray raster in row-major order. The digest is computed from
+    * decoded pixels — not container bytes — so two independently encoded
+    * copies of the same content collide (that is the point) while any
+    * decode corruption changes the digest and fails the closed-form oracle.
+    */
+  val gifFrameHashFn: Iterator[ImgRow] => Iterator[FrameHash] = rows => {
+    imageIoInit()
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) throw new IllegalStateException("no GIF reader available")
+    val reader = readers.next()
+    rows.flatMap { r =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        reader.setInput(iis, false, true)
+        val nf = reader.getNumImages(true)
+        if (nf <= 0)
+          throw new IllegalArgumentException(
+            s"undecodable GIF payload for doc ${r.doc_id}")
+        (0 until nf).map { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var hash = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              hash = (hash ^ gray) * 0x100000001b3L
+              x += 1
+            }
+            y += 1
+          }
+          FrameHash(r.doc_id, f, w, h, hash)
+        }
+      } finally iis.close()
+    } ++ { reader.dispose(); Iterator.empty }
+  }
+
+  /** Corpus-level duplicate-frame detection (m12): every document carries a
+    * real animated GIF whose content is keyed by `doc_id % contentMod` (the
+    * re-upload model), frames are DECODED and fingerprinted by an FNV-1a 64
+    * raster digest, and frames sharing (geometry, digest) across the whole
+    * corpus group into duplicate sets — the video analogue of d01 exact
+    * text dedup, certified by a closed-form oracle over the generation
+    * rule. Output: one row per duplicate group (n_frames ≥ 2) with its
+    * canonical (first) occurrence in (doc_id, frame_idx) order.
+    *
+    * Scale design: payloads never shuffle — encode and decode+hash are
+    * partition-local typed stages; only (doc_id, frame_idx, w, h, digest)
+    * scalars ride the ONE grouping exchange (map-side partial agg on the
+    * digest key). Group sizes are corpus-frequency bounded: counts and a
+    * struct-min, never a collected list, so a viral re-upload is a big
+    * count, not a big buffer.
+    */
+  def videoDuplicateFrames(spark: SparkSession, df: DataFrame,
+                           contentMod: Int = 256,
+                           idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    require(contentMod >= 1, s"contentMod must be >= 1: $contentMod")
+    df.select(col(idCol).cast("long").as("doc_id"),
+        (col(idCol) % contentMod).cast("long").as("content_id")).as[VidRow]
+      .mapPartitions(gifEncodeContentFn)
+      .mapPartitions(gifFrameHashFn)
+      .toDF()
+      .groupBy("width", "height", "raster_fnv")
+      .agg(count(lit(1)).as("n_frames"),
+        min(struct(col("doc_id"), col("frame_idx"))).as("first"))
+      .filter(col("n_frames") >= 2)
+      .select(col("width"), col("height"), col("n_frames"),
+        col("first").getField("doc_id").as("first_doc"),
+        col("first").getField("frame_idx").as("first_frame"))
   }
 
   /** THE video decode stage instance (wire name graft.gif_frames_v1): GIF

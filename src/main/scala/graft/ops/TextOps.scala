@@ -715,4 +715,54 @@ object TextOps {
   def dsirScore(df: DataFrame, weights: Map[String, Long],
                 textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     hashedLinearScore(df, textCol, weights, idCol, scoreScale = 1e9)
+
+  /** CCNet-style boilerplate removal — the inverse of [[dedupSegments]]:
+    * instead of keeping each distinct segment once, DROP every segment whose
+    * corpus-wide document frequency reaches `minDocFreq` (navigation chrome,
+    * cookie banners, license footers — text that repeats across many
+    * documents is boilerplate, not content). Documents are reassembled from
+    * their surviving segments in original order; a document whose segments
+    * are all boilerplate survives with an empty `text_clean` so downstream
+    * stages see the removal, not a silent row drop. Returns
+    * (id, text_clean, n_kept, n_removed).
+    *
+    * Scale design: two shuffles + one join. (1) segment doc-frequency is an
+    * exact two-level aggregate keyed by the segment digest ((digest, id)
+    * dedup then digest count — both with map-side partial aggregation); the
+    * boilerplate set it produces is tiny by construction (only segments
+    * repeated across >= minDocFreq docs — at 100 TB switch the first level
+    * to approx_count_distinct if exactness of the threshold is negotiable).
+    * (2) segments re-shuffle keyed by the digest to pick up the boilerplate
+    * flag (AQE broadcasts the small filtered side), then (3) one shuffle
+    * back to the document for ordered reassembly. Only segment text rides
+    * the shuffles; pre-hash to (digest, id, pos) and re-join winners against
+    * a second scan if segments are huge (same escape hatch as
+    * [[dedupSegments]]).
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", n: Int = 3,
+                        minDocFreq: Int = 5): DataFrame = {
+    require(n >= 1 && minDocFreq >= 2,
+      s"removeBoilerplate: need n >= 1, minDocFreq >= 2 (got $n, $minDocFreq)")
+    val segs = df
+      .select(col(idCol), posexplode(tokenWindowSegments(textCol, n))
+        .as(Seq("pos", "seg")))
+      .filter(length(col("seg")) > 0)
+      .withColumn("digest", md5(col("seg")))
+    val boiler = segs.select(col("digest"), col(idCol)).distinct()
+      .groupBy("digest").agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") >= minDocFreq)
+      .select(col("digest"), lit(true).as("is_boiler"))
+    segs.join(boiler, Seq("digest"), "left")
+      .withColumn("keep", col("is_boiler").isNull)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(
+              when(col("keep"), struct(col("pos"), col("seg"))))),
+            s => s.getField("seg")), " ").as("text_clean"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+  }
 }

@@ -124,6 +124,24 @@ object Stages {
         import spark.implicits._
         in.as[graft.ops.Multimodal.ImgRow]
           .mapPartitions(graft.ops.Multimodal.ulawDecodeFn).toDF()
+      }),
+    // Multimodal.gifEncodeContentFn: (doc_id, content_id) → real GIF whose
+    // pixels derive from content_id (the re-upload model for m12)
+    "graft.gif_encode_content_v1" -> Stage(
+      Seq("doc_id", "content_id"), 2,
+      (spark, in) => {
+        import spark.implicits._
+        in.as[graft.ops.Multimodal.VidRow]
+          .mapPartitions(graft.ops.Multimodal.gifEncodeContentFn).toDF()
+      }),
+    // Multimodal.gifFrameHashFn: (doc_id, payload) → one row per decoded
+    // frame (doc_id, frame_idx, width, height, raster_fnv)
+    "graft.gif_frame_hash_v1" -> Stage(
+      Seq("doc_id", "payload"), 5,
+      (spark, in) => {
+        import spark.implicits._
+        in.as[graft.ops.Multimodal.ImgRow]
+          .mapPartitions(graft.ops.Multimodal.gifFrameHashFn).toDF()
       }))
 
   /** Producer-side reverse lookup by EXACT closure identity: each wire name
@@ -145,7 +163,9 @@ object Stages {
     graft.ops.Multimodal.gifFramesFn -> "graft.gif_frames_v1",
     graft.ops.Multimodal.jpegEncodeFn -> "graft.jpeg_encode_v1",
     graft.ops.Multimodal.ulawEncodeFn -> "graft.ulaw_encode_v1",
-    graft.ops.Multimodal.ulawDecodeFn -> "graft.ulaw_decode_v1")
+    graft.ops.Multimodal.ulawDecodeFn -> "graft.ulaw_decode_v1",
+    graft.ops.Multimodal.gifEncodeContentFn -> "graft.gif_encode_content_v1",
+    graft.ops.Multimodal.gifFrameHashFn -> "graft.gif_frame_hash_v1")
 
   def nameOf(func: AnyRef): Option[String] =
     byClosureInstance.collectFirst { case (f, n) if f eq func => n }

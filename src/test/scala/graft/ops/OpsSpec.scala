@@ -334,6 +334,53 @@ class OpsSpec extends SparkTestBase {
     assert(got == expect, s"per-doc kept-segment counts diverge")
   }
 
+  test("duplicate frames: planted re-uploads group exactly, through real codec bytes") {
+    import spark.implicits._
+    // ids 1, 257, 513 share content_id 1 (mod 256): three independently
+    // encoded GIFs with pixel-identical frames. ids 2 and 260 are singleton
+    // contents (2 and 4); no cross-content collision is possible here
+    // (different c mod 15 ⇒ different geometry)
+    val df = Seq(1L, 2L, 257L, 260L, 513L).toDF("doc_id")
+    val got = Multimodal.videoDuplicateFrames(spark, df)
+      .orderBy("first_frame").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // content 1: w = 2+(1%5)*2 = 4, h = 2+(1%3)*3 = 5, nf = 2+1%4 = 3,
+    // each frame duplicated across the three docs, canonical = doc 1
+    val expect = (0 until 3).map(f => (4, 5, 3L, 1L, f)).toArray
+    assert(got.toSeq == expect.toSeq, s"got ${got.toSeq}")
+    // determinism across re-encode: the digest is over DECODED pixels, so a
+    // second run over a differently-partitioned input groups identically
+    val got2 = Multimodal.videoDuplicateFrames(spark, df.repartition(5))
+      .orderBy("first_frame").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(got2.toSeq == expect.toSeq)
+  }
+
+  test("boilerplate removal: drops exactly the df>=threshold segments, keeps order") {
+    val n = 3; val minDf = 5
+    val got = TextOps.removeBoilerplate(docs, n = n, minDocFreq = minDf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // local model: same segmentation, exact doc-frequency, same threshold
+    val segs = docs.select(col("doc_id"),
+        posexplode(TextOps.tokenWindowSegments("text", n)).as(Seq("pos", "seg")))
+      .filter(length(col("seg")) > 0).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val dfDocs = segs.groupBy(_._3).map { case (s, occ) =>
+      s -> occ.map(_._1).distinct.size }
+    val boiler = dfDocs.filter(_._2 >= minDf).keySet
+    assert(boiler.nonEmpty, "fixture should contain boilerplate at n=3, df>=5")
+    val expect = segs.groupBy(_._1).map { case (id, occ) =>
+      val sorted = occ.sortBy(_._2)
+      val kept = sorted.filterNot(o => boiler(o._3))
+      id -> ((kept.map(_._3).mkString(" "), kept.size.toLong,
+        (sorted.size - kept.size).toLong))
+    }
+    assert(got == expect, "engine output diverges from the local model")
+    // every document that had segments keeps its row, even if fully stripped
+    assert(got.keySet == segs.map(_._1).toSet)
+  }
+
   test("editDistanceNearDups == brute-force model, incl. bucket straddles") {
     import spark.implicits._
     // classic DP levenshtein as the local ground truth

@@ -222,6 +222,21 @@ class RoundtripSpec extends SparkTestBase {
       "SELECT a + 1 AS a1, sum(b) AS s FROM data GROUP BY ROLLUP (a + 1)"))
   }
 
+  test("unpivot (melt) rides the wire as a standalone Expand → union of projects") {
+    fixture
+    // DataFrame.unpivot resolves to a standalone Catalyst Expand (no
+    // spark_grouping_id), which must take the union-of-projections path —
+    // NOT the grouping-sets encoding
+    val df = spark.table("data")
+      .select(col("a"), col("b").cast("double").as("bv"),
+        (col("a") * 2).cast("double").as("a2"))
+      .unpivot(Array(col("a")), Array(col("bv"), col("a2")),
+        "measure", "value")
+    assertRoundtrip(df)
+    assertRoundtrip(
+      df.groupBy("measure").agg(sum("value").as("total"), count(lit(1)).as("n")))
+  }
+
   test("grouping sets wire shape: one AggregateRel, n groupings, no Expand leak") {
     fixture
     val plan = Producer.produce(spark.sql(
