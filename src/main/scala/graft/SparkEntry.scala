@@ -227,10 +227,11 @@ object SparkEntry {
     // real pipelines run where token Jaccard is too coarse). Two planted
     // perturbation families certify both verify AND blocking: a
     // substitution twin (same length) and an append twin (length +1 —
-    // exercises the adjacent-length-bucket probe on every boundary
-    // straddle). The oracle brute-forces all in-block pairs with DuckDB's
-    // levenshtein — the op's length-bucket candidate set is provably
-    // complete, so the sets match exactly.
+    // exercises the cross-length chunk probe on every boundary straddle).
+    // The oracle brute-forces all in-block pairs with DuckDB's levenshtein
+    // — the op's PassJoin pigeonhole candidate set (share one of k+1
+    // chunks verbatim at shift ≤ k) is provably complete, so the sets
+    // match exactly.
     "d18_editdist_neardup" -> ((s, dir) => rt(s, {
       val base = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
         .select(col("doc_id"), col("lang"),
