@@ -1614,6 +1614,26 @@ object SparkEntry {
     // rows on watermark expiry (EventStreamSpec drives it with a sentinel
     // advance); this batch twin rides the wire as a left JoinRel whose
     // condition carries the equality AND both time bounds
+    // streaming AS-OF join (round 12): each error enriched with the LATEST
+    // click in the hour before it — the interval join chained into a
+    // latest-per-left event-time aggregate (two stateful operators in one
+    // append-mode query; the streaming==batch spec drives the stream path,
+    // this batch twin certifies values on the wire). max(struct(ts, id))
+    // makes equal-ts ties deterministic; the oracle replays max-ts-then-
+    // max-id explicitly rather than DuckDB's tie-unspecified ASOF JOIN.
+    "e15_stream_asof_join" -> ((s, dir) => rt(s, {
+      val ev = t(s, dir, "events")
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("event_id").as("e_id"),
+          col("ts").as("e_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+          col("ts").as("c_ts"))
+      streaming.EventStream.asofJoinWithin(e, c, "e_user", "c_user",
+          "e_ts", "c_ts", horizonSeconds = 3600, payload = Seq("c_id"))
+        .select(col("e_id"), col("r_c_id")).orderBy("e_id")
+    })),
+
     "e10_outer_interval_join" -> ((s, dir) => rt(s, {
       val ev = t(s, dir, "events")
       val e = ev.filter(col("event_type") === "error")
@@ -4417,6 +4437,21 @@ object SparkEntry {
         |  ON c.user_id = e.user_id
         |  AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
         |ORDER BY e_id, c_id""".stripMargin,
+    // e15: explicit latest-click replay (max ts, then max id at equal ts —
+    // the engine's max(struct(c_ts, c_id)) tie rule verbatim); inner as-of,
+    // so errors with no click in the hour drop
+    "e15_stream_asof_join" ->
+      """WITH e AS (SELECT event_id AS e_id, user_id, ts FROM events
+        |  WHERE event_type = 'error'),
+        |c AS (SELECT event_id AS c_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |j AS (SELECT e.e_id, c.ts AS c_ts, c.c_id FROM e JOIN c
+        |  ON e.user_id = c.user_id
+        |  AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR),
+        |m AS (SELECT e_id, max(c_ts) AS mt FROM j GROUP BY 1)
+        |SELECT j.e_id AS e_id, CAST(max(j.c_id) AS BIGINT) AS r_c_id
+        |FROM j JOIN m ON j.e_id = m.e_id AND j.c_ts = m.mt
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   private def parityOracles: Map[String, String] = Map(

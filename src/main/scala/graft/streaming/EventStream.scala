@@ -237,6 +237,48 @@ object EventStream {
            |$rightTs <= $leftTs""".stripMargin), joinType)
   }
 
+  /** Streaming AS-OF join within a horizon — AsOfJoin.asofJoinWithin's
+    * semantics executable on unbounded streams: for every left row, the
+    * LATEST right row with rightTs ∈ [leftTs − horizon, leftTs] on the
+    * same key. Left rows with no right row in the horizon DROP (inner
+    * as-of; compose from [[intervalJoinOuter]] for the outer variant).
+    *
+    * Spark has no streaming as-of operator, so this is the canonical
+    * two-stage composition: the bounded-state interval join, then a
+    * latest-per-left-row event-time aggregate — max over a
+    * (rightTs, payload…) struct, deterministic under rightTs ties when
+    * the first payload column is unique (put an id first). That is TWO
+    * chained stateful operators in one append-mode query (Spark ≥ 3.5
+    * watermark propagation): join state is O(horizon·rate) per side, and
+    * the aggregate holds only left rows younger than the watermark — a
+    * group emits exactly once, when the watermark passes its leftTs (no
+    * right row after that can still fall in its horizon). Batch frames run
+    * the identical plan (watermarks are no-ops), so the DuckDB oracle and
+    * the streaming==batch spec certify the same code path.
+    *
+    * Column names across the two inputs must be disjoint (alias
+    * beforehand); left rows must be unique (the aggregate groups by every
+    * left column). Output: left.* ++ prefix+rightTs ++ prefix+payload.
+    */
+  def asofJoinWithin(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String,
+                     leftTs: String, rightTs: String,
+                     horizonSeconds: Long,
+                     watermark: String = "2 hours",
+                     payload: Seq[String] = Seq(),
+                     prefix: String = "r_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val joined = intervalJoin(left, right, leftKey, rightKey,
+      leftTs, rightTs, horizonSeconds, watermark)
+      .select(leftCols.map(col) :+
+        struct((col(rightTs) +: payload.map(col)): _*).as("__r"): _*)
+    joined.groupBy(leftCols.map(col): _*)
+      .agg(max(col("__r")).as("__m"))
+      .select(leftCols.map(col) ++
+        (rightTs +: payload).map(c =>
+          col("__m").getField(c).as(prefix + c)): _*)
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, session_start: Timestamp,

@@ -189,6 +189,49 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming as-of join: two chained stateful operators, streamed == batch on the flushed region") {
+    def sides(df: DataFrame): (DataFrame, DataFrame) = (
+      df.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("event_id").as("e_id"),
+          col("ts").as("e_ts")),
+      df.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+          col("ts").as("c_ts")))
+    val (se, sc) = sides(streamingEvents)
+    val q = EventStream.asofJoinWithin(se, sc, "e_user", "c_user",
+        "e_ts", "c_ts", horizonSeconds = 3600, watermark = "30 minutes",
+        payload = Seq("c_id"))
+      .select("e_id", "e_ts", "r_c_ts", "r_c_id")
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val (be, bc) = sides(spark.table("events"))
+      val batch = EventStream.asofJoinWithin(be, bc, "e_user", "c_user",
+          "e_ts", "c_ts", horizonSeconds = 3600, watermark = "30 minutes",
+          payload = Seq("c_id"))
+        .select("e_id", "e_ts", "r_c_ts", "r_c_id")
+      val streamed = spark.table("asof_out")
+      // a finite source can't flush groups near max event time: the agg
+      // emits a left row only once the (join-propagated) watermark passes
+      // its e_ts. Streamed rows must be a SUBSET of batch, and EQUAL on
+      // the provably-flushed region (e_ts <= max ts − watermark − horizon)
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.get(1), r.get(2), r.getLong(3))
+      val bSet = batch.collect().map(key).toSet
+      val sSet = streamed.collect().map(key).toSet
+      assert(sSet.nonEmpty, "streamed as-of must emit flushed groups")
+      assert(sSet.subsetOf(bSet), s"streamed ⊄ batch: ${sSet -- bSet}")
+      val cut = spark.table("events").agg(max(col("ts"))).head().getTimestamp(0)
+        .toInstant.minusSeconds(30 * 60 + 3600 + 60)
+      val early = batch.filter(col("e_ts") <= lit(java.sql.Timestamp.from(cut)))
+        .collect().map(key).toSet
+      assert(early.nonEmpty, "flushed-region assertion must be non-vacuous")
+      assert(early.subsetOf(sSet),
+        s"flushed groups missing from the stream: ${(early -- sSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark: late dups at jittered timestamps still drop") {
     // duplicate every event with its ts shifted +5 minutes (an
     // at-least-once replay with clock jitter): id-only keyed state must
