@@ -574,6 +574,49 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("m12: frame-dedup scans ONLY doc_id; payloads never shuffle, scalars agg partially") {
+    val p = plan("m12_dup_frames")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+    // exactly the one (geometry, digest) grouping exchange, carrying
+    // per-frame scalars (the partial min/count run before it)
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("payload"), s"payload must not reach a shuffle:\n$p")
+    assert(p.contains("partial_min") && p.contains("partial_count"), p)
+  }
+
+  test("t32: boilerplate set broadcasts; doc-freq aggregates partially; scans prune") {
+    val p = plan("t32_boilerplate_removal")
+    // the df>=threshold segment set is tiny by construction — it must reach
+    // the flag join as a broadcast, never a shuffle of the segment stream
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_collect_list"),
+      s"reassembly must combine map-side:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("q74: unpivot consumes as a union whose branches each scan 2 pruned columns") {
+    val p = plan("q74_unpivot")
+    assert(p.contains("Union"), p)
+    for (c <- Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      assert(p.contains(s"ReadSchema: struct<l_orderkey:bigint,$c:double>"),
+        s"branch for $c must prune to its own 2 columns:\n$p")
+    assert(!p.contains("l_shipdate"), s"unused columns must not scan:\n$p")
+  }
+
+  test("e15/d18: as-of aggregate and chunk-signature join stay equi + pushed") {
+    for (n <- Seq("e15_stream_asof_join", "d18_editdist_neardup")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$n: $p")
+    }
+    val pe = plan("e15_stream_asof_join")
+    assert(pe.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)"),
+      s"side filters must reach the scan:\n$pe")
+    assert(pe.contains("partial_max"), s"latest-agg must combine map-side:\n$pe")
+  }
+
   test("LocalFiles consume: declared-schema file scan still prunes and pushes") {
     val df = substrait.Consumer.consume(spark, substrait.Wire.decode(
       substrait.Wire.encode(substrait.Producer.produce(

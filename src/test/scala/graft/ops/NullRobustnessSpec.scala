@@ -57,6 +57,29 @@ class NullRobustnessSpec extends SparkTestBase {
     assert(out.filter(col("text_deduped").isNull).count() == 0)
   }
 
+  test("boilerplate removal: null text drops cleanly; non-null results unchanged") {
+    val out = TextOps.removeBoilerplate(docs, n = 3, minDocFreq = 3)
+    assert(out.filter(col("doc_id") === 999901L).isEmpty,
+      "a null-text doc has no segments — it must drop, not emit a row")
+    val clean = TextOps.removeBoilerplate(
+      docs.filter(col("doc_id") =!= 999901L), n = 3, minDocFreq = 3)
+    assert(out.collect().map(_.toSeq).toSet == clean.collect().map(_.toSeq).toSet,
+      "the null row must not perturb any other doc's segments or counts")
+  }
+
+  test("edit-distance near-dups: null keys never pair, never throw") {
+    val keyed = docs.select(col("doc_id"), col("lang"),
+      expr("substring(lower(text), 1, 16)").as("k"))
+    val out = Dedup.editDistanceNearDups(keyed, "doc_id", "k",
+      blockCols = Seq("lang"), maxDist = 2)
+    assert(out.filter(col("id_a") === 999901L || col("id_b") === 999901L).isEmpty,
+      "a null key must not match anything (SQL 3VL, not empty-string)")
+    val clean = Dedup.editDistanceNearDups(
+      keyed.filter(col("doc_id") =!= 999901L), "doc_id", "k",
+      blockCols = Seq("lang"), maxDist = 2)
+    assert(out.collect().map(_.toSeq).toSet == clean.collect().map(_.toSeq).toSet)
+  }
+
   test("brute-force kNN: a null embedding neither throws nor enters any top-k") {
     val base = spark.table("embeddings").limit(50)
     val e = base.unionByName(
