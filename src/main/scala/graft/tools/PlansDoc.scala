@@ -78,7 +78,12 @@ object PlansDoc {
     "q68_tpch_q17_smallqty" -> "TPC-H Q17 shape: the correlated scalar AVG decorrelates to a partkey-grouped aggregate joined back; the part dim broadcasts and lineitem shuffles once on partkey",
     "q69_corr_count_expr" -> "correlated COUNT inside a wider expression: count coalesces to 0 at the AGGREGATE level, the ×2 evaluates outside a broadcast LEFT join; both scans pruned with PushedFilters, partial count map-side",
     "t29b_bpe_tokens_prod" -> "50k-merge broadcast BPE kernel: zero shuffle before the output sort — the codegen'd bpe_count_v2 reads the broadcast table; the scan carries only (doc_id, text)",
-    "m10_jpeg_lossy" -> "the lossy-codec pipeline scans ONLY doc_id (payloads are synthesized then decoded in-partition, never shuffled); the tolerance boolean is a narrow projection over the decode stage")
+    "m10_jpeg_lossy" -> "the lossy-codec pipeline scans ONLY doc_id (payloads are synthesized then decoded in-partition, never shuffled); the tolerance boolean is a narrow projection over the decode stage",
+    "t32_boilerplate_removal" -> "CCNet-style boilerplate strip: exact two-level doc-frequency aggregate (both levels map-side partial), the tiny df>=threshold set BROADCASTS back as the flag join, one ordered-reassembly exchange",
+    "m12_dup_frames" -> "corpus duplicate-frame detection: real GIF encode+decode as named typed stages over a doc_id-only scan; ONE (geometry, raster-digest) exchange of per-frame scalars with partial min/count below it — payloads never shuffle",
+    "q74_unpivot" -> "UNPIVOT through the standalone-Expand wire path: the consumed union scans lineitem once per measure branch, each branch pruned to exactly its (id, measure) columns",
+    "d18_editdist_neardup" -> "PassJoin edit-distance dedup: probe/build chunk signatures join EQUI on (block, chunk-idx, length, xxhash64) with id-order + threshold-bounded levenshtein as the residual; candidate dedup then exact verify",
+    "e15_stream_asof_join" -> "streaming as-of batch twin: the interval join stays equi on the key with the time range as residual, side filters push to both scans, and the latest-per-left aggregate combines map-side")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
