@@ -63,6 +63,30 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b"))),
 
+    // split-leakage audit (round 12): near-dup pairs that STRADDLE t31's
+    // content-hash splits — the eval-contamination check a training
+    // pipeline runs before shipping a split (a test doc whose near-twin
+    // sits in train silently inflates eval). Composes two certified
+    // primitives — the md5 split rule (t31) and LSH near-dup pairs (d02) —
+    // and keeps only cross-split pairs, labeled with both splits. The
+    // splits side is a narrow two-column projection joined back by bare
+    // ids; at 100 TB the near-dup pair generation dominates exactly as in
+    // d02 and the audit adds two id-keyed hash joins.
+    "t33_split_leakage" -> ((s, dir) => rt(s, {
+      val d = t(s, dir, "documents")
+      val splits = ops.TextOps.splitAssign(d).select(col("doc_id"), col("split"))
+      ops.Dedup.minhashNearDups(d, threshold = 0.5)
+        .join(splits.select(col("doc_id").as("id_a"),
+          col("split").as("split_a")), "id_a")
+        .join(splits.select(col("doc_id").as("id_b"),
+          col("split").as("split_b")), "id_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"),
+          col("split_a"), col("split_b"))
+        .orderBy("id_a", "id_b")
+    })),
+
     // THE simhash driver query, at the PRODUCTION config — 16-bit chunks
     // (numChunks=4), radius 3 = numChunks−1 — where the pigeonhole
     // guarantee is EXACT: every pair at hamming ≤ 3 is guaranteed to
@@ -2712,6 +2736,29 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p
         |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // t33: d02's exact-jaccard brute force composed with t31's md5 split
+    // replay; only cross-split pairs survive
+    "t33_split_leakage" ->
+      """WITH s AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) END AS g
+        |  FROM s),
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN hh < 'cd' THEN 'train'
+        |         WHEN hh < 'e7' THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |      substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 2) AS hh
+        |    FROM documents)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.g, b.g))
+        |    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT p.id_a, p.id_b, ROUND(p.j, 6) AS jaccard,
+        |  sa.split AS split_a, sb.split AS split_b
+        |FROM p JOIN sp sa ON p.id_a = sa.doc_id
+        |       JOIN sp sb ON p.id_b = sb.doc_id
+        |WHERE p.j >= 0.5 AND sa.split <> sb.split
+        |ORDER BY id_a, id_b""".stripMargin,
     // exact all-pairs cosine over the base ∪ perturbed-twin union: the only
     // pairs ≥ 0.8 are the planted twins, and the perturbation arithmetic
     // (double widening + per-element scale) is bit-identical in both engines
