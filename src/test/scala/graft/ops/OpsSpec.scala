@@ -356,6 +356,25 @@ class OpsSpec extends SparkTestBase {
     assert(got2.toSeq == expect.toSeq)
   }
 
+  test("split leakage: exactly the cross-split subset of the near-dup pairs") {
+    val splits = TextOps.splitAssign(docs).select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = pairs.filter(p => splits(p._1) != splits(p._2))
+    assert(expect.nonEmpty && expect != pairs,
+      "fixture must have both leaking and clean pairs")
+    val sdf = TextOps.splitAssign(docs).select(col("doc_id"), col("split"))
+    val got = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .join(sdf.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(sdf.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
+  }
+
   test("boilerplate removal: drops exactly the df>=threshold segments, keeps order") {
     val n = 3; val minDf = 5
     val got = TextOps.removeBoilerplate(docs, n = n, minDocFreq = minDf)
