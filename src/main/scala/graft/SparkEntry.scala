@@ -1658,6 +1658,24 @@ object SparkEntry {
         .select(col("e_id"), col("r_c_id")).orderBy("e_id")
     })),
 
+    // LEFT OUTER streaming as-of (round 12): e15 with unmatched errors
+    // kept as null-enriched rows — the production enrichment shape (every
+    // event keeps its row; staleness shows as null). The null-row flush is
+    // the watermark-expiry mechanism e10 certifies; the latest-agg max
+    // ignores the null match struct, so unmatched groups emit nulls.
+    "e16_stream_asof_outer" -> ((s, dir) => rt(s, {
+      val ev = t(s, dir, "events")
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("event_id").as("e_id"),
+          col("ts").as("e_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+          col("ts").as("c_ts"))
+      streaming.EventStream.asofJoinWithinOuter(e, c, "e_user", "c_user",
+          "e_ts", "c_ts", horizonSeconds = 3600, payload = Seq("c_id"))
+        .select(col("e_id"), col("r_c_id")).orderBy("e_id")
+    })),
+
     "e10_outer_interval_join" -> ((s, dir) => rt(s, {
       val ev = t(s, dir, "events")
       val e = ev.filter(col("event_type") === "error")
@@ -4498,6 +4516,21 @@ object SparkEntry {
         |m AS (SELECT e_id, max(c_ts) AS mt FROM j GROUP BY 1)
         |SELECT j.e_id AS e_id, CAST(max(j.c_id) AS BIGINT) AS r_c_id
         |FROM j JOIN m ON j.e_id = m.e_id AND j.c_ts = m.mt
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // e16: the LEFT JOIN form of e15's replay; IS NOT DISTINCT FROM keeps
+    // the unmatched (all-null) group, whose max(c_id) is NULL
+    "e16_stream_asof_outer" ->
+      """WITH e AS (SELECT event_id AS e_id, user_id, ts FROM events
+        |  WHERE event_type = 'error'),
+        |c AS (SELECT event_id AS c_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |j AS (SELECT e.e_id, c.ts AS c_ts, c.c_id FROM e LEFT JOIN c
+        |  ON e.user_id = c.user_id
+        |  AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR),
+        |m AS (SELECT e_id, max(c_ts) AS mt FROM j GROUP BY 1)
+        |SELECT j.e_id AS e_id, CAST(max(j.c_id) AS BIGINT) AS r_c_id
+        |FROM j JOIN m ON j.e_id = m.e_id
+        |  AND j.c_ts IS NOT DISTINCT FROM m.mt
         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 

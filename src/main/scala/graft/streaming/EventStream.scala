@@ -279,6 +279,36 @@ object EventStream {
           col("__m").getField(c).as(prefix + c)): _*)
   }
 
+  /** LEFT OUTER variant of [[asofJoinWithin]]: every left row survives —
+    * with its latest in-horizon right row, or all-null right columns when
+    * none exists. The outer interval join emits a null-right row only once
+    * the watermark proves no match can arrive, so the downstream latest
+    * aggregate sees either real matches or that single null row; the
+    * match struct is null for the null row (`when(rightTs IS NOT NULL)` —
+    * a bare struct of nulls would be a non-null MAX candidate) and max
+    * ignores nulls, so unmatched rows emit null payload columns. Same
+    * bounded-state contract and batch-twin property as the inner form.
+    */
+  def asofJoinWithinOuter(left: DataFrame, right: DataFrame,
+                          leftKey: String, rightKey: String,
+                          leftTs: String, rightTs: String,
+                          horizonSeconds: Long,
+                          watermark: String = "2 hours",
+                          payload: Seq[String] = Seq(),
+                          prefix: String = "r_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val joined = intervalJoinOuter(left, right, leftKey, rightKey,
+      leftTs, rightTs, horizonSeconds, watermark)
+      .select(leftCols.map(col) :+
+        when(col(rightTs).isNotNull,
+          struct((col(rightTs) +: payload.map(col)): _*)).as("__r"): _*)
+    joined.groupBy(leftCols.map(col): _*)
+      .agg(max(col("__r")).as("__m"))
+      .select(leftCols.map(col) ++
+        (rightTs +: payload).map(c =>
+          col("__m").getField(c).as(prefix + c)): _*)
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, session_start: Timestamp,

@@ -189,7 +189,8 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("streaming as-of join: two chained stateful operators, streamed == batch on the flushed region") {
+  test("streaming as-of joins (inner + outer): chained stateful operators == batch") {
+    import java.sql.Timestamp
     def sides(df: DataFrame): (DataFrame, DataFrame) = (
       df.filter(col("event_type") === "error")
         .select(col("user_id").as("e_user"), col("event_id").as("e_id"),
@@ -197,39 +198,55 @@ class EventStreamSpec extends SparkTestBase {
       df.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
           col("ts").as("c_ts")))
-    val (se, sc) = sides(streamingEvents)
-    val q = EventStream.asofJoinWithin(se, sc, "e_user", "c_user",
-        "e_ts", "c_ts", horizonSeconds = 3600, watermark = "30 minutes",
-        payload = Seq("c_id"))
-      .select("e_id", "e_ts", "r_c_ts", "r_c_id")
-      .writeStream.format("memory").queryName("asof_out")
-      .outputMode("append").start()
-    try {
-      q.processAllAvailable()
-      val (be, bc) = sides(spark.table("events"))
-      val batch = EventStream.asofJoinWithin(be, bc, "e_user", "c_user",
-          "e_ts", "c_ts", horizonSeconds = 3600, watermark = "30 minutes",
+    // private source dir + far-future sentinel pair (the e10 pattern): a
+    // finite source alone never advances the watermark past the last rows'
+    // match windows, and the latest-per-left AGGREGATE additionally waits
+    // for the join-propagated (horizon-delayed) watermark — the sentinel
+    // closes both, so the assertion is FULL equality, not a flushed prefix
+    val srcDir = Files.createTempDirectory("graft_asof").toString
+    Tables.register(spark, sfDir)
+    val ev = spark.table("events")
+    ev.coalesce(2).write.mode("overwrite").parquet(srcDir)
+    val schema = ev.schema
+    val far = new Timestamp(
+      ev.agg(max(col("ts"))).head().getTimestamp(0).getTime + 7L * 86400000L)
+    def runStream(outer: Boolean, sink: String): DataFrame = {
+      val (se, sc) = sides(spark.readStream.schema(schema).parquet(srcDir))
+      val asof = if (outer)
+        EventStream.asofJoinWithinOuter(se, sc, "e_user", "c_user",
+          "e_ts", "c_ts", horizonSeconds = 3600, watermark = "10 minutes",
           payload = Seq("c_id"))
-        .select("e_id", "e_ts", "r_c_ts", "r_c_id")
-      val streamed = spark.table("asof_out")
-      // a finite source can't flush groups near max event time: the agg
-      // emits a left row only once the (join-propagated) watermark passes
-      // its e_ts. Streamed rows must be a SUBSET of batch, and EQUAL on
-      // the provably-flushed region (e_ts <= max ts − watermark − horizon)
-      val key = (r: org.apache.spark.sql.Row) =>
-        (r.getLong(0), r.get(1), r.get(2), r.getLong(3))
-      val bSet = batch.collect().map(key).toSet
-      val sSet = streamed.collect().map(key).toSet
-      assert(sSet.nonEmpty, "streamed as-of must emit flushed groups")
-      assert(sSet.subsetOf(bSet), s"streamed ⊄ batch: ${sSet -- bSet}")
-      val cut = spark.table("events").agg(max(col("ts"))).head().getTimestamp(0)
-        .toInstant.minusSeconds(30 * 60 + 3600 + 60)
-      val early = batch.filter(col("e_ts") <= lit(java.sql.Timestamp.from(cut)))
-        .collect().map(key).toSet
-      assert(early.nonEmpty, "flushed-region assertion must be non-vacuous")
-      assert(early.subsetOf(sSet),
-        s"flushed groups missing from the stream: ${(early -- sSet).take(3)}")
-    } finally q.stop()
+      else
+        EventStream.asofJoinWithin(se, sc, "e_user", "c_user",
+          "e_ts", "c_ts", horizonSeconds = 3600, watermark = "10 minutes",
+          payload = Seq("c_id"))
+      val q = asof.select("e_id", "e_ts", "r_c_id")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(sink).filter(col("e_id") >= 0)
+    }
+    // the sentinel appends ONCE before the first run (append-mode memory
+    // sinks accumulate; both runs re-read the whole dir)
+    import spark.implicits._
+    Seq((-1L, far, -1L, "error", 0.0), (-2L, far, -1L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(srcDir)
+
+    val (be, bc) = sides(ev)
+    val batchInner = EventStream.asofJoinWithin(be, bc, "e_user", "c_user",
+      "e_ts", "c_ts", horizonSeconds = 3600, payload = Seq("c_id"))
+      .select("e_id", "e_ts", "r_c_id")
+    val batchOuter = EventStream.asofJoinWithinOuter(be, bc, "e_user", "c_user",
+      "e_ts", "c_ts", horizonSeconds = 3600, payload = Seq("c_id"))
+      .select("e_id", "e_ts", "r_c_id")
+    assert(batchInner.count() > 0, "inner as-of must be non-vacuous")
+    assert(batchOuter.filter(col("r_c_id").isNull).count() > 0,
+      "outer as-of must exercise the null branch")
+    assert(batchOuter.count() == be.count(),
+      "outer as-of keeps exactly one row per left row")
+    assertSameRows(batchInner, runStream(outer = false, "asof_inner_out"))
+    assertSameRows(batchOuter, runStream(outer = true, "asof_outer_out"))
   }
 
   test("dropDuplicatesWithinWatermark: late dups at jittered timestamps still drop") {
