@@ -47,6 +47,12 @@ object GraftExtensions {
     }),
     "simhash64" -> (es => SimHash64(es(0))),
     "bpe_count" -> (es => BpeCount(es(0))),
+    "charlm_fold" -> (es => CharLmFold(es(0), es(1))),
+    "charlm_fit_agg" -> (es => CharLmFitAgg(es(0), es(1) match {
+      case Literal(n: Int, _) => n
+      case other => throw new IllegalArgumentException(
+        s"charlm_fit_agg maxEntries must be an integer literal, got $other")
+    }).toAggregateExpression()),
     "minhash_sig" -> (es => MinHashSig(es(0), es(1) match {
       case Literal(n: Int, _) => n
       case other => throw new IllegalArgumentException(

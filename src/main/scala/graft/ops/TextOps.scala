@@ -400,57 +400,63 @@ object TextOps {
   def charLmScore(df: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text",
                   maxLiteralModel: Int = 65536): DataFrame = {
-    // lower(text) binds ONCE as a lambda variable (array-wrap) — referenced
-    // directly inside the per-bigram lambda it would re-lowercase the whole
-    // document once per bigram (O(n²) per doc; measured 9.6 s → 1.6 s)
-    val grams = df.filter(length(col(textCol)) >= 2)
-      .select(col(idCol), explode(expr(
-        s"""element_at(transform(array(lower($textCol)),
-           |  tx -> transform(sequence(1, length(tx) - 1),
-           |          i -> substring(tx, i, 2))), 1)""".stripMargin)).as("g"))
-    val bc = grams.groupBy("g").agg(count(lit(1)).as("bc"))
-    val pc = bc.groupBy(substring(col("g"), 1, 1).as("c1"))
-      .agg(sum("bc").as("pc"))
-    val model = bc.join(pc, substring(col("g"), 1, 1) === col("c1"))
-      .select(col("g"), (col("bc").cast("double") / col("pc")).as("p"),
-        col("bc"))
-    // decide the path with a distributed COUNT over the PERSISTED model —
-    // never a driver collect of a potentially charset²-row frame (CJK OOM),
-    // and never a second corpus-scan to rebuild the model for the chosen
-    // branch (the aggregation over the corpus is the dominant cost; the
-    // cached frame itself is ≤ charset² tiny rows)
-    val modelP = model.persist()
-    val isLiteral = modelP.count() <= maxLiteralModel
-    if (isLiteral) {
-      val entries = modelP.collect()
-      modelP.unpersist()
-      // literal-map lookup (GetMapValue) is a LINEAR scan of the entry
-      // array — order entries by descending corpus frequency so the
-      // expected scan depth is the zipf head (~tens), not the full model
-      val kvs = entries.toSeq.sortBy(-_.getLong(2)).flatMap(r =>
-        Seq(lit(r.getString(0)), lit(r.getDouble(1))))
+    val base = df.filter(length(col(textCol)) >= 2)
+    // model fit: ONE TypedImperativeAggregate pass (charlm_fit_agg) — a
+    // per-task HashMap of the ~charset² distinct grams, maps merged across
+    // partitions. The explode + groupBy it replaces materialized one row
+    // per corpus BIGRAM (~300 per document) through a hash aggregate — the
+    // dominant t14/t27 cost at 100× (35.5 s solo; the scoring side was
+    // already a kernel). The aggregate evaluates NULL past maxLiteralModel
+    // distinct grams, preserving the CJK/large-charset guard: the fallback
+    // fits distributed and scores through a broadcast join, never
+    // collecting an unbounded model to the driver.
+    val fitRow = base.select(graft.functions.CharLmFunctions
+      .charlmFitAgg(lower(col(textCol)), maxLiteralModel).as("m")).head()
+    if (!fitRow.isNullAt(0)) {
+      val bcMap = fitRow.getMap[String, Long](0)
+      // p(g) = count(g) / count(first code point of g) — the same long/long
+      // double division the frame-side fit performed
+      val pcSum: Map[Int, Long] = bcMap.toSeq.groupBy(_._1.codePointAt(0))
+        .map { case (cp, es) => cp -> es.map(_._2).sum }
+      // the codegen'd charlm_fold kernel builds a hash table ONCE per plan
+      // from this literal map and folds each document in one O(1)-lookup
+      // pass. Identical arithmetic (HALF_UP-scaled long logs, wrapping
+      // sum, missing bigram → NULL), so the oracles are unchanged. Entry
+      // order is lookup-irrelevant; keep it deterministic (by gram) so the
+      // plan bytes are stable
+      val kvs = bcMap.toSeq.sortBy(_._1).flatMap { case (g, c) =>
+        Seq(lit(g), lit(c.toDouble / pcSum(g.codePointAt(0)))) }
       val modelMap = map(kvs: _*)
-      val st = expr(
-        s"""element_at(transform(array(lower($textCol)), tx ->
-           |  transform(sequence(1, length(tx) - 1),
-           |    i -> substring(tx, i, 2))), 1)""".stripMargin)
-      df.filter(length(col(textCol)) >= 2)
-        .select(col(idCol), st.as("gs"))
+      val f = graft.functions.CharLmFunctions.charlmFold(
+        lower(col(textCol)), modelMap)
+      base
+        .select(col(idCol), f.as("f"))
         .select(col(idCol),
-          size(col("gs")).cast("long").as("n_bigrams"),
-          round(
-            aggregate(col("gs"), lit(0L), (a, g) =>
-              a + round(log(element_at(modelMap, g)) * 1e9).cast("long"))
-              .cast("double") / 1e9 / size(col("gs")), 6).as("avg_logp"))
-    } else
-      // the persisted model frame backs the scoring join (staying cached for
-      // the job is the point — rebuilding it would re-scan the corpus)
-      grams.join(broadcast(modelP), "g")
+          col("f").getField("n_bigrams").as("n_bigrams"),
+          round(col("f").getField("slp").cast("double") / 1e9
+            / col("f").getField("n_bigrams"), 6).as("avg_logp"))
+    } else {
+      // big-model fallback: distributed fit (explode + groupBy — lower(text)
+      // binds ONCE as a lambda variable; referenced directly inside the
+      // per-bigram lambda it would re-lowercase the whole document once per
+      // bigram) and a broadcast-join scoring pass
+      val grams = base
+        .select(col(idCol), explode(expr(
+          s"""element_at(transform(array(lower($textCol)),
+             |  tx -> transform(sequence(1, length(tx) - 1),
+             |          i -> substring(tx, i, 2))), 1)""".stripMargin)).as("g"))
+      val bc = grams.groupBy("g").agg(count(lit(1)).as("bc"))
+      val pc = bc.groupBy(substring(col("g"), 1, 1).as("c1"))
+        .agg(sum("bc").as("pc"))
+      val model = bc.join(pc, substring(col("g"), 1, 1) === col("c1"))
+        .select(col("g"), (col("bc").cast("double") / col("pc")).as("p"))
+      grams.join(broadcast(model), "g")
         .groupBy(col(idCol))
         .agg(
           count(lit(1)).as("n_bigrams"),
           round(sum(round(log(col("p")) * 1e9).cast("long")).cast("double")
             / 1e9 / count(lit(1)), 6).as("avg_logp"))
+    }
   }
 
   /** CCNet-style perplexity bucketing: score every document with the

@@ -949,6 +949,8 @@ object Consumer {
               graft.functions.ShingleFunctions.ensureSessionRegistered()
             if (other.startsWith("bpe_count"))
               graft.functions.BpeFunctions.ensureSessionRegistered()
+            if (other == "charlm_fold")
+              graft.functions.CharLmFunctions.ensureSessionRegistered()
             if (other.startsWith("freq_"))
               graft.functions.FreqFunctions.ensureSessionRegistered()
             if (other.startsWith("pq_"))

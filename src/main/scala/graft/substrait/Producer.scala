@@ -1824,7 +1824,7 @@ object Producer {
     "vec_dot", "vec_cosine", "vec_l2sq", "cell_pairs", "simhash64",
     "sorted_jaccard_ge",
     "sorted_containment_ge", "bucket_jaccard_pairs", "shingle_hashes",
-    "bpe_count", "bpe_count_v2",
+    "bpe_count", "bpe_count_v2", "charlm_fold",
     "pq_encode", "pq_adc",
     "might_contain", "cms_estimate_long", "cms_inner_product",
     "freq_estimate_long", "freq_lower_bound_long", "freq_upper_bound_long",
