@@ -1000,6 +1000,34 @@ object SparkEntry {
     // band directories — untouched directories are never read or written
     // (SourcesSpec asserts byte-identical files). The oracle recomputes
     // the post-merge corpus from scratch in DuckDB.
+    // MERGE INTO (round 12): one change batch with inserts, updates, AND
+    // deletes applied in a single partition-swap pass over the CoW layout
+    // — p14's upsert extended with the delete path (the full Delta/Iceberg
+    // MERGE contract on plain parquet). Only affected bands are read
+    // (literal PartitionFilters) and rewritten; a key carrying both U and
+    // D resolves deterministically (anti-join removes once, the non-delete
+    // row re-inserts) and the oracle replays that rule.
+    "p21_merge_into" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-merge-${math.abs(dir.hashCode)}"
+      val docs = t(s, dir, "documents")
+        .withColumn("len_band", floor(col("n_chars") / 100).cast("int"))
+      sources.Sources.writeRangePartitioned(docs, "len_band", out,
+        sortCols = Seq("doc_id"))
+      val upd = docs.filter(col("doc_id") % 13 === 3)
+        .withColumn("text", upper(col("text"))).withColumn("op", lit("U"))
+      val ins = docs.filter(col("doc_id") % 101 === 7)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .withColumn("op", lit("I"))
+      val del = docs.filter(col("doc_id") % 17 === 5)
+        .withColumn("op", lit("D"))
+      sources.Sources.mergeRangePartitioned(s, out,
+        upd.unionByName(ins).unionByName(del), "len_band", Seq("doc_id"))
+      rt(s, s.read.parquet(out)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id"))
+    }),
+
     "p14_cow_upsert" -> ((s, dir) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft-upsert-${math.abs(dir.hashCode)}"
       val docs = t(s, dir, "documents")
@@ -3559,6 +3587,23 @@ object SparkEntry {
         |  WHERE doc_id NOT IN (SELECT doc_id FROM w2))
         |SELECT doc_id, lang, md5(text) AS text_md5 FROM merged
         |ORDER BY doc_id""".stripMargin,
+    // p21: the MERGE rule replayed relationally — every change key leaves
+    // the base once, non-delete change rows re-insert (a U+D key conflict
+    // therefore keeps the updated row, the engine's documented resolution)
+    "p21_merge_into" ->
+      """WITH mods AS (SELECT doc_id, upper(text) AS text, lang, n_chars
+        |              FROM documents WHERE doc_id % 13 = 3),
+        |ins AS (SELECT doc_id + 10000000 AS doc_id, text, lang, n_chars
+        |        FROM documents WHERE doc_id % 101 = 7),
+        |delk AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 5),
+        |bk AS (SELECT doc_id FROM mods UNION SELECT doc_id FROM ins
+        |       UNION SELECT doc_id FROM delk),
+        |final AS (
+        |  SELECT doc_id, text, lang, n_chars FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM bk)
+        |  UNION ALL SELECT * FROM mods UNION ALL SELECT * FROM ins)
+        |SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+        |FROM final ORDER BY doc_id""".stripMargin,
     "p14_cow_upsert" ->
       """WITH mods AS (SELECT doc_id, upper(text) AS text, lang, n_chars
         |              FROM documents WHERE doc_id % 13 = 3),

@@ -278,6 +278,92 @@ object Sources {
     affected.toSeq
   }
 
+  /** MERGE INTO over the range-partitioned CoW layout: ONE change batch
+    * carrying inserts, updates, and DELETES (`opCol` ∈ {I, U, D}) applies
+    * in a single partition-swap pass — the Delta/Iceberg MERGE contract on
+    * plain parquet. Updates and deletes both remove the old row via the
+    * same keyed anti-join; non-delete change rows re-insert. Same
+    * crash-safe backup-rename swap as [[upsertRangePartitioned]], with one
+    * new case: a band whose rows are ALL deleted produces no staging
+    * directory and must have its live directory retired. Band directory
+    * names are never derived from `value.toString` (the rendering trap the
+    * upsert documents) — a one-row-per-band name probe is written through
+    * Spark's own partition renderer, and fully-emptied bands are the probe
+    * names minus the staging names. A crash mid-retire leaves the band's
+    * backup; recovery restores it (a per-band rollback) and re-running the
+    * same merge batch re-empties it — idempotent.
+    *
+    * Scale: only affected bands are read (`isInCollection` → literal
+    * PartitionFilters), one anti-join keyed on the merge keys, one write
+    * of the affected bands. Delete-only merges never touch unaffected
+    * partitions.
+    */
+  def mergeRangePartitioned(spark: SparkSession, basePath: String,
+                            changes: DataFrame, bucketCol: String,
+                            keyCols: Seq[String], opCol: String = "op",
+                            sortCols: Seq[String] = Nil): Seq[Any] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ops = changes.select(opCol).distinct().collect()
+      .map(r => Option(r.get(0)).map(_.toString).orNull).toSet
+    require(ops.nonEmpty && ops.subsetOf(Set("I", "U", "D")),
+      s"mergeRangePartitioned: $opCol values must be I/U/D, got $ops")
+    val affected = changes.select(bucketCol).distinct().collect().map(_.get(0))
+    require(!affected.contains(null), s"null $bucketCol in merge batch")
+    recoverUpsertBackups(spark, basePath, bucketCol)
+    val base = spark.read.parquet(basePath)
+    val survivors = base.filter(col(bucketCol).isInCollection(affected))
+      .join(changes.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val additions = changes.filter(col(opCol) =!= "D")
+      .select(base.columns.toIndexedSeq.map(col): _*)
+    val merged = survivors.unionByName(additions)
+    val sorted =
+      if (sortCols.isEmpty) merged
+      else merged.sortWithinPartitions(sortCols.map(col): _*)
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$bucketCol="
+    def bandDirs(path: String): Array[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+    // name probe: Spark itself renders every affected band's directory name
+    val probe = s"$basePath.merge-nameprobe"
+    changes.select(col(bucketCol)).distinct().withColumn("__one", lit(1))
+      .write.mode("overwrite").partitionBy(bucketCol).parquet(probe)
+    val affectedDirs = bandDirs(probe).map(_.getPath.getName).toSet
+    fs.delete(new org.apache.hadoop.fs.Path(probe), true)
+    require(affectedDirs.size == affected.length,
+      s"name probe rendered ${affectedDirs.size} dirs for ${affected.length} bands")
+    val staging = s"$basePath.upsert-staging"
+    sorted.write.mode("overwrite").partitionBy(bucketCol).parquet(staging)
+    val produced = bandDirs(staging)
+    val producedNames = produced.map(_.getPath.getName).toSet
+    require(producedNames.subsetOf(affectedDirs),
+      s"staging produced unexpected bands ${producedNames -- affectedDirs}; " +
+        "live data untouched")
+    def retire(dst: org.apache.hadoop.fs.Path,
+               backup: org.apache.hadoop.fs.Path): Boolean = {
+      val hadOld = fs.exists(dst)
+      if (hadOld) require(fs.rename(dst, backup), s"backup rename failed: $dst")
+      hadOld
+    }
+    produced.foreach { st =>
+      val dir = st.getPath.getName
+      val dst = new org.apache.hadoop.fs.Path(basePath, dir)
+      val backup = new org.apache.hadoop.fs.Path(basePath, s".$dir.upsert-backup")
+      val hadOld = retire(dst, backup)
+      require(fs.rename(st.getPath, dst), s"swap rename failed: $dst")
+      if (hadOld) fs.delete(backup, true)
+    }
+    // fully-emptied bands: retired without replacement
+    (affectedDirs -- producedNames).foreach { dir =>
+      val dst = new org.apache.hadoop.fs.Path(basePath, dir)
+      val backup = new org.apache.hadoop.fs.Path(basePath, s".$dir.upsert-backup")
+      if (retire(dst, backup)) fs.delete(backup, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    affected.toSeq
+  }
+
   /** Morton/Z-order spread table: the 2^bits possible ranks with their bits
     * re-spaced `stride` positions apart, so `stride` interleaved ranks OR
     * together without collision. A 256-entry literal — rides in the plan. */

@@ -184,6 +184,50 @@ class SourcesSpec extends SparkTestBase {
       spark.read.parquet(out).select("doc_id", "text", "lang", "source", "n_chars"))
   }
 
+  test("merge: I/U/D in one pass; a fully-deleted band's directory retires") {
+    Tables.register(spark, sfDir)
+    val out = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    val docs = spark.table("documents").withColumn("len_band",
+      floor(col("n_chars") / 100).cast("int"))
+    Sources.writeRangePartitioned(docs, "len_band", out, sortCols = Seq("doc_id"))
+    val bands = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    // smallest band by row count gets FULLY deleted (the empty-band path);
+    // band 2 gets one update + one insert; one untouched band must survive
+    val counts = docs.groupBy("len_band").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val wipeBand = counts.minBy(_._2)._1
+    assert(wipeBand != 2 && counts.size > 2, "fixture shape assumption")
+    val del = docs.filter(col("len_band") === wipeBand).withColumn("op", lit("D"))
+    val upd = docs.filter(col("len_band") === 2)
+      .orderBy("doc_id").limit(1)
+      .withColumn("text", upper(col("text"))).withColumn("op", lit("U"))
+    val ins = upd.withColumn("doc_id", col("doc_id") + 10000000L)
+      .withColumn("op", lit("I"))
+    val batch = del.unionByName(upd).unionByName(ins)
+    val touched = Sources.mergeRangePartitioned(spark, out, batch,
+      "len_band", Seq("doc_id"), sortCols = Seq("doc_id"))
+    assert(touched.map(_.toString.toInt).toSet == Set(wipeBand, 2))
+    // the wiped band's directory is GONE; everything else still listed
+    val after = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(after == bands - s"len_band=$wipeBand", s"dirs after merge: $after")
+    // content == independent relational replay of the merge rule
+    val expected = docs
+      .join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(batch.filter(col("op") =!= "D")
+        .select(docs.columns.toIndexedSeq.map(col): _*))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assertSameRows(expected,
+      spark.read.parquet(out).select("doc_id", "text", "lang", "source", "n_chars"))
+    // a bad op value is rejected loudly before any mutation
+    val ex = intercept[IllegalArgumentException] {
+      Sources.mergeRangePartitioned(spark, out,
+        del.withColumn("op", lit("X")), "len_band", Seq("doc_id"))
+    }
+    assert(ex.getMessage.contains("I/U/D"))
+  }
+
   test("upsert crash recovery: dot-prefixed backup is invisible and restores") {
     Tables.register(spark, sfDir)
     val out = java.nio.file.Files.createTempDirectory("graft_upsert_cr").toString
