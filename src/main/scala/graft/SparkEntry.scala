@@ -2980,9 +2980,9 @@ object SparkEntry {
         |FROM r3 ORDER BY node""".stripMargin,
     // d18: brute-force all-pairs within each lang block — levenshtein is
     // the same unit-cost edit distance in both engines; the engine's
-    // length-bucket candidate generation is provably complete (each edit
-    // moves length by ≤1), so filtering the brute-force set to dist ≤ 2
-    // is the exact ground truth
+    // PassJoin chunk-signature candidate generation is provably complete
+    // (an edit script of ≤ k ops leaves one of k+1 chunks untouched), so
+    // filtering the brute-force set to dist ≤ 2 is the exact ground truth
     "d18_editdist_neardup" ->
       """WITH b AS (SELECT doc_id, lang, substr(lower(text), 1, 64) AS k
         |  FROM documents WHERE doc_id % 7 = 0),
