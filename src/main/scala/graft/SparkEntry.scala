@@ -1315,6 +1315,19 @@ object SparkEntry {
       ops.Multimodal.ulawAudioFeatures(s, t(s, dir, "documents"))
         .orderBy("doc_id"))),
 
+    // corpus-level duplicate-AUDIO detection (round 12): m12's re-upload
+    // model through the LOSSY μ-law codec — the methodology point a
+    // lossless codec can't make: content-exact dedup survives a
+    // deterministic lossy roundtrip, because the decoded (quantized)
+    // signal is hashable even though the original PCM is not recoverable.
+    // Clips decode through the real container walk + G.711 expansion and
+    // fingerprint by FNV-1a 64 over decoded samples; the oracle groups by
+    // the closed-form content key (n_samples = 64 + c % 129 is injective
+    // for c < 128, so (n_samples, digest) ≡ content).
+    "m13_dup_audio" -> ((s, dir) => rt(s,
+      ops.Multimodal.audioDuplicateClips(s, t(s, dir, "documents"))
+        .orderBy("n_samples", "first_doc"))),
+
     // corpus-level duplicate-FRAME detection (round 12): every doc carries
     // a real GIF whose content is keyed doc_id % 256 (the re-upload model),
     // frames are DECODED and fingerprinted (FNV-1a 64 over the raw raster),
@@ -4209,6 +4222,16 @@ object SparkEntry {
         |SELECT doc_id, n_samples,
         |  ROUND(CAST(sum(mag) AS DOUBLE) / count(*), 6) AS mean_abs_q
         |FROM dec GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
+    // m13: the audio re-upload rule replayed — content c = doc % 128 fixes
+    // the whole decoded signal; n_samples = 64 + c % 129 is injective for
+    // c in [0, 128), so grouping by c IS grouping by (n_samples, digest)
+    "m13_dup_audio" ->
+      """WITH g AS (SELECT doc_id, doc_id % 128 AS c FROM documents),
+        |grp AS (SELECT CAST(64 + (c % 129) AS INTEGER) AS n_samples,
+        |    count(*) AS n_docs, min(doc_id) AS first_doc
+        |  FROM g GROUP BY c HAVING count(*) >= 2)
+        |SELECT n_samples, CAST(n_docs AS BIGINT) AS n_docs, first_doc
+        |FROM grp ORDER BY n_samples, first_doc""".stripMargin,
     // m12: closed-form replay of the re-upload rule — content c = doc % 256
     // fixes geometry and the pixel offset (17c + 101f) mod 256; frames are
     // pixel-identical iff (width, height, offset) match, so the oracle

@@ -721,10 +721,19 @@ object Multimodal {
     * lesson); the JDK codec canaries the first row of every partition at
     * SAMPLE level (byte-identical μ-law codes for in-range PCM).
     */
-  val ulawEncodeFn: Iterator[IdRow] => Iterator[ImgRow] = rows => {
+  val ulawEncodeFn: Iterator[IdRow] => Iterator[ImgRow] = rows =>
+    ulawEncodeContentFn(rows.map(r => VidRow(r.doc_id, r.doc_id)))
+
+  /** Content-keyed μ-law encode (wire name graft.ulaw_encode_content_v1):
+    * [[ulawEncodeFn]]'s pipeline with every signal attribute derived from
+    * `content_id` — the audio re-upload model (two docs sharing a
+    * content_id carry independently encoded but byte-identical clips,
+    * because G.711 companding is deterministic even though it is LOSSY).
+    */
+  val ulawEncodeContentFn: Iterator[VidRow] => Iterator[ImgRow] = rows => {
     var canaryDone = false
     rows.map { r =>
-      val pcm = pcmOf(r.doc_id)
+      val pcm = pcmOf(r.content_id)
       val n = pcm.length / 2
       val codes = new Array[Byte](n)
       var k = 0
@@ -852,6 +861,87 @@ object Multimodal {
       .mapPartitions(ulawDecodeFn).toDF()
       .select(col("doc_id"), col("n_samples"),
         round(col("mean_abs_q"), 6).as("mean_abs_q"))
+  }
+
+  final case class AudioHash(doc_id: Long, n_samples: Int, pcm_fnv: Long)
+
+  /** Audio fingerprinting decode (wire name graft.ulaw_decode_hash_v1):
+    * μ-law WAV bytes → an FNV-1a 64 digest of the DECODED linear samples
+    * (each expanded 16-bit value mixed as-is). The digest is over the
+    * post-companding signal, not container bytes — so independently
+    * encoded copies of the same content collide (deterministic lossy
+    * codec), while decode corruption changes the digest and fails the
+    * closed-form oracle. Same loud RIFF/fmt-tag contract as
+    * [[ulawDecodeFn]].
+    */
+  val ulawDecodeHashFn: Iterator[ImgRow] => Iterator[AudioHash] = rows => {
+    rows.map { r =>
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"$msg (doc ${r.doc_id})")
+      val buf = java.nio.ByteBuffer.wrap(r.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val t = new Array[Byte](4); buf.get(t); new String(t, "US-ASCII")
+      }
+      if (r.payload.length < 12 || tag() != "RIFF") fail("not a RIFF container")
+      buf.getInt
+      if (tag() != "WAVE") fail("not a WAVE form")
+      var fmtTag = -1; var bits = -1
+      var data: Array[Byte] = null
+      while (buf.remaining() >= 8) {
+        val ck = tag(); val len = buf.getInt
+        if (len < 0 || len > buf.remaining()) fail(s"truncated '$ck' chunk")
+        ck match {
+          case "fmt " =>
+            if (len < 16) fail("fmt chunk too short")
+            val p = buf.position()
+            fmtTag = buf.getShort & 0xffff
+            buf.getShort; buf.getInt; buf.getInt; buf.getShort
+            bits = buf.getShort & 0xffff
+            buf.position(p + len + (len & 1))
+          case "data" =>
+            data = new Array[Byte](len); buf.get(data)
+            if ((len & 1) == 1 && buf.remaining() > 0) buf.get
+          case _ => buf.position(buf.position() + len + (len & 1))
+        }
+      }
+      if (fmtTag != 7 || bits != 8) fail(s"not μ-law WAV (tag=$fmtTag bits=$bits)")
+      if (data == null) fail("missing data chunk")
+      var hash = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+      var k = 0
+      while (k < data.length) {
+        hash = (hash ^ (ulaw2linear(data(k) & 0xff) & 0xffff)) * 0x100000001b3L
+        k += 1
+      }
+      AudioHash(r.doc_id, data.length, hash)
+    }
+  }
+
+  /** Corpus-level duplicate-audio detection (m13): every document carries a
+    * real μ-law clip keyed by `doc_id % contentMod` (the re-upload model),
+    * clips DECODE through the real container walk + G.711 expansion and
+    * fingerprint by an FNV-1a 64 digest of the decoded samples, and
+    * (n_samples, digest) groups with ≥ 2 members are the duplicate sets.
+    * The methodology point m12 (lossless GIF) cannot make: content-exact
+    * dedup SURVIVES a deterministic lossy codec — the decoded (quantized)
+    * signal is hashable even though the original PCM is not recoverable.
+    * Payloads never shuffle; only (doc_id, n_samples, digest) scalars ride
+    * the one grouping exchange; group state is a count + min.
+    */
+  def audioDuplicateClips(spark: SparkSession, df: DataFrame,
+                          contentMod: Int = 128,
+                          idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    require(contentMod >= 1, s"contentMod must be >= 1: $contentMod")
+    df.select(col(idCol).cast("long").as("doc_id"),
+        (col(idCol) % contentMod).cast("long").as("content_id")).as[VidRow]
+      .mapPartitions(ulawEncodeContentFn)
+      .mapPartitions(ulawDecodeHashFn)
+      .toDF()
+      .groupBy("n_samples", "pcm_fnv")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .select(col("n_samples"), col("n_docs"), col("first_doc"))
   }
 
   // ------------------------------------------------------------------ JPEG

@@ -142,6 +142,24 @@ object Stages {
         import spark.implicits._
         in.as[graft.ops.Multimodal.ImgRow]
           .mapPartitions(graft.ops.Multimodal.gifFrameHashFn).toDF()
+      }),
+    // Multimodal.ulawEncodeContentFn: (doc_id, content_id) → μ-law WAV
+    // whose signal derives from content_id (the audio re-upload model)
+    "graft.ulaw_encode_content_v1" -> Stage(
+      Seq("doc_id", "content_id"), 2,
+      (spark, in) => {
+        import spark.implicits._
+        in.as[graft.ops.Multimodal.VidRow]
+          .mapPartitions(graft.ops.Multimodal.ulawEncodeContentFn).toDF()
+      }),
+    // Multimodal.ulawDecodeHashFn: (doc_id, payload) → decoded-signal
+    // fingerprint (doc_id, n_samples, pcm_fnv)
+    "graft.ulaw_decode_hash_v1" -> Stage(
+      Seq("doc_id", "payload"), 3,
+      (spark, in) => {
+        import spark.implicits._
+        in.as[graft.ops.Multimodal.ImgRow]
+          .mapPartitions(graft.ops.Multimodal.ulawDecodeHashFn).toDF()
       }))
 
   /** Producer-side reverse lookup by EXACT closure identity: each wire name
@@ -165,7 +183,9 @@ object Stages {
     graft.ops.Multimodal.ulawEncodeFn -> "graft.ulaw_encode_v1",
     graft.ops.Multimodal.ulawDecodeFn -> "graft.ulaw_decode_v1",
     graft.ops.Multimodal.gifEncodeContentFn -> "graft.gif_encode_content_v1",
-    graft.ops.Multimodal.gifFrameHashFn -> "graft.gif_frame_hash_v1")
+    graft.ops.Multimodal.gifFrameHashFn -> "graft.gif_frame_hash_v1",
+    graft.ops.Multimodal.ulawEncodeContentFn -> "graft.ulaw_encode_content_v1",
+    graft.ops.Multimodal.ulawDecodeHashFn -> "graft.ulaw_decode_hash_v1")
 
   def nameOf(func: AnyRef): Option[String] =
     byClosureInstance.collectFirst { case (f, n) if f eq func => n }

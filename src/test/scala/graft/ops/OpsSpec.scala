@@ -375,6 +375,29 @@ class OpsSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("duplicate audio: re-uploads collide on the DECODED lossy signal") {
+    import spark.implicits._
+    // ids 1, 129, 257 share content 1 (mod 128): three independent μ-law
+    // encodes whose DECODED signals are identical; 2 and 130 share
+    // content 2. n_samples = 64 + c is injective here.
+    val df = Seq(1L, 2L, 129L, 130L, 257L).toDF("doc_id")
+    val got = Multimodal.audioDuplicateClips(spark, df)
+      .orderBy("n_samples").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((65, 3L, 1L), (66, 2L, 2L)), s"got ${got.toSeq}")
+    // the digest is over decoded samples: partitioning can't change groups
+    val got2 = Multimodal.audioDuplicateClips(spark, df.repartition(5))
+      .orderBy("n_samples").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got2.toSeq == got.toSeq)
+    // corrupt payload bytes fail loudly in the hashing decode too
+    val ex = intercept[org.apache.spark.SparkException] {
+      Seq(Multimodal.ImgRow(9L, Array[Byte](1, 2, 3))).toDS()
+        .mapPartitions(Multimodal.ulawDecodeHashFn).collect()
+    }
+    assert(ex.getCause.getMessage.contains("RIFF"))
+  }
+
   test("boilerplate removal: drops exactly the df>=threshold segments, keeps order") {
     val n = 3; val minDf = 5
     val got = TextOps.removeBoilerplate(docs, n = n, minDocFreq = minDf)
