@@ -83,7 +83,8 @@ object PlansDoc {
     "m12_dup_frames" -> "corpus duplicate-frame detection: real GIF encode+decode as named typed stages over a doc_id-only scan; ONE (geometry, raster-digest) exchange of per-frame scalars with partial min/count below it — payloads never shuffle",
     "q74_unpivot" -> "UNPIVOT through the standalone-Expand wire path: the consumed union scans lineitem once per measure branch, each branch pruned to exactly its (id, measure) columns",
     "d18_editdist_neardup" -> "PassJoin edit-distance dedup: probe/build chunk signatures join EQUI on (block, chunk-idx, length, xxhash64) with id-order + threshold-bounded levenshtein as the residual; candidate dedup then exact verify",
-    "e15_stream_asof_join" -> "streaming as-of batch twin: the interval join stays equi on the key with the time range as residual, side filters push to both scans, and the latest-per-left aggregate combines map-side")
+    "e15_stream_asof_join" -> "streaming as-of batch twin: the interval join stays equi on the key with the time range as residual, side filters push to both scans, and the latest-per-left aggregate combines map-side",
+    "m13_dup_audio" -> "duplicate audio through the LOSSY codec: content-keyed μ-law encode + decode-and-fingerprint as named typed stages over a doc_id-only scan; one (n_samples, digest) exchange of scalars — payloads never shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
