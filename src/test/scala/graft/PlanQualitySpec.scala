@@ -617,6 +617,14 @@ class PlanQualitySpec extends SparkTestBase {
     assert(pe.contains("partial_max"), s"latest-agg must combine map-side:\n$pe")
   }
 
+  test("m13: audio dedup scans ONLY doc_id; payloads never shuffle") {
+    val p = plan("m13_dup_audio")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("payload"), s"payload must not reach a shuffle:\n$p")
+  }
+
   test("LocalFiles consume: declared-schema file scan still prunes and pushes") {
     val df = substrait.Consumer.consume(spark, substrait.Wire.decode(
       substrait.Wire.encode(substrait.Producer.produce(
