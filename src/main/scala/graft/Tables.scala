@@ -20,12 +20,13 @@ object Tables {
 
   // session → currently-registered dir: re-registering the SAME dir is a
   // no-op, switching dirs replaces every view (so a caller can warm up
-  // against one scale factor and then measure another)
-  private val current = scala.collection.mutable.Map.empty[String, String]
+  // against one scale factor and then measure another). Weakly keyed by the
+  // session itself — identity hashes can be reused after a GC'd session, and
+  // a string-keyed map grows without bound across session churn.
+  private val current = new java.util.WeakHashMap[SparkSession, String]()
 
   def register(spark: SparkSession, dir: String): Unit = synchronized {
-    val key = System.identityHashCode(spark).toString
-    if (!current.get(key).contains(dir)) {
+    if (current.get(spark) != dir) {
       // events.parquet's ts physical type has varied across testdata
       // generations: TIMESTAMP(NANOS) (unreadable unless surfaced as raw
       // int64 via nanosAsLong), TIMESTAMP(MICROS) isAdjustedToUTC=false
@@ -54,7 +55,7 @@ object Tables {
           df.createOrReplaceTempView(n)
         }
       }
-      current(key) = dir
+      current.put(spark, dir)
     }
   }
 

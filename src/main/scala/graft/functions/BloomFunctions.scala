@@ -90,20 +90,14 @@ case class BloomMightContain(left: Expression, right: Expression)
   * stay exact (`ops.Dedup.bloomIncrementalDedup`).
   */
 object BloomFunctions {
-  private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
   /** public hook: the substrait consumer registers the kernels before
     * resolving a foreign plan that names them as extension functions */
   def ensureSessionRegistered(): Unit = ensureRegistered()
 
-  // synchronized: a thread losing the registered.add race must BLOCK until
-  // the winner finishes createOrReplaceTempFunction — otherwise a pooled
-  // Verify query can analyze against a not-yet-registered name
-  private def ensureRegistered(): Unit = synchronized {
-    val spark = SparkSession.active
-    val key = System.identityHashCode(spark).toString
-    if (registered.add(key)) {
+  // once-per-live-session; synchronization lives in SessionRegistry
+  private def ensureRegistered(): Unit =
+    SessionRegistry.once("bloom") { spark =>
       val reg = spark.sessionState.functionRegistry
       reg.createOrReplaceTempFunction("bloom_filter_agg",
         es => BloomFilterAggregate(es(0), es(1), es(2), 0, 0).toAggregateExpression(),
@@ -111,7 +105,6 @@ object BloomFunctions {
       reg.createOrReplaceTempFunction("might_contain",
         es => BloomMightContain(es(0), es(1)), "scala_udf")
     }
-  }
 
   /** One binary Bloom filter over a LONG column (xxhash64 the values first).
     * `expectedItems` sizes the filter; `numBits` bounds memory

@@ -258,8 +258,6 @@ case class BpeCountV2(child: Expression, table: Broadcast[BpeLookup])
   * resolving foreign plans that name bpe_count / bpe_count_v2).
   */
 object BpeFunctions {
-  private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
   // one broadcast of the v2 table per SparkContext (sessions of the same
   // context share it; entries die with the context in these single-context
   // processes)
@@ -272,16 +270,14 @@ object BpeFunctions {
 
   def ensureSessionRegistered(): Unit = ensureRegistered()
 
-  private def ensureRegistered(): Unit = synchronized {
-    val spark = SparkSession.active
-    val key = System.identityHashCode(spark).toString
-    if (registered.add(key)) {
+  // once-per-live-session; synchronization lives in SessionRegistry
+  private def ensureRegistered(): Unit =
+    SessionRegistry.once("bpe") { spark =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "bpe_count", es => BpeCount(es(0)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "bpe_count_v2", es => BpeCountV2(es(0), tableV2(spark)), "scala_udf")
     }
-  }
 
   def bpeCount(text: Column): Column = {
     ensureRegistered(); call_function("bpe_count", text)

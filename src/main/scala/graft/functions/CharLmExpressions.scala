@@ -203,10 +203,21 @@ object CharLmFunctions {
     val m = new java.util.HashMap[String, java.lang.Long](md.numElements() * 2)
     var i = 0
     while (i < md.numElements()) {
-      val scaled = java.math.BigDecimal.valueOf(
-          math.log(vals.getDouble(i)) * 1e9)
+      val gram = keys.getUTF8String(i).toString
+      // a null map slot reads back as 0.0 through MapData.getDouble, and
+      // log(p <= 0) is -Infinity — both would make BigDecimal.valueOf throw
+      // an opaque NumberFormatException at plan build. Fail loudly instead
+      // (charLmScore-produced models always have counts >= 1; only the
+      // public charlmFold API can reach this).
+      if (vals.isNullAt(i)) throw new IllegalArgumentException(
+        s"charlm_fold model map has a null probability for bigram '$gram'")
+      val p = vals.getDouble(i)
+      if (!(p > 0.0) || p.isInfinite) throw new IllegalArgumentException(
+        s"charlm_fold model probability for bigram '$gram' must be a finite " +
+        s"positive double (log(p) must be finite), got $p")
+      val scaled = java.math.BigDecimal.valueOf(math.log(p) * 1e9)
         .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
-      m.put(keys.getUTF8String(i).toString, scaled)
+      m.put(gram, scaled)
       i += 1
     }
     m
@@ -231,17 +242,12 @@ object CharLmFunctions {
       Array[Any](n.toLong, sum))
   }
 
-  private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
-
   /** public hook: the substrait consumer registers the kernel before
     * resolving a foreign plan that names it as an extension function.
-    * Keyed per session (the JaccardFunctions idiom): test suites rebuild
+    * Keyed per live session via [[SessionRegistry]]: test suites rebuild
     * sessions, and a stale boolean would skip re-registration. */
-  def ensureSessionRegistered(): Unit = synchronized {
-    val spark = SparkSession.active
-    val key = System.identityHashCode(spark).toString
-    if (registered.add(key)) {
+  def ensureSessionRegistered(): Unit =
+    SessionRegistry.once("charlm") { spark =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "charlm_fold", es => CharLmFold(es(0), es(1)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -251,7 +257,6 @@ object CharLmFunctions {
             s"charlm_fit_agg maxEntries must be an integer literal, got $other")
         }).toAggregateExpression(), "scala_udf")
     }
-  }
 
   def charlmFold(text: Column, model: Column): Column = {
     ensureSessionRegistered(); call_function("charlm_fold", text, model)

@@ -207,20 +207,14 @@ object CmsFunctions {
         l: Expression, r: Expression): Expression = copy(left = l, right = r)
   }
 
-  private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
   /** public hook: the substrait consumer registers the kernels before
     * resolving a foreign plan that names them as extension functions */
   def ensureSessionRegistered(): Unit = ensureRegistered()
 
-  // synchronized: a thread losing the registered.add race must BLOCK until
-  // the winner finishes createOrReplaceTempFunction — otherwise a pooled
-  // Verify query can analyze against a not-yet-registered name
-  private def ensureRegistered(): Unit = synchronized {
-    val spark = SparkSession.active
-    val key = System.identityHashCode(spark).toString
-    if (registered.add(key)) {
+  // once-per-live-session; synchronization lives in SessionRegistry
+  private def ensureRegistered(): Unit =
+    SessionRegistry.once("cms") { spark =>
       val reg = spark.sessionState.functionRegistry
       reg.createOrReplaceTempFunction("cms_merge_agg",
         es => CmsMergeAgg(es(0)).toAggregateExpression(), "scala_udf")
@@ -229,7 +223,6 @@ object CmsFunctions {
       reg.createOrReplaceTempFunction("cms_inner_product",
         es => CmsInnerProduct(es(0), es(1)), "scala_udf")
     }
-  }
 
   def cmsMergeAgg(sketch: Column): Column = {
     ensureRegistered(); call_function("cms_merge_agg", sketch)

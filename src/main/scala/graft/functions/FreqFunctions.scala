@@ -204,17 +204,14 @@ object FreqFunctions {
       copy(child = c)
   }
 
-  private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
   /** public hook: the substrait consumer registers the kernels before
     * resolving a foreign plan that names them as extension functions */
   def ensureSessionRegistered(): Unit = ensureRegistered()
 
-  private def ensureRegistered(): Unit = synchronized {
-    val spark = SparkSession.active
-    val key = System.identityHashCode(spark).toString
-    if (registered.add(key)) {
+  // once-per-live-session; synchronization lives in SessionRegistry
+  private def ensureRegistered(): Unit =
+    SessionRegistry.once("freq") { spark =>
       val reg = spark.sessionState.functionRegistry
       reg.createOrReplaceTempFunction("freq_sketch_agg_long",
         es => FreqSketchAggLong(es(0), es(1)).toAggregateExpression(),
@@ -230,7 +227,6 @@ object FreqFunctions {
       reg.createOrReplaceTempFunction("freq_max_error",
         es => FreqMaxError(es(0)), "scala_udf")
     }
-  }
 
   def freqSketchAggLong(value: Column, maxMapSize: Int): Column = {
     ensureRegistered()

@@ -158,20 +158,14 @@ case class SortedContainmentGe(first: Expression, second: Expression,
 }
 
 object JaccardFunctions {
-  private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
   /** public hook: the substrait consumer registers the kernel before
     * resolving a foreign plan that names it as an extension function */
   def ensureSessionRegistered(): Unit = ensureRegistered()
 
-  // synchronized: a thread losing the registered.add race must BLOCK until
-  // the winner finishes createOrReplaceTempFunction — otherwise a pooled
-  // Verify query can analyze against a not-yet-registered name
-  private def ensureRegistered(): Unit = synchronized {
-    val spark = SparkSession.active
-    val key = System.identityHashCode(spark).toString
-    if (registered.add(key)) {
+  // once-per-live-session; synchronization lives in SessionRegistry
+  private def ensureRegistered(): Unit =
+    SessionRegistry.once("jaccard") { spark =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "sorted_jaccard_ge", es => SortedJaccardGe(es(0), es(1), es(2)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -181,7 +175,6 @@ object JaccardFunctions {
         "bucket_jaccard_pairs",
         es => BucketJaccardPairs(es(0), es(1)), "scala_udf")
     }
-  }
 
   /** per-(block, size-bucket) inline prefix-filtered qualifying pairs
     * (see BucketJaccardPairs) */

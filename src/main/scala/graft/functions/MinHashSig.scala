@@ -124,19 +124,14 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
 }
 
 object MinHashFunctions {
-  private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
   /** public hook: the substrait consumer registers the kernels before
     * resolving a foreign plan that names them as extension functions */
   def ensureSessionRegistered(): Unit = ensureRegistered()
 
-  // synchronized: a thread losing the registered.add race must BLOCK until
-  // the winner finishes createOrReplaceTempFunction — otherwise a pooled
-  // Verify query can analyze against a not-yet-registered name
-  private def ensureRegistered(): Unit = synchronized {
-    val spark = SparkSession.active
-    if (registered.add(System.identityHashCode(spark).toString)) {
+  // once-per-live-session; synchronization lives in SessionRegistry
+  private def ensureRegistered(): Unit =
+    SessionRegistry.once("minhash") { spark =>
       val reg = spark.sessionState.functionRegistry
       reg.createOrReplaceTempFunction(
         "minhash_sig",
@@ -148,7 +143,6 @@ object MinHashFunctions {
       reg.createOrReplaceTempFunction(
         "simhash64", es => SimHash64(es(0)), "scala_udf")
     }
-  }
 
   def minhashSig(shingles: Column, numHashes: Int): Column = {
     ensureRegistered()

@@ -138,22 +138,18 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
 }
 
 object PqFunctions {
-  private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
   /** public hook: the substrait consumer registers the kernels before
     * resolving a foreign plan that names them as extension functions */
   def ensureSessionRegistered(): Unit = ensureRegistered()
 
-  private def ensureRegistered(): Unit = synchronized {
-    val spark = SparkSession.active
-    val key = System.identityHashCode(spark).toString
-    if (registered.add(key)) {
+  // once-per-live-session; synchronization lives in SessionRegistry
+  private def ensureRegistered(): Unit =
+    SessionRegistry.once("pq") { spark =>
       val reg = spark.sessionState.functionRegistry
       reg.createOrReplaceTempFunction("pq_encode", es => PqEncode(es(0), es(1)), "scala_udf")
       reg.createOrReplaceTempFunction("pq_adc", es => PqAdc(es(0), es(1)), "scala_udf")
     }
-  }
 
   def pqEncode(vec: Column, books: Column): Column = {
     ensureRegistered(); call_function("pq_encode", vec, books)

@@ -115,21 +115,17 @@ case class ShingleHashes(left: Expression, right: Expression)
 }
 
 object ShingleFunctions {
-  private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
   /** public hook: the substrait consumer registers the kernel before
     * resolving a foreign plan that names it as an extension function */
   def ensureSessionRegistered(): Unit = ensureRegistered()
 
-  private def ensureRegistered(): Unit = synchronized {
-    val spark = org.apache.spark.sql.SparkSession.active
-    val key = System.identityHashCode(spark).toString
-    if (registered.add(key)) {
+  // once-per-live-session; synchronization lives in SessionRegistry
+  private def ensureRegistered(): Unit =
+    SessionRegistry.once("shingle") { spark =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "shingle_hashes", es => ShingleHashes(es(0), es(1)), "scala_udf")
     }
-  }
 
   def shingleHashes(text: Column, k: Int): Column = {
     ensureRegistered()

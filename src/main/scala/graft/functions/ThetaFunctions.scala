@@ -199,17 +199,14 @@ object ThetaFunctions {
         l: Expression, r: Expression): Expression = copy(left = l, right = r)
   }
 
-  private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
   /** public hook: the substrait consumer registers the kernels before
     * resolving a foreign plan that names them as extension functions */
   def ensureSessionRegistered(): Unit = ensureRegistered()
 
-  private def ensureRegistered(): Unit = synchronized {
-    val spark = SparkSession.active
-    val key = System.identityHashCode(spark).toString
-    if (registered.add(key)) {
+  // once-per-live-session; synchronization lives in SessionRegistry
+  private def ensureRegistered(): Unit =
+    SessionRegistry.once("theta") { spark =>
       val reg = spark.sessionState.functionRegistry
       reg.createOrReplaceTempFunction("theta_sketch_agg_long",
         es => ThetaSketchAggLong(es(0),
@@ -224,7 +221,6 @@ object ThetaFunctions {
       reg.createOrReplaceTempFunction("theta_anotb_estimate",
         es => ThetaANotBEstimate(es(0), es(1)), "scala_udf")
     }
-  }
 
   def thetaSketchAggLong(value: Column, nominalEntries: Int = 1 << 14): Column = {
     ensureRegistered()

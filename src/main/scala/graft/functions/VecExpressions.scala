@@ -309,20 +309,14 @@ case class VecTopCells(first: Expression, second: Expression,
   * private Column constructors needed.
   */
 object VecFunctions {
-  private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
   /** public hook: the substrait consumer registers the kernels before
     * resolving a foreign plan that names them as extension functions */
   def ensureSessionRegistered(): Unit = ensureRegistered()
 
-  // synchronized: a thread losing the registered.add race must BLOCK until
-  // the winner finishes createOrReplaceTempFunction — otherwise a pooled
-  // Verify query can analyze against a not-yet-registered name
-  private def ensureRegistered(): Unit = synchronized {
-    val spark = SparkSession.active
-    val key = System.identityHashCode(spark).toString
-    if (registered.add(key)) {
+  // once-per-live-session; synchronization lives in SessionRegistry
+  private def ensureRegistered(): Unit =
+    SessionRegistry.once("vec") { spark =>
       val reg = spark.sessionState.functionRegistry
       reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "scala_udf")
       reg.createOrReplaceTempFunction("vec_cosine", es => VecCosine(es(0), es(1)), "scala_udf")
@@ -347,7 +341,6 @@ object VecFunctions {
       reg.createOrReplaceTempFunction("cell_pairs",
         es => CellPairs(es(0), es(1), es(2), es(3)), "scala_udf")
     }
-  }
 
   /** per-quantizer-cell inline-verified qualifying pairs (see CellPairs) */
   def cellPairs(items: Column, threshold: Double, targetOcc: Int,

@@ -920,13 +920,24 @@ object Dedup {
     * the exact verify. The verify is Spark's threshold-bounded
     * levenshtein, which returns −1 past maxDist — filter on the SIGN,
     * never `≤ maxDist`.
+    *
+    * Contract: `0 ≤ maxDist ≤ 8`. The probe side enumerates
+    * (2k+1)²·(k+1) candidate keys per row — 25 at k=1, 75 at k=2, 2,601 at
+    * k=8 — so the cap bounds candidate volume, not string length. (Earlier
+    * rounds accepted up to 64, where the blowup reaches ~1.1M keys/row;
+    * the cap was tightened in r12.) For larger distances use the token-
+    * level operators (d04/d12) whose candidate volume is content-bounded.
     */
   def editDistanceNearDups(df: DataFrame, idCol: String = "doc_id",
                            strCol: String = "key",
                            blockCols: Seq[String] = Seq("lang", "source"),
                            maxDist: Int = 2): DataFrame = {
     require(maxDist >= 0 && maxDist <= 8,
-      s"editDistanceNearDups maxDist out of range: $maxDist")
+      s"editDistanceNearDups maxDist out of range: $maxDist (cap is 8: the " +
+        s"PassJoin probe enumerates (2k+1)^2*(k+1) candidate keys per row, " +
+        s"which at k=$maxDist would be " +
+        s"${(2L*maxDist+1)*(2L*maxDist+1)*(maxDist+1)}; use the token-level " +
+        "near-dup operators for coarser matching)")
     val k = maxDist
     val nseg = k + 1
     val blk = if (blockCols.isEmpty) lit("") else concat_ws("|", blockCols.map(col): _*)

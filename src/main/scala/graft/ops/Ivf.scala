@@ -49,11 +49,12 @@ object Ivf {
     */
   private[ops] def trainCentroids(base: DataFrame, nlist: Int,
                                   trainSampleFraction: Double,
-                                  seed: Long, vecField: String): Seq[Seq[Double]] = {
+                                  seed: Long, vecField: String,
+                                  maxTrainRows: Int = 16384): Seq[Seq[Double]] = {
     val idCol = base.columns.head
     val sampled = (if (trainSampleFraction < 1.0)
       base.sample(withReplacement = false, trainSampleFraction, seed) else base)
-      .orderBy(col(idCol)).limit(16384) // TakeOrdered: bounded + stable
+      .orderBy(col(idCol)).limit(maxTrainRows) // TakeOrdered: bounded + stable
     val rows = sampled.select(col(vecField)).collect()
       .map(_.getSeq[Double](0).toArray)
     Pq.lloyd(rows, nlist, iters = 5).map(_.toSeq).toSeq
@@ -76,12 +77,13 @@ object Ivf {
     */
   private[ops] def trainHierarchical(base: DataFrame, nlist: Int,
                                      trainSampleFraction: Double, seed: Long,
-                                     vecField: String)
+                                     vecField: String,
+                                     maxTrainRows: Int = 16384)
       : (Seq[Seq[Double]], Seq[(Int, Int, Seq[Double])]) = {
     val idCol = base.columns.head
     val sampled = (if (trainSampleFraction < 1.0)
       base.sample(withReplacement = false, trainSampleFraction, seed) else base)
-      .orderBy(col(idCol)).limit(16384)
+      .orderBy(col(idCol)).limit(maxTrainRows)
     val rows = sampled.select(col(vecField)).collect()
       .map(_.getSeq[Double](0).toArray)
     require(rows.nonEmpty, "empty training sample")
@@ -115,9 +117,11 @@ object Ivf {
 
   def build(corpus: DataFrame, nlist: Int, idCol: String = "vec_id",
             vecCol: String = "embedding",
-            trainSampleFraction: Double = 1.0, seed: Long = 42L): IvfIndex = {
+            trainSampleFraction: Double = 1.0, seed: Long = 42L,
+            maxTrainRows: Int = 16384): IvfIndex = {
     val base = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
-    val centroids = trainCentroids(base, nlist, trainSampleFraction, seed, "n_vec")
+    val centroids = trainCentroids(base, nlist, trainSampleFraction, seed,
+      "n_vec", maxTrainRows)
     val assigned = base
       .withColumn("cell", nearestCells(col("n_vec"), centroids, 1).getItem(0))
       .repartition(col("cell"))

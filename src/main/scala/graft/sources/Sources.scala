@@ -303,17 +303,26 @@ object Sources {
                             keyCols: Seq[String], opCol: String = "op",
                             sortCols: Seq[String] = Nil): Seq[Any] = {
     import org.apache.spark.sql.functions.{col, lit}
-    val ops = changes.select(opCol).distinct().collect()
+    // ONE snapshot of the change batch for every phase below: the op-set
+    // validation, the affected-band collect, the name probe, and the staging
+    // write are four independent actions, and a non-deterministic or
+    // source-changing `changes` evaluated freshly per action could make the
+    // staging output inconsistent with the validated ops / probed bands —
+    // tripping the post-write requires AFTER live-data renames have begun.
+    val snap = changes.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val ops = snap.select(opCol).distinct().collect()
       .map(r => Option(r.get(0)).map(_.toString).orNull).toSet
     require(ops.nonEmpty && ops.subsetOf(Set("I", "U", "D")),
       s"mergeRangePartitioned: $opCol values must be I/U/D, got $ops")
-    val affected = changes.select(bucketCol).distinct().collect().map(_.get(0))
+    val affected = snap.select(bucketCol).distinct().collect().map(_.get(0))
     require(!affected.contains(null), s"null $bucketCol in merge batch")
     recoverUpsertBackups(spark, basePath, bucketCol)
     val base = spark.read.parquet(basePath)
     val survivors = base.filter(col(bucketCol).isInCollection(affected))
-      .join(changes.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val additions = changes.filter(col(opCol) =!= "D")
+      .join(snap.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val additions = snap.filter(col(opCol) =!= "D")
       .select(base.columns.toIndexedSeq.map(col): _*)
     val merged = survivors.unionByName(additions)
     val sorted =
@@ -327,7 +336,7 @@ object Sources {
         .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
     // name probe: Spark itself renders every affected band's directory name
     val probe = s"$basePath.merge-nameprobe"
-    changes.select(col(bucketCol)).distinct().withColumn("__one", lit(1))
+    snap.select(col(bucketCol)).distinct().withColumn("__one", lit(1))
       .write.mode("overwrite").partitionBy(bucketCol).parquet(probe)
     val affectedDirs = bandDirs(probe).map(_.getPath.getName).toSet
     fs.delete(new org.apache.hadoop.fs.Path(probe), true)
@@ -362,6 +371,7 @@ object Sources {
     }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     affected.toSeq
+    } finally snap.unpersist(blocking = false)
   }
 
   /** Morton/Z-order spread table: the 2^bits possible ranks with their bits

@@ -624,6 +624,11 @@ object Consumer {
         case n @ ("freq_sketch_agg_long" | "freq_merge_agg") =>
           graft.functions.FreqFunctions.ensureSessionRegistered()
           call_function(n, args: _*)
+        // one-pass char-LM bigram-count fit (GraftExtensions registers it
+        // for wire parity; maxEntries rides as the second, literal arg)
+        case "charlm_fit_agg" =>
+          graft.functions.CharLmFunctions.ensureSessionRegistered()
+          call_function("charlm_fit_agg", args: _*)
         case other => notImplemented(s"aggregate function $other")
       }
     }
