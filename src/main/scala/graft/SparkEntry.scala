@@ -479,6 +479,24 @@ object SparkEntry {
         .orderBy("q_id", "rank"))
     }),
 
+    // metadata-FILTERED ANN: nearest neighbors among only the vectors
+    // satisfying a predicate (label = 3 here) — the retrieval shape
+    // curation pipelines issue ("nearest docs in THIS language/source").
+    // The index carries the label via metaCols, so the predicate filters
+    // the assigned frame BEFORE the probe join (and pushes down beside the
+    // cell partition filters on the saved layout). A ~10%-selective filter
+    // needs a wider probe than the unfiltered 12/16 (recall note at
+    // Ivf.searchFiltered); exactness vs the brute-force filtered oracle is
+    // the gate.
+    "s15_filtered_knn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = ops.Ivf.build(e, nlist = 16, trainSampleFraction = 0.5,
+        metaCols = Seq("label"))
+      rt(s, ops.Ivf.searchFiltered(idx, e.filter(col("vec_id") < 8),
+          k = 5, nprobe = 16, pred = col("label") === 3)
+        .orderBy("q_id", "rank"))
+    }),
+
     // ANN top-k via product quantization + exact rerank: the corpus scans
     // as m=16 codes per vector (16x fewer bytes than raw floats — the
     // bandwidth knob of the ANN family, composable with IVF's cell
@@ -651,6 +669,22 @@ object SparkEntry {
     // reassembly shuffle; the boilerplate set is tiny by construction.
     "t32_boilerplate_removal" -> ((s, dir) => rt(s,
       ops.TextOps.removeBoilerplate(t(s, dir, "documents"))
+        .orderBy("doc_id"))),
+
+    // encoding-corruption screen (mojibake detector): corruption PLANTED
+    // deterministically on doc_id % 7 == 0 (the fixture corpus is clean
+    // ASCII, so unplanted rows certify the zero side) — one U+FFFD, one C0
+    // control, one Latin-1-mojibake lead, one windows-1252 pair appended.
+    // Counts are replace-diff arithmetic (length minus marker-stripped
+    // length), byte-identical across engines; a pure projection, zero
+    // shuffles at any scale.
+    "t34_encoding_quality" -> ((s, dir) => rt(s,
+      ops.TextOps.encodingQuality(
+        t(s, dir, "documents").withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"),
+              lit("\u00c3\u00a9 \u00e2\u20ac\u2122 \ufffd \u0001")))
+            .otherwise(col("text"))))
         .orderBy("doc_id"))),
 
     // Gopher-style repetition filters: zero-shuffle narrow fold per document
@@ -1328,6 +1362,19 @@ object SparkEntry {
       ops.Multimodal.audioDuplicateClips(s, t(s, dir, "documents"))
         .orderBy("n_samples", "first_doc"))),
 
+    // PERCEPTUAL near-dup images across resolutions (m14): content keyed
+    // doc_id % 8, alternating doc blocks carry a REAL half-resolution
+    // re-encode — different bytes, dimensions, and raster; only the
+    // perceptual content matches, which is exactly what exact digests
+    // (m12) cannot catch. Decoded pixels pool into a 9x8 grid whose
+    // gradient signs form the 63-bit dHash; a group spanning two
+    // geometries (n_geoms = 2) is a cross-resolution catch. The oracle
+    // replays the cell rule and all 63 comparisons in SQL integer
+    // arithmetic — any decode/pooling corruption breaks the hash equality.
+    "m14_phash_neardup" -> ((s, dir) => rt(s,
+      ops.Multimodal.imageNearDupsPHash(s, t(s, dir, "documents"))
+        .orderBy("dhash"))),
+
     // corpus-level duplicate-FRAME detection (round 12): every doc carries
     // a real GIF whose content is keyed doc_id % 256 (the re-upload model),
     // frames are DECODED and fingerprinted (FNV-1a 64 over the raw raster),
@@ -1652,6 +1699,17 @@ object SparkEntry {
               F.freqMaxError(col("sketch"))).as("est_ok"))
         .orderBy("window_start", "user_id")
     })),
+
+    // ordered-funnel conversion (batch twin of the horizon-bounded
+    // streaming funnel, EventStream.funnelStream): the earliest strictly-
+    // increasing view→click→purchase chain per user plus the stage
+    // reached. Every step's min is a window aggregate over the SAME
+    // user partitioning and the final collapse groups by the same key —
+    // ONE exchange total regardless of step count.
+    "e17_funnel" -> ((s, dir) => rt(s,
+      streaming.EventStream.funnelBatch(t(s, dir, "events"))
+        .select("user_id", "t_view", "t_click", "t_purchase", "stage")
+        .orderBy("user_id"))),
 
     // DATA-DEPENDENT session gap (round 9): session_window(ts, gapCol) —
     // clicks close after 4h, high-value events after 12h, the rest after
@@ -3165,6 +3223,20 @@ object SparkEntry {
         |  FROM s)
         |SELECT q_id, n_id, rank, ROUND(sim0, 6) AS sim FROM r
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // s15: the same brute-force ground truth RESTRICTED to the predicate —
+    // the filter applies to the corpus side only (queries keep vec_id < 8)
+    "s15_filtered_knn" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |s AS (SELECT q_id, e.vec_id AS n_id,
+        |  list_dot_product(qv, e.v)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim0
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q_id AND e.label = 3),
+        |r AS (SELECT q_id, n_id, sim0,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim0 DESC, n_id ASC) AS rank
+        |  FROM s)
+        |SELECT q_id, n_id, rank, ROUND(sim0, 6) AS sim FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     // s06 certifies against the same exact brute-force kNN ground truth as
     // s01/s03: the saved+loaded index probes the same 12/16 cells (measured
     // recall 1.0), so approximate output == exact output, row for row
@@ -3390,6 +3462,25 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
         |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed
         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // t34: the oracle replays the injection rule (chr() codepoints match the
+    // Scala \u escapes) and the same replace-diff counting verbatim
+    "t34_encoding_quality" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || chr(195)||chr(169)||' '||
+        |    chr(226)||chr(8364)||chr(8482)||' '||chr(65533)||' '||chr(1)
+        |  ELSE text END AS t FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(length(t) - length(replace(t, chr(65533), '')) AS BIGINT) AS n_replacement,
+        |  CAST((length(t) - length(replace(t, chr(0), ''))) +
+        |       (length(t) - length(replace(t, chr(1), ''))) +
+        |       (length(t) - length(replace(t, chr(8), ''))) AS BIGINT) AS n_ctrl,
+        |  CAST(length(t) - length(replace(t, chr(195), '')) AS BIGINT) AS n_latin1_mojibake,
+        |  CAST((length(t) - length(replace(t, chr(226)||chr(8364), ''))) // 2 AS BIGINT)
+        |    AS n_win1252_mojibake
+        |  FROM d)
+        |SELECT doc_id, n_replacement, n_ctrl, n_latin1_mojibake, n_win1252_mojibake,
+        |  (n_replacement + n_ctrl + n_latin1_mojibake + n_win1252_mojibake = 0) AS enc_ok
+        |FROM c ORDER BY doc_id""".stripMargin,
     // t29b: the production-vocab replay — the oracle REGENERATES the 50k
     // merge table from the same two-level construction rule (all 26×26
     // bigrams rank i1·26+i2, then (bigram,bigram) pairs rank
@@ -4232,6 +4323,26 @@ object SparkEntry {
         |  FROM g GROUP BY c HAVING count(*) >= 2)
         |SELECT n_samples, CAST(n_docs AS BIGINT) AS n_docs, first_doc
         |FROM grp ORDER BY n_samples, first_doc""".stripMargin,
+    // m14: full closed-form replay of the dHash — the cell gray is
+    // (c·2654435761 + cx·40503 + cy·69061) mod 251 and the 63 gradient
+    // comparisons rebuild the hash bit-for-bit in SQL integer arithmetic;
+    // membership replays doc % 8, geometry count replays the alternating
+    // (doc // 8) % 2 scale rule (both resolutions present per content)
+    "m14_phash_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS c FROM documents),
+        |cells AS (SELECT g.c, r1.cy, r2.cx,
+        |    CASE WHEN (g.c * 2654435761 + (r2.cx + 1) * 40503 + r1.cy * 69061) % 251
+        |            > (g.c * 2654435761 + r2.cx * 40503 + r1.cy * 69061) % 251
+        |      THEN CAST(1 AS BIGINT) << (r1.cy * 8 + r2.cx) ELSE 0 END AS b
+        |  FROM (SELECT DISTINCT c FROM d) g, range(8) r1(cy), range(8) r2(cx)
+        |  WHERE r1.cy * 8 + r2.cx < 63),
+        |dh AS (SELECT c, CAST(sum(b) AS BIGINT) AS dhash FROM cells GROUP BY c),
+        |grp AS (SELECT c, count(*) AS n_images,
+        |    count(DISTINCT (doc_id // 8) % 2) AS n_geoms, min(doc_id) AS first_doc
+        |  FROM d GROUP BY c HAVING count(*) >= 2)
+        |SELECT dh.dhash, CAST(grp.n_images AS BIGINT) AS n_images,
+        |  CAST(grp.n_geoms AS BIGINT) AS n_geoms, grp.first_doc
+        |FROM dh JOIN grp USING (c) ORDER BY dhash""".stripMargin,
     // m12: closed-form replay of the re-upload rule — content c = doc % 256
     // fixes geometry and the pixel offset (17c + 101f) mod 256; frames are
     // pixel-identical iff (width, height, offset) match, so the oracle
@@ -4540,6 +4651,22 @@ object SparkEntry {
         |  SELECT event_id FROM events
         |  UNION ALL SELECT event_id FROM events)
         |ORDER BY event_id""".stripMargin,
+    // e17: the same layered window-min chain, one CTE per step (each layer
+    // references the previous layer's min — DISTINCT collapses the
+    // per-user-constant rows)
+    "e17_funnel" ->
+      """WITH a AS (SELECT user_id, ts, event_type,
+        |  min(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t_view FROM events),
+        |b AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view
+        |    THEN ts END) OVER (PARTITION BY user_id) AS t_click FROM a),
+        |c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click
+        |    THEN ts END) OVER (PARTITION BY user_id) AS t_purchase FROM b)
+        |SELECT DISTINCT user_id, t_view, t_click, t_purchase,
+        |  CAST(CASE WHEN t_view IS NULL THEN 0 ELSE 1 END +
+        |       CASE WHEN t_click IS NULL THEN 0 ELSE 1 END +
+        |       CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+        |FROM c WHERE t_view IS NOT NULL ORDER BY user_id""".stripMargin,
     // e11: Spark merges sessions whose [ts, ts + gap(row)) intervals
     // overlap-chain; the replay orders each user's events and opens a new
     // session exactly when ts reaches the running max of previous ends

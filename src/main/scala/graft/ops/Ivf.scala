@@ -115,11 +115,16 @@ object Ivf {
     (coarse.map(_.toSeq).toSeq, fine)
   }
 
+  /** `metaCols`: extra corpus columns carried into the assigned index frame
+    * (and the saved layout) so [[searchFiltered]] predicates can push down
+    * next to the cell partition filters. */
   def build(corpus: DataFrame, nlist: Int, idCol: String = "vec_id",
             vecCol: String = "embedding",
             trainSampleFraction: Double = 1.0, seed: Long = 42L,
-            maxTrainRows: Int = 16384): IvfIndex = {
-    val base = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
+            maxTrainRows: Int = 16384,
+            metaCols: Seq[String] = Nil): IvfIndex = {
+    val base = corpus.select(col(idCol).as("n_id") +:
+      asDouble(col(vecCol)).as("n_vec") +: metaCols.map(col): _*)
     val centroids = trainCentroids(base, nlist, trainSampleFraction, seed,
       "n_vec", maxTrainRows)
     val assigned = base
@@ -195,6 +200,29 @@ object Ivf {
       index.assigned.filter(col("cell").isin(probed.toIndexedSeq.map(Integer.valueOf): _*)))
     search(pruned, queries, k, nprobe, idCol, vecCol)
   }
+
+  /** FILTERED ANN: top-k cosine neighbors among only the corpus vectors
+    * satisfying `pred` — metadata-filtered vector search ("nearest docs
+    * WITH label = x / lang = en / ts > cutoff"), the retrieval shape
+    * curation pipelines actually issue. The predicate applies to the
+    * assigned index frame BEFORE the probe join: on the saved
+    * cell-partitioned layout it rides the parquet scan next to the
+    * probed-cell partition filters, so bytes read scale with
+    * (probed cells × predicate selectivity), never the corpus.
+    *
+    * Recall caveat (inherent to post-filtered IVF, not this code): the
+    * filtered true top-k can live in cells the unfiltered probe ranking
+    * wouldn't visit, so a selective predicate needs a HIGHER nprobe than
+    * the same index unfiltered — size nprobe against the predicate's
+    * selectivity (rule of thumb: nprobe / selectivity, capped at nlist),
+    * or verify recall on a sample as s07's gate does.
+    */
+  def searchFiltered(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
+                     pred: org.apache.spark.sql.Column,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame =
+    search(index.copy(assigned = index.assigned.filter(pred)),
+      queries, k, nprobe, idCol, vecCol)
 
   /** Top-k cosine neighbors probing the nprobe nearest cells per query. */
   def search(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,

@@ -1127,4 +1127,131 @@ object Multimodal {
          |            (acc, k) -> concat(acc, substring(p, k * st + 1, 1)))), 1)
          |  END), 1)""".stripMargin))
   }
+
+  // --------------------------------------------------- perceptual hash (m14)
+
+  final case class PHashRow(doc_id: Long, content_id: Long, scale: Int)
+  final case class PHashFeature(doc_id: Long, width: Int, height: Int,
+                                dhash: Long)
+
+  /** Cell luminance of the synthetic pHash fixture: a pseudo-random (but
+    * closed-form) gray per 9×8 GRID CELL — every pixel inside a cell is
+    * identical, so cell averages are exact at ANY resolution whose
+    * dimensions are multiples of (9, 8), which is what makes the resized
+    * re-upload's dHash provably equal to the original's. */
+  private def phGray(c: Long, cx: Int, cy: Int): Int =
+    ((c * 2654435761L + cx * 40503L + cy * 69061L) % 251).toInt
+
+  private def phWidth(c: Long, scale: Int): Int = 18 * (1 + (c % 3).toInt) / scale
+  private def phHeight(c: Long, scale: Int): Int = 16 * (1 + (c % 2).toInt) / scale
+
+  /** THE pHash-fixture encode stage (wire name graft.phash_encode_v1):
+    * (doc_id, content_id, scale) → real PNG bytes. scale=2 bakes a genuine
+    * half-resolution image (the downscaled re-upload), not a byte slice. */
+  val phashEncodeFn: Iterator[PHashRow] => Iterator[ImgRow] = rows => {
+    imageIoInit()
+    rows.map { r =>
+      require(r.scale == 1 || r.scale == 2, s"phash scale must be 1|2: ${r.scale}")
+      val (w, h) = (phWidth(r.content_id, r.scale), phHeight(r.content_id, r.scale))
+      // TYPE_3BYTE_BGR with r=g=b, the proven-exact roundtrip of
+      // pngEncodeFn (TYPE_BYTE_GRAY's setRGB goes through a colorspace
+      // conversion that does NOT preserve the raw value)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = phGray(r.content_id, x * 9 / w, y * 8 / h)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      if (!javax.imageio.ImageIO.write(img, "png", bos))
+        throw new IllegalStateException(s"PNG encode failed for doc ${r.doc_id}")
+      ImgRow(r.doc_id, bos.toByteArray)
+    }
+  }
+
+  /** THE dHash decode stage (wire name graft.phash_decode_v1): PNG bytes →
+    * (doc_id, width, height, dhash). The image decodes for real
+    * (ImageIO.read), pools into a 9×8 luminance grid by exact integer area
+    * averaging, and hashes the HORIZONTAL GRADIENT SIGNS: bit (cy·8+cx) set
+    * iff cell(cx+1,cy) > cell(cx,cy) — the standard dHash, 63 bits used
+    * (bit 63 is skipped so the value stays sign-free in every engine's
+    * signed 64-bit arithmetic). Scale-invariant by construction for images
+    * whose dimensions are multiples of (9, 8); loud on others. */
+  val phashDecodeFn: Iterator[ImgRow] => Iterator[PHashFeature] = rows => {
+    imageIoInit()
+    rows.map { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      if (img == null)
+        throw new IllegalArgumentException(s"undecodable PNG for doc ${r.doc_id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      require(w % 9 == 0 && h % 8 == 0,
+        s"pHash needs dims divisible by 9x8, got ${w}x$h (doc ${r.doc_id})")
+      val sums = Array.ofDim[Long](9, 8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          sums(x * 9 / w)(y * 8 / h) += img.getRGB(x, y) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val cellN = (w / 9).toLong * (h / 8)
+      var dhash = 0L
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          val bit = cy * 8 + cx
+          if (bit < 63 && sums(cx + 1)(cy) / cellN > sums(cx)(cy) / cellN)
+            dhash |= 1L << bit
+          cx += 1
+        }
+        cy += 1
+      }
+      PHashFeature(r.doc_id, w, h, dhash)
+    }
+  }
+
+  /** Perceptual-hash near-duplicate detection ACROSS RESOLUTIONS (m14):
+    * every document carries a real PNG keyed by `doc_id % contentMod`, and
+    * alternating doc blocks re-upload the HALF-RESOLUTION re-encode
+    * (`scale 2`) — the crawl-corpus case exact digests (m12) cannot catch:
+    * the bytes, dimensions, and raster all differ, only the perceptual
+    * content matches. Dup groups key on the dHash; a group spanning two
+    * geometries is a cross-resolution catch (`n_geoms = 2`).
+    *
+    * Scale design: payloads never shuffle (encode and decode+hash are
+    * partition-local typed stages); the ONE exchange carries
+    * (doc_id, width, height, dhash) scalars with map-side partial
+    * aggregation, and groups hold counts plus a struct-min — never a
+    * collected list. Certified by a closed-form oracle that replays the
+    * cell rule and the 63 gradient comparisons in SQL integer arithmetic.
+    */
+  def imageNearDupsPHash(spark: SparkSession, df: DataFrame,
+                         contentMod: Int = 8,
+                         idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    require(contentMod >= 1, s"contentMod must be >= 1: $contentMod")
+    df.select(col(idCol).cast("long").as("doc_id"),
+        (col(idCol) % contentMod).cast("long").as("content_id"),
+        when((col(idCol).cast("long") / contentMod).cast("long") % 2 === 1, 2)
+          .otherwise(1).as("scale"))
+      .as[PHashRow]
+      .mapPartitions(phashEncodeFn)
+      .mapPartitions(phashDecodeFn)
+      .toDF()
+      .groupBy("dhash")
+      .agg(count(lit(1)).as("n_images"),
+        countDistinct(struct(col("width"), col("height"))).as("n_geoms"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_images") >= 2)
+      .select(col("dhash"), col("n_images"), col("n_geoms"), col("first_doc"))
+  }
 }

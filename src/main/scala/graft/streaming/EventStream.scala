@@ -456,4 +456,110 @@ object EventStream {
             size(slice(col("seq"), i * stride + 1, lit(len))).as("n")))).as("w"))
       .select(col("user_id"), col("w.win_idx"), col("w.seq"), col("w.n"))
   }
+
+  /** Ordered-funnel analysis (batch twin): per user, the earliest
+    * strictly-increasing chain of step timestamps — t(step1) = first step1
+    * event, t(stepN) = first stepN event AFTER t(stepN−1) — and the funnel
+    * stage reached. The standard product-analytics conversion query, and a
+    * common curation query over interaction logs.
+    *
+    * Scale shape: every step's min is a window aggregate over the SAME
+    * `partitionBy(user)` (no orderBy), and the final per-user collapse
+    * groups by the same key — Catalyst reuses ONE exchange for all of it;
+    * events shuffle once regardless of the number of steps. Only users who
+    * reached step 1 emit a row (stage ≥ 1).
+    */
+  def funnelBatch(events: DataFrame,
+                  steps: Seq[String] = Seq("view", "click", "purchase"),
+                  userCol: String = "user_id", tsCol: String = "ts",
+                  typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2 && steps.distinct.size == steps.size,
+      s"funnel needs >= 2 distinct steps, got $steps")
+    val w = Window.partitionBy(userCol)
+    var df = events.select(col(userCol), col(tsCol), col(typeCol))
+    steps.zipWithIndex.foreach { case (st, i) =>
+      val cond =
+        if (i == 0) col(typeCol) === st
+        else col(typeCol) === st && col(tsCol) > col(s"t_${steps(i - 1)}")
+      df = df.withColumn(s"t_$st", min(when(cond, col(tsCol))).over(w))
+    }
+    df.groupBy(col(userCol))
+      .agg(min(col(s"t_${steps.head}")).as(s"t_${steps.head}"),
+        steps.tail.map(st => min(col(s"t_$st")).as(s"t_$st")): _*)
+      .withColumn("stage",
+        steps.map(st => when(col(s"t_$st").isNotNull, 1L).otherwise(0L))
+          .reduce(_ + _))
+      .filter(col(s"t_${steps.head}").isNotNull)
+  }
+
+  final case class FunnelAgg(user_id: Long, t_view: Option[Timestamp],
+                             t_click: Option[Timestamp],
+                             t_purchase: Option[Timestamp], stage: Long)
+  /** internal per-user state: buffered (micros, stepIdx) step events —
+    * bounded by the horizon (state evicts on event-time timeout) */
+  final case class FunnelState(events: List[(Long, Int)])
+
+  /** Streaming funnel over the fixed view→click→purchase steps: per-user
+    * step events BUFFER in state (out-of-order arrivals within the horizon
+    * reorder correctly — an incremental min-chain would lock in wrong
+    * chains), and the funnel is computed and emitted once the user goes
+    * quiet for `horizonMinutes` of event time (event-time timeout). State
+    * is bounded: only step events within an active horizon, evicted on
+    * emit. EventStreamSpec asserts emitted funnels ⊆ the batch ground
+    * truth, the sessionize contract.
+    */
+  def funnelStream(spark: SparkSession, events: DataFrame,
+                   horizonMinutes: Int = 240): Dataset[FunnelAgg] = {
+    import spark.implicits._
+    val steps = Seq("view", "click", "purchase")
+    val horizonUs = horizonMinutes * 60L * 1000000L
+    val toMicros: Timestamp => Long =
+      t => t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+    val fromMicros: Long => Timestamp = us => {
+      val t = new Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    val stepIdx = steps.zipWithIndex.toMap
+
+    def chain(evs: List[(Long, Int)]): (Array[Option[Long]], Long) = {
+      val sorted = evs.sortBy(identity)
+      val ts = Array.fill[Option[Long]](steps.size)(None)
+      sorted.foreach { case (t, si) =>
+        if (si == 0) { if (ts(0).isEmpty) ts(0) = Some(t) }
+        else if (ts(si).isEmpty && ts(si - 1).exists(_ < t)) ts(si) = Some(t)
+      }
+      (ts, ts.count(_.isDefined).toLong)
+    }
+
+    def fn(userId: Long, rows: Iterator[Event],
+           state: GroupState[FunnelState]): Iterator[FunnelAgg] = {
+      if (state.hasTimedOut) {
+        val (ts, stage) = chain(state.get.events)
+        state.remove()
+        if (stage >= 1)
+          Iterator.single(FunnelAgg(userId, ts(0).map(fromMicros),
+            ts(1).map(fromMicros), ts(2).map(fromMicros), stage))
+        else Iterator.empty
+      } else {
+        val fresh = rows.filter(e => stepIdx.contains(e.event_type))
+          .map(e => (toMicros(e.ts), stepIdx(e.event_type))).toList
+        val all = state.getOption.map(_.events).getOrElse(Nil) ::: fresh
+        if (all.nonEmpty) {
+          state.update(FunnelState(all))
+          val last = all.map(_._1).max
+          state.setTimeoutTimestamp(
+            Math.floorDiv(last + horizonUs + 999L, 1000L))
+        }
+        Iterator.empty
+      }
+    }
+
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

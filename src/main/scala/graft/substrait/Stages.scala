@@ -160,6 +160,25 @@ object Stages {
         import spark.implicits._
         in.as[graft.ops.Multimodal.ImgRow]
           .mapPartitions(graft.ops.Multimodal.ulawDecodeHashFn).toDF()
+      }),
+    // Multimodal.phashEncodeFn: (doc_id, content_id, scale) → PNG whose
+    // content derives from content_id; scale=2 is a REAL half-resolution
+    // re-encode (the downscaled-re-upload model)
+    "graft.phash_encode_v1" -> Stage(
+      Seq("doc_id", "content_id", "scale"), 2,
+      (spark, in) => {
+        import spark.implicits._
+        in.as[graft.ops.Multimodal.PHashRow]
+          .mapPartitions(graft.ops.Multimodal.phashEncodeFn).toDF()
+      }),
+    // Multimodal.phashDecodeFn: (doc_id, payload) → decoded 9x8-grid
+    // gradient perceptual hash (doc_id, width, height, dhash)
+    "graft.phash_decode_v1" -> Stage(
+      Seq("doc_id", "payload"), 4,
+      (spark, in) => {
+        import spark.implicits._
+        in.as[graft.ops.Multimodal.ImgRow]
+          .mapPartitions(graft.ops.Multimodal.phashDecodeFn).toDF()
       }))
 
   /** Producer-side reverse lookup by EXACT closure identity: each wire name
@@ -185,7 +204,9 @@ object Stages {
     graft.ops.Multimodal.gifEncodeContentFn -> "graft.gif_encode_content_v1",
     graft.ops.Multimodal.gifFrameHashFn -> "graft.gif_frame_hash_v1",
     graft.ops.Multimodal.ulawEncodeContentFn -> "graft.ulaw_encode_content_v1",
-    graft.ops.Multimodal.ulawDecodeHashFn -> "graft.ulaw_decode_hash_v1")
+    graft.ops.Multimodal.ulawDecodeHashFn -> "graft.ulaw_decode_hash_v1",
+    graft.ops.Multimodal.phashEncodeFn -> "graft.phash_encode_v1",
+    graft.ops.Multimodal.phashDecodeFn -> "graft.phash_decode_v1")
 
   def nameOf(func: AnyRef): Option[String] =
     byClosureInstance.collectFirst { case (f, n) if f eq func => n }

@@ -76,4 +76,49 @@ class IvfSpec extends SparkTestBase {
     assert(idx.assigned.count() == embs.count())
     assert(idx.assigned.select("cell").distinct().count() <= 8)
   }
+
+  test("filtered search with full probe equals brute force over the filtered corpus") {
+    val idx = Ivf.build(embs, nlist = 8, metaCols = Seq("label"))
+    val queries = embs.filter(col("vec_id") < 4)
+    val got = Ivf.searchFiltered(idx, queries, k = 5, nprobe = 8,
+        pred = col("label") === 3)
+      .collect().map(_.toString).sorted
+    val brute = Similarity.bruteForceKnn(
+        embs.filter(col("label") === 3), queries, k = 5)
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(brute),
+      "full-probe filtered IVF must equal brute force over the filtered corpus")
+    // and every neighbor really satisfies the predicate
+    val ids = Ivf.searchFiltered(idx, queries, k = 5, nprobe = 8,
+        pred = col("label") === 3)
+      .join(embs.select(col("vec_id").as("n_id"), col("label")), "n_id")
+      .filter(col("label") =!= 3).count()
+    assert(ids == 0, "a neighbor violated the predicate")
+  }
+
+  test("filtered search needs the metadata column carried by metaCols") {
+    // on an IN-MEMORY index the analyzer can resolve a missing filter
+    // column back through the projection lineage (ResolveMissingReferences)
+    // — but a SAVED+LOADED index is parquet-backed, so a predicate on a
+    // column metaCols never carried fails loudly instead of guessing
+    val bare = Ivf.build(embs, nlist = 8) // no metaCols
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_meta").toString
+    Ivf.save(bare, dir)
+    val loaded = Ivf.load(spark, dir)
+    val queries = embs.filter(col("vec_id") < 4)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Ivf.searchFiltered(loaded, queries, k = 5, nprobe = 8,
+        pred = col("label") === 3).collect()
+    }
+    // and the positive path: metaCols carried through save/load filter fine
+    val withMeta = Ivf.build(embs, nlist = 8, metaCols = Seq("label"))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivf_meta2").toString
+    Ivf.save(withMeta, dir2)
+    val loaded2 = Ivf.load(spark, dir2)
+    val a = Ivf.searchFiltered(loaded2, queries, k = 5, nprobe = 8,
+      pred = col("label") === 3).collect().map(_.toString).sorted
+    val b = Ivf.searchFiltered(withMeta, queries, k = 5, nprobe = 8,
+      pred = col("label") === 3).collect().map(_.toString).sorted
+    assert(a.sameElements(b), "saved+loaded filtered search must match in-memory")
+  }
 }

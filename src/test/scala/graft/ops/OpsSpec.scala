@@ -980,4 +980,63 @@ class OpsSpec extends SparkTestBase {
     assert(out(1L).toSeq == (0 until 100 by 10).map(_.toByte).toSeq)
     assert(out(2L).toSeq == Seq[Byte](1, 2, 3), "short payloads pass through")
   }
+
+  test("encodingQuality: planted mojibake counts are exact, clean text is enc_ok") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "perfectly clean ascii text"),
+      (2L, "caf\u00c3\u00a9 menu"), // one Latin-1 mojibake lead
+      (3L, "it\u00e2\u20ac\u2122s \u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d"), // three win1252 pairs
+      (4L, "bad \ufffd\ufffd decode"), // two replacement chars
+      (5L, "ctrl\u0001 and \u0008 bytes"), // two C0 controls
+      (6L, "")) // empty text: all zeros, ok
+      .toDF("doc_id", "text")
+    val got = TextOps.encodingQuality(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got(1L) == ((0L, 0L, 0L, 0L, true)))
+    assert(got(2L) == ((0L, 0L, 1L, 0L, false)))
+    assert(got(3L) == ((0L, 0L, 0L, 3L, false)))
+    assert(got(4L) == ((2L, 0L, 0L, 0L, false)))
+    assert(got(5L) == ((0L, 2L, 0L, 0L, false)))
+    assert(got(6L) == ((0L, 0L, 0L, 0L, true)))
+  }
+
+  test("phash: same content at two REAL resolutions shares the dhash; contents differ; corrupt is loud") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.PHashRow(10L, 3L, 1), Multimodal.PHashRow(11L, 3L, 2),
+      Multimodal.PHashRow(12L, 5L, 1)).toDS()
+    val feats = rows.mapPartitions(Multimodal.phashEncodeFn)
+      .mapPartitions(Multimodal.phashDecodeFn).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(10L).dhash == feats(11L).dhash,
+      "half-resolution re-encode must share the perceptual hash")
+    assert(feats(10L).width == 2 * feats(11L).width &&
+      feats(10L).height == 2 * feats(11L).height,
+      "the two members really have different geometry")
+    assert(feats(10L).dhash != feats(12L).dhash,
+      "different content must not collide on this fixture")
+    val boom = intercept[org.apache.spark.SparkException] {
+      Seq(Multimodal.ImgRow(1L, Array[Byte](1, 2, 3)))
+        .toDS().mapPartitions(Multimodal.phashDecodeFn).collect()
+    }
+    assert(boom.getMessage.contains("undecodable") ||
+      Option(boom.getCause).exists(_.getMessage.contains("undecodable")))
+  }
+
+  test("imageNearDupsPHash groups are repartition-invariant and cross-resolution") {
+    import spark.implicits._
+    val docs = spark.range(64).select(col("id").as("doc_id"))
+    val a = Multimodal.imageNearDupsPHash(spark, docs)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Multimodal.imageNearDupsPHash(spark, docs.repartition(7))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b, "grouping must not depend on partitioning")
+    val groups = Multimodal.imageNearDupsPHash(spark, docs).collect()
+    assert(groups.length == 8, "64 docs mod 8 contents = 8 groups")
+    assert(groups.forall(_.getLong(1) == 8L), "8 members per content")
+    assert(groups.forall(_.getLong(2) == 2L),
+      "every group must span BOTH resolutions (the cross-resolution catch)")
+  }
 }

@@ -595,4 +595,60 @@ class EventStreamSpec extends SparkTestBase {
       assertSameRows(batch, streamed)
     } finally q.stop()
   }
+
+  test("streaming funnel: emitted funnels == batch funnels on a planted fixture") {
+    import spark.implicits._
+    val base = 1767225600000L // 2026-01-01T00:00Z
+    def ts(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+    // (event_id, ts, user_id, event_type, value) — users cover: full chain,
+    // step-2 stall (purchase BEFORE click), no step-1, step-1 only,
+    // reverse file order (out-of-order arrival), earliest-min tie shapes
+    val planted = Seq(
+      (1L, ts(0), 1L, "view", 1.0), (2L, ts(10), 1L, "click", 1.0),
+      (3L, ts(20), 1L, "purchase", 1.0),
+      (4L, ts(0), 2L, "view", 1.0), (5L, ts(5), 2L, "purchase", 1.0),
+      (6L, ts(10), 2L, "click", 1.0),
+      (7L, ts(0), 3L, "click", 1.0), (8L, ts(5), 3L, "purchase", 1.0),
+      (9L, ts(0), 4L, "view", 1.0),
+      (10L, ts(30), 5L, "purchase", 1.0), (11L, ts(20), 5L, "click", 1.0),
+      (12L, ts(10), 5L, "view", 1.0),
+      (13L, ts(50), 6L, "view", 1.0), (14L, ts(5), 6L, "view", 1.0),
+      (15L, ts(8), 6L, "click", 1.0), (16L, ts(6), 6L, "purchase", 1.0),
+      // sentinel: advances the watermark past every horizon so all real
+      // users' event-time timeouts fire (the sentinel itself never emits)
+      (99L, ts(60L * 24 * 10), 999L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_funnel").toString
+    planted.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = EventStream.funnelStream(spark, stream, horizonMinutes = 240)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_out")
+        .select("user_id", "t_view", "t_click", "t_purchase", "stage")
+      val batch = EventStream.funnelBatch(
+          planted.filter(col("user_id") =!= 999L))
+        .select("user_id", "t_view", "t_click", "t_purchase", "stage")
+      assert(streamed.count() == 5) // users 1,2,4,5,6 (3 never sees a view)
+      assertSameRows(batch, streamed)
+    } finally q.stop()
+  }
+
+  test("batch funnel semantics: stalls, ties, and ordering are exact") {
+    import spark.implicits._
+    val base = 1767225600000L
+    def ts(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+    val planted = Seq(
+      (1L, ts(0), 1L, "view", 1.0), (2L, ts(10), 1L, "click", 1.0),
+      (3L, ts(20), 1L, "purchase", 1.0),
+      // simultaneous click at the view's own timestamp is NOT after it
+      (4L, ts(0), 2L, "view", 1.0), (5L, ts(0), 2L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStream.funnelBatch(planted)
+      .select("user_id", "stage").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L))
+  }
 }
