@@ -635,4 +635,52 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]"), p)
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
   }
+
+  test("m14: pHash pipeline scans only doc_id and shuffles scalars, never payloads") {
+    val p = plan("m14_phash_neardup")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"m14 should read only doc_id:\n$p")
+    assert(!p.contains("payload"),
+      s"PNG payloads must never reach a shuffle:\n$p")
+  }
+
+  test("t34: encoding screen is a pure projection — no exchange before the output sort") {
+    val p = plan("t34_encoding_quality")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a projection suite must not shuffle:\n$p")
+  }
+
+  test("e17: every funnel step shares ONE user exchange") {
+    Tables.register(spark, sfDir)
+    // the driver query adds an output orderBy (range exchange); gate the
+    // operator itself: exactly one hash exchange for windows + final agg
+    val df = streaming.EventStream.funnelBatch(spark.table("events"))
+    df.collect()
+    // count within the FINAL adaptive plan only (the AdaptiveSparkPlan
+    // string repeats the tree under "== Initial Plan ==")
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"expected exactly one user-keyed exchange for all funnel steps:\n$p")
+  }
+
+  test("s15: filtered probe over the saved layout prunes partitions AND pushes the predicate") {
+    Tables.register(spark, sfDir)
+    val embs = spark.table("embeddings")
+    val idx = ops.Ivf.build(embs, nlist = 8, metaCols = Seq("label"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_s15_plan").toString
+    ops.Ivf.save(idx, dir)
+    val loaded = ops.Ivf.load(spark, dir)
+    val probed = ops.Ivf.searchFiltered(loaded,
+      embs.filter(org.apache.spark.sql.functions.col("vec_id") < 4),
+      k = 5, nprobe = 3,
+      pred = org.apache.spark.sql.functions.col("label") === 3)
+    probed.collect()
+    val p = probed.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(cell"),
+      s"probe must prune to cell partitions:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)"),
+      s"the metadata predicate must reach the parquet scan:\n$p")
+  }
 }
