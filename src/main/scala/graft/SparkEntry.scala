@@ -256,6 +256,39 @@ object SparkEntry {
     // — the op's PassJoin pigeonhole candidate set (share one of k+1
     // chunks verbatim at shift ≤ k) is provably complete, so the sets
     // match exactly.
+    // canonical-URL dedup (d19): the same page crawled five different ways
+    // — scheme/host case, default ports, utm_* tracking params, parameter
+    // order, trailing slashes, fragments — collapses to ONE canonical key.
+    // URLs are synthesized messy from doc_id (the corpus has no url
+    // column); the oracle CONSTRUCTS the expected canonical string
+    // independently from the group arithmetic, so any normalization bug
+    // (a kept port, a surviving utm param, unsorted query) breaks string
+    // equality, not just group counts. Group-by-key: one digest-width
+    // shuffle, counts + min only — d01's exact-dedup scale shape.
+    "d19_url_dedup" -> ((s, dir) => rt(s, {
+      val d2 = col("doc_id") % 2
+      val url = concat(
+        when(d2 === 0, "HTTP").otherwise("https"), lit("://"),
+        when(col("doc_id") % 4 < 2,
+          concat(lit("WWW.Site"), (col("doc_id") % 50).cast("string"), lit(".COM")))
+          .otherwise(
+            concat(lit("www.site"), (col("doc_id") % 50).cast("string"), lit(".com"))),
+        when(col("doc_id") % 5 === 0 && d2 === 0, ":80")
+          .when(col("doc_id") % 5 === 1 && d2 =!= 0, ":443")
+          .otherwise(""),
+        lit("/p/"), (col("doc_id") % 25).cast("string"),
+        when(col("doc_id") % 3 === 0, "/").otherwise(""),
+        when(col("doc_id") % 7 < 3, "?b=2&utm_source=feed&a=1")
+          .otherwise("?a=1&b=2"),
+        when(col("doc_id") % 11 === 0, "#frag").otherwise(""))
+      t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("curl", ops.TextOps.canonicalUrl(url))
+        .groupBy("curl")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("curl")
+    })),
+
     "d18_editdist_neardup" -> ((s, dir) => rt(s, {
       val base = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
         .select(col("doc_id"), col("lang"),
@@ -687,6 +720,16 @@ object SparkEntry {
             .otherwise(col("text"))))
         .orderBy("doc_id"))),
 
+    // Gopher-style quality rules (Rae et al. A1.1): word-count bounds,
+    // mean word length, symbol-to-word ratio, alphabetic-word fraction,
+    // stop-word minimum, and the conjunction verdict -- the public filter
+    // battery crawl pipelines apply before anything expensive. One split,
+    // HOF folds, zero shuffles; the oracle replays every fold with DuckDB
+    // list functions over the identical tokenization.
+    "t35_gopher_quality" -> ((s, dir) => rt(s,
+      ops.TextOps.gopherQuality(t(s, dir, "documents"))
+        .orderBy("doc_id"))),
+
     // Gopher-style repetition filters: zero-shuffle narrow fold per document
     "t10_repetition" -> ((s, dir) => rt(s,
       ops.TextOps.repetitionStats(t(s, dir, "documents"))
@@ -1078,6 +1121,29 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id"))
+    }),
+
+    // versioned snapshots + TIME TRAVEL (p22): two commits land, then v1
+    // is read back AFTER v2 exists — the read that in-place CoW cannot
+    // serve. The gate reads BOTH versions (tagged) row-for-row: a commit
+    // that leaked into an old version's files, a manifest that lists the
+    // wrong files, or a reader that "helpfully" merged versions all break
+    // the row sets. The v1 plan also proves snapshot isolation: its file
+    // list resolved at build time, so v2's commit can't move it.
+    "p22_time_travel" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-tt-${math.abs(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      sources.Sources.commitVersion(docs.filter(col("doc_id") % 3 === 0), base)
+      sources.Sources.commitVersion(docs.filter(col("doc_id") % 3 <= 1), base)
+      val v1 = sources.Sources.readVersion(s, base, Some(1L))
+        .withColumn("version", lit(1L))
+      val v2 = sources.Sources.readVersion(s, base, None)
+        .withColumn("version", lit(2L))
+      rt(s, v1.unionByName(v2).orderBy("version", "doc_id"))
     }),
 
     // one-call corpus card: the dataset-release summary row from one full
@@ -3054,7 +3120,19 @@ object SparkEntry {
     // PassJoin chunk-signature candidate generation is provably complete
     // (an edit script of ≤ k ops leaves one of k+1 chunks untouched), so
     // filtering the brute-force set to dist ≤ 2 is the exact ground truth
-    "d18_editdist_neardup" ->
+        // d19: the oracle builds the EXPECTED canonical url from the group
+    // arithmetic (group g = doc % 50 determines scheme g%2, host, path
+    // g%25; the canonical query is always a=1&b=2) — independent of the
+    // engine's normalization code path
+    "d19_url_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 50 AS g FROM documents),
+        |grp AS (SELECT g, count(*) AS n_docs, min(doc_id) AS first_doc
+        |  FROM d GROUP BY g HAVING count(*) >= 2)
+        |SELECT CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END ||
+        |    '://www.site' || g || '.com/p/' || (g % 25) || '?a=1&b=2' AS curl,
+        |  CAST(n_docs AS BIGINT) AS n_docs, first_doc
+        |FROM grp ORDER BY curl""".stripMargin,
+"d18_editdist_neardup" ->
       """WITH b AS (SELECT doc_id, lang, substr(lower(text), 1, 64) AS k
         |  FROM documents WHERE doc_id % 7 = 0),
         |u AS (SELECT doc_id, lang, k FROM b
@@ -3481,6 +3559,37 @@ object SparkEntry {
         |SELECT doc_id, n_replacement, n_ctrl, n_latin1_mojibake, n_win1252_mojibake,
         |  (n_replacement + n_ctrl + n_latin1_mojibake + n_win1252_mojibake = 0) AS enc_ok
         |FROM c ORDER BY doc_id""".stripMargin,
+    // t35: identical tokenization (split on single space, drop empties),
+    // every fold replayed with list functions; gopher_ok uses the UNROUNDED
+    // mean/fractions exactly as the engine does
+    "t35_gopher_quality" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) +
+        |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+        |      AS n_symbols
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_sum(list_transform(ws, x -> len(x))), 0) AS DOUBLE)
+        |      / GREATEST(len(ws), 1) AS mean_word_len,
+        |    n_symbols,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+        |      AS n_alpha,
+        |    CAST(len(list_filter(ws, x -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], x))) AS BIGINT)
+        |      AS n_stopwords
+        |  FROM w)
+        |SELECT doc_id, n_words, ROUND(mean_word_len, 6) AS mean_word_len,
+        |  n_symbols,
+        |  ROUND(CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1), 6) AS alpha_fraction,
+        |  n_stopwords,
+        |  (n_words BETWEEN 50 AND 100000
+        |   AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND CAST(n_symbols AS DOUBLE) / GREATEST(n_words, 1) <= 0.1
+        |   AND CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1) >= 0.8
+        |   AND n_stopwords >= 2) AS gopher_ok
+        |FROM m ORDER BY doc_id""".stripMargin,
     // t29b: the production-vocab replay — the oracle REGENERATES the 50k
     // merge table from the same two-level construction rule (all 26×26
     // bigrams rank i1·26+i2, then (bigram,bigram) pairs rank
@@ -3708,6 +3817,14 @@ object SparkEntry {
         |  UNION ALL SELECT * FROM mods UNION ALL SELECT * FROM ins)
         |SELECT doc_id, lang, n_chars, md5(text) AS text_md5
         |FROM final ORDER BY doc_id""".stripMargin,
+    // p22: both version reads replayed closed-form from the commit rules
+    "p22_time_travel" ->
+      """SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS version
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, CAST(2 AS BIGINT) AS version
+        |FROM documents WHERE doc_id % 3 <= 1
+        |ORDER BY version, doc_id""".stripMargin,
     "p14_cow_upsert" ->
       """WITH mods AS (SELECT doc_id, upper(text) AS text, lang, n_chars
         |              FROM documents WHERE doc_id % 13 = 3),

@@ -802,4 +802,78 @@ object TextOps {
       nWin1252.as("n_win1252_mojibake"),
       (nRepl + nCtrl + nLatin1 + nWin1252 === 0).as("enc_ok"))
   }
+
+  /** Gopher-style document quality rules (Rae et al. 2021, §A1.1 — the
+    * public heuristics every crawl-corpus pipeline reimplements): word
+    * count bounds, mean word length bounds, symbol-to-word ratio
+    * ('#' and '...'), alphabetic-word fraction, and a minimum stop-word
+    * count — plus the conjunction verdict `gopher_ok`. All HOF folds over
+    * ONE split (no UDFs, no regex classes beyond `[a-z]`); ratios are IEEE
+    * doubles over exact integer counts so any engine replays them
+    * bit-identically. A pure projection: zero shuffles at any scale.
+    */
+  def gopherQuality(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    minMeanWordLen: Double = 3.0,
+                    maxMeanWordLen: Double = 10.0,
+                    maxSymbolRatio: Double = 0.1,
+                    minAlphaFraction: Double = 0.8,
+                    minStopWords: Int = 2): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    def cnt(marker: String): Column =
+      ((length(col(textCol)) -
+        length(replace(col(textCol), lit(marker), lit("")))) /
+        marker.length).cast("long")
+    val nWords = size(words).cast("long")
+    val safeN = greatest(nWords, lit(1L)).cast("double")
+    val meanLen = aggregate(words, lit(0L),
+      (acc, w) => acc + length(w)).cast("double") / safeN
+    val nSymbols = cnt("#") + cnt("...")
+    val nAlpha = size(filter(words, w => w.rlike("[a-z]"))).cast("long")
+    val nStop = size(filter(words,
+      w => w.isInCollection(stops))).cast("long")
+    df.select(col(idCol),
+      nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      nSymbols.as("n_symbols"),
+      round(nAlpha.cast("double") / safeN, 6).as("alpha_fraction"),
+      nStop.as("n_stopwords"),
+      (nWords >= minWords && nWords <= maxWords &&
+        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+        nSymbols.cast("double") / safeN <= maxSymbolRatio &&
+        nAlpha.cast("double") / safeN >= minAlphaFraction &&
+        nStop >= minStopWords).as("gopher_ok"))
+  }
+
+  /** Canonical form of an http(s) URL — the normalization that makes
+    * URL-keyed dedup catch the same page crawled five different ways:
+    * scheme and host lowercase, default port stripped (`:80` for http,
+    * `:443` for https), trailing path slashes stripped (bare root stays
+    * `/`), `utm_*` tracking parameters dropped, remaining query parameters
+    * SORTED, fragment dropped. Pure codegen'd string/regex/HOF column ops
+    * (the regexes are RE2-safe, so any engine replays them); no UDF, no
+    * parse_url dependency. Non-URL inputs canonicalize to degenerate
+    * strings rather than throwing — run a format screen first if the
+    * column is untrusted.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host =
+      when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+        .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+        .otherwise(hostPort)
+    val path0 = regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val params = filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      p => length(p) > 0 && !p.startsWith("utm_"))
+    val q = concat_ws("&", array_sort(params))
+    concat(scheme, lit("://"), host, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
 }

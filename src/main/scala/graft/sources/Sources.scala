@@ -457,4 +457,109 @@ object Sources {
       .withColumn("rows_scanned",
         when(col("pruned"), 0L).otherwise(col("n_rows")))
   }
+
+  // ------------------------------------------------ versioned snapshots (p22)
+
+  /** Versioned-snapshot layout on plain parquet — SNAPSHOT ISOLATION and
+    * TIME TRAVEL, the lakehouse-table contract the CoW upsert/merge family
+    * lacks (they swap in place, so a concurrent reader races the swap and
+    * yesterday's table is gone):
+    *
+    *   basePath/data/v<N>/part-*.parquet   immutable data files of commit N
+    *   basePath/v<N>.manifest              newline list of N's relative files
+    *
+    * A commit writes its data files FIRST, then publishes the manifest by
+    * an atomic rename from a dot-temp — the manifest rename IS the commit
+    * point. A crash before it leaves orphaned data files that no reader
+    * can see (vacuum sweeps them); published versions' files are never
+    * mutated or deleted by later commits, so a reader holding version N's
+    * plan is isolated from any concurrent commit. Readers resolve the
+    * manifest list at PLAN BUILD time and scan exactly those files.
+    *
+    * Scale: the manifest is KB-scale metadata regardless of data size; a
+    * version read plans as a plain multi-file parquet scan (pushdown and
+    * pruning intact). Each commit here is a full snapshot — band-level
+    * delta commits compose by listing carried-over files from version N−1
+    * in N's manifest, the natural extension of this protocol (not needed
+    * by the gated surface, so not speculatively built).
+    */
+  def commitVersion(df: DataFrame, basePath: String): Long = {
+    val spark = df.sparkSession
+    val baseP = new org.apache.hadoop.fs.Path(basePath)
+    val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(baseP)
+    val v = listVersions(spark, basePath).lastOption.getOrElse(0L) + 1
+    val dataDir = new org.apache.hadoop.fs.Path(basePath, s"data/v$v")
+    df.write.mode("errorifexists").parquet(dataDir.toString)
+    val files = fs.listStatus(dataDir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => s"data/v$v/${st.getPath.getName}").sorted
+    require(files.nonEmpty, s"commit v$v produced no data files")
+    val tmp = new org.apache.hadoop.fs.Path(basePath, s".tmp.v$v.manifest")
+    val out = fs.create(tmp, true)
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val manifest = new org.apache.hadoop.fs.Path(basePath, s"v$v.manifest")
+    require(fs.rename(tmp, manifest),
+      s"manifest publish failed for v$v (concurrent commit?)")
+    v
+  }
+
+  /** Published versions, ascending. */
+  def listVersions(spark: SparkSession, basePath: String): Seq[Long] = {
+    val baseP = new org.apache.hadoop.fs.Path(basePath)
+    val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(baseP)) return Nil
+    fs.listStatus(baseP).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .sorted
+  }
+
+  /** Read a version (default: latest). The file list resolves NOW — the
+    * returned frame keeps reading version `v`'s files even if later
+    * commits land while it executes. */
+  def readVersion(spark: SparkSession, basePath: String,
+                  version: Option[Long] = None): DataFrame = {
+    val versions = listVersions(spark, basePath)
+    require(versions.nonEmpty, s"no published versions at $basePath")
+    val v = version.getOrElse(versions.last)
+    require(versions.contains(v),
+      s"version $v not published at $basePath (have ${versions.mkString(",")})")
+    val baseP = new org.apache.hadoop.fs.Path(basePath)
+    val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(basePath, s"v$v.manifest"))
+    val files =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    spark.read.parquet(files.map(f => s"$basePath/$f"): _*)
+  }
+
+  /** Retire versions older than the newest `keepLast`, plus any orphaned
+    * data dirs a crashed commit left behind (data without a manifest).
+    * Returns the removed version numbers. */
+  def vacuumVersions(spark: SparkSession, basePath: String,
+                     keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val baseP = new org.apache.hadoop.fs.Path(basePath)
+    val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = listVersions(spark, basePath)
+    val drop = versions.dropRight(keepLast)
+    drop.foreach { v =>
+      // manifest first: the version disappears atomically, THEN its files
+      fs.delete(new org.apache.hadoop.fs.Path(basePath, s"v$v.manifest"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(basePath, s"data/v$v"), true)
+    }
+    // orphans: data dirs with no manifest (crashed pre-publish commits)
+    val dataP = new org.apache.hadoop.fs.Path(basePath, "data")
+    val live = listVersions(spark, basePath).toSet
+    if (fs.exists(dataP)) fs.listStatus(dataP)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+      .map(_.getPath)
+      .filter(p => !live.contains(p.getName.stripPrefix("v").toLong))
+      .foreach(fs.delete(_, true))
+    drop
+  }
 }

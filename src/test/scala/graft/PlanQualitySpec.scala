@@ -683,4 +683,27 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)"),
       s"the metadata predicate must reach the parquet scan:\n$p")
   }
+
+  test("t35: gopher quality is a pure projection — no exchange before the output sort") {
+    val p = plan("t35_gopher_quality")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a projection suite must not shuffle:\n$p")
+  }
+
+  test("d19: url dedup shuffles only the canonical key — one exchange, computed map-side") {
+    val p = plan("d19_url_dedup").split("== Initial Plan ==").head
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"expected exactly the curl-group shuffle:\n$p")
+    assert(p.contains("partial_count"),
+      s"canonicalization + partial agg must happen before the exchange:\n$p")
+  }
+
+  test("p22: a version read scans only the manifest's files with a pruned schema") {
+    val p = plan("p22_time_travel")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"),
+      s"time-travel read must prune to the selected columns:\n$p")
+    assert(p.contains("data/v1") && p.contains("data/v2"),
+      s"both version reads must resolve to their own data dirs:\n$p")
+  }
 }

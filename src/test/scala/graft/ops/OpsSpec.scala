@@ -1039,4 +1039,44 @@ class OpsSpec extends SparkTestBase {
     assert(groups.forall(_.getLong(2) == 2L),
       "every group must span BOTH resolutions (the cross-resolution catch)")
   }
+
+  test("canonicalUrl normalizes case, ports, params, slashes, fragments") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTP://WWW.Ex.COM:80/p/1/?b=2&utm_source=x&a=1#f", "http://www.ex.com/p/1?a=1&b=2"),
+      ("https://ex.com:443/p/1", "https://ex.com/p/1"),
+      ("https://ex.com:8443/p/1", "https://ex.com:8443/p/1"), // non-default port kept
+      ("http://ex.com:443/x", "http://ex.com:443/x"), // 443 is NOT http's default
+      ("http://ex.com/", "http://ex.com/"), // bare root stays /
+      ("http://ex.com", "http://ex.com/"),
+      ("http://ex.com/a//", "http://ex.com/a"),
+      ("http://ex.com/a?utm_a=1&utm_b=2", "http://ex.com/a"), // all params dropped
+      ("http://ex.com/a?z=1&y=2&x=3", "http://ex.com/a?x=3&y=2&z=1"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalUrl(col("url")).as("c")).as[String].collect()
+    cases.map(_._2).zip(got).foreach { case (want, g) =>
+      assert(g == want, s"expected $want got $g")
+    }
+  }
+
+  test("gopherQuality folds are exact on a closed-form fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4 words, mean len (3+2+3+4)/4 = 3.0, 1 alpha-less word, 2 stops
+      (1L, "the of 123 word"),
+      // symbol-heavy: 3 words, '#' x2 + '...' x1 => ratio 1.0 > 0.1
+      (2L, "a# b# c..."),
+      (3L, "")) // empty: 0 words
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherQuality(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 4L)
+    assert(got(1L).getDouble(2) == 3.0)
+    assert(got(1L).getLong(3) == 0L)
+    assert(got(1L).getDouble(4) == 0.75) // "123" has no alpha
+    assert(got(1L).getLong(5) == 2L)
+    assert(!got(1L).getBoolean(6)) // word count 4 < 50
+    assert(got(2L).getLong(3) == 3L, "two # plus one ...")
+    assert(got(3L).getLong(1) == 0L && !got(3L).getBoolean(6))
+  }
 }

@@ -344,4 +344,38 @@ class SourcesSpec extends SparkTestBase {
         col("c1") >= 150 && col("c0") <= 350).count()
     assert(zTouchBox < nFiles, s"2-D box touched all $nFiles files")
   }
+
+  test("versioned snapshots: time travel, isolation, crash orphans, vacuum") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/tbl"
+    val v1data = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val v2data = Seq((1L, "a"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    assert(Sources.commitVersion(v1data, base) == 1L)
+    assert(Sources.commitVersion(v2data, base) == 2L)
+    assert(Sources.listVersions(spark, base) == Seq(1L, 2L))
+    // time travel: v1 is intact AFTER v2 committed
+    assertSameRows(v1data, Sources.readVersion(spark, base, Some(1L)))
+    assertSameRows(v2data, Sources.readVersion(spark, base))
+    // snapshot isolation: a plan built at v2 survives a LATER commit
+    val pinned = Sources.readVersion(spark, base, Some(2L))
+    Sources.commitVersion(Seq((9L, "z")).toDF("k", "v"), base)
+    assertSameRows(v2data, pinned)
+    // crash orphan: data files without a manifest are invisible
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((99L, "ghost")).toDF("k", "v")
+      .write.parquet(s"$base/data/v99")
+    assert(Sources.listVersions(spark, base) == Seq(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      Sources.readVersion(spark, base, Some(99L))
+    }
+    // vacuum: old versions and the orphan go; survivors still read
+    assert(Sources.vacuumVersions(spark, base, keepLast = 2) == Seq(1L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/data/v1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/data/v99")))
+    assertSameRows(v2data, Sources.readVersion(spark, base, Some(2L)))
+    intercept[IllegalArgumentException] {
+      Sources.readVersion(spark, base, Some(1L))
+    }
+  }
 }
