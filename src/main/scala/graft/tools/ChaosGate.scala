@@ -115,6 +115,7 @@ object ChaosGate {
     run("stage")(stageScenario(spark))
     run("fixpoint")(fixpointScenario(spark))
     run("merge")(mergeScenario(spark))
+    run("stream")(streamScenario(spark))
 
     spark.stop()
     if (failures > 0) sys.exit(1)
@@ -187,6 +188,46 @@ object ChaosGate {
     val total = labels.count()
     killer.join(10000)
     (bad == 0 && total == nodes, s"$total nodes, $bad mislabeled")
+  }
+
+  /** Structured Streaming under executor loss: a file-source stream with a
+    * reliable checkpoint runs a stateful windowed aggregation while the
+    * chaos thread kills an executor JVM mid-stream. The state store and
+    * task retries must make the loss invisible: the final (complete-mode)
+    * output equals the batch run of the same aggregation. */
+  private def streamScenario(spark: SparkSession): (Boolean, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("chaos_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("chaos_stream_ck").toString
+    val n = 600000L
+    val events = spark.range(n).select(
+      col("id").as("event_id"),
+      // one event per second from a fixed epoch, 16 users, 4 types
+      (lit(1700000000L) + col("id") / 4).cast("timestamp").as("ts"),
+      (col("id") % 16).as("user_id"),
+      concat(lit("type"), (col("id") % 4).cast("string")).as("event_type"),
+      (col("id") % 100).cast("double").as("value"))
+    // many small files so the stream runs multiple batches
+    events.repartition(24).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "4").parquet(dir)
+    val agg = graft.streaming.EventStream.windowedTypeCounts(stream)
+    val killer = armKiller(afterJobs = 2)
+    val q = agg.writeStream.format("memory").queryName("chaos_stream_out")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      killer.join(10000)
+      val streamed = spark.table("chaos_stream_out")
+      val batch = graft.streaming.EventStream.windowedTypeCounts(
+        spark.read.parquet(dir))
+      val d1 = streamed.exceptAll(batch).count()
+      val d2 = batch.exceptAll(streamed).count()
+      val rows = streamed.count()
+      (d1 == 0 && d2 == 0 && rows > 0, s"rows=$rows diff=${d1 + d2}")
+    } finally q.stop()
   }
 
   /** CoW MERGE under executor loss: task retries must leave the swap
