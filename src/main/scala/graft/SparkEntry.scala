@@ -1146,6 +1146,37 @@ object SparkEntry {
       rt(s, v1.unionByName(v2).orderBy("version", "doc_id"))
     }),
 
+    // DELTA commits (p23): the full lakehouse CoW contract — version 2
+    // touches ONLY the 'en' band, so every other band's v1 files are
+    // REUSED verbatim in v2's manifest (commit cost ∝ delta, not table,
+    // and SourcesSpec asserts the file-set reuse). Both versions then read
+    // back row-for-row after v2 landed: time travel + snapshot isolation
+    // on band-partitioned plain parquet.
+    "p23_delta_commits" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-delta-${math.abs(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val init = docs.filter(col("doc_id") % 3 <= 1).withColumn("op", lit("I"))
+      sources.Sources.deltaCommit(s, base, init, "lang", Seq("lang", "doc_id"))
+      val en = docs.filter(col("lang") === "en")
+      val dels = en.filter(col("doc_id") % 6 === 0).withColumn("op", lit("D"))
+      val upds = en.filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 0)
+        .withColumn("n_chars", -col("n_chars")).withColumn("op", lit("U"))
+      val ins = en.filter(col("doc_id") % 3 === 2).withColumn("op", lit("I"))
+      sources.Sources.deltaCommit(s, base,
+        dels.unionByName(upds).unionByName(ins), "lang", Seq("lang", "doc_id"))
+      val v1 = sources.Sources.deltaRead(s, base, Some(1L))
+        .withColumn("version", lit(1L))
+      val v2 = sources.Sources.deltaRead(s, base, None)
+        .withColumn("version", lit(2L))
+      rt(s, v1.unionByName(v2)
+        .select("doc_id", "lang", "n_chars", "version")
+        .orderBy("version", "doc_id"))
+    }),
+
     // one-call corpus card: the dataset-release summary row from one full
     // scan + a tiny top-language aggregate, every number exact
     "p18_corpus_card" -> ((s, dir) => rt(s,
@@ -3817,6 +3848,21 @@ object SparkEntry {
         |  UNION ALL SELECT * FROM mods UNION ALL SELECT * FROM ins)
         |SELECT doc_id, lang, n_chars, md5(text) AS text_md5
         |FROM final ORDER BY doc_id""".stripMargin,
+    // p23: both delta-version reads replayed closed-form — v1 is the
+    // initial load, v2 applies the en-only I/U/D rules
+    "p23_delta_commits" ->
+      """WITH v1 AS (SELECT doc_id, lang, n_chars FROM documents
+        |            WHERE doc_id % 3 <= 1),
+        |v2 AS (SELECT doc_id, lang,
+        |    CASE WHEN lang = 'en' AND doc_id % 3 = 1 AND doc_id % 5 = 0
+        |      THEN -n_chars ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  WHERE (doc_id % 3 <= 1 AND NOT (lang = 'en' AND doc_id % 6 = 0))
+        |     OR (lang = 'en' AND doc_id % 3 = 2))
+        |SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS version FROM v1
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, CAST(2 AS BIGINT) AS version FROM v2
+        |ORDER BY version, doc_id""".stripMargin,
     // p22: both version reads replayed closed-form from the commit rules
     "p22_time_travel" ->
       """SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS version

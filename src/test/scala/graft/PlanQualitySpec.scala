@@ -699,6 +699,19 @@ class PlanQualitySpec extends SparkTestBase {
       s"canonicalization + partial agg must happen before the exchange:\n$p")
   }
 
+  test("p23: delta-version reads resolve to version-prefixed band files only") {
+    val p = plan("p23_delta_commits")
+    // the plan string truncates the file-index list, so file-set REUSE is
+    // asserted on the manifests in SourcesSpec; here: both version reads
+    // are plain file scans (v1's first file visible), two scans, no shuffle
+    assert(p.contains("/v1-"), s"v1 files must appear:\n${p.take(4000)}")
+    assert(p.sliding("FileScan parquet".length)
+      .count(_ == "FileScan parquet") == 2,
+      s"expected exactly two version scans:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a two-version read is scans + union, no shuffle:\n$p")
+  }
+
   test("p22: a version read scans only the manifest's files with a pruned schema") {
     val p = plan("p22_time_travel")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"),

@@ -378,4 +378,71 @@ class SourcesSpec extends SparkTestBase {
       Sources.readVersion(spark, base, Some(1L))
     }
   }
+
+  test("delta commits: file reuse, band retirement, band-pruned reads, vacuum") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_delta").toString + "/tbl"
+    def mk(rows: Seq[(Long, String, Long)], op: String) =
+      rows.toDF("k", "band", "x").withColumn("op", lit(op))
+    // v1: three bands
+    Sources.deltaCommit(spark, base,
+      mk(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "c", 40L)), "I"),
+      "band", Seq("band", "k"))
+    // v2 touches ONLY band a: update k=1, delete k=2, insert k=5
+    val v2changes = mk(Seq((1L, "a", 11L)), "U")
+      .unionByName(mk(Seq((2L, "a", 0L)), "D"))
+      .unionByName(mk(Seq((5L, "a", 50L)), "I"))
+    Sources.deltaCommit(spark, base, v2changes, "band", Seq("band", "k"))
+    def manifest(v: Long): Set[String] = {
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new org.apache.hadoop.fs.Path(base, s"v$v.manifest"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+    val (m1, m2) = (manifest(1), manifest(2))
+    // FILE REUSE: untouched bands' v1 files are listed verbatim in v2
+    val untouched1 = m1.filter(f => !f.startsWith("data/band=a/"))
+    assert(untouched1.nonEmpty && untouched1.subsetOf(m2),
+      s"v2 must carry untouched v1 files: $untouched1 vs $m2")
+    assert(m2.filter(_.startsWith("data/band=a/")).forall(_.contains("/v2-")),
+      "band a must be fully rewritten by v2")
+    // contents: v1 intact, v2 applied
+    assertSameRows(
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "c", 40L))
+        .toDF("k", "band", "x"),
+      Sources.deltaRead(spark, base, Some(1L)).select("k", "band", "x"))
+    assertSameRows(
+      Seq((1L, "a", 11L), (5L, "a", 50L), (3L, "b", 30L), (4L, "c", 40L))
+        .toDF("k", "band", "x"),
+      Sources.deltaRead(spark, base).select("k", "band", "x"))
+    // v3: delete EVERYTHING in band b — the band disappears from v3
+    Sources.deltaCommit(spark, base, mk(Seq((3L, "b", 0L)), "D"),
+      "band", Seq("band", "k"))
+    assert(!manifest(3).exists(_.startsWith("data/band=b/")),
+      "a fully-deleted band must vanish from the manifest")
+    assertSameRows(
+      Seq((1L, "a", 11L), (5L, "a", 50L), (4L, "c", 40L)).toDF("k", "band", "x"),
+      Sources.deltaRead(spark, base).select("k", "band", "x"))
+    // band-pruned read: only band c's files scan
+    assertSameRows(Seq((4L, "c", 40L)).toDF("k", "band", "x"),
+      Sources.deltaReadBands(spark, base, Set("band=c")).select("k", "band", "x"))
+    // vacuum to the last version: v1/v2 manifests gone, their exclusive
+    // files deleted, v3 still reads
+    val (dropped, deleted) = Sources.deltaVacuum(spark, base, keepLast = 1)
+    assert(dropped == Seq(1L, 2L) && deleted >= 2, s"$dropped / $deleted")
+    assertSameRows(
+      Seq((1L, "a", 11L), (5L, "a", 50L), (4L, "c", 40L)).toDF("k", "band", "x"),
+      Sources.deltaRead(spark, base).select("k", "band", "x"))
+    intercept[IllegalArgumentException] {
+      Sources.deltaRead(spark, base, Some(1L))
+    }
+    // first commit must be pure inserts
+    val fresh = java.nio.file.Files.createTempDirectory("graft_delta2").toString + "/t"
+    intercept[IllegalArgumentException] {
+      Sources.deltaCommit(spark, fresh, mk(Seq((1L, "a", 1L)), "D"),
+        "band", Seq("band", "k"))
+    }
+  }
 }
