@@ -84,7 +84,14 @@ object PlansDoc {
     "q74_unpivot" -> "UNPIVOT through the standalone-Expand wire path: the consumed union scans lineitem once per measure branch, each branch pruned to exactly its (id, measure) columns",
     "d18_editdist_neardup" -> "PassJoin edit-distance dedup: probe/build chunk signatures join EQUI on (block, chunk-idx, length, xxhash64) with id-order + threshold-bounded levenshtein as the residual; candidate dedup then exact verify",
     "e15_stream_asof_join" -> "streaming as-of batch twin: the interval join stays equi on the key with the time range as residual, side filters push to both scans, and the latest-per-left aggregate combines map-side",
-    "m13_dup_audio" -> "duplicate audio through the LOSSY codec: content-keyed μ-law encode + decode-and-fingerprint as named typed stages over a doc_id-only scan; one (n_samples, digest) exchange of scalars — payloads never shuffle")
+    "m13_dup_audio" -> "duplicate audio through the LOSSY codec: content-keyed μ-law encode + decode-and-fingerprint as named typed stages over a doc_id-only scan; one (n_samples, digest) exchange of scalars — payloads never shuffle",
+    "s15_filtered_knn" -> "metadata-filtered ANN: the label predicate filters the assigned index BEFORE the broadcast probe join (on the saved layout it pushes into the parquet scan beside the probed-cell partition filters); top-k per query via one rank window",
+    "t34_encoding_quality" -> "mojibake screen: replace-diff marker counts as ONE codegen'd projection over the scan — no exchange before the output sort",
+    "e17_funnel" -> "ordered funnel: three window minima + the final per-user aggregate all share ONE user-keyed exchange; the scan carries only (ts, user_id, event_type)",
+    "m14_phash_neardup" -> "perceptual-hash near-dup across resolutions: PNG encode (incl. REAL half-resolution re-encodes) + decode-pool-dHash as named typed stages over a doc_id-only scan; ONE dhash exchange of per-image scalars with partial count/min below it",
+    "t35_gopher_quality" -> "Gopher quality rules: every fold (word count, mean length, symbol/alpha/stop-word counts) rides one projection over the scan — no exchange before the output sort",
+    "d19_url_dedup" -> "canonical-URL dedup: normalization is map-side expressions feeding ONE canonical-key exchange with partial counts — digest-width rows only",
+    "p23_delta_commits" -> "delta-version time travel: both version reads are plain multi-file scans (v1 files + v2's carried/rewritten set) unioned with ZERO exchanges; the manifest did the pruning before the plan existed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
