@@ -116,6 +116,7 @@ object ChaosGate {
     run("fixpoint")(fixpointScenario(spark))
     run("merge")(mergeScenario(spark))
     run("stream")(streamScenario(spark))
+    run("delta")(deltaScenario(spark))
 
     spark.stop()
     if (failures > 0) sys.exit(1)
@@ -228,6 +229,40 @@ object ChaosGate {
       val rows = streamed.count()
       (d1 == 0 && d2 == 0 && rows > 0, s"rows=$rows diff=${d1 + d2}")
     } finally q.stop()
+  }
+
+  /** Delta commit under executor loss: the incremental-version write path
+    * (staging write → per-file moves → manifest publish) must stay exact
+    * when an executor dies mid-commit, AND the previous version must stay
+    * byte-identically readable afterwards (its files are never touched). */
+  private def deltaScenario(spark: SparkSession): (Boolean, String) = {
+    val base = java.nio.file.Files.createTempDirectory("chaos_delta").toString +
+      "/tbl"
+    val n = 1500000L
+    def rows(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+             op: String) =
+      f(spark.range(n).select((col("id") % 16).as("band"), col("id").as("k"),
+        (col("id") * 3).as("x"))).withColumn("op", lit(op))
+    graft.sources.Sources.deltaCommit(spark, base, rows(identity, "I"),
+      "band", Seq("band", "k"))
+    val dels = rows(_.filter(col("k") % 5 === 0 && col("band") < 4), "D")
+    val upds = rows(_.filter(col("k") % 5 === 1 && col("band") < 4), "U")
+      .withColumn("x", -col("k"))
+    val killer = armKiller(afterJobs = 2)
+    graft.sources.Sources.deltaCommit(spark, base, dels.unionByName(upds),
+      "band", Seq("band", "k"))
+    killer.join(10000)
+    val v1 = graft.sources.Sources.deltaRead(spark, base, Some(1L))
+    val v2 = graft.sources.Sources.deltaRead(spark, base, None)
+    val expectedV2 = spark.range(n)
+      .filter(!(col("id") % 5 === 0 && col("id") % 16 < 4))
+      .select((col("id") % 16).as("band"), col("id").as("k"),
+        when(col("id") % 5 === 1 && col("id") % 16 < 4, -col("id"))
+          .otherwise(col("id") * 3).as("x"))
+    val v1ok = v1.count() == n
+    val d = v2.select("band", "k", "x").exceptAll(expectedV2).count() +
+      expectedV2.exceptAll(v2.select("band", "k", "x")).count()
+    (v1ok && d == 0, s"v1rows=${v1.count()} v2diff=$d")
   }
 
   /** CoW MERGE under executor loss: task retries must leave the swap
