@@ -512,6 +512,27 @@ object SparkEntry {
         .orderBy("q_id", "rank"))
     }),
 
+    // tombstone DELETES on the saved index (s16): vectors retire by
+    // appending ids to a tombstone set — zero cell files touched (the
+    // delete twin of s13's append ingest); load anti-joins them out and
+    // compactSaved folds them in later. Full probe → the brute-force
+    // oracle over the corpus MINUS the deleted ids certifies exactness.
+    "s16_knn_tombstone_delete" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivfdel-${math.abs(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val idx = ops.Ivf.build(e, nlist = 16, trainSampleFraction = 0.5)
+      ops.Ivf.save(idx, path)
+      idx.assigned.unpersist()
+      val afterDelete = ops.Ivf.deleteFromSaved(s, path,
+        e.filter(col("vec_id") % 3 === 0).select("vec_id"))
+      rt(s, ops.Ivf.search(afterDelete, e.filter(col("vec_id") < 8),
+          k = 5, nprobe = 16)
+        .orderBy("q_id", "rank"))
+    }),
+
     // metadata-FILTERED ANN: nearest neighbors among only the vectors
     // satisfying a predicate (label = 3 here) — the retrieval shape
     // curation pipelines issue ("nearest docs in THIS language/source").
@@ -3327,6 +3348,21 @@ object SparkEntry {
         |  list_dot_product(qv, e.v)
         |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim0
         |  FROM q CROSS JOIN e WHERE e.vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, sim0,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim0 DESC, n_id ASC) AS rank
+        |  FROM s)
+        |SELECT q_id, n_id, rank, ROUND(sim0, 6) AS sim FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // s16: brute force over the corpus MINUS the tombstoned ids (queries
+    // keep vec_id < 8 — a deleted vector can still ASK, it just can't be
+    // RETURNED)
+    "s16_knn_tombstone_delete" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |s AS (SELECT q_id, e.vec_id AS n_id,
+        |  list_dot_product(qv, e.v)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim0
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q_id AND e.vec_id % 3 <> 0),
         |r AS (SELECT q_id, n_id, sim0,
         |  row_number() OVER (PARTITION BY q_id ORDER BY sim0 DESC, n_id ASC) AS rank
         |  FROM s)

@@ -172,12 +172,66 @@ object Ivf {
     load(spark, path)
   }
 
-  /** Load a saved index; `assigned` scans prune to probed cells. */
+  /** Tombstone DELETES on a saved index — retire vectors without touching
+    * a single cell file (the delete twin of [[appendToSaved]]'s add path):
+    * deleted ids APPEND into a `tombstones` parquet beside the cells, and
+    * [[load]] anti-joins them out, so delete cost is proportional to the
+    * batch and concurrent readers of already-built plans are unaffected
+    * (their file lists predate the tombstone write). Re-deleting an id is
+    * a no-op (the anti-join is idempotent); [[compactSaved]] folds
+    * tombstones into a rewritten layout when their fraction warrants it.
+    */
+  def deleteFromSaved(spark: org.apache.spark.sql.SparkSession, path: String,
+                      ids: DataFrame, idCol: String = "vec_id"): IvfIndex = {
+    ids.select(col(idCol).cast("long").as("n_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+    load(spark, path)
+  }
+
+  /** Fold tombstones into the layout: rewrite ONLY the cells that contain
+    * deleted vectors (partition-pruned via the tombstoned rows' own cell
+    * assignments), drop the tombstone set. Amortizes the per-search
+    * anti-join once deletes accumulate. */
+  def compactSaved(spark: org.apache.spark.sql.SparkSession,
+                   path: String): IvfIndex = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombP = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (!fs.exists(tombP)) return load(spark, path)
+    val tombs = spark.read.parquet(s"$path/tombstones")
+    val cellsAll = spark.read.parquet(s"$path/cells")
+    val hit = cellsAll.join(tombs, "n_id").select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    hit.foreach { c =>
+      val dir = s"$path/cells/cell=$c"
+      val kept = spark.read.parquet(dir).join(tombs, Seq("n_id"), "left_anti")
+      val tmp = s"$path/.compact-cell-$c"
+      kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(dir)), s"compact swap failed: cell=$c")
+    }
+    fs.delete(tombP, true)
+    load(spark, path)
+  }
+
+  /** Load a saved index; `assigned` scans prune to probed cells, and any
+    * tombstoned ids are anti-joined out (the tombstone set is small by the
+    * compaction contract — Spark broadcasts it). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     val cents = spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toSeq).toSeq
-    IvfIndex(cents, spark.read.parquet(s"$path/cells"))
+    val cells = spark.read.parquet(s"$path/cells")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val assigned =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
+        cells.join(broadcast(
+          spark.read.parquet(s"$path/tombstones").distinct()),
+          Seq("n_id"), "left_anti")
+      else cells
+    IvfIndex(cents, assigned)
   }
 
   /** Top-k over a SAVED index with static partition pruning: the probed

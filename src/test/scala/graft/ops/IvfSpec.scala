@@ -96,6 +96,41 @@ class IvfSpec extends SparkTestBase {
     assert(ids == 0, "a neighbor violated the predicate")
   }
 
+  test("tombstone deletes: exclusion, idempotence, compaction equivalence") {
+    val idx = Ivf.build(embs, nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+    Ivf.save(idx, dir)
+    val queries = embs.filter(col("vec_id") < 4)
+    val delIds = embs.filter(col("vec_id") % 3 === 0).select("vec_id")
+    val afterDel = Ivf.deleteFromSaved(spark, dir, delIds)
+    val got = Ivf.search(afterDel, queries, k = 5, nprobe = 8)
+    assert(got.filter(col("n_id") % 3 === 0).count() == 0,
+      "a tombstoned vector came back")
+    val brute = Similarity.bruteForceKnn(
+        embs.filter(col("vec_id") % 3 =!= 0), queries, k = 5)
+      .collect().map(_.toString).sorted
+    assert(got.collect().map(_.toString).sorted.sameElements(brute))
+    // re-delete: idempotent
+    val again = Ivf.deleteFromSaved(spark, dir, delIds)
+    assert(Ivf.search(again, queries, k = 5, nprobe = 8)
+      .collect().map(_.toString).sorted.sameElements(brute))
+    // compaction folds tombstones into the layout, answers unchanged
+    val compacted = Ivf.compactSaved(spark, dir)
+    assert(Ivf.search(compacted, queries, k = 5, nprobe = 8)
+      .collect().map(_.toString).sorted.sameElements(brute))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")),
+      "compaction must drop the tombstone set")
+    // append after delete+compact still composes: the re-ingested vector
+    // is back in the index (top-5 membership for other queries is not
+    // guaranteed, so assert presence, not rank)
+    val backIn = Ivf.appendToSaved(spark, dir,
+      embs.filter(col("vec_id") === 0))
+    assert(backIn.assigned.filter(col("n_id") === 0).count() == 1,
+      "re-ingested vector must be in the reloaded index")
+  }
+
   test("filtered search needs the metadata column carried by metaCols") {
     // on an IN-MEMORY index the analyzer can resolve a missing filter
     // column back through the projection lineage (ResolveMissingReferences)
