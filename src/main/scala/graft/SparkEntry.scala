@@ -1198,6 +1198,41 @@ object SparkEntry {
         .orderBy("version", "doc_id"))
     }),
 
+    // STREAMING ingestion into the versioned table (p24): each drained
+    // micro-batch lands as one immutable delta version through
+    // Sinks.deltaSink (foreachBatch + per-batch marker dedup), so the
+    // continuously-ingested table keeps the full time-travel/snapshot
+    // contract — the same I/U/D rules as p23, arriving as a stream, must
+    // produce the same two version states row-for-row.
+    "p24_stream_delta_ingest" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-sdelta-${math.abs(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val src = s"$root/changes"; val tbl = s"$root/tbl"; val ck = s"$root/ck"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val b1 = docs.filter(col("doc_id") % 3 <= 1).withColumn("op", lit("I"))
+      val en = docs.filter(col("lang") === "en")
+      val b2 = en.filter(col("doc_id") % 6 === 0).withColumn("op", lit("D"))
+        .unionByName(en.filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 0)
+          .withColumn("n_chars", -col("n_chars")).withColumn("op", lit("U")))
+        .unionByName(en.filter(col("doc_id") % 3 === 2).withColumn("op", lit("I")))
+      val schema = b1.schema
+      def drain(): Unit = streaming.Sinks.deltaSink(
+        s.readStream.schema(schema).parquet(src), tbl, ck,
+        "lang", Seq("lang", "doc_id")).awaitTermination()
+      b1.coalesce(1).write.mode("append").parquet(src); drain()
+      b2.coalesce(1).write.mode("append").parquet(src); drain()
+      val v1 = sources.Sources.deltaRead(s, tbl, Some(1L))
+        .withColumn("version", lit(1L))
+      val vLast = sources.Sources.deltaRead(s, tbl, None)
+        .withColumn("version", lit(2L))
+      rt(s, v1.unionByName(vLast)
+        .select("doc_id", "lang", "n_chars", "version")
+        .orderBy("version", "doc_id"))
+    }),
+
     // one-call corpus card: the dataset-release summary row from one full
     // scan + a tiny top-language aggregate, every number exact
     "p18_corpus_card" -> ((s, dir) => rt(s,
@@ -3884,6 +3919,21 @@ object SparkEntry {
         |  UNION ALL SELECT * FROM mods UNION ALL SELECT * FROM ins)
         |SELECT doc_id, lang, n_chars, md5(text) AS text_md5
         |FROM final ORDER BY doc_id""".stripMargin,
+    // p24: identical closed form to p23 — the stream must land the same
+    // two version states the batch commits did
+    "p24_stream_delta_ingest" ->
+      """WITH v1 AS (SELECT doc_id, lang, n_chars FROM documents
+        |            WHERE doc_id % 3 <= 1),
+        |v2 AS (SELECT doc_id, lang,
+        |    CASE WHEN lang = 'en' AND doc_id % 3 = 1 AND doc_id % 5 = 0
+        |      THEN -n_chars ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  WHERE (doc_id % 3 <= 1 AND NOT (lang = 'en' AND doc_id % 6 = 0))
+        |     OR (lang = 'en' AND doc_id % 3 = 2))
+        |SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS version FROM v1
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, CAST(2 AS BIGINT) AS version FROM v2
+        |ORDER BY version, doc_id""".stripMargin,
     // p23: both delta-version reads replayed closed-form — v1 is the
     // initial load, v2 applies the en-only I/U/D rules
     "p23_delta_commits" ->

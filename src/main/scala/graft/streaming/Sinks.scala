@@ -76,6 +76,46 @@ object Sinks {
       }
       .start()
 
+  /** Streaming DELTA-VERSION sink: each micro-batch lands as ONE immutable
+    * table version via [[graft.sources.Sources.deltaCommit]] (foreachBatch)
+    * — continuous ingestion where every batch's table state stays
+    * time-travel-readable and snapshot-isolated. Restart semantics: the
+    * checkpoint replays the last in-flight batch, which is
+    * (a) version-deduped by an atomically-created per-batch marker file
+    * (the common case skips the re-commit entirely), and
+    * (b) content-idempotent even if the marker write itself was lost —
+    * deltaCommit's keyed anti-join re-applies the same I/U/D, so the
+    * duplicate version equals its predecessor row-for-row (an extra
+    * version number, never wrong data).
+    * The caller's first batch must be all-inserts (deltaCommit's
+    * first-commit contract).
+    */
+  def deltaSink(df: DataFrame, basePath: String, checkpoint: String,
+                bucketCol: String, keyCols: Seq[String],
+                opCol: String = "op",
+                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val fs = new org.apache.hadoop.fs.Path(basePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val marker = new org.apache.hadoop.fs.Path(
+            basePath, s".batch-$batchId.committed")
+          if (!fs.exists(marker)) {
+            val v = graft.sources.Sources.deltaCommit(
+              spark, basePath, batch, bucketCol, keyCols, opCol)
+            val out = fs.create(marker, false)
+            try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+          }
+        }
+        ()
+      }
+      .start()
+
   /** Append-mode CSV sink (same checkpoint/manifest contract). */
   def csvSink(df: DataFrame, path: String, checkpoint: String,
               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =

@@ -651,4 +651,32 @@ class EventStreamSpec extends SparkTestBase {
       .select("user_id", "stage").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 3L, 2L -> 1L))
   }
+
+  test("delta sink: versions per batch, restart without new data adds none") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_dsink").toString
+    val src = s"$root/src"; val tbl = s"$root/tbl"; val ck = s"$root/ck"
+    val b1 = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "band", "x")
+      .withColumn("op", lit("I"))
+    val b2 = Seq((1L, "a", 11L)).toDF("k", "band", "x")
+      .withColumn("op", lit("U"))
+    val schema = b1.schema
+    def drain(): Unit = Sinks.deltaSink(
+      spark.readStream.schema(schema).parquet(src), tbl, ck,
+      "band", Seq("band", "k")).awaitTermination()
+    b1.coalesce(1).write.mode("append").parquet(src); drain()
+    assert(graft.sources.Sources.listVersions(spark, tbl) == Seq(1L))
+    b2.coalesce(1).write.mode("append").parquet(src); drain()
+    assert(graft.sources.Sources.listVersions(spark, tbl) == Seq(1L, 2L))
+    // restart with the same checkpoint and NO new data: no new version
+    drain()
+    assert(graft.sources.Sources.listVersions(spark, tbl) == Seq(1L, 2L))
+    assertSameRows(
+      Seq((1L, "a", 11L), (2L, "b", 20L)).toDF("k", "band", "x"),
+      graft.sources.Sources.deltaRead(spark, tbl).select("k", "band", "x"))
+    assertSameRows(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "band", "x"),
+      graft.sources.Sources.deltaRead(spark, tbl, Some(1L))
+        .select("k", "band", "x"))
+  }
 }
