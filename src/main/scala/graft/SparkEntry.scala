@@ -3666,7 +3666,7 @@ object SparkEntry {
     // mean/fractions exactly as the engine does
     "t35_gopher_quality" ->
       """WITH w AS (SELECT doc_id,
-        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS ws,
         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) +
         |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
         |      AS n_symbols

@@ -167,7 +167,33 @@ object Ivf {
                     newVectors: DataFrame, idCol: String = "vec_id",
                     vecCol: String = "embedding"): IvfIndex = {
     val idx = load(spark, path)
-    assign(idx, newVectors, idCol, vecCol)
+    // conform to the SAVED schema: an index built with metaCols stores
+    // those columns in every cell file, and appending meta-less rows would
+    // corrupt the layout (filtered searches would silently skip them)
+    val dataCols = spark.read.parquet(s"$path/cells")
+      .schema.fieldNames.filterNot(_ == "cell").toSeq
+    val meta = dataCols.filterNot(Set("n_id", "n_vec"))
+    val missingMeta = meta.filterNot(newVectors.columns.contains)
+    require(missingMeta.isEmpty,
+      s"appendToSaved: the saved index carries metadata columns $meta; " +
+        s"the new batch is missing $missingMeta")
+    val assigned0 = assign(idx, newVectors, idCol, vecCol)
+    val assigned =
+      if (meta.isEmpty) assigned0
+      else assigned0.join(
+        newVectors.select(col(idCol).as("n_id") +: meta.map(col): _*), "n_id")
+    // loud on tombstone shadowing: an appended id that is still tombstoned
+    // would be SILENTLY invisible to every search (load anti-joins it out)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones"))) {
+      val shadowed = assigned.join(
+        spark.read.parquet(s"$path/tombstones").distinct(), "n_id").count()
+      require(shadowed == 0,
+        s"appendToSaved: $shadowed ids in the batch are tombstoned and " +
+          "would be invisible; run compactSaved first or use fresh ids")
+    }
+    assigned.select((dataCols :+ "cell").map(col): _*)
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
     load(spark, path)
   }
@@ -183,48 +209,86 @@ object Ivf {
     */
   def deleteFromSaved(spark: org.apache.spark.sql.SparkSession, path: String,
                       ids: DataFrame, idCol: String = "vec_id"): IvfIndex = {
-    ids.select(col(idCol).cast("long").as("n_id")).distinct()
-      .write.mode("append").parquet(s"$path/tombstones")
+    // NO cast: n_id keeps the corpus id column's own type (a silent
+    // cast-to-long would null out non-numeric ids and the anti-join would
+    // match nothing — a delete that "succeeds" and removes nothing)
+    val t = ids.select(col(idCol).as("n_id")).distinct()
+    require(t.filter(col("n_id").isNull).isEmpty,
+      "deleteFromSaved: null ids in the delete batch")
+    t.write.mode("append").parquet(s"$path/tombstones")
     load(spark, path)
   }
 
-  /** Fold tombstones into the layout: rewrite ONLY the cells that contain
-    * deleted vectors (partition-pruned via the tombstoned rows' own cell
-    * assignments), drop the tombstone set. Amortizes the per-search
-    * anti-join once deletes accumulate. */
+  /** Fold tombstones into the layout: one tombstone-keyed scan over the
+    * index discovers the HIT cells (the tombstone side broadcasts — ids
+    * only), then ONLY those cells rewrite via a crash-safe backup-rename
+    * swap (live → dot-backup, rewritten → live, drop backup; a crash
+    * between the renames is restored by the recovery sweep every load
+    * runs). The tombstone set drops last — re-running a crashed compaction
+    * is idempotent (re-removing removed rows is a no-op). Amortizes the
+    * per-search anti-join once deletes accumulate. */
   def compactSaved(spark: org.apache.spark.sql.SparkSession,
                    path: String): IvfIndex = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompactBackups(fs, s"$path/cells")
     val tombP = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     if (!fs.exists(tombP)) return load(spark, path)
-    val tombs = spark.read.parquet(s"$path/tombstones")
+    val tombs = spark.read.parquet(s"$path/tombstones").distinct()
     val cellsAll = spark.read.parquet(s"$path/cells")
-    val hit = cellsAll.join(tombs, "n_id").select("cell").distinct()
+    val hit = cellsAll.join(broadcast(tombs), "n_id").select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
     hit.foreach { c =>
-      val dir = s"$path/cells/cell=$c"
-      val kept = spark.read.parquet(dir).join(tombs, Seq("n_id"), "left_anti")
-      val tmp = s"$path/.compact-cell-$c"
-      kept.coalesce(1).write.mode("overwrite").parquet(tmp)
-      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(dir)), s"compact swap failed: cell=$c")
+      val dir = new org.apache.hadoop.fs.Path(s"$path/cells/cell=$c")
+      val kept = spark.read.parquet(dir.toString)
+        .join(broadcast(tombs), Seq("n_id"), "left_anti")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/.compact-cell-$c")
+      kept.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      // backup-rename, never delete-then-rename: a crash between the two
+      // renames leaves the cell recoverable instead of silently gone
+      val backup = new org.apache.hadoop.fs.Path(
+        s"$path/cells/.cell=$c.compact-backup")
+      require(fs.rename(dir, backup), s"compact backup failed: cell=$c")
+      require(fs.rename(tmp, dir), s"compact swap failed: cell=$c")
+      fs.delete(backup, true)
     }
     fs.delete(tombP, true)
     load(spark, path)
   }
 
+  /** Restore any cell whose compaction died between its two renames: a
+    * dot-backup without a live dir means the swap was interrupted — put
+    * the pre-compaction data back (the tombstone set still exists, so
+    * correctness is unchanged; the compaction just re-runs). */
+  private def recoverCompactBackups(fs: org.apache.hadoop.fs.FileSystem,
+                                    cellsPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(cellsPath)
+    if (!fs.exists(p)) return
+    fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".") &&
+        st.getPath.getName.endsWith(".compact-backup"))
+      .foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(cellsPath,
+          st.getPath.getName.stripPrefix(".").stripSuffix(".compact-backup"))
+        if (!fs.exists(live))
+          require(fs.rename(st.getPath, live),
+            s"compact-backup restore failed: ${st.getPath}")
+        else fs.delete(st.getPath, true)
+      }
+  }
+
   /** Load a saved index; `assigned` scans prune to probed cells, and any
     * tombstoned ids are anti-joined out (the tombstone set is small by the
-    * compaction contract — Spark broadcasts it). */
+    * compaction contract — it broadcasts). Runs the compaction-crash
+    * recovery sweep first (one metadata listing). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompactBackups(fs, s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toSeq).toSeq
     val cells = spark.read.parquet(s"$path/cells")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val assigned =
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
         cells.join(broadcast(

@@ -821,7 +821,9 @@ object TextOps {
                     minAlphaFraction: Double = 0.8,
                     minStopWords: Int = 2): DataFrame = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    // split on WHITESPACE RUNS (the cited Gopher rules tokenize on
+    // whitespace, not single spaces — newlines/tabs must separate words)
+    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
     def cnt(marker: String): Column =
       ((length(col(textCol)) -
         length(replace(col(textCol), lit(marker), lit("")))) /
@@ -859,18 +861,22 @@ object TextOps {
     * column is untrusted.
     */
   def canonicalUrl(url: Column): Column = {
-    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostPort = lower(regexp_extract(url,
+    // fragment FIRST: a '?' inside the fragment (".../docs#install?step=2")
+    // must not be mistaken for the query start — everything from the first
+    // '#' is dropped before any other component parses
+    val base = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(base,
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     val host =
       when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
         .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
         .otherwise(hostPort)
     val path0 = regexp_replace(
-      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
       "/+$", "")
     val path = when(path0 === "", lit("/")).otherwise(path0)
-    val params = filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+    val params = filter(split(regexp_extract(base, "\\?(.*)$", 1), "&"),
       p => length(p) > 0 && !p.startsWith("utm_"))
     val q = concat_ws("&", array_sort(params))
     concat(scheme, lit("://"), host, path,

@@ -335,11 +335,8 @@ object Sources {
       fs.listStatus(new org.apache.hadoop.fs.Path(path))
         .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
     // name probe: Spark itself renders every affected band's directory name
-    val probe = s"$basePath.merge-nameprobe"
-    snap.select(col(bucketCol)).distinct().withColumn("__one", lit(1))
-      .write.mode("overwrite").partitionBy(bucketCol).parquet(probe)
-    val affectedDirs = bandDirs(probe).map(_.getPath.getName).toSet
-    fs.delete(new org.apache.hadoop.fs.Path(probe), true)
+    val affectedDirs =
+      probeBandNames(snap, bucketCol, s"$basePath.merge-nameprobe", fs)
     require(affectedDirs.size == affected.length,
       s"name probe rendered ${affectedDirs.size} dirs for ${affected.length} bands")
     val staging = s"$basePath.upsert-staging"
@@ -493,15 +490,8 @@ object Sources {
     df.write.mode("errorifexists").parquet(dataDir.toString)
     val files = fs.listStatus(dataDir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => s"data/v$v/${st.getPath.getName}").sorted
-    require(files.nonEmpty, s"commit v$v produced no data files")
-    val tmp = new org.apache.hadoop.fs.Path(basePath, s".tmp.v$v.manifest")
-    val out = fs.create(tmp, true)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    val manifest = new org.apache.hadoop.fs.Path(basePath, s"v$v.manifest")
-    require(fs.rename(tmp, manifest),
-      s"manifest publish failed for v$v (concurrent commit?)")
+      .map(st => s"data/v$v/${st.getPath.getName}").toSeq
+    publishManifest(fs, basePath, v, files)
     v
   }
 
@@ -580,16 +570,12 @@ object Sources {
       val prevFiles: List[String] =
         if (versions.isEmpty) Nil
         else readManifest(spark, basePath, versions.last)
-      // affected band DIR NAMES via Spark's own partition renderer
-      val probe = s"$basePath/.delta-nameprobe"
-      snap.select(col(bucketCol)).distinct().withColumn("__one", lit(1))
-        .write.mode("overwrite").partitionBy(bucketCol).parquet(probe)
+      val affected =
+        probeBandNames(snap, bucketCol, s"$basePath/.delta-nameprobe", fs)
       val prefix = s"$bucketCol="
       def bandDirs(path: String) =
         fs.listStatus(new org.apache.hadoop.fs.Path(path))
           .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-      val affected = bandDirs(probe).map(_.getPath.getName).toSet
-      fs.delete(new org.apache.hadoop.fs.Path(probe), true)
       def bandOf(relFile: String) = relFile.stripPrefix("data/").split("/")(0)
       val (affectedPrev, carried) = prevFiles.partition(f => affected(bandOf(f)))
       val cols = snap.columns.filter(_ != opCol).toIndexedSeq
@@ -639,21 +625,46 @@ object Sources {
           }
       }
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-      val files = (carried ++ moved).sorted
-      require(files.nonEmpty, s"delta commit v$v would publish an empty table")
-      val tmp = new org.apache.hadoop.fs.Path(basePath, s".tmp.v$v.manifest")
-      val out = fs.create(tmp, true)
-      try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
-      finally out.close()
-      require(fs.rename(tmp,
-        new org.apache.hadoop.fs.Path(basePath, s"v$v.manifest")),
-        s"manifest publish failed for v$v (concurrent commit?)")
+      publishManifest(fs, basePath, v, carried ++ moved)
       v
     } finally snap.unpersist(blocking = false)
   }
 
   /** in-file twin of the band partition column (see deltaCommit) */
   private val DeltaBandCol = "__delta_band"
+
+  /** THE commit point, shared by every versioned writer: file list to a
+    * dot-temp, then ONE atomic rename to `v<N>.manifest`. Any future
+    * change to the publish protocol (fsync, CAS) lands here once. */
+  private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
+                              basePath: String, v: Long,
+                              files: Seq[String]): Unit = {
+    require(files.nonEmpty, s"commit v$v would publish an empty table")
+    val tmp = new org.apache.hadoop.fs.Path(basePath, s".tmp.v$v.manifest")
+    val out = fs.create(tmp, true)
+    try out.write((files.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp,
+      new org.apache.hadoop.fs.Path(basePath, s"v$v.manifest")),
+      s"manifest publish failed for v$v (concurrent commit?)")
+  }
+
+  /** Band directory names rendered by Spark's OWN partition writer (never
+    * `value.toString` — the rendering trap the upsert documents): write a
+    * one-row-per-band probe, read the dir names back, clean up. */
+  private def probeBandNames(snap: DataFrame, bucketCol: String,
+                             probePath: String,
+                             fs: org.apache.hadoop.fs.FileSystem): Set[String] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    snap.select(col(bucketCol)).distinct().withColumn("__one", lit(1))
+      .write.mode("overwrite").partitionBy(bucketCol).parquet(probePath)
+    val prefix = s"$bucketCol="
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(probePath))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName).toSet
+    fs.delete(new org.apache.hadoop.fs.Path(probePath), true)
+    names
+  }
 
   /** Plain multi-file scan of delta files with the band column restored
     * from its in-file twin — wire-safe (a rename is just a projection). */

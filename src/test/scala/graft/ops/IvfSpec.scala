@@ -131,6 +131,65 @@ class IvfSpec extends SparkTestBase {
       "re-ingested vector must be in the reloaded index")
   }
 
+  test("append of a still-tombstoned id fails loudly instead of vanishing") {
+    val idx = Ivf.build(embs, nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_shadow").toString
+    Ivf.save(idx, dir)
+    Ivf.deleteFromSaved(spark, dir, embs.filter(col("vec_id") === 7)
+      .select("vec_id"))
+    val e = intercept[IllegalArgumentException] {
+      Ivf.appendToSaved(spark, dir, embs.filter(col("vec_id") === 7))
+    }
+    assert(e.getMessage.contains("tombstoned"))
+    // after compaction the id is genuinely gone and re-ingest works
+    Ivf.compactSaved(spark, dir)
+    val backIn = Ivf.appendToSaved(spark, dir, embs.filter(col("vec_id") === 7))
+    assert(backIn.assigned.filter(col("n_id") === 7).count() == 1)
+  }
+
+  test("append to a metaCols index conforms or fails loudly") {
+    val idx = Ivf.build(embs.filter(col("vec_id") % 2 === 0), nlist = 8,
+      metaCols = Seq("label"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_metaapp").toString
+    Ivf.save(idx, dir)
+    // meta-less batch: loud, not silent layout corruption
+    val e = intercept[IllegalArgumentException] {
+      Ivf.appendToSaved(spark, dir,
+        embs.filter(col("vec_id") % 2 === 1).drop("label"))
+    }
+    assert(e.getMessage.contains("label"))
+    // batch WITH meta: appended vectors are visible to filtered search
+    Ivf.appendToSaved(spark, dir, embs.filter(col("vec_id") % 2 === 1))
+    val grown = Ivf.load(spark, dir)
+    val got = Ivf.searchFiltered(grown, embs.filter(col("vec_id") < 4),
+        k = 5, nprobe = 8, pred = col("label") === 3)
+      .collect().map(_.toString).sorted
+    val brute = Similarity.bruteForceKnn(
+        embs.filter(col("label") === 3), embs.filter(col("vec_id") < 4), k = 5)
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(brute),
+      "appended metadata rows must participate in filtered search")
+  }
+
+  test("compaction crash between the two renames is recovered on load") {
+    val idx = Ivf.build(embs, nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_crash").toString
+    Ivf.save(idx, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the window: live dir moved to backup, replacement never landed
+    val cells = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/cells"))
+      .filter(_.getPath.getName.startsWith("cell="))
+    val victim = cells.head.getPath
+    val backup = new org.apache.hadoop.fs.Path(s"$dir/cells",
+      s".${victim.getName}.compact-backup")
+    require(fs.rename(victim, backup))
+    val recovered = Ivf.load(spark, dir)
+    assert(recovered.assigned.count() == embs.count(),
+      "the interrupted cell must be restored, not silently lost")
+    assert(!fs.exists(backup), "the backup must be consumed by recovery")
+  }
+
   test("filtered search needs the metadata column carried by metaCols") {
     // on an IN-MEMORY index the analyzer can resolve a missing filter
     // column back through the projection lineage (ResolveMissingReferences)

@@ -1051,7 +1051,11 @@ class OpsSpec extends SparkTestBase {
       ("http://ex.com", "http://ex.com/"),
       ("http://ex.com/a//", "http://ex.com/a"),
       ("http://ex.com/a?utm_a=1&utm_b=2", "http://ex.com/a"), // all params dropped
-      ("http://ex.com/a?z=1&y=2&x=3", "http://ex.com/a?x=3&y=2&z=1"))
+      ("http://ex.com/a?z=1&y=2&x=3", "http://ex.com/a?x=3&y=2&z=1"),
+      // a '?' INSIDE the fragment is not a query start (regression: the
+      // old code extracted "step=2" as the query)
+      ("http://ex.com/docs#install?step=2", "http://ex.com/docs"),
+      ("http://ex.com/a?k=1#frag?x=9", "http://ex.com/a?k=1"))
     val got = cases.map(_._1).toDF("url")
       .select(TextOps.canonicalUrl(col("url")).as("c")).as[String].collect()
     cases.map(_._2).zip(got).foreach { case (want, g) =>
@@ -1063,7 +1067,9 @@ class OpsSpec extends SparkTestBase {
     import spark.implicits._
     val docs = Seq(
       // 4 words, mean len (3+2+3+4)/4 = 3.0, 1 alpha-less word, 2 stops
-      (1L, "the of 123 word"),
+      // (newline + tab are separators too — the Gopher rules tokenize on
+      // whitespace, and the old single-space split glued lines together)
+      (1L, "the of\n123\tword"),
       // symbol-heavy: 3 words, '#' x2 + '...' x1 => ratio 1.0 > 0.1
       (2L, "a# b# c..."),
       (3L, "")) // empty: 0 words
