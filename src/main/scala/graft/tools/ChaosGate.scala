@@ -117,6 +117,7 @@ object ChaosGate {
     run("merge")(mergeScenario(spark))
     run("stream")(streamScenario(spark))
     run("delta")(deltaScenario(spark))
+    run("wipeout")(wipeoutScenario(spark))
 
     spark.stop()
     if (failures > 0) sys.exit(1)
@@ -151,9 +152,10 @@ object ChaosGate {
     (got == expected, s"${got.size} groups")
   }
 
-  /** ps-based chaos thread: kill -9 one CoarseGrainedExecutorBackend JVM
-    * once `afterJobs` Spark jobs have completed since arming. */
-  private def armKiller(afterJobs: Int): Thread = {
+  /** ps-based chaos thread: kill -9 `howMany` CoarseGrainedExecutorBackend
+    * JVMs (0 = ALL of them) once `afterJobs` Spark jobs have completed
+    * since arming. */
+  private def armKiller(afterJobs: Int, howMany: Int = 1): Thread = {
     val base = jobsDone.get()
     val t = new Thread(() => {
       while (jobsDone.get() - base < afterJobs) Thread.sleep(50)
@@ -161,9 +163,34 @@ object ChaosGate {
       val pids = Seq("bash", "-c",
         "ps -eo pid,args | grep CoarseGrainedExecutorBackend | grep -v grep " +
           "| awk '{print $1}'").!!.trim.split("\\s+").filter(_.nonEmpty)
-      if (pids.nonEmpty) Seq("kill", "-9", pids.last).!
+      val victims = if (howMany <= 0) pids.toSeq else pids.takeRight(howMany).toSeq
+      victims.foreach(p => Seq("kill", "-9", p).!)
     })
     t.setDaemon(true); t.start(); t
+  }
+
+  /** TOTAL executor loss: every executor JVM dies at once mid-fixpoint —
+    * the cluster has zero compute until the standalone master relaunches
+    * replacements. The reliable-checkpoint rounds must resume from disk
+    * and the fixpoint must still converge exactly. */
+  private def wipeoutScenario(spark: SparkSession): (Boolean, String) = {
+    import spark.implicits._
+    val chain = 400L
+    val nodes = 80000L
+    val pairs = spark.range(nodes - 1)
+      .filter((col("id") + 1) % chain =!= 0)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val ckpt = java.nio.file.Files.createTempDirectory("chaos_wipe").toString
+    val killer = armKiller(afterJobs = 4, howMany = 0)
+    val labels = graft.ops.Dedup.connectedComponents(
+      pairs, maxIter = 30, checkpointDir = Some(ckpt),
+      stepThroughWire = true)
+    val bad = labels.select(col("node"), col("cluster_id"))
+      .filter(col("cluster_id") =!= (col("node") - (col("node") % chain)))
+      .count()
+    val total = labels.count()
+    killer.join(10000)
+    (bad == 0 && total == nodes, s"$total nodes, $bad mislabeled")
   }
 
   /** Reliable-checkpoint connected-components fixpoint under executor loss:
