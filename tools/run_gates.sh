@@ -41,3 +41,16 @@ else
 fi
 
 echo "ALL GATES GREEN ($OUT)"
+
+echo "== 7/7 resilience / skew / spill gates (skip: GRAFT_SKIP_CHAOS_GATE=1)"
+if [ "${GRAFT_SKIP_CHAOS_GATE:-0}" = "1" ]; then
+  echo "resilience gates SKIPPED (GRAFT_SKIP_CHAOS_GATE=1)"
+else
+  SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+    java -XX:ReservedCodeCacheSize=512m -cp "$CP" -Xmx4g \
+    graft.tools.ChaosGate all 2>/dev/null | tail -6
+  SPARK_GRAFT_CPUS=16 java -XX:ReservedCodeCacheSize=1g -cp "$CP" -Xmx24g \
+    graft.tools.SkewGate all 2>/dev/null | tail -2
+  SPARK_GRAFT_CPUS=8 java -XX:ReservedCodeCacheSize=512m -cp "$CP" -Xmx2g \
+    graft.tools.SpillGate all 2>/dev/null | tail -3
+fi
