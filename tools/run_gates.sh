@@ -40,8 +40,6 @@ else
     --sf /root/testdata/sf0.1 --out "$OUT" | tail -12
 fi
 
-echo "ALL GATES GREEN ($OUT)"
-
 echo "== 7/7 resilience / skew / spill gates (skip: GRAFT_SKIP_CHAOS_GATE=1)"
 if [ "${GRAFT_SKIP_CHAOS_GATE:-0}" = "1" ]; then
   echo "resilience gates SKIPPED (GRAFT_SKIP_CHAOS_GATE=1)"
@@ -54,3 +52,5 @@ else
   SPARK_GRAFT_CPUS=8 java -XX:ReservedCodeCacheSize=512m -cp "$CP" -Xmx2g \
     graft.tools.SpillGate all 2>/dev/null | tail -3
 fi
+
+echo "ALL GATES GREEN ($OUT)"
