@@ -280,7 +280,10 @@ object SparkEntry {
         when(col("doc_id") % 3 === 0, "/").otherwise(""),
         when(col("doc_id") % 7 < 3, "?b=2&utm_source=feed&a=1")
           .otherwise("?a=1&b=2"),
-        when(col("doc_id") % 11 === 0, "#frag").otherwise(""))
+        // the fragment carries its own '?': a parser that takes the first
+        // '?' anywhere as the query start canonicalizes these differently
+        // and breaks the oracle's constructed string (the r13 review bug)
+        when(col("doc_id") % 11 === 0, "#frag?fx=9").otherwise(""))
       t(s, dir, "documents").select(col("doc_id"))
         .withColumn("curl", ops.TextOps.canonicalUrl(url))
         .groupBy("curl")
