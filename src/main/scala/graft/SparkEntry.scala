@@ -3679,10 +3679,10 @@ object SparkEntry {
         |    CAST(COALESCE(list_sum(list_transform(ws, x -> len(x))), 0) AS DOUBLE)
         |      / GREATEST(len(ws), 1) AS mean_word_len,
         |    n_symbols,
-        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
         |      AS n_alpha,
         |    CAST(len(list_filter(ws, x -> list_contains(
-        |      ['the','be','to','of','and','that','have','with'], x))) AS BIGINT)
+        |      ['the','be','to','of','and','that','have','with'], lower(x)))) AS BIGINT)
         |      AS n_stopwords
         |  FROM w)
         |SELECT doc_id, n_words, ROUND(mean_word_len, 6) AS mean_word_len,

@@ -833,9 +833,11 @@ object TextOps {
     val meanLen = aggregate(words, lit(0L),
       (acc, w) => acc + length(w)).cast("double") / safeN
     val nSymbols = cnt("#") + cnt("...")
-    val nAlpha = size(filter(words, w => w.rlike("[a-z]"))).cast("long")
+    // case-INSENSITIVE per the cited A1.1 rules: "NASA" and "I" are
+    // alphabetic words, and sentence-initial "The" counts as a stop word
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
     val nStop = size(filter(words,
-      w => w.isInCollection(stops))).cast("long")
+      w => lower(w).isInCollection(stops))).cast("long")
     df.select(col(idCol),
       nWords.as("n_words"),
       round(meanLen, 6).as("mean_word_len"),

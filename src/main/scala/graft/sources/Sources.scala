@@ -18,6 +18,13 @@ import org.apache.spark.sql.types.StructType
   * only prune AFTER parse. The sink side writes partitioned directories so
   * downstream scans can partition-prune.
   */
+/** Loud loser of a commit race at the manifest publish point: the version
+  * it tried to publish was already published by a concurrent committer.
+  * The retry protocol is to re-read the latest version and commit at the
+  * next one — [[Sources.commitVersion]]/[[Sources.deltaCommit]] do this
+  * automatically when `maxRetries > 0`. */
+class ConcurrentCommitException(msg: String) extends IllegalStateException(msg)
+
 object Sources {
 
   val SupportedFormats: Set[String] = Set("parquet", "csv", "json", "orc")
@@ -462,8 +469,11 @@ object Sources {
     * lacks (they swap in place, so a concurrent reader races the swap and
     * yesterday's table is gone):
     *
-    *   basePath/data/v<N>/part-*.parquet   immutable data files of commit N
-    *   basePath/v<N>.manifest              newline list of N's relative files
+    *   basePath/data/v<N>-<tok>/part-*.parquet  immutable data files of
+    *                                            commit N (tok = a writer-
+    *                                            unique token, so racing
+    *                                            committers never share a dir)
+    *   basePath/v<N>.manifest                   newline list of N's files
     *
     * A commit writes its data files FIRST, then publishes the manifest by
     * an atomic rename from a dot-temp — the manifest rename IS the commit
@@ -480,19 +490,37 @@ object Sources {
     * in N's manifest, the natural extension of this protocol (not needed
     * by the gated surface, so not speculatively built).
     */
-  def commitVersion(df: DataFrame, basePath: String): Long = {
+  def commitVersion(df: DataFrame, basePath: String,
+                    maxRetries: Int = 0): Long = {
     val spark = df.sparkSession
     val baseP = new org.apache.hadoop.fs.Path(basePath)
     val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(baseP)
-    val v = listVersions(spark, basePath).lastOption.getOrElse(0L) + 1
-    val dataDir = new org.apache.hadoop.fs.Path(basePath, s"data/v$v")
-    df.write.mode("errorifexists").parquet(dataDir.toString)
-    val files = fs.listStatus(dataDir)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => s"data/v$v/${st.getPath.getName}").toSeq
-    publishManifest(fs, basePath, v, files)
-    v
+    var attempts = 0
+    while (true) {
+      // writer-UNIQUE data dir: two racing committers at the same version
+      // must never interleave files into one directory (the manifest is
+      // built by listing it — shared dirs would silently mix two commits);
+      // the loser's dir becomes an invisible orphan that vacuum sweeps
+      val v = listVersions(spark, basePath).lastOption.getOrElse(0L) + 1
+      val tok = java.util.UUID.randomUUID.toString.take(8)
+      val rel = s"data/v$v-$tok"
+      val dataDir = new org.apache.hadoop.fs.Path(basePath, rel)
+      df.write.mode("errorifexists").parquet(dataDir.toString)
+      val files = fs.listStatus(dataDir)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => s"$rel/${st.getPath.getName}").toSeq
+      try {
+        publishManifest(fs, basePath, v, files)
+        return v
+      } catch {
+        case e: ConcurrentCommitException =>
+          fs.delete(dataDir, true) // tidy the loser's staged files now
+          attempts += 1
+          if (attempts > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Published versions, ascending. */
@@ -551,11 +579,17 @@ object Sources {
   def deltaCommit(spark: SparkSession, basePath: String, changes: DataFrame,
                   bucketCol: String, keyCols: Seq[String],
                   opCol: String = "op",
-                  sortCols: Seq[String] = Nil): Long = {
+                  sortCols: Seq[String] = Nil,
+                  maxRetries: Int = 0): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     val baseP = new org.apache.hadoop.fs.Path(basePath)
     val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(baseP)
+    // writer-unique token: the staging dir, the name probe, and the moved
+    // file names all carry it, so two racing committers never share a
+    // scratch path (and Spark's own part-file UUIDs keep the final data
+    // file names distinct in any case)
+    val tok = java.util.UUID.randomUUID.toString.take(8)
     val snap = changes.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -563,90 +597,145 @@ object Sources {
         .map(r => Option(r.get(0)).map(_.toString).orNull).toSet
       require(ops.nonEmpty && ops.subsetOf(Set("I", "U", "D")),
         s"deltaCommit: $opCol values must be I/U/D, got $ops")
-      val versions = listVersions(spark, basePath)
-      val v = versions.lastOption.getOrElse(0L) + 1
-      require(v > 1 || ops == Set("I"),
-        s"first delta commit must be all-inserts, got $ops")
-      val prevFiles: List[String] =
-        if (versions.isEmpty) Nil
-        else readManifest(spark, basePath, versions.last)
-      val affected =
-        probeBandNames(snap, bucketCol, s"$basePath/.delta-nameprobe", fs)
+      val affected = probeBandNames(snap, bucketCol,
+        s"$basePath/.delta-nameprobe-$tok", fs)
       val prefix = s"$bucketCol="
       def bandDirs(path: String) =
         fs.listStatus(new org.apache.hadoop.fs.Path(path))
           .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
       def bandOf(relFile: String) = relFile.stripPrefix("data/").split("/")(0)
-      val (affectedPrev, carried) = prevFiles.partition(f => affected(bandOf(f)))
       val cols = snap.columns.filter(_ != opCol).toIndexedSeq
-      // survivors of affected bands (the MANIFEST is the pruner: only their
-      // files are even listed) + non-delete change rows
-      val prevRows =
-        if (affectedPrev.isEmpty) None
-        else Some(deltaFiles(spark, basePath, affectedPrev))
-      val additions = snap.filter(col(opCol) =!= "D").select(cols.map(col): _*)
-      val merged = prevRows match {
-        case Some(p) =>
-          p.select(cols.map(col): _*)
-            .join(snap.select(keyCols.map(col): _*), keyCols, "left_anti")
-            .unionByName(additions)
-        case None => additions
+      var attempts = 0
+      while (true) {
+        // CAS loop: everything version-dependent recomputes per attempt —
+        // a retry after losing the publish race merges against the NEW
+        // latest version (whose files may now include the winner's bands)
+        val versions = listVersions(spark, basePath)
+        val v = versions.lastOption.getOrElse(0L) + 1
+        require(v > 1 || ops == Set("I"),
+          s"first delta commit must be all-inserts, got $ops")
+        val prevFiles: List[String] =
+          if (versions.isEmpty) Nil
+          else readManifest(spark, basePath, versions.last)
+        val (affectedPrev, carried) = prevFiles.partition(f => affected(bandOf(f)))
+        // survivors of affected bands (the MANIFEST is the pruner: only their
+        // files are even listed) + non-delete change rows
+        val prevRows =
+          if (affectedPrev.isEmpty) None
+          else Some(deltaFiles(spark, basePath, affectedPrev))
+        val additions = snap.filter(col(opCol) =!= "D").select(cols.map(col): _*)
+        val merged = prevRows match {
+          case Some(p) =>
+            p.select(cols.map(col): _*)
+              .join(snap.select(keyCols.map(col): _*), keyCols, "left_anti")
+              .unionByName(additions)
+          case None => additions
+        }
+        val sorted =
+          if (sortCols.isEmpty) merged
+          else merged.sortWithinPartitions(sortCols.map(col): _*)
+        val staging = s"$basePath/.delta-staging-$tok"
+        // the band value rides BOTH as the partition directory (manifest keys,
+        // human-auditable layout) AND inside the data files (as __delta_band):
+        // a version read is then a plain multi-file parquet scan — no
+        // partition-directory recovery, which the substrait wire hop cannot
+        // carry — and band predicates still skip via parquet column stats,
+        // while file-level pruning happens at MANIFEST level
+        sorted.withColumnRenamed(bucketCol, DeltaBandCol)
+          .withColumn(bucketCol, col(DeltaBandCol))
+          .write.mode("overwrite").partitionBy(bucketCol).parquet(staging)
+        val staged = bandDirs(staging)
+        require(staged.map(_.getPath.getName).toSet.subsetOf(affected),
+          "staging produced bands outside the change batch")
+        // move staged files under data/<band>/ with version-prefixed names
+        val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+        staged.foreach { bd =>
+          val band = bd.getPath.getName
+          val dst = new org.apache.hadoop.fs.Path(s"$basePath/data/$band")
+          fs.mkdirs(dst)
+          fs.listStatus(bd.getPath)
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .zipWithIndex.foreach { case (st, i) =>
+              val name = s"v$v-$tok-$i-${st.getPath.getName}"
+              require(fs.rename(st.getPath,
+                new org.apache.hadoop.fs.Path(dst, name)),
+                s"delta move failed: $band/$name")
+              moved += s"data/$band/$name"
+            }
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+        try {
+          publishManifest(fs, basePath, v, carried ++ moved)
+          return v
+        } catch {
+          case e: ConcurrentCommitException =>
+            // the loser's moved files are invisible (no manifest lists
+            // them) — tidy them now rather than waiting for vacuum
+            moved.foreach(f => fs.delete(
+              new org.apache.hadoop.fs.Path(s"$basePath/$f"), false))
+            attempts += 1
+            if (attempts > maxRetries) throw e
+        }
       }
-      val sorted =
-        if (sortCols.isEmpty) merged
-        else merged.sortWithinPartitions(sortCols.map(col): _*)
-      val staging = s"$basePath/.delta-staging"
-      // the band value rides BOTH as the partition directory (manifest keys,
-      // human-auditable layout) AND inside the data files (as __delta_band):
-      // a version read is then a plain multi-file parquet scan — no
-      // partition-directory recovery, which the substrait wire hop cannot
-      // carry — and band predicates still skip via parquet column stats,
-      // while file-level pruning happens at MANIFEST level
-      sorted.withColumnRenamed(bucketCol, DeltaBandCol)
-        .withColumn(bucketCol, col(DeltaBandCol))
-        .write.mode("overwrite").partitionBy(bucketCol).parquet(staging)
-      val staged = bandDirs(staging)
-      require(staged.map(_.getPath.getName).toSet.subsetOf(affected),
-        "staging produced bands outside the change batch")
-      // move staged files under data/<band>/ with version-prefixed names
-      val moved = scala.collection.mutable.ArrayBuffer.empty[String]
-      staged.foreach { bd =>
-        val band = bd.getPath.getName
-        val dst = new org.apache.hadoop.fs.Path(s"$basePath/data/$band")
-        fs.mkdirs(dst)
-        fs.listStatus(bd.getPath)
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .zipWithIndex.foreach { case (st, i) =>
-            val name = s"v$v-$i-${st.getPath.getName}"
-            require(fs.rename(st.getPath,
-              new org.apache.hadoop.fs.Path(dst, name)),
-              s"delta move failed: $band/$name")
-            moved += s"data/$band/$name"
-          }
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-      publishManifest(fs, basePath, v, carried ++ moved)
-      v
+      throw new IllegalStateException("unreachable")
     } finally snap.unpersist(blocking = false)
   }
 
   /** in-file twin of the band partition column (see deltaCommit) */
   private val DeltaBandCol = "__delta_band"
 
+  /** Test-only fault window: invoked after a commit's data files are fully
+    * staged and immediately before the manifest publish. The driver-kill
+    * chaos gate arms this (marker file + sleep) to prove that a REAL
+    * process death between staging and commit leaves every published
+    * version intact and the orphans invisible. A no-op in production. */
+  @volatile private[graft] var beforePublishHook: () => Unit = () => ()
+
+  // one lock object per qualified table base path: in-process racing
+  // committers serialize here, so the exists-check in publishManifest is
+  // race-free WITHIN a JVM (exactly one wins, the loser throws typed)
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** THE commit point, shared by every versioned writer: file list to a
-    * dot-temp, then ONE atomic rename to `v<N>.manifest`. Any future
-    * change to the publish protocol (fsync, CAS) lands here once. */
+    * writer-unique dot-temp, then ONE rename to `v<N>.manifest` under a
+    * per-table JVM lock with an existence check. Concurrency contract:
+    *   - IN-PROCESS races (many sessions/threads, one JVM — the shared-
+    *     driver case): fully serialized by `commitLocks`; exactly one
+    *     writer per version wins and every loser gets a typed
+    *     [[ConcurrentCommitException]], never a silent overwrite.
+    *   - CROSS-PROCESS races: on HDFS-like filesystems `rename` onto an
+    *     existing destination fails, so the `require` catches the loser.
+    *     On POSIX (`RawLocalFileSystem`) and object stores rename
+    *     SILENTLY REPLACES — the exists-check narrows but cannot close
+    *     that window, so single-writer-per-table ACROSS PROCESSES is the
+    *     load-bearing contract there (this is the same boundary Delta
+    *     Lake draws: local/S3 need an external commit coordinator).
+    * Any future change to the publish protocol (fsync, CAS) lands here
+    * once. */
   private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
                               basePath: String, v: Long,
                               files: Seq[String]): Unit = {
     require(files.nonEmpty, s"commit v$v would publish an empty table")
-    val tmp = new org.apache.hadoop.fs.Path(basePath, s".tmp.v$v.manifest")
+    beforePublishHook()
+    val tmp = new org.apache.hadoop.fs.Path(basePath,
+      s".tmp.v$v.manifest-${java.util.UUID.randomUUID.toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write((files.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    require(fs.rename(tmp,
-      new org.apache.hadoop.fs.Path(basePath, s"v$v.manifest")),
-      s"manifest publish failed for v$v (concurrent commit?)")
+    val dst = new org.apache.hadoop.fs.Path(basePath, s"v$v.manifest")
+    val lockKey = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(basePath)).toString
+    val lock = commitLocks.computeIfAbsent(lockKey, _ => new Object)
+    lock.synchronized {
+      if (fs.exists(dst)) {
+        fs.delete(tmp, false)
+        throw new ConcurrentCommitException(
+          s"concurrent commit: v$v.manifest already published at $basePath " +
+            "— re-read the latest version and retry at the next one")
+      }
+      require(fs.rename(tmp, dst), s"manifest publish failed for v$v")
+    }
   }
 
   /** Band directory names rendered by Spark's OWN partition writer (never
@@ -757,19 +846,24 @@ object Sources {
     val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions = listVersions(spark, basePath)
     val drop = versions.dropRight(keepLast)
-    drop.foreach { v =>
-      // manifest first: the version disappears atomically, THEN its files
-      fs.delete(new org.apache.hadoop.fs.Path(basePath, s"v$v.manifest"), false)
-      fs.delete(new org.apache.hadoop.fs.Path(basePath, s"data/v$v"), true)
+    // dir names are v<N> or v<N>-<writer-token> (see commitVersion)
+    def versionOf(name: String): Option[Long] = {
+      val core = name.stripPrefix("v").takeWhile(_ != '-')
+      if (name.startsWith("v") && core.nonEmpty && core.forall(_.isDigit))
+        Some(core.toLong)
+      else None
     }
-    // orphans: data dirs with no manifest (crashed pre-publish commits)
+    // manifests first: each version disappears atomically, THEN its files
+    drop.foreach(v => fs.delete(
+      new org.apache.hadoop.fs.Path(basePath, s"v$v.manifest"), false))
+    // data dirs of dropped versions, plus orphans: dirs with no manifest
+    // (crashed pre-publish commits, losers of a commit race)
     val dataP = new org.apache.hadoop.fs.Path(basePath, "data")
     val live = listVersions(spark, basePath).toSet
     if (fs.exists(dataP)) fs.listStatus(dataP)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
-      .map(_.getPath)
-      .filter(p => !live.contains(p.getName.stripPrefix("v").toLong))
-      .foreach(fs.delete(_, true))
+      .filter(_.isDirectory)
+      .filter(st => versionOf(st.getPath.getName).exists(v => !live.contains(v)))
+      .foreach(st => fs.delete(st.getPath, true))
     drop
   }
 }

@@ -64,6 +64,10 @@ object ChaosGate {
 
   private val removed = new AtomicInteger(0)
   private val jobsDone = new AtomicInteger(0)
+  // THIS app's id — armKiller scopes victim selection to executor JVMs
+  // carrying it in their `--app-id` argument, so the gate never SIGKILLs
+  // executors of an unrelated Spark application on the same host
+  @volatile private var appId: String = ""
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")
@@ -87,6 +91,7 @@ object ChaosGate {
         java.nio.file.Files.createTempDirectory("chaos_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    appId = spark.sparkContext.applicationId
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit =
         removed.incrementAndGet()
@@ -109,7 +114,7 @@ object ChaosGate {
         val lost = removed.get()
         val pass = ok && lost >= 1
         if (!pass) failures += 1
-        println(f"""{"scenario":"$name","ok":$ok,"executorsLost":$lost,"pass":$pass,"secs":$secs%.1f,"detail":"$detail"}""")
+        println(f"""{"scenario":"$name","ok":$ok,"executorsLost":$lost,"pass":$pass,"secs":$secs%.1f,"detail":"${GateJson.esc(detail)}"}""")
       }
 
     run("stage")(stageScenario(spark))
@@ -152,16 +157,21 @@ object ChaosGate {
     (got == expected, s"${got.size} groups")
   }
 
-  /** ps-based chaos thread: kill -9 `howMany` CoarseGrainedExecutorBackend
-    * JVMs (0 = ALL of them) once `afterJobs` Spark jobs have completed
-    * since arming. */
+  /** ps-based chaos thread: kill -9 `howMany` of THIS app's
+    * CoarseGrainedExecutorBackend JVMs (0 = ALL of them) once `afterJobs`
+    * Spark jobs have completed since arming. Victims are matched on both
+    * the backend class AND this driver's `--app-id` (standalone executors
+    * carry it on their command line), so a parallel CI job or concurrent
+    * bench on the same host is never collateral. */
   private def armKiller(afterJobs: Int, howMany: Int = 1): Thread = {
     val base = jobsDone.get()
+    require(appId.nonEmpty, "armKiller before appId is set")
     val t = new Thread(() => {
       while (jobsDone.get() - base < afterJobs) Thread.sleep(50)
       import scala.sys.process._
       val pids = Seq("bash", "-c",
-        "ps -eo pid,args | grep CoarseGrainedExecutorBackend | grep -v grep " +
+        "ps -eo pid,args | grep CoarseGrainedExecutorBackend " +
+          s"| grep -F -- '--app-id $appId' | grep -v grep " +
           "| awk '{print $1}'").!!.trim.split("\\s+").filter(_.nonEmpty)
       val victims = if (howMany <= 0) pids.toSeq else pids.takeRight(howMany).toSeq
       victims.foreach(p => Seq("kill", "-9", p).!)

@@ -58,7 +58,7 @@ object SkewGate {
             (false, s"${e.getClass.getSimpleName}: ${e.getMessage}") }
         val secs = (System.nanoTime() - t0) / 1e9
         if (!ok) failures += 1
-        println(f"""{"scenario":"$name","pass":$ok,"secs":$secs%.1f,"detail":"$detail"}""")
+        println(f"""{"scenario":"$name","pass":$ok,"secs":$secs%.1f,"detail":"${GateJson.esc(detail)}"}""")
       }
 
     run("join")(joinScenario(spark, factRows))

@@ -84,7 +84,7 @@ object SpillGate {
         val mem = memSpilled.get(); val disk = diskSpilled.get()
         val pass = ok && (!requireSpill || mem > 0)
         if (!pass) failures += 1
-        println(f"""{"scenario":"$name","ok":$ok,"memoryBytesSpilled":$mem,"diskBytesSpilled":$disk,"spillObserved":${mem > 0},"pass":$pass,"secs":$secs%.1f,"detail":"$detail"}""")
+        println(f"""{"scenario":"$name","ok":$ok,"memoryBytesSpilled":$mem,"diskBytesSpilled":$disk,"spillObserved":${mem > 0},"pass":$pass,"secs":$secs%.1f,"detail":"${GateJson.esc(detail)}"}""")
       }
 
     run("agg", requireSpill = true)(aggScenario(spark))

@@ -1072,7 +1072,12 @@ class OpsSpec extends SparkTestBase {
       (1L, "the of\n123\tword"),
       // symbol-heavy: 3 words, '#' x2 + '...' x1 => ratio 1.0 > 0.1
       (2L, "a# b# c..."),
-      (3L, "")) // empty: 0 words
+      (3L, ""), // empty: 0 words
+      // capitalization must not break the rules: "NASA" and "I" are
+      // alphabetic, sentence-initial "The" IS a stop word (Rae et al.
+      // A1.1 is case-insensitive; the old [a-z]/exact-match folds missed
+      // all three)
+      (4L, "The NASA I of"))
       .toDF("doc_id", "text")
     val got = TextOps.gopherQuality(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -1084,5 +1089,7 @@ class OpsSpec extends SparkTestBase {
     assert(!got(1L).getBoolean(6)) // word count 4 < 50
     assert(got(2L).getLong(3) == 3L, "two # plus one ...")
     assert(got(3L).getLong(1) == 0L && !got(3L).getBoolean(6))
+    assert(got(4L).getDouble(4) == 1.0, "NASA/I/The are alphabetic")
+    assert(got(4L).getLong(5) == 2L, "'The' and 'of' are stop words")
   }
 }
