@@ -51,6 +51,8 @@ else
     graft.tools.SkewGate all 2>/dev/null | tail -2
   SPARK_GRAFT_CPUS=8 java -XX:ReservedCodeCacheSize=512m -cp "$CP" -Xmx2g \
     graft.tools.SpillGate all 2>/dev/null | tail -3
+  SPARK_GRAFT_CPUS=16 java -XX:ReservedCodeCacheSize=1g -cp "$CP" -Xmx24g \
+    graft.tools.ConcurrencyGate all 2>/dev/null | tail -3
 fi
 
 echo "ALL GATES GREEN ($OUT)"
