@@ -679,4 +679,73 @@ class EventStreamSpec extends SparkTestBase {
       graft.sources.Sources.deltaRead(spark, tbl, Some(1L))
         .select("k", "band", "x"))
   }
+
+  // ------------------------------------------------------------- round 14:
+  // the bounded-state claims MEASURED, not argued: every watermark-carrying
+  // operator streams 10 micro-batches of advancing event time through
+  // StateMetrics and must show numRowsTotal PLATEAU (with numRowsRemoved>0
+  // — eviction actually observed) far below the total keys inserted.
+
+  test("state metrics: windowed aggregation state plateaus (eviction observed)") {
+    val ms = StateMetrics.run(spark, "winagg",
+      df => EventStream.windowedTypeCounts(df,
+        watermark = "30 minutes", windowLen = "10 minutes"),
+      nBatches = 10, rowsPerBatch = 1200, advanceMin = 60)
+    // 10 batches x 6 windows x 4 types = 240 groups in total; live state
+    // holds only ~(batch span + watermark + one-batch eviction lag)
+    val (ok, detail) = StateMetrics.boundedVerdict(ms, plateauCap = 120)
+    assert(ok, detail)
+  }
+
+  test("state metrics: dropDuplicatesWithinWatermark state plateaus") {
+    val ms = StateMetrics.run(spark, "dedup",
+      df => EventStream.streamingDedupWithinWatermark(df, Seq("event_id"),
+        watermark = "30 minutes"),
+      nBatches = 10, rowsPerBatch = 1200, advanceMin = 60)
+    // 12,000 unique ids flow through; live dedup state holds ~1 batch +
+    // the 30-minute watermark tail + one-batch eviction lag
+    val (ok, detail) = StateMetrics.boundedVerdict(ms, plateauCap = 3600)
+    assert(ok, detail)
+  }
+
+  test("state metrics: stream-stream interval join state plateaus on both sides") {
+    val ms = StateMetrics.run(spark, "ivjoin",
+      df => EventStream.intervalJoin(
+        df.filter(col("event_type") === "view")
+          .select(col("event_id").as("l_id"), col("ts").as("l_ts"),
+            col("user_id").as("l_user")),
+        df.filter(col("event_type") === "click")
+          .select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+            col("user_id").as("r_user")),
+        "l_user", "r_user", "l_ts", "r_ts",
+        horizonSeconds = 600, watermark = "30 minutes"),
+      nBatches = 10, rowsPerBatch = 1200, advanceMin = 60)
+    // 300 rows/side/batch; join state holds horizon+watermark per side
+    val (ok, detail) = StateMetrics.boundedVerdict(ms, plateauCap = 2400)
+    assert(ok, detail)
+  }
+
+  test("state metrics: session-window state plateaus as sessions close") {
+    val ms = StateMetrics.run(spark, "sessions",
+      df => EventStream.sessionWindowAgg(df,
+        gap = "5 minutes", watermark = "30 minutes"),
+      nBatches = 10, rowsPerBatch = 1200, advanceMin = 60)
+    // recurring users 25 minutes apart with a 5-minute gap: every event is
+    // its own session (~1200/batch, 12,000 total); open-session state holds
+    // only the un-finalized tail
+    val (ok, detail) = StateMetrics.boundedVerdict(ms, plateauCap = 3600)
+    assert(ok, detail)
+  }
+
+  test("state metrics: funnel flatMapGroupsWithState evicts on event-time timeout") {
+    val ms = StateMetrics.run(spark, "funnel",
+      df => EventStream.funnelStream(spark, df, horizonMinutes = 90).toDF(),
+      nBatches = 10, rowsPerBatch = 1200, advanceMin = 60,
+      usersPerBatchUnique = true)
+    // 500 fresh users per batch (5,000 total) who go quiet after their
+    // batch: the 90-minute event-time timeout must evict them, so live
+    // state holds ~2 batches' cohorts
+    val (ok, detail) = StateMetrics.boundedVerdict(ms, plateauCap = 2000)
+    assert(ok, detail)
+  }
 }

@@ -53,6 +53,8 @@ else
     graft.tools.SpillGate all 2>/dev/null | tail -3
   SPARK_GRAFT_CPUS=16 java -XX:ReservedCodeCacheSize=1g -cp "$CP" -Xmx24g \
     graft.tools.ConcurrencyGate all 2>/dev/null | tail -3
+  SPARK_GRAFT_CPUS=16 java -XX:ReservedCodeCacheSize=1g -cp "$CP" -Xmx24g \
+    graft.tools.StateMetricsGate all 2>/dev/null | tail -6
 fi
 
 echo "ALL GATES GREEN ($OUT)"
