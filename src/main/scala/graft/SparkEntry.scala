@@ -2892,6 +2892,137 @@ object SparkEntry {
         .orderBy("measure")
     })),
 
+    // TPC-DS q27/q36 composite shape (round 14): windowed SHARE-OF-TOTAL
+    // over GROUPING SETS — the share window partitions by the grouping
+    // LEVEL (an expression over grouping() outputs), so detail rows share
+    // against the detail total and each subtotal stratum against its own.
+    // One Expand-fed aggregate + one window sort; the Expand rides the
+    // wire as the SetRel union-of-projects encoding
+    "q75_ds_gsets_share" -> ((s, dir) => {
+      t(s, dir, "orders"); t(s, dir, "customer")
+      rt(s, s.sql(
+        """SELECT mkt, prio, spend, lvl,
+          |  CAST(spend / CAST(sum(spend0) OVER (PARTITION BY lvl)
+          |    AS DOUBLE) AS DOUBLE) AS share_within_level,
+          |  rank() OVER (PARTITION BY lvl
+          |    ORDER BY spend0 DESC, coalesce(mkt, ''), coalesce(prio, ''))
+          |    AS rnk
+          |FROM (
+          |  SELECT c_mktsegment AS mkt, o_orderpriority AS prio,
+          |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend0,
+          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |      AS spend,
+          |    CAST(grouping(c_mktsegment) * 2 + grouping(o_orderpriority)
+          |      AS BIGINT) AS lvl
+          |  FROM orders JOIN customer ON o_custkey = c_custkey
+          |  GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+          |    (c_mktsegment), ())) x
+          |ORDER BY lvl, rnk, mkt, prio""".stripMargin))
+    }),
+
+    // TPC-DS q4/q11 shape extended (round 14): a multi-reference CTE
+    // self-joined in a CHAIN across three adjacent years (a→a+1→a+2) with
+    // a cross-reference growth predicate. Substrait 0.3 has no common-
+    // subplan sharing, so the yearly aggregate re-produces THREE times on
+    // the wire and the consumer must keep all three references distinct
+    // while ReuseExchange de-duplicates the physical aggregate
+    "q76_ds_cte_chain" -> ((s, dir) => {
+      t(s, dir, "orders")
+      rt(s, s.sql(
+        """WITH yearly AS (
+          |  SELECT o_custkey,
+          |    CAST(substring(CAST(o_orderdate AS STRING), 1, 4) AS INT)
+          |      AS yr,
+          |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot0
+          |  FROM orders GROUP BY 1, 2)
+          |SELECT a.o_custkey, a.yr AS yr_base,
+          |  CAST(ROUND(CAST(b.tot0 AS DOUBLE) / CAST(a.tot0 AS DOUBLE), 6)
+          |    AS DOUBLE) AS growth_1,
+          |  CAST(ROUND(CAST(c.tot0 AS DOUBLE) / CAST(b.tot0 AS DOUBLE), 6)
+          |    AS DOUBLE) AS growth_2
+          |FROM yearly a
+          |JOIN yearly b ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+          |JOIN yearly c ON a.o_custkey = c.o_custkey AND c.yr = a.yr + 2
+          |WHERE CAST(c.tot0 AS DOUBLE) / CAST(b.tot0 AS DOUBLE) >
+          |      CAST(b.tot0 AS DOUBLE) / CAST(a.tot0 AS DOUBLE)
+          |ORDER BY a.o_custkey, yr_base""".stripMargin))
+    }),
+
+    // TPC-DS q10/q35 composite shape (round 14): correlated EXISTS
+    // (returns-channel membership) feeding a ranking WINDOW — the
+    // decorrelated semi-join must land BELOW the aggregate and the rank
+    // above it, a produce/consume layering no TPC-H query exercises
+    "q77_ds_exists_window" -> ((s, dir) => {
+      t(s, dir, "customer"); t(s, dir, "orders"); t(s, dir, "lineitem")
+      rt(s, s.sql(
+        """SELECT c_custkey, c_mktsegment, spend, seg_rank FROM (
+          |  SELECT c_custkey, c_mktsegment,
+          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |      AS spend,
+          |    rank() OVER (PARTITION BY c_mktsegment
+          |      ORDER BY sum(CAST(o_totalprice AS DECIMAL(18,2))) DESC,
+          |        c_custkey) AS seg_rank
+          |  FROM customer JOIN orders ON c_custkey = o_custkey
+          |  WHERE EXISTS (SELECT 1 FROM lineitem
+          |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+          |  GROUP BY c_custkey, c_mktsegment) ranked
+          |WHERE seg_rank <= 5
+          |ORDER BY c_mktsegment, seg_rank, c_custkey""".stripMargin))
+    }),
+
+    // TPC-DS q75/q80 catalog-returns shape (round 14): TWO fact tables
+    // (orders = header channel, lineitem = line channel) unioned into one
+    // per-channel fact stream against the same dimension chain, then
+    // pivoted back out per nation — the multi-fact union-aggregate that
+    // hides produce/consume bugs single-fact TPC-H never hits
+    "q78_ds_multifact_union" -> ((s, dir) => {
+      t(s, dir, "orders"); t(s, dir, "customer"); t(s, dir, "nation")
+      t(s, dir, "lineitem")
+      rt(s, s.sql(
+        """WITH facts AS (
+          |  SELECT n_name AS nation, 'order' AS channel,
+          |    CAST(o_totalprice AS DECIMAL(18,4)) AS amt0
+          |  FROM orders
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey
+          |  UNION ALL
+          |  SELECT n_name AS nation, 'line' AS channel,
+          |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+          |      AS amt0
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey)
+          |SELECT nation,
+          |  CAST(sum(CASE WHEN channel = 'order' THEN amt0 END) AS DOUBLE)
+          |    AS order_amt,
+          |  CAST(sum(CASE WHEN channel = 'line' THEN amt0 END) AS DOUBLE)
+          |    AS line_amt,
+          |  count(CASE WHEN channel = 'order' THEN 1 END) AS n_orders,
+          |  count(CASE WHEN channel = 'line' THEN 1 END) AS n_lines
+          |FROM facts GROUP BY nation
+          |ORDER BY nation""".stripMargin))
+    }),
+
+    // TPC-DS q14 cross-channel shape (round 14): INTERSECT of two
+    // channels' key sets inside a CTE, joined back to the dimension and
+    // aggregated — set-op composition BELOW a join, not at the root as in
+    // q15/q41
+    "q79_ds_channel_intersect" -> ((s, dir) => {
+      t(s, dir, "orders"); t(s, dir, "customer")
+      rt(s, s.sql(
+        """WITH both_cust AS (
+          |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          |  INTERSECT
+          |  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+          |SELECT c_mktsegment, count(*) AS n_cross_channel,
+          |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS tot_balance
+          |FROM customer JOIN both_cust ON c_custkey = o_custkey
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin))
+    }),
+
     // uncorrelated scalar subquery → cross-joined single-row AggregateRel
     "q33_scalar_subquery" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -5578,5 +5709,90 @@ object SparkEntry {
         |    AS DOUBLE) AS amt_3m
         |FROM sales
         |ORDER BY channel, ym""".stripMargin,
+    "q75_ds_gsets_share" ->
+      """SELECT mkt, prio, spend, lvl,
+        |  CAST(spend / CAST(sum(spend0) OVER (PARTITION BY lvl)
+        |    AS DOUBLE) AS DOUBLE) AS share_within_level,
+        |  rank() OVER (PARTITION BY lvl
+        |    ORDER BY spend0 DESC, coalesce(mkt, ''), coalesce(prio, ''))
+        |    AS rnk
+        |FROM (
+        |  SELECT c_mktsegment AS mkt, o_orderpriority AS prio,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend0,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS spend,
+        |    CAST(grouping(c_mktsegment) * 2 + grouping(o_orderpriority)
+        |      AS BIGINT) AS lvl
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+        |    (c_mktsegment), ())) x
+        |ORDER BY lvl, rnk, mkt, prio""".stripMargin,
+    "q76_ds_cte_chain" ->
+      """WITH yearly AS (
+        |  SELECT o_custkey,
+        |    CAST(substring(CAST(o_orderdate AS STRING), 1, 4) AS INT)
+        |      AS yr,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot0
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT a.o_custkey, a.yr AS yr_base,
+        |  CAST(ROUND(CAST(b.tot0 AS DOUBLE) / CAST(a.tot0 AS DOUBLE), 6)
+        |    AS DOUBLE) AS growth_1,
+        |  CAST(ROUND(CAST(c.tot0 AS DOUBLE) / CAST(b.tot0 AS DOUBLE), 6)
+        |    AS DOUBLE) AS growth_2
+        |FROM yearly a
+        |JOIN yearly b ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+        |JOIN yearly c ON a.o_custkey = c.o_custkey AND c.yr = a.yr + 2
+        |WHERE CAST(c.tot0 AS DOUBLE) / CAST(b.tot0 AS DOUBLE) >
+        |      CAST(b.tot0 AS DOUBLE) / CAST(a.tot0 AS DOUBLE)
+        |ORDER BY a.o_custkey, yr_base""".stripMargin,
+    "q77_ds_exists_window" ->
+      """SELECT c_custkey, c_mktsegment, spend, seg_rank FROM (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS spend,
+        |    rank() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY sum(CAST(o_totalprice AS DECIMAL(18,2))) DESC,
+        |        c_custkey) AS seg_rank
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  WHERE EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |  GROUP BY c_custkey, c_mktsegment) ranked
+        |WHERE seg_rank <= 5
+        |ORDER BY c_mktsegment, seg_rank, c_custkey""".stripMargin,
+    "q78_ds_multifact_union" ->
+      """WITH facts AS (
+        |  SELECT n_name AS nation, 'order' AS channel,
+        |    CAST(o_totalprice AS DECIMAL(18,4)) AS amt0
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT n_name AS nation, 'line' AS channel,
+        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |      AS amt0
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT nation,
+        |  CAST(sum(CASE WHEN channel = 'order' THEN amt0 END) AS DOUBLE)
+        |    AS order_amt,
+        |  CAST(sum(CASE WHEN channel = 'line' THEN amt0 END) AS DOUBLE)
+        |    AS line_amt,
+        |  count(CASE WHEN channel = 'order' THEN 1 END) AS n_orders,
+        |  count(CASE WHEN channel = 'line' THEN 1 END) AS n_lines
+        |FROM facts GROUP BY nation
+        |ORDER BY nation""".stripMargin,
+    "q79_ds_channel_intersect" ->
+      """WITH both_cust AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |SELECT c_mktsegment, count(*) AS n_cross_channel,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS tot_balance
+        |FROM customer JOIN both_cust ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
   )
 }

@@ -712,6 +712,26 @@ class PlanQualitySpec extends SparkTestBase {
       s"a two-version read is scans + union, no shuffle:\n$p")
   }
 
+  test("round-14 DS shapes: no cartesians/nested loops; q75 is ONE " +
+    "Expand-fed aggregate; q76's CTE chain reuses one physical aggregate") {
+    Seq("q75_ds_gsets_share", "q76_ds_cte_chain", "q77_ds_exists_window",
+      "q78_ds_multifact_union", "q79_ds_channel_intersect").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+    val p75 = plan("q75_ds_gsets_share")
+    // grouping sets feed ONE Expand-fed aggregate, not one job per set
+    assert(p75.sliding("Expand".length).count(_ == "Expand") == 1, p75)
+    // three CTE references, ONE physical yearly aggregate: exchange reuse
+    // is an AQE runtime decision, so EXECUTE and inspect the final plan
+    val df76 = SparkEntry.queries("q76_ds_cte_chain")(spark, sfDir)
+    df76.collect()
+    val p76 = df76.queryExecution.executedPlan.toString
+    assert(p76.contains("ReusedExchange") || p76.contains("ReusedQueryStage"),
+      s"the yearly aggregate must be physically shared:\n$p76")
+  }
+
   test("p22: a version read scans only the manifest's files with a pruned schema") {
     val p = plan("p22_time_travel")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"),
