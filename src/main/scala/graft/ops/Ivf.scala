@@ -332,8 +332,13 @@ object Ivf {
     * filtered true top-k can live in cells the unfiltered probe ranking
     * wouldn't visit, so a selective predicate needs a HIGHER nprobe than
     * the same index unfiltered — size nprobe against the predicate's
-    * selectivity (rule of thumb: nprobe / selectivity, capped at nlist),
-    * or verify recall on a sample as s07's gate does.
+    * selectivity (rule of thumb: nprobe / selectivity, capped at nlist).
+    * The rule's contract is PARITY: the scaled probe restores (at least)
+    * the recall the unfiltered search gets at the original nprobe, and
+    * the cap makes 1-5%-selective queries exact over the filtered set —
+    * S15RecallGateSpec measures both on a planted 20k-vector fixture
+    * (r14: filtered@scaled 0.708 vs unfiltered@default 0.317 at 20%
+    * selectivity; recall 1.0 at the 3% cap; numbers in BASELINE.md).
     */
   def searchFiltered(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
                      pred: org.apache.spark.sql.Column,
