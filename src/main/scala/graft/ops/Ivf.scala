@@ -208,7 +208,8 @@ object Ivf {
     * tombstones into a rewritten layout when their fraction warrants it.
     */
   def deleteFromSaved(spark: org.apache.spark.sql.SparkSession, path: String,
-                      ids: DataFrame, idCol: String = "vec_id"): IvfIndex = {
+                      ids: DataFrame, idCol: String = "vec_id",
+                      autoCompactRatio: Double = 0.5): IvfIndex = {
     // NO cast: n_id keeps the corpus id column's own type (a silent
     // cast-to-long would null out non-numeric ids and the anti-join would
     // match nothing — a delete that "succeeds" and removes nothing)
@@ -216,17 +217,31 @@ object Ivf {
     require(t.filter(col("n_id").isNull).isEmpty,
       "deleteFromSaved: null ids in the delete batch")
     t.write.mode("append").parquet(s"$path/tombstones")
+    // auto-compaction: the per-search anti-join costs grow with the
+    // tombstone set, so once tombstones reach `autoCompactRatio` of the
+    // layout's rows, fold them in now (semantically invisible — search
+    // answers are identical before and after). 0 disables.
+    if (autoCompactRatio > 0) {
+      val nTomb = spark.read.parquet(s"$path/tombstones").distinct().count()
+      val nRows = spark.read.parquet(s"$path/cells").count()
+      if (nRows > 0 && nTomb.toDouble / nRows >= autoCompactRatio)
+        return compactSaved(spark, path)
+    }
     load(spark, path)
   }
 
   /** Fold tombstones into the layout: one tombstone-keyed scan over the
     * index discovers the HIT cells (the tombstone side broadcasts — ids
-    * only), then ONLY those cells rewrite via a crash-safe backup-rename
-    * swap (live → dot-backup, rewritten → live, drop backup; a crash
-    * between the renames is restored by the recovery sweep every load
-    * runs). The tombstone set drops last — re-running a crashed compaction
-    * is idempotent (re-removing removed rows is a no-op). Amortizes the
-    * per-search anti-join once deletes accumulate. */
+    * only), then ONE partitioned staging job writes every hit cell's
+    * survivors under `.compact-staging/cell=<c>` (not a `coalesce(1)` job
+    * per cell — a delete batch touching thousands of cells at corpus
+    * scale compacts in one pass, IvfSpec counts the jobs), followed by
+    * the same crash-safe per-cell backup-rename swap as before (live →
+    * dot-backup, staged → live, drop backup; a crash between the renames
+    * is restored by the recovery sweep every load runs). A cell whose
+    * rows are ALL tombstoned simply disappears (an absent partition dir
+    * is a valid layout). The tombstone set drops last — re-running a
+    * crashed compaction is idempotent. */
   def compactSaved(spark: org.apache.spark.sql.SparkSession,
                    path: String): IvfIndex = {
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -238,19 +253,27 @@ object Ivf {
     val cellsAll = spark.read.parquet(s"$path/cells")
     val hit = cellsAll.join(broadcast(tombs), "n_id").select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
-    hit.foreach { c =>
-      val dir = new org.apache.hadoop.fs.Path(s"$path/cells/cell=$c")
-      val kept = spark.read.parquet(dir.toString)
+    if (hit.nonEmpty) {
+      val staging = new org.apache.hadoop.fs.Path(s"$path/.compact-staging")
+      fs.delete(staging, true) // a crashed prior attempt's leftovers
+      cellsAll
+        .filter(col("cell").isin(hit.toIndexedSeq.map(Integer.valueOf): _*))
         .join(broadcast(tombs), Seq("n_id"), "left_anti")
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/.compact-cell-$c")
-      kept.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      // backup-rename, never delete-then-rename: a crash between the two
-      // renames leaves the cell recoverable instead of silently gone
-      val backup = new org.apache.hadoop.fs.Path(
-        s"$path/cells/.cell=$c.compact-backup")
-      require(fs.rename(dir, backup), s"compact backup failed: cell=$c")
-      require(fs.rename(tmp, dir), s"compact swap failed: cell=$c")
-      fs.delete(backup, true)
+        .repartition(col("cell")) // one output file per cell dir
+        .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+      hit.foreach { c =>
+        val dir = new org.apache.hadoop.fs.Path(s"$path/cells/cell=$c")
+        val stagedCell = new org.apache.hadoop.fs.Path(staging, s"cell=$c")
+        // backup-rename, never delete-then-rename: a crash between the two
+        // renames leaves the cell recoverable instead of silently gone
+        val backup = new org.apache.hadoop.fs.Path(
+          s"$path/cells/.cell=$c.compact-backup")
+        require(fs.rename(dir, backup), s"compact backup failed: cell=$c")
+        if (fs.exists(stagedCell))
+          require(fs.rename(stagedCell, dir), s"compact swap failed: cell=$c")
+        fs.delete(backup, true)
+      }
+      fs.delete(staging, true)
     }
     fs.delete(tombP, true)
     load(spark, path)

@@ -215,4 +215,70 @@ class IvfSpec extends SparkTestBase {
       pred = col("label") === 3).collect().map(_.toString).sorted
     assert(a.sameElements(b), "saved+loaded filtered search must match in-memory")
   }
+
+  test("compaction is one staging job plus swaps, not one write job per hit cell") {
+    val idx = Ivf.build(embs, nlist = 16)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_onejob").toString
+    Ivf.save(idx, dir)
+    // hit (nearly) every cell: delete every other vector; auto-compaction
+    // off so THIS call is the one measured
+    Ivf.deleteFromSaved(spark, dir,
+      embs.filter(col("vec_id") % 2 === 0).select("vec_id"),
+      autoCompactRatio = 0)
+    val hitCells = spark.read.parquet(s"$dir/cells")
+      .join(broadcast(spark.read.parquet(s"$dir/tombstones")), "n_id")
+      .select("cell").distinct().count()
+    assert(hitCells >= 12, s"fixture should hit most of 16 cells: $hitCells")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val compacted =
+      try {
+        val c = Ivf.compactSaved(spark, dir)
+        Thread.sleep(1500) // listener bus drains asynchronously
+        c
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() < hitCells,
+      s"compaction ran ${jobs.get()} jobs over $hitCells hit cells - " +
+        "the per-cell job loop is back")
+    val queries = embs.filter(col("vec_id") < 4)
+    val brute = Similarity.bruteForceKnn(
+        embs.filter(col("vec_id") % 2 =!= 0), queries, k = 5)
+      .collect().map(_.toString).sorted
+    assert(Ivf.search(compacted, queries, k = 5, nprobe = 16)
+      .collect().map(_.toString).sorted.sameElements(brute),
+      "batched compaction changed search answers")
+  }
+
+  test("auto-compaction folds tombstones in once the ratio is crossed") {
+    val idx = Ivf.build(embs, nlist = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_autoc").toString
+    Ivf.save(idx, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombP = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    // first batch: 1/3 of ids — below the 0.5 default, tombstones stay
+    Ivf.deleteFromSaved(spark, dir,
+      embs.filter(col("vec_id") % 3 === 0).select("vec_id"))
+    assert(fs.exists(tombP), "below the ratio, deletes stay tombstones")
+    // second batch pushes the ratio to ~2/3 — compaction runs by itself
+    val after = Ivf.deleteFromSaved(spark, dir,
+      embs.filter(col("vec_id") % 3 === 1).select("vec_id"))
+    assert(!fs.exists(tombP),
+      "auto-compaction must fold the tombstone set into the layout")
+    val queries = embs.filter(col("vec_id") < 4)
+    val brute = Similarity.bruteForceKnn(
+        embs.filter(col("vec_id") % 3 === 2), queries, k = 5)
+      .collect().map(_.toString).sorted
+    assert(Ivf.search(after, queries, k = 5, nprobe = 8)
+      .collect().map(_.toString).sorted.sameElements(brute),
+      "auto-compaction changed search answers")
+  }
 }
