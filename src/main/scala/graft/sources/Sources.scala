@@ -364,6 +364,7 @@ object Sources {
       val dst = new org.apache.hadoop.fs.Path(basePath, dir)
       val backup = new org.apache.hadoop.fs.Path(basePath, s".$dir.upsert-backup")
       val hadOld = retire(dst, backup)
+      betweenSwapRenamesHook()
       require(fs.rename(st.getPath, dst), s"swap rename failed: $dst")
       if (hadOld) fs.delete(backup, true)
     }
@@ -691,6 +692,12 @@ object Sources {
     * version intact and the orphans invisible. A no-op in production. */
   @volatile private[graft] var beforePublishHook: () => Unit = () => ()
 
+  /** Test-only fault window twin for the CoW family: invoked between a
+    * band's backup rename and its replacement rename — the narrowest
+    * crash window of [[mergeRangePartitioned]]'s swap. The driver-kill
+    * chaos gate arms this in a child JVM. A no-op in production. */
+  @volatile private[graft] var betweenSwapRenamesHook: () => Unit = () => ()
+
   // one lock object per qualified table base path: in-process racing
   // committers serialize here, so the exists-check in publishManifest is
   // race-free WITHIN a JVM (exactly one wins, the loser throws typed)
@@ -812,7 +819,13 @@ object Sources {
 
   /** Retire delta versions older than the newest `keepLast` and delete
     * every data file no surviving manifest references. Returns (removed
-    * versions, deleted file count). */
+    * versions, deleted file count).
+    *
+    * Minimum-retention contract (gated in SourcesSpec): a reader that
+    * resolved a retired version's plan fails LOUDLY mid-scan
+    * (FileNotFoundException — `spark.sql.files.ignoreMissingFiles` must
+    * stay false on these tables), never returns partial rows. Size
+    * `keepLast` above the longest-running reader's version age. */
   def deltaVacuum(spark: SparkSession, basePath: String,
                   keepLast: Int): (Seq[Long], Int) = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")

@@ -445,4 +445,41 @@ class SourcesSpec extends SparkTestBase {
         "band", Seq("band", "k"))
     }
   }
+
+  test("deltaVacuum retention edge: a reader holding a retired version " +
+    "fails LOUDLY, never returns partial rows") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_retention").toString + "/tbl"
+    def mk(rows: Seq[(Long, String, Long)], op: String) =
+      rows.toDF("k", "band", "x").withColumn("op", lit(op))
+    Sources.deltaCommit(spark, base,
+      mk(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)), "I"),
+      "band", Seq("band", "k"))
+    // v2 rewrites band a, so v1's band-a files become v1-exclusive
+    Sources.deltaCommit(spark, base, mk(Seq((1L, "a", 11L)), "U"),
+      "band", Seq("band", "k"))
+    // a long-running reader resolves v1's file list NOW (plan-build time)
+    val held = Sources.deltaRead(spark, base, Some(1L)).select("k", "band", "x")
+    assert(held.count() == 3L, "pre-vacuum read must see all of v1")
+    // retention passes v1: its exclusive files are deleted
+    val (dropped, deleted) = Sources.deltaVacuum(spark, base, keepLast = 1)
+    assert(dropped == Seq(1L) && deleted >= 1, s"$dropped / $deleted")
+    // the held plan must now fail LOUDLY with the missing file surfaced —
+    // a partial result (band b still exists!) would silently corrupt any
+    // downstream consumer. This is the minimum-retention contract: size
+    // deltaVacuum's keepLast above the longest-running reader.
+    val e = intercept[Exception] { held.count() }
+    def rootChain(t: Throwable): List[Throwable] =
+      t :: Option(t.getCause).map(rootChain).getOrElse(Nil)
+    assert(rootChain(e).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        c.getMessage != null && c.getMessage.contains("FILE_NOT_EXIST") ||
+        c.getMessage != null && c.getMessage.contains("does not exist")),
+      s"expected a missing-file failure, got: $e")
+    // and the surviving version still reads exactly
+    assertSameRows(
+      Seq((1L, "a", 11L), (2L, "a", 20L), (3L, "b", 30L)).toDF("k", "band", "x"),
+      Sources.deltaRead(spark, base).select("k", "band", "x"))
+  }
 }

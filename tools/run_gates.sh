@@ -55,6 +55,8 @@ else
     graft.tools.ConcurrencyGate all 2>/dev/null | tail -3
   SPARK_GRAFT_CPUS=16 java -XX:ReservedCodeCacheSize=1g -cp "$CP" -Xmx24g \
     graft.tools.StateMetricsGate all 2>/dev/null | tail -6
+  SPARK_GRAFT_CPUS=8 java -XX:ReservedCodeCacheSize=512m -cp "$CP" -Xmx8g \
+    graft.tools.DriverKillGate all 2>/dev/null | tail -3
 fi
 
 echo "ALL GATES GREEN ($OUT)"
