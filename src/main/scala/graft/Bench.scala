@@ -25,6 +25,32 @@ object Bench {
       finally src.close()
     } catch { case _: Throwable => -1.0 }
 
+  /** JVM + codegen internals snapshot — the instrument for the
+    * suite-length drift question (r13 verdict item 7): cumulative JIT
+    * compile ms, GC ms, code-heap occupancy, and Spark's Janino codegen
+    * counters. Recorded into bench-out.json pre- and post-measurement so
+    * a drift can be attributed (or refuted) from the artifact alone. */
+  private def jvmDiag: String = {
+    import scala.jdk.CollectionConverters._
+    import java.lang.management.{ManagementFactory => MF}
+    val jit = Option(MF.getCompilationMXBean)
+      .map(_.getTotalCompilationTime).getOrElse(-1L)
+    val gc = MF.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+    val codeHeapMb = MF.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed / (1024 * 1024)).sum
+    val metaMb = MF.getMemoryPoolMXBeans.asScala
+      .filter(_.getName == "Metaspace")
+      .map(_.getUsage.getUsed / (1024 * 1024)).sum
+    val cg = org.apache.spark.metrics.source.CodegenMetrics
+    s"""{"jit_ms":$jit,"gc_ms":$gc,"codeheap_mb":$codeHeapMb,""" +
+      s""""metaspace_mb":$metaMb,""" +
+      s""""codegen_compiles":${cg.METRIC_COMPILATION_TIME.getCount},""" +
+      s""""codegen_compile_ms":${cg.METRIC_COMPILATION_TIME.getSnapshot
+        .getValues.sum}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val loadStart = loadAvg
@@ -46,8 +72,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // the suite compiles ~260 distinct codegen stages (warmup + run); the
       // 100-entry default class cache evicts every warmed stage before its
-      // measured run, so the measurement re-pays Janino compilation
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // measured run, so the measurement re-pays Janino compilation.
+      // Env-overridable for the suite-length drift A/B (BASELINE.md r14).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
       .getOrCreate()
     // ERROR, not WARN: a single WindowExec warning line costs ~140 chars of
     // the driver's 2000-char stdout tail that the metric line must survive in
@@ -79,7 +107,7 @@ object Bench {
             sibling.toString != java.nio.file.Paths.get(sfDir).toAbsolutePath.toString)
           sibling.toString else null
       if (warmDir != null)
-        selected.foreach { case (_, fn) =>
+        selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }
       else
@@ -91,6 +119,7 @@ object Bench {
     // real cost (both runs execute the full plan — nothing is cached across
     // count() calls except the already-warm codegen classes, which is the
     // steady state a cluster runs in anyway)
+    val diagPre = jvmDiag // post-warmup, pre-measurement snapshot
     // malformed env values fall back to the default instead of aborting
     // the whole bench run with a NumberFormatException
     def envInt(name: String, default: Int): Int =
@@ -100,14 +129,24 @@ object Bench {
           default
         }
     val reps = envInt("SPARK_GRAFT_BENCH_REPS", 2).max(1)
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
-    }
+    // SORTED measurement order (round 14): a query's in-suite reading
+    // depends on its wall-clock POSITION (the JIT compiler is still
+    // promoting warm paths early in the suite — measured: the same 60
+    // queries read 1.44x slower median as their own suite than inside the
+    // 208-query suite). The Map's hash iteration order reshuffles globally
+    // whenever queries are added, which is exactly what r13's "uniform
+    // +10% drift on shared queries" was. Sorted order pins each query's
+    // neighborhood across rounds, so suite growth perturbs positions
+    // locally instead of reshuffling them. (BASELINE.md round-14 A/B.)
+    val results: Map[String, Double] =
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
+      }.toMap
     // Automated solo-refute (ambient contention on this box is bursty and
     // in-suite readings for heavy queries can read 2–4× their real cost):
     // the N slowest queries re-run once AFTER the suite — a time-decorrelated
@@ -156,9 +195,11 @@ object Bench {
           .mkString(""","solo_err":[""", ",", "]")
       base + errs
     }
+    val diagPost = jvmDiag
+    val diagJson = s""","diag":{"pre":$diagPre,"post":$diagPost}"""
     val fullLine = mkLine(
       results.toSeq.map { case (k, v) => k -> v.toString }, total,
-      soloJsonOf(_.toString) + loadJson)
+      soloJsonOf(_.toString) + loadJson + diagJson)
     // The driver keeps only the LAST ~2000 chars of stdout and json-parses
     // the metric line out of that tail (BENCH_r04/r05 were "parsed": null
     // because the full-precision 85-query line was ~2.6k chars and lost its

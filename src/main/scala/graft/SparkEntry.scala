@@ -572,6 +572,32 @@ object SparkEntry {
         .orderBy("q_id", "rank"))
     }),
 
+    // ANN top-k via scalar int8 quantization (s17, round 14): the corpus
+    // scans as array<tinyint> codes (4x fewer bytes than float32) against
+    // ONE global symmetric scale from a single max-abs aggregate — no
+    // codebook training, the first rung of the quantization ladder below
+    // s08's PQ. Quantized-cosine shortlist + exact rerank restores exact
+    // ordering (SqSpec measures the worst true-neighbor quantized rank:
+    // ~k on these fixtures, far under the 64 shortlist), so the s01
+    // exact-kNN oracle certifies the output.
+    "s17_knn_sq8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val scale = ops.Sq.trainScale(e)
+      val enc = ops.Sq.encode(e, scale)
+      rt(s, ops.Sq.search(enc, e, e.filter(col("vec_id") < 8), scale,
+          k = 5, shortlist = 64)
+        .orderBy("q_id", "rank"))
+    }),
+
+    // weekly cohort retention (e18, round 14): users bucket into the week
+    // of their first event; each later activity week counts them at its
+    // offset, over the cohort's size. Integer epoch-weeks — no calendar
+    // convention for engines to disagree on; only narrow (user, week)
+    // pairs ever shuffle, and the cohort side joins user-keyed
+    "e18_cohort_retention" -> ((s, dir) => rt(s,
+      streaming.EventStream.cohortRetention(t(s, dir, "events"))
+        .orderBy("cohort_week", "week_offset"))),
+
     // semantic near-dup pairs via k-means cluster blocking (the SemDeDup
     // shape): same planted-twin fixture as d05, but candidates come from
     // data-adaptive quantizer cells (multi-probe 2) instead of random
@@ -3640,6 +3666,35 @@ object SparkEntry {
         |  FROM s)
         |SELECT q_id, n_id, rank, ROUND(sim0, 6) AS sim FROM r
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // s17: the SQ8 shortlist+rerank is EXACT by the measured margin, so
+    // the oracle is the same exact-kNN replay as s01/s08
+    "s17_knn_sq8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |s AS (SELECT q_id, e.vec_id AS n_id,
+        |  list_dot_product(qv, e.v)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim0
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, sim0,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim0 DESC, n_id ASC) AS rank
+        |  FROM s)
+        |SELECT q_id, n_id, rank, ROUND(sim0, 6) AS sim FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // e18: integer epoch-weeks replay; the retention window divides each
+    // offset count by the cohort's offset-0 count
+    "e18_cohort_retention" ->
+      """WITH wk AS (SELECT user_id,
+        |    CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w FROM events),
+        |cohort AS (SELECT user_id, min(w) AS c0 FROM wk GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, w FROM wk)
+        |SELECT c0 AS cohort_week, (w - c0) AS week_offset,
+        |  count(*) AS n_users,
+        |  ROUND(CAST(count(*) AS DOUBLE) /
+        |    CAST(first_value(count(*)) OVER (PARTITION BY c0
+        |      ORDER BY (w - c0)) AS DOUBLE), 6) AS retention
+        |FROM act JOIN cohort USING (user_id)
+        |GROUP BY c0, (w - c0)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     // s07: identical ground truth to d05 (exact all-pairs cosine over the
     // planted-twin union) — the k-means cluster blocking changes the compute
     // path, not the qualifying pair set: the exact-cosine verify pins

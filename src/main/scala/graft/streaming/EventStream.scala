@@ -457,6 +457,38 @@ object EventStream {
       .select(col("user_id"), col("w.win_idx"), col("w.seq"), col("w.n"))
   }
 
+  /** Weekly cohort-retention matrix — the other canonical product/
+    * curation analytics shape beside the funnel: users bucket into the
+    * week of their FIRST event (the cohort), and each later activity week
+    * counts them at `week_offset = week - cohort_week`; `retention` is
+    * that count over the cohort's size (its offset-0 count, which every
+    * member has by construction). Weeks are `floor(epoch/604800)` —
+    * engine-neutral integer arithmetic, no calendar-week convention to
+    * disagree on.
+    *
+    * Scale shape: two partial-aggregating shuffles over narrow (user,
+    * week) pairs — the distinct-activity set on (user, week), the cohort
+    * min on user (which then hash-joins the activity side on that same
+    * user key; small-dim cohorts broadcast) — then one tiny
+    * (cohort, offset) aggregate and a per-cohort window over at most a
+    * few hundred offset rows. Event payloads never shuffle.
+    */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val wk = events.select(col(userCol).as("user_id"),
+      floor(unix_timestamp(col(tsCol)) / 604800L).cast("long").as("w"))
+    val cohort = wk.groupBy("user_id").agg(min("w").as("c0"))
+    val act = wk.distinct()
+    val counts = act.join(cohort, "user_id")
+      .groupBy(col("c0").as("cohort_week"),
+        (col("w") - col("c0")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val w0 = Window.partitionBy("cohort_week").orderBy("week_offset")
+    counts.withColumn("retention",
+      round(col("n_users").cast("double") /
+        first(col("n_users")).over(w0), 6))
+  }
+
   /** Ordered-funnel analysis (batch twin): per user, the earliest
     * strictly-increasing chain of step timestamps — t(step1) = first step1
     * event, t(stepN) = first stepN event AFTER t(stepN−1) — and the funnel

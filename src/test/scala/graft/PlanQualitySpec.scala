@@ -465,6 +465,23 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
   }
 
+  test("s17: SQ8 rerank joins broadcast; no unbroadcast cartesian") {
+    val p = plan("s17_knn_sq8")
+    // the one BNLJ is the intentional broadcast cross of the tiny query
+    // codes (the bruteForceKnn contract); the shortlist rerank's two
+    // id-keyed joins must be broadcast hash joins
+    assert(p.contains("BroadcastHashJoin"), s"rerank must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
+  }
+
+  test("e18: cohort retention scans only (user_id, ts); only narrow " +
+    "(user, week) pairs shuffle; no cartesians") {
+    val p = plan("e18_cohort_retention")
+    assert(p.contains("ReadSchema: struct<ts:"), s"pruned events scan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("s11: saved IVF-PQ probe partition-prunes AND scans codes, not vectors") {
     Tables.register(spark, sfDir)
     val e = Tables.table(spark, sfDir, "embeddings")

@@ -680,6 +680,33 @@ class EventStreamSpec extends SparkTestBase {
         .select("k", "band", "x"))
   }
 
+  test("cohortRetention: closed-form weekly cohort matrix") {
+    import spark.implicits._
+    val week = 604800L * 1000L
+    val base = (1700000000L / 604800L + 1L) * week // a clean week boundary
+    def ts(w: Long, off: Long = 1000L) = new java.sql.Timestamp(base + w * week + off)
+    // cohort W0: users 1,2,3 (u1 active w0+w1+w2, u2 w0+w2, u3 w0 only);
+    // cohort W1: user 4 (active w1 only); duplicate events must not
+    // double-count (u1 twice in w0)
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(0, 2000L)), (1L, ts(1)), (1L, ts(2)),
+      (2L, ts(0)), (2L, ts(2)),
+      (3L, ts(0)),
+      (4L, ts(1)))
+      .toDF("user_id", "ts")
+    val got = EventStream.cohortRetention(events)
+      .orderBy("cohort_week", "week_offset")
+      .select(col("week_offset"), col("n_users"), col("retention"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val w0 = base / week
+    val cohorts = EventStream.cohortRetention(events)
+      .select("cohort_week").distinct().as[Long].collect().sorted
+    assert(cohorts.sameElements(Array(w0, w0 + 1)))
+    assert(got.toSeq == Seq(
+      (0L, 3L, 1.0), (1L, 1L, 0.333333), (2L, 2L, 0.666667), // cohort W0
+      (0L, 1L, 1.0)))                                        // cohort W1
+  }
+
   // ------------------------------------------------------------- round 14:
   // the bounded-state claims MEASURED, not argued: every watermark-carrying
   // operator streams 10 micro-batches of advancing event time through
