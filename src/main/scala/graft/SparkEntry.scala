@@ -1227,6 +1227,33 @@ object SparkEntry {
         .orderBy("version", "doc_id"))
     }),
 
+    // manifest-level version DIFF (p25, round 14): rows added ('A') and
+    // removed ('R') between two published versions, scanning ONLY the
+    // files the two manifests do not share — commits are O(delta), so
+    // diffs are too (the untouched de/fr/zh bands' carried files are
+    // never read; SourcesSpec pins that via inputFiles). Unchanged rows
+    // inside the rewritten band cancel through the EXCEPT ALL pair.
+    "p25_version_diff" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-vdiff-${math.abs(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val init = docs.filter(col("doc_id") % 3 <= 1).withColumn("op", lit("I"))
+      sources.Sources.deltaCommit(s, base, init, "lang", Seq("lang", "doc_id"))
+      val en = docs.filter(col("lang") === "en")
+      val dels = en.filter(col("doc_id") % 6 === 0).withColumn("op", lit("D"))
+      val upds = en.filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 0)
+        .withColumn("n_chars", -col("n_chars")).withColumn("op", lit("U"))
+      val ins = en.filter(col("doc_id") % 3 === 2).withColumn("op", lit("I"))
+      sources.Sources.deltaCommit(s, base,
+        dels.unionByName(upds).unionByName(ins), "lang", Seq("lang", "doc_id"))
+      rt(s, sources.Sources.deltaDiff(s, base, 1L, 2L)
+        .select("doc_id", "lang", "n_chars", "change")
+        .orderBy("change", "doc_id"))
+    }),
+
     // STREAMING ingestion into the versioned table (p24): each drained
     // micro-batch lands as one immutable delta version through
     // Sinks.deltaSink (foreachBatch + per-batch marker dedup), so the
@@ -4138,6 +4165,23 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, n_chars, CAST(2 AS BIGINT) AS version FROM v2
         |ORDER BY version, doc_id""".stripMargin,
+    // p25: the diff replayed as EXCEPT ALL pairs over the same two
+    // closed-form version states p23's oracle constructs
+    "p25_version_diff" ->
+      """WITH v1 AS (SELECT doc_id, lang, n_chars FROM documents
+        |            WHERE doc_id % 3 <= 1),
+        |v2 AS (SELECT doc_id, lang,
+        |    CASE WHEN lang = 'en' AND doc_id % 3 = 1 AND doc_id % 5 = 0
+        |      THEN -n_chars ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  WHERE (doc_id % 3 <= 1 AND NOT (lang = 'en' AND doc_id % 6 = 0))
+        |     OR (lang = 'en' AND doc_id % 3 = 2)),
+        |a AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1),
+        |r AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+        |SELECT doc_id, lang, n_chars, 'A' AS change FROM a
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 'R' AS change FROM r
+        |ORDER BY change, doc_id""".stripMargin,
     // p22: both version reads replayed closed-form from the commit rules
     "p22_time_travel" ->
       """SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS version

@@ -625,13 +625,18 @@ object Sources {
           if (affectedPrev.isEmpty) None
           else Some(deltaFiles(spark, basePath, affectedPrev))
         val additions = snap.filter(col(opCol) =!= "D").select(cols.map(col): _*)
-        val merged = prevRows match {
+        val merged = (prevRows match {
           case Some(p) =>
             p.select(cols.map(col): _*)
               .join(snap.select(keyCols.map(col): _*), keyCols, "left_anti")
               .unionByName(additions)
           case None => additions
-        }
+          // canonical column order in every data file: the USING join above
+          // moves its keys to the FRONT of the survivors, so without this
+          // select a merged commit's files would order columns differently
+          // from an initial commit's — positional consumers (exceptAll in
+          // deltaDiff) would silently mis-align
+        }).select(cols.map(col): _*)
         val sorted =
           if (sortCols.isEmpty) merged
           else merged.sortWithinPartitions(sortCols.map(col): _*)
@@ -805,6 +810,37 @@ object Sources {
       .filter(f => bands.contains(f.stripPrefix("data/").split("/")(0)))
     require(files.nonEmpty, s"no files for bands $bands")
     deltaFiles(spark, basePath, files)
+  }
+
+  /** Version-to-version DIFF from the manifests alone (p25): rows added
+    * ('A') and removed ('R') between two published versions, scanning
+    * ONLY the files the two manifests do NOT share — the file-reuse
+    * property that makes commits O(delta) makes diffs O(delta) too: a
+    * diff across versions that touched one band reads that band twice,
+    * never the table. Rows carried in shared files cancel by
+    * construction; unchanged rows inside a rewritten band cancel through
+    * the EXCEPT ALL pair (multiset semantics — duplicate-safe). */
+  def deltaDiff(spark: SparkSession, basePath: String,
+                vFrom: Long, vTo: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val fFrom = deltaManifestFor(spark, basePath, Some(vFrom)).toSet
+    val fTo = deltaManifestFor(spark, basePath, Some(vTo)).toSet
+    val onlyFrom = (fFrom -- fTo).toSeq.sorted
+    val onlyTo = (fTo -- fFrom).toSeq.sorted
+    def side(files: Seq[String], other: Seq[String]): DataFrame =
+      if (files.nonEmpty) deltaFiles(spark, basePath, files)
+      else deltaFiles(spark, basePath, other).limit(0)
+    if (onlyFrom.isEmpty && onlyTo.isEmpty)
+      return deltaFiles(spark, basePath, fTo.toSeq.sorted.take(1))
+        .limit(0).withColumn("change", lit(""))
+    val after = side(onlyTo, onlyFrom)
+    // exceptAll is POSITIONAL — align the before side to after's column
+    // order by name (tables written before the canonical-order fix can
+    // carry per-commit column orders in their files)
+    val before = side(onlyFrom, onlyTo)
+      .select(after.columns.map(org.apache.spark.sql.functions.col): _*)
+    after.exceptAll(before).withColumn("change", lit("A"))
+      .unionByName(before.exceptAll(after).withColumn("change", lit("R")))
   }
 
   private def deltaManifestFor(spark: SparkSession, basePath: String,

@@ -446,6 +446,43 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("deltaDiff scans ONLY the files the two manifests do not share " +
+    "and yields the exact added/removed multisets") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_vdiff").toString + "/tbl"
+    def mk(rows: Seq[(Long, String, Long)], op: String) =
+      rows.toDF("k", "band", "x").withColumn("op", lit(op))
+    Sources.deltaCommit(spark, base,
+      mk(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "c", 40L)), "I"),
+      "band", Seq("band", "k"))
+    // v2 touches ONLY band a: update k=1, delete k=2, insert k=5
+    Sources.deltaCommit(spark, base,
+      mk(Seq((1L, "a", 11L)), "U")
+        .unionByName(mk(Seq((2L, "a", 0L)), "D"))
+        .unionByName(mk(Seq((5L, "a", 50L)), "I")),
+      "band", Seq("band", "k"))
+    val diff = Sources.deltaDiff(spark, base, 1L, 2L)
+    // O(delta): the untouched b/c bands' carried files are never read
+    val scanned = diff.inputFiles.map(u => new java.net.URI(u).getPath)
+    assert(scanned.nonEmpty && scanned.forall(_.contains("/band=a/")),
+      s"diff must scan only the differing band's files: ${scanned.toSeq}")
+    assertSameRows(
+      Seq((1L, "a", 11L, "A"), (5L, "a", 50L, "A"),
+        (1L, "a", 10L, "R"), (2L, "a", 20L, "R"))
+        .toDF("k", "band", "x", "change"),
+      diff.select("k", "band", "x", "change"))
+    // identical versions diff to empty (and don't blow up on no files)
+    assert(Sources.deltaDiff(spark, base, 2L, 2L).count() == 0)
+    // pure-addition diff: v3 inserts into band b; the carried-over row
+    // (3,b,30) appears in both versions' band-b files and must CANCEL
+    Sources.deltaCommit(spark, base, mk(Seq((6L, "b", 60L)), "I"),
+      "band", Seq("band", "k"))
+    assertSameRows(
+      Seq((6L, "b", 60L, "A")).toDF("k", "band", "x", "change"),
+      Sources.deltaDiff(spark, base, 2L, 3L).select("k", "band", "x", "change"))
+  }
+
   test("deltaVacuum retention edge: a reader holding a retired version " +
     "fails LOUDLY, never returns partial rows") {
     import spark.implicits._
