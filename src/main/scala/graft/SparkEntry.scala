@@ -589,6 +589,25 @@ object SparkEntry {
         .orderBy("q_id", "rank"))
     }),
 
+    // ANN top-k via SIGN-BIT quantization (s18, round 14): the extreme
+    // rung of the ladder — 64-dim vectors pack into ONE bigint (32x fewer
+    // bytes than float32), candidates rank by Hamming distance (xor +
+    // bit_count, a monotone angular proxy for sign codes), and the exact
+    // rerank restores exact order. One-bit codes are a corpus-FRACTION
+    // pre-filter (worst true-neighbor Hamming rank a stable ~1/3 of the
+    // corpus across fixtures; SqSpec pins 40%): the economics are
+    // scanning 32x fewer bytes to halve exact-cosine work, so the
+    // shortlist is corpus/2 and s01's exact-kNN oracle certifies the
+    // output at every SF.
+    "s18_knn_signbit" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val signs = ops.Sq.signEncode(e)
+      val shortlist = math.max(128L, e.count() / 2).toInt
+      rt(s, ops.Sq.searchSign(signs, e, e.filter(col("vec_id") < 8),
+          k = 5, shortlist = shortlist)
+        .orderBy("q_id", "rank"))
+    }),
+
     // weekly cohort retention (e18, round 14): users bucket into the week
     // of their first event; each later activity week counts them at its
     // offset, over the cohort's size. Integer epoch-weeks — no calendar
@@ -3682,6 +3701,20 @@ object SparkEntry {
     // (measured ~3x ADC-rank margin), so PQ output == exact kNN and the
     // same brute-force ground truth certifies it
     "s08_knn_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |s AS (SELECT q_id, e.vec_id AS n_id,
+        |  list_dot_product(qv, e.v)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim0
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, sim0,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim0 DESC, n_id ASC) AS rank
+        |  FROM s)
+        |SELECT q_id, n_id, rank, ROUND(sim0, 6) AS sim FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // s18: sign-bit shortlist+rerank, exact by the measured Hamming-rank
+    // margin — same exact-kNN replay
+    "s18_knn_signbit" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
         |s AS (SELECT q_id, e.vec_id AS n_id,

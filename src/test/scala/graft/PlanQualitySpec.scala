@@ -474,6 +474,12 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
   }
 
+  test("s18: sign-bit rerank joins broadcast; no unbroadcast cartesian") {
+    val p = plan("s18_knn_signbit")
+    assert(p.contains("BroadcastHashJoin"), s"rerank must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
+  }
+
   test("e18: cohort retention scans only (user_id, ts); only narrow " +
     "(user, week) pairs shuffle; no cartesians") {
     val p = plan("e18_cohort_retention")

@@ -34,6 +34,38 @@ class SqSpec extends SparkTestBase {
     info(s"worst true-neighbor quantized rank = $worst (shortlist 64)")
   }
 
+  test("sign-bit shortlist+rerank equals brute force; codes pack to longs") {
+    val signs = Sq.signEncode(embs)
+    assert(signs.schema("n_sign").dataType.simpleString == "array<bigint>",
+      "sign codes must pack into long words (the 32x claim)")
+    import spark.implicits._
+    val words = signs.select(size(col("n_sign"))).as[Int].head()
+    assert(words == 1, s"64-dim fixture must pack into ONE word, got $words")
+    val queries = embs.filter(col("vec_id") < 4)
+    val got = Sq.searchSign(signs, embs, queries, k = 5,
+      shortlist = (embs.count() / 2).toInt)
+      .collect().map(_.toString).sorted
+    val brute = Similarity.bruteForceKnn(embs, queries, k = 5)
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(brute), "sign rerank must restore exact order")
+  }
+
+  test("worst true-neighbor Hamming rank stays under the corpus/2 " +
+    "shortlist contract") {
+    val signs = Sq.signEncode(embs)
+    val n = embs.count()
+    val worst = Sq.worstTrueNeighborSignRank(signs, embs,
+      embs.filter(col("vec_id") < 8), k = 5)
+    // 1-bit codes are coarse: the worst true neighbor sits at a stable
+    // ~1/3 of the corpus (91/166/640 of 500/500/2000 at sf0.001/.01/.1)
+    // — a FRACTION, not a fixed rank; corpus/2 is the exactness contract
+    // (1.5x margin) and 40% is the regression pin
+    assert(worst <= (n * 2) / 5,
+      s"worst true-neighbor Hamming rank $worst erodes the corpus/2 " +
+        s"shortlist contract (n=$n)")
+    info(s"worst true-neighbor Hamming rank = $worst of $n")
+  }
+
   test("all-zero corpus is rejected loudly (no NaN scale)") {
     import spark.implicits._
     val z = Seq((1L, Array(0.0, 0.0))).toDF("vec_id", "embedding")
