@@ -44,11 +44,12 @@ object Bench {
       .filter(_.getName == "Metaspace")
       .map(_.getUsage.getUsed / (1024 * 1024)).sum
     val cg = org.apache.spark.metrics.source.CodegenMetrics
+    // count only: the compile-time histogram is a decaying reservoir
+    // SAMPLE (sums of it undercount and can shrink); jit_ms above is the
+    // exact cumulative timing instrument
     s"""{"jit_ms":$jit,"gc_ms":$gc,"codeheap_mb":$codeHeapMb,""" +
       s""""metaspace_mb":$metaMb,""" +
-      s""""codegen_compiles":${cg.METRIC_COMPILATION_TIME.getCount},""" +
-      s""""codegen_compile_ms":${cg.METRIC_COMPILATION_TIME.getSnapshot
-        .getValues.sum}}"""
+      s""""codegen_compiles":${cg.METRIC_COMPILATION_TIME.getCount}}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -201,12 +201,17 @@ object Ivf {
   /** Tombstone DELETES on a saved index — retire vectors without touching
     * a single cell file (the delete twin of [[appendToSaved]]'s add path):
     * deleted ids APPEND into a `tombstones` parquet beside the cells, and
-    * [[load]] anti-joins them out, so delete cost is proportional to the
-    * batch and concurrent readers of already-built plans are unaffected
-    * (their file lists predate the tombstone write). Re-deleting an id is
-    * a no-op (the anti-join is idempotent); [[compactSaved]] folds
-    * tombstones into a rewritten layout when their fraction warrants it.
-    */
+    * [[load]] anti-joins them out. Re-deleting an id is a no-op (the
+    * anti-join is idempotent).
+    *
+    * Cost/reader contract: delete cost is O(batch) and concurrent readers
+    * of already-built plans are unaffected UNTIL the tombstone set reaches
+    * `autoCompactRatio` of the layout's rows — at that point this call
+    * runs [[compactSaved]] itself (answers identical, but cell dirs
+    * RENAME, so a reader holding a resolved plan must re-resolve — the
+    * same retention-style contract as vacuum), bounding the per-search
+    * anti-join by default. Pass `autoCompactRatio = 0` for the pure
+    * tombstone behavior (O(batch) always, compaction caller-owned). */
   def deleteFromSaved(spark: org.apache.spark.sql.SparkSession, path: String,
                       ids: DataFrame, idCol: String = "vec_id",
                       autoCompactRatio: Double = 0.5): IvfIndex = {

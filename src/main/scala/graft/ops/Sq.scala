@@ -55,6 +55,19 @@ object Sq {
     aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, x) => acc + x)
 
+  /** Quantized cosine with an explicit zero-norm floor: a vector whose
+    * every component rounds to 0 at this scale (tiny vector under a
+    * heavy-tailed corpus) would make the ratio NaN — and Spark orders
+    * NaN as the LARGEST double, so zero-code junk would rank FIRST in a
+    * `desc` shortlist, silently displacing true neighbors. Zero-norm
+    * pairs rank last (-2.0, below any real cosine) instead. */
+  private def quantizedCosine(nCode: Column, qCode: Column,
+                              qNorm: Column): Column = {
+    val nNorm = sqrt(dotCodes(nCode, nCode).cast("double"))
+    when(nNorm === 0.0 || qNorm === 0.0, lit(-2.0))
+      .otherwise(dotCodes(nCode, qCode).cast("double") / (nNorm * qNorm))
+  }
+
   /** Top-k cosine neighbors: quantized-cosine shortlist from the codes
     * scan, exact rerank of the shortlist against the raw vectors. Output
     * (q_id, n_id, rank, sim) — s01's shape, certified exact as long as
@@ -72,10 +85,8 @@ object Sq {
       sqrt(dotCodes(col("q_code"), col("q_code")).cast("double"))))
     val simQ = encoded.crossJoin(qn)
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("sim_q",
-        dotCodes(col("n_code"), col("q_code")).cast("double") /
-          (sqrt(dotCodes(col("n_code"), col("n_code")).cast("double")) *
-            col("q_norm")))
+      .withColumn("sim_q", quantizedCosine(
+        col("n_code"), col("q_code"), col("q_norm")))
     val wq = Window.partitionBy("q_id")
       .orderBy(col("sim_q").desc, col("n_id").asc)
     val short = simQ.withColumn("qrank", row_number().over(wq))
@@ -194,10 +205,8 @@ object Sq {
       sqrt(dotCodes(col("q_code"), col("q_code")).cast("double"))))
     val simQ = encoded.crossJoin(qn)
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("sim_q",
-        dotCodes(col("n_code"), col("q_code")).cast("double") /
-          (sqrt(dotCodes(col("n_code"), col("n_code")).cast("double")) *
-            col("q_norm")))
+      .withColumn("sim_q", quantizedCosine(
+        col("n_code"), col("q_code"), col("q_norm")))
     val wq = Window.partitionBy("q_id")
       .orderBy(col("sim_q").desc, col("n_id").asc)
     val ranked = simQ.withColumn("qrank", row_number().over(wq))

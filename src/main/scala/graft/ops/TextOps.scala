@@ -808,7 +808,8 @@ object TextOps {
     * count bounds, mean word length bounds, symbol-to-word ratio
     * ('#' and '...'), alphabetic-word fraction, and a minimum stop-word
     * count — plus the conjunction verdict `gopher_ok`. All HOF folds over
-    * ONE split (no UDFs, no regex classes beyond `[a-z]`); ratios are IEEE
+    * ONE split (no UDFs, no regex classes beyond the case-insensitive
+    * `[A-Za-z]`; stop words match on `lower(w)`); ratios are IEEE
     * doubles over exact integer counts so any engine replays them
     * bit-identically. A pure projection: zero shuffles at any scale.
     */

@@ -861,9 +861,20 @@ object Sources {
     * resolved a retired version's plan fails LOUDLY mid-scan
     * (FileNotFoundException — `spark.sql.files.ignoreMissingFiles` must
     * stay false on these tables), never returns partial rows. Size
-    * `keepLast` above the longest-running reader's version age. */
+    * `keepLast` above the longest-running reader's version age.
+    *
+    * In-flight-commit guard: an unreferenced file whose name parses to a
+    * version ABOVE the newest surviving manifest may belong to a commit
+    * that has staged its data but not yet published (exactly the
+    * beforePublishHook window) — deleting it would publish a manifest
+    * over missing files. Such files (and unparsable names) only delete
+    * once older than `minOrphanAgeMs`; files at or below the newest
+    * surviving version are provably dead (their manifest is gone or they
+    * lost a commit race) and delete immediately. Pass 0 when the table
+    * provably has no concurrent committer (tests, post-crash cleanup). */
   def deltaVacuum(spark: SparkSession, basePath: String,
-                  keepLast: Int): (Seq[Long], Int) = {
+                  keepLast: Int,
+                  minOrphanAgeMs: Long = 20 * 60 * 1000L): (Seq[Long], Int) = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
     val fs = new org.apache.hadoop.fs.Path(basePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -871,15 +882,25 @@ object Sources {
     val drop = versions.dropRight(keepLast)
     drop.foreach(v => fs.delete(
       new org.apache.hadoop.fs.Path(basePath, s"v$v.manifest"), false))
-    val live = listVersions(spark, basePath)
+    val surviving = listVersions(spark, basePath)
+    val latest = surviving.lastOption.getOrElse(0L)
+    val live = surviving
       .flatMap(v => readManifest(spark, basePath, v)).toSet
+    val fileVersion = "^v(\\d+)-".r
+    val cutoff = System.currentTimeMillis() - minOrphanAgeMs
     var deleted = 0
     val dataP = new org.apache.hadoop.fs.Path(basePath, "data")
     if (fs.exists(dataP)) fs.listStatus(dataP)
       .filter(_.isDirectory).foreach { bd =>
         fs.listStatus(bd.getPath).filter(_.isFile).foreach { st =>
-          val rel = s"data/${bd.getPath.getName}/${st.getPath.getName}"
-          if (!live.contains(rel)) { fs.delete(st.getPath, false); deleted += 1 }
+          val name = st.getPath.getName
+          val rel = s"data/${bd.getPath.getName}/$name"
+          val provablyDead = fileVersion.findFirstMatchIn(name)
+            .exists(_.group(1).toLong <= latest)
+          if (!live.contains(rel) &&
+            (provablyDead || st.getModificationTime < cutoff)) {
+            fs.delete(st.getPath, false); deleted += 1
+          }
         }
       }
     (drop, deleted)
@@ -887,9 +908,17 @@ object Sources {
 
   /** Retire versions older than the newest `keepLast`, plus any orphaned
     * data dirs a crashed commit left behind (data without a manifest).
-    * Returns the removed version numbers. */
+    * Returns the removed version numbers.
+    *
+    * In-flight-commit guard (shared rationale with [[deltaVacuum]]): an
+    * orphan dir whose version is ABOVE the newest surviving manifest may
+    * be a commit mid-staging — it only deletes once older than
+    * `minOrphanAgeMs`; orphans at or below the newest version are
+    * provably dead and delete immediately. Pass 0 when no concurrent
+    * committer can exist. */
   def vacuumVersions(spark: SparkSession, basePath: String,
-                     keepLast: Int): Seq[Long] = {
+                     keepLast: Int,
+                     minOrphanAgeMs: Long = 20 * 60 * 1000L): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
     val baseP = new org.apache.hadoop.fs.Path(basePath)
     val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -908,10 +937,16 @@ object Sources {
     // data dirs of dropped versions, plus orphans: dirs with no manifest
     // (crashed pre-publish commits, losers of a commit race)
     val dataP = new org.apache.hadoop.fs.Path(basePath, "data")
-    val live = listVersions(spark, basePath).toSet
+    val surviving = listVersions(spark, basePath)
+    val latest = surviving.lastOption.getOrElse(0L)
+    val live = surviving.toSet
+    val cutoff = System.currentTimeMillis() - minOrphanAgeMs
     if (fs.exists(dataP)) fs.listStatus(dataP)
       .filter(_.isDirectory)
-      .filter(st => versionOf(st.getPath.getName).exists(v => !live.contains(v)))
+      .filter { st =>
+        versionOf(st.getPath.getName).exists(v => !live.contains(v) &&
+          (v <= latest || st.getModificationTime < cutoff))
+      }
       .foreach(st => fs.delete(st.getPath, true))
     drop
   }

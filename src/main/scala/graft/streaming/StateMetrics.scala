@@ -105,15 +105,21 @@ object StateMetrics {
                      warmAt: Int = 3,
                      plateauRatio: Double = 1.6,
                      requireRemovals: Boolean = true): (Boolean, String) = {
+    // a run that never reported progress is a FAILED verdict with its own
+    // message, not an empty.max crash masking the state data
+    if (ms.isEmpty)
+      return (false, "no StreamingQueryProgress recorded (no batches ran " +
+        "or lastProgress stayed null)")
     val maxTotal = ms.map(_.stateRowsTotal).max
     val removed = ms.map(_.stateRowsRemoved).sum
-    val warm = ms(warmAt).stateRowsTotal max 1L
+    val warm = ms(math.min(warmAt, ms.size - 1)).stateRowsTotal max 1L
     val last = ms.last.stateRowsTotal
+    val lag = ms.map(_.watermarkLagSec).filter(_ != Long.MaxValue)
+      .maxOption.getOrElse(-1L) // -1: no watermark ever reported
     val ok = maxTotal <= plateauCap &&
       (!requireRemovals || removed > 0) &&
       last <= (plateauRatio * warm).toLong
     (ok, s"maxState=$maxTotal (cap $plateauCap), removedTotal=$removed, " +
-      s"warm(b$warmAt)=$warm, last=$last, " +
-      s"lagSec=${ms.map(_.watermarkLagSec).filter(_ != Long.MaxValue).max}")
+      s"warm(b$warmAt)=$warm, last=$last, lagSec=$lag")
   }
 }

@@ -90,8 +90,12 @@ object DriverKillGate {
     val deadline = System.currentTimeMillis() + 300000
     while (!marker.exists() && proc.isAlive &&
       System.currentTimeMillis() < deadline) Thread.sleep(100)
-    require(marker.exists(),
-      s"child never reached the crash window (alive=${proc.isAlive})")
+    if (!marker.exists()) {
+      val alive = proc.isAlive
+      proc.destroyForcibly() // never leak a parked child JVM on timeout
+      proc.waitFor()
+      sys.error(s"child never reached the crash window (alive=$alive)")
+    }
     proc.destroyForcibly() // SIGKILL — a real driver death
     proc.waitFor()
   }
@@ -165,7 +169,8 @@ object DriverKillGate {
     val dataDirs0 = fs.listStatus(
       new org.apache.hadoop.fs.Path(s"$base/data")).length
     require(dataDirs0 == 2, s"expected v1 dir + 1 orphan, got $dataDirs0")
-    Sources.vacuumVersions(spark, base, keepLast = 1)
+    // minOrphanAgeMs = 0: the committer is PROVABLY dead (we killed it)
+    Sources.vacuumVersions(spark, base, keepLast = 1, minOrphanAgeMs = 0L)
     val dataDirs1 = fs.listStatus(
       new org.apache.hadoop.fs.Path(s"$base/data")).length
     require(dataDirs1 == 1, s"vacuum must sweep the orphan, got $dataDirs1")

@@ -66,6 +66,37 @@ class SqSpec extends SparkTestBase {
     info(s"worst true-neighbor Hamming rank = $worst of $n")
   }
 
+  test("zero-code vectors under a heavy-tailed scale rank LAST, never " +
+    "displace true neighbors (NaN-orders-first trap)") {
+    import spark.implicits._
+    // one outlier sets the global scale so the 30 junk vectors' every
+    // component rounds to 0 -> zero-norm codes -> 0/0 cosine. Spark sorts
+    // NaN as the LARGEST double, so before the floor fix the junk ranked
+    // FIRST in the desc shortlist and pushed out every true neighbor.
+    // junk points AWAY from the query direction (negative first component)
+    // so the true top-5 is mids + outlier — all with nonzero codes
+    val junk = (1L to 30L).map(i =>
+      (i, Array(-0.001 * (i % 3 + 1), -0.001, 0.001 * (i % 5), -0.002)))
+    val mids = (50L to 54L).map(i =>
+      (i, Array(30.0 + i, 5.0, -3.0 * (i % 2), 1.0)))
+    val outlier = Seq((99L, Array(1000.0, -1000.0, 1000.0, -1000.0)))
+    val df = (junk ++ mids ++ outlier).toDF("vec_id", "embedding")
+    val scale = Sq.trainScale(df)
+    val enc = Sq.encode(df, scale)
+    assert(enc.filter(col("n_id") <= 30L)
+      .filter(expr("exists(n_code, x -> x != 0)")).count() == 0,
+      "fixture: junk vectors must quantize to the all-zero code")
+    val queries = df.filter(col("vec_id") === 50L)
+    // shortlist 5 < 30 junk: with the NaN ordering the shortlist would be
+    // pure junk and the rerank could never see the true neighbors
+    val got = Sq.search(enc, df, queries, scale, k = 5, shortlist = 5)
+      .collect().map(_.toString).sorted
+    val brute = Similarity.bruteForceKnn(df, queries, k = 5)
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(brute),
+      "zero-code junk displaced true neighbors from the shortlist")
+  }
+
   test("all-zero corpus is rejected loudly (no NaN scale)") {
     import spark.implicits._
     val z = Seq((1L, Array(0.0, 0.0))).toDF("vec_id", "embedding")

@@ -369,8 +369,11 @@ class SourcesSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Sources.readVersion(spark, base, Some(99L))
     }
-    // vacuum: old versions and the orphan go; survivors still read
-    assert(Sources.vacuumVersions(spark, base, keepLast = 2) == Seq(1L))
+    // vacuum: old versions and the orphan go; survivors still read.
+    // minOrphanAgeMs = 0: the v99 "in-flight" orphan is a planted ghost,
+    // provably dead here (the default age guard protects real committers)
+    assert(Sources.vacuumVersions(spark, base, keepLast = 2,
+      minOrphanAgeMs = 0L) == Seq(1L))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/data/v1")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/data/v99")))
     assertSameRows(v2data, Sources.readVersion(spark, base, Some(2L)))
