@@ -139,6 +139,12 @@ object Bench {
     // +10% drift on shared queries" was. Sorted order pins each query's
     // neighborhood across rounds, so suite growth perturbs positions
     // locally instead of reshuffling them. (BASELINE.md round-14 A/B.)
+    // per-decile 1-min loadavg series (r13 verdict minor item 8): a run
+    // that ends hot is self-adjudicating only if the reader can see WHEN
+    // the load arrived — ten samples across the measured suite, file-only
+    val loadSeries = Seq.newBuilder[Double]
+    val decile = math.max(1, selected.size / 10)
+    var measured = 0
     val results: Map[String, Double] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
@@ -146,6 +152,8 @@ object Bench {
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
         }
+        measured += 1
+        if (measured % decile == 0) loadSeries += loadAvg
         name -> times.min
       }.toMap
     // Automated solo-refute (ambient contention on this box is bursty and
@@ -197,7 +205,9 @@ object Bench {
       base + errs
     }
     val diagPost = jvmDiag
-    val diagJson = s""","diag":{"pre":$diagPre,"post":$diagPost}"""
+    val diagJson = s""","diag":{"pre":$diagPre,"post":$diagPost}""" +
+      loadSeries.result().map(f3)
+        .mkString(""","load_series":[""", ",", "]")
     val fullLine = mkLine(
       results.toSeq.map { case (k, v) => k -> v.toString }, total,
       soloJsonOf(_.toString) + loadJson + diagJson)
