@@ -3095,6 +3095,39 @@ object SparkEntry {
           |ORDER BY c_mktsegment""".stripMargin))
     }),
 
+    // TPC-DS q47 shape (round 14, the 10th DS pattern): monthly deviation
+    // screen — TWO window partitionings over ONE aggregate (a year-scoped
+    // share frame AND an ordered lag/lead frame), then a filter on the
+    // windowed ratio. The year average is sum/count of EXACT decimals
+    // (never avg-of-doubles — partition-order-dependent last-ulp drift is
+    // the hash trap); two window sort groups must both survive the wire
+    "q80_ds_moving_dev" -> ((s, dir) => {
+      t(s, dir, "orders")
+      rt(s, s.sql(
+        """WITH monthly AS (
+          |  SELECT o_orderstatus AS status,
+          |    substring(CAST(o_orderdate AS STRING), 1, 7) AS ym,
+          |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS amt0
+          |  FROM orders GROUP BY 1, 2)
+          |SELECT status, ym, CAST(amt0 AS DOUBLE) AS amt,
+          |  CAST(ROUND(avg_year, 6) AS DOUBLE) AS avg_year,
+          |  CAST(ROUND(CAST(amt0 AS DOUBLE) / avg_year, 6) AS DOUBLE)
+          |    AS dev,
+          |  CAST(lag_amt AS DOUBLE) AS prev_amt,
+          |  CAST(lead_amt AS DOUBLE) AS next_amt
+          |FROM (
+          |  SELECT status, ym, amt0,
+          |    CAST(sum(amt0) OVER (PARTITION BY status, substring(ym, 1, 4))
+          |      AS DOUBLE) /
+          |      count(amt0) OVER (PARTITION BY status, substring(ym, 1, 4))
+          |      AS avg_year,
+          |    lag(amt0) OVER (PARTITION BY status ORDER BY ym) AS lag_amt,
+          |    lead(amt0) OVER (PARTITION BY status ORDER BY ym) AS lead_amt
+          |  FROM monthly) x
+          |WHERE CAST(amt0 AS DOUBLE) > avg_year * 1.1
+          |ORDER BY status, ym""".stripMargin))
+    }),
+
     // uncorrelated scalar subquery → cross-joined single-row AggregateRel
     "q33_scalar_subquery" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -5915,6 +5948,29 @@ object SparkEntry {
         |  count(CASE WHEN channel = 'line' THEN 1 END) AS n_lines
         |FROM facts GROUP BY nation
         |ORDER BY nation""".stripMargin,
+    "q80_ds_moving_dev" ->
+      """WITH monthly AS (
+        |  SELECT o_orderstatus AS status,
+        |    substring(CAST(o_orderdate AS STRING), 1, 7) AS ym,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS amt0
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT status, ym, CAST(amt0 AS DOUBLE) AS amt,
+        |  CAST(ROUND(avg_year, 6) AS DOUBLE) AS avg_year,
+        |  CAST(ROUND(CAST(amt0 AS DOUBLE) / avg_year, 6) AS DOUBLE)
+        |    AS dev,
+        |  CAST(lag_amt AS DOUBLE) AS prev_amt,
+        |  CAST(lead_amt AS DOUBLE) AS next_amt
+        |FROM (
+        |  SELECT status, ym, amt0,
+        |    CAST(sum(amt0) OVER (PARTITION BY status, substring(ym, 1, 4))
+        |      AS DOUBLE) /
+        |      count(amt0) OVER (PARTITION BY status, substring(ym, 1, 4))
+        |      AS avg_year,
+        |    lag(amt0) OVER (PARTITION BY status ORDER BY ym) AS lag_amt,
+        |    lead(amt0) OVER (PARTITION BY status ORDER BY ym) AS lead_amt
+        |  FROM monthly) x
+        |WHERE CAST(amt0 AS DOUBLE) > avg_year * 1.1
+        |ORDER BY status, ym""".stripMargin,
     "q79_ds_channel_intersect" ->
       """WITH both_cust AS (
         |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'

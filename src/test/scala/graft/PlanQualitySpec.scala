@@ -738,11 +738,17 @@ class PlanQualitySpec extends SparkTestBase {
   test("round-14 DS shapes: no cartesians/nested loops; q75 is ONE " +
     "Expand-fed aggregate; q76's CTE chain reuses one physical aggregate") {
     Seq("q75_ds_gsets_share", "q76_ds_cte_chain", "q77_ds_exists_window",
-      "q78_ds_multifact_union", "q79_ds_channel_intersect").foreach { q =>
+      "q78_ds_multifact_union", "q79_ds_channel_intersect",
+      "q80_ds_moving_dev").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
     }
+    // q80: TWO distinct window partitionings over the one monthly
+    // aggregate must both survive the wire as window nodes
+    assert(plan("q80_ds_moving_dev")
+      .sliding("Window".length).count(_ == "Window") >= 2,
+      "both window sort groups must be present")
     val p75 = plan("q75_ds_gsets_share")
     // grouping sets feed ONE Expand-fed aggregate, not one job per set
     assert(p75.sliding("Expand".length).count(_ == "Expand") == 1, p75)
