@@ -34,6 +34,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Writer-unique scratch dir for the stateful p/s/e queries: hex
+    * hashCode (abs(Int.MinValue) stays negative) + pid, so concurrent
+    * JVMs over the same sfDir (bench alongside correctness) never clobber
+    * each other's table mid-commit. Deterministic WITHIN one JVM — bench
+    * REPS and verify reuse the same dir and delete-at-start. */
+  private def scratch(prefix: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-$prefix-" +
+      s"${Integer.toHexString(dir.hashCode)}-p${ProcessHandle.current().pid()}"
+
   /** sum as exact decimal, surfaced as double (deterministic across engines). */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
   private def dsum4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
@@ -333,8 +342,7 @@ object SparkEntry {
       // hex hashCode (abs(Int.MinValue) stays negative) + pid so concurrent
       // JVMs over the same sfDir (bench alongside correctness) never share
       // a table dir; delete-at-start so stale state cannot interleave
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft-upsink-" +
-        s"${Integer.toHexString(dir.hashCode)}-p${ProcessHandle.current().pid()}"
+      val out = scratch("upsink", dir)
       val outPath = new org.apache.hadoop.fs.Path(out)
       val outFs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (outFs.exists(outPath)) outFs.delete(outPath, true)
@@ -474,7 +482,7 @@ object SparkEntry {
     "s06_knn_ivf_saved" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val idx = ops.Ivf.build(e, nlist = 16, trainSampleFraction = 0.5)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-${math.abs(dir.hashCode)}"
+      val path = scratch("ivf", dir)
       ops.Ivf.save(idx, path)
       idx.assigned.unpersist()
       val loaded = ops.Ivf.load(s, path)
@@ -506,7 +514,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val idx = ops.Ivf.build(e.filter(col("vec_id") % 2 === 0),
         nlist = 16, trainSampleFraction = 0.5)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivfgrow-${math.abs(dir.hashCode)}"
+      val path = scratch("ivfgrow", dir)
       ops.Ivf.save(idx, path)
       idx.assigned.unpersist()
       val grown = ops.Ivf.appendToSaved(s, path, e.filter(col("vec_id") % 2 === 1))
@@ -522,7 +530,7 @@ object SparkEntry {
     // oracle over the corpus MINUS the deleted ids certifies exactness.
     "s16_knn_tombstone_delete" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivfdel-${math.abs(dir.hashCode)}"
+      val path = scratch("ivfdel", dir)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
@@ -929,7 +937,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val idx = ops.IvfPq.build(e, nlist = 16, m = 16, k = 64,
         trainSampleFraction = 0.5)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-${math.abs(dir.hashCode)}"
+      val path = scratch("ivfpq", dir)
       ops.IvfPq.save(idx, path)
       val loaded = ops.IvfPq.load(s, path)
       rt(s, ops.IvfPq.searchPruned(loaded, e, e.filter(col("vec_id") < 8),
@@ -1023,7 +1031,7 @@ object SparkEntry {
     // sides; PlanQualitySpec asserts the zero-exchange SMJ). Result is
     // DuckDB-certified equal to the plain join.
     "p04_bucketed_join" -> ((s, dir) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft-buck-${math.abs(dir.hashCode)}"
+      val base = scratch("buck", dir)
       val ob = "orders_bucketed"; val cb = "customer_bucketed"
       sources.Sources.writeBucketed(
         t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
@@ -1064,7 +1072,7 @@ object SparkEntry {
     // files (repartition, not coalesce — even output beats narrow-but-skewed)
     // and read back; the oracle certifies the rewrite is row-lossless.
     "p08_compaction" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft-compact-${math.abs(dir.hashCode)}"
+      val out = scratch("compact", dir)
       sources.Sources.compact(s, s"$dir/documents.parquet", out,
         targetBytes = 4L * 1024 * 1024)
       rt(s, s.read.parquet(out).select("doc_id", "lang", "n_chars")
@@ -1076,7 +1084,7 @@ object SparkEntry {
     // (PlanQualitySpec asserts PartitionFilters + pruned file count) and the
     // oracle certifies the surviving rows exactly.
     "p09_range_layout" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft-layout-${math.abs(dir.hashCode)}"
+      val out = scratch("layout", dir)
       sources.Sources.writeRangePartitioned(
         t(s, dir, "documents").withColumn("len_band",
           floor(col("n_chars") / 100).cast("int")),
@@ -1092,7 +1100,7 @@ object SparkEntry {
     // under a 2-D box filter; SourcesSpec asserts the actual file-level
     // skipping beats a single-column sort on the second dimension.
     "p10_zorder_layout" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft-zorder-${math.abs(dir.hashCode)}"
+      val out = scratch("zorder", dir)
       sources.Sources.writeZOrdered(t(s, dir, "documents"),
         Seq("doc_id", "n_chars"), out, numFiles = 16)
       rt(s, s.read.parquet(out)
@@ -1123,7 +1131,7 @@ object SparkEntry {
     // lossless widening casts, where bare mergeSchema would fail
     "p17_schema_evolution" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft-evolve-${math.abs(dir.hashCode)}"
+      val base = scratch("evolve", dir)
       val docs = t(s, dir, "documents")
       docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("text"), col("lang"),
@@ -1154,7 +1162,7 @@ object SparkEntry {
     // D resolves deterministically (anti-join removes once, the non-delete
     // row re-inserts) and the oracle replays that rule.
     "p21_merge_into" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft-merge-${math.abs(dir.hashCode)}"
+      val out = scratch("merge", dir)
       val docs = t(s, dir, "documents")
         .withColumn("len_band", floor(col("n_chars") / 100).cast("int"))
       sources.Sources.writeRangePartitioned(docs, "len_band", out,
@@ -1175,7 +1183,7 @@ object SparkEntry {
     }),
 
     "p14_cow_upsert" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft-upsert-${math.abs(dir.hashCode)}"
+      val out = scratch("upsert", dir)
       val docs = t(s, dir, "documents")
         .withColumn("len_band", floor(col("n_chars") / 100).cast("int"))
       sources.Sources.writeRangePartitioned(docs, "len_band", out,
@@ -1200,7 +1208,7 @@ object SparkEntry {
     // the row sets. The v1 plan also proves snapshot isolation: its file
     // list resolved at build time, so v2's commit can't move it.
     "p22_time_travel" -> ((s, dir) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft-tt-${math.abs(dir.hashCode)}"
+      val base = scratch("tt", dir)
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -1222,7 +1230,7 @@ object SparkEntry {
     // back row-for-row after v2 landed: time travel + snapshot isolation
     // on band-partitioned plain parquet.
     "p23_delta_commits" -> ((s, dir) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft-delta-${math.abs(dir.hashCode)}"
+      val base = scratch("delta", dir)
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -1253,7 +1261,7 @@ object SparkEntry {
     // never read; SourcesSpec pins that via inputFiles). Unchanged rows
     // inside the rewritten band cancel through the EXCEPT ALL pair.
     "p25_version_diff" -> ((s, dir) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft-vdiff-${math.abs(dir.hashCode)}"
+      val base = scratch("vdiff", dir)
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -1280,7 +1288,7 @@ object SparkEntry {
     // contract — the same I/U/D rules as p23, arriving as a stream, must
     // produce the same two version states row-for-row.
     "p24_stream_delta_ingest" -> ((s, dir) => {
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft-sdelta-${math.abs(dir.hashCode)}"
+      val root = scratch("sdelta", dir)
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true)

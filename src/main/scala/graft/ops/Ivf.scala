@@ -146,7 +146,38 @@ object Ivf {
     index.centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // advisory size counters: seed the O(1) auto-compaction trigger
+    // (assigned is persisted by build — this count is a cache pass)
+    writeCounter(fs, path, "rowcount", index.assigned.count())
+    writeCounter(fs, path, "tombcount", 0L)
   }
+
+  // --- advisory size counters -------------------------------------------
+  // Tiny sidecar files (`.rowcount` / `.tombcount`) that let
+  // deleteFromSaved decide WHEN to auto-compact in O(1) instead of
+  // re-counting the whole layout per delete. Purely advisory: a stale or
+  // missing counter only shifts when compaction fires (idempotent,
+  // semantically invisible), never what any search answers.
+  private def counterPath(path: String, name: String) =
+    new org.apache.hadoop.fs.Path(path, s".$name")
+
+  private def writeCounter(fs: org.apache.hadoop.fs.FileSystem,
+                           path: String, name: String, v: Long): Unit = {
+    val out = fs.create(counterPath(path, name), true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readCounter(fs: org.apache.hadoop.fs.FileSystem,
+                          path: String, name: String): Option[Long] =
+    if (!fs.exists(counterPath(path, name))) None
+    else {
+      val in = fs.open(counterPath(path, name))
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toLong)
+      finally in.close()
+    }
 
   /** Assign NEW vectors to an EXISTING quantizer — the incremental-ingest
     * path: cell boundaries stay stable (no retraining, no re-assignment of
@@ -195,6 +226,10 @@ object Ivf {
     }
     assigned.select((dataCols :+ "cell").map(col): _*)
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    // advisory rowcount: increment by the batch (O(batch)); an index saved
+    // before counters existed seeds lazily on its first delete instead
+    readCounter(fs, path, "rowcount").foreach(n =>
+      writeCounter(fs, path, "rowcount", n + assigned.count()))
     load(spark, path)
   }
 
@@ -225,10 +260,26 @@ object Ivf {
     // auto-compaction: the per-search anti-join costs grow with the
     // tombstone set, so once tombstones reach `autoCompactRatio` of the
     // layout's rows, fold them in now (semantically invisible — search
-    // answers are identical before and after). 0 disables.
+    // answers are identical before and after). 0 disables. The trigger
+    // reads the advisory counters — O(batch) per delete, never a layout
+    // scan; the numerator counts batch ids (repeat deletes across batches
+    // and ids that hit no layout row inflate it), so the ratio is an
+    // UPPER-BOUND trigger: compaction may fire a little early (one
+    // idempotent compaction), never answers differently.
     if (autoCompactRatio > 0) {
-      val nTomb = spark.read.parquet(s"$path/tombstones").distinct().count()
-      val nRows = spark.read.parquet(s"$path/cells").count()
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val batchN = t.count()
+      // seed-once fallback for indexes saved before counters existed:
+      // one full count each, then O(1) forever after
+      val nTomb = readCounter(fs, path, "tombcount")
+        .map(_ + batchN)
+        .getOrElse(spark.read.parquet(s"$path/tombstones")
+          .distinct().count())
+      val nRows = readCounter(fs, path, "rowcount")
+        .getOrElse(spark.read.parquet(s"$path/cells").count())
+      writeCounter(fs, path, "tombcount", nTomb)
+      writeCounter(fs, path, "rowcount", nRows)
       if (nRows > 0 && nTomb.toDouble / nRows >= autoCompactRatio)
         return compactSaved(spark, path)
     }
@@ -256,8 +307,14 @@ object Ivf {
     if (!fs.exists(tombP)) return load(spark, path)
     val tombs = spark.read.parquet(s"$path/tombstones").distinct()
     val cellsAll = spark.read.parquet(s"$path/cells")
-    val hit = cellsAll.join(broadcast(tombs), "n_id").select("cell").distinct()
-      .collect().map(_.getInt(0)).sorted
+    // the same discovery job also carries per-cell removed-row counts, so
+    // the advisory rowcount rebaselines with ZERO extra jobs (IvfSpec
+    // counts compaction's jobs)
+    val hitCounts = cellsAll.join(broadcast(tombs), "n_id")
+      .groupBy("cell").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val hit = hitCounts.map(_._1).sorted
+    val removedRows = hitCounts.map(_._2).sum
     if (hit.nonEmpty) {
       val staging = new org.apache.hadoop.fs.Path(s"$path/.compact-staging")
       fs.delete(staging, true) // a crashed prior attempt's leftovers
@@ -281,6 +338,11 @@ object Ivf {
       fs.delete(staging, true)
     }
     fs.delete(tombP, true)
+    // re-baseline the advisory counters arithmetically (exact: every
+    // counter writer is exact, and removedRows came from the discovery job)
+    writeCounter(fs, path, "tombcount", 0L)
+    readCounter(fs, path, "rowcount").foreach(n =>
+      writeCounter(fs, path, "rowcount", math.max(0L, n - removedRows)))
     load(spark, path)
   }
 

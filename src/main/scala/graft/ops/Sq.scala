@@ -34,12 +34,14 @@ object Sq {
 
   /** 127 / max|component| over the corpus — one distributed scalar. */
   def trainScale(corpus: DataFrame, vecCol: String = "embedding"): Double = {
-    val maxAbs = corpus
+    val row = corpus
       .agg(max(aggregate(transform(asDouble(col(vecCol)), x => abs(x)),
         lit(0.0), (a, x) => greatest(a, x))))
-      .head.getDouble(0)
-    require(maxAbs > 0.0, "SQ8: all-zero corpus (no scale exists)")
-    127.0 / maxAbs
+      .head
+    // max over zero rows aggregates to NULL — same loud require as all-zero
+    require(!row.isNullAt(0) && row.getDouble(0) > 0.0,
+      "SQ8: empty or all-zero corpus (no scale exists)")
+    127.0 / row.getDouble(0)
   }
 
   /** int8 codes: round(x * scale) clamped to [-127, 127]. */
@@ -185,8 +187,16 @@ object Sq {
       .withColumn("ham", hamming(col("n_sign"), col("q_sign")))
       .withColumn("qrank", row_number().over(Window.partitionBy("q_id")
         .orderBy(col("ham").asc, col("n_id").asc)))
-    ranked.join(truth, Seq("q_id", "n_id"))
-      .agg(max("qrank")).head.getInt(0)
+    maxRank(ranked.join(truth, Seq("q_id", "n_id")), "sign")
+  }
+
+  /** Null-safe max over the truth join: empty queries/corpus aggregate to
+    * NULL — surface the loud contract message, not an NPE. */
+  private def maxRank(joined: DataFrame, what: String): Int = {
+    val row = joined.agg(max("qrank")).head
+    require(!row.isNullAt(0),
+      s"SQ $what margin: empty truth join (no queries or empty corpus)")
+    row.getInt(0)
   }
 
   /** Measurement twin for the shortlist-margin claim: the worst quantized
@@ -210,7 +220,6 @@ object Sq {
     val wq = Window.partitionBy("q_id")
       .orderBy(col("sim_q").desc, col("n_id").asc)
     val ranked = simQ.withColumn("qrank", row_number().over(wq))
-    ranked.join(truth, Seq("q_id", "n_id"))
-      .agg(max("qrank")).head.getInt(0)
+    maxRank(ranked.join(truth, Seq("q_id", "n_id")), "sq8")
   }
 }

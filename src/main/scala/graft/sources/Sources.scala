@@ -496,6 +496,7 @@ object Sources {
     val spark = df.sparkSession
     val baseP = new org.apache.hadoop.fs.Path(basePath)
     val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assertCommitCapability(fs, basePath) // fail before staging any data
     fs.mkdirs(baseP)
     var attempts = 0
     while (true) {
@@ -585,6 +586,7 @@ object Sources {
     import org.apache.spark.sql.functions.{col, lit}
     val baseP = new org.apache.hadoop.fs.Path(basePath)
     val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assertCommitCapability(fs, basePath) // fail before staging any data
     fs.mkdirs(baseP)
     // writer-unique token: the staging dir, the name probe, and the moved
     // file names all carry it, so two racing committers never share a
@@ -709,26 +711,68 @@ object Sources {
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** THE commit point, shared by every versioned writer: file list to a
-    * writer-unique dot-temp, then ONE rename to `v<N>.manifest` under a
-    * per-table JVM lock with an existence check. Concurrency contract:
+  // Rename-less object stores: no atomic no-replace primitive exists, so
+  // the manifest publish cannot be made exclusive by the filesystem alone.
+  // Same boundary Delta Lake draws — S3 et al. need an external commit
+  // coordinator (a DynamoDB-style lock service or a single writer).
+  private val ObjectStoreSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
+      "oss", "swift", "cos", "cosn", "obs")
+
+  /** Capability probe for the versioned-commit protocol: loud, typed,
+    * and callable at table-CREATE time (every versioned writer also calls
+    * it before staging any data, so a misdeployed object-store table
+    * fails before the first byte is written, not after).
+    *
+    *   - `file`  — atomic: publish is a POSIX `link(2)` (O(1), fails
+    *     EEXIST atomically even across PROCESSES).
+    *   - object stores ([[ObjectStoreSchemes]]) — UNSUPPORTED without an
+    *     external commit coordinator: rename is copy+delete and silently
+    *     replaces, so two writers can both "win". Bring a coordinator
+    *     (single writer per table, or a lock service) and front this
+    *     probe with it — the rule Delta Lake documents for S3.
+    *   - anything else (hdfs, viewfs, ...) — atomic via rename-no-replace
+    *     semantics (HDFS `rename` fails onto an existing destination). */
+  def assertCommitCapability(fs: org.apache.hadoop.fs.FileSystem,
+                             basePath: String): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (ObjectStoreSchemes(scheme.toLowerCase))
+      throw new UnsupportedOperationException(
+        s"versioned commits on '$scheme' ($basePath) are unsafe without " +
+          "an external commit coordinator: the store has no atomic " +
+          "no-replace rename/create, so two racing writers would both " +
+          "publish and one commit would be silently lost. Run a single " +
+          "writer per table, or front commits with a lock service, then " +
+          "mirror manifests through a coordinator-owned path.")
+  }
+
+  /** THE commit point, shared by every versioned writer: file list staged
+    * to a writer-unique dot-temp, fsynced, then published to
+    * `v<N>.manifest` by an ATOMIC no-replace primitive. Concurrency
+    * contract:
     *   - IN-PROCESS races (many sessions/threads, one JVM — the shared-
-    *     driver case): fully serialized by `commitLocks`; exactly one
-    *     writer per version wins and every loser gets a typed
+    *     driver case): serialized by `commitLocks`; exactly one writer
+    *     per version wins and every loser gets a typed
     *     [[ConcurrentCommitException]], never a silent overwrite.
-    *   - CROSS-PROCESS races: on HDFS-like filesystems `rename` onto an
+    *   - CROSS-PROCESS races on the LOCAL filesystem: publish is
+    *     `Files.createLink(dst, tmp)` — POSIX `link(2)` fails with EEXIST
+    *     atomically, so the loser in a SEPARATE JVM gets the same typed
+    *     exception (gated: ConcurrencyGate xproc scenarios race two child
+    *     JVMs). The staged temp carries the full content and is fsynced
+    *     before the link, so the published name never exposes a torn
+    *     write; a crash between link and temp-delete leaves only an
+    *     invisible dot-temp orphan.
+    *   - CROSS-PROCESS races on HDFS-like filesystems: `rename` onto an
     *     existing destination fails, so the `require` catches the loser.
-    *     On POSIX (`RawLocalFileSystem`) and object stores rename
-    *     SILENTLY REPLACES — the exists-check narrows but cannot close
-    *     that window, so single-writer-per-table ACROSS PROCESSES is the
-    *     load-bearing contract there (this is the same boundary Delta
-    *     Lake draws: local/S3 need an external commit coordinator).
-    * Any future change to the publish protocol (fsync, CAS) lands here
-    * once. */
+    *   - Object stores: rejected loudly by [[assertCommitCapability]] —
+    *     no atomic no-replace primitive exists there; bring a commit
+    *     coordinator (the Delta-on-S3 rule).
+    * Any future change to the publish protocol lands here once. */
   private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
                               basePath: String, v: Long,
                               files: Seq[String]): Unit = {
     require(files.nonEmpty, s"commit v$v would publish an empty table")
+    assertCommitCapability(fs, basePath)
     beforePublishHook()
     val tmp = new org.apache.hadoop.fs.Path(basePath,
       s".tmp.v$v.manifest-${java.util.UUID.randomUUID.toString.take(8)}")
@@ -746,7 +790,36 @@ object Sources {
           s"concurrent commit: v$v.manifest already published at $basePath " +
             "— re-read the latest version and retry at the next one")
       }
-      require(fs.rename(tmp, dst), s"manifest publish failed for v$v")
+      if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+        // POSIX publish: fsync the staged bytes, then link(2) — atomic
+        // exclusive create even across processes (EEXIST for the loser)
+        val tmpNio = java.nio.file.Paths.get(
+          fs.makeQualified(tmp).toUri.getPath)
+        val dstNio = java.nio.file.Paths.get(
+          fs.makeQualified(dst).toUri.getPath)
+        val ch = java.nio.channels.FileChannel.open(
+          tmpNio, java.nio.file.StandardOpenOption.WRITE)
+        try ch.force(true) finally ch.close()
+        try java.nio.file.Files.createLink(dstNio, tmpNio)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            fs.delete(tmp, false)
+            throw new ConcurrentCommitException(
+              s"concurrent commit: v$v.manifest already published at " +
+                s"$basePath (cross-process racer won the link) — re-read " +
+                "the latest version and retry at the next one")
+        }
+        fs.delete(tmp, false)
+      } else {
+        // HDFS-like: rename fails onto an existing destination
+        if (!fs.rename(tmp, dst)) {
+          fs.delete(tmp, false)
+          throw new ConcurrentCommitException(
+            s"concurrent commit: publish of v$v.manifest at $basePath " +
+              "lost the rename race — re-read the latest version and " +
+              "retry at the next one")
+        }
+      }
     }
   }
 

@@ -92,8 +92,19 @@ object StateMetrics {
             wmMs.map(w => (maxEventMs - w) / 1000L).getOrElse(Long.MaxValue))
         }
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the gate writes ~1.4M rows per scenario into this temp root —
+      // delete it eagerly or back-to-back gate/spec runs leak disk
+      deleteRecursively(new java.io.File(root))
+    }
     out.result()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(); ()
   }
 
   /** The boundedness verdict over a recorded run: state must PLATEAU —

@@ -39,6 +39,43 @@ object ChaosChild {
     Thread.sleep(600000) // the parent kills us long before this elapses
   }
 
+  /** Cross-PROCESS photo finish: a one-shot beforePublishHook that drops
+    * a per-writer ready marker, then spins until the parent's go marker
+    * appears — so two SEPARATE JVMs hit the publish primitive together.
+    * One-shot: the loser's CAS retry publishes without re-barriering. */
+  private def armRaceHook(base: String, id: String): Unit = {
+    val once = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Sources.beforePublishHook = () =>
+      if (once.compareAndSet(false, true)) {
+        new java.io.File(s"$base/.race-ready-$id").createNewFile()
+        val go = new java.io.File(s"$base/.race-go")
+        val deadline = System.currentTimeMillis() + 120000
+        while (!go.exists() && System.currentTimeMillis() < deadline)
+          Thread.sleep(5)
+        if (!go.exists()) sys.error("race go marker never appeared")
+      }
+  }
+
+  /** Run one racing commit attempt, record WON / typed-LOST + CAS retry
+    * to a per-writer result file, exit 0. The typed catch is the point:
+    * a SEPARATE process must lose LOUDLY, never silently overwrite. */
+  private def raceAndRecord(base: String, id: String)
+                           (attempt: () => Long): Unit = {
+    val res = new StringBuilder
+    try {
+      val v = attempt()
+      res.append(s"WON v=$v\n")
+    } catch {
+      case e: graft.sources.ConcurrentCommitException =>
+        res.append(s"LOST typed=${e.getClass.getSimpleName}\n")
+        val v2 = attempt() // CAS retry: re-resolve latest, land next
+        res.append(s"RETRY v=$v2\n")
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/.race-result-$id"),
+      res.toString.getBytes("UTF-8"))
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args(0)
     val base = args(1)
@@ -70,6 +107,31 @@ object ChaosChild {
         Sources.betweenSwapRenamesHook = () => park(s"$base/.chaos-staged")
         Sources.mergeRangePartitioned(spark, base, change(spark), "lang",
           Seq("lang", "id"))
+      case "race-snapshot" =>
+        // parent pre-published v1; race a full-snapshot v2 against the
+        // sibling JVM (x = id * factor distinguishes the writers' content)
+        val id = args(2)
+        val factor = args(3).toLong
+        armRaceHook(base, id)
+        val mine = init(spark).drop("op")
+          .withColumn("x", org.apache.spark.sql.functions.col("id") *
+            org.apache.spark.sql.functions.lit(factor))
+        raceAndRecord(base, id)(() => Sources.commitVersion(mine, base))
+        spark.stop()
+        sys.exit(0)
+      case "race-delta" =>
+        // parent pre-published v1; race a band-delta v2 — the loser's CAS
+        // retry must RE-MERGE against the winner (both insert batches land)
+        val id = args(2)
+        val lo = args(3).toLong
+        armRaceHook(base, id)
+        import spark.implicits._
+        val batch = (lo until lo + 50L).map(i => (i, "en", i, "I"))
+          .toDF("id", "lang", "x", "op")
+        raceAndRecord(base, id)(() =>
+          Sources.deltaCommit(spark, base, batch, "lang", Seq("lang", "id")))
+        spark.stop()
+        sys.exit(0)
       case other => sys.error(s"unknown chaos-child mode: $other")
     }
     // reaching here means the parent failed to kill us in the window

@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   *      the typed ConcurrentCommitException, and the loser's CAS retry
   *      re-merges against the winner (no lost update, no orphan visible
   *      to any reader).
+  *   3. `xproc_snapshot` / `xproc_delta` — the same race from two
+  *      SEPARATE child JVMs (round 15): the POSIX link(2) exclusive
+  *      publish must pick one winner and hand the other PROCESS the
+  *      typed loss; the loser CAS-retries from its own JVM.
   *
   * Invocation (plain JVM, local[16]):
   *   java -cp target/scala-2.13/classes:/opt/spark/jars/\* \
@@ -67,6 +71,8 @@ object ConcurrencyGate {
     run("parallel8")(parallel8(spark, sfDir))
     run("race_version")(raceVersion(spark))
     run("race_delta")(raceDelta(spark))
+    run("xproc_snapshot")(xprocRace(spark, "race-snapshot"))
+    run("xproc_delta")(xprocRace(spark, "race-delta"))
     spark.stop()
     if (failures > 0) sys.exit(1)
   }
@@ -171,5 +177,90 @@ object ConcurrencyGate {
       (ok, s"versions=${versions.sorted.mkString(",")}, v3=$total rows " +
         s"(both batches present: a=$aIn b=$bIn - CAS re-merge, no lost update)")
     } finally graft.sources.Sources.beforePublishHook = () => ()
+  }
+
+  private def spawnRacer(mode: String, base: String, id: String,
+                         arg: String): Process = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cmd = Seq(javaBin) ++ DriverKillGate.addOpens ++ Seq(
+      "-Xmx4g", "-XX:ReservedCodeCacheSize=512m",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.ChaosChild", mode, base, id, arg)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(java.io.File.createTempFile(s"xproc_child_$id", ".log"))
+    pb.start()
+  }
+
+  /** Two SEPARATE JVMs race one table's next version — the cross-process
+    * twin of race_version/race_delta (r14 verdict item 1). No JVM lock
+    * can serialize these: the publish primitive itself (POSIX `link(2)`
+    * exclusive create) must pick exactly one winner and hand the OTHER
+    * PROCESS a typed ConcurrentCommitException. Children photo-finish on
+    * marker files (ready A + ready B → go), the loser CAS-retries from
+    * its own JVM and lands v3; for the delta mode the retry must
+    * RE-MERGE so both insert batches survive (no lost update). */
+  private def xprocRace(spark: SparkSession,
+                        mode: String): (Boolean, String) = {
+    val S = graft.sources.Sources
+    val base = java.nio.file.Files
+      .createTempDirectory("xproc").toString + "/tbl"
+    if (mode == "race-snapshot")
+      S.commitVersion(ChaosChild.init(spark).drop("op"), base)
+    else
+      S.deltaCommit(spark, base, ChaosChild.init(spark), "lang",
+        Seq("lang", "id"))
+    val argA = if (mode == "race-snapshot") "10" else "1001"
+    val argB = if (mode == "race-snapshot") "100" else "2001"
+    val pA = spawnRacer(mode, base, "A", argA)
+    val pB = spawnRacer(mode, base, "B", argB)
+    def alive = pA.isAlive && pB.isAlive
+    try {
+      val deadline = System.currentTimeMillis() + 300000
+      def marker(n: String) = new java.io.File(s"$base/$n").exists()
+      while (!(marker(".race-ready-A") && marker(".race-ready-B")) &&
+        alive && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      require(marker(".race-ready-A") && marker(".race-ready-B"),
+        s"children never staged (aliveA=${pA.isAlive} aliveB=${pB.isAlive})")
+      new java.io.File(s"$base/.race-go").createNewFile()
+      require(pA.waitFor(240, java.util.concurrent.TimeUnit.SECONDS) &&
+        pB.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+        "a child JVM did not finish after go")
+      require(pA.exitValue == 0 && pB.exitValue == 0,
+        s"child exits ${pA.exitValue}/${pB.exitValue}")
+      def result(id: String) = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$base/.race-result-$id")), "UTF-8")
+      val results = Seq("A" -> result("A"), "B" -> result("B"))
+      val winners = results.filter(_._2.startsWith("WON v=2"))
+      val losers = results.filter(r =>
+        r._2.contains("LOST typed=ConcurrentCommitException") &&
+          r._2.contains("RETRY v=3"))
+      val versions = S.listVersions(spark, base)
+      val shapeOk = winners.size == 1 && losers.size == 1 &&
+        winners.head._1 != losers.head._1 && versions == Seq(1L, 2L, 3L)
+      val contentOk =
+        if (!shapeOk) false
+        else if (mode == "race-snapshot") {
+          import org.apache.spark.sql.functions.sum
+          def xSum(v: Long) = S.readVersion(spark, base, Some(v))
+            .agg(sum("x")).head.getLong(0)
+          val wf = if (winners.head._1 == "A") 10L else 100L
+          val lf = 110L - wf
+          xSum(2L) == wf * 80200L && xSum(3L) == lf * 80200L
+        } else {
+          import org.apache.spark.sql.functions.col
+          val fin = S.deltaRead(spark, base, Some(3L))
+          fin.count() == 500L &&
+            fin.filter(col("id").between(1001L, 1050L)).count() == 50L &&
+            fin.filter(col("id").between(2001L, 2050L)).count() == 50L
+        }
+      (shapeOk && contentOk,
+        s"winner=${winners.map(_._1).mkString} (v2), typed loser=" +
+          s"${losers.map(_._1).mkString} CAS-retried to v3 from a SEPARATE " +
+          s"JVM, versions=${versions.mkString(",")}, content verified")
+    } finally {
+      if (pA.isAlive) pA.destroyForcibly()
+      if (pB.isAlive) pB.destroyForcibly()
+    }
   }
 }

@@ -32,7 +32,7 @@ import graft.sources.Sources
   */
 object DriverKillGate {
 
-  private val addOpens = Seq(
+  private[tools] val addOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",
     "java.base/java.net", "java.base/java.nio",

@@ -522,4 +522,58 @@ class SourcesSpec extends SparkTestBase {
       Seq((1L, "a", 11L), (2L, "a", 20L), (3L, "b", 30L)).toDF("k", "band", "x"),
       Sources.deltaRead(spark, base).select("k", "band", "x"))
   }
+
+  test("object-store schemes are rejected loudly BEFORE any data stages") {
+    import spark.implicits._
+    // a RawLocalFileSystem wearing an s3a URI: rename there is copy+delete
+    // with silent replace, so the capability probe must refuse commits at
+    // table-create time (the Delta-on-S3 "bring a commit coordinator" rule)
+    spark.sparkContext.hadoopConfiguration.set("fs.s3a.impl",
+      classOf[FauxObjectStoreFileSystem].getName)
+    val df = Seq((1L, "en", "I")).toDF("id", "lang", "op")
+    val e = intercept[UnsupportedOperationException](
+      Sources.commitVersion(df.drop("op"), "s3a://faux/tbl"))
+    assert(e.getMessage.contains("commit coordinator"), e.getMessage)
+    val e2 = intercept[UnsupportedOperationException](
+      Sources.deltaCommit(spark, "s3a://faux/tbl2", df, "lang",
+        Seq("lang", "id")))
+    assert(e2.getMessage.contains("commit coordinator"), e2.getMessage)
+    // nothing was staged: the probe fired before mkdirs/write
+    assert(!new java.io.File("/faux").exists())
+  }
+
+  test("a manifest published by ANOTHER process loses the commit loudly") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_excl").toString + "/tbl"
+    val df = Seq((1L, "x")).toDF("id", "src")
+    Sources.commitVersion(df, base) // v1
+    // forge v2 INSIDE the publish window (after this writer resolved its
+    // target version), as if a separate PROCESS had published first — the
+    // in-JVM lock cannot have serialized that writer, so only the
+    // filesystem-level exclusivity can save the commit
+    val once = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Sources.beforePublishHook = () =>
+      if (once.compareAndSet(false, true))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$base/v2.manifest"),
+          "data/vX-forged/part-0.parquet\n".getBytes("UTF-8"))
+    try intercept[ConcurrentCommitException](Sources.commitVersion(df, base))
+    finally Sources.beforePublishHook = () => ()
+    // the loser left no dot-temp litter and no second manifest
+    val names = new java.io.File(base).listFiles().map(_.getName)
+    assert(!names.exists(_.startsWith(".tmp.")), names.mkString(","))
+    assert(names.count(_.endsWith(".manifest")) == 2, names.mkString(","))
+    // CAS retry from this JVM lands v3 (forged v2 stays untouched)
+    assert(Sources.commitVersion(df, base) == 3L)
+  }
+}
+
+/** Test shim: local semantics, object-store scheme — lets the capability
+  * probe be exercised without network. Rename on real object stores is
+  * copy+delete with silent replace; the probe refuses before any I/O, so
+  * none of RawLocalFileSystem's actual behavior is reached. */
+class FauxObjectStoreFileSystem
+  extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "s3a"
+  override def getUri: java.net.URI = java.net.URI.create("s3a://faux")
 }
