@@ -43,6 +43,52 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft-$prefix-" +
       s"${Integer.toHexString(dir.hashCode)}-p${ProcessHandle.current().pid()}"
 
+  /** Rounds of BPE merge learning in t36 — the Spark trainer and the
+    * generated DuckDB replay must agree on this. */
+  private val BpeTrainRounds = 12
+
+  /** The t36 oracle: BPE training replayed as `k` UNROLLED rounds of
+    * chained CTEs. Each round mirrors ops.BpeTrain exactly — pair counts
+    * over the wrapped-symbol seg strings (freq-weighted, overlapping),
+    * argmax with the count-desc/lexicographic tie-break, then ONE
+    * left-to-right non-overlapping `replace` (identical semantics in
+    * DuckDB and Spark by the self-delimiting `(sym)` encoding). */
+  private def bpeTrainOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |    FROM documents) GROUP BY word),
+        |s0 AS (SELECT word, freq,
+        |       regexp_replace(word, '(.)', '(\1)', 'g') AS seg FROM w),
+        |""".stripMargin)
+    for (r <- 1 to k) {
+      sb.append(
+        s"""pr$r AS (
+           |  SELECT pr.a AS a, pr.b AS b, sum(freq) AS cnt FROM (
+           |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+           |      i -> struct_pack(a := syms[i], b := syms[i+1]))) AS pr
+           |    FROM (SELECT freq,
+           |          regexp_extract_all(seg, '\\(([^()]+)\\)', 1) AS syms
+           |          FROM s${r - 1})
+           |    WHERE len(syms) >= 2) GROUP BY 1, 2),
+           |b$r AS (SELECT a, b, cnt FROM pr$r
+           |        ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+           |s$r AS (SELECT word, freq,
+           |  replace(seg, '(' || b.a || ')(' || b.b || ')',
+           |          '(' || b.a || b.b || ')') AS seg
+           |  FROM s${r - 1}, b$r b),
+           |""".stripMargin)
+    }
+    sb.append("m AS (" + (1 to k).map(r =>
+      s"SELECT ${r - 1} AS rk, a AS lhs, b AS rhs, cnt FROM b$r")
+      .mkString("\n  UNION ALL ") + ")\n")
+    sb.append("SELECT CAST(rk AS INTEGER) AS rk, lhs, rhs, " +
+      "CAST(cnt AS BIGINT) AS cnt FROM m ORDER BY rk")
+    sb.toString
+  }
+
   /** sum as exact decimal, surfaced as double (deterministic across engines). */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
   private def dsum4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
@@ -806,6 +852,24 @@ object SparkEntry {
     "t35_gopher_quality" -> ((s, dir) => rt(s,
       ops.TextOps.gopherQuality(t(s, dir, "documents"))
         .orderBy("doc_id"))),
+
+    // t36: distributed BPE vocabulary TRAINING (round 15 — closes the r14
+    // "merges are synthetic" boundary): ONE corpus pass builds the
+    // word-frequency table, then k rounds of freq-weighted pair-count →
+    // deterministic argmax → merge, all vocabulary-sized. The learned
+    // table (rk, lhs, rhs, cnt) rides the wire as a virtual table; the
+    // oracle replays the SAME k rounds as unrolled SQL CTEs (identical
+    // seg-string representation, left-to-right replace semantics, and
+    // count-desc/lexicographic tie-break), certifying every rank,
+    // operand pair, and winning count.
+    "t36_bpe_train" -> ((s, dir) => rt(s, {
+      import s.implicits._
+      ops.BpeTrain.learnMerges(t(s, dir, "documents"), "text",
+          numMerges = BpeTrainRounds)
+        .map(m => (m.rank, m.left, m.right, m.cnt))
+        .toDF("rk", "lhs", "rhs", "cnt")
+        .orderBy("rk")
+    })),
 
     // Gopher-style repetition filters: zero-shuffle narrow fold per document
     "t10_repetition" -> ((s, dir) => rt(s,
@@ -3982,6 +4046,10 @@ object SparkEntry {
         |   AND CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1) >= 0.8
         |   AND n_stopwords >= 2) AS gopher_ok
         |FROM m ORDER BY doc_id""".stripMargin,
+    // t36: the BPE training replay — k rounds unrolled as chained CTEs,
+    // generated by bpeTrainOracle (same word-freq base, same wrapped-
+    // symbol seg strings, same replace semantics, same argmax tie-break)
+    "t36_bpe_train" -> bpeTrainOracle(BpeTrainRounds),
     // t29b: the production-vocab replay — the oracle REGENERATES the 50k
     // merge table from the same two-level construction rule (all 26×26
     // bigrams rank i1·26+i2, then (bigram,bigram) pairs rank

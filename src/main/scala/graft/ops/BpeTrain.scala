@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE vocabulary TRAINING (round 15): learn the merge table
+  * from the corpus itself instead of fabricating it
+  * (BpeV2.generateMerges is a synthetic construction — this is the real
+  * pipeline step it stood in for).
+  *
+  * Classic iterative BPE (Sennrich-style), shaped for Spark:
+  *   1. ONE corpus-sized pass builds the word-frequency table
+  *     (`[a-z]+` over lowercased text, groupBy word). Everything after
+  *     runs over the VOCABULARY (bounded: distinct words), never the
+  *     corpus — the property that makes k merge rounds affordable at
+  *     100 TB: round cost is O(|vocab| · avg word length), independent
+  *     of corpus size.
+  *   2. k rounds of: adjacent-symbol pair count (weighted by word freq,
+  *      overlapping pairs counted — the standard counting rule) → argmax
+  *      with a DETERMINISTIC tie-break (count desc, then left asc, right
+  *      asc — binary string order, identical in Spark and DuckDB) → merge
+  *      applied to every word.
+  *
+  * Determinism contract (what lets a SQL oracle replay training): each
+  * word's segmentation is carried as a STRING of wrapped symbols,
+  * `(h)(e)(l)(l)(o)` — wrapping makes symbols self-delimiting, so
+  * applying a merge is a plain `replace(seg, "(a)(b)", "(ab)")`, and
+  * both Spark's and DuckDB's `replace` scan left-to-right replacing
+  * non-overlapping occurrences: exactly BPE's greedy merge-all rule,
+  * with NO order-of-evaluation freedom left to either engine.
+  *
+  * The driver holds only the argmax row per round (one tiny collect per
+  * round — the same bounded-fit pattern as IVF's Lloyd iterations); the
+  * segmentations never leave the cluster.
+  */
+object BpeTrain {
+
+  /** One learned merge: `rank` is the round it was learned in (lower =
+    * earlier = higher priority when tokenizing), `cnt` the weighted pair
+    * count that won the round. */
+  final case class Merge(rank: Int, left: String, right: String, cnt: Long)
+
+  private val SymbolRe = """\(([^()]+)\)"""
+
+  /** Initial segmentation: every character self-wrapped. */
+  private def charSeg(word: Column): Column =
+    regexp_replace(word, "(.)", "($1)")
+
+  /** Word-frequency table with initial segmentations: (word, freq, seg).
+    * THE one corpus-sized job of training. */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("seg", charSeg(col("word")))
+
+  /** Adjacent-pair counts over the current segmentations (freq-weighted,
+    * overlapping pairs counted). Exposed for the plan gate. */
+  private[graft] def pairCounts(words: DataFrame): DataFrame =
+    words
+      .withColumn("syms",
+        regexp_extract_all(col("seg"), lit(SymbolRe), lit(1)))
+      .filter(size(col("syms")) >= 2)
+      // sequence(1, n-1) needs n >= 2: Spark generates a DESCENDING
+      // sequence for start > stop, so the filter above is load-bearing
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(sum("freq").as("cnt"))
+
+  /** Learn `numMerges` merges from the corpus. Stops early (returning
+    * fewer) only if the vocabulary fully coalesces — no adjacent pair
+    * remains anywhere. */
+  def learnMerges(docs: DataFrame, textCol: String,
+                  numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    var cur = wordFreq(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    val out = Seq.newBuilder[Merge]
+    var r = 0
+    var done = false
+    while (r < numMerges && !done) {
+      val best = pairCounts(cur)
+        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        out += Merge(r, a, b, best(0).getLong(2))
+        val next = cur.withColumn("seg",
+          replace(col("seg"), lit(s"($a)($b)"), lit(s"($a$b)")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        cur.unpersist(blocking = false)
+        cur = next
+        r += 1
+      }
+    }
+    cur.unpersist(blocking = false)
+    out.result()
+  }
+
+  /** Final segmentations under a set of learned merges, replayed from
+    * scratch (rank order, same replace semantics): (word, freq, n_tok).
+    * This is tokenization-as-training-saw-it — the spec pins that the
+    * greedy BpeLookup tokenizer reproduces it exactly. */
+  def tokenizedWords(docs: DataFrame, textCol: String,
+                     merges: Seq[Merge]): DataFrame = {
+    val words = wordFreq(docs, textCol)
+    val seg = merges.sortBy(_.rank).foldLeft(col("seg")) { (acc, m) =>
+      replace(acc, lit(s"(${m.left})(${m.right})"),
+        lit(s"(${m.left}${m.right})"))
+    }
+    words.withColumn("seg", seg)
+      .withColumn("n_tok",
+        size(regexp_extract_all(col("seg"), lit(SymbolRe), lit(1))))
+      .select("word", "freq", "seg", "n_tok")
+  }
+}

@@ -488,6 +488,30 @@ class PlanQualitySpec extends SparkTestBase {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("t36: BPE training scans only text; a merge round is ONE exchange " +
+    "with map-side partial counts over the bounded vocabulary") {
+    Tables.register(spark, sfDir)
+    val words = ops.BpeTrain.wordFreq(spark.table("documents"), "text")
+    words.collect()
+    val wp = words.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(wp.contains("ReadSchema: struct<text:string>"),
+      s"the one corpus-sized pass must scan ONLY text:\n$wp")
+    // a training round = pair count over the word-freq table: exactly one
+    // NEW exchange beyond word-freq's own, fed by a partial sum (map-side
+    // combine), and no joins anywhere in the loop
+    val round = ops.BpeTrain.pairCounts(words)
+    round.collect()
+    val rp = round.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(rp.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 2,
+      s"word-freq + pair-count exchanges only:\n$rp")
+    assert(rp.contains("partial_sum"),
+      s"pair counts must combine map-side:\n$rp")
+    assert(!rp.contains("Join"), s"no joins in a training round:\n$rp")
+  }
+
   test("s11: saved IVF-PQ probe partition-prunes AND scans codes, not vectors") {
     Tables.register(spark, sfDir)
     val e = Tables.table(spark, sfDir, "embeddings")
