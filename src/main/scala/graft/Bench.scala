@@ -178,11 +178,16 @@ object Bench {
       }
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // "order":"sorted" marks the snapshot's measurement ordering: in-suite
+    // per-query readings are comparable ONLY between snapshots measured in
+    // the same order (the r13 "uniform +10% drift" was Map-hash-order
+    // reshuffling under suite growth — JIT position, not code). bench_regress
+    // refuses cross-ordering baselines on this marker.
     def mkLine(qmap: Seq[(String, String)], total: Double,
                extra: String = ""): String = {
       val qs = qmap.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","order":"sorted","queries":$qs$extra,"sf":"$sfDir"}"""
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val loadEnd = loadAvg

@@ -1197,33 +1197,41 @@ object Dedup {
     val edges0 = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
       .distinct()
     val deg = edges0.groupBy("u").agg(count(lit(1)).as("deg"))
-    // (u, v, deg): reused every round — checkpoint makes it a leaf read in
-    // the wire-stepped plans instead of re-deriving pairs per round
-    val edges = edges0.join(deg, "u").localCheckpoint(true)
-    var ranks = edges.select(col("u").as("node")).distinct()
-      .select(col("node"), lit(RankUnit).as("rank_units"))
-      .localCheckpoint(true)
+    // (u, v, deg): reused every round. CACHED pre-partitioned on the join
+    // key, not localCheckpointed — Spark 4's localCheckpoint drops
+    // outputPartitioning (the LogicalRDD plans as partition-less,
+    // measured in D17Probe), which re-shuffled the WHOLE edge list into
+    // the rank join every round; a cached REPARTITION_BY_NUM leaf keeps
+    // hash(u, P) (AQE never coalesces an explicit count), so the
+    // per-round join reads edges in place and only the contribution
+    // aggregate exchanges. P = the session's shuffle parallelism.
+    val nShuffle = spark.sessionState.conf.numShufflePartitions
+    val edges = edges0.join(deg, "u")
+      .repartition(nShuffle, col("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
     def step(ed: DataFrame)(r: DataFrame): DataFrame =
       ed.join(r.select(col("node").as("u"), col("rank_units")), "u")
         .select(col("v"), expr("rank_units DIV deg").as("contrib"))
         .groupBy("v").agg(sum(col("contrib")).as("csum"))
         .select(col("v").as("node"),
           (lit(RankBase) + expr("(85 * csum) DIV 100")).as("rank_units"))
+    var ranks: DataFrame = null
     if (stepThroughWire) {
       // ONE wire artifact (round 10): the whole fixpoint — init state, the
       // per-round plan, and the round count — rides as a single
       // Rel.ExtIteration; the consumer runs the loop. (Previously each
       // ROUND's plan was wire-stepped but the loop itself was host-side.)
       // The edges leaf stays a named read: per-call unique view name,
-      // dropped in finally, so concurrent calls can't clobber each other.
+      // dropped in finally, so concurrent calls can't clobber each other —
+      // and it resolves to the CACHED co-partitioned frame, so every
+      // consumed round's join scans it in place.
       val edgesView = "graft_rank_edges_" +
         java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       edges.createOrReplaceTempView(edgesView)
-      val initialRanks = ranks // superseded by the consumed fixpoint
       try {
         // init derives from the SAME named read so the whole artifact —
-        // initial state included — is plan, not host state (the
-        // checkpointed `ranks` frame is a LogicalRDD, unproducible by design)
+        // initial state included — is plan, not host state
         val init = spark.table(edgesView).select(col("u").as("node"))
           .distinct().select(col("node"), lit(RankUnit).as("rank_units"))
         val plan = graft.substrait.Producer.produceIteration(
@@ -1231,29 +1239,49 @@ object Dedup {
           maxIters = iters, checkFixpoint = false)
         val decoded = graft.substrait.Wire.decode(
           graft.substrait.Wire.encode(plan))
-        // graphRank always materializes with localCheckpoint, so the
-        // consumed rounds are pinned the same way regardless of any
-        // checkpoint dir another caller left configured on the context
+        // graphRank always materializes rounds with localCheckpoint (never
+        // reliable checkpoints, regardless of any checkpoint dir another
+        // caller left configured on the context); each consumed round's
+        // join still reads the CACHED edges in place — the cached leaf
+        // rides inside the round's plan, only the truncated round state
+        // loses its partitioning
         ranks = graft.substrait.Consumer.consume(spark, decoded,
             reliableIteration = Some(false))
           .toDF("node", "rank_units")
       } finally {
         spark.catalog.dropTempView(edgesView)
-        // released in finally, not only on the success path: on success
-        // initialRanks is superseded by the consumed fixpoint and edges'
-        // rounds were all consumed eagerly (the result is its own
-        // checkpoint); if consume throws (e.g. a divergence guard) the
-        // method returns nothing, so both frames are dead either way and
-        // must not stay pinned for the session
-        releaseLocalCheckpoint(initialRanks)
-        releaseLocalCheckpoint(edges)
+        // released in finally, not only on the success path: the consumed
+        // result is its own snapshot, and if consume throws (a divergence
+        // guard) the method returns nothing — either way the cached edge
+        // list must not stay pinned for the session
+        edges.unpersist(blocking = false)
       }
     } else {
+      // host-side loop: rounds are CACHED, not checkpointed — graphRank's
+      // body binds the state exactly ONCE, so the analyzed plan grows only
+      // linearly in `iters` (require-bounded at 20), and a cached round
+      // keeps its groupBy partitioning hash(node, P), which the next
+      // round's join on u reuses: ONE exchange per round (the contribution
+      // aggregate), zero on either join side. (The wire path cannot do
+      // this: the consumer must lineage-truncate rounds because foreign
+      // bodies may bind state k times — see the Consumer.ExtIteration
+      // refutation note — so there the round state re-exchanges, still
+      // with the cached edges read in place.)
+      ranks = edges.select(col("u").as("node")).distinct()
+        .select(col("node"), lit(RankUnit).as("rank_units")).persist()
+      ranks.count()
       for (_ <- 1 to iters) {
         val superseded = ranks
-        ranks = step(edges)(ranks).localCheckpoint(true)
-        releaseLocalCheckpoint(superseded)
+        ranks = step(edges)(ranks).persist()
+        ranks.count()
+        superseded.unpersist(blocking = false)
       }
+      // plan-free snapshot (one cache scan), then drop the live caches —
+      // cache entries have no GC lifecycle, so returning one would leak
+      val snap = ranks.localCheckpoint(true)
+      ranks.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      ranks = snap
     }
     // the double view is exact: units < 2^53, and /2^20 is one correctly-
     // rounded IEEE op in any engine

@@ -31,6 +31,14 @@ object Consumer {
     * resolves like any table name (and fails loudly if absent). */
   val IterationStateTable = "graft_iteration_state"
 
+  /** Test-only observer: when non-null, every consumed ExtIteration round
+    * reports its pre-materialization frame here — its queryExecution is
+    * the plan the round's localCheckpoint actually executed, adaptive
+    * plan final (PlanQualitySpec gates the per-round exchange count on
+    * the REAL consumed loop, not a reconstruction). A no-op in
+    * production. */
+  @volatile private[graft] var roundPlanHook: org.apache.spark.sql.DataFrame => Unit = null
+
   def consume(spark: SparkSession, plan: Plan): DataFrame =
     consumeInternal(spark, plan, binding = None, validate = true,
       reliableIteration = None)
@@ -316,6 +324,18 @@ object Consumer {
         // Dedup.connectedComponents(checkpointDir=…) sets), rounds use
         // reliable `checkpoint` and survive executor loss; otherwise
         // `localCheckpoint`, the fast path for converge-in-seconds loops.
+        // Round 15 REFUTATION pinned here: materializing rounds with
+        // `persist` instead (so the next round's join could reuse the
+        // cached partitioning) was tried and is WRONG for foreign bodies —
+        // persist does not truncate lineage, and a body that references
+        // the state relation k times (CC's pointer-doubling hop binds it
+        // 3x per step, 9x per double-hop round) grows the analyzed plan
+        // ~k^rounds: ConnectedComponentsSpec OOM'd inside explainString
+        // before round 25. Rounds MUST be lineage-truncating; the
+        // static-side exchange is instead eliminated by the CALLER caching
+        // its loop-invariant frame pre-partitioned on the join key (see
+        // Dedup.graphRank), which survives as an InMemoryRelation leaf
+        // inside every consumed round's plan.
         if (maxIters < 1 || maxIters > 1000)
           internalErr(s"iteration maxIters out of range: $maxIters")
         Validator.validateOrThrow(bodyPlan)
@@ -367,6 +387,9 @@ object Consumer {
             internalErr(s"iteration body arity ${next0.columns.length} != " +
               s"state arity $width (the body must be schema-preserving)")
           val next = materialize(next0)
+          // observed AFTER materialization so the adaptive plan is final
+          val hook = Consumer.roundPlanHook
+          if (hook != null) hook(next0)
           if (checkFixpoint) {
             // exact multiset fixpoint in ONE job: union with +1/−1 weights,
             // group on the full row — any group with a nonzero weight sum is

@@ -792,4 +792,56 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("data/v1") && p.contains("data/v2"),
       s"both version reads must resolve to their own data dirs:\n$p")
   }
+
+  test("d17: every consumed graphRank round reads the cached co-partitioned " +
+    "edges IN PLACE — exactly 2 state-scale exchanges, zero edge-scale") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // structural walk of the EXECUTED adaptive plan: descend into query
+    // stages, never into a cached relation's one-time build plan (an
+    // InMemoryTableScan is a leaf; its build rides in innerChildren, which
+    // children-based traversal correctly skips)
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other.children.flatMap(walk)
+    })
+    val rounds = scala.collection.mutable.ArrayBuffer[Seq[SparkPlan]]()
+    substrait.Consumer.roundPlanHook =
+      df => { rounds += walk(df.queryExecution.executedPlan); () }
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val pairs = (1L to 4000L).flatMap(i => Seq((i, i + 1), (i, i + 13)))
+        .toDF("id_a", "id_b")
+      ops.Dedup.graphRank(pairs, iters = 3, stepThroughWire = true).collect()
+    } finally {
+      substrait.Consumer.roundPlanHook = null
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+    assert(rounds.size == 3, s"expected 3 consumed rounds, got ${rounds.size}")
+    for ((nodes, i) <- rounds.zipWithIndex) {
+      // the (u, v, deg) edge list must come from the cache, not a rebuild
+      val edgeScans = nodes.collect {
+        case s: InMemoryTableScanExec if s.output.length == 3 => s
+      }
+      assert(edgeScans.nonEmpty,
+        s"round ${i + 1}: edges must be an InMemoryTableScan leaf:\n" +
+          nodes.head.toString)
+      // per-round data movement is exactly: state into the join + the
+      // contribution aggregate — both 2-column (node, long) streams; a
+      // third (or any 3-column) exchange means the edge list re-shuffled
+      val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size == 2,
+        s"round ${i + 1}: expected 2 exchanges, got ${shuffles.size}:\n" +
+          nodes.head.toString)
+      for (e <- shuffles)
+        assert(e.output.length == 2,
+          s"round ${i + 1}: an exchange carries ${e.output.length} columns " +
+            s"(the edge list is re-shuffling):\n${e.toString}")
+    }
+  }
 }

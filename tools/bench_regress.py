@@ -34,6 +34,26 @@ MIN_SOLO = 1.0    # a solo-confirmed time must exceed this to matter: the
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Measurement-ordering comparability (r14 postmortem, pinned r15): in-suite
+# per-query readings depend on wall-clock POSITION in the suite (JIT warm-up
+# maturity — the same 60 queries read 1.44x slower median as their own suite
+# than inside the 208-query suite). Bench has measured in SORTED name order
+# since r14 and stamps snapshots with "order":"sorted"; pre-r14 snapshots
+# were Map-hash order, which reshuffles globally on suite growth — comparing
+# across the ordering break manufactures exactly the "uniform +10% drift"
+# r13 burned a round diagnosing. r14's snapshots predate the stamp but were
+# measured sorted; they are grandfathered by basename.
+KNOWN_SORTED_BASENAMES = {"bench-sf01-r14.json", "bench-sf10-r14.json"}
+
+
+def snapshot_order(data, path):
+    o = data.get("order")
+    if o:
+        return o
+    if os.path.basename(path) in KNOWN_SORTED_BASENAMES:
+        return "sorted"
+    return "unknown"
+
 
 def classpath():
     jars = ":".join(sorted(glob.glob("/opt/spark/jars/*.jar")))
@@ -73,15 +93,38 @@ def main():
     ap.add_argument("--out", default="/tmp")
     ap.add_argument("--new", default=None,
                     help="existing bench json to gate instead of running")
+    ap.add_argument("--assume-same-ordering", action="store_true",
+                    help="override the measurement-ordering guard (only if "
+                         "you KNOW both snapshots were measured in the same "
+                         "query order)")
     args = ap.parse_args()
 
     with open(args.baseline) as f:
         base = json.load(f)
     base_q = {k: float(v) for k, v in base["queries"].items()}
 
+    base_order = snapshot_order(base, args.baseline)
+    if base_order != "sorted" and not args.assume_same_ordering:
+        sys.stderr.write(
+            f"bench_regress: REFUSING baseline {args.baseline}: measurement "
+            f"ordering is '{base_order}', not 'sorted'. Per-query in-suite "
+            "times are position-dependent (JIT warm-up); comparing across "
+            "an ordering change reads as uniform drift (the r13 incident). "
+            "Re-base on an r14+ snapshot, or pass --assume-same-ordering if "
+            "both snapshots provably share an ordering.\n")
+        return 2
+
     if args.new:
         with open(args.new) as f:
             fresh = json.load(f)
+        fresh_order = snapshot_order(fresh, args.new)
+        if fresh_order != base_order and not args.assume_same_ordering:
+            sys.stderr.write(
+                f"bench_regress: REFUSING --new {args.new}: its ordering "
+                f"'{fresh_order}' differs from the baseline's "
+                f"'{base_order}' — cross-ordering per-query diffs are "
+                "meaningless (see ordering note at top of this tool).\n")
+            return 2
     else:
         fresh = run_bench(args.sf, os.path.join(args.out, "bench-gate.json"))
     fresh_q = {k: float(v) for k, v in fresh["queries"].items()}
