@@ -662,6 +662,26 @@ object SparkEntry {
         .orderBy("q_id", "rank"))
     }),
 
+    // IVF-SQ8 (s19, round 15): int8 codes INSIDE the cell-pruned inverted
+    // file — closes r14's "s17/s18 don't partition-prune" boundary. The
+    // saved layout partitions tinyint codes by cell, searchPruned applies
+    // the probed-cell set as a literal partition filter (PlanQualitySpec
+    // asserts PartitionFilters + a codes-only ReadSchema), the quantized-
+    // cosine shortlist ranks probed codes, exact rerank restores exact
+    // order → the s01 exact-kNN oracle certifies end-to-end (same
+    // nprobe-coverage fixture property as s03, same measured shortlist
+    // margin as s17 — IvfSqSpec pins it in-probe)
+    "s19_knn_ivfsq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = ops.IvfSq.build(e, nlist = 16, trainSampleFraction = 0.5)
+      val path = scratch("ivfsq", dir)
+      ops.IvfSq.save(idx, path)
+      val loaded = ops.IvfSq.load(s, path)
+      rt(s, ops.IvfSq.searchPruned(loaded, e, e.filter(col("vec_id") < 8),
+          k = 5, nprobe = 12, shortlist = 64)
+        .orderBy("q_id", "rank"))
+    }),
+
     // weekly cohort retention (e18, round 14): users bucket into the week
     // of their first event; each later activity week counts them at its
     // offset, over the cohort's size. Integer epoch-weeks — no calendar
@@ -3820,6 +3840,22 @@ object SparkEntry {
     // s18: sign-bit shortlist+rerank, exact by the measured Hamming-rank
     // margin — same exact-kNN replay
     "s18_knn_signbit" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |s AS (SELECT q_id, e.vec_id AS n_id,
+        |  list_dot_product(qv, e.v)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim0
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, sim0,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim0 DESC, n_id ASC) AS rank
+        |  FROM s)
+        |SELECT q_id, n_id, rank, ROUND(sim0, 6) AS sim FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // s19: same exact-kNN ground truth as s01/s03/s11 — probed cells cover
+    // the true neighbors (the s03 fixture property; identical centroids
+    // and probe) and the in-probe quantized shortlist provably contains
+    // them (s17's margin argument, measured in IvfSqSpec)
+    "s19_knn_ivfsq" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
         |s AS (SELECT q_id, e.vec_id AS n_id,

@@ -57,6 +57,7 @@ object Ivf {
       .orderBy(col(idCol)).limit(maxTrainRows) // TakeOrdered: bounded + stable
     val rows = sampled.select(col(vecField)).collect()
       .map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "empty training sample")
     Pq.lloyd(rows, nlist, iters = 5).map(_.toSeq).toSeq
   }
 

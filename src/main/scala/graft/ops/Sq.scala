@@ -44,16 +44,21 @@ object Sq {
     127.0 / row.getDouble(0)
   }
 
+  /** int8 code expression for one (already array<double>) vector column —
+    * shared with [[IvfSq]] so cell-resident codes round identically. */
+  private[ops] def codeExpr(vec: Column, scale: Double): Column =
+    transform(vec,
+      x => greatest(lit(-127.0), least(lit(127.0), round(x * scale)))
+        .cast("tinyint"))
+
   /** int8 codes: round(x * scale) clamped to [-127, 127]. */
   def encode(corpus: DataFrame, scale: Double, idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame =
     corpus.select(col(idCol).as("n_id"),
-      transform(asDouble(col(vecCol)),
-        x => greatest(lit(-127.0), least(lit(127.0), round(x * scale)))
-          .cast("tinyint")).as("n_code"))
+      codeExpr(asDouble(col(vecCol)), scale).as("n_code"))
 
   /** integer dot product of two int8 code arrays (exact in long). */
-  private def dotCodes(a: Column, b: Column): Column =
+  private[ops] def dotCodes(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, x) => acc + x)
 
@@ -63,8 +68,8 @@ object Sq {
     * NaN as the LARGEST double, so zero-code junk would rank FIRST in a
     * `desc` shortlist, silently displacing true neighbors. Zero-norm
     * pairs rank last (-2.0, below any real cosine) instead. */
-  private def quantizedCosine(nCode: Column, qCode: Column,
-                              qNorm: Column): Column = {
+  private[ops] def quantizedCosine(nCode: Column, qCode: Column,
+                                   qNorm: Column): Column = {
     val nNorm = sqrt(dotCodes(nCode, nCode).cast("double"))
     when(nNorm === 0.0 || qNorm === 0.0, lit(-2.0))
       .otherwise(dotCodes(nCode, qCode).cast("double") / (nNorm * qNorm))

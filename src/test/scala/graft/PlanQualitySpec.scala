@@ -531,6 +531,29 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("pq_adc"), s"ADC kernel missing:\n$p")
   }
 
+  test("s19: saved IVF-SQ8 probe partition-prunes AND scans int8 codes, " +
+    "not vectors") {
+    Tables.register(spark, sfDir)
+    val e = Tables.table(spark, sfDir, "embeddings")
+    val idx = ops.IvfSq.build(e, nlist = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfsq_plan").toString
+    ops.IvfSq.save(idx, path)
+    val loaded = ops.IvfSq.load(spark, path)
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 1)
+    val df = ops.IvfSq.searchPruned(loaded, e, q, k = 3, nprobe = 2,
+      shortlist = 50)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters:"), s"no partition filter:\n$p")
+    val in = "cell#\\d+ IN \\(([-\\d,]+)\\)".r.findFirstMatchIn(p)
+    assert(in.isDefined && in.get.group(1).split(",").length == 2,
+      s"expected the 2 probed cells as a literal IN-list:\n$p")
+    // the shortlist scan reads the tinyint CODE layout only — the raw
+    // embeddings table appears solely under the rerank joins
+    assert(p.contains("ReadSchema: struct<n_id:bigint,n_code:array<tinyint>>"),
+      s"codes-only scan missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
+  }
+
   test("round-6 second batch: no cartesian products or nested-loop joins") {
     for (q <- Seq("p14_cow_upsert", "p15_feature_drift", "p16_cdc_snapshot",
       "p17_schema_evolution", "t23_winsorized_stats", "t24_bm25_search",
