@@ -682,6 +682,27 @@ object SparkEntry {
         .orderBy("q_id", "rank"))
     }),
 
+    // large-queryset ANN (s20, round 15): the WHOLE corpus queries itself
+    // — the batch shape every other kNN entry point refuses (they
+    // broadcast the query side by contract; a 10^5-10^6-query batch needs
+    // the bucketed route). Corpus buckets to its nearest cell, queries to
+    // their nprobe cells, candidates meet in a plain shuffled cell join
+    // (neither side broadcast by construction), and rank-limit pushdown
+    // keeps the final per-query exchange at |Q|·nprobe·k skinny rows.
+    // Cells self-size from the corpus (s07's ~32/cell contract), so
+    // candidate volume stays LINEAR in |Q| as the corpus grows; at the
+    // oracle SF the self-sized nlist equals nprobe (full probe), so the
+    // exact-kNN oracle certifies EVERY query corpus-wide — above it the
+    // probe is partial and nprobe is the recall knob (the documented
+    // s02/s03 contract; BucketedKnnSpec's planted twins prove the
+    // partial-probe join).
+    "s20_knn_bucketed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      rt(s, ops.Similarity.bucketedKnn(e, e, k = 3,
+          trainSampleFraction = 0.5)
+        .orderBy("q_id", "rank"))
+    }),
+
     // weekly cohort retention (e18, round 14): users bucket into the week
     // of their first event; each later activity week counts them at its
     // offset, over the cohort's size. Integer epoch-weeks — no calendar
@@ -3851,6 +3872,20 @@ object SparkEntry {
         |  FROM s)
         |SELECT q_id, n_id, rank, ROUND(sim0, 6) AS sim FROM r
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // s20: every vector queries the corpus — exact-kNN ground truth over
+    // ALL queries (probe coverage certified corpus-wide, not just for a
+    // handful of query ids)
+    "s20_knn_bucketed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |  list_dot_product(q.v, e.v)
+        |    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS sim0
+        |  FROM e q CROSS JOIN e WHERE e.vec_id <> q.vec_id),
+        |r AS (SELECT q_id, n_id, sim0,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim0 DESC, n_id ASC) AS rank
+        |  FROM s)
+        |SELECT q_id, n_id, rank, ROUND(sim0, 6) AS sim FROM r
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     // s19: same exact-kNN ground truth as s01/s03/s11 — probed cells cover
     // the true neighbors (the s03 fixture property; identical centroids
     // and probe) and the in-probe quantized shortlist provably contains

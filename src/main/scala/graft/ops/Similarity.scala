@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Self-sizing occupancy target for [[bucketedKnn]]'s `nlist = 0` mode
+    * (~vectors per cell) — the same constant family as semanticNearDups'
+    * targetOcc: it bounds in-cell candidate volume as the corpus grows. */
+  val SelfSizeTargetOcc: Int = 32
+
   /** Codegen'd single-pass kernels (graft.functions.VecExpressions). The
     * HOF formulations below are kept as the semantic reference — specs assert
     * the kernels produce bit-identical doubles (same sequential IEEE folds).
@@ -52,6 +57,73 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Exact-within-probe top-k for a LARGE query set — the route every
+    * other kNN entry point refuses: they broadcast the query side by
+    * contract, so a 10⁵–10⁶-query batch (reranking a retrieval shard,
+    * labeling a corpus against itself) would OOM the broadcast or fall
+    * back to a driver-side loop. Here NEITHER side broadcasts: the
+    * corpus buckets into its nearest coarse cell, queries bucket into
+    * their nprobe nearest cells, and candidates meet in a plain
+    * shuffled cell-to-cell JOIN — the s07 corpus-vs-corpus pattern
+    * generalized to corpus-vs-queryset.
+    *
+    * Shuffle budget: corpus rides ONE cell-keyed exchange (vectors move
+    * once), queries ride |Q|·nprobe rows; the per-query top-k window
+    * runs under Spark 4's rank-limit pushdown (InferWindowGroupLimit),
+    * so each cell partition pre-filters to k rows per resident query and
+    * only ≤ |Q|·nprobe·k skinny rows reach the final per-query exchange
+    * — never the |Q|·(probed corpus) candidate stream. A skewed hot
+    * cell is AQE skew-join territory (cell-keyed SMJ splits cleanly).
+    *
+    * Sizing and exactness contract: `nlist = 0` self-sizes cells from
+    * the corpus (~[[SelfSizeTargetOcc]] vectors/cell, capped — the s07
+    * contract), so candidate volume stays ∝ |Q|·nprobe·occupancy, LINEAR
+    * in |Q| as the corpus grows. The probe geometry is [[Ivf.search]]'s:
+    * exact when the probed cells cover each query's true top-k — which
+    * is guaranteed (full probe) whenever nprobe ≥ the self-sized nlist,
+    * the regime the sf0.01 oracle certifies corpus-wide; above that SF
+    * the probe is partial and nprobe is the recall knob, the same
+    * documented contract as s02/s03 (the planted-twin spec proves the
+    * partial-probe join on clustered data). Output: (q_id, n_id, rank,
+    * sim) — s01's shape.
+    */
+  def bucketedKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                  nlist: Int = 0, nprobe: Int = 16,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  trainSampleFraction: Double = 1.0,
+                  seed: Long = 42L): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("n_id"),
+      asDouble(col(vecCol)).as("n_vec"))
+    val cells =
+      if (nlist > 0) nlist
+      else {
+        val n = math.max(c0.count(), 1L)
+        math.min(4096,
+          math.max(16, math.ceil(n / SelfSizeTargetOcc.toDouble).toInt))
+      }
+    val probe = math.min(nprobe, cells)
+    require(probe >= 1, s"nprobe $nprobe out of range")
+    val centroids = Ivf.trainCentroids(c0, cells, trainSampleFraction,
+      seed, "n_vec")
+    val c = c0.withColumn("cell",
+      Ivf.nearestCells(col("n_vec"), centroids, 1).getItem(0))
+    val q = queries
+      .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("cell",
+        explode(Ivf.nearestCells(col("q_vec"), centroids, probe)))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    // deliberately NO broadcast() on either side: the cell join must plan
+    // as a shuffled join when sizes demand it (PlanQualitySpec pins the
+    // shape under a scale-emulating broadcast threshold)
+    c.join(q, "cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
   }
 
   /** Deterministic pseudo-random hyperplanes: seeded Gaussian components —

@@ -554,6 +554,31 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
   }
 
+  test("s20: the large-queryset route never broadcasts the query side — " +
+    "a shuffled cell join + rank-limit pushdown, even when queries would " +
+    "fit a broadcast") {
+    // scale-emulating config: at fixture SF the query side fits a
+    // broadcast, which is exactly the crutch this operator must not rely
+    // on — disable it and require the plan that a 10^6-query batch gets
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("s20_knn_bucketed")
+      assert(!p.contains("BroadcastHashJoin") &&
+        !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"query side must ride the shuffle, not a broadcast:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"cell join must be a shuffled join:\n$p")
+      // rank-limit pushdown: each cell partition pre-filters to k rows
+      // per resident query, so only |Q|·nprobe·k skinny rows reach the
+      // final per-query exchange — without this node the window would
+      // shuffle the whole candidate stream
+      assert(p.contains("WindowGroupLimit"),
+        s"rank-limit pushdown missing from the top-k window:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("round-6 second batch: no cartesian products or nested-loop joins") {
     for (q <- Seq("p14_cow_upsert", "p15_feature_drift", "p16_cdc_snapshot",
       "p17_schema_evolution", "t23_winsorized_stats", "t24_bm25_search",
