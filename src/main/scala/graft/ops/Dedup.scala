@@ -1063,6 +1063,21 @@ object Dedup {
     // than the checkpoint job does
     var labels = materialize(edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node")))
+    // Round-15 REFUTATION (the d17 co-partitioning mechanism does NOT
+    // transfer here): the edge list enters this join through a UNION with
+    // the per-round pointer frames, and a union of a cached co-partitioned
+    // leaf with unpartitioned frames has no partitioning — so caching
+    // edges on v cannot remove the per-round exchange the way graphRank's
+    // direct edge join could. Distributing the join over the union
+    // ((ed ⋈ lblv) ∪ (ptr ⋈ lblv) ∪ (ptr⁻¹ ⋈ lblv), exact by
+    // join-over-union-all + min's multiplicity-insensitivity, with edges
+    // cached v-partitioned/v-sorted) was IMPLEMENTED AND MEASURED: d13
+    // read 5.98 s vs 4.44 s at sf0.1 and 68.7 s vs 39.0 s solo at 100× —
+    // three sort-merge joins + two extra label-scale exchanges per hop
+    // cost far more than the one union exchange they replace (the union
+    // ships edges+2·labels rows ONCE and sorts once; the split pays
+    // per-branch join machinery twice per double-hop round). Keep the
+    // union shape.
     def step(ed: DataFrame)(lbl: DataFrame): DataFrame = {
       val ptr = lbl.select(col("node").as("u"), col("label").as("v"))
       ed.union(ptr)
