@@ -3241,6 +3241,93 @@ object SparkEntry {
           |ORDER BY status, ym""".stripMargin))
     }),
 
+    // TPC-DS q8/q38 family shape (round 15, 11th DS pattern): EXCEPT
+    // under a WINDOWED CTE — a per-customer top-1 ranking (window inside
+    // the CTE) feeds set-difference against a channel predicate, and the
+    // surviving keys join back up into a dimension aggregate. The wire
+    // must carry window → set-op → join → agg stacked in one artifact
+    "q81_ds_except_window" -> ((s, dir) => {
+      t(s, dir, "orders"); t(s, dir, "customer")
+      rt(s, s.sql(
+        """WITH ranked AS (
+          |  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+          |        o_orderkey) AS rn
+          |  FROM orders),
+          |top1 AS (SELECT o_custkey FROM ranked
+          |         WHERE rn = 1 AND price > 200000),
+          |urgent AS (SELECT o_custkey FROM orders
+          |           WHERE o_orderpriority = '1-URGENT'),
+          |quiet AS (SELECT o_custkey FROM top1
+          |          EXCEPT SELECT o_custkey FROM urgent)
+          |SELECT c_mktsegment, count(*) AS n_cust,
+          |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS tot_bal
+          |FROM customer JOIN quiet ON c_custkey = o_custkey
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin))
+    }),
+
+    // TPC-DS q49-style quantile screen (12th DS pattern): PERCENTILE
+    // WINDOWS OVER GROUPING SETS — percent_rank + ntile partitioned by
+    // the grouping id, ranking the grouping-set rollup rows themselves.
+    // Exact decimal sums under the windows; full deterministic ordering
+    // (amt + coalesced keys) so rank ties cannot drift between engines
+    "q82_ds_percentile_gsets" -> ((s, dir) => {
+      t(s, dir, "orders")
+      rt(s, s.sql(
+        """WITH agg AS (
+          |  SELECT o_orderstatus AS status, o_orderpriority AS prio,
+          |    grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+          |      AS gid,
+          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |      AS amt,
+          |    count(*) AS n
+          |  FROM orders
+          |  GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |    (o_orderstatus), (o_orderpriority), ()))
+          |SELECT status, prio, gid, amt, n,
+          |  CAST(ROUND(percent_rank() OVER (PARTITION BY gid
+          |    ORDER BY amt, coalesce(status, '~'), coalesce(prio, '~')), 6)
+          |    AS DOUBLE) AS pr,
+          |  ntile(3) OVER (PARTITION BY gid
+          |    ORDER BY amt, coalesce(status, '~'), coalesce(prio, '~'))
+          |    AS tercile
+          |FROM agg
+          |ORDER BY gid, amt, coalesce(status, '~'), coalesce(prio, '~')"""
+          .stripMargin))
+    }),
+
+    // TPC-DS q92-style per-entity screen (13th DS pattern): MULTI-LEVEL
+    // LATERAL + WINDOW — the second lateral derives from the first
+    // (per-customer order stats → guarded average), and a segment window
+    // ranks the lateral output; only each segment's top-5 spenders
+    // survive. Decorrelation must stack: two laterals then a rank filter
+    "q83_ds_lateral_window" -> ((s, dir) => {
+      t(s, dir, "customer"); t(s, dir, "orders")
+      rt(s, s.sql(
+        """SELECT c_mktsegment, c_custkey, n_orders, spend, n_top,
+          |  seg_rank
+          |FROM (
+          |  SELECT c.c_mktsegment, c.c_custkey, l1.n_orders,
+          |    CAST(coalesce(l1.raw_spend, 0) AS DOUBLE) AS spend,
+          |    l2.n_top,
+          |    row_number() OVER (PARTITION BY c.c_mktsegment
+          |      ORDER BY CAST(coalesce(l1.raw_spend, 0) AS DOUBLE) DESC,
+          |        c.c_custkey) AS seg_rank
+          |  FROM customer c,
+          |  LATERAL (SELECT count(*) AS n_orders,
+          |           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS raw_spend,
+          |           max(o_orderpriority) AS top_prio
+          |           FROM orders o WHERE o.o_custkey = c.c_custkey) l1,
+          |  LATERAL (SELECT count(*) AS n_top
+          |           FROM orders o WHERE o.o_custkey = c.c_custkey
+          |             AND o.o_orderpriority = l1.top_prio) l2
+          |  ) x
+          |WHERE seg_rank <= 5
+          |ORDER BY c_mktsegment, seg_rank""".stripMargin))
+    }),
+
     // uncorrelated scalar subquery → cross-joined single-row AggregateRel
     "q33_scalar_subquery" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -6118,6 +6205,66 @@ object SparkEntry {
         |  FROM monthly) x
         |WHERE CAST(amt0 AS DOUBLE) > avg_year * 1.1
         |ORDER BY status, ym""".stripMargin,
+    "q81_ds_except_window" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+        |        o_orderkey) AS rn
+        |  FROM orders),
+        |top1 AS (SELECT o_custkey FROM ranked
+        |         WHERE rn = 1 AND price > 200000),
+        |urgent AS (SELECT o_custkey FROM orders
+        |           WHERE o_orderpriority = '1-URGENT'),
+        |quiet AS (SELECT o_custkey FROM top1
+        |          EXCEPT SELECT o_custkey FROM urgent)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS tot_bal
+        |FROM customer JOIN quiet ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q82_ds_percentile_gsets" ->
+      """WITH agg AS (
+        |  SELECT o_orderstatus AS status, o_orderpriority AS prio,
+        |    grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+        |      AS gid,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS amt,
+        |    count(*) AS n
+        |  FROM orders
+        |  GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |    (o_orderstatus), (o_orderpriority), ()))
+        |SELECT status, prio, gid, amt, n,
+        |  CAST(ROUND(percent_rank() OVER (PARTITION BY gid
+        |    ORDER BY amt, coalesce(status, '~'), coalesce(prio, '~')), 6)
+        |    AS DOUBLE) AS pr,
+        |  ntile(3) OVER (PARTITION BY gid
+        |    ORDER BY amt, coalesce(status, '~'), coalesce(prio, '~'))
+        |    AS tercile
+        |FROM agg
+        |ORDER BY gid, amt, coalesce(status, '~'), coalesce(prio, '~')"""
+        .stripMargin,
+    "q83_ds_lateral_window" ->
+      """SELECT c_mktsegment, c_custkey, n_orders, spend, n_top,
+        |  seg_rank
+        |FROM (
+        |  SELECT c.c_mktsegment, c.c_custkey, l1.n_orders,
+        |    CAST(coalesce(l1.raw_spend, 0) AS DOUBLE) AS spend,
+        |    l2.n_top,
+        |    row_number() OVER (PARTITION BY c.c_mktsegment
+        |      ORDER BY CAST(coalesce(l1.raw_spend, 0) AS DOUBLE) DESC,
+        |        c.c_custkey) AS seg_rank
+        |  FROM customer c,
+        |  LATERAL (SELECT count(*) AS n_orders,
+        |           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS raw_spend,
+        |           max(o_orderpriority) AS top_prio
+        |           FROM orders o WHERE o.o_custkey = c.c_custkey) l1,
+        |  LATERAL (SELECT count(*) AS n_top
+        |           FROM orders o WHERE o.o_custkey = c.c_custkey
+        |             AND o.o_orderpriority = l1.top_prio) l2
+        |  ) x
+        |WHERE seg_rank <= 5
+        |ORDER BY c_mktsegment, seg_rank""".stripMargin,
     "q79_ds_channel_intersect" ->
       """WITH both_cust AS (
         |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'

@@ -833,6 +833,25 @@ class PlanQualitySpec extends SparkTestBase {
       s"the yearly aggregate must be physically shared:\n$p76")
   }
 
+  test("round-15 DS shapes: no cartesians; q82's grouping sets stay ONE " +
+    "Expand-fed aggregate; q83's stacked laterals decorrelate to joins") {
+    for (q <- Seq("q81_ds_except_window", "q82_ds_percentile_gsets",
+      "q83_ds_lateral_window")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q has a nested-loop join:\n$p")
+    }
+    val p82 = plan("q82_ds_percentile_gsets")
+    assert(p82.sliding("Expand".length).count(_ == "Expand") == 1,
+      s"grouping sets must feed ONE Expand, not one job per set:\n$p82")
+    // both stacked laterals must have decorrelated into grouped joins —
+    // two aggregate-feeding joins, no correlated subquery remnants
+    val p83 = plan("q83_ds_lateral_window")
+    assert(p83.sliding("Join".length).count(_ == "Join") >= 2,
+      s"both lateral levels must decorrelate into joins:\n$p83")
+  }
+
   test("p22: a version read scans only the manifest's files with a pruned schema") {
     val p = plan("p22_time_travel")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"),
