@@ -59,6 +59,68 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Shared coarse-cell quantizer for cell-bucketed operators: trained
+    * ONCE (on the corpus), assigns any frame — flat literal centroids
+    * while nlist is small, two-level (⌈√nlist⌉ coarse literals + a
+    * broadcast fine-centroid matrix + the vec_top_cells kernel) above 64
+    * cells, the same O(n·√nlist) escape semanticNearDups' assignment
+    * uses (flat is O(n·nlist·d) per the self-sizing contract — measured
+    * 288× wall at a 30× rehearsal before the two-level path existed). */
+  private[ops] sealed trait CellQuantizer
+  private[ops] final case class FlatCells(centroids: Seq[Seq[Double]])
+    extends CellQuantizer
+  private[ops] final case class TwoLevelCells(coarse: Seq[Seq[Double]],
+                                              fineDf: DataFrame)
+    extends CellQuantizer
+
+  /** Train on a (nd_id, nd_vec) frame. */
+  private[ops] def trainCellQuantizer(vecs: DataFrame, cells: Int,
+                                      trainSampleFraction: Double,
+                                      seed: Long): CellQuantizer =
+    if (cells <= 64)
+      FlatCells(Ivf.trainCentroids(vecs, cells, trainSampleFraction, seed,
+        "nd_vec"))
+    else {
+      val spark = vecs.sparkSession
+      import spark.implicits._
+      val (coarse, fine) = Ivf.trainHierarchical(vecs, cells,
+        trainSampleFraction, seed, "nd_vec")
+      // per-coarse-cell fine centroids as PARALLEL ARRAYS (cell-sorted):
+      // the assignment joins ONE broadcast row per (vector, coarse cell)
+      // and the vec_top_cells kernel scans the matrix in a single codegen
+      // pass; the global top-probe set is a subset of the union of
+      // per-coarse-cell top-probe sets, same (d, cell) tie order
+      val fineDf = fine.toDF("cell", "ccell", "fcent")
+        .groupBy("ccell")
+        .agg(array_sort(collect_list(struct(col("cell"), col("fcent"))))
+          .as("fc"))
+        .select(col("ccell"), col("fc.cell").as("cells"),
+          col("fc.fcent").as("cents"))
+      TwoLevelCells(coarse, fineDf)
+    }
+
+  /** `probe` nearest cells per vector of a (nd_id, nd_vec) frame →
+    * skinny (nd_id, cell) rows — vectors never ride the two-level
+    * window shuffle (only (id, cell, d) triples do). */
+  private[ops] def assignCells(vecs: DataFrame, q: CellQuantizer,
+                               probe: Int): DataFrame = q match {
+    case FlatCells(centroids) =>
+      vecs.select(col("nd_id"),
+        explode(Ivf.nearestCells(col("nd_vec"), centroids, probe)).as("cell"))
+    case TwoLevelCells(coarse, fineDf) =>
+      val w = Window.partitionBy("nd_id").orderBy(col("d"), col("cell"))
+      vecs.select(col("nd_id"), col("nd_vec"),
+          explode(Ivf.nearestCells(col("nd_vec"), coarse, probe)).as("ccell"))
+        .join(broadcast(fineDf), "ccell")
+        .select(col("nd_id"), explode(graft.functions.VecFunctions
+          .vecTopCells(col("nd_vec"), col("cents"),
+            col("cells").cast("array<long>"), probe)).as("tc"))
+        .select(col("nd_id"), col("tc.cell").as("cell"), col("tc.d").as("d"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= probe)
+        .select("nd_id", "cell")
+  }
+
   /** Exact-within-probe top-k for a LARGE query set — the route every
     * other kNN entry point refuses: they broadcast the query side by
     * contract, so a 10⁵–10⁶-query batch (reranking a retrieval shard,
@@ -105,14 +167,30 @@ object Similarity {
       }
     val probe = math.min(nprobe, cells)
     require(probe >= 1, s"nprobe $nprobe out of range")
-    val centroids = Ivf.trainCentroids(c0, cells, trainSampleFraction,
-      seed, "n_vec")
-    val c = c0.withColumn("cell",
-      Ivf.nearestCells(col("n_vec"), centroids, 1).getItem(0))
-    val q = queries
-      .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
-      .withColumn("cell",
-        explode(Ivf.nearestCells(col("q_vec"), centroids, probe)))
+    // ONE quantizer trained on the corpus assigns both sides; above 64
+    // cells the two-level path keeps assignment O(n·√nlist) — without it
+    // the self-sized nlist at a 100× corpus (4096 cells) would put the
+    // flat O(n·nlist·d) literal scan right back on the s07-measured
+    // 288×-wall path. Flat assignment stays a pure projection; the
+    // two-level skinny (id, cell) assignment joins back by id (one
+    // id-keyed exchange of each side, far below the candidate volume).
+    val quant = trainCellQuantizer(
+      c0.select(col("n_id").as("nd_id"), col("n_vec").as("nd_vec")),
+      cells, trainSampleFraction, seed)
+    def withCells(df: DataFrame, id: String, vec: String,
+                  n: Int): DataFrame = quant match {
+      case FlatCells(cents) =>
+        df.withColumn("cell",
+          explode(Ivf.nearestCells(col(vec), cents, n)))
+      case two: TwoLevelCells =>
+        df.join(
+          assignCells(df.select(col(id).as("nd_id"), col(vec).as("nd_vec")),
+            two, n).select(col("nd_id").as(id), col("cell")), id)
+    }
+    val c = withCells(c0, "n_id", "n_vec", 1)
+    val q = withCells(
+      queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec")),
+      "q_id", "q_vec", probe)
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
     // deliberately NO broadcast() on either side: the cell join must plan
     // as a shuffled join when sizes demand it (PlanQualitySpec pins the
@@ -391,46 +469,11 @@ object Similarity {
     // cell (fanout ≈ √nlist rows/vector), and the per-vector top-probe
     // fine cells fall out of one window over skinny (id, cell, dist)
     // triples — vectors never ride that shuffle.
-    val bucketed =
-      if (cells <= 64) {
-        val centroids = Ivf.trainCentroids(vecs, cells, trainSampleFraction,
-          seed, "nd_vec")
-        vecs.select(col("nd_id"),
-          explode(Ivf.nearestCells(col("nd_vec"), centroids, probeCells))
-            .as("cell"))
-      } else {
-        val spark = df.sparkSession
-        import spark.implicits._
-        val (coarse, fine) = Ivf.trainHierarchical(vecs, cells,
-          trainSampleFraction, seed, "nd_vec")
-        // per-coarse-cell fine centroids as PARALLEL ARRAYS (cell-sorted):
-        // the assignment joins ONE broadcast row per (vector, coarse cell)
-        // and the vec_top_cells kernel scans the matrix in a single codegen
-        // pass. The previous shape exploded one row per (vector, fine
-        // centroid) — replicating the 520-byte vector √nlist× and feeding a
-        // corpus×√nlist-row window (7.4M rows at 30×; now corpus×probe².
-        // Same result: the global top-probe set is a subset of the union
-        // of per-coarse-cell top-probe sets, same (d, cell) tie order.
-        val fineDf = fine.toDF("cell", "ccell", "fcent")
-          .groupBy("ccell")
-          .agg(array_sort(collect_list(struct(col("cell"), col("fcent"))))
-            .as("fc"))
-          .select(col("ccell"), col("fc.cell").as("cells"),
-            col("fc.fcent").as("cents"))
-        val probed = vecs.select(col("nd_id"), col("nd_vec"),
-          explode(Ivf.nearestCells(col("nd_vec"), coarse, probeCells))
-            .as("ccell"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("nd_id").orderBy(col("d"), col("cell"))
-        probed.join(broadcast(fineDf), "ccell")
-          .select(col("nd_id"), explode(graft.functions.VecFunctions
-            .vecTopCells(col("nd_vec"), col("cents"), col("cells").cast("array<long>"),
-              probeCells)).as("tc"))
-          .select(col("nd_id"), col("tc.cell").as("cell"), col("tc.d").as("d"))
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= probeCells)
-          .select("nd_id", "cell")
-      }
+    // (round 15: the flat/two-level split is the shared trainCellQuantizer
+    // / assignCells pair — identical operations, now also powering
+    // bucketedKnn's corpus-vs-queryset assignment)
+    val bucketed = assignCells(vecs,
+      trainCellQuantizer(vecs, cells, trainSampleFraction, seed), probeCells)
     // env-gated rehearsal instrumentation (GRAFT_S07_DEBUG): occupancy and
     // candidate-volume stats, the numbers scale diagnoses need
     if (sys.env.contains("GRAFT_S07_DEBUG")) {

@@ -61,6 +61,16 @@ class BucketedKnnSpec extends SparkTestBase {
       "self-sized full probe must equal brute force for every query")
   }
 
+  test("two-level quantizer path (nlist > 64) at full probe equals brute " +
+    "force — the 100x assignment route returns the same answers") {
+    val got = Similarity.bucketedKnn(embs, embs, k = 3,
+      nlist = 80, nprobe = 80).collect().map(_.toString).sorted
+    val brute = Similarity.bruteForceKnn(embs, embs, k = 3)
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(brute),
+      "two-level full probe must equal brute force for every query")
+  }
+
   test("nprobe out of range fails loudly") {
     val e = intercept[IllegalArgumentException] {
       Similarity.bucketedKnn(embs, embs, k = 3, nlist = 8, nprobe = 0)
