@@ -1365,6 +1365,38 @@ object SparkEntry {
     // diffs are too (the untouched de/fr/zh bands' carried files are
     // never read; SourcesSpec pins that via inputFiles). Unchanged rows
     // inside the rewritten band cancel through the EXCEPT ALL pair.
+    // zero-copy SHALLOW CLONE (p26, round 15): fork a versioned table at a
+    // pinned version by publishing ONE manifest of absolute source-file
+    // paths — no data bytes move, cloning a petabyte costs a KB write.
+    // The query proves the full contract in one result: the clone reads
+    // the pinned snapshot, DIVERGES with its own commit (source never
+    // observes it), and the source's later commit never reaches the
+    // clone — four labeled reads, every row oracle-replayed from the
+    // base predicates
+    "p26_shallow_clone" -> ((s, dir) => {
+      val src = scratch("clsrc", dir)
+      val dst = scratch("cldst", dir)
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(src), true)
+      fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      sources.Sources.commitVersion(docs.filter(col("doc_id") % 3 === 0), src)
+      sources.Sources.cloneVersion(s, src, dst)
+      // clone diverges: its own v2 (full snapshot, local files only)
+      sources.Sources.commitVersion(
+        docs.filter(col("doc_id") % 3 === 0 || col("doc_id") % 7 === 1), dst)
+      // source moves on independently: its v2 never reaches the clone
+      sources.Sources.commitVersion(docs.filter(col("doc_id") % 3 <= 1), src)
+      def tag(df: DataFrame, t: String) = df.withColumn("which", lit(t))
+      rt(s, tag(sources.Sources.readVersion(s, dst, Some(1L)), "clone_v1")
+        .unionByName(tag(sources.Sources.readVersion(s, dst, None), "clone_v2"))
+        .unionByName(tag(sources.Sources.readVersion(s, src, Some(1L)), "src_v1"))
+        .unionByName(tag(sources.Sources.readVersion(s, src, None), "src_v2"))
+        .orderBy("which", "doc_id"))
+    }),
+
     "p25_version_diff" -> ((s, dir) => {
       val base = scratch("vdiff", dir)
       val fs = new org.apache.hadoop.fs.Path(base)
@@ -4467,6 +4499,22 @@ object SparkEntry {
         |ORDER BY version, doc_id""".stripMargin,
     // p25: the diff replayed as EXCEPT ALL pairs over the same two
     // closed-form version states p23's oracle constructs
+    // p26: every labeled read replays from the base predicates — the
+    // storage mechanics (absolute-path manifest, divergence isolation)
+    // are exactly what make these four selections the right answers
+    "p26_shallow_clone" ->
+      """SELECT doc_id, lang, n_chars, 'clone_v1' AS which
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 'clone_v2' AS which
+        |FROM documents WHERE doc_id % 3 = 0 OR doc_id % 7 = 1
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 'src_v1' AS which
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 'src_v2' AS which
+        |FROM documents WHERE doc_id % 3 <= 1
+        |ORDER BY which, doc_id""".stripMargin,
     "p25_version_diff" ->
       """WITH v1 AS (SELECT doc_id, lang, n_chars FROM documents
         |            WHERE doc_id % 3 <= 1),

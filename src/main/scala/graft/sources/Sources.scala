@@ -537,6 +537,13 @@ object Sources {
       .sorted
   }
 
+  /** Manifest entries are table-relative (`data/v1-tok/part-...`) except
+    * in SHALLOW CLONES ([[cloneVersion]]), whose entries are absolute
+    * URIs into the source table — resolve accordingly. */
+  private def resolveEntry(basePath: String, f: String): String =
+    if (new org.apache.hadoop.fs.Path(f).isAbsolute || f.contains("://")) f
+    else s"$basePath/$f"
+
   /** Read a version (default: latest). The file list resolves NOW — the
     * returned frame keeps reading version `v`'s files even if later
     * commits land while it executes. */
@@ -548,7 +555,54 @@ object Sources {
     require(versions.contains(v),
       s"version $v not published at $basePath (have ${versions.mkString(",")})")
     val files = readManifest(spark, basePath, v)
-    spark.read.parquet(files.map(f => s"$basePath/$f"): _*)
+    spark.read.parquet(files.map(resolveEntry(basePath, _)): _*)
+  }
+
+  /** SHALLOW CLONE (p26): publish `dstPath`'s v1 manifest listing the
+    * SOURCE version's files by absolute path — zero data bytes copied,
+    * zero data bytes written; the clone is a KB-scale manifest. The clone
+    * is immediately a first-class versioned table: [[readVersion]] reads
+    * the pinned source snapshot, [[commitVersion]] publishes subsequent
+    * full snapshots as the clone's OWN local files (divergence never
+    * touches the source),
+    * time travel and snapshot isolation work unchanged, and vacuum on the
+    * CLONE only ever deletes files under the clone's own data/ directory
+    * (absolute source entries are never deletion candidates by
+    * construction).
+    *
+    * The one real contract, stated loudly (the same rule Delta's shallow
+    * clones carry): the source table must NOT be vacuumed below the
+    * cloned version while the clone lives — the clone pins source FILES,
+    * and the source's vacuum has no back-references to clones. Deep-copy
+    * (CTAS + commitVersion) instead when the source's retention cannot be
+    * guaranteed. Delta-commit tables (band-partitioned manifests) refuse
+    * cloning onto their merge path: [[deltaCommit]] requires
+    * table-relative band entries and fails loudly on a cloned manifest.
+    *
+    * At 100 TB: cloning a petabyte table costs one manifest read + one
+    * manifest write — the operation that makes experiment forks,
+    * ablation branches, and rollback-safe reprocessing free.
+    */
+  def cloneVersion(spark: SparkSession, srcPath: String, dstPath: String,
+                   version: Option[Long] = None): Long = {
+    val srcP = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = srcP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcAbs = fs.makeQualified(srcP).toUri.getPath
+    val versions = listVersions(spark, srcPath)
+    require(versions.nonEmpty, s"no published versions at $srcPath")
+    val v = version.getOrElse(versions.last)
+    require(versions.contains(v),
+      s"version $v not published at $srcPath (have ${versions.mkString(",")})")
+    require(listVersions(spark, dstPath).isEmpty,
+      s"clone target $dstPath already has published versions")
+    // entries that are already absolute (clone of a clone) pass through —
+    // the chain keeps pinning the ORIGINAL files, never an intermediate
+    val files = readManifest(spark, srcPath, v)
+      .map(f => resolveEntry(srcAbs, f))
+    val dstP = new org.apache.hadoop.fs.Path(dstPath)
+    dstP.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dstP)
+    publishManifest(fs, dstPath, 1L, files)
+    1L
   }
 
   // ------------------------------------------------- delta commits (p23)
@@ -620,6 +674,17 @@ object Sources {
         val prevFiles: List[String] =
           if (versions.isEmpty) Nil
           else readManifest(spark, basePath, versions.last)
+        // a SHALLOW CLONE's manifest pins absolute source files with no
+        // band structure — the merge path below parses band dirs out of
+        // table-relative entries, so a cloned table must be materialized
+        // (deep-copied) before it can delta-commit; silent mis-banding
+        // would corrupt the carried file list
+        prevFiles.find(f => !f.startsWith("data/")).foreach(f =>
+          throw new UnsupportedOperationException(
+            s"deltaCommit at $basePath: previous manifest entry '$f' is " +
+              "not a table-relative band file (shallow-cloned snapshot?) " +
+              "— materialize the clone (CTAS + commitVersion/deltaCommit " +
+              "from scratch) before delta-committing onto it"))
         val (affectedPrev, carried) = prevFiles.partition(f => affected(bandOf(f)))
         // survivors of affected bands (the MANIFEST is the pruner: only their
         // files are even listed) + non-delete change rows

@@ -382,6 +382,58 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("shallow clone: zero data bytes, pinned snapshot, isolated " +
+    "divergence, vacuum safety, chained clones, delta refusal") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_clone").toString
+    val src = s"$root/src"; val dst = s"$root/dst"; val dst2 = s"$root/dst2"
+    val v1data = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Sources.commitVersion(v1data, src)
+    assert(Sources.cloneVersion(spark, src, dst) == 1L)
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ZERO data bytes under the clone: only the manifest exists
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dst/data")),
+      "a shallow clone must not copy or write any data files")
+    assertSameRows(v1data, Sources.readVersion(spark, dst))
+    // divergence is local: clone v2 never touches src; src v2 never
+    // reaches the clone
+    val forked = Seq((1L, "a"), (9L, "z")).toDF("k", "v")
+    Sources.commitVersion(forked, dst)
+    Sources.commitVersion(Seq((7L, "s")).toDF("k", "v"), src)
+    assertSameRows(forked, Sources.readVersion(spark, dst))
+    assertSameRows(v1data, Sources.readVersion(spark, dst, Some(1L)))
+    assertSameRows(v1data, Sources.readVersion(spark, src, Some(1L)))
+    // clone of a clone pins the ORIGINAL files (absolute entries pass
+    // through), so it survives the intermediate clone being deleted
+    assert(Sources.cloneVersion(spark, dst, dst2, Some(1L)) == 1L)
+    fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+    assertSameRows(v1data, Sources.readVersion(spark, dst2))
+    // vacuum on a DIVERGED clone deletes only clone-local files: rebuild
+    // a clone, diverge twice so v1 (pure source refs) retires
+    val dst3 = s"$root/dst3"
+    Sources.cloneVersion(spark, src, dst3, Some(1L))
+    Sources.commitVersion(forked, dst3)
+    Sources.commitVersion(forked, dst3)
+    Sources.vacuumVersions(spark, dst3, keepLast = 1, minOrphanAgeMs = 0L)
+    // the source table is untouched by the clone's vacuum
+    assertSameRows(v1data, Sources.readVersion(spark, src, Some(1L)))
+    // a cloned manifest refuses the delta-commit merge path loudly
+    val dst4 = s"$root/dst4"
+    Sources.cloneVersion(spark, src, dst4, Some(1L))
+    val e = intercept[UnsupportedOperationException] {
+      Sources.deltaCommit(spark, dst4,
+        Seq((1L, "a", "I")).toDF("k", "v", "op"), "v", Seq("k"))
+    }
+    assert(e.getMessage.contains("materialize"), e.getMessage)
+    // clone onto a non-empty table refuses
+    val e2 = intercept[IllegalArgumentException] {
+      Sources.cloneVersion(spark, src, dst3)
+    }
+    assert(e2.getMessage.contains("already has published versions"),
+      e2.getMessage)
+  }
+
   test("delta commits: file reuse, band retirement, band-pruned reads, vacuum") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_delta").toString + "/tbl"
