@@ -70,7 +70,7 @@ object PlansDoc {
     "p20_freq_items" -> "frequent-items sketch: per-shard LongsSketch rows merge through one tiny exchange; the certification probes run on the top-k side only",
     "q65_tpch_q8_mktshare" -> "TPC-H Q8 shape: eight-table market share — every dimension (incl. nation twice) broadcasts; the fact side never shuffles before the year aggregate",
     "q60_tpch_q5_localsupp" -> "TPC-H Q5 shape: six-table snowflake with the customer-nation = supplier-nation constraint — all five joins broadcast, zero sort-merge at certification SF",
-    "d17_graph_rank" -> "damped-centrality rank round: one node-keyed exchange of (id, long) contributions per iteration; deg rides ON the checkpointed edge list (no per-round dim join); all arithmetic integral (DIV)",
+    "d17_graph_rank" -> "damped-centrality rank round (r15): the (u, v, deg) edge list is a CACHED co-partitioned InMemoryTableScan leaf read in place every round — zero edge-scale exchange, zero per-round sort; only two node-scale exchanges per round (state into the join + the contribution aggregate); all arithmetic integral (DIV)",
     "e13_stream_heavy_hitters" -> "windowed heavy-hitters batch twin: ONE sketch row per hour window merges map-side; the top-5 probe side joins the tiny sketch frame — raw events never shuffle twice",
     "m09_scene_cuts" -> "scene-change detection: real GIF decode stages feed one doc-keyed window pass for the luma-delta lag; only per-frame scalars shuffle",
     "q66_tpch_q4_late" -> "TPC-H Q4 shape: the EXISTS over late lineitems plans as a LeftSemi carrying the timestamp + INTERVAL comparison as the join residual; both scans prune to the compared columns",
@@ -91,7 +91,11 @@ object PlansDoc {
     "m14_phash_neardup" -> "perceptual-hash near-dup across resolutions: PNG encode (incl. REAL half-resolution re-encodes) + decode-pool-dHash as named typed stages over a doc_id-only scan; ONE dhash exchange of per-image scalars with partial count/min below it",
     "t35_gopher_quality" -> "Gopher quality rules: every fold (word count, mean length, symbol/alpha/stop-word counts) rides one projection over the scan — no exchange before the output sort",
     "d19_url_dedup" -> "canonical-URL dedup: normalization is map-side expressions feeding ONE canonical-key exchange with partial counts — digest-width rows only",
-    "p23_delta_commits" -> "delta-version time travel: both version reads are plain multi-file scans (v1 files + v2's carried/rewritten set) unioned with ZERO exchanges; the manifest did the pruning before the plan existed")
+    "p23_delta_commits" -> "delta-version time travel: both version reads are plain multi-file scans (v1 files + v2's carried/rewritten set) unioned with ZERO exchanges; the manifest did the pruning before the plan existed",
+    "s19_knn_ivfsq" -> "IVF-SQ8 probe: the saved cell layout scans int8 codes ONLY (ReadSchema n_id + array<tinyint>) under a literal probed-cell PartitionFilter; quantized-cosine shortlist, broadcast exact rerank",
+    "s20_knn_bucketed" -> "large-queryset kNN: WindowGroupLimit (Partial below the per-query exchange, Final above) caps the candidate stream at k rows per query per partition; at THIS fixture scale Spark rightly broadcasts the tiny query side - the operator never requires it, and PlanQualitySpec pins the shuffled cell-join shape under a scale-emulating broadcast threshold",
+    "t36_bpe_train" -> "BPE training: ONE corpus-sized text-only scan builds the word-freq table; every merge round is a single vocab-bounded exchange with map-side partial pair counts",
+    "p26_shallow_clone" -> "shallow clone: all four labeled version reads are plain multi-file scans (the clone's v1 resolves ABSOLUTE source files); zero exchanges below the union — the manifests did all routing before the plan existed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
