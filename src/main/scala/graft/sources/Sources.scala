@@ -599,9 +599,18 @@ object Sources {
     // the chain keeps pinning the ORIGINAL files, never an intermediate
     val files = readManifest(spark, srcPath, v)
       .map(f => resolveEntry(srcAbs, f))
+    // the publish must run against the DESTINATION's filesystem: its
+    // scheme decides the atomic-create primitive (and the object-store
+    // refusal), and src and dst need not share one
     val dstP = new org.apache.hadoop.fs.Path(dstPath)
-    dstP.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dstP)
-    publishManifest(fs, dstPath, 1L, files)
+    val dstFs = dstP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(dstFs.getUri == fs.getUri,
+      s"cloneVersion: source (${fs.getUri}) and target (${dstFs.getUri}) " +
+        "must live on the same filesystem — a cross-filesystem clone " +
+        "would publish file references the target's reader cannot " +
+        "resolve; deep-copy (CTAS + commitVersion) across filesystems")
+    dstFs.mkdirs(dstP)
+    publishManifest(dstFs, dstPath, 1L, files)
     1L
   }
 
