@@ -863,21 +863,11 @@ class PlanQualitySpec extends SparkTestBase {
   test("d17: every consumed graphRank round reads the cached co-partitioned " +
     "edges IN PLACE — exactly 2 state-scale exchanges, zero edge-scale") {
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    // structural walk of the EXECUTED adaptive plan: descend into query
-    // stages, never into a cached relation's one-time build plan (an
-    // InMemoryTableScan is a leaf; its build rides in innerChildren, which
-    // children-based traversal correctly skips)
-    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case q: QueryStageExec => walk(q.plan)
-      case other => other.children.flatMap(walk)
-    })
     val rounds = scala.collection.mutable.ArrayBuffer[Seq[SparkPlan]]()
     substrait.Consumer.roundPlanHook =
-      df => { rounds += walk(df.queryExecution.executedPlan); () }
+      df => { rounds += physicalNodes(df); () }
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

@@ -21,6 +21,23 @@ trait SparkTestBase extends AnyFunSuite {
       s"column names drifted: ${df.columns.toSeq} vs ${got.columns.toSeq}")
   }
 
+  /** Structural walk of an EXECUTED adaptive physical plan: descends into
+    * query stages, never into a cached relation's one-time build plan (an
+    * InMemoryTableScan is a leaf; its build rides in innerChildren, which
+    * children-based traversal correctly skips). Shared by the plan gates
+    * that assert on real executed nodes and their metrics. */
+  def physicalNodes(df: DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other.children.flatMap(walk)
+    })
+    walk(df.queryExecution.executedPlan)
+  }
+
   def assertSameRows(expected: DataFrame, got: DataFrame, ordered: Boolean = false): Unit = {
     val e = expected.collect().map(_.toString).toSeq
     val g = got.collect().map(_.toString).toSeq

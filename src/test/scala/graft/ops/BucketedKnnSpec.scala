@@ -71,6 +71,39 @@ class BucketedKnnSpec extends SparkTestBase {
       "two-level full probe must equal brute force for every query")
   }
 
+  test("the candidate stream never rides a shuffle: every exchange stays " +
+    "under |Q|*nprobe*k rows while the cell join emits an order of " +
+    "magnitude more — the rank-limit claim MEASURED, not asserted") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Similarity.bucketedKnn(embs, embs, k = 3,
+        nlist = 16, nprobe = 16)
+      df.collect()
+      val nodes = physicalNodes(df)
+      val joinRows = nodes.collect {
+        case j: SortMergeJoinExec => j.metrics("numOutputRows").value
+        case j: ShuffledHashJoinExec => j.metrics("numOutputRows").value
+      }
+      assert(joinRows.nonEmpty, "expected a shuffled cell join")
+      val n = embs.count()
+      val bound = n * 16 * 3 // |Q| * nprobe * k
+      assert(joinRows.max > bound * 4,
+        s"fixture too small to exercise the claim: join emitted " +
+          s"${joinRows.max} candidates vs bound $bound")
+      val shuffled = nodes.collect { case e: ShuffleExchangeExec =>
+        e.metrics("shuffleRecordsWritten").value
+      }
+      assert(shuffled.nonEmpty)
+      for (rows <- shuffled)
+        assert(rows <= bound,
+          s"an exchange carried $rows rows (> |Q|*nprobe*k = $bound): " +
+            s"the candidate stream leaked into a shuffle")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("nprobe out of range fails loudly") {
     val e = intercept[IllegalArgumentException] {
       Similarity.bucketedKnn(embs, embs, k = 3, nlist = 8, nprobe = 0)
