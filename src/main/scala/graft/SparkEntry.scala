@@ -897,20 +897,19 @@ object SparkEntry {
     // t36: distributed BPE vocabulary TRAINING (round 15 — closes the r14
     // "merges are synthetic" boundary): ONE corpus pass builds the
     // word-frequency table, then k rounds of freq-weighted pair-count →
-    // deterministic argmax → merge, all vocabulary-sized. The learned
-    // table (rk, lhs, rhs, cnt) rides the wire as a virtual table; the
-    // oracle replays the SAME k rounds as unrolled SQL CTEs (identical
-    // seg-string representation, left-to-right replace semantics, and
-    // count-desc/lexicographic tie-break), certifying every rank,
-    // operand pair, and winning count.
-    "t36_bpe_train" -> ((s, dir) => rt(s, {
-      import s.implicits._
-      ops.BpeTrain.learnMerges(t(s, dir, "documents"), "text",
-          numMerges = BpeTrainRounds)
-        .map(m => (m.rank, m.left, m.right, m.cnt))
-        .toDF("rk", "lhs", "rhs", "cnt")
-        .orderBy("rk")
-    })),
+    // deterministic argmax → merge, all vocabulary-sized. The WHOLE
+    // training loop rides the wire as ONE Rel.ExtIteration — init state,
+    // the per-round plan (pair count, relational sort+fetch-1 argmax,
+    // constant-key-join merge application, merge append), and the round
+    // count; the consumer runs the loop with zero driver round-trips
+    // (and measures FASTER than the per-round-collect host loop, which
+    // BpeTrainSpec pins bit-identical). The oracle replays the SAME k
+    // rounds as unrolled SQL CTEs (identical seg-string representation,
+    // left-to-right replace semantics, and count-desc/lexicographic
+    // tie-break), certifying every rank, operand pair, and winning count.
+    "t36_bpe_train" -> ((s, dir) =>
+      ops.BpeTrain.trainMerges(t(s, dir, "documents"), "text",
+        numMerges = BpeTrainRounds, stepThroughWire = true)),
 
     // Gopher-style repetition filters: zero-shuffle narrow fold per document
     "t10_repetition" -> ((s, dir) => rt(s,

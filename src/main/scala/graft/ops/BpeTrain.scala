@@ -101,6 +101,101 @@ object BpeTrain {
     out.result()
   }
 
+  /** The whole training LOOP as ONE wire artifact (round 15): init state,
+    * the per-round plan — pair count, argmax, merge application, merge
+    * append — and the round count ride as a single `Rel.ExtIteration`;
+    * the consumer runs the loop. Where [[learnMerges]] collects one
+    * argmax row per round to the driver, here the argmax is RELATIONAL
+    * (sort + fetch-1, deterministic tie-break) and the winning pair
+    * reaches the segmentations through a constant-key left join — no
+    * driver round-trips, no host state in the artifact.
+    *
+    * State is one schema-preserving frame carrying BOTH populations:
+    *   ('w', word, seg,  freq, 0)     — current segmentations
+    *   ('m', left, right, cnt, rank)  — merges learned so far
+    * Each round appends at most one 'm' row (rank = current merge count,
+    * so ranks are 0-based in learn order) and rewrites every 'w' row's
+    * seg. If the vocabulary fully coalesces the argmax goes empty, the
+    * left join finds nothing and the remaining rounds are cheap no-ops —
+    * the merge table equals the host loop's early-stopped one exactly
+    * (the per-round fixpoint check would buy the early exit back at one
+    * extra full-state job per round; numMerges bounds the loop either
+    * way, so the check stays off).
+    *
+    * Returns the learned merge table (rk, lhs, rhs, cnt), rk ascending.
+    * (The post-fixpoint projection is host-side: the consumed state is a
+    * lineage-truncated snapshot, unproducible by design — t36 joins the
+    * d08/d13/d14/d17 fixpoint-materializing family.)
+    */
+  def trainMerges(docs: DataFrame, textCol: String, numMerges: Int,
+                  stepThroughWire: Boolean = false): DataFrame = {
+    if (!stepThroughWire) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      return learnMerges(docs, textCol, numMerges)
+        .map(m => (m.rank, m.left, m.right, m.cnt))
+        .toDF("rk", "lhs", "rhs", "cnt").orderBy("rk")
+    }
+    learnMergesWire(docs, textCol, numMerges)
+  }
+
+  private def learnMergesWire(docs: DataFrame, textCol: String,
+                              numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    val init = wordFreq(docs, textCol).select(
+      lit("w").as("tag"), col("word").as("a"), col("seg").as("b"),
+      col("freq").as("n1"), lit(0L).as("n2"))
+    def body(state: DataFrame): DataFrame = {
+      val words = state.filter(col("tag") === "w")
+        .select(col("a").as("word"), col("b").as("seg"),
+          col("n1").as("freq"))
+      val merges = state.filter(col("tag") === "m")
+      // relational argmax: the winning pair is a 0-or-1-row frame
+      val win = pairCounts(words)
+        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
+      // 0-based rank of the new merge = how many exist already
+      val winR = win.crossJoin(merges.agg(count(lit(1)).as("__rank")))
+        .withColumn("__k", lit(1))
+      val newMerge = winR.select(lit("m").as("tag"), col("a"), col("b"),
+        col("cnt").as("n1"), col("__rank").as("n2"))
+      val newWords = words.withColumn("__k", lit(1))
+        .join(winR.select(col("__k"), col("a").as("__l"),
+          col("b").as("__r")), Seq("__k"), "left")
+        .select(lit("w").as("tag"), col("word").as("a"),
+          when(col("__l").isNull, col("seg")).otherwise(
+            replace(col("seg"),
+              concat(lit("("), col("__l"), lit(")("), col("__r"), lit(")")),
+              concat(lit("("), col("__l"), col("__r"), lit(")"))))
+            .as("b"),
+          col("freq").as("n1"), lit(0L).as("n2"))
+      // Repartition is LOAD-BEARING, not cosmetic: a union's partition
+      // count is the SUM of its children's, and two of the three branches
+      // derive from the state — without the cap the materialized state's
+      // partition count ~doubles every round and the loop goes
+      // exponential in TASKS (measured on the probe: 0.5 s rounds
+      // becoming 19 s by round 12 with constant plans and constant
+      // data). One vocab-scale hash exchange per round keeps rounds
+      // flat; keyed on (tag, a) so the layout is deterministic.
+      newWords
+        .unionByName(merges.select("tag", "a", "b", "n1", "n2"))
+        .unionByName(newMerge)
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("tag"), col("a"))
+    }
+    val plan = graft.substrait.Producer.produceIteration(init, body,
+      maxIters = numMerges, checkFixpoint = false)
+    val decoded = graft.substrait.Wire.decode(
+      graft.substrait.Wire.encode(plan))
+    graft.substrait.Consumer.consume(spark, decoded,
+        reliableIteration = Some(false))
+      .toDF("tag", "a", "b", "n1", "n2")
+      .filter(col("tag") === "m")
+      .select(col("n2").cast("int").as("rk"), col("a").as("lhs"),
+        col("b").as("rhs"), col("n1").as("cnt"))
+      .orderBy("rk")
+  }
+
   /** Final segmentations under a set of learned merges, replayed from
     * scratch (rank order, same replace semantics): (word, freq, n_tok).
     * This is tokenization-as-training-saw-it — the spec pins that the

@@ -55,6 +55,30 @@ class BpeTrainSpec extends SparkTestBase {
       s"one merge exhausts a single-bigram vocab: $m")
   }
 
+  test("the wire-looped training (one ExtIteration artifact) is " +
+    "bit-identical to the host loop — classic corpus, real documents, " +
+    "and the coalesced early-stop shape") {
+    def asMerges(df: org.apache.spark.sql.DataFrame): Seq[Merge] =
+      df.collect().map(r => Merge(r.getInt(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSeq
+    // classic corpus: equals the hand-derived table
+    assert(asMerges(BpeTrain.trainMerges(corpus, "text", 5,
+      stepThroughWire = true)) == expected)
+    // real fixture: wire == host, merge for merge
+    graft.Tables.register(spark, sfDir)
+    val docs = spark.table("documents")
+    val host = asMerges(BpeTrain.trainMerges(docs, "text", 6))
+    val wire = asMerges(BpeTrain.trainMerges(docs, "text", 6,
+      stepThroughWire = true))
+    assert(host == wire, s"wire-trained merges drifted:\n$host\n$wire")
+    // fully-coalescing vocab: the argmax goes empty mid-loop and the
+    // no-op tail rounds add nothing — same table as the host early stop
+    import spark.implicits._
+    val tiny = Seq("ab ab ab").toDF("text")
+    assert(asMerges(BpeTrain.trainMerges(tiny, "text", 4,
+      stepThroughWire = true)) == Seq(Merge(0, "a", "b", 3L)))
+  }
+
   test("learned merges honor the construction invariant and drive greedy " +
     "tokenization to training's exact terminal segmentations") {
     val merges = BpeTrain.learnMerges(corpus, "text", numMerges = 5)
