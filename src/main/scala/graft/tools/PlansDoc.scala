@@ -94,7 +94,7 @@ object PlansDoc {
     "p23_delta_commits" -> "delta-version time travel: both version reads are plain multi-file scans (v1 files + v2's carried/rewritten set) unioned with ZERO exchanges; the manifest did the pruning before the plan existed",
     "s19_knn_ivfsq" -> "IVF-SQ8 probe: the saved cell layout scans int8 codes ONLY (ReadSchema n_id + array<tinyint>) under a literal probed-cell PartitionFilter; quantized-cosine shortlist, broadcast exact rerank",
     "s20_knn_bucketed" -> "large-queryset kNN: WindowGroupLimit (Partial below the per-query exchange, Final above) caps the candidate stream at k rows per query per partition; at THIS fixture scale Spark rightly broadcasts the tiny query side - the operator never requires it, and PlanQualitySpec pins the shuffled cell-join shape under a scale-emulating broadcast threshold",
-    "t36_bpe_train" -> "BPE training: ONE corpus-sized text-only scan builds the word-freq table; every merge round is a single vocab-bounded exchange with map-side partial pair counts",
+    "t36_bpe_train" -> "BPE training as ONE wire ExtIteration (r15): a corpus-sized text-only scan builds the word-freq state; each consumed round is vocab-bounded - pair-count exchange with map-side partials, relational fetch-1 argmax, constant-key merge join, and the partition-capping state repartition (without which union-fed rounds double their task count)",
     "p26_shallow_clone" -> "shallow clone: all four labeled version reads are plain multi-file scans (the clone's v1 resolves ABSOLUTE source files); zero exchanges below the union — the manifests did all routing before the plan existed")
 
   def main(args: Array[String]): Unit = {
