@@ -177,12 +177,26 @@ object BpeTrain {
       // becoming 19 s by round 12 with constant plans and constant
       // data). One vocab-scale hash exchange per round keeps rounds
       // flat; keyed on (tag, a) so the layout is deterministic.
+      // NO explicit partition count (opt round 15): with a count the
+      // exchange is pinned to the session width even when the state is a
+      // few KB (32 one-row tasks per round at sf0.1 — pure scheduling
+      // latency); without one AQE sizes the state to its bytes
+      // (advisoryPartitionSizeInBytes), which is the scale-adaptive
+      // behavior at BOTH ends — 1 task on a toy vocab, hundreds on a
+      // 100 TB corpus's vocabulary.
       newWords
         .unionByName(merges.select("tag", "a", "b", "n1", "n2"))
         .unionByName(newMerge)
-        .repartition(spark.sessionState.conf.numShufflePartitions,
-          col("tag"), col("a"))
+        .repartition(col("tag"), col("a"))
     }
+    // Double-hop rounds (the connectedComponents trick) REFUTED here, opt
+    // round 15, measured: body∘body with half the iterations read 17.8 s
+    // vs 9.6 s on the sf0.1 probe (2.5 s per materialization vs 2×0.65).
+    // CC's body binds the state in cheap column-pruned joins; THIS body
+    // binds it under a TakeOrdered+broadcast argmax subtree, and with no
+    // materialization between hops the outer hop re-derives the whole
+    // inner body once per state reference (4 binds) — the duplicated
+    // argmax/broadcast stages cost far more than the saved checkpoint.
     val plan = graft.substrait.Producer.produceIteration(init, body,
       maxIters = numMerges, checkFixpoint = false)
     val decoded = graft.substrait.Wire.decode(
