@@ -1061,7 +1061,20 @@ object Consumer {
         lit(bd).cast(DecimalType(p, s))
       case LitVal.LNull(t) => lit(null).cast(sparkType(t))
       case LitVal.LList(et, vs) =>
-        array(vs.map(literalColumn): _*).cast(ArrayType(sparkType(et)))
+        // ONE catalyst Literal (the shape typedLit builds) instead of a
+        // CreateArray carrying |vs| child literal nodes: every analyzer
+        // pass over the rebuilt plan re-walks literal subtrees, and a
+        // consumed codebook literal (16×64×4 doubles in s11) made
+        // Consumer.consume alone cost ~0.9 s (opt r15, SProbe measured;
+        // encode/decode of the same plan is ~10 ms). Literal.create
+        // converts the external value in one step; the elementwise
+        // CreateArray stays as the fallback for any value the converter
+        // rejects, preserving the old semantics exactly.
+        try org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            litExternal(v), ArrayType(sparkType(et))))
+        catch { case scala.util.control.NonFatal(_) =>
+          array(vs.map(literalColumn): _*).cast(ArrayType(sparkType(et))) }
       case LitVal.LMap(kt, vt, es) =>
         map(es.flatMap { case (k, v) =>
           Seq(literalColumn(k), literalColumn(v)) }: _*)
