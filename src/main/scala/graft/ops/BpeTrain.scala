@@ -169,25 +169,27 @@ object BpeTrain {
               concat(lit("("), col("__l"), col("__r"), lit(")"))))
             .as("b"),
           col("freq").as("n1"), lit(0L).as("n2"))
-      // Repartition is LOAD-BEARING, not cosmetic: a union's partition
-      // count is the SUM of its children's, and two of the three branches
-      // derive from the state — without the cap the materialized state's
+      // Partition-growth cap, round-15 optimization pass: a union's
+      // partition count is the SUM of its children's, and two of the
+      // three branches derive from the state — uncapped, the state's
       // partition count ~doubles every round and the loop goes
       // exponential in TASKS (measured on the probe: 0.5 s rounds
       // becoming 19 s by round 12 with constant plans and constant
-      // data). One vocab-scale hash exchange per round keeps rounds
-      // flat; keyed on (tag, a) so the layout is deterministic.
-      // NO explicit partition count (opt round 15): with a count the
-      // exchange is pinned to the session width even when the state is a
-      // few KB (32 one-row tasks per round at sf0.1 — pure scheduling
-      // latency); without one AQE sizes the state to its bytes
-      // (advisoryPartitionSizeInBytes), which is the scale-adaptive
-      // behavior at BOTH ends — 1 task on a toy vocab, hundreds on a
-      // 100 TB corpus's vocabulary.
+      // data). The build round capped it with a full-state hash
+      // exchange; that re-shuffles the WHOLE vocabulary every round for
+      // rows that never need to move — the 'w' branch is narrow (a
+      // broadcast join + per-row replace preserves the initial wordFreq
+      // partitioning), so only the TINY branches need placing. Squeezing
+      // (merges ∪ newMerge) — ≤ numMerges+1 rows by construction, the
+      // loop bound, not the data — through one repartition(1) caps
+      // growth at +1 partition per round (bounded by maxIters) and
+      // removes the vocab-scale exchange from the round's critical path
+      // entirely: per round the state moves ≤ 13 rows instead of all of
+      // it. guide §2.1 — remove the shuffle outright.
       newWords
-        .unionByName(merges.select("tag", "a", "b", "n1", "n2"))
-        .unionByName(newMerge)
-        .repartition(col("tag"), col("a"))
+        .unionByName(merges.select("tag", "a", "b", "n1", "n2")
+          .unionByName(newMerge)
+          .repartition(1))
     }
     // Double-hop rounds (the connectedComponents trick) REFUTED here, opt
     // round 15, measured: body∘body with half the iterations read 17.8 s

@@ -66,15 +66,15 @@ object Similarity {
     * cells, the same O(n·√nlist) escape semanticNearDups' assignment
     * uses (flat is O(n·nlist·d) per the self-sizing contract — measured
     * 288× wall at a 30× rehearsal before the two-level path existed). */
-  private[ops] sealed trait CellQuantizer
-  private[ops] final case class FlatCells(centroids: Seq[Seq[Double]])
+  private[graft] sealed trait CellQuantizer
+  private[graft] final case class FlatCells(centroids: Seq[Seq[Double]])
     extends CellQuantizer
-  private[ops] final case class TwoLevelCells(coarse: Seq[Seq[Double]],
+  private[graft] final case class TwoLevelCells(coarse: Seq[Seq[Double]],
                                               fineDf: DataFrame)
     extends CellQuantizer
 
   /** Train on a (nd_id, nd_vec) frame. */
-  private[ops] def trainCellQuantizer(vecs: DataFrame, cells: Int,
+  private[graft] def trainCellQuantizer(vecs: DataFrame, cells: Int,
                                       trainSampleFraction: Double,
                                       seed: Long): CellQuantizer =
     if (cells <= 64)
@@ -102,7 +102,7 @@ object Similarity {
   /** `probe` nearest cells per vector of a (nd_id, nd_vec) frame →
     * skinny (nd_id, cell) rows — vectors never ride the two-level
     * window shuffle (only (id, cell, d) triples do). */
-  private[ops] def assignCells(vecs: DataFrame, q: CellQuantizer,
+  private[graft] def assignCells(vecs: DataFrame, q: CellQuantizer,
                                probe: Int): DataFrame = q match {
     case FlatCells(centroids) =>
       vecs.select(col("nd_id"),
@@ -187,21 +187,55 @@ object Similarity {
           assignCells(df.select(col(id).as("nd_id"), col(vec).as("nd_vec")),
             two, n).select(col("nd_id").as(id), col("cell")), id)
     }
-    val c = withCells(c0, "n_id", "n_vec", 1)
+    // Norms precomputed ONCE per side (opt round 15, guide §4): the fused
+    // vec_cosine kernel re-accumulates both self-products on every
+    // candidate pair — |Q|·nprobe·occupancy evaluations of 6 flops/element
+    // where the dot needs 2. Hoisting sqrt(dot(v,v)) to a per-row column
+    // before the join leaves dot-only work in the hot loop and is
+    // BIT-exact for the kNN contract (equal-length vectors, which the
+    // fused kernel's min-length truncation also assumes): dot(v,v)
+    // accumulates in the same element order as vec_cosine's self-product,
+    // and dot/(sqrt(qq)*sqrt(nn)) is the identical operation sequence.
+    val c = withCells(
+      c0.withColumn("n_nrm", sqrt(dot(col("n_vec"), col("n_vec")))),
+      "n_id", "n_vec", 1)
     val q = withCells(
-      queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec")),
+      queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+        .withColumn("q_nrm", sqrt(dot(col("q_vec"), col("q_vec")))),
       "q_id", "q_vec", probe)
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
     // deliberately NO broadcast() on either side: the cell join must plan
     // as a shuffled join when sizes demand it (PlanQualitySpec pins the
     // shape under a scale-emulating broadcast threshold)
-    c.join(q, "cell")
+    val cand = c.join(q, "cell")
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"),
-        round(col("sim"), 6).as("sim"))
+      .withColumn("sim",
+        dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")))
+    // Top-k per query: for small k a grouped TopKByKey aggregate — an O(n)
+    // streaming insert that hash-aggregates and reduces map-side — replaces
+    // the row_number window, whose WindowGroupLimit Partial step SORTS the
+    // full candidate stream per partition (424M rows = ~2/3 of s20's 100x
+    // cost, S20Probe-measured; the aggregate keeps the same skinny
+    // exchange volume and the identical (sim DESC, n_id ASC) total order,
+    // so results are bit-equal — SimilaritySpec pins agg == window on
+    // tie-heavy data). Above the kernel's k cap the window form remains.
+    if (k <= 4) {
+      cand
+        .groupBy("q_id")
+        .agg(graft.functions.TopKFunctions
+          .topkByKey(col("sim"), col("n_id"), k).as("__top"))
+        .select(col("q_id"), posexplode(col("__top")).as(Seq("__pos", "__t")))
+        .filter(col("__t").getField("id").isNotNull)
+        .select(col("q_id"), col("__t").getField("id").as("n_id"),
+          (col("__pos") + 1).cast("int").as("rank"),
+          round(col("__t").getField("key"), 6).as("sim"))
+    } else {
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+      cand
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("n_id"), col("rank"),
+          round(col("sim"), 6).as("sim"))
+    }
   }
 
   /** Deterministic pseudo-random hyperplanes: seeded Gaussian components —

@@ -652,6 +652,10 @@ object Consumer {
         case "charlm_fit_agg" =>
           graft.functions.CharLmFunctions.ensureSessionRegistered()
           call_function("charlm_fit_agg", args: _*)
+        // grouped top-k (sort-free kNN shortlist; k rides as literal arg)
+        case "topk_by_key" =>
+          graft.functions.TopKFunctions.ensureSessionRegistered()
+          call_function("topk_by_key", args: _*)
         case other => notImplemented(s"aggregate function $other")
       }
     }

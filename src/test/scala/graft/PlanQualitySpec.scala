@@ -570,12 +570,18 @@ class PlanQualitySpec extends SparkTestBase {
         s"query side must ride the shuffle, not a broadcast:\n$p")
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
         s"cell join must be a shuffled join:\n$p")
-      // rank-limit pushdown: each cell partition pre-filters to k rows
-      // per resident query, so only |Q|·nprobe·k skinny rows reach the
-      // final per-query exchange — without this node the window would
-      // shuffle the whole candidate stream
-      assert(p.contains("WindowGroupLimit"),
-        s"rank-limit pushdown missing from the top-k window:\n$p")
+      // sort-free top-k (opt round 15): the per-query shortlist is the
+      // TopKByKey hash aggregate — partial slots reduce map-side so only
+      // ≤ |Q|·nprobe·k skinny slot rows reach the per-query exchange,
+      // and NO candidate-stream sort exists anywhere (the row_number
+      // window's WindowGroupLimit Partial sorted all 424M candidates at
+      // 100×, S20Probe-measured as ~2/3 of the query)
+      assert(p.contains("topk_by_key"),
+        s"top-k hash aggregate missing:\n$p")
+      assert(p.contains("partial_topk_by_key"),
+        s"top-k aggregate must partial-aggregate map-side:\n$p")
+      assert(!p.contains("WindowGroupLimit") && !p.contains("Window "),
+        s"the sort-based window top-k is back:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
