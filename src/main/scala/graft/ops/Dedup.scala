@@ -1370,9 +1370,20 @@ object Dedup {
         stepThroughWire = stepThroughWire)
       .join(df.select(col(idCol).cast("long").as("node"), quality.as("__q")),
         "node")
+    // Winner = argmax by (quality, then SMALLEST node): as TopKByKey k=1
+    // (opt round 15) — 2 fixed-width buffer slots, so Spark plans a
+    // HashAggregate with map-side partial reduction. The previous
+    // max(struct(q, -negid)) was bit-identical in ORDER (struct ordering:
+    // q first, null-q lowest; tie → max(-node) = min node — TopKByKey's
+    // key DESC NULLS LAST, id ASC is the same total order) but its
+    // struct-typed buffer forced a SortAggregate, sorting the whole
+    // cluster membership. (The r8 refutation only covered max_by, which
+    // ALSO SortAggregates — tools/PlanProbe; a fixed-width kernel is the
+    // shape neither builtin offers.)
     val winners = member.groupBy("cluster_id")
-      .agg(max(struct(col("__q").as("q"), (-col("node")).as("negid"))).as("w"))
-      .select((-col("w.negid")).as("node"))
+      .agg(graft.functions.TopKFunctions
+        .topkByKey(col("__q"), col("node"), 1).as("w"))
+      .select(col("w").getItem(0).getField("id").as("node"))
     val losers = member.select("node").join(winners, Seq("node"), "left_anti")
     df.join(losers.withColumnRenamed("node", idCol), Seq(idCol), "left_anti")
   }

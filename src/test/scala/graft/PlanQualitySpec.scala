@@ -613,6 +613,18 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("d14: the keep-best winner is a map-side-reducing HashAggregate, " +
+    "not a cluster-membership sort") {
+    // opt round 15: max(struct) forced a SortAggregate (struct buffers
+    // aren't fixed-width) that sorted the whole membership at 100x with
+    // spill; TopKByKey k=1 hash-aggregates the identical winner
+    val p = plan("d14_keep_best_per_cluster")
+    assert(p.contains("partial_topk_by_key"),
+      s"winner agg must partial-reduce map-side:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"winner agg must not sort the membership:\n$p")
+  }
+
   test("p19: the skipping report is ONE map-side-combined aggregate, no row-data shuffle") {
     val p = plan("p19_skipping_report")
     assert(p.contains("partial_min") && p.contains("partial_max"),
