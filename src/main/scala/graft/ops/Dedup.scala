@@ -1080,8 +1080,15 @@ object Dedup {
     // directions + the join side), so each generation is checkpointed —
     // dropping this recomputes the distinct per reference and costs more
     // than the checkpoint job does
-    var labels = materialize(edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")))
+    // Init = min(u, min neighbor) — ONE free propagation hop (opt round 16):
+    // the old identity init paid the same |E|-row exchange for a distinct();
+    // a groupBy/min over the symmetric edge list costs the same shuffle and
+    // starts the label state one hop ahead, which pointer doubling
+    // compounds (a star/pair cluster is already converged at init). The
+    // fixpoint is init-independent for any valid state (label(u) ≤ u and
+    // ≥ the component minimum), so results are unchanged.
+    var labels = materialize(edges.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      .select(col("u").as("node"), least(col("mv"), col("u")).as("label")))
     // Round-15 REFUTATION (the d17 co-partitioning mechanism does NOT
     // transfer here): the edge list enters this join through a UNION with
     // the per-round pointer frames, and a union of a cached co-partitioned
@@ -1099,9 +1106,19 @@ object Dedup {
     // union shape.
     def step(ed: DataFrame)(lbl: DataFrame): DataFrame = {
       val ptr = lbl.select(col("node").as("u"), col("label").as("v"))
+      // Reverse-pointer branch eliminated from the join (opt round 16): the
+      // old shape unioned ptr⁻¹ = (label(n), n) into the v-keyed join, but
+      // joining (u=label(n), v=n) against labels on v=n just reads back
+      // label(n) — the result is EXACTLY one (label(n), label(n)) row per
+      // node n, i.e. lbl.select(label, label) verbatim. Emitting it after
+      // the join keeps |V| rows out of the union exchange and the join
+      // probe per hop (the join now ships |E|+|V| rows, not |E|+2|V|)
+      // while the groupBy's input multiset — and therefore every label
+      // generation — is bit-identical.
       ed.union(ptr)
-        .union(ptr.select(col("v").as("u"), col("u").as("v")))
         .join(lbl.select(col("node").as("v"), col("label")), "v")
+        .select(col("u"), col("label"))
+        .union(lbl.select(col("label").as("u"), col("label")))
         .groupBy("u").agg(min(col("label")).as("label"))
         .select(col("u").as("node"), col("label"))
     }
@@ -1118,9 +1135,11 @@ object Dedup {
       val initialLabels = labels // superseded by the consumed fixpoint
       try {
         // init derives from the SAME named read so the whole artifact —
-        // initial labels included — is plan, not host state
-        val init = spark.table(edgesView).select(col("u").as("node"))
-          .distinct().withColumn("label", col("node"))
+        // initial labels included — is plan, not host state (min-neighbor
+        // head-start init, same as the host loop's — see above)
+        val init = spark.table(edgesView)
+          .groupBy(col("u")).agg(min(col("v")).as("mv"))
+          .select(col("u").as("node"), least(col("mv"), col("u")).as("label"))
         val plan = graft.substrait.Producer.produceIteration(
           init,
           l => { val e = spark.table(edgesView); step(e)(step(e)(l)) },

@@ -972,7 +972,8 @@ object Consumer {
           case other if Producer.namedScalarFns.contains(other) =>
             if (other.startsWith("vec_") || other == "cell_pairs")
               graft.functions.VecFunctions.ensureSessionRegistered()
-            if (other == "simhash64")
+            if (other == "simhash64" || other == "simhash64_text" ||
+                other == "minhash_sig_text")
               graft.functions.MinHashFunctions.ensureSessionRegistered()
             if (other == "sorted_jaccard_ge" || other == "sorted_containment_ge" ||
                 other == "bucket_jaccard_pairs")

@@ -1822,6 +1822,7 @@ object Producer {
     // graft's own codegen'd vector kernels — session-registered functions,
     // carried as substrait extension functions by name
     "vec_dot", "vec_cosine", "vec_l2sq", "cell_pairs", "simhash64",
+    "simhash64_text", "minhash_sig_text",
     "sorted_jaccard_ge",
     "sorted_containment_ge", "bucket_jaccard_pairs", "shingle_hashes",
     "bpe_count", "bpe_count_v2", "charlm_fold",

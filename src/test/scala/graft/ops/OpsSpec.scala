@@ -108,6 +108,41 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("fused minhash_sig_text / simhash64_text == the array-input kernels") {
+    // opt round 16: the fused text kernels hash gram/token byte-ranges of
+    // lower(text) in place; they must reproduce the composed forms
+    // minhash_sig(shingles(text,k)) and simhash64(split(lower(text),' '))
+    // EXACTLY — duplicates (minhash min is idempotent; simhash votes count
+    // them identically on both paths), split's limit=-1 empty tokens, the
+    // size<k whole-string gram, unicode, and empty text
+    import spark.implicits._
+    val adversarial = Seq(
+      "", " ", "  ", "a", "a ", " a", "a  b", "a b ", " a b",
+      "the the the the", "ONE Two thrEE four FIVE six",
+      "tab\there newline\nthere", "héllo wörld ünïcode tèxt mixed",
+      "exact duplicate window exact duplicate window exact",
+      "a b c", "a b c d", "x " * 50 + "tail")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val advDf = adversarial.toDF("doc_id", "text")
+    import graft.functions.MinHashFunctions
+    for ((df, what) <- Seq((docs.select("doc_id", "text"), "documents fixture"),
+                           (advDf, "adversarial")); k <- Seq(1, 2, 3, 5)) {
+      val mh = df.select(
+          MinHashFunctions.minhashSigText(col("text"), k, 64).as("fused"),
+          MinHashFunctions.minhashSig(Dedup.shingles("text", k), 64).as("composed"))
+        .filter(col("fused") =!= col("composed")).count()
+      assert(mh == 0, s"$what k=$k: $mh minhash rows differ")
+    }
+    for ((df, what) <- Seq((docs.select("doc_id", "text"), "documents fixture"),
+                           (advDf, "adversarial"))) {
+      val sh = df.select(
+          MinHashFunctions.simhash64Text(col("text")).as("fused"),
+          MinHashFunctions.simhash64(split(lower(col("text")), " ")).as("composed"))
+        .filter(col("fused") =!= col("composed")).count()
+      assert(sh == 0, s"$what: $sh simhash rows differ")
+    }
+  }
+
   test("prefix-filter branch (bucket > 64 members) equals exact all-pairs") {
     // 300 same-length-class docs in ONE (lang, size-bucket) — far above the
     // kernel's 64-member cut, so candidates MUST come from the in-task
