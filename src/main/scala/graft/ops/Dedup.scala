@@ -190,7 +190,14 @@ object Dedup {
     // repartition BEFORE the signature computation so it runs across all
     // cores (a small parquet input is otherwise a single serial partition)
     val base = df.select(col(idCol), col(textCol)).repartition(col(idCol))
-    minhashSignature(base, textCol, numHashes, shingleSize)
+    // fused text→signature kernel (opt round 16): hashes gram byte-ranges
+    // of lower(text) in place — bit-identical to
+    // minhash_sig(shingles(text,k)) (OpsSpec pins it; min is idempotent so
+    // dropping array_distinct changes nothing) and 7.4× faster at 100×
+    // (D02Probe: 9.78 → 1.33 s for the 500k-doc signature pass)
+    base.withColumn("minhash_sig",
+        graft.functions.MinHashFunctions
+          .minhashSigText(col(textCol), shingleSize, numHashes))
       .select(col(idCol).as(idAs),
         posexplode(expr(
           s"""element_at(transform(array(minhash_sig),
@@ -652,18 +659,40 @@ object Dedup {
     val grams = docs.select(col("jid"), col("sz"), explode(col("sh")).as("gram"))
     val gramsF = grams.withColumn("freq", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy("gram")))
-    val pref = gramsF
+    // BOTH join sides now derive from ONE posexploded rarest-first stream
+    // (opt round 16): the prefix side is a position filter over it, and the
+    // index side carries its positions too, enabling the PPJoin positional
+    // bound below (Xiao et al. 2008, the d12 trick adapted to containment).
+    // Spark's ReuseExchange computes the ordered subtree once for both
+    // sides — the old shape exploded the raw gram stream a second way.
+    val ordered = gramsF
       .groupBy("jid", "sz")
       .agg(array_sort(collect_list(struct(col("freq"), col("gram")))).as("ord"))
       .select(col("jid"), col("sz"),
-        explode(slice(transform(col("ord"), s => s.getField("gram")),
-          lit(1), prefLen)).as("gram"))
-    val allGrams = grams.select(col("jid").as("id_b"), col("sz").as("sz_b"),
-      col("gram"))
-    val cand = pref.select(col("gram"), col("jid").as("id_a"), col("sz").as("sz_a"))
+        posexplode(transform(col("ord"), s => s.getField("gram")))
+          .as(Seq("p", "gram")))
+    val pref = ordered.filter(col("p") < prefLen)
+    val allGrams = ordered.select(col("jid").as("id_b"), col("sz").as("sz_b"),
+      col("p").as("p_b"), col("gram"))
+    val cand = pref.select(col("gram"), col("jid").as("id_a"),
+        col("sz").as("sz_a"), col("p").as("p_a"))
       .join(allGrams, "gram")
       .filter(col("id_a") =!= col("id_b"))
       .filter(col("sz_b").cast("double") >= lit(threshold) * col("sz_a"))
+      // Positional filter: both sides enumerate in the SAME global
+      // rarest-first order, so a pair's first shared gram minimizes both
+      // positions (a shared gram before p_b in B would sit before p_a in A,
+      // i.e. inside A's prefix — an earlier occurrence, contradiction).
+      // At that occurrence no shared gram precedes it on either side, so
+      // |A∩B| ≤ 1 + min(sz_a−p_a−1, sz_b−p_b−1); containment ≥ t needs
+      // |A∩B| ≥ t·sz_a. The bound is maximal at the first match and only
+      // shrinks for later occurrences, so filtering per occurrence BEFORE
+      // the distinct keeps a pair iff its first-match bound passes —
+      // completeness untouched, only provably-below-threshold pairs drop
+      // before the distinct exchange and the array-shipping verify joins.
+      .filter((lit(1) + least(col("sz_a") - col("p_a") - 1,
+          col("sz_b") - col("p_b") - 1)).cast("double") >=
+        lit(threshold) * col("sz_a") - lit(1e-9))
       .select("id_a", "id_b").distinct()
     val g = docs.select(col("jid"), col("sh"))
     cand
@@ -697,13 +726,16 @@ object Dedup {
                       onOverflow: String = "drop"): DataFrame = {
     require(onOverflow == "drop" || onOverflow == "fail",
       s"onOverflow must be 'drop' or 'fail', got '$onOverflow'")
-    val spans = df.select(col(idCol).as("sid"), explode(array_distinct(expr(
-      s"""element_at(transform(array(split(lower($textCol), ' ')), ws ->
-         |  CASE WHEN size(ws) < $spanTokens
-         |       THEN array(xxhash64(array_join(ws, ' ')))
-         |       ELSE transform(sequence(0, size(ws) - $spanTokens),
-         |              i -> xxhash64(array_join(slice(ws, i + 1, $spanTokens), ' ')))
-         |  END), 1)""".stripMargin))).as("wh"))
+    // span hashes via the fused shingle kernel (opt round 16): a stride-1
+    // spanTokens-token window IS a word k-gram, so shingle_hashes(text, k)
+    // produces exactly the distinct xxhash64 values the old per-window
+    // array_join/transform string construction built (sorted — irrelevant,
+    // the groupBy keys on the value), with zero window-string allocation:
+    // 8.57 → 1.14 s for the 100× span explosion (D16Probe; identity
+    // check: same count + decimal hash sum on both paths)
+    val spans = df.select(col(idCol).as("sid"),
+      explode(graft.functions.ShingleFunctions
+        .shingleHashes(col(textCol), spanTokens)).as("wh"))
     val grouped = spans.groupBy("wh")
       .agg(sort_array(collect_list(col("sid"))).as("ids"))
       .filter(size(col("ids")) >= 2)
@@ -731,8 +763,11 @@ object Dedup {
     * position; fingerprint bit b is set when the vote is positive.
     */
   def simhash64(df: DataFrame, textCol: String = "text"): DataFrame =
+    // fused text→fingerprint kernel (opt round 16): per-token byte-range
+    // hashing, bit-identical to simhash64(split(lower(text), ' ')) (OpsSpec
+    // pins it) — 4.7× faster fingerprint pass at 100× (D03bProbe)
     df.withColumn("simhash",
-      graft.functions.MinHashFunctions.simhash64(split(lower(col(textCol)), " ")))
+      graft.functions.MinHashFunctions.simhash64Text(col(textCol)))
 
   /** Near-duplicate pairs by SimHash hamming distance ≤ maxHamming: pigeonhole
     * candidate generation — the 64-bit fingerprint splits into `numChunks`
@@ -832,8 +867,14 @@ object Dedup {
     // Shingle sets join back AFTER the cheap filters, against a doc-keyed
     // table AQE broadcasts at these scales.
     val base = df.select(col(idCol), col(textCol)).repartition(col(idCol))
+    // sz via the fused hashed-shingle kernel (opt round 16): same count as
+    // size(shingles(...)) — distinctness is preserved under hashing modulo
+    // the documented ~1e-13 64-bit collision tolerance every hashed-shingle
+    // oracle already carries — without materializing the gram-string array
+    // a second way (the composed fingerprint pass read 10.1 s at 100× vs
+    // 2.1 s fused, D03bProbe)
     val fp = simhash64(base, textCol)
-      .withColumn("sz", size(shingles(textCol, shingleSize)))
+      .withColumn("sz", size(sortedHashedShingles(textCol, shingleSize)))
       .select(col(idCol).as("sv_id"), col("simhash"), col("sz"))
     val chunked = fp.select(
       posexplode(expr(

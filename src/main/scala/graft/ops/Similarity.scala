@@ -150,6 +150,13 @@ object Similarity {
     * documented contract as s02/s03 (the planted-twin spec proves the
     * partial-probe join on clustered data). Output: (q_id, n_id, rank,
     * sim) — s01's shape.
+    *
+    * Vector contract: corpus and query vectors must be EQUAL-LENGTH. The
+    * hoisted per-side norms (sqrt(dot(v,v)) over the FULL vector) assume
+    * it — the fused vec_cosine kernel they replaced truncated both
+    * self-products to min(|q|,|n|), so ragged inputs would score
+    * differently here than pre-r15; every kNN entry point in this file
+    * already shares the equal-dim contract.
     */
   def bucketedKnn(corpus: DataFrame, queries: DataFrame, k: Int,
                   nlist: Int = 0, nprobe: Int = 16,
@@ -210,15 +217,32 @@ object Similarity {
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("sim",
         dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")))
-    // Top-k per query: for small k a grouped TopKByKey aggregate — an O(n)
-    // streaming insert that hash-aggregates and reduces map-side — replaces
-    // the row_number window, whose WindowGroupLimit Partial step SORTS the
+    // Top-k per query: a grouped TopKByKey aggregate — an O(n) streaming
+    // insert that hash-aggregates and reduces map-side — replaces the
+    // row_number window, whose WindowGroupLimit Partial step SORTS the
     // full candidate stream per partition (424M rows = ~2/3 of s20's 100x
     // cost, S20Probe-measured; the aggregate keeps the same skinny
     // exchange volume and the identical (sim DESC, n_id ASC) total order,
     // so results are bit-equal — SimilaritySpec pins agg == window on
-    // tie-heavy data). Above the kernel's k cap the window form remains.
-    if (k <= 4) {
+    // tie-heavy data). k <= 4 plans the declarative kernel; above it the
+    // loop-based imperative twin (opt round 16 — the old k-cap cliff where
+    // k = 5 silently lost the whole optimization is gone) up to MaxAggK,
+    // for fixed-width id types; the window form remains the fallback.
+    val fixedWidthId = cand.schema("n_id").dataType match {
+      case org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    if (k <= graft.functions.TopKFunctions.MaxDeclK ||
+        (k <= graft.functions.TopKFunctions.MaxAggK && fixedWidthId)) {
       cand
         .groupBy("q_id")
         .agg(graft.functions.TopKFunctions

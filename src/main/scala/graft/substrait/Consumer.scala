@@ -652,10 +652,11 @@ object Consumer {
         case "charlm_fit_agg" =>
           graft.functions.CharLmFunctions.ensureSessionRegistered()
           call_function("charlm_fit_agg", args: _*)
-        // grouped top-k (sort-free kNN shortlist; k rides as literal arg)
-        case "topk_by_key" =>
+        // grouped top-k (sort-free kNN shortlist; k rides as literal arg);
+        // _loop = the k > 4 imperative twin, same order contract
+        case n @ ("topk_by_key" | "topk_by_key_loop") =>
           graft.functions.TopKFunctions.ensureSessionRegistered()
-          call_function("topk_by_key", args: _*)
+          call_function(n, args: _*)
         case other => notImplemented(s"aggregate function $other")
       }
     }

@@ -60,6 +60,21 @@ object D03bProbe {
            |    c -> shiftright(s, c * $chunkBits) & $mask)), 1)""".stripMargin))
         .as(Seq("chunk_idx", "chunk_val")),
       struct(col("sv_id"), col("simhash"), col("sz")).as("it"))
+    // pair volume the salted join must stream: sum bn^2 per (chunk,val),
+    // and the same with a lossless geometric size-bucket refinement
+    // (J >= t implies size ratio >= t => same-or-adjacent bucket)
+    val bs0 = chunked.groupBy("chunk_idx", "chunk_val").agg(count(lit(1)).as("bn"))
+    timed("sum_bn2 (current buckets)") {
+      bs0.agg(sum(col("bn") * col("bn"))).head().getLong(0)
+    }
+    timed("max_bn (current buckets)") { bs0.agg(max("bn")).head().getLong(0) }
+    val lnBase = math.log(1.0 / threshold)
+    val szRef = chunked.withColumn("szb",
+      floor(log(greatest(col("it.sz"), lit(1)).cast("double")) / lnBase).cast("int"))
+      .groupBy("chunk_idx", "chunk_val", "szb").agg(count(lit(1)).as("bn"))
+    timed("sum_bn2 (size-refined, home only)") {
+      szRef.agg(sum(col("bn") * col("bn"))).head().getLong(0)
+    }
     val bucketSizes = chunked.groupBy("chunk_idx", "chunk_val")
       .agg(count(lit(1)).as("bn"))
       .filter(col("bn") >= 2 && col("bn") <= 10000)

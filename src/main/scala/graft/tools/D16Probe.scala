@@ -56,9 +56,12 @@ object D16Probe {
     timed("span explosion (fused kernel)") {
       spansFused.write.format("noop").mode("overwrite").save()
     }
-    // hash-multiset identity check (cheap): counts and sums must agree
-    val a = spansCurrent.agg(count(lit(1)), sum(col("wh"))).head()
-    val b = spansFused.agg(count(lit(1)), sum(col("wh"))).head()
+    // hash-multiset identity check (cheap): counts and decimal sums must
+    // agree (bare long sum overflows under ANSI at 100x span volume)
+    val a = spansCurrent.agg(count(lit(1)),
+      sum(col("wh").cast("decimal(38,0)"))).head()
+    val b = spansFused.agg(count(lit(1)),
+      sum(col("wh").cast("decimal(38,0)"))).head()
     println(s"[d16probe] identity current=(${a.getLong(0)},${a.get(1)}) fused=(${b.getLong(0)},${b.get(1)})")
 
     timed("grouped buckets (current)") {

@@ -7,8 +7,12 @@ import graft.SparkTestBase
 /** TopKByKey (the sort-free grouped top-k that replaced the kNN
   * row_number window, opt round 15) must be BIT-equal to the window it
   * replaced — (key DESC NULLS LAST, id ASC), Spark's total double order
-  * (NaN greatest, NaN = NaN, -0.0 < 0.0) — on tie-heavy and degenerate
-  * inputs, under partial/final merge (multi-partition input). */
+  * (NaN greatest, NaN = NaN, -0.0 = 0.0 with the tie falling to id ASC —
+  * SQLOrderingUtil's `x == y` primitive check fires before the bit
+  * compare, so signed zeros are EQUAL, same as the window's sort) — on
+  * tie-heavy and degenerate inputs, under partial/final merge
+  * (multi-partition input). k <= 4 exercises the declarative kernel;
+  * k = 16/64 the loop-based imperative twin (opt round 16). */
 class TopKSpec extends SparkTestBase {
 
   private def viaAgg(df: org.apache.spark.sql.DataFrame, k: Int) = df
@@ -43,6 +47,40 @@ class TopKSpec extends SparkTestBase {
       .map(i => (i % 37L, (i * 2654435761L) % 1000, (i % 4).toDouble / 2.0))
       .toDF("g", "id", "key").repartition(8)
     for (k <- 1 to 4) assertSame(df, k)
+  }
+
+  test("loop twin (k > 4): tie-heavy multi-partition merge at k = 16 and 64") {
+    import spark.implicits._
+    // ~108 rows per group with only 6 distinct keys: k = 16 truncates
+    // mid-tie-run, k = 64 leaves some groups shorter than k (dense ranks)
+    val df = (0 until 4000)
+      .map(i => (i % 37L, (i * 2654435761L) % 1000, (i % 6).toDouble / 2.0))
+      .toDF("g", "id", "key").repartition(8)
+    for (k <- Seq(5, 16, 64)) assertSame(df, k)
+  }
+
+  test("loop twin: NaN/infinities/signed zero/null keys at k = 16") {
+    import spark.implicits._
+    val special = Seq(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 0.0, -0.0, 1.5, -1.5)
+    val rows = for (g <- 0L until 3L; (v, i) <- special.zipWithIndex)
+      yield (g, i.toLong + 10 * g, v)
+    val withNulls = rows.toDF("g", "id", "key")
+      .unionByName(Seq((0L, 100L), (1L, 101L)).toDF("g", "id")
+        .withColumn("key", lit(null).cast("double")))
+      .repartition(5)
+    assertSame(withNulls, 16)
+  }
+
+  test("loop twin rides the wire (roundtrip equals direct, k = 8)") {
+    import spark.implicits._
+    val df = (0 until 300)
+      .map(i => (i % 7L, i.toLong, (i % 5).toDouble)).toDF("g", "id", "key")
+    val direct = viaAgg(df, 8)
+    val rt = graft.substrait.Serializer.roundtrip(spark, direct)
+    val a = direct.collect().map(_.toString).sorted
+    val b = rt.collect().map(_.toString).sorted
+    assert(a.sameElements(b), "wire roundtrip of topk_by_key_loop diverged")
   }
 
   test("NaN, infinities, signed zero, null keys follow the window's total " +
