@@ -201,8 +201,11 @@ object Ivf {
     val idx = load(spark, path)
     // conform to the SAVED schema: an index built with metaCols stores
     // those columns in every cell file, and appending meta-less rows would
-    // corrupt the layout (filtered searches would silently skip them)
-    val dataCols = spark.read.parquet(s"$path/cells")
+    // corrupt the layout (filtered searches would silently skip them).
+    // load() just resolved the cell layout — reuse its schema (the
+    // tombstone anti-join preserves the left schema) instead of paying a
+    // second parquet listing+footer job for the same field names.
+    val dataCols = idx.assigned
       .schema.fieldNames.filterNot(_ == "cell").toSeq
     val meta = dataCols.filterNot(Set("n_id", "n_vec"))
     val missingMeta = meta.filterNot(newVectors.columns.contains)
@@ -225,12 +228,15 @@ object Ivf {
         s"appendToSaved: $shadowed ids in the batch are tombstoned and " +
           "would be invisible; run compactSaved first or use fresh ids")
     }
-    assigned.select((dataCols :+ "cell").map(col): _*)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    // persisted so the write and the counter count compute the assignment
+    // once (the count previously re-derived every centroid distance)
+    val toWrite = assigned.select((dataCols :+ "cell").map(col): _*).persist()
+    toWrite.write.mode("append").partitionBy("cell").parquet(s"$path/cells")
     // advisory rowcount: increment by the batch (O(batch)); an index saved
     // before counters existed seeds lazily on its first delete instead
     readCounter(fs, path, "rowcount").foreach(n =>
-      writeCounter(fs, path, "rowcount", n + assigned.count()))
+      writeCounter(fs, path, "rowcount", n + toWrite.count()))
+    toWrite.unpersist()
     load(spark, path)
   }
 
@@ -254,10 +260,16 @@ object Ivf {
     // NO cast: n_id keeps the corpus id column's own type (a silent
     // cast-to-long would null out non-numeric ids and the anti-join would
     // match nothing — a delete that "succeeds" and removes nothing)
-    val t = ids.select(col(idCol).as("n_id")).distinct()
-    require(t.filter(col("n_id").isNull).isEmpty,
+    val t = ids.select(col(idCol).as("n_id")).distinct().persist()
+    // one aggregate carries BOTH the null check and the batch size
+    // (count(col) skips nulls), and the persisted distinct is computed
+    // once instead of three times (null check, write, counter count)
+    val aggRow = t.agg(count(lit(1)), count(col("n_id"))).head()
+    val batchN = aggRow.getLong(0)
+    require(batchN == aggRow.getLong(1),
       "deleteFromSaved: null ids in the delete batch")
     t.write.mode("append").parquet(s"$path/tombstones")
+    t.unpersist()
     // auto-compaction: the per-search anti-join costs grow with the
     // tombstone set, so once tombstones reach `autoCompactRatio` of the
     // layout's rows, fold them in now (semantically invisible — search
@@ -270,7 +282,6 @@ object Ivf {
     if (autoCompactRatio > 0) {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val batchN = t.count()
       // seed-once fallback for indexes saved before counters existed:
       // one full count each, then O(1) forever after
       val nTomb = readCounter(fs, path, "tombcount")
