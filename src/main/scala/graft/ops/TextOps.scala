@@ -157,10 +157,14 @@ object TextOps {
     // — the join itself, not the explode, was the cost). |matches| unchanged:
     // gram sets are distinct per doc and a cross-side 64-bit collision is
     // ~1e-13-improbable and deterministic — certified by the exact
-    // string-gram oracle.
+    // string-gram oracle. The hashes come from the fused shingle_hashes
+    // kernel (opt round 16): same sorted-distinct hash SET as
+    // xxhash64(wordNgrams(...)) — the composed form materialized every
+    // n-word gram STRING per doc just to hash it (the d16-measured cost),
+    // the kernel hashes byte ranges of lower(text) in place.
     def grams(df: DataFrame, cols: Column*) = df.select(
-      cols :+ explode(transform(wordNgrams(col(textCol), n),
-        g => xxhash64(g))).as("gh"): _*)
+      cols :+ explode(graft.functions.ShingleFunctions
+        .shingleHashes(col(textCol), n)).as("gh"): _*)
     val bench = grams(benchmark).select("gh").distinct()
     grams(corpus, col(idCol))
       .join(broadcast(bench), "gh")
@@ -178,12 +182,19 @@ object TextOps {
   def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String = "doc_id", textCol: String = "text",
                          n: Int = 8): DataFrame = {
+    // fused shingle_hashes kernel (opt round 16): identical hash set and —
+    // because the kernel output is DISTINCT, like wordNgrams' — identical
+    // n_grams count (modulo the documented ~1e-13 64-bit gram-collision
+    // tolerance every hashed-gram oracle carries; same argument as d03b's
+    // size(shingle_hashes) swap)
     val bench = benchmark.select(
-      explode(transform(wordNgrams(col(textCol), n), g => xxhash64(g))).as("gh"))
+      explode(graft.functions.ShingleFunctions
+        .shingleHashes(col(textCol), n)).as("gh"))
       .distinct().withColumn("__hit", lit(1))
-    corpus.select(col(idCol), wordNgrams(col(textCol), n).as("gs"))
+    corpus.select(col(idCol), graft.functions.ShingleFunctions
+        .shingleHashes(col(textCol), n).as("gs"))
       .select(col(idCol), size(col("gs")).cast("long").as("n_grams"),
-        explode(transform(col("gs"), g => xxhash64(g))).as("gh"))
+        explode(col("gs")).as("gh"))
       .join(broadcast(bench), Seq("gh"), "left")
       .groupBy(col(idCol), col("n_grams"))
       .agg(sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
@@ -632,16 +643,14 @@ object TextOps {
 
   /** word uni+bigram features of a text column, each as its 2-hex-char
     * md5-prefix bucket — the shared feature hashing of
-    * [[hashedLinearScore]] and [[dsirWeights]]/[[dsirScore]] */
-  def hashedFeatureBuckets(textCol: Column): Column = {
-    val toks = filter(split(lower(textCol), "[^a-z]+"), t => length(t) > 0)
-    val feats = concat(toks, when(size(toks) < 2, typedLit(Seq.empty[String]))
-      .otherwise(zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (x, y) => concat(x, lit("_"), y))))
-    transform(feats, f => substring(md5(f), 1, 2))
-  }
+    * [[hashedLinearScore]] and [[dsirWeights]]/[[dsirScore]].
+    * Fused kernel (opt round 16): array-identical to the composed
+    * `transform(concat(filter(split(lower(t),"[^a-z]+"),…), zip_with(…)),
+    * f -> substring(md5(f),1,2))` — FeatureBucketSpec pins the equality;
+    * the composed form materialized every token/bigram STRING just to
+    * md5-prefix it (the d15/d16 shingle-string cost, same fix). */
+  def hashedFeatureBuckets(textCol: Column): Column =
+    graft.functions.FeatureBucketFunctions.featureBuckets(textCol)
 
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): fit

@@ -981,6 +981,8 @@ object Consumer {
               graft.functions.JaccardFunctions.ensureSessionRegistered()
             if (other == "shingle_hashes")
               graft.functions.ShingleFunctions.ensureSessionRegistered()
+            if (other == "feature_buckets")
+              graft.functions.FeatureBucketFunctions.ensureSessionRegistered()
             if (other.startsWith("bpe_count"))
               graft.functions.BpeFunctions.ensureSessionRegistered()
             if (other == "charlm_fold")

@@ -1825,6 +1825,7 @@ object Producer {
     "simhash64_text", "minhash_sig_text",
     "sorted_jaccard_ge",
     "sorted_containment_ge", "bucket_jaccard_pairs", "shingle_hashes",
+    "feature_buckets",
     "bpe_count", "bpe_count_v2", "charlm_fold",
     "pq_encode", "pq_adc",
     "might_contain", "cms_estimate_long", "cms_inner_product",

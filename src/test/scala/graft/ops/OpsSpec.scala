@@ -143,6 +143,43 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("fused feature_buckets kernel == the SQL composition, byte for byte") {
+    // opt round 16: the kernel scans [a-z] byte runs of lower(text) and
+    // md5-prefixes unigram/adjacent-bigram byte ranges in place; it must
+    // reproduce transform(concat(filter(split(lower(t),"[^a-z]+"),…),
+    // zip_with(…,concat(x,'_',y))), f -> substring(md5(f),1,2)) EXACTLY —
+    // order included (unigrams then bigrams), empty/no-letter/one-token
+    // edges, digit+punct separators, and unicode (incl. U+212A KELVIN SIGN,
+    // which lower()s to ASCII 'k' and must re-enter the token alphabet)
+    import spark.implicits._
+    def composedBuckets(textCol: org.apache.spark.sql.Column) = {
+      val toks = filter(split(lower(textCol), "[^a-z]+"), t => length(t) > 0)
+      val feats = concat(toks,
+        when(size(toks) < 2, typedLit(Seq.empty[String]))
+          .otherwise(zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (x, y) => concat(x, lit("_"), y))))
+      transform(feats, f => substring(md5(f), 1, 2))
+    }
+    val adversarial = Seq(
+      "", " ", "123 456", "...", "a", "A", "a b", "one2two three",
+      "Hello, World! Again.", "tab\there newline\nthere",
+      "héllo wörld ünïcode tèxt mixed", "Kelvin K sign",
+      "CAPS and lower And MiXeD", "a-b_c d.e", "x " * 50 + "tail")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val advDf = adversarial.toDF("doc_id", "text")
+    for ((df, what) <- Seq((docs.select("doc_id", "text"), "documents fixture"),
+                           (advDf, "adversarial"))) {
+      val mismatches = df.select(
+          TextOps.hashedFeatureBuckets(col("text")).as("kernel"),
+          composedBuckets(col("text")).as("sql"))
+        .filter(col("kernel") =!= col("sql"))
+        .count()
+      assert(mismatches == 0, s"$what: $mismatches rows differ")
+    }
+  }
+
   test("prefix-filter branch (bucket > 64 members) equals exact all-pairs") {
     // 300 same-length-class docs in ONE (lang, size-bucket) — far above the
     // kernel's 64-member cut, so candidates MUST come from the in-task
