@@ -536,11 +536,21 @@ object TextOps {
       .filter(col("term") =!= "")
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    // REFUTED (opt round 16, T13Probe numbers): making this branch's
+    // aggregate reference tf's count (sum(when(tf>=1,1,0))) so both
+    // branches canonicalize to the same (doc,term) aggregate does NOT get
+    // the token explode+shuffle reused — AQE stage reuse never fired on
+    // the branches (host or wire: hashExchanges 6→6, reused 0, t13 solo
+    // 6.0→6.8 s at 100×), so the pruned-distinct derivation below stays
+    // (it is strictly cheaper per row than carrying the unused count).
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
       .crossJoin(broadcast(nDocs))
       .withColumn("idf",
         log((col("n_docs") + 1).cast("double") / (col("df_t") + 1)) + 1.0)
-    tf.join(idf.select("term", "idf"), "term")
+    // broadcast the VOCAB-sized side explicitly: the planner's post-agg
+    // estimate picked the |doc×term| tf side as the build side (a
+    // corpus-scale broadcast hazard); idf is bounded by the vocabulary
+    tf.join(broadcast(idf.select("term", "idf")), "term")
       .withColumn("score", round(col("tf") * col("idf"), 6))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(idCol))
