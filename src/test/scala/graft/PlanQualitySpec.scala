@@ -647,7 +647,10 @@ class PlanQualitySpec extends SparkTestBase {
     val p = plan("t28_contamination_score")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), s"gram join must broadcast:\n$p")
-    assert(p.contains("xxhash64"), s"grams must travel hashed:\n$p")
+    // grams travel as hashed longs — since opt round 16 straight out of
+    // the fused shingle_hashes kernel (previously xxhash64 over the
+    // composed gram strings)
+    assert(p.contains("shingle_hashes"), s"grams must travel hashed:\n$p")
   }
 
   test("q71: rollup feeds ONE Expand into ONE aggregate over ONE scan") {
