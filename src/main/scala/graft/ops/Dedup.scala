@@ -1290,7 +1290,6 @@ object Dedup {
       col(bCol).cast("long").as("v"))
     val edges0 = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
       .distinct()
-    val deg = edges0.groupBy("u").agg(count(lit(1)).as("deg"))
     // (u, v, deg): reused every round. CACHED pre-partitioned on the join
     // key, not localCheckpointed — Spark 4's localCheckpoint drops
     // outputPartitioning (the LogicalRDD plans as partition-less,
@@ -1299,9 +1298,19 @@ object Dedup {
     // hash(u, P) (AQE never coalesces an explicit count), so the
     // per-round join reads edges in place and only the contribution
     // aggregate exchanges. P = the session's shuffle parallelism.
+    //
+    // deg rides as a WINDOW count over the SAME u-keyed exchange the
+    // cache pins (opt round 16 — D17Probe2: edge prep was 48 s of d17's
+    // ~57 s at 100×, and 2 of its 3 full |2E|-row exchanges were the deg
+    // groupBy's re-exchange + the deg join feeding the explicit
+    // repartition; count(*) over (partition by u) on the repartitioned
+    // stream is the same per-u row count with ZERO extra exchange, and
+    // the window's u-sort happens once, inside the cached frame).
     val nShuffle = spark.sessionState.conf.numShufflePartitions
-    val edges = edges0.join(deg, "u")
+    val edges = edges0
       .repartition(nShuffle, col("u"))
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("u")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count()
     def step(ed: DataFrame)(r: DataFrame): DataFrame =
